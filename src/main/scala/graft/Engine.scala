@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard tuning.
+  *
+  * Local mode is a stand-in for a multi-executor cluster: every knob here is
+  * chosen to behave identically on `local[32]` and on a 1000-executor
+  * deployment (AQE on, modest shuffle parallelism locally, broadcast joins for
+  * dimension tables).
+  */
+object Engine {
+
+  /** Confs every session needs, applicable to an existing session too (all are
+    * runtime SQL confs). `nanosAsLong` lets Spark read the parquet
+    * TIMESTAMP(NANOS) columns the reference-style event feeds carry; we expose
+    * them as epoch-nanos longs and derive epoch-micros (see [[Tables]]).
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark
+  }
+
+  def session(master: String = "local[32]", appName: String = "graft"): SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    tune(s)
+  }
+}

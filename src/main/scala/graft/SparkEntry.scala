@@ -1,13 +1,203 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (and the beyond-reference
+  * LLM-pipeline pack) is exposed here as a named query over the driver's
+  * testdata, with a DuckDB-equivalent oracle in [[oracleSql]]. Column names
+  * and row ordering match the oracle exactly (the driver hash-compares).
+  *
+  * Time convention: `events.ts` is parquet TIMESTAMP(NANOS); both engines
+  * truncate to epoch **micros** (`ts_us`) — see [[graft.sources.Tables]].
+  */
 object SparkEntry {
+
+  // Fixed, sf-independent window inside the events table's Jan-2024 span.
+  private final val T0 = 1704672000000000L // 2024-01-08T00:00:00Z (us)
+  private final val T1 = 1705881600000000L // 2024-01-22T00:00:00Z (us)
+  private final val TMID = 1705276800000000L // 2024-01-15T00:00:00Z (us)
+  private final val RUN_WEEK_US = 604800000000L // 7 days in micros
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_get_data")(spark, "/root/testdata/sf0.001")
+
+  private def events(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- anchor aggregation (A-category; classic pricing summary) ----------
+    "q_agg_pricing" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- S4/P1/O1 time-range scan (archiver.py:185-190) --------------------
+    "q_range_scan" -> ((s, dir) => {
+      TimeSeries.rangeScan(events(s, dir), col("event_type"), "click", "ts_us", T0, T1)
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+        .orderBy(col("ts_us"), col("event_id"))
+    }),
+
+    // ---- W2/Q3 flagship get_data: range + one point before tmin ------------
+    "q_get_data" -> ((s, dir) => {
+      TimeSeries.getData(events(s, dir), col("event_type"), "purchase", "ts_us", "event_id", T0, T1)
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+    }),
+
+    // ---- Q2 get_value_at_time per key --------------------------------------
+    "q_value_at_time" -> ((s, dir) => {
+      TimeSeries.valueAtTime(events(s, dir), "user_id", "ts_us", "event_id", TMID)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- A1 latest-per-key (the reference's cache table) -------------------
+    "q_latest_per_key" -> ((s, dir) => {
+      TimeSeries.latestPerKey(events(s, dir), "user_id", "ts_us", "event_id", Seq("event_type", "value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- A2 min/max time + count per series --------------------------------
+    "q_minmax_per_type" -> ((s, dir) => {
+      TimeSeries.minMaxPerKey(events(s, dir), "event_type", "ts_us")
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- P6 count since threshold per key ----------------------------------
+    "q_count_since" -> ((s, dir) => {
+      TimeSeries.countSince(events(s, dir), "event_type", "ts_us", T0)
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- J5 runs overlapping a query interval (dbs_for_time) ---------------
+    "q_runs_overlap" -> ((s, dir) => {
+      TimeSeries.runsOverlapping(events(s, dir), "ts_us", RUN_WEEK_US, T0, T1)
+    }),
+
+    // ---- W3/T2 batch twin of the deadtime/deadband downsampler -------------
+    "q_downsample" -> ((s, dir) => {
+      TimeSeries.downsampleBatch(
+        events(s, dir), "user_id", "ts_us", "event_id", "value",
+        deadtimeUs = 6L * 3600L * 1000000L, deadband = 50.0)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
+    // ---- exact dedup (group identical docs by fingerprint) -----------------
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text").orderBy(col("fp"))
+    }),
+
+    // ---- text stats: tokens / chars / stopword ratio -----------------------
+    "q_text_stats" -> ((s, dir) => {
+      TextAnalysis.stats(Tables.documents(s, dir), "doc_id", "text")
+        .withColumn("n_tokens", col("n_tokens").cast("long"))
+        .withColumn("n_chars", col("n_chars").cast("long"))
+        .withColumn("n_stop", col("n_stop").cast("long"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_range_scan" ->
+      s"""SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+         |FROM events
+         |WHERE event_type = 'click' AND epoch_us(ts) >= $T0 AND epoch_us(ts) < $T1
+         |ORDER BY ts_us, event_id""".stripMargin,
+
+    "q_get_data" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+         |  FROM events WHERE event_type = 'purchase'),
+         |early AS (
+         |  SELECT event_id, user_id, ts_us, value
+         |  FROM (SELECT *, row_number() OVER (ORDER BY ts_us DESC, event_id DESC) AS rn
+         |        FROM e WHERE ts_us < $T0)
+         |  WHERE rn = 1)
+         |SELECT event_id, user_id, ts_us, value FROM early
+         |UNION ALL
+         |SELECT event_id, user_id, ts_us, value FROM e WHERE ts_us >= $T0 AND ts_us < $T1
+         |ORDER BY ts_us, event_id""".stripMargin,
+
+    "q_value_at_time" ->
+      s"""SELECT user_id, ts_us, event_id, value
+         |FROM (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+         |        row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+         |      FROM events WHERE epoch_us(ts) <= $TMID)
+         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_latest_per_key" ->
+      """SELECT user_id, ts_us, event_id, event_type, value
+        |FROM (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_minmax_per_type" ->
+      """SELECT event_type, min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS stop_us,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_count_since" ->
+      s"""SELECT event_type, count(*) AS n FROM events
+         |WHERE epoch_us(ts) > $T0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_runs_overlap" ->
+      s"""SELECT epoch_us(ts) // $RUN_WEEK_US AS run_id,
+         |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS stop_us, count(*) AS n
+         |FROM events GROUP BY 1
+         |HAVING max(epoch_us(ts)) >= $T0 AND min(epoch_us(ts)) <= $T1
+         |ORDER BY run_id""".stripMargin,
+
+    "q_downsample" ->
+      s"""SELECT user_id, ts_us, event_id, value
+         |FROM (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+         |        lag(epoch_us(ts)) OVER w AS pts,
+         |        lag(value) OVER w AS pv
+         |      FROM events
+         |      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+         |WHERE pts IS NULL OR (ts_us - pts) > ${6L * 3600L * 1000000L} OR abs(value - pv) > 50.0
+         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS rep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |       t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS n_stop,
+        |  round(CAST(len(list_filter(string_split(text, ' '),
+        |       t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |       / len(string_split(text, ' ')), 6) AS stop_ratio,
+        |  round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |       / len(string_split(text, ' ')), 6) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,214 @@
+package graft.functions
+
+import java.security.MessageDigest
+import java.util.Base64
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar function pack — SURVEY.md §2.7 F1–F15, reimplemented from the
+  * reference's documented behavior (citations into /root/reference).
+  *
+  * Everything that a built-in Spark expression can express is a `Column`
+  * function (codegen'd, pushdown-friendly); only the genuinely bespoke
+  * formats (`hformat`, `hashname`, lenient time parse) are Scala functions
+  * exposed as UDFs via [[GraftUdfs]].
+  */
+object PvFunctions {
+
+  /** F1 `normalize_pvname` (util.py:325-333): clean, and append ".VAL" when the
+    * name has no field suffix.
+    */
+  def normalizePvName(c: Column): Column = {
+    val cleaned = trim(cleanString(c))
+    when(cleaned.contains("."), cleaned).otherwise(concat(cleaned, lit(".VAL")))
+  }
+
+  /** F2 `clean_string`/`clean_bytes` (util.py:295-312): strip everything from
+    * the first `;` or `#` (SQL-injection guard), trim, cap at 4090 chars.
+    */
+  def cleanString(c: Column): Column =
+    trim(substring(regexp_replace(c, "[;#].*$", ""), 1, 4090))
+
+  /** F3 `clean_value` (archiver.py:34-44): stored string → double, recovering
+    * mangled `b'1.23'` byte-literal relics; null when non-numeric.
+    */
+  def cleanValue(c: Column): Column =
+    regexp_replace(c, "^b'(.*)'$", "$1").cast("double")
+
+  /** F5 `tformat` (util.py:364-370): epoch seconds → `%Y-%b-%d %H:%M:%S`. */
+  def tformat(epochSec: Column): Column =
+    date_format(timestamp_seconds(epochSec), "yyyy-MMM-dd HH:mm:ss")
+
+  /** F8 `ts2iso` (web_utils.py:24-29): epoch → ISO with milliseconds. */
+  def ts2iso(epochMicros: Column): Column =
+    date_format(timestamp_micros(epochMicros), "yyyy-MM-dd HH:mm:ss.SSS")
+
+  /** F9 `chararray_as_string` (web_utils.py:93-110): int-array waveform →
+    * ASCII string up to the first NUL.
+    */
+  def charArrayAsString(arr: Column): Column = {
+    val upToNul = when(array_position(arr, 0) > 0, slice(arr, lit(1), (array_position(arr, 0) - 1).cast("int")))
+      .otherwise(arr)
+    concat_ws("", transform(upToNul, i => char(i)))
+  }
+
+  /** F10 enum decode (cache.py:171-178): enum ordinal → label through a
+    * per-key label map (`labels` is a `MapType(String, ArrayType(String))`
+    * column, normally from a broadcast dimension).
+    */
+  def enumLabel(labels: Column, key: Column, ordinal: Column): Column =
+    element_at(element_at(labels, key), ordinal.cast("int") + 1)
+
+  /** F13 yes/no formatter (web/WebStatus.py:51-94). */
+  def yesNo(c: Column): Column =
+    when(c.cast("int") === 0, lit("No")).when(c.cast("int") === 1, lit("Yes")).otherwise(c.cast("string"))
+
+  /** P5 pvname charset whitelist (util.py:325-326). */
+  def validPvName(c: Column): Column = c.rlike("^[a-zA-Z0-9_:.\\[\\]();<>{}+=#-]+$")
+
+  // ---------------------------------------------------------------------------
+  // Driver-side (pure Scala) versions — used by UDFs, ingest normalization and
+  // tests. These must match the reference bit-for-bit (parity fixtures).
+  // ---------------------------------------------------------------------------
+
+  /** F11 `hashname` (archiver.py:25-32): sha256(name) → base64 → sum of char
+    * codes mod 128. Selects the hash bucket (reference: 1 of 128 data tables;
+    * here: the `bucket` partition column of the sample store).
+    */
+  def hashname(name: String): Int = {
+    val digest = MessageDigest.getInstance("SHA-256").digest(name.getBytes("UTF-8"))
+    val b64 = Base64.getEncoder.encodeToString(digest)
+    b64.map(_.toInt).sum % 128
+  }
+
+  /** Reference data-table name for a bucket (archiver.py:269). */
+  def dataTable(name: String): String = f"pvdat${hashname(name) + 1}%03d"
+
+  /** F4 `hformat` (util.py:427-491): fixed-width '%g'-like float format —
+    * exact requested length, leading blank for positives, f/e switch at the
+    * documented precision boundaries, and the trailing-"000" trim.
+    */
+  def hformat(value: Double, length: Int = 10): String = {
+    val len = math.max(length, 7)
+    if (value.isNaN) return pad("nan", len)
+    if (value.isInfinity) return pad(if (value > 0) "inf" else "-inf", len)
+    val expon: Int = {
+      val l = math.log10(math.abs(value))
+      if (l.isInfinite || l.isNaN) 0 else l.toInt // toInt truncates toward 0, like Python int()
+    }
+    var form = 'e'
+    var prec = len - 7
+    if (math.abs(expon) > 99) prec -= 1
+    else if ((expon > 0 && expon < prec + 6) || (expon <= 0 && -expon < prec - 1)) {
+      form = 'f'
+      prec += 4
+      if (expon > 0) prec = math.max(0, prec - expon)
+    }
+    var out = formatPy(value, len, prec, form)
+    if (out.length > len) out = out.substring(0, len)
+    if (out.endsWith("000")) out = out.dropRight(3)
+    out
+  }
+
+  /** Python `'{0: L.Pf}'`/`'{0: L.Pe}'` equivalent: space sign flag, width,
+    * precision; lowercase 'e' with ≥2-digit exponent (both languages agree).
+    */
+  private def formatPy(v: Double, width: Int, prec: Int, form: Char): String = {
+    val body = String.format(s"%.${prec}$form", Double.box(v))
+    val signed = if (v >= 0 && !body.startsWith(" ")) " " + body else body
+    pad(signed, width)
+  }
+
+  private def pad(s: String, width: Int): String =
+    if (s.length >= width) s else (" " * (width - s.length)) + s
+
+  /** F6 `time_str2sec` (util.py:372-388): lenient `Y-m-d H:M:S` parse where a
+    * date-less input defaults to today (UTC) and missing H/M/S default to 0.
+    */
+  def timeStr2Sec(s: String, todayEpochSec: Long): Long = {
+    val t = s.trim.replace('_', ' ')
+    val (datePart, timePart) =
+      if (t.contains(" ")) { val a = t.split(" +", 2); (a(0), a(1)) }
+      else if (t.contains(":")) ("", t)
+      else (t, "")
+    val today = java.time.Instant.ofEpochSecond(todayEpochSec).atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val dp = if (datePart.isEmpty) Array.empty[String] else datePart.split("[-/]")
+    val year = if (dp.length > 0) dp(0).toInt else today.getYear
+    val month = if (dp.length > 1) dp(1).toInt else today.getMonthValue
+    val day = if (dp.length > 2) dp(2).toInt else today.getDayOfMonth
+    val tp = if (timePart.isEmpty) Array.empty[String] else timePart.split(":")
+    val hh = if (tp.length > 0 && tp(0).nonEmpty) tp(0).toInt else 0
+    val mm = if (tp.length > 1) tp(1).toInt else 0
+    val ss = if (tp.length > 2) tp(2).toDouble.toInt else 0
+    java.time.LocalDateTime.of(year, month, day, hh, mm, ss).toEpochSecond(java.time.ZoneOffset.UTC)
+  }
+
+  /** F7 `parse_times` relative-range arithmetic (web_utils.py:31-90): date1 is
+    * "N units ago" relative to now when date2 == "now".
+    */
+  def timeAgoSeconds(n: Double, unit: String): Long = {
+    val mult = unit.toLowerCase.stripSuffix("s") match {
+      case "minute" => 60L
+      case "hour" => 3600L
+      case "day" => 86400L
+      case "week" => 604800L
+      case "year" => 31536000L
+      case other => throw new IllegalArgumentException(s"unknown unit: $other")
+    }
+    (n * mult).toLong
+  }
+
+  /** F14 `get_force_update_time` (util.py:348-354): uniform 13–21h, seeded for
+    * deterministic tests.
+    */
+  def forceUpdateSeconds(rng: scala.util.Random): Long =
+    (13 * 3600) + rng.nextInt(8 * 3600)
+
+  /** F15 mail-template interpolation (cache.py:662-686): replace
+    * %PV%/%VALUE%/%LABEL%/%COMP%/%TRIP% and nested %PV(name)% lookups (≤25).
+    */
+  def mailTemplate(
+      msg: String,
+      pvname: String,
+      value: String,
+      label: String,
+      comp: String,
+      trip: String,
+      lookup: String => Option[String]): String = {
+    var out = msg
+      .replace("%PV%", pvname)
+      .replace("%VALUE%", value)
+      .replace("%LABEL%", label)
+      .replace("%COMP%", comp)
+      .replace("%TRIP%", trip)
+    val pat = "%PV\\(([^)]*)\\)%".r
+    var i = 0
+    var m = pat.findFirstMatchIn(out)
+    while (m.isDefined && i < 25) {
+      val name = m.get.group(1)
+      val rep = lookup(name).getOrElse(s"(cannot lookup $name)")
+      out = out.substring(0, m.get.start) + rep + out.substring(m.get.end)
+      i += 1
+      m = pat.findFirstMatchIn(out)
+    }
+    out
+  }
+}
+
+/** UDF registrations for the few functions built-ins can't express. Kept
+  * separate so the pure functions above stay serialization-free.
+  */
+object GraftUdfs {
+  import org.apache.spark.sql.SparkSession
+
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("hformat", (v: Double, l: Int) => PvFunctions.hformat(v, l))
+    spark.udf.register("hashname", (s: String) => PvFunctions.hashname(s))
+  }
+
+  def hformatCol(v: Column, length: Int): Column =
+    udf((x: Double, l: Int) => PvFunctions.hformat(x, l)).apply(v, lit(length))
+
+  def hashnameCol(c: Column): Column = udf((s: String) => PvFunctions.hashname(s)).apply(c)
+}

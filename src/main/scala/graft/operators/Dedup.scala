@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale shapes:
+  *  - exact: one hash-groupBy (map-side combinable) — the canonical 100 TB
+  *    dedup pass.
+  *  - ngram-Jaccard: inverted-index join on shingles (explode → join on
+  *    shingle → pair-count). Never a full cross join; hot shingles can be
+  *    dropped by document frequency (`maxDf`) exactly like stop-shingle
+  *    filtering in MinHash pipelines.
+  *  - MinHash/LSH: signature per doc (map-only), banded bucket join, verify
+  *    candidates with exact Jaccard. Candidate set is the only quadratic
+  *    term and is bounded by band collisions.
+  *  - SimHash: 64-bit signature per doc (map-only), near-dup = small Hamming
+  *    distance within bucket prefix.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical texts, keep the lowest id as representative.
+    */
+  def exact(df: DataFrame, id: String, text: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(text)).as("fp"))
+      .agg(min(col(id)).as("rep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct (docId, shingle) pairs — the inverted-index input. */
+  def docShingles(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    df.select(col(id).as("doc"), explode(array_distinct(TextAnalysis.shingles(col(text), n))).as("shingle"))
+
+  /** n-gram Jaccard near-dup pairs via inverted-index join: pairs of docs
+    * sharing ≥1 shingle, scored |A∩B| / (|A|+|B|−|A∩B|), kept above
+    * `threshold`. `maxDf` drops shingles more frequent than the cap (skew
+    * guard — a shingle shared by k docs contributes k² pair rows).
+    */
+  def ngramJaccard(
+      df: DataFrame,
+      id: String,
+      text: String,
+      n: Int,
+      threshold: Double,
+      maxDf: Option[Int] = None): DataFrame = {
+    val ds = docShingles(df, id, text, n).cache()
+    val sizes = ds.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val index = maxDf match {
+      case Some(cap) =>
+        val dfreq = ds.groupBy(col("shingle")).agg(count(lit(1)).as("__df")).where(col("__df") <= cap)
+        ds.join(dfreq.select("shingle"), Seq("shingle"))
+      case None => ds
+    }
+    val a = index.select(col("doc").as("d1"), col("shingle"))
+    val b = index.select(col("doc").as("d2"), col("shingle"))
+    val inter = a
+      .join(b, Seq("shingle"))
+      .where(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1"), Seq("d1"))
+      .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2"), Seq("d2"))
+      .withColumn("jaccard", round(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** Portable token/shingle hash: first 8 hex chars of md5 as a long
+    * (< 2^32). Engine-neutral (md5 is identical everywhere), unlike
+    * murmur/xxhash which differ between engines — this keeps MinHash
+    * signatures reproducible by any SQL oracle. 32 bits also keeps the
+    * universal-hash arithmetic below overflow-free in 64-bit signed math.
+    */
+  def shingleHash(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 8), 16, 10).cast("long")
+
+  private val MersennePrime = 2305843009213693951L // 2^61 - 1
+
+  /** Universal-hash family h_i(x) = (a_i * x + b_i) mod p, fixed seeds so
+    * signatures are deterministic across runs and engines. a < 2^30 and
+    * x < 2^32 keep a*x + b < 2^63 (no signed overflow, also no overflow in a
+    * BIGINT-strict oracle engine).
+    */
+  private def perm(i: Int): (Long, Long) = {
+    val rng = new scala.util.Random(42L + i)
+    (math.abs(rng.nextLong()) % ((1L << 30) - 1) + 1, math.abs(rng.nextLong()) % MersennePrime)
+  }
+
+  /** MinHash signatures: for each of `numPerm` hash functions, the minimum
+    * permuted shingle hash of the document. Map-only per document.
+    */
+  def minhashSignature(df: DataFrame, id: String, text: String, n: Int, numPerm: Int): DataFrame = {
+    val ds = docShingles(df, id, text, n).withColumn("h", shingleHash(col("shingle")))
+    val mins = (0 until numPerm).map { i =>
+      val (a, b) = perm(i)
+      // (a*h + b) mod p in unsigned 64-bit arithmetic stays exact because
+      // h < 2^60 and we reduce via BigDecimal-free pmod on the long ring
+      min(pmod(col("h") * lit(a) + lit(b), lit(MersennePrime))).as(s"mh$i")
+    }
+    ds.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash LSH candidate pairs: split the signature into `bands` bands of
+    * `rows` hashes; docs colliding on any full band are candidates; verify
+    * with exact shingle Jaccard and keep pairs ≥ threshold.
+    */
+  def minhashDedup(
+      df: DataFrame,
+      id: String,
+      text: String,
+      n: Int = 3,
+      numPerm: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val rows = numPerm / bands
+    val sig = minhashSignature(df, id, text, n, numPerm)
+    val banded = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
+      sig.select(col("doc"), lit(b).as("band"), hash(cols: _*).as("bucket"))
+    }.reduce(_ unionByName _)
+    val cands = banded
+      .join(banded.select(col("doc").as("d2"), col("band"), col("bucket")), Seq("band", "bucket"))
+      .where(col("doc") < col("d2"))
+      .select(col("doc").as("d1"), col("d2"))
+      .distinct()
+    // verify candidates with exact Jaccard on distinct shingles
+    val ds = docShingles(df, id, text, n)
+    val sizes = ds.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(ds.select(col("doc").as("d1"), col("shingle")), Seq("d1"))
+      .join(ds.select(col("doc").as("d2"), col("shingle")), Seq("d2", "shingle"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc").as("d1"), col("sz").as("sz1")), Seq("d1"))
+      .join(sizes.select(col("doc").as("d2"), col("sz").as("sz2")), Seq("d2"))
+      .withColumn("jaccard", round(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** SimHash: 64-bit signature where bit k is the sign of the sum over tokens
+    * of ±1 according to bit k of the token hash. Near-dups share most bits.
+    * Uses the portable md5-derived token hash; map-only per document.
+    */
+  def simhash(df: DataFrame, id: String, text: String): DataFrame = {
+    val tok = df.select(col(id).as("doc"), explode(TextAnalysis.tokens(col(text))).as("t"))
+      // 60-bit portable hash (15 hex chars of md5) — wider than shingleHash
+      // because every signature bit needs an independent hash bit
+      .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
+    val bits = 60
+    val votes = (0 until bits).map { k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$k")
+    }
+    val agg = tok.groupBy(col("doc")).agg(votes.head, votes.tail: _*)
+    val sigExpr = (0 until bits)
+      .map(k => when(col(s"v$k") > 0, shiftleft(lit(1L), k)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc"), sigExpr.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: docs whose signatures agree on the top
+    * `prefixBits` (the LSH bucketing) and differ in at most `maxHamming`
+    * bits overall.
+    */
+  def simhashDedup(df: DataFrame, id: String, text: String, prefixBits: Int = 16, maxHamming: Int = 8): DataFrame = {
+    val sig = simhash(df, id, text)
+    val bucketed = sig.withColumn("bucket", shiftright(col("simhash"), 60 - prefixBits))
+    val pairs = bucketed
+      .join(bucketed.select(col("doc").as("d2"), col("simhash").as("s2"), col("bucket")), Seq("bucket"))
+      .where(col("doc") < col("d2"))
+    pairs
+      .withColumn("hamming", bit_count(col("simhash").bitwiseXOR(col("s2"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc").as("d1"), col("d2"), col("hamming"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's related-PV co-occurrence graph (SURVEY.md §2.4 J3/J4 and
+  * §2.3 A4; cache.py:785-880, webapp.py:419-445) generalized to any
+  * (groupId, member) relation: members sharing a group are an undirected
+  * weighted edge.
+  *
+  * Scale shape: edges are built per-group with an array self-combination
+  * (`collect_set` + lambda expansion) instead of a row self-join, so the only
+  * shuffles are the groupBys — no quadratic join of the full relation, and
+  * skewed giant groups can be capped with `slice` before expansion.
+  */
+object Pairs {
+
+  /** J3 — undirected co-occurrence edges from a (group, member) relation with
+    * canonical order m1 < m2 (cache.py:864-880): score = number of groups the
+    * pair shares.
+    */
+  def coOccurrence(df: DataFrame, group: String, member: String): DataFrame = {
+    val members = df.groupBy(col(group)).agg(sort_array(collect_set(col(member))).as("__ms"))
+    // all ordered pairs (i < j) of each group's member set, via array lambdas
+    // (no UDF, no row self-join)
+    val pairs = members.select(
+      explode(flatten(transform(
+        col("__ms"),
+        (m1, i) => transform(slice(col("__ms"), i + 2, size(col("__ms"))), m2 => struct(m1.as("m1"), m2.as("m2")))
+      ))).as("__p"))
+    pairs
+      .groupBy(col("__p.m1").as("m1"), col("__p.m2").as("m2"))
+      .agg(count(lit(1)).as("score"))
+  }
+
+  /** A4 max-merge (cache.py:804-835): collapse duplicate / reversed edges to
+    * canonical (least, greatest) with the max score.
+    */
+  def mergeScores(edges: DataFrame, m1: String, m2: String, score: String): DataFrame =
+    edges
+      .groupBy(least(col(m1), col(m2)).as("m1"), greatest(col(m1), col(m2)).as("m2"))
+      .agg(max(col(score)).as("score"))
+
+  /** J4/O2 `get_related` (cache.py:785-802): top-k neighbors of one node —
+    * union of both edge directions, ordered by score (deterministic
+    * tie-break on the neighbor id).
+    */
+  def related(edges: DataFrame, m1: String, m2: String, score: String, node: Column, k: Int): DataFrame = {
+    val left = edges.where(col(m1) === node).select(col(m2).as("other"), col(score))
+    val right = edges.where(col(m2) === node).select(col(m1).as("other"), col(score))
+    left.unionByName(right).orderBy(col(score).desc, col("other")).limit(k)
+  }
+
+  /** A4 sum-variant (webapp.py:419-437): related-to-any of a set of nodes,
+    * scores summed across the set, top-k.
+    */
+  def relatedToSet(edges: DataFrame, m1: String, m2: String, score: String, nodes: Seq[Any], k: Int): DataFrame = {
+    val left = edges.where(col(m1).isin(nodes: _*)).select(col(m2).as("other"), col(score))
+    val right = edges.where(col(m2).isin(nodes: _*)).select(col(m1).as("other"), col(score))
+    left
+      .unionByName(right)
+      .where(!col("other").isin(nodes: _*))
+      .groupBy(col("other"))
+      .agg(sum(col(score)).as("score"))
+      .orderBy(col("score").desc, col("other"))
+      .limit(k)
+  }
+}

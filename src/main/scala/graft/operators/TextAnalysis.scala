@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, fingerprinting. All pure
+  * `functions._` compositions — codegen'd, no UDFs, embarrassingly parallel
+  * (per-row), so they scale linearly with input splits.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of a single-spaced document. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def isStopword(t: Column): Column = t.isin(stopwords.map(_.asInstanceOf[Any]): _*)
+
+  /** Token count, char count, average token length, stopword ratio. */
+  def stats(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = tokens(col(text))
+    df.select(
+      col(id),
+      size(toks).as("n_tokens"),
+      length(col(text)).as("n_chars"),
+      size(filter(toks, isStopword _)).as("n_stop"))
+      .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tokens"), 6))
+      .withColumn(
+        "avg_token_len",
+        round((col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"), 6))
+  }
+
+  /** Quality score: length-normalized token count damped by stopword density —
+    * a deterministic heuristic in the spirit of C4/Gopher quality filters
+    * (length + stopword signals), chosen to be exactly reproducible in ANSI
+    * SQL for the oracle.
+    */
+  def qualityScore(df: DataFrame, id: String, text: String): DataFrame =
+    stats(df, id, text).withColumn(
+      "quality",
+      round(log(lit(1.0) + col("n_tokens")) * (lit(1.0) - col("stop_ratio")), 6))
+
+  /** n-gram-heuristic language ID: score each candidate language by its
+    * marker-token hit count; highest hit count wins, ties and zero hits fall
+    * back to "und". Marker lists are deterministic and tiny (broadcast as
+    * literals into the plan).
+    */
+  def langId(df: DataFrame, id: String, text: String): DataFrame = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "and", "of", "to"),
+      "de" -> Seq("der", "die", "das", "und", "ist"),
+      "fr" -> Seq("le", "la", "les", "et", "est"))
+    val toks = tokens(col(text))
+    val scored = markers.foldLeft(df.select(col(id), toks.as("__toks"))) { case (acc, (lang, ws)) =>
+      acc.withColumn(s"__hits_$lang", size(filter(col("__toks"), t => t.isin(ws.map(_.asInstanceOf[Any]): _*))))
+    }
+    val best = markers.map { case (lang, _) => struct(col(s"__hits_$lang").as("h"), lit(lang).as("l")) }
+    scored
+      .withColumn("__best", greatest(best: _*))
+      .select(
+        col(id),
+        when(col("__best.h") > 0, col("__best.l")).otherwise(lit("und")).as("lang_pred"),
+        col("__best.h").as("marker_hits"))
+  }
+
+  /** Document fingerprint: md5 of the exact text (the grouping key for exact
+    * dedup) — stable across engines, unlike engine-specific hash functions.
+    */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Word n-gram shingles of a document: positions i..i+n-1 joined by a
+    * space. Array-lambda expansion; no UDF.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
+  }
+}

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The archiver's query surface re-expressed as declarative DataFrame
+  * transforms (SURVEY.md §2.2/§2.3/§2.5/§2.8/§2.10 and §3.1).
+  *
+  * Operators are generic over `(key, ts, value)` column names so they apply to
+  * any keyed time series (the reference's PV samples, the testdata `events`
+  * table, or a 100 TB partitioned store). All of them stay fully declarative:
+  * filters and projections reach the parquet scan, per-key work shuffles once
+  * on the key, and no driver-side loop touches data.
+  *
+  * Scale notes are on each operator; the single intentionally
+  * narrow-parallelism spot is [[locfAlign]]'s final global ordering, which in
+  * practice runs over a bounded plot window (the reference caps plot payloads
+  * at 30k points — web_utils.py:131-161).
+  */
+object TimeSeries {
+
+  /** S4/P1/O1 — time-range scan of one series, ordered by time
+    * (archiver.py:185-190). Partition+predicate pruning eliminates everything
+    * but the one key's bucket and the time range.
+    */
+  def rangeScan(df: DataFrame, keyCol: Column, keyValue: String, ts: String, t0: Long, t1: Long): DataFrame =
+    df.where(keyCol === keyValue && col(ts) >= t0 && col(ts) < t1).orderBy(col(ts))
+
+  /** W2/Q3 — the flagship `get_data` shape (archiver.py:131-223): the rows in
+    * `[t0, t1)` plus the single most recent row before `t0` ("one point before
+    * tmin", archiver.py:161-165), so as-of/LOCF consumers have a defined value
+    * at the window start.
+    *
+    * The early point is a per-key argmax over the pre-window slice — at scale
+    * Parquet min/max row-group stats keep the `< t0` scan from reading history
+    * beyond the previous partition.
+    */
+  def getData(
+      df: DataFrame,
+      keyCol: Column,
+      keyValue: String,
+      ts: String,
+      tieBreak: String,
+      t0: Long,
+      t1: Long): DataFrame = {
+    val series = df.where(keyCol === keyValue)
+    val inRange = series.where(col(ts) >= t0 && col(ts) < t1)
+    val w = Window.orderBy(col(ts).desc, col(tieBreak).desc)
+    val early = series
+      .where(col(ts) < t0)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+    early.unionByName(inRange).orderBy(col(ts), col(tieBreak))
+  }
+
+  /** Q2 `get_value_at_time` (archiver.py:112-129) generalized to every key:
+    * latest row at-or-before `t` per key. One shuffle on the key; the
+    * pre-filter `ts <= t` is pushed to the scan.
+    */
+  def valueAtTime(df: DataFrame, key: String, ts: String, tieBreak: String, t: Long): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts).desc, col(tieBreak).desc)
+    df.where(col(ts) <= t)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** A1 — latest-per-key (the reference's cache table, cache.py:433-462).
+    * `max_by` over a struct gives a single map-side-combinable aggregation —
+    * at 100 TB this is the right shape: partial aggregation per input
+    * partition, one shuffle of one row per key.
+    */
+  def latestPerKey(df: DataFrame, key: String, ts: String, tieBreak: String, values: Seq[String]): DataFrame = {
+    val ord = struct(col(ts), col(tieBreak))
+    val picked = struct((Seq(ts, tieBreak) ++ values).map(col): _*)
+    df.groupBy(col(key))
+      .agg(max_by(picked, ord).as("__latest"))
+      .select(col(key) +: (Seq(ts, tieBreak) ++ values).map(c => col(s"__latest.$c").as(c)): _*)
+  }
+
+  /** A2 `set_runinfo` (cache.py:254-288): min/max time + count per key. */
+  def minMaxPerKey(df: DataFrame, key: String, ts: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(min(col(ts)).as("start_us"), max(col(ts)).as("stop_us"), count(lit(1)).as("n"))
+
+  /** P6 — row count since a threshold per key (cache.py:208-223). */
+  def countSince(df: DataFrame, key: String, ts: String, since: Long): DataFrame =
+    df.where(col(ts) > since).groupBy(col(key)).agg(count(lit(1)).as("n"))
+
+  /** J2/W1 — multi-series as-of alignment with LOCF (scripts/get_pvarch:122-192):
+    * pivot the series onto the union of their timestamps, then carry each
+    * series' last value forward; rows before every series has a value are
+    * dropped, and the result is clipped to `[t0, t1)` *after* filling so
+    * pre-window history seeds the carry.
+    *
+    * The pivot is a per-timestamp aggregation (one shuffle); the LOCF pass is
+    * a running `last(ignoreNulls)` which for a plot-sized window (≤30k rows,
+    * the reference's own cap) is fine as a single ordered frame. For
+    * unbounded alignment at scale, range-chunk the window and seed each chunk
+    * with [[valueAtTime]] at its start.
+    */
+  def locfAlign(
+      df: DataFrame,
+      key: String,
+      ts: String,
+      value: String,
+      keys: Seq[String],
+      t0: Long,
+      t1: Long): DataFrame = {
+    val grid = df
+      .where(col(key).isin(keys: _*) && col(ts) < t1)
+      .groupBy(col(ts))
+      .pivot(key, keys)
+      .agg(max(col(value)))
+    val w = Window.orderBy(col(ts)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = keys.foldLeft(grid) { (acc, k) =>
+      acc.withColumn(k, last(col(k), ignoreNulls = true).over(w))
+    }
+    filled
+      .where(col(ts) >= t0 && keys.map(k => col(k).isNotNull).reduce(_ && _))
+      .orderBy(col(ts))
+  }
+
+  /** Q1 `cull_data` (web_utils.py:131-161): plot decimation that keeps every
+    * `sample`-th point plus every point outside the `[percent, 100-percent]`
+    * value-percentile band, preserving extremes. One pass computes the exact
+    * percentile bounds (a 2-row broadcast), a second filters — both
+    * distributed.
+    */
+  def decimate(
+      df: DataFrame,
+      ts: String,
+      tieBreak: String,
+      value: String,
+      sample: Int,
+      percent: Double): DataFrame = {
+    val bounds = df.agg(
+      expr(s"percentile($value, ${percent / 100.0})").as("__lo"),
+      expr(s"percentile($value, ${1.0 - percent / 100.0})").as("__hi"))
+    val w = Window.orderBy(col(ts), col(tieBreak))
+    df.withColumn("__rn", row_number().over(w))
+      .crossJoin(broadcast(bounds))
+      .where((col("__rn") - 1) % sample === 0 || col(value) < col("__lo") || col(value) > col("__hi"))
+      .drop("__rn", "__lo", "__hi")
+      .orderBy(col(ts), col(tieBreak))
+  }
+
+  /** W3 — batch twin of the T2 deadtime/deadband downsampler
+    * (archiver.py:389-398): keep a row when it is the first of its key, or
+    * arrives more than `deadtime` after the previous row, or moves more than
+    * `deadband` from the previous value. `lag` over a per-key window — one
+    * shuffle on the key, codegen'd comparison.
+    *
+    * Note this is the row-vs-previous-row formulation (exactly the W3 batch
+    * replay); the emit-vs-last-*emitted* streaming semantics (with the limbo
+    * buffer) live in [[graft.streaming.Downsampler]].
+    */
+  def downsampleBatch(
+      df: DataFrame,
+      key: String,
+      ts: String,
+      tieBreak: String,
+      value: String,
+      deadtimeUs: Long,
+      deadband: Double): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
+    df.withColumn("__pts", lag(col(ts), 1).over(w))
+      .withColumn("__pv", lag(col(value), 1).over(w))
+      .where(
+        col("__pts").isNull ||
+          (col(ts) - col("__pts")) > deadtimeUs ||
+          abs(col(value) - col("__pv")) > deadband)
+      .drop("__pts", "__pv")
+  }
+
+  /** J5 `dbs_for_time` (archiver.py:104-110) generalized: derive fixed-width
+    * "runs" (time partitions) from the data and keep those overlapping
+    * `[q0, q1]`. With a real partitioned store this is Catalyst partition
+    * pruning; as a query it is the interval-overlap join predicate.
+    */
+  def runsOverlapping(df: DataFrame, ts: String, widthUs: Long, q0: Long, q1: Long): DataFrame =
+    // integer (DIV) not floating division: epoch-micros quotients must be exact
+    df.groupBy(expr(s"$ts DIV ${widthUs}L").as("run_id"))
+      .agg(min(col(ts)).as("start_us"), max(col(ts)).as("stop_us"), count(lit(1)).as("n"))
+      .where(col("stop_us") >= q0 && col("start_us") <= q1)
+      .orderBy(col("run_id"))
+}

@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage: python3 tools/check.py [sfdir] [outdir]
+
+Runs DuckDB on each oracle_sql.json entry (tables = sfdir parquet files,
+registered as views by name) and compares against the parquet the Scala
+Verify main dumped to outdir/<name>/. Column order is normalized by sorting
+column names; rows are compared as sorted tuples (exact match).
+
+Run `sbt "runMain graft.Verify <sfdir> <outdir>"` first.
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0/0.0 and format compactly
+        return repr(v + 0.0)
+    return v
+
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_ok = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.sql(
+                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
+            got_cols = sorted(got.columns)
+            got_rows = sorted(
+                tuple(canon(v) for v in row)
+                for row in con.sql(
+                    f"SELECT {', '.join(got_cols)} FROM got").fetchall())
+        except Exception as e:
+            print(f"FAIL {name}: spark result unreadable: {e}")
+            continue
+        try:
+            exp = con.sql(sql)
+            exp_cols = sorted(exp.columns)
+            exp_rows = sorted(
+                tuple(canon(v) for v in row)
+                for row in con.sql(
+                    f"SELECT {', '.join(exp_cols)} FROM exp").fetchall())
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            continue
+        if got_cols != exp_cols:
+            print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
+        elif got_rows != exp_rows:
+            diff_a = [r for r in got_rows if r not in set(exp_rows)][:3]
+            diff_b = [r for r in exp_rows if r not in set(got_rows)][:3]
+            print(f"FAIL {name}: {len(got_rows)} vs {len(exp_rows)} rows; "
+                  f"spark-only={diff_a} oracle-only={diff_b}")
+        else:
+            n_ok += 1
+            print(f"OK   {name} ({len(got_rows)} rows)")
+    print(f"-- {n_ok}/{len(oracle)} queries match")
+
+
+if __name__ == "__main__":
+    main()
