@@ -108,8 +108,211 @@ object SparkEntry {
         .withColumn("n_chars", col("n_chars").cast("long"))
         .withColumn("n_stop", col("n_stop").cast("long"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- J2/W1 multi-series LOCF as-of alignment ---------------------------
+    "q_locf_align" -> ((s, dir) => {
+      TimeSeries.locfAlign(events(s, dir), "event_type", "ts_us", "value",
+        Seq("click", "purchase", "view"), T0, T1)
+    }),
+
+    // ---- Q1 cull_data percentile-preserving decimation ---------------------
+    "q_decimate" -> ((s, dir) => {
+      val e = events(s, dir)
+        .where(col("event_type") === "error" && col("ts_us") >= T0 && col("ts_us") < T1)
+      TimeSeries.decimate(e, "ts_us", "event_id", "value", sample = 5, percent = 10.0)
+        .select(col("ts_us"), col("event_id"), col("value"))
+    }),
+
+    // ---- J3 co-occurrence pair graph (parts sharing an order) --------------
+    "q_pairs_cooccur" -> ((s, dir) => {
+      Pairs.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey")
+        .orderBy(col("m1"), col("m2"))
+    }),
+
+    // ---- J4/O2 top-k related nodes (suppliers sharing orders) --------------
+    "q_pairs_related" -> ((s, dir) => {
+      val edges = Pairs.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_suppkey")
+      Pairs.related(edges, "m1", "m2", "score", lit(1L), k = 5)
+    }),
+
+    // ---- A4 canonical max-merge of duplicate/reversed edges ----------------
+    "q_pairs_merge" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("m1"), col("l_suppkey").as("m2"), col("l_quantity").as("score"))
+      Pairs.mergeScores(edges, "m1", "m2", "score").orderBy(col("m1"), col("m2"))
+    }),
+
+    // ---- J1 broadcast dimension join (samples × pv metadata shape) ---------
+    "q_dim_join" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // ---- multi-hop join chain: lineitem→orders→customer→nation→region ------
+    "q_join_chain" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("r_name"))
+    }),
+
+    // ---- language ID by marker-token hits ----------------------------------
+    "q_lang_id" -> ((s, dir) => {
+      TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text")
+        .withColumn("marker_hits", col("marker_hits").cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- quality score (length + stopword-density heuristic) ---------------
+    "q_quality" -> ((s, dir) => {
+      TextAnalysis.qualityScore(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- n-gram Jaccard near-dup pairs (inverted-index join) ---------------
+    "q_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text", n = 2, threshold = 0.5)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // ---- MinHash signatures (portable universal-hash family) ---------------
+    "q_minhash_sig" -> ((s, dir) => {
+      Dedup.minhashSignature(Tables.documents(s, dir), "doc_id", "text", n = 3, numPerm = NUM_PERM)
+        .orderBy(col("doc"))
+    }),
+
+    // ---- MinHash LSH near-dup pairs (band join + exact-Jaccard verify) -----
+    "q_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashDedup(Tables.documents(s, dir), "doc_id", "text",
+        n = 2, numPerm = NUM_PERM, bands = 4, threshold = 0.5)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // ---- SimHash 60-bit signatures -----------------------------------------
+    "q_simhash" -> ((s, dir) => {
+      Dedup.simhash(Tables.documents(s, dir), "doc_id", "text").orderBy(col("doc"))
+    }),
+
+    // ---- brute-force cosine top-k over embeddings --------------------------
+    "q_knn_brute" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceKnn(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- embedding-cosine near-dup pairs -----------------------------------
+    "q_embed_dedup" -> ((s, dir) => {
+      Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // ---- per-label embedding norm stats ------------------------------------
+    "q_norm_stats" -> ((s, dir) => {
+      Similarity.normStats(Tables.embeddings(s, dir), "label", "embedding")
+        .orderBy(col("label"))
+    }),
+
+    // ---- JSON props extraction (pvextra-style metadata) --------------------
+    "q_props_json" -> ((s, dir) => {
+      events(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    }),
+
+    // ---- S10 export projection (time formatting pack) ----------------------
+    "q_export_rows" -> ((s, dir) => {
+      events(s, dir)
+        .where(col("event_type") === "signup" && col("ts_us") >= T0 && col("ts_us") < T1)
+        .select(
+          col("event_id"),
+          col("ts_us"),
+          date_format(timestamp_micros(col("ts_us")), "yyyyMMdd HHmmss").as("datestr"),
+          date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd HH:mm:ss.SSS").as("iso"),
+          col("value"))
+        .orderBy(col("ts_us"), col("event_id"))
     })
   )
+
+  // ---- shared constants + generated oracle fragments -----------------------
+
+  /** MinHash width used by q_minhash_sig / q_minhash_lsh. */
+  private final val NUM_PERM = 16
+  private final val MERSENNE = 2305843009213693951L // 2^61 - 1
+
+  /** DuckDB fragment: distinct (doc, shingle) pairs, n-token shingles —
+    * mirrors [[Dedup.docShingles]] / [[TextAnalysis.shingles]].
+    */
+  private def shingleCte(n: Int): String =
+    s"""t AS (SELECT doc_id AS doc, string_split(text, ' ') AS toks FROM documents),
+       |s AS (SELECT doc, unnest(list_distinct(list_transform(
+       |        generate_series(0, greatest(len(toks) - $n, 0)),
+       |        i -> array_to_string(toks[i + 1 : i + $n], ' ')))) AS shingle FROM t)""".stripMargin
+
+  /** DuckDB fragment mirroring [[Dedup.shingleHash]]. */
+  private val shingleHashSql = "CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT)"
+
+  private def minhashSigSql(numPerm: Int, n: Int): String = {
+    val mins = (0 until numPerm).map { i =>
+      val (a, b) = Dedup.perm(i)
+      s"min((h * $a + $b) % $MERSENNE) AS mh$i"
+    }
+    s"""WITH ${shingleCte(n)},
+       |h AS (SELECT doc, $shingleHashSql AS h FROM s)
+       |SELECT doc, ${mins.mkString(", ")} FROM h GROUP BY doc ORDER BY doc""".stripMargin
+  }
+
+  private def minhashLshSql(numPerm: Int, bands: Int, n: Int, threshold: Double): String = {
+    val rows = numPerm / bands
+    val bandJoins = (0 until bands).map { b =>
+      val eqs = (b * rows until (b + 1) * rows).map(i => s"a.mh$i = b.mh$i").mkString(" AND ")
+      s"SELECT a.doc AS d1, b.doc AS d2 FROM sig a JOIN sig b ON $eqs AND a.doc < b.doc"
+    }
+    s"""WITH ${shingleCte(n)},
+       |h AS (SELECT doc, $shingleHashSql AS h FROM s),
+       |sig AS (SELECT doc, ${(0 until numPerm).map { i =>
+          val (a, bb) = Dedup.perm(i)
+          s"min((h * $a + $bb) % $MERSENNE) AS mh$i"
+        }.mkString(", ")} FROM h GROUP BY doc),
+       |cand AS (SELECT DISTINCT d1, d2 FROM (${bandJoins.mkString(" UNION ALL ")})),
+       |sz AS (SELECT doc, count(*) AS sz FROM s GROUP BY doc),
+       |inter AS (SELECT c.d1, c.d2, count(*) AS i
+       |          FROM cand c JOIN s x ON c.d1 = x.doc JOIN s y ON c.d2 = y.doc AND x.shingle = y.shingle
+       |          GROUP BY c.d1, c.d2)
+       |SELECT d1, d2, round(CAST(i AS DOUBLE) / (a.sz + b.sz - i), 6) AS jaccard
+       |FROM inter JOIN sz a ON d1 = a.doc JOIN sz b ON d2 = b.doc
+       |WHERE round(CAST(i AS DOUBLE) / (a.sz + b.sz - i), 6) >= $threshold
+       |ORDER BY d1, d2""".stripMargin
+  }
+
+  private def simhashSql: String = {
+    val bits = 60
+    val votes = (0 until bits)
+      .map(k => s"sum(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS v$k").mkString(", ")
+    val sig = (0 until bits)
+      .map(k => s"(CASE WHEN v$k > 0 THEN (1::BIGINT << $k) ELSE 0 END)").mkString(" | ")
+    s"""WITH tok AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS t FROM documents),
+       |h AS (SELECT doc, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok),
+       |v AS (SELECT doc, $votes FROM h GROUP BY doc)
+       |SELECT doc, $sig AS simhash FROM v ORDER BY doc""".stripMargin
+  }
+
+  /** DuckDB fragment mirroring [[Similarity.cosine]] (dot / (‖a‖·‖b‖)). */
+  private def cosineSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -198,6 +401,149 @@ object SparkEntry {
         |       / len(string_split(text, ' ')), 6) AS stop_ratio,
         |  round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
         |       / len(string_split(text, ' ')), 6) AS avg_token_len
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_locf_align" ->
+      s"""WITH e AS (
+         |  SELECT epoch_us(ts) AS ts_us, event_type, value FROM events
+         |  WHERE event_type IN ('click', 'purchase', 'view') AND epoch_us(ts) < $T1),
+         |g AS (SELECT ts_us,
+         |        max(CASE WHEN event_type = 'click' THEN value END) AS c0,
+         |        max(CASE WHEN event_type = 'purchase' THEN value END) AS c1,
+         |        max(CASE WHEN event_type = 'view' THEN value END) AS c2
+         |      FROM e GROUP BY ts_us),
+         |f AS (SELECT ts_us,
+         |        last_value(c0 IGNORE NULLS) OVER w AS click,
+         |        last_value(c1 IGNORE NULLS) OVER w AS purchase,
+         |        last_value(c2 IGNORE NULLS) OVER w AS "view"
+         |      FROM g WINDOW w AS (ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT ts_us, click, purchase, "view" FROM f
+         |WHERE ts_us >= $T0 AND click IS NOT NULL AND purchase IS NOT NULL AND "view" IS NOT NULL
+         |ORDER BY ts_us""".stripMargin,
+
+    "q_decimate" ->
+      s"""WITH e AS (
+         |  SELECT epoch_us(ts) AS ts_us, event_id, value FROM events
+         |  WHERE event_type = 'error' AND epoch_us(ts) >= $T0 AND epoch_us(ts) < $T1),
+         |b AS (SELECT quantile_cont(CAST(value AS DOUBLE), CAST(0.1 AS DOUBLE)) AS lo,
+         |             quantile_cont(CAST(value AS DOUBLE), CAST(0.9 AS DOUBLE)) AS hi FROM e),
+         |r AS (SELECT ts_us, event_id, value, row_number() OVER (ORDER BY ts_us, event_id) AS rn FROM e)
+         |SELECT ts_us, event_id, value FROM r, b
+         |WHERE (rn - 1) % 5 = 0 OR value < lo OR value > hi
+         |ORDER BY ts_us, event_id""".stripMargin,
+
+    "q_pairs_cooccur" ->
+      """SELECT a.l_partkey AS m1, b.l_partkey AS m2, count(*) AS score
+        |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_pairs_related" ->
+      """WITH edges AS (
+        |  SELECT a.l_suppkey AS m1, b.l_suppkey AS m2, count(*) AS score
+        |  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        |  GROUP BY 1, 2)
+        |SELECT other, score FROM (
+        |  SELECT m2 AS other, score FROM edges WHERE m1 = 1
+        |  UNION ALL
+        |  SELECT m1 AS other, score FROM edges WHERE m2 = 1)
+        |ORDER BY score DESC, other LIMIT 5""".stripMargin,
+
+    "q_pairs_merge" ->
+      """SELECT least(l_partkey, l_suppkey) AS m1, greatest(l_partkey, l_suppkey) AS m2,
+        |  max(l_quantity) AS score
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_dim_join" ->
+      """SELECT p_brand, count(*) AS n, sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_join_chain" ->
+      """SELECT r_name, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to'))) AS BIGINT) AS h_en,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('der','die','das','und','ist'))) AS BIGINT) AS h_de,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('le','la','les','et','est'))) AS BIGINT) AS h_fr
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(h_en, h_de, h_fr) = 0 THEN 'und'
+        |       WHEN h_fr = greatest(h_en, h_de, h_fr) THEN 'fr'
+        |       WHEN h_en = greatest(h_en, h_de, h_fr) THEN 'en'
+        |       ELSE 'de' END AS lang_pred,
+        |  greatest(h_en, h_de, h_fr) AS marker_hits
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_quality" ->
+      """SELECT doc_id,
+        |  round(ln(1.0 + len(string_split(text, ' '))) *
+        |        (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |              t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |             / len(string_split(text, ' '))), 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_jaccard" ->
+      s"""WITH ${shingleCte(2)},
+         |sz AS (SELECT doc, count(*) AS sz FROM s GROUP BY doc),
+         |inter AS (SELECT a.doc AS d1, b.doc AS d2, count(*) AS i
+         |          FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
+         |          GROUP BY 1, 2)
+         |SELECT d1, d2, round(CAST(i AS DOUBLE) / (a.sz + b.sz - i), 6) AS jaccard
+         |FROM inter JOIN sz a ON d1 = a.doc JOIN sz b ON d2 = b.doc
+         |WHERE round(CAST(i AS DOUBLE) / (a.sz + b.sz - i), 6) >= 0.5
+         |ORDER BY d1, d2""".stripMargin,
+
+    "q_minhash_sig" -> minhashSigSql(NUM_PERM, 3),
+
+    "q_minhash_lsh" -> minhashLshSql(NUM_PERM, 4, 2, 0.5),
+
+    "q_simhash" -> simhashSql,
+
+    "q_knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+         |sc AS (SELECT query_id, neighbor_id, round(${cosineSql("qv", "cv")}, 6) AS sim
+         |       FROM q, c WHERE query_id <> neighbor_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM sc)
+         |SELECT query_id, neighbor_id, sim, rn AS rank FROM r WHERE rn <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_embed_dedup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+         |        round(${cosineSql("a.v", "b.v")}, 6) AS sim
+         |      FROM e a, e b WHERE a.vec_id < b.vec_id)
+         |SELECT d1, d2, sim FROM p WHERE sim >= 0.45 ORDER BY d1, d2""".stripMargin,
+
+    "q_norm_stats" ->
+      """SELECT label, count(*) AS n,
+        |  round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
+        |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_props_json" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_export_rows" ->
+      s"""SELECT event_id, epoch_us(ts) AS ts_us,
+         |  strftime(make_timestamp(epoch_us(ts)), '%Y%m%d %H%M%S') AS datestr,
+         |  strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%d %H:%M:%S.%g') AS iso,
+         |  value
+         |FROM events
+         |WHERE event_type = 'signup' AND epoch_us(ts) >= $T0 AND epoch_us(ts) < $T1
+         |ORDER BY ts_us, event_id""".stripMargin
   )
 }

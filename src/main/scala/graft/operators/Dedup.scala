@@ -83,7 +83,7 @@ object Dedup {
     * x < 2^32 keep a*x + b < 2^63 (no signed overflow, also no overflow in a
     * BIGINT-strict oracle engine).
     */
-  private def perm(i: Int): (Long, Long) = {
+  def perm(i: Int): (Long, Long) = {
     val rng = new scala.util.Random(42L + i)
     (math.abs(rng.nextLong()) % ((1L << 30) - 1) + 1, math.abs(rng.nextLong()) % MersennePrime)
   }
@@ -116,9 +116,12 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val rows = numPerm / bands
     val sig = minhashSignature(df, id, text, n, numPerm)
+    // bucket key = the band's literal signature values (not an engine-specific
+    // hash): no false candidates from hash collisions, and reproducible by
+    // any SQL engine
     val banded = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
-      sig.select(col("doc"), lit(b).as("band"), hash(cols: _*).as("bucket"))
+      sig.select(col("doc"), lit(b).as("band"), concat_ws("_", cols: _*).as("bucket"))
     }.reduce(_ unionByName _)
     val cands = banded
       .join(banded.select(col("doc").as("d2"), col("band"), col("bucket")), Seq("band", "bucket"))

@@ -77,6 +77,20 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("__rn").as("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (i < j) pairs with cosine
+    * similarity at or above `threshold`. The brute-force O(n²) shape is the
+    * correctness baseline; at 100 TB use [[randomHyperplaneBuckets]] to
+    * bucket first and run this within buckets.
+    */
+  def cosinePairs(df: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
+    val a = df.select(col(id).as("d1"), col(vec).as("__v1"))
+    val b = df.select(col(id).as("d2"), col(vec).as("__v2"))
+    a.join(b, col("d1") < col("d2"))
+      .withColumn("sim", round(cosine(col("__v1"), col("__v2")), 6))
+      .where(col("sim") >= threshold)
+      .select(col("d1"), col("d2"), col("sim"))
+  }
+
   /** Per-label embedding stats (count + mean L2 norm) — a cheap corpus
     * health check used by the oracle suite.
     */

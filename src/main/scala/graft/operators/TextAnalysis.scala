@@ -37,9 +37,13 @@ object TextAnalysis {
     * SQL for the oracle.
     */
   def qualityScore(df: DataFrame, id: String, text: String): DataFrame =
+    // the stopword ratio here is NOT the (display-rounded) stats() column:
+    // rounding before the product would shift the 6th decimal of the score
     stats(df, id, text).withColumn(
       "quality",
-      round(log(lit(1.0) + col("n_tokens")) * (lit(1.0) - col("stop_ratio")), 6))
+      round(
+        log(lit(1.0) + col("n_tokens")) *
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")), 6))
 
   /** n-gram-heuristic language ID: score each candidate language by its
     * marker-token hit count; highest hit count wins, ties and zero hits fall

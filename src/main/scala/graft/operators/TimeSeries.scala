@@ -136,9 +136,12 @@ object TimeSeries {
       value: String,
       sample: Int,
       percent: Double): DataFrame = {
+    // percent/100.0 and (100.0-percent)/100.0 round-trip exactly through
+    // decimal literals, so an external SQL oracle lands on bit-identical
+    // percentile fractions
     val bounds = df.agg(
       expr(s"percentile($value, ${percent / 100.0})").as("__lo"),
-      expr(s"percentile($value, ${1.0 - percent / 100.0})").as("__hi"))
+      expr(s"percentile($value, ${(100.0 - percent) / 100.0})").as("__hi"))
     val w = Window.orderBy(col(ts), col(tieBreak))
     df.withColumn("__rn", row_number().over(w))
       .crossJoin(broadcast(bounds))
