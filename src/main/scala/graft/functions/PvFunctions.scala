@@ -31,10 +31,11 @@ object PvFunctions {
     trim(substring(regexp_replace(c, "[;#].*$", ""), 1, 4090))
 
   /** F3 `clean_value` (archiver.py:34-44): stored string → double, recovering
-    * mangled `b'1.23'` byte-literal relics; null when non-numeric.
+    * mangled `b'1.23'` byte-literal relics; null when non-numeric (try_cast —
+    * ANSI mode would otherwise throw on the first string PV).
     */
   def cleanValue(c: Column): Column =
-    regexp_replace(c, "^b'(.*)'$", "$1").cast("double")
+    regexp_replace(c, "^b'(.*)'$", "$1").try_cast("double")
 
   /** F5 `tformat` (util.py:364-370): epoch seconds → `%Y-%b-%d %H:%M:%S`. */
   def tformat(epochSec: Column): Column =
@@ -116,7 +117,9 @@ object PvFunctions {
     */
   private def formatPy(v: Double, width: Int, prec: Int, form: Char): String = {
     val body = String.format(s"%.${prec}$form", Double.box(v))
-    val signed = if (v >= 0 && !body.startsWith(" ")) " " + body else body
+    // Python's ' ' flag: blank for non-negative, '-' kept for negatives
+    // INCLUDING -0.0 (which `v >= 0` would misclassify)
+    val signed = if (!body.startsWith("-") && !body.startsWith(" ")) " " + body else body
     pad(signed, width)
   }
 

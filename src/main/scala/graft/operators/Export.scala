@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftUdfs, PvFunctions}
+
+/** S10/S11/S12 — formatted export (webapp.py:260-323, scripts/get_pvarch:
+  * 138-223, util.py:391-424). The row body is a distributed projection
+  * (hformat + date formatting stay on executors); only the header block —
+  * a dozen lines — is assembled on the driver.
+  */
+object Export {
+
+  /** S10 ASCII data rows: `ts value YYYYMMDD HHMMSS` (webapp.py:312-322),
+    * value fixed-width via hformat (util.py:427-491). Produces a single
+    * `line` column ordered by time.
+    */
+  def asciiRows(df: DataFrame, tsUs: String, dvalue: String, hfLength: Int = 12): DataFrame =
+    df.select(
+      col(tsUs),
+      concat_ws(
+        " ",
+        format_string("%.6f", col(tsUs).cast("double") / 1e6),
+        GraftUdfs.hformatCol(col(dvalue), hfLength),
+        date_format(timestamp_micros(col(tsUs)), "yyyyMMdd HHmmss")).as("line"))
+      .orderBy(col(tsUs))
+      .select(col("line"))
+
+  /** S10 header block (webapp.py:293-311). Driver-side string assembly. */
+  def asciiHeader(
+      pvname: String,
+      description: String,
+      dtype: String,
+      t0Us: Long,
+      t1Us: Long,
+      npts: Long,
+      enumLabels: Seq[String] = Nil): String = {
+    val fmt = (us: Long) =>
+      java.time.Instant.ofEpochMilli(us / 1000)
+        .atZone(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val legend =
+      if (enumLabels.isEmpty) ""
+      else enumLabels.zipWithIndex.map { case (l, i) => s"#    $i: $l" }
+        .mkString("# enum legends:\n", "\n", "\n")
+    s"""|# pvname:     $pvname
+        |# desc:       $description
+        |# type:       $dtype
+        |# time range: ${fmt(t0Us)} to ${fmt(t1Us)}
+        |# npts:       $npts
+        |$legend# ts           value        date      time
+        |""".stripMargin
+  }
+
+  /** S12 save/restore writer (util.py:391-424): `caput` lines for a
+    * (pv, value) snapshot in plain / idl / python flavor.
+    */
+  def saveRestore(pvvals: Seq[(String, String)], format: String = "plain"): Seq[String] =
+    format match {
+      case "idl" => "; IDL save file" +: pvvals.map { case (p, v) => s"caput, '$p', '$v'" }
+      case "python" =>
+        Seq("#!/usr/bin/env python", "from epics import caput") ++
+          pvvals.map { case (p, v) => s"caput('$p', '$v')" }
+      case _ => pvvals.map { case (p, v) => s"caput $p $v" }
+    }
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for training-data pipelines: media as opaque `binary`
+  * columns with typed metadata, processed in partition-sized batches.
+  *
+  * The Spark-side plumbing — schema, partitioning, batch shape, feature
+  * columns — is real and tested. The actual codecs (JPEG/PNG decode, audio
+  * resample, video frame extraction) are STUBBED with a deterministic fake
+  * (`???`-equivalent clearly marked below) because no image/audio libraries
+  * ship in this environment; swap [[StubCodec]] for a real one (e.g. javacv)
+  * without touching the operator shapes.
+  *
+  * Scale shape: every operator is `mapPartitions` (no per-row JNI/codec
+  * setup — one codec instance per partition, amortized), binary payloads
+  * never shuffle except for the explicit `repartition` the caller asks for,
+  * and feature extraction emits fixed-width float arrays that downstream
+  * [[Similarity]] ops consume.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  case class MediaRow(
+      media_id: Long,
+      kind: String, // image | audio | video
+      payload: Array[Byte],
+      mime: String,
+      width: Int,
+      height: Int,
+      durationMs: Long)
+
+  case class DecodedImage(media_id: Long, width: Int, height: Int, pixels: Array[Float])
+
+  case class MediaFeature(media_id: Long, kind: String, feature: Array[Float])
+
+  case class VideoFrame(media_id: Long, frameIdx: Int, tsMs: Long, feature: Array[Float])
+
+  /** STUB codec — deterministic fake in place of a real decoder.
+    * `decodeImage` "decodes" payload bytes into a WxH luma plane by cycling
+    * the payload; a real implementation would call an image library here.
+    */
+  object StubCodec {
+    // ??? real codec goes here — deterministic fake for tests/plumbing:
+    def decodeImage(payload: Array[Byte], w: Int, h: Int): Array[Float] = {
+      val n = math.max(w * h, 1)
+      val out = new Array[Float](n)
+      if (payload.isEmpty) return out
+      var i = 0
+      while (i < n) {
+        out(i) = (java.lang.Byte.toUnsignedInt(payload(i % payload.length)) / 255.0f)
+        i += 1
+      }
+      out
+    }
+
+    /** Fake fixed-width feature: k-bin histogram of the payload bytes. */
+    def feature(payload: Array[Byte], bins: Int = 16): Array[Float] = {
+      val out = new Array[Float](bins)
+      payload.foreach { b => out(java.lang.Byte.toUnsignedInt(b) * bins / 256) += 1.0f }
+      if (payload.nonEmpty) { var i = 0; while (i < bins) { out(i) /= payload.length; i += 1 } }
+      out
+    }
+  }
+
+  /** Decode image rows to pixel planes, one codec pass per partition. */
+  def decodeImages(ds: Dataset[MediaRow]): Dataset[DecodedImage] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter(_.kind == "image").mapPartitions { it =>
+      // per-partition codec init would go here (amortized over the batch)
+      it.map(m => DecodedImage(m.media_id, m.width, m.height,
+        StubCodec.decodeImage(m.payload, m.width, m.height)))
+    }
+  }
+
+  /** Fixed-width feature per media row (any kind). */
+  def extractFeatures(ds: Dataset[MediaRow], bins: Int = 16): Dataset[MediaFeature] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(it => it.map(m => MediaFeature(m.media_id, m.kind, StubCodec.feature(m.payload, bins))))
+  }
+
+  /** Sample every `everyMs` milliseconds of each video into frame features —
+    * the `explode`-shaped op of the pack (one input row → many frames).
+    */
+  def sampleFrames(ds: Dataset[MediaRow], everyMs: Long): Dataset[VideoFrame] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter(_.kind == "video").flatMap { m =>
+      val n = math.max(1, (m.durationMs / math.max(everyMs, 1)).toInt)
+      (0 until n).iterator.map { i =>
+        val tsMs = i * everyMs
+        // a real codec would seek to tsMs and decode that frame
+        val window = m.payload.drop((i * 7) % math.max(m.payload.length, 1))
+        VideoFrame(m.media_id, i, tsMs, StubCodec.feature(window))
+      }
+    }
+  }
+
+  /** Metadata-level stats (pure built-ins; no decode). */
+  def mediaStats(df: DataFrame): DataFrame =
+    df.groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(length(col("payload"))).as("total_bytes"),
+        round(avg(length(col("payload"))), 3).as("avg_bytes"))
+}

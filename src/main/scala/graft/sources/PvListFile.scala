@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S8/S9 — the reference's two text input formats (cache.py:570-588,
+  * web_utils.py:269-322), parsed distributively with `spark.read.text` +
+  * column ops (no driver-side line loop).
+  */
+object PvListFile {
+
+  /** S8 PV-list file (cache.py:570-588): `#` comments and blank lines are
+    * skipped; each surviving line holds one or more PV names split on
+    * commas/whitespace. Result: (line_id, pvname); PVs sharing a line_id are
+    * "related" seeds for the pair graph (score 10, cache.py:529-564) via
+    * [[graft.operators.Pairs.coOccurrence]].
+    */
+  def pvNames(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .withColumn("line_id", monotonically_increasing_id())
+      .withColumn("value", trim(regexp_replace(col("value"), "#.*$", "")))
+      .where(col("value") =!= "")
+      .select(
+        col("line_id"),
+        explode(split(col("value"), "[,\\s]+")).as("pvname"))
+      .where(col("pvname") =!= "")
+
+  /** S9 status-page template (web_utils.py:269-322, doc/web_templates.rst):
+    * classifies each line as section / hr / space / row and splits row lines
+    * `PV1,PV2 | description | format` into typed columns.
+    */
+  def template(spark: SparkSession, path: String): DataFrame = {
+    val lines = spark.read.text(path)
+      .withColumn("line_id", monotonically_increasing_id())
+      .withColumn("value", trim(col("value")))
+      .where(col("value") =!= "" && !col("value").startsWith("#"))
+    lines.select(
+      col("line_id"),
+      when(col("value").startsWith("[") && col("value").endsWith("]"), "section")
+        .when(col("value") === "--", "hr")
+        .when(col("value") === "<>", "space")
+        .otherwise("row").as("kind"),
+      when(col("value").startsWith("["),
+        regexp_extract(col("value"), "^\\[(.*)\\]$", 1)).as("section"),
+      split(trim(try_element_at(split(col("value"), "\\|"), lit(1))), "[,\\s]+").as("pvnames"),
+      trim(try_element_at(split(col("value"), "\\|"), lit(2))).as("description"),
+      trim(try_element_at(split(col("value"), "\\|"), lit(3))).as("format"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PvFunctions
+
+/** The archived-sample store (SURVEY §1.1, §2.1 S2-S5) on partitioned,
+  * sorted Parquet — the Spark-native replacement for the reference's
+  * 128 hash-bucketed MySQL tables per run DB (schema.py:21-23,132-133) and
+  * its zarr read-optimized copies (archiver.py:542-608).
+  *
+  * Layout: `partitionBy(run, bucket)`, rows sorted by (pvname, time) within
+  * each file. At 100 TB this gives:
+  *  - run (time) pruning for range queries — the `dbs_for_time` elimination
+  *    (archiver.py:104-110) becomes Catalyst partition pruning;
+  *  - bucket pruning for single-PV lookups — `bucket = hashname(pv)` is
+  *    computed driver-side so the scan touches 1/128 of each run, exactly
+  *    the reference's ">99% of data eliminated" property (doc/setup.rst:236);
+  *  - parquet min/max row-group stats on `time` within a file (rows sorted),
+  *    so even intra-partition scans skip pages.
+  */
+object SampleStore {
+
+  final val NumBuckets = 128
+
+  /** Ingest normalization (F2/F3, archiver.py:34-44, util.py:295-312):
+    * `value` cleaned + capped, dual representation `dvalue` (numeric or
+    * null) / `cvalue` (display string), `bucket` from the reference's
+    * sha256-base64-charsum hash, `run` from a fixed-width time partition.
+    *
+    * Input columns: pvname, tsUs (long), value (string), cvalue (string).
+    */
+  def normalize(raw: DataFrame, runWidthUs: Long): DataFrame =
+    raw
+      .withColumn("value", PvFunctions.cleanString(col("value")))
+      .withColumn("dvalue", PvFunctions.cleanValue(col("value")))
+      .withColumn("bucket", graft.functions.GraftUdfs.hashnameCol(col("pvname")))
+      .withColumn("run", expr(s"tsUs DIV ${runWidthUs}L"))
+
+  /** S3 archive sink: append one (or more) runs of samples. */
+  def write(samples: DataFrame, path: String): Unit =
+    samples
+      .repartition(col("run"), col("bucket"))
+      .sortWithinPartitions(col("pvname"), col("tsUs"))
+      .write
+      .mode(SaveMode.Append)
+      .partitionBy("run", "bucket")
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** S4 single-PV range scan with bucket + run pruning: the bucket literal
+    * is derived from the pvname driver-side (archiver.py:185-186 pattern),
+    * so Catalyst prunes to one bucket directory per overlapping run.
+    */
+  def scanPv(spark: SparkSession, path: String, pvname: String, t0Us: Long, t1Us: Long,
+      runWidthUs: Long): DataFrame = {
+    val b = PvFunctions.hashname(pvname)
+    read(spark, path)
+      .where(col("run") >= t0Us / runWidthUs && col("run") <= t1Us / runWidthUs)
+      .where(col("bucket") === b && col("pvname") === pvname)
+      .where(col("tsUs") >= t0Us && col("tsUs") < t1Us)
+  }
+}

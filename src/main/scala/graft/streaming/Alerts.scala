@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** T4 — the alert state machine (cache.py:601-630, doc/alerts.rst:42-74):
+  * per (alert, PV) compare each observed value against the trippoint with one
+  * of {eq,ne,le,lt,ge,gt}; an ok→alarm edge fires a notification iff the
+  * debounce timeout since the last notification has passed. No notification
+  * on stay-alarm or on alarm→ok. Inactive alerts are skipped.
+  *
+  * Value coercion mirrors the reference (cache.py:609-616): numeric compare
+  * when both value and trippoint parse as doubles, else string compare.
+  *
+  * The same per-event step drives the batch replay (tests, backfill audits)
+  * and the streaming `flatMapGroupsWithState` form. State per alert is two
+  * scalars — no scale concern at any fleet size.
+  */
+object Alerts {
+
+  case class AlertConfig(
+      alertId: Long,
+      pvname: String,
+      label: String,
+      compare: String, // eq ne le lt ge gt
+      trippoint: String,
+      timeoutUs: Long,
+      active: Boolean)
+
+  /** One observation of the alert's PV. */
+  case class Observation(alertId: Long, tsUs: Long, value: String)
+
+  /** Status-transition record; `notified` marks a mail-worthy edge. */
+  case class AlertEvent(
+      alertId: Long,
+      pvname: String,
+      tsUs: Long,
+      value: String,
+      status: String,
+      notified: Boolean)
+
+  case class State(status: String, lastNoticeUs: Long)
+
+  val InitState: State = State("ok", Long.MinValue / 2)
+
+  /** value <op> trippoint (cache.py:617-620 `getattr(value, OPS[op])`). */
+  def tripped(compare: String, value: String, trippoint: String): Boolean = {
+    val cmpNum = (Downsampler.parseDouble(value), Downsampler.parseDouble(trippoint)) match {
+      case (Some(v), Some(t)) => Some(java.lang.Double.compare(v, t))
+      case _ => None
+    }
+    val c = cmpNum.getOrElse(Option(value).getOrElse("").compareTo(Option(trippoint).getOrElse("")))
+    compare match {
+      case "eq" => c == 0
+      case "ne" => c != 0
+      case "le" => c <= 0
+      case "lt" => c < 0
+      case "ge" => c >= 0
+      case "gt" => c > 0
+      case other => throw new IllegalArgumentException(s"unknown compare op: $other")
+    }
+  }
+
+  /** Evaluate one observation. Returns the (optional) transition event and
+    * the updated state. Status updates on EVERY evaluation; `notified` only
+    * on a debounced ok→alarm edge.
+    */
+  def onObservation(st: State, cfg: AlertConfig, o: Observation): (Option[AlertEvent], State) = {
+    if (!cfg.active) (None, st)
+    else {
+      val nowAlarm = tripped(cfg.compare, o.value, cfg.trippoint)
+      val status = if (nowAlarm) "alarm" else "ok"
+      val edge = st.status == "ok" && nowAlarm
+      val notify = edge && o.tsUs > st.lastNoticeUs + cfg.timeoutUs
+      val st2 = State(status, if (notify) o.tsUs else st.lastNoticeUs)
+      val ev =
+        if (status != st.status || notify)
+          Some(AlertEvent(cfg.alertId, cfg.pvname, o.tsUs, o.value, status, notify))
+        else None
+      (ev, st2)
+    }
+  }
+
+  def replayKey(obs: Iterable[Observation], cfg: AlertConfig): Vector[AlertEvent] = {
+    var st = InitState
+    val out = Vector.newBuilder[AlertEvent]
+    obs.foreach { o =>
+      val (ev, st2) = onObservation(st, cfg, o)
+      out ++= ev
+      st = st2
+    }
+    out.result()
+  }
+
+  /** Batch replay of alert evaluation over an observation Dataset. */
+  def replayBatch(
+      ds: Dataset[Observation],
+      configs: Map[Long, AlertConfig]): Dataset[AlertEvent] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.alertId).flatMapGroups { (id, it) =>
+      configs.get(id) match {
+        case Some(cfg) => replayKey(it.toVector.sortBy(o => (o.tsUs, o.value)), cfg).iterator
+        case None => Iterator.empty
+      }
+    }
+  }
+
+  /** Streaming form (SURVEY §2.9 T4). */
+  def streaming(
+      ds: Dataset[Observation],
+      configs: Map[Long, AlertConfig]): Dataset[AlertEvent] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.alertId)
+      .flatMapGroupsWithState[State, AlertEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (id: Long, it: Iterator[Observation], gs: GroupState[State]) =>
+          configs.get(id) match {
+            case None => Iterator.empty
+            case Some(cfg) =>
+              var st = gs.getOption.getOrElse(InitState)
+              val out = Vector.newBuilder[AlertEvent]
+              it.toVector.sortBy(o => (o.tsUs, o.value)).foreach { o =>
+                val (ev, st2) = onObservation(st, cfg, o)
+                out ++= ev
+                st = st2
+              }
+              gs.update(st)
+              out.result().iterator
+          }
+      }
+  }
+}

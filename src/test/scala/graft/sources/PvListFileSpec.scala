@@ -1,0 +1,55 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+class PvListFileSpec extends SparkSpec {
+
+  private def write(lines: String*): String = {
+    val f = Files.createTempFile("graft_pvlist", ".txt")
+    Files.writeString(f, lines.mkString("\n"))
+    f.toString
+  }
+
+  test("pvNames: comments/blank lines skipped; same-line PVs share a line_id") {
+    val path = write(
+      "# a comment",
+      "",
+      "XX:m1.VAL, XX:m2.VAL",
+      "YY:solo.VAL",
+      "ZZ:a.VAL ZZ:b.VAL ZZ:c.VAL  # trailing comment")
+    val rows = PvListFile.pvNames(spark, path)
+      .collect().map(r => (r.getAs[Long]("line_id"), r.getAs[String]("pvname")))
+    val byLine = rows.groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+    assert(byLine == Set(
+      Set("XX:m1.VAL", "XX:m2.VAL"),
+      Set("YY:solo.VAL"),
+      Set("ZZ:a.VAL", "ZZ:b.VAL", "ZZ:c.VAL")))
+  }
+
+  test("pvNames feeds the pair graph: same-line PVs become edges (cache.py:529-564)") {
+    val path = write("A B C", "A B", "D")
+    val pvs = PvListFile.pvNames(spark, path)
+    val edges = graft.operators.Pairs.coOccurrence(pvs, "line_id", "pvname")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(edges == Set(("A", "B", 2L), ("A", "C", 1L), ("B", "C", 1L)))
+  }
+
+  test("template: section/hr/space/row classification (web_utils.py:269-322)") {
+    val path = write(
+      "[Beamline Status]",
+      "XX:m1.VAL | Motor 1 | %8.3f",
+      "XX:s1.VAL,XX:s2.VAL | Shutters | yes/no",
+      "--",
+      "<>",
+      "# comment dropped")
+    val rows = PvListFile.template(spark, path).collect().sortBy(_.getAs[Long]("line_id"))
+    assert(rows.map(_.getAs[String]("kind")).toSeq == Seq("section", "row", "row", "hr", "space"))
+    assert(rows(0).getAs[String]("section") == "Beamline Status")
+    assert(rows(1).getAs[scala.collection.Seq[String]]("pvnames").toSeq == Seq("XX:m1.VAL"))
+    assert(rows(1).getAs[String]("description") == "Motor 1")
+    assert(rows(1).getAs[String]("format") == "%8.3f")
+    assert(rows(2).getAs[scala.collection.Seq[String]]("pvnames").toSeq == Seq("XX:s1.VAL", "XX:s2.VAL"))
+  }
+}

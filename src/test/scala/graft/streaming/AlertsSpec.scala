@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.SparkSpec
+import Alerts._
+
+class AlertsSpec extends SparkSpec {
+
+  private val S = 1000000L
+  private def cfg(op: String, trip: String, timeoutUs: Long = 10 * S, active: Boolean = true) =
+    AlertConfig(1L, "XX:m1.VAL", "Motor1", op, trip, timeoutUs, active)
+  private def obs(ts: Long, v: String) = Observation(1L, ts, v)
+
+  test("comparison op table (cache.py:35-36) — numeric coercion") {
+    assert(tripped("gt", "3.2", "3.0"))
+    assert(!tripped("gt", "2.8", "3.0"))
+    assert(tripped("le", "3.0", "3.0"))
+    assert(tripped("ne", "1", "2"))
+    assert(tripped("eq", "1.0", "1")) // numeric compare, not string
+    assert(tripped("lt", "-1e2", "0"))
+    intercept[IllegalArgumentException](tripped("??", "1", "2"))
+  }
+
+  test("string comparison when either side is non-numeric (cache.py:609-616)") {
+    assert(tripped("eq", "Open", "Open"))
+    assert(tripped("gt", "b", "a"))
+    assert(!tripped("gt", "a", "b"))
+    // numeric-looking value vs non-numeric trip -> string compare
+    assert(tripped("lt", "10", "9a")) // "10" < "9a" as strings
+    assert(!tripped("lt", "10", "9")) // both numeric -> 10 < 9 is false
+  }
+
+  test("ok->alarm edge notifies; stay-alarm and alarm->ok do not (doc/alerts.rst:42-48)") {
+    val events = replayKey(
+      Seq(obs(0, "2.0"), obs(20 * S, "5.0"), obs(40 * S, "6.0"), obs(60 * S, "1.0")),
+      cfg("gt", "3.0"))
+    // 2.0: ok (no transition event, status stays ok)
+    // 5.0: ok->alarm + notify; 6.0: stay alarm (no event); 1.0: alarm->ok (event, no mail)
+    assert(events.map(e => (e.tsUs, e.status, e.notified)) == Vector(
+      (20 * S, "alarm", true), (60 * S, "ok", false)))
+  }
+
+  test("timeout debounces re-notification of flapping values") {
+    val events = replayKey(
+      Seq(obs(0, "5.0"), obs(2 * S, "1.0"), obs(4 * S, "5.0"), obs(30 * S, "1.0"), obs(32 * S, "5.0")),
+      cfg("gt", "3.0", timeoutUs = 10 * S))
+    // first trip notifies at t=0; re-trip at t=4s inside the 10s timeout
+    // transitions but does NOT notify; re-trip at t=32s notifies again
+    assert(events.map(e => (e.tsUs, e.status, e.notified)) == Vector(
+      (0L, "alarm", true), (2 * S, "ok", false), (4 * S, "alarm", false),
+      (30 * S, "ok", false), (32 * S, "alarm", true)))
+  }
+
+  test("inactive alerts are skipped entirely") {
+    assert(replayKey(Seq(obs(0, "5.0")), cfg("gt", "3.0", active = false)).isEmpty)
+  }
+
+  test("replayBatch evaluates each alert against its config") {
+    val sp = spark
+    import sp.implicits._
+    val configs = Map(
+      1L -> AlertConfig(1L, "pv1", "hi", "gt", "10", 5 * S, active = true),
+      2L -> AlertConfig(2L, "pv2", "lo", "lt", "0", 5 * S, active = true))
+    val observations = Seq(
+      Observation(1L, 0, "11"), Observation(1L, 10 * S, "9"),
+      Observation(2L, 0, "-1"), Observation(2L, 10 * S, "1"),
+      Observation(3L, 0, "1")) // no config -> dropped
+    val got = replayBatch(observations.toDS(), configs).collect().toVector
+      .sortBy(e => (e.alertId, e.tsUs))
+    assert(got.map(e => (e.alertId, e.status, e.notified)) == Vector(
+      (1L, "alarm", true), (1L, "ok", false),
+      (2L, "alarm", true), (2L, "ok", false)))
+  }
+}
