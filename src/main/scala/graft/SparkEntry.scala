@@ -181,9 +181,9 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- n-gram Jaccard near-dup pairs (inverted-index join) ---------------
+    // ---- n-gram Jaccard near-dup pairs (broadcast all-pairs sweep) ---------
     "q_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text", n = 2, threshold = 0.5)
+      Dedup.ngramJaccardBroadcast(Tables.documents(s, dir), "doc_id", "text", n = 2, threshold = 0.5)
         .orderBy(col("d1"), col("d2"))
     }),
 

@@ -32,10 +32,23 @@ object Dedup {
   def docShingles(df: DataFrame, id: String, text: String, n: Int): DataFrame =
     df.select(col(id).as("doc"), explode(array_distinct(TextAnalysis.shingles(col(text), n))).as("shingle"))
 
-  /** n-gram Jaccard near-dup pairs via inverted-index join: pairs of docs
-    * sharing ≥1 shingle, scored |A∩B| / (|A|+|B|−|A∩B|), kept above
-    * `threshold`. `maxDf` drops shingles more frequent than the cap (skew
-    * guard — a shingle shared by k docs contributes k² pair rows).
+  /** n-gram Jaccard near-dup pairs, scored |A∩B| / (|A|+|B|−|A∩B|) and kept
+    * at or above `threshold`.
+    *
+    * Plan: a **prefix-filtered** similarity join (the PPJoin family —
+    * Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07, Xiao et al. WWW'08):
+    * order each document's shingles by ascending global document frequency
+    * and index only the first `|d| − ⌈t·|d|⌉ + 1` (the "prefix"). Two sets
+    * with Jaccard ≥ t MUST collide inside their prefixes, so joining
+    * prefixes is lossless — and the hot shingles that make a naive
+    * inverted-index self-join quadratic (Σ df² pair rows) sit at the END of
+    * the frequency order, outside every prefix. Candidates are then verified
+    * with an exact intersection count. Output is identical to the naive
+    * join; only the plan changes.
+    *
+    * `maxDf` additionally drops shingles more frequent than the cap from
+    * indexing AND sizing (an explicit approximation knob for skewed corpora;
+    * None keeps exact semantics).
     */
   def ngramJaccard(
       df: DataFrame,
@@ -44,27 +57,105 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxDf: Option[Int] = None): DataFrame = {
-    val ds = docShingles(df, id, text, n).cache()
-    val sizes = ds.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val index = maxDf match {
+    val base = docShingles(df, id, text, n)
+    val ds = (maxDf match {
       case Some(cap) =>
-        val dfreq = ds.groupBy(col("shingle")).agg(count(lit(1)).as("__df")).where(col("__df") <= cap)
-        ds.join(dfreq.select("shingle"), Seq("shingle"))
-      case None => ds
-    }
-    val a = index.select(col("doc").as("d1"), col("shingle"))
-    val b = index.select(col("doc").as("d2"), col("shingle"))
-    val inter = a
-      .join(b, Seq("shingle"))
+        val keep = base.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= cap).select("shingle")
+        base.join(keep, Seq("shingle"))
+      case None => base
+    }).cache()
+    val sizes = ds.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val dfreq = ds.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc")).orderBy(col("df"), col("shingle"))
+    // prefix length |d| − ⌈t·|d|⌉ + 1; the epsilon keeps FP noise in t·|d|
+    // from rounding the ceiling UP (which would shorten the prefix and
+    // silently drop true pairs)
+    val prefix = ds
+      .join(dfreq, Seq("shingle"))
+      .withColumn("pos", row_number().over(w))
+      .join(sizes, Seq("doc"))
+      .where(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .select(col("doc"), col("shingle"))
+    val cands = prefix.select(col("doc").as("d1"), col("shingle"))
+      .join(prefix.select(col("doc").as("d2"), col("shingle")), Seq("shingle"))
       .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+      .distinct()
+    val inter = cands
+      .join(ds.select(col("doc").as("d1"), col("shingle")), Seq("d1"))
+      .join(ds.select(col("doc").as("d2"), col("shingle")), Seq("d2", "shingle"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1"), Seq("d1"))
-      .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2"), Seq("d2"))
+      .join(sizes.select(col("doc").as("d1"), col("sz").as("sz1")), Seq("d1"))
+      .join(sizes.select(col("doc").as("d2"), col("sz").as("sz2")), Seq("d2"))
       .withColumn("jaccard", round(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")), 6))
       .where(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** Broadcast all-pairs form of [[ngramJaccard]] — identical output,
+    * different physical strategy: collect each doc's sorted distinct
+    * shingle set, broadcast, and sweep the (i, j) upper triangle with a
+    * merge-intersection that early-exits once the remaining overlap cannot
+    * reach the threshold, plus a size-ratio filter (|B| ≥ t·|A|).
+    *
+    * Use when the shingle-set index fits in executor memory (it is ~tokens
+    * × ~16 bytes). Prefix filtering ([[ngramJaccard]]) wins on Zipfian
+    * corpora where rare shingles exist; on dense small-vocabulary corpora
+    * every shingle is frequent, prefixes prune nothing, and this sweep is
+    * an order of magnitude faster.
+    */
+  def ngramJaccardBroadcast(
+      df: DataFrame,
+      id: String,
+      text: String,
+      n: Int,
+      threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sets = docShingles(df, id, text, n)
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_set(col("shingle"))).as("sh"))
+      .select(col("doc").cast("long"), col("sh"))
+      .as[(Long, Array[String])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(sets)
+    val nDocs = sets.length
+    spark.range(nDocs.toLong)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { it =>
+        val data = bc.value
+        it.flatMap { ii =>
+          val i = ii.toInt
+          val (d1, a) = data(i)
+          (i + 1 until nDocs).iterator.flatMap { j =>
+            val (d2, b) = data(j)
+            val la = a.length; val lb = b.length
+            val maxInter = math.min(la, lb)
+            // size filter: even full containment cannot reach the threshold
+            if (Similarity.round6(maxInter.toDouble / (la + lb - maxInter)) < threshold)
+              Iterator.empty
+            else {
+              // minimal intersection for J >= t: inter >= t(la+lb)/(1+t)
+              val needed = math.ceil(threshold * (la + lb) / (1.0 + threshold) - 1e-9).toInt
+              var ai = 0; var bi = 0; var inter = 0
+              var live = true
+              while (live && ai < la && bi < lb) {
+                val c = a(ai).compareTo(b(bi))
+                if (c == 0) { inter += 1; ai += 1; bi += 1 }
+                else if (c < 0) ai += 1
+                else bi += 1
+                if (inter + math.min(la - ai, lb - bi) < needed) live = false
+              }
+              val jac = Similarity.round6(inter.toDouble / (la + lb - inter))
+              if (live && jac >= threshold) Iterator.single((d1, d2, jac)) else Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("d1", "d2", "jaccard")
   }
 
   /** Portable token/shingle hash: first 8 hex chars of md5 as a long

