@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeries
+
+/** The user-facing query surface of the engine — the Spark re-expression of
+  * the reference's `Archiver`/`Cache` read APIs (SURVEY §3): a samples
+  * DataFrame (any source: [[graft.store.SampleStore]], raw parquet, a
+  * streaming sink's output) plus an optional latest-value cache DataFrame.
+  *
+  * Column convention: `pvname: string, tsUs: long, value: string` (+ extra
+  * columns pass through untouched).
+  */
+class Archive(samples: DataFrame, cache: Option[DataFrame] = None) {
+
+  /** Q3 `get_data` (archiver.py:131-223): rows in `[t0, t1)` plus the most
+    * recent row before `t0`, optionally extended with the live cached value
+    * when the range ends "now" (archiver.py:212-218's with_current) —
+    * a single declarative pipeline; run/bucket pruning happens in the scan
+    * when `samples` comes from the partitioned store.
+    */
+  def getData(pvname: String, t0Us: Long, t1Us: Long, withCurrent: Boolean = false,
+      nowUs: Long = 0L): DataFrame = {
+    val base = TimeSeries.getData(
+      samples, col("pvname"), pvname, "tsUs", "tsUs", t0Us, t1Us)
+    val withCache = (cache, withCurrent) match {
+      case (Some(c), true) =>
+        val cur = c.where(col("pvname") === pvname)
+          .select(base.columns.map {
+            case "tsUs" => lit(nowUs).as("tsUs")
+            case other => col(other)
+          }.toSeq: _*)
+        base.unionByName(cur)
+      case _ => base
+    }
+    withCache.orderBy(col("tsUs"))
+  }
+
+  /** Q2 `get_value_at_time` (archiver.py:112-129). */
+  def valueAtTime(pvname: String, tUs: Long): DataFrame =
+    TimeSeries.valueAtTime(samples.where(col("pvname") === pvname), "pvname", "tsUs", "tsUs", tUs)
+
+  /** P1 `get_values` on the cache (cache.py:464-473). */
+  def cacheSince(sinceUs: Long): DataFrame =
+    cache.getOrElse(samples).where(col("tsUs") > sinceUs).orderBy(col("tsUs"))
+
+  /** Q6 cache-refresh delta (webapp.py:52-76): rows changed in the last
+    * `ageUs` microseconds — the incremental view a polling web layer merges.
+    */
+  def refreshDelta(nowUs: Long, ageUs: Long): DataFrame =
+    cache.getOrElse(samples).where(col("tsUs") > nowUs - ageUs)
+}
+
+/** P3/P4 — the generic where/select surface (util.py:157-240): a dict of
+  * equality constraints (or a primary key) + order_by/limit, as one Column
+  * conjunction. The engine-API equivalent of `DatabaseConnection.get_rows`.
+  */
+object Generic {
+
+  /** `handle_where` (util.py:157-189): Map → conjunction of `col == value`;
+    * a bare value means the `id` primary key.
+    */
+  def handleWhere(where: Map[String, Any]): Column =
+    where.map { case (k, v) => col(k) === lit(v) }.reduceOption(_ && _).getOrElse(lit(true))
+
+  def handleWhere(primaryKey: Long): Column = col("id") === primaryKey
+
+  /** `get_rows` (util.py:191-240). */
+  def getRows(df: DataFrame, where: Map[String, Any], orderBy: Option[(String, Boolean)] = None,
+      limitOne: Boolean = false): DataFrame = {
+    val filtered = df.where(handleWhere(where))
+    val ordered = orderBy match {
+      case Some((c, asc)) => filtered.orderBy(if (asc) col(c).asc else col(c).desc)
+      case None => filtered
+    }
+    if (limitOne) ordered.limit(1) else ordered
+  }
+}

@@ -61,6 +61,12 @@ object PvFunctions {
   def enumLabel(labels: Column, key: Column, ordinal: Column): Column =
     element_at(element_at(labels, key), ordinal.cast("int") + 1)
 
+  /** F12 `timehash` (util.py:357-362): 10-hex-char tag of 10000×time —
+    * unique-enough filenames for exports.
+    */
+  def timehash(epochSec: Column): Column =
+    lower(substring(hex((epochSec * 10000).cast("long")), 1, 10))
+
   /** F13 yes/no formatter (web/WebStatus.py:51-94). */
   def yesNo(c: Column): Column =
     when(c.cast("int") === 0, lit("No")).when(c.cast("int") === 1, lit("Yes")).otherwise(c.cast("string"))

@@ -27,6 +27,20 @@ object Export {
       .orderBy(col(tsUs))
       .select(col("line"))
 
+  /** S11 multi-PV aligned export (scripts/get_pvarch:138-223): one line per
+    * aligned timestamp with each series' value in fixed-width hformat —
+    * feed it the output of [[TimeSeries.locfAlign]].
+    */
+  def alignedRows(df: DataFrame, tsUs: String, seriesCols: Seq[String], hfLength: Int = 12): DataFrame =
+    df.select(
+      col(tsUs),
+      concat_ws(
+        " ",
+        format_string("%.6f", col(tsUs).cast("double") / 1e6) +:
+          seriesCols.map(c => GraftUdfs.hformatCol(col(c), hfLength)): _*).as("line"))
+      .orderBy(col(tsUs))
+      .select(col("line"))
+
   /** S10 header block (webapp.py:293-311). Driver-side string assembly. */
   def asciiHeader(
       pvname: String,

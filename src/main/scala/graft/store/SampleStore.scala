@@ -50,6 +50,26 @@ object SampleStore {
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
+  /** S6 read-optimized per-PV export — the reference's zarr zip per closed
+    * run (archiver.py:542-608): one directory per run, rows clustered and
+    * sorted by (pvname, time) so a per-PV read is a contiguous sorted
+    * column scan. In Parquet terms this IS the "zarr copy": columnar,
+    * compressed, min/max-indexed; kept as an explicit compaction job for
+    * closed runs.
+    */
+  def exportRunSorted(samples: DataFrame, path: String): Unit =
+    samples
+      .repartition(col("run"))
+      .sortWithinPartitions(col("pvname"), col("tsUs"))
+      .write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("run")
+      .parquet(path)
+
+  /** S7 plain-text dump (pvarch save / mysqldump ≈ CSV per run). */
+  def dumpCsv(samples: DataFrame, path: String): Unit =
+    samples.write.mode(SaveMode.Overwrite).option("header", "true").partitionBy("run").csv(path)
+
   /** S4 single-PV range scan with bucket + run pruning: the bucket literal
     * is derived from the pvname driver-side (archiver.py:185-186 pattern),
     * so Catalyst prunes to one bucket directory per overlapping run.

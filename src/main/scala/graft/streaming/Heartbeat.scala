@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import Downsampler.Sample
+
+/** T3 — forced heartbeat (archiver.py:419-440, util.py:348-354): any PV
+  * silent longer than its per-PV force interval (uniform 13-21 h, seeded)
+  * gets its last value re-archived, guaranteeing ≥1 sample/PV/24 h so
+  * time-range queries always find a "point before tmin".
+  *
+  * Determinism: the reference draws `randint` at runtime and stamps emits
+  * with the sweep's wall clock (a 300 s grid); here the interval sequence is
+  * a seeded PRNG per (pvname, draw index) and the batch replay stamps the
+  * forced sample at exactly `lastTs + interval`, making replays reproducible.
+  */
+object Heartbeat {
+
+  final val MinForceUs: Long = 13L * 3600 * 1000000L
+  final val SpanForceUs: Long = 8L * 3600 * 1000000L
+
+  /** k-th force interval for a PV (seeded; mirrors util.py:348-354's
+    * 13 h + rand(8 h) draw).
+    */
+  def forceIntervalUs(pvname: String, k: Int, seed: Long = 42L): Long = {
+    val rng = new scala.util.Random(seed ^ pvname.hashCode.toLong ^ (k.toLong << 32))
+    MinForceUs + rng.nextLong(SpanForceUs)
+  }
+
+  /** Batch replay over one PV's archived samples (time-ordered): synthetic
+    * heartbeat rows in the silent gaps, up to `horizonUs`.
+    */
+  def replayKey(samples: Iterable[Sample], horizonUs: Long, seed: Long = 42L): Vector[Sample] = {
+    val out = Vector.newBuilder[Sample]
+    var last: Option[Sample] = None
+    var k = 0
+    def fill(until: Long): Unit = last.foreach { l =>
+      var ts = l.tsUs
+      var value = l.value
+      var cvalue = l.cvalue
+      var interval = forceIntervalUs(l.pvname, k, seed)
+      while (ts + interval < until) {
+        ts += interval
+        out += Sample(l.pvname, ts, value, cvalue)
+        k += 1
+        interval = forceIntervalUs(l.pvname, k, seed)
+      }
+    }
+    samples.foreach { s =>
+      fill(s.tsUs)
+      last = Some(s)
+      k = 0
+    }
+    fill(horizonUs)
+    out.result()
+  }
+
+  def replayBatch(ds: Dataset[Sample], horizonUs: Long, seed: Long = 42L): Dataset[Sample] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.pvname).flatMapGroups { (_, it) =>
+      replayKey(it.toVector.sortBy(_.tsUs), horizonUs, seed).iterator
+    }
+  }
+
+  private case class HbState(lastTs: Long, value: String, cvalue: String, k: Int)
+
+  /** Streaming form: per-PV processing-time timeout re-emits the cached
+    * value when the force interval elapses with no real sample (stamped at
+    * the wall clock, like the reference's sweep).
+    */
+  def streaming(ds: Dataset[Sample], seed: Long = 42L): Dataset[Sample] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.pvname)
+      .flatMapGroupsWithState[HbState, Sample](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout) {
+        (pv: String, it: Iterator[Sample], gs: GroupState[HbState]) =>
+          val out = Vector.newBuilder[Sample]
+          var st = gs.getOption
+          if (gs.hasTimedOut) {
+            st.foreach { s =>
+              val nowUs = gs.getCurrentProcessingTimeMs() * 1000L
+              out += Sample(pv, nowUs, s.value, s.cvalue)
+              st = Some(HbState(nowUs, s.value, s.cvalue, s.k + 1))
+            }
+          }
+          it.toVector.sortBy(_.tsUs).foreach { s =>
+            st = Some(HbState(s.tsUs, s.value, s.cvalue, 0))
+          }
+          st.foreach { s =>
+            gs.update(s)
+            gs.setTimeoutDuration(forceIntervalUs(pv, s.k, seed) / 1000L)
+          }
+          out.result().iterator
+      }
+  }
+}

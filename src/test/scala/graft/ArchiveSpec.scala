@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Downsampler.RawSample
+import graft.streaming.LatestView
+
+class ArchiveSpec extends SparkSpec {
+
+  private val S = 1000000L
+
+  private def samplesDf = {
+    val sp = spark
+    import sp.implicits._
+    Seq(
+      ("pv1", 10 * S, "1.0"), ("pv1", 20 * S, "2.0"), ("pv1", 30 * S, "3.0"),
+      ("pv1", 40 * S, "4.0"), ("pv2", 15 * S, "a")).toDF("pvname", "tsUs", "value")
+  }
+
+  private def cacheDf = {
+    val sp = spark
+    import sp.implicits._
+    Seq(("pv1", 99 * S, "9.9"), ("pv2", 98 * S, "z")).toDF("pvname", "tsUs", "value")
+  }
+
+  test("getData: range + one point before tmin + current cache value (Q3)") {
+    val a = new Archive(samplesDf, Some(cacheDf))
+    val plain = a.getData("pv1", 25 * S, 45 * S)
+      .collect().map(r => (r.getAs[Long]("tsUs"), r.getAs[String]("value")))
+    // 20s is the early point before tmin=25s; 30/40 in range
+    assert(plain.toSeq == Seq((20 * S, "2.0"), (30 * S, "3.0"), (40 * S, "4.0")))
+
+    val withCur = a.getData("pv1", 25 * S, 45 * S, withCurrent = true, nowUs = 50 * S)
+      .collect().map(r => (r.getAs[Long]("tsUs"), r.getAs[String]("value")))
+    assert(withCur.toSeq == Seq((20 * S, "2.0"), (30 * S, "3.0"), (40 * S, "4.0"), (50 * S, "9.9")))
+  }
+
+  test("valueAtTime returns the latest at-or-before row (Q2)") {
+    val a = new Archive(samplesDf)
+    val r = a.valueAtTime("pv1", 35 * S).collect()
+    assert(r.length == 1 && r(0).getAs[Long]("tsUs") == 30 * S)
+  }
+
+  test("refreshDelta returns only recently-changed rows (Q6)") {
+    val a = new Archive(samplesDf, Some(cacheDf))
+    val d = a.refreshDelta(nowUs = 100 * S, ageUs = 1500000L * 1)
+    assert(d.collect().map(_.getAs[String]("pvname")).toSet == Set("pv1"))
+  }
+
+  test("Generic.getRows: where-map conjunction + order + limit (P3/P4)") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, "a", 10), (2L, "a", 20), (3L, "b", 30)).toDF("id", "grp", "v")
+    val rows = Generic.getRows(df, Map("grp" -> "a"), Some(("v", false))).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 1L))
+    val one = Generic.getRows(df, Map("grp" -> "a"), Some(("v", false)), limitOne = true).collect()
+    assert(one.map(_.getLong(0)).toSeq == Seq(2L))
+    assert(df.where(Generic.handleWhere(3L)).collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("LatestView.latest keeps the newest row per PV (A1/S2)") {
+    val sp = spark
+    import sp.implicits._
+    val ds = Seq(
+      RawSample("p1", 10 * S, "1", "1"), RawSample("p1", 30 * S, "3", "3"),
+      RawSample("p1", 20 * S, "2", "2"), RawSample("p2", 5 * S, "x", "x")).toDS()
+    val got = LatestView.latest(ds).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(got.toSeq == Seq(("p1", 30 * S, "3"), ("p2", 5 * S, "x")))
+  }
+
+  test("LatestView as a streaming update-mode aggregation (T1/Q6)") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[RawSample]
+    val q = LatestView.latest(input.toDS())
+      .writeStream.format("memory").queryName("latest_out").outputMode("complete").start()
+    try {
+      input.addData(RawSample("p1", 10 * S, "1", "1"), RawSample("p2", 5 * S, "x", "x"))
+      q.processAllAvailable()
+      input.addData(RawSample("p1", 30 * S, "3", "3"))
+      q.processAllAvailable()
+      val got = sp.table("latest_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+      assert(got.toSeq == Seq(("p1", 30 * S, "3"), ("p2", 5 * S, "x")))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TimeSeriesSpec extends SparkSpec {
+
+  private def events = {
+    val sp = spark
+    import sp.implicits._
+    Seq(
+      // (key, ts, id, value)
+      ("a", 10L, 1L, 1.0), ("a", 20L, 2L, 5.0), ("a", 30L, 3L, 2.0), ("a", 40L, 4L, 9.0),
+      ("b", 15L, 5L, 7.0), ("b", 25L, 6L, 3.0)).toDF("k", "ts", "id", "v")
+  }
+
+  test("rangeScan filters key + half-open range, ordered") {
+    val got = TimeSeries.rangeScan(events, col("k"), "a", "ts", 20L, 40L)
+      .collect().map(_.getAs[Long]("ts"))
+    assert(got.toSeq == Seq(20L, 30L))
+  }
+
+  test("getData prepends exactly one point before tmin") {
+    val got = TimeSeries.getData(events, col("k"), "a", "ts", "id", 25L, 45L)
+      .collect().map(_.getAs[Long]("ts"))
+    assert(got.toSeq == Seq(20L, 30L, 40L))
+    // window starting before any data: no early point
+    val none = TimeSeries.getData(events, col("k"), "a", "ts", "id", 5L, 15L)
+      .collect().map(_.getAs[Long]("ts"))
+    assert(none.toSeq == Seq(10L))
+  }
+
+  test("valueAtTime picks the at-or-before row per key") {
+    val got = TimeSeries.valueAtTime(events, "k", "ts", "id", 25L)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("ts"))).sortBy(_._1)
+    assert(got.toSeq == Seq(("a", 20L), ("b", 25L)))
+  }
+
+  test("latestPerKey keeps newest row with all requested values") {
+    val got = TimeSeries.latestPerKey(events, "k", "ts", "id", Seq("v"))
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("ts"), r.getAs[Double]("v")))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(("a", 40L, 9.0), ("b", 25L, 3.0)))
+  }
+
+  test("locfAlign carries values forward and drops incomplete rows") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      ("x", 10L, 1.0), ("y", 20L, 5.0), ("x", 30L, 2.0), ("y", 40L, 6.0))
+      .toDF("k", "ts", "v")
+    val got = TimeSeries.locfAlign(df, "k", "ts", "v", Seq("x", "y"), 0L, 100L)
+      .collect().map(r => (r.getAs[Long]("ts"), r.getAs[Double]("x"), r.getAs[Double]("y")))
+    // ts=10 dropped (y missing); x carried forward at 20 and 40
+    assert(got.toSeq == Seq((20L, 1.0, 5.0), (30L, 2.0, 5.0), (40L, 2.0, 6.0)))
+  }
+
+  test("downsampleBatch keeps first, time-passed, and band-passed rows") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      ("p", 0L, 1L, 1.0), ("p", 5L, 2L, 1.05), ("p", 30L, 3L, 1.06), ("p", 35L, 4L, 9.0))
+      .toDF("k", "ts", "id", "v")
+    val got = TimeSeries.downsampleBatch(df, "k", "ts", "id", "v", deadtimeUs = 20L, deadband = 0.5)
+      .collect().map(_.getAs[Long]("ts"))
+    // 0: first; 5: inside deadtime+band -> drop; 30: dt passed; 35: band passed
+    assert(got.toSeq.sorted == Seq(0L, 30L, 35L))
+  }
+
+  test("decimate keeps every nth point plus percentile outliers") {
+    val sp = spark
+    import sp.implicits._
+    val df = (1 to 100).map(i => (i.toLong, i.toLong, if (i == 50) 1000.0 else i.toDouble))
+      .toDF("ts", "id", "v")
+    val got = TimeSeries.decimate(df, "ts", "id", "v", sample = 10, percent = 5.0)
+      .collect().map(_.getAs[Long]("ts"))
+    // rows 1,11,21,...,91 (every 10th) + outliers: v<=p5 or >=p95 band edges + the spike at 50
+    assert(got.contains(50L))
+    assert(Seq(1L, 11L, 21L, 31L, 41L, 51L, 61L, 71L, 81L, 91L).forall(got.contains))
+    assert(got.length < 30)
+  }
+
+  test("runsOverlapping derives only runs intersecting the window") {
+    val sp = spark
+    import sp.implicits._
+    val df = (0 until 100).map(i => Tuple1(i.toLong * 10)).toDF("ts")
+    val got = TimeSeries.runsOverlapping(df, "ts", widthUs = 100L, q0 = 250L, q1 = 450L)
+      .collect().map(_.getAs[Long]("run_id"))
+    assert(got.toSeq == Seq(2L, 3L, 4L))
+  }
+}
