@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = {
+    val sp = spark
+    import sp.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "the quick brown fox jumps over a lazy dog"), // near dup
+      (4L, "completely different words entirely here now")).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts under one representative") {
+    val got = Dedup.exact(docs, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("rep_id"), r.getAs[Long]("n_dups"))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("shingles/docShingles build distinct word n-grams") {
+    val got = Dedup.docShingles(docs.where(col("doc_id") === 1), "doc_id", "text", 3)
+      .collect().map(_.getAs[String]("shingle")).sorted
+    assert(got.contains("the quick brown"))
+    assert(got.contains("over the lazy"))
+    assert(got.length == 7) // 9 tokens -> 7 trigrams, all distinct
+  }
+
+  test("ngramJaccard prefix-join and broadcast sweep agree (and find the dups)") {
+    val a = Dedup.ngramJaccard(docs, "doc_id", "text", n = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    val b = Dedup.ngramJaccardBroadcast(docs, "doc_id", "text", n = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    assert(a.toSeq == b.toSeq)
+    assert(a.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0)) // exact dup pair
+    assert(a.exists(p => p._1 == 1L && p._2 == 3L && p._3 > 0.5)) // near dup pair
+    assert(!a.exists(p => p._2 == 4L))
+  }
+
+  test("minhash signatures identical for identical docs, close for near-dups") {
+    val sig = Dedup.minhashSignature(docs, "doc_id", "text", n = 2, numPerm = 16)
+      .collect().map(r => r.getAs[Long]("doc") -> (0 until 16).map(i => r.getAs[Long](s"mh$i")))
+      .toMap
+    assert(sig(1L) == sig(2L))
+    val agree13 = (0 until 16).count(i => sig(1L)(i) == sig(3L)(i))
+    val agree14 = (0 until 16).count(i => sig(1L)(i) == sig(4L)(i))
+    assert(agree13 > agree14)
+    assert(agree14 == 0)
+  }
+
+  test("minhashDedup surfaces exact + near dups via banded LSH") {
+    val got = Dedup.minhashDedup(docs, "doc_id", "text", n = 2, numPerm = 16, bands = 4, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.exists(p => p._2 == 4L || p._1 == 4L))
+  }
+
+  test("simhash: identical docs equal, near-dups within small hamming distance") {
+    val sig = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc") -> r.getAs[Long]("simhash")).toMap
+    assert(sig(1L) == sig(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(3L)) < ham(sig(1L), sig(4L)))
+    val pairs = Dedup.simhashDedup(docs, "doc_id", "text", prefixBits = 8, maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs = {
+    val sp = spark
+    import sp.implicits._
+    Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)), // close to 1
+      (3L, Array(0.0f, 1.0f, 0.0f)), // orthogonal to 1
+      (4L, Array(-1.0f, 0.0f, 0.0f))) // opposite of 1
+      .toDF("vec_id", "embedding")
+  }
+
+  test("cosine column formula and fast kernel agree bit-for-bit") {
+    val both = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("slow"),
+        Similarity.cosineFast(col("a.embedding"), col("b.embedding")).as("fast"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("bruteForceKnn ranks by similarity with id tie-break") {
+    val got = Similarity.bruteForceKnn(vecs, vecs.where(col("vec_id") === 1), "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+    assert(got.toSeq.sortBy(_._2).map(_._1) == Seq(2L, 3L, 4L))
+  }
+
+  test("cosinePairs broadcast sweep matches the join form") {
+    val a = Similarity.cosinePairs(vecs, "vec_id", "embedding", threshold = -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    val b = Similarity.cosinePairsJoin(vecs, "vec_id", "embedding", threshold = -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 6) // all (i<j) pairs of 4 vectors
+  }
+
+  test("bucketedKnn: same-bucket neighbors only, deterministic buckets") {
+    val got = Similarity.bucketedKnn(vecs, vecs.where(col("vec_id") === 1), "vec_id", "embedding",
+      k = 3, planes = 2, dim = 3)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    val again = Similarity.bucketedKnn(vecs, vecs.where(col("vec_id") === 1), "vec_id", "embedding",
+      k = 3, planes = 2, dim = 3)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(got == again)
+    assert(got.subsetOf(Set(2L, 3L, 4L)))
+  }
+
+  test("normStats: per-label count and average norm") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((0, Array(3.0f, 4.0f)), (0, Array(6.0f, 8.0f)), (1, Array(1.0f, 0.0f)))
+      .toDF("label", "embedding")
+    val got = Similarity.normStats(df, "label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((0, 2L, 7.5), (1, 1L, 1.0)))
+  }
+}
