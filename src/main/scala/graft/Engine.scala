@@ -21,6 +21,14 @@ object Engine {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // engine extensions, idempotently (a cluster deployment would instead
+    // set spark.sql.extensions=graft.plans.GraftExtensions)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.BucketPruneRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BucketPruneRule
+    val (ident, info, builder) = graft.plans.GraftExtensions.hformatFunction
+    if (!spark.sessionState.functionRegistry.functionExists(ident))
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     spark
   }
 

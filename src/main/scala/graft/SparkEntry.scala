@@ -233,6 +233,37 @@ object SparkEntry {
         .orderBy(col("k"))
     }),
 
+    // ---- LSH-bucketed approximate KNN (scale path; rows-only check: the
+    // seeded gaussian hyperplanes are not expressible in portable SQL) ------
+    "q_knn_bucketed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bucketedKnn(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, planes = 4, dim = 64)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- T2 downsampler replay via the stateful step function (rows-only:
+    // limbo semantics are imperative state, not SQL) -------------------------
+    "q_downsample_stateful" -> ((s, dir) => {
+      import s.implicits._
+      val raw = events(s, dir)
+        .select(concat(lit("u"), col("user_id")).as("pvname"), col("ts_us").as("tsUs"),
+          col("value").cast("string").as("value"), col("value").cast("string").as("cvalue"))
+        .as[graft.streaming.Downsampler.RawSample]
+      graft.streaming.Downsampler.replayBatch(raw, Map.empty,
+        default = graft.streaming.Downsampler.PvConfig("double", 6L * 3600L * 1000000L, 50.0))
+        .toDF()
+        .orderBy(col("pvname"), col("tsUs"))
+    }),
+
+    // ---- T5/A2 run registry over derived runs ------------------------------
+    "q_run_registry" -> ((s, dir) => {
+      val samples = events(s, dir).select(col("ts_us").as("tsUs"),
+        expr(s"ts_us DIV ${RUN_WEEK_US}L").as("run"))
+      graft.store.SampleStore.runRegistry(samples)
+    }),
+
     // ---- S10 export projection (time formatting pack) ----------------------
     "q_export_rows" -> ((s, dir) => {
       events(s, dir)
@@ -532,6 +563,14 @@ object SparkEntry {
       """SELECT label, count(*) AS n,
         |  round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_run_registry" ->
+      s"""WITH r AS (
+         |  SELECT epoch_us(ts) // $RUN_WEEK_US AS run, min(epoch_us(ts)) AS start_us,
+         |    max(epoch_us(ts)) AS stop_us, count(*) AS n
+         |  FROM events GROUP BY 1)
+         |SELECT run, start_us, stop_us, n, run = (SELECT max(run) FROM r) AS current
+         |FROM r ORDER BY run""".stripMargin,
 
     "q_props_json" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, count(*) AS n

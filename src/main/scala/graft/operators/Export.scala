@@ -22,7 +22,7 @@ object Export {
       concat_ws(
         " ",
         format_string("%.6f", col(tsUs).cast("double") / 1e6),
-        GraftUdfs.hformatCol(col(dvalue), hfLength),
+        graft.plans.HFormatExpr.hformat(col(dvalue), lit(hfLength)),
         date_format(timestamp_micros(col(tsUs)), "yyyyMMdd HHmmss")).as("line"))
       .orderBy(col(tsUs))
       .select(col("line"))
@@ -37,7 +37,7 @@ object Export {
       concat_ws(
         " ",
         format_string("%.6f", col(tsUs).cast("double") / 1e6) +:
-          seriesCols.map(c => GraftUdfs.hformatCol(col(c), hfLength)): _*).as("line"))
+          seriesCols.map(c => graft.plans.HFormatExpr.hformat(col(c), lit(hfLength))): _*).as("line"))
       .orderBy(col(tsUs))
       .select(col("line"))
 

@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.PvFunctions
+
+/** SURVEY §4's optional Catalyst rule, realized: rewrite
+  * `WHERE pvname = '<literal>'` into
+  * `WHERE pvname = '<literal>' AND bucket = hashname(<literal>)` on any
+  * relation that carries both a string `pvname` and an int `bucket` column
+  * (the [[graft.store.SampleStore]] layout). The added predicate is a
+  * partition filter, so a plain per-PV query prunes to 1 of 128 bucket
+  * directories automatically — the reference stores the bucket in its `pv`
+  * dimension and consults it by hand (archiver.py:185-186,
+  * doc/setup.rst:233-240); here the optimizer does it.
+  *
+  * Safety: only fires on top-level conjuncts (an OR-ed pvname predicate is
+  * left alone), and skips plans that already constrain `bucket`.
+  */
+object BucketPruneRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, child) =>
+      (bucketAttr(child), pvnameAttr(child)) match {
+        case (Some(bucket), Some(pvname)) =>
+          val conjuncts = splitConjunctivePredicates(cond)
+          val alreadyBucketed = conjuncts.exists(_.references.contains(bucket))
+          val pvLiterals = conjuncts.collect {
+            case EqualTo(a: Attribute, Literal(s: UTF8String, StringType)) if a.semanticEquals(pvname) => s
+            case EqualTo(Literal(s: UTF8String, StringType), a: Attribute) if a.semanticEquals(pvname) => s
+          }.distinct
+          if (alreadyBucketed || pvLiterals.isEmpty) f
+          else {
+            val extra: Expression = pvLiterals
+              .map(s => EqualTo(bucket, Literal(PvFunctions.hashname(s.toString), IntegerType)))
+              .reduce[Expression](And(_, _))
+            Filter(And(cond, extra), child)
+          }
+        case _ => f
+      }
+  }
+
+  private def bucketAttr(plan: LogicalPlan): Option[Attribute] =
+    plan.output.find(a => a.name == "bucket" && a.dataType == IntegerType)
+
+  private def pvnameAttr(plan: LogicalPlan): Option[Attribute] =
+    plan.output.find(a => a.name == "pvname" && a.dataType == StringType)
+}

@@ -50,6 +50,22 @@ object SampleStore {
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
+  /** T5/A2 run registry (`runs` table + `set_runinfo`, schema.py:96-104,
+    * cache.py:254-288): one row per run with its observed time span and row
+    * count; the newest run is "current" (the reference marks it with
+    * stop_time = MAX_EPOCH until rotation). Rotation itself is just the
+    * next value of the `run` partition column — no DDL.
+    */
+  def runRegistry(samples: DataFrame): DataFrame = {
+    val agg = samples.groupBy(col("run"))
+      .agg(min(col("tsUs")).as("start_us"), max(col("tsUs")).as("stop_us"), count(lit(1)).as("n"))
+    val maxRun = agg.agg(max(col("run")).as("__mr"))
+    agg.crossJoin(broadcast(maxRun))
+      .withColumn("current", col("run") === col("__mr"))
+      .drop("__mr")
+      .orderBy(col("run"))
+  }
+
   /** S6 read-optimized per-PV export — the reference's zarr zip per closed
     * run (archiver.py:542-608): one directory per run, rows clustered and
     * sorted by (pvname, time) so a per-PV read is a contiguous sorted

@@ -125,12 +125,13 @@ object Downsampler {
     */
   def replayBatch(
       ds: Dataset[RawSample],
-      configs: Map[String, PvConfig] = Map.empty): Dataset[Sample] = {
+      configs: Map[String, PvConfig] = Map.empty,
+      default: PvConfig = DefaultConfig): Dataset[Sample] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.groupByKey(_.pvname)
       .flatMapGroups { (pv, it) =>
-        val cfg = configs.getOrElse(pv, DefaultConfig)
+        val cfg = configs.getOrElse(pv, default)
         replayKey(it.toVector.sortBy(e => (e.tsUs, e.value)), cfg).iterator
       }
   }

@@ -1,0 +1,85 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{Engine, SparkSpec}
+import graft.functions.PvFunctions
+
+class GraftPlansSpec extends SparkSpec {
+
+  test("HFormatExpr matches the Scala function through SQL and Column forms") {
+    Engine.tune(spark)
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(185.22, 1.1e-9, -0.0, 99999995.2, 6.02e23).toDF("d")
+    val got = df.select(
+      expr("graft_hformat(d, 12)").as("sqlform"),
+      HFormatExpr.hformat(col("d"), lit(12)).as("colform"),
+      col("d")).collect()
+    got.foreach { r =>
+      val want = PvFunctions.hformat(r.getDouble(2), 12)
+      assert(r.getString(0) == want && r.getString(1) == want)
+    }
+  }
+
+  test("HFormatExpr survives whole-stage codegen on a real pipeline") {
+    Engine.tune(spark)
+    val sp = spark
+    import sp.implicits._
+    val df = (1 to 1000).map(_.toDouble / 7.0).toDF("d")
+    val out = df.where(col("d") > 1.0)
+      .select(expr("graft_hformat(d, 10)").as("s")).collect()
+    assert(out.length == 993) // 8/7 .. 1000/7 exceed 1.0
+    assert(out.forall(_.getString(0).length <= 10))
+  }
+
+  // a parquet-backed relation: ConvertToLocalRelation would otherwise fold
+  // a Filter-over-LocalRelation away before the plan can be inspected
+  private lazy val parquetDf = {
+    val sp = spark
+    import sp.implicits._
+    val dir = Files.createTempDirectory("graft_rule").toString
+    Seq(("XX:m1.VAL", 3, 1.0), ("YY:m2.VAL", 7, 2.0)).toDF("pvname", "bucket", "v")
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  test("BucketPruneRule adds the bucket conjunct for pvname equality") {
+    Engine.tune(spark)
+    val plan = parquetDf.where(col("pvname") === "XX:m1.VAL")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains(s"bucket#") && plan.contains(PvFunctions.hashname("XX:m1.VAL").toString),
+      s"bucket predicate missing in:\n$plan")
+  }
+
+  test("BucketPruneRule leaves OR-ed and already-bucketed filters alone") {
+    Engine.tune(spark)
+    val orPlan = parquetDf.where(col("pvname") === "XX:m1.VAL" || col("v") > 0)
+      .queryExecution.optimizedPlan.toString
+    assert(!orPlan.contains("= " + PvFunctions.hashname("XX:m1.VAL").toString))
+    // manual bucket predicate -> no duplicate added
+    val manual = parquetDf.where(col("pvname") === "XX:m1.VAL" && col("bucket") === 5)
+      .queryExecution.optimizedPlan.toString
+    assert(!manual.contains("= " + PvFunctions.hashname("XX:m1.VAL").toString))
+  }
+
+  test("BucketPruneRule prunes partitioned store scans end-to-end") {
+    Engine.tune(spark)
+    val sp = spark
+    import sp.implicits._
+    val dir = Files.createTempDirectory("graft_prune").toString
+    val raw = (0 until 200).map { i =>
+      (s"T:pv${i % 4}.VAL", i.toLong * 1000000L, i.toString, i.toString)
+    }.toDF("pvname", "tsUs", "value", "cvalue")
+    graft.store.SampleStore.write(
+      graft.store.SampleStore.normalize(raw, runWidthUs = 1L << 60), dir)
+    // a PLAIN pvname filter — no manual bucket math — must scan 1 bucket dir
+    val q = sp.read.parquet(dir).where(col("pvname") === "T:pv1.VAL")
+    val files = q.select(input_file_name()).distinct().collect().map(_.getString(0))
+    val b = PvFunctions.hashname("T:pv1.VAL")
+    assert(files.nonEmpty && files.forall(_.contains(s"bucket=$b")), files.mkString("\n"))
+    assert(q.count() == 50)
+  }
+}
