@@ -23,9 +23,10 @@ object Engine {
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     // engine extensions, idempotently (a cluster deployment would instead
     // set spark.sql.extensions=graft.plans.GraftExtensions)
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.BucketPruneRule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.BucketPruneRule
+    Seq(graft.plans.BucketPruneRule, graft.plans.DivRangePushdown).foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+ r
+    }
     val (ident, info, builder) = graft.plans.GraftExtensions.hformatFunction
     if (!spark.sessionState.functionRegistry.functionExists(ident))
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)

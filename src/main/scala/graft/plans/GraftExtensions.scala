@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.hformatFunction)
     ext.injectOptimizerRule(_ => BucketPruneRule)
+    ext.injectOptimizerRule(_ => DivRangePushdown)
   }
 }
 
