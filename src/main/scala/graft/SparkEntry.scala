@@ -233,6 +233,27 @@ object SparkEntry {
         .orderBy(col("k"))
     }),
 
+    // ---- BPE-ish token counting ---------------------------------------------
+    "q_token_count" -> ((s, dir) => {
+      val toks = TextAnalysis.bpeTokens(col("text"))
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_bpe"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- document fingerprints (md5 + rolling hash) ------------------------
+    "q_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp_md5"),
+          TextAnalysis.rollingHash(col("text")).as("fp_roll"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- LSH-bucketed approximate KNN (scale path; rows-only check: the
     // seeded gaussian hyperplanes are not expressible in portable SQL) ------
     "q_knn_bucketed" -> ((s, dir) => {
@@ -536,6 +557,20 @@ object SparkEntry {
          |FROM inter JOIN sz a ON d1 = a.doc JOIN sz b ON d2 = b.doc
          |WHERE round(CAST(i AS DOUBLE) / (a.sz + b.sz - i), 6) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe,
+        |  CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS n_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_md5,
+        |  CASE WHEN length(text) = 0 THEN NULL ELSE
+        |    list_reduce(list_transform(generate_series(1, length(text)),
+        |                i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)),
+        |                (a, b) -> (a * 31 + b) % 1000000007) END AS fp_roll
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_minhash_sig" -> minhashSigSql(NUM_PERM, 3),
 

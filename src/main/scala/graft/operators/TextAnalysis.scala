@@ -73,6 +73,30 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** BPE-ish pre-tokenization: letter runs, digit runs, and single
+    * punctuation marks (the GPT-2-style pre-tokenizer shape, minus the
+    * lookaheads RE2-based engines cannot run). Used for token counting on
+    * corpora where whitespace splitting undercounts.
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))
+
+  /** Polynomial rolling hash over code points: h0 = c0, h = (h*31 + c) mod
+    * (1e9+7) — engine-reproducible (DuckDB: `list_reduce` over `unicode`),
+    * cheap (single JIT pass), and order-sensitive unlike a bag-of-words
+    * hash. The streaming-friendly fingerprint for incremental pipelines.
+    */
+  val rollingHash: org.apache.spark.sql.expressions.UserDefinedFunction = udf { (s: String) =>
+    if (s == null || s.isEmpty) null.asInstanceOf[java.lang.Long]
+    else {
+      val cps = s.codePoints().toArray
+      var h = cps(0).toLong
+      var i = 1
+      while (i < cps.length) { h = (h * 31 + cps(i)) % 1000000007L; i += 1 }
+      java.lang.Long.valueOf(h)
+    }
+  }
+
   /** Word n-gram shingles of a document: positions i..i+n-1 joined by a
     * space. Array-lambda expansion; no UDF.
     */

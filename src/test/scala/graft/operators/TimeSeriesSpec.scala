@@ -81,6 +81,40 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.length < 30)
   }
 
+  test("property: LOCF invariants — grid = union of input timestamps, values piecewise-constant") {
+    val sp = spark
+    import sp.implicits._
+    (1 to 5).foreach { seed =>
+      val rng = new scala.util.Random(seed)
+      val rows = for {
+        k <- Seq("x", "y", "z")
+        i <- 0 until 30
+      } yield (k, rng.nextLong(10000L), rng.nextDouble())
+      val df = rows.toDF("k", "ts", "v")
+      val got = TimeSeries.locfAlign(df, "k", "ts", "v", Seq("x", "y", "z"), 0L, 10001L)
+        .collect().map(r => (r.getAs[Long]("ts"), r.getAs[Double]("x"), r.getAs[Double]("y"), r.getAs[Double]("z")))
+      // 1. output timestamps ⊆ union of input timestamps, each appearing once
+      val inputTs = rows.map(_._2).toSet
+      assert(got.map(_._1).forall(inputTs.contains))
+      assert(got.map(_._1).distinct.length == got.length)
+      // 2. after the first complete row, every input timestamp appears
+      if (got.nonEmpty) {
+        val start = got.head._1
+        assert(inputTs.count(_ >= start) == got.length)
+      }
+      // 3. per series: value at each grid ts equals the input's latest value
+      //    at-or-before that ts (ties resolved by max — the pivot agg)
+      val byKey = rows.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(identity)).toMap
+      def expectAt(k: String, ts: Long): Double = {
+        val elig = byKey(k).filter(_._1 <= ts)
+        elig.filter(_._1 == elig.last._1).map(_._2).max
+      }
+      got.foreach { case (ts, x, y, z) =>
+        assert(x == expectAt("x", ts) && y == expectAt("y", ts) && z == expectAt("z", ts))
+      }
+    }
+  }
+
   test("runsOverlapping derives only runs intersecting the window") {
     val sp = spark
     import sp.implicits._
