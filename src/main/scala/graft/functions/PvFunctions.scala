@@ -61,6 +61,15 @@ object PvFunctions {
   def enumLabel(labels: Column, key: Column, ordinal: Column): Column =
     element_at(element_at(labels, key), ordinal.cast("int") + 1)
 
+  /** pvextra enum-label storage (cache.py:196-206): the JSON list of labels
+    * per PV parsed into `array<string>` — build the F10 map with
+    * `map_from_entries(collect_list(struct(pvname, parseEnumLabels(data))))`
+    * over the pvextra dimension and broadcast it.
+    */
+  def parseEnumLabels(json: Column): Column =
+    from_json(json, org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType))
+
   /** F12 `timehash` (util.py:357-362): 10-hex-char tag of 10000×time —
     * unique-enough filenames for exports.
     */

@@ -81,6 +81,30 @@ object Alerts {
     }
   }
 
+  /** OPTOKENS → OPSTRINGS (cache.py:31-34). */
+  val opDescription: Map[String, String] = Map(
+    "ne" -> "not equal to", "eq" -> "equal to",
+    "le" -> "less than or equal to", "lt" -> "less than",
+    "ge" -> "greater than or equal to", "gt" -> "greater than")
+
+  /** Mail body for a notified event (send_alert_mail, cache.py:632-703):
+    * template interpolation incl. nested %PV(name)% lookups against the
+    * latest-value view, plus the plot link line the reference appends.
+    */
+  def mailBody(
+      cfg: AlertConfig,
+      ev: AlertEvent,
+      template: String,
+      lookup: String => Option[String],
+      plotBaseUrl: String = ""): String = {
+    val msg = if (template == null || template.isEmpty) "error message" else template
+    val body = graft.functions.PvFunctions.mailTemplate(
+      msg, cfg.pvname, ev.value, cfg.label,
+      opDescription.getOrElse(cfg.compare, "not equal to"), cfg.trippoint, lookup)
+    if (plotBaseUrl.isEmpty) body
+    else s"$body\nSee $plotBaseUrl/plot/1days/now/${cfg.pvname}"
+  }
+
   def replayKey(obs: Iterable[Observation], cfg: AlertConfig): Vector[AlertEvent] = {
     var st = InitState
     val out = Vector.newBuilder[AlertEvent]

@@ -54,6 +54,33 @@ class AlertsSpec extends SparkSpec {
     assert(replayKey(Seq(obs(0, "5.0")), cfg("gt", "3.0", active = false)).isEmpty)
   }
 
+  test("mailBody interpolates template + op description + plot link (cache.py:632-703)") {
+    val c = cfg("gt", "3.0")
+    val ev = AlertEvent(1L, c.pvname, 0L, "5.0", "alarm", notified = true)
+    val body = Alerts.mailBody(c, ev,
+      "%PV% is %COMP% %TRIP% (now %VALUE%); other=%PV(XX:other)%",
+      n => if (n == "XX:other") Some("7") else None,
+      plotBaseUrl = "http://host/pvarch")
+    assert(body ==
+      "XX:m1.VAL is greater than 3.0 (now 5.0); other=7\nSee http://host/pvarch/plot/1days/now/XX:m1.VAL")
+    // empty template falls back like the reference
+    assert(Alerts.mailBody(c, ev, "", _ => None) == "error message")
+  }
+
+  test("parseEnumLabels builds the F10 map from pvextra JSON (cache.py:171-206)") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val pvextra = Seq(("XX:sh", """["Closed","Open"]"""), ("XX:st", """["Off","On","Err"]"""))
+      .toDF("pvname", "data")
+    val labels = pvextra.select(map_from_entries(collect_list(struct(col("pvname"),
+      graft.functions.PvFunctions.parseEnumLabels(col("data"))))).as("m"))
+      .crossJoin(Seq(("XX:st", 2)).toDF("pv", "ord"))
+      .select(graft.functions.PvFunctions.enumLabel(col("m"), col("pv"), col("ord")))
+      .collect()(0).getString(0)
+    assert(labels == "Err")
+  }
+
   test("replayBatch evaluates each alert against its config") {
     val sp = spark
     import sp.implicits._

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.store.SampleStore
+import Downsampler.{PvConfig, RawSample}
+
+/** §3.2 lifecycle: streaming source → T2 → partitioned store, plus the
+  * latest-value branch, against the batch twin.
+  */
+class IngestSpec extends SparkSpec {
+
+  private val S = 1000000L
+
+  test("streaming ingest lands downsampled rows in the partitioned store") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.Engine.tune(sp)
+
+    val dir = Files.createTempDirectory("graft_ingest").toString
+    val events = (0 until 60).map(i =>
+      RawSample("ING:a.VAL", i * 2 * S, (i * 10.0).toString, (i * 10.0).toString)) ++
+      (0 until 10).map(i =>
+        RawSample("ING:b.VAL", i * 30 * S, s"mode$i", s"mode$i"))
+    val cfg = Map(
+      "ING:a.VAL" -> PvConfig("double", 5 * S, 0.5),
+      "ING:b.VAL" -> PvConfig("string", 1 * S, 0.0))
+
+    val input = MemoryStream[RawSample]
+    // limbo timeouts off: a declared ProcessingTimeTimeout keeps
+    // processAllAvailable from settling (see Downsampler.streaming scaladoc)
+    val q = Ingest.archiveTo(input.toDS(), dir, runWidthUs = 60 * S, configs = cfg,
+      triggerMs = 50L, limboTimeoutMs = 0L)
+    val latest = Ingest.latestTo(input.toDS(), "ingest_latest")
+    try {
+      input.addData(events.take(40))
+      q.processAllAvailable(); latest.processAllAvailable()
+      input.addData(events.drop(40))
+      q.processAllAvailable(); latest.processAllAvailable()
+    } finally { q.stop(); latest.stop() }
+
+    val stored = SampleStore.read(sp, dir)
+    val a = stored.where(col("pvname") === "ING:a.VAL")
+      .select("tsUs").collect().map(_.getLong(0)).sorted
+    // downsampled: strictly fewer rows than the 60 raw events, bucketed+run'd
+    assert(a.length < 60 && a.length > 10, s"got ${a.length}")
+    assert(stored.where(col("pvname") === "ING:b.VAL").count() == 10)
+    // dual representation materialized
+    assert(stored.where(col("dvalue").isNotNull && col("pvname") === "ING:a.VAL").count() == a.length)
+    // bucket column matches hashname
+    val buckets = stored.select("pvname", "bucket").distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(buckets("ING:a.VAL") == graft.functions.PvFunctions.hashname("ING:a.VAL"))
+
+    // latest-value branch carries the newest value per PV
+    val latestRows = sp.table("ingest_latest").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(latestRows("ING:a.VAL") == 59 * 2 * S)
+    assert(latestRows("ING:b.VAL") == 9 * 30 * S)
+  }
+}
