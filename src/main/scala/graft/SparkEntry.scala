@@ -285,6 +285,33 @@ object SparkEntry {
       graft.store.SampleStore.runRegistry(samples)
     }),
 
+    // ---- IVF approximate KNN (rows-only: seeded k-means quantizer) ---------
+    "q_knn_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfKnn(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, nCells = 8, nprobe = 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- composite training-data curation pipeline: exact-dedup survivors
+    // with language + quality gates, joined to their embedding labels -------
+    "q_curation" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val reps = Dedup.exact(docs, "doc_id", "text").select(col("rep_id"))
+      val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality"), col("n_tokens").cast("long").as("n_tokens"))
+      val lang = TextAnalysis.langId(docs, "doc_id", "text").select(col("doc_id"), col("lang_pred"))
+      docs.join(reps, col("doc_id") === col("rep_id"))
+        .join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .where(col("quality") > lit(2.0) && col("lang_pred") =!= "und")
+        .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("quality"), col("n_tokens"), col("lang_pred"),
+          col("label").cast("long").as("label"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- S10 export projection (time formatting pack) ----------------------
     "q_export_rows" -> ((s, dir) => {
       events(s, dir)
@@ -557,6 +584,36 @@ object SparkEntry {
          |FROM inter JOIN sz a ON d1 = a.doc JOIN sz b ON d2 = b.doc
          |WHERE round(CAST(i AS DOUBLE) / (a.sz + b.sz - i), 6) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
+
+    "q_curation" ->
+      """WITH stats AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    round(ln(1.0 + len(string_split(text, ' '))) *
+        |          (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |                t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |               / len(string_split(text, ' '))), 6) AS quality
+        |  FROM documents),
+        |langs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN greatest(h_en, h_de, h_fr) = 0 THEN 'und'
+        |         WHEN h_fr = greatest(h_en, h_de, h_fr) THEN 'fr'
+        |         WHEN h_en = greatest(h_en, h_de, h_fr) THEN 'en'
+        |         ELSE 'de' END AS lang_pred
+        |  FROM (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to'))) AS BIGINT) AS h_en,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('der','die','das','und','ist'))) AS BIGINT) AS h_de,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('le','la','les','et','est'))) AS BIGINT) AS h_fr
+        |  FROM documents)),
+        |reps AS (SELECT min(doc_id) AS rep_id FROM documents GROUP BY md5(text))
+        |SELECT d.doc_id, s.quality, s.n_tokens, l.lang_pred, CAST(e.label AS BIGINT) AS label
+        |FROM documents d
+        |JOIN reps r ON d.doc_id = r.rep_id
+        |JOIN stats s ON d.doc_id = s.doc_id
+        |JOIN langs l ON d.doc_id = l.doc_id
+        |JOIN embeddings e ON d.doc_id = e.vec_id
+        |WHERE s.quality > 2.0 AND l.lang_pred <> 'und'
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

@@ -160,6 +160,100 @@ object Similarity {
       .select(col("d1"), col("d2"), col("sim"))
   }
 
+  /** IVF (inverted-file) coarse quantizer: seeded k-means over a driver-side
+    * sample (at 100 TB: a bounded random sample), centroids broadcast. Fully
+    * deterministic — seeded init, fixed iteration count, index-order
+    * arithmetic.
+    */
+  def trainIvfCentroids(
+      df: DataFrame,
+      vec: String,
+      k: Int,
+      iters: Int = 10,
+      seed: Long = 42L,
+      maxSample: Int = 100000): Array[Array[Double]] = {
+    import org.apache.spark.sql.functions.col
+    val sample = df.select(col(vec)).limit(maxSample)
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "empty training set")
+    val rng = new scala.util.Random(seed)
+    var centroids = rng.shuffle(sample.indices.toVector).take(k).map(sample).toArray
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(centroids.length)(new Array[Double](sample.head.length))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var i = 0; while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    centroids
+  }
+
+  private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var i = 0
+      while (i < v.length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF approximate KNN: corpus rows assigned to their nearest centroid
+    * cell (one mapPartitions pass, centroids broadcast); each query scans
+    * only its `nprobe` nearest cells. The standard ANN scale path when the
+    * corpus exceeds broadcast size but the centroid table does not.
+    */
+  def ivfKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      id: String,
+      vec: String,
+      k: Int,
+      nCells: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val centroids = trainIvfCentroids(corpus, vec, nCells, seed = seed)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf { (v: Seq[Float]) =>
+      nearestCentroid(v.toArray.map(_.toDouble), bc.value)
+    }
+    val probeUdf = udf { (v: Seq[Float]) =>
+      val vd = v.toArray.map(_.toDouble)
+      bc.value.indices
+        .map(c => (dist2(vd, bc.value(c)), c))
+        .sortBy(identity).take(nprobe).map(_._2)
+    }
+    val cb = corpus.withColumn("cell", assignUdf(col(vec)))
+      .select(col(id).as("neighbor_id"), col(vec).as("__cv"), col("cell"))
+    val qb = queries.withColumn("cell", explode(probeUdf(col(vec))))
+      .select(col(id).as("query_id"), col(vec).as("__qv"), col("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    cb.join(broadcast(qb), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosineFast(col("__qv"), col("__cv")), 6))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("__rn").as("rank"))
+  }
+
+  private def dist2(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+    d
+  }
+
   /** Per-label embedding stats (count + mean L2 norm) — a cheap corpus
     * health check used by the oracle suite.
     */

@@ -52,6 +52,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got.subsetOf(Set(2L, 3L, 4L)))
   }
 
+  test("ivfKnn: deterministic, and recall@5 vs brute force is high on real embeddings") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.ivfKnn(emb, queries, "vec_id", "embedding", k = 5,
+      nCells = 8, nprobe = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val again = Similarity.ivfKnn(emb, queries, "vec_id", "embedding", k = 5,
+      nCells = 8, nprobe = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(approx == again) // seeded -> reproducible
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@5 = $recall")
+  }
+
   test("normStats: per-label count and average norm") {
     val sp = spark
     import sp.implicits._
