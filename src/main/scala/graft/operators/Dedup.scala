@@ -28,9 +28,29 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(col(text)).as("fp"))
       .agg(min(col(id)).as("rep_id"), count(lit(1)).as("n_dups"))
 
+  /** Distinct word n-grams as a JIT pass — output identical to
+    * `array_distinct(TextAnalysis.shingles(_, n))`, but Catalyst's
+    * `transform`/`slice` lambdas evaluate interpreted per element, which
+    * dominates the shingling stage on large corpora.
+    */
+  private val shingleUdf = udf { (s: String, n: Int) =>
+    if (s == null) Array.empty[String]
+    else {
+      val toks = s.split(" ", -1)
+      val m = math.max(toks.length - n, 0)
+      val out = new Array[String](m + 1)
+      var i = 0
+      while (i <= m) {
+        out(i) = toks.slice(i, math.min(i + n, toks.length)).mkString(" ")
+        i += 1
+      }
+      out.distinct
+    }
+  }
+
   /** Distinct (docId, shingle) pairs — the inverted-index input. */
   def docShingles(df: DataFrame, id: String, text: String, n: Int): DataFrame =
-    df.select(col(id).as("doc"), explode(array_distinct(TextAnalysis.shingles(col(text), n))).as("shingle"))
+    df.select(col(id).as("doc"), explode(shingleUdf(col(text), lit(n))).as("shingle"))
 
   /** n-gram Jaccard near-dup pairs, scored |A∩B| / (|A|+|B|−|A∩B|) and kept
     * at or above `threshold`.
@@ -209,11 +229,15 @@ object Dedup {
     val sig = minhashSignature(df, id, text, n, numPerm)
     // bucket key = the band's literal signature values (not an engine-specific
     // hash): no false candidates from hash collisions, and reproducible by
-    // any SQL engine
-    val banded = (0 until bands).map { b =>
+    // any SQL engine. One explode pass, not a union of per-band selects —
+    // a union would recompute the signature aggregation once per band.
+    val bandStructs = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
-      sig.select(col("doc"), lit(b).as("band"), concat_ws("_", cols: _*).as("bucket"))
-    }.reduce(_ unionByName _)
+      struct(lit(b).as("band"), concat_ws("_", cols: _*).as("bucket"))
+    }
+    val banded = sig
+      .select(col("doc"), explode(array(bandStructs: _*)).as("__b"))
+      .select(col("doc"), col("__b.band").as("band"), col("__b.bucket").as("bucket"))
     val cands = banded
       .join(banded.select(col("doc").as("d2"), col("band"), col("bucket")), Seq("band", "bucket"))
       .where(col("doc") < col("d2"))

@@ -18,9 +18,19 @@ object Pairs {
   /** J3 — undirected co-occurrence edges from a (group, member) relation with
     * canonical order m1 < m2 (cache.py:864-880): score = number of groups the
     * pair shares.
+    *
+    * `maxGroupSize` is the skew guard: a group of k members expands to k²/2
+    * pair rows, so one viral group can dominate the stage — capping takes
+    * the first `maxGroupSize` members (sorted, deterministic) and bounds
+    * per-row expansion. None = exact.
     */
-  def coOccurrence(df: DataFrame, group: String, member: String): DataFrame = {
-    val members = df.groupBy(col(group)).agg(sort_array(collect_set(col(member))).as("__ms"))
+  def coOccurrence(df: DataFrame, group: String, member: String,
+      maxGroupSize: Option[Int] = None): DataFrame = {
+    val collected = df.groupBy(col(group)).agg(sort_array(collect_set(col(member))).as("__all"))
+    val members = maxGroupSize match {
+      case Some(cap) => collected.select(slice(col("__all"), 1, cap).as("__ms"))
+      case None => collected.withColumnRenamed("__all", "__ms")
+    }
     // all ordered pairs (i < j) of each group's member set, via array lambdas
     // (no UDF, no row self-join)
     val pairs = members.select(

@@ -160,10 +160,12 @@ object Similarity {
       .select(col("d1"), col("d2"), col("sim"))
   }
 
-  /** IVF (inverted-file) coarse quantizer: seeded k-means over a driver-side
-    * sample (at 100 TB: a bounded random sample), centroids broadcast. Fully
-    * deterministic — seeded init, fixed iteration count, index-order
-    * arithmetic.
+  /** IVF (inverted-file) coarse quantizer in the IVFADC lineage (Jégou,
+    * Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011 — coarse quantizer only, no PQ residual codes): seeded
+    * k-means over a driver-side sample (at 100 TB: a bounded random
+    * sample), centroids broadcast. Fully deterministic — seeded init, fixed
+    * iteration count, index-order arithmetic.
     */
   def trainIvfCentroids(
       df: DataFrame,
