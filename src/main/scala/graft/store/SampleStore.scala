@@ -38,11 +38,15 @@ object SampleStore {
       .withColumn("bucket", graft.functions.GraftUdfs.hashnameCol(col("pvname")))
       .withColumn("run", expr(s"tsUs DIV ${runWidthUs}L"))
 
-  /** S3 archive sink: append one (or more) runs of samples. */
+  /** S3 archive sink: append one (or more) runs of samples. The sort is
+    * prefixed with the partition columns: FileFormatWriter requires its
+    * output ordered by them and would otherwise re-sort, silently dropping
+    * the (pvname, time) clustering the read path relies on.
+    */
   def write(samples: DataFrame, path: String): Unit =
     samples
       .repartition(col("run"), col("bucket"))
-      .sortWithinPartitions(col("pvname"), col("tsUs"))
+      .sortWithinPartitions(col("run"), col("bucket"), col("pvname"), col("tsUs"))
       .write
       .mode(SaveMode.Append)
       .partitionBy("run", "bucket")
@@ -76,7 +80,9 @@ object SampleStore {
   def exportRunSorted(samples: DataFrame, path: String): Unit =
     samples
       .repartition(col("run"))
-      .sortWithinPartitions(col("pvname"), col("tsUs"))
+      // run first: satisfies the writer's required ordering so the
+      // per-PV clustering survives (see write())
+      .sortWithinPartitions(col("run"), col("pvname"), col("tsUs"))
       .write
       .mode(SaveMode.Overwrite)
       .partitionBy("run")

@@ -29,6 +29,39 @@ class SampleStoreSpec extends SparkSpec {
     assert(n.contains(("XX:s1.VAL", "Open", null, PvFunctions.hashname("XX:s1.VAL"), 0L)))
   }
 
+  test("exportRunSorted writes per-run sorted files; dumpCsv round-trips") {
+    val sp = spark
+    import sp.implicits._
+    val dir = Files.createTempDirectory("graft_export").toString
+    val raw = (0 until 100).map { i =>
+      (s"X:pv${i % 3}.VAL", i * 10 * S, (i * 1.5).toString, (i * 1.5).toString)
+    }.toDF("pvname", "tsUs", "value", "cvalue")
+    val samples = SampleStore.normalize(raw, runWidth)
+    SampleStore.exportRunSorted(samples, s"$dir/sorted")
+    val back = sp.read.parquet(s"$dir/sorted")
+    assert(back.count() == 100)
+    // rows within each file are clustered and sorted by (pvname, tsUs)
+    val perFile = back.select(input_file_name().as("f"), col("pvname"), col("tsUs"))
+      .collect().groupBy(_.getString(0))
+    perFile.values.foreach { rows =>
+      val seq = rows.map(r => (r.getString(1), r.getLong(2))).toSeq
+      assert(seq == seq.sorted)
+    }
+    SampleStore.dumpCsv(samples.drop("dvalue"), s"$dir/csv")
+    val csv = sp.read.option("header", "true").csv(s"$dir/csv")
+    assert(csv.count() == 100)
+  }
+
+  test("runRegistry marks the newest run current with per-run spans") {
+    val sp = spark
+    import sp.implicits._
+    val samples = Seq(("a", 10 * S, 0L), ("a", 150 * S, 1L), ("b", 170 * S, 1L))
+      .toDF("pvname", "tsUs", "run")
+    val got = SampleStore.runRegistry(samples).collect()
+      .map(r => (r.getAs[Long]("run"), r.getAs[Long]("n"), r.getAs[Boolean]("current")))
+    assert(got.toSeq == Seq((0L, 1L, false), (1L, 2L, true)))
+  }
+
   test("write/scan roundtrip with run+bucket pruning in the plan") {
     val sp = spark
     import sp.implicits._
