@@ -278,6 +278,19 @@ object SparkEntry {
         .orderBy(col("pvname"), col("tsUs"))
     }),
 
+    // ---- T3 heartbeat batch replay (rows-only: seeded force intervals) -----
+    "q_heartbeat" -> ((s, dir) => {
+      import s.implicits._
+      val samples = events(s, dir)
+        .where(col("user_id") < 5)
+        .select(concat(lit("u"), col("user_id")).as("pvname"), col("ts_us").as("tsUs"),
+          col("value").cast("string").as("value"), col("value").cast("string").as("cvalue"))
+        .as[graft.streaming.Downsampler.Sample]
+      graft.streaming.Heartbeat.replayBatch(samples, horizonUs = T1)
+        .toDF()
+        .orderBy(col("pvname"), col("tsUs"))
+    }),
+
     // ---- T5/A2 run registry over derived runs ------------------------------
     "q_run_registry" -> ((s, dir) => {
       val samples = events(s, dir).select(col("ts_us").as("tsUs"),

@@ -31,16 +31,41 @@ object Pairs {
       case Some(cap) => collected.select(slice(col("__all"), 1, cap).as("__ms"))
       case None => collected.withColumnRenamed("__all", "__ms")
     }
-    // all ordered pairs (i < j) of each group's member set, via array lambdas
-    // (no UDF, no row self-join)
-    val pairs = members.select(
-      explode(flatten(transform(
-        col("__ms"),
-        (m1, i) => transform(slice(col("__ms"), i + 2, size(col("__ms"))), m2 => struct(m1.as("m1"), m2.as("m2")))
-      ))).as("__p"))
-    pairs
-      .groupBy(col("__p.m1").as("m1"), col("__p.m2").as("m2"))
-      .agg(count(lit(1)).as("score"))
+    // all ordered pairs (i < j) of each group's member set. JIT expansion
+    // for the common long/string member types (nested Catalyst `transform`
+    // lambdas evaluate interpreted, per pair); generic array-lambda
+    // fallback for anything else.
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val pairs = df.schema(member).dataType match {
+      case LongType =>
+        val pu = udf { (ms: Seq[Long]) => triangle(ms) }
+        members.select(explode(pu(col("__ms"))).as("__p"))
+          .select(col("__p._1").as("m1"), col("__p._2").as("m2"))
+      case StringType =>
+        val pu = udf { (ms: Seq[String]) => triangle(ms) }
+        members.select(explode(pu(col("__ms"))).as("__p"))
+          .select(col("__p._1").as("m1"), col("__p._2").as("m2"))
+      case _ =>
+        members.select(
+          explode(flatten(transform(
+            col("__ms"),
+            (m1, i) => transform(slice(col("__ms"), i + 2, size(col("__ms"))), m2 => struct(m1.as("_1"), m2.as("_2")))
+          ))).as("__p"))
+          .select(col("__p._1").as("m1"), col("__p._2").as("m2"))
+    }
+    pairs.groupBy(col("m1"), col("m2")).agg(count(lit(1)).as("score"))
+  }
+
+  private def triangle[T](ms: Seq[T]): Seq[(T, T)] = {
+    val n = ms.length
+    val out = new scala.collection.mutable.ArrayBuffer[(T, T)](math.max(n * (n - 1) / 2, 0))
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) { out += ((ms(i), ms(j))); j += 1 }
+      i += 1
+    }
+    out.toSeq
   }
 
   /** A4 max-merge (cache.py:804-835): collapse duplicate / reversed edges to

@@ -111,6 +111,31 @@ class DownsamplerSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming timeout flushes a quiet PV's limbo with its original timestamp") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[RawSample]
+    // real processing-time timeout path: emit, then one sub-deadtime change
+    // that stays in limbo until the 200ms timeout fires
+    val q = streaming(input.toDS(), Map.empty, timeoutMs = 200L)
+      .writeStream.format("memory").queryName("down_timeout").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+      .start()
+    try {
+      input.addData(ev(0, "1.0"), ev(2 * S, "5.0"))
+      val deadline = System.currentTimeMillis() + 20000
+      var rows = Array.empty[Sample]
+      while (rows.length < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        rows = sp.table("down_timeout").as[Sample].collect()
+      }
+      assert(rows.map(_.tsUs).sorted.toSeq == Seq(0L, 2 * S),
+        "limbo value must flush via timeout with its ORIGINAL timestamp")
+    } finally q.stop()
+  }
+
   test("streaming over MemoryStream matches batch replay (multi-batch)") {
     val sp = spark
     import sp.implicits._
