@@ -325,6 +325,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- multimodal metadata stats over a derived binary table -------------
+    // (documents' text bytes stand in for media payloads — the binary-column
+    // plumbing is what's exercised; codecs are stubbed, TESTDATA has no
+    // real media)
+    "q_media_stats" -> ((s, dir) => {
+      val media = Tables.documents(s, dir).select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.mediaStats(media).orderBy(col("kind"))
+    }),
+
+    // ---- multimodal feature extraction (rows-only: stub codec histograms) --
+    "q_media_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          Multimodal.MediaRow(id, Seq("image", "audio", "video")(id.toInt % 3),
+            text.getBytes("UTF-8"), "stub", 8, 4, 1000L)
+        }
+      Multimodal.extractFeatures(media, bins = 8)
+        .toDF()
+        .select(col("media_id"), col("kind"),
+          round(element_at(col("feature"), 1), 6).as("f0"),
+          round(element_at(col("feature"), 8), 6).as("f7"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- S10 export projection (time formatting pack) ----------------------
     "q_export_rows" -> ((s, dir) => {
       events(s, dir)
@@ -676,6 +707,14 @@ object SparkEntry {
          |  FROM events GROUP BY 1)
          |SELECT run, start_us, stop_us, n, run = (SELECT max(run) FROM r) AS current
          |FROM r ORDER BY run""".stripMargin,
+
+    "q_media_stats" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  count(*) AS n,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |  round(avg(octet_length(encode(text))), 3) AS avg_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_props_json" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, count(*) AS n
