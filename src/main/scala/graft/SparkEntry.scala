@@ -506,7 +506,7 @@ object SparkEntry {
          |        lag(value) OVER w AS pv
          |      FROM events
          |      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
-         |WHERE pts IS NULL OR (ts_us - pts) > ${6L * 3600L * 1000000L} OR abs(value - pv) > 50.0
+         |WHERE pts IS NULL OR ((ts_us - pts) > ${6L * 3600L * 1000000L} AND abs(value - pv) > 50.0)
          |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "q_dedup_exact" ->

@@ -24,11 +24,14 @@ object PvFunctions {
     when(cleaned.contains("."), cleaned).otherwise(concat(cleaned, lit(".VAL")))
   }
 
-  /** F2 `clean_string`/`clean_bytes` (util.py:295-312): strip everything from
-    * the first `;` or `#` (SQL-injection guard), trim, cap at 4090 chars.
+  /** F2 `clean_string`/`clean_bytes` (util.py:295-314): strip everything
+    * from the first `;` or `#` (SQL-injection guard; plain substring find in
+    * the reference, so DOTALL — the tail may span newlines), then trim.
+    * The reference's `maxlen` parameter is accepted but never applied
+    * (util.py:295-309), so no truncation here either.
     */
   def cleanString(c: Column): Column =
-    trim(substring(regexp_replace(c, "[;#].*$", ""), 1, 4090))
+    trim(regexp_replace(c, "(?s)[;#].*", ""))
 
   /** F3 `clean_value` (archiver.py:34-44): stored string → double, recovering
     * mangled `b'1.23'` byte-literal relics; null when non-numeric (try_cast —
@@ -70,11 +73,15 @@ object PvFunctions {
     from_json(json, org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.StringType))
 
-  /** F12 `timehash` (util.py:357-362): 10-hex-char tag of 10000×time —
-    * unique-enough filenames for exports.
+  /** F12 `timehash` (util.py:357-362): `hex(int(10000*t))[2:-1]` — the hex
+    * digits of 0.1-ms-resolution time, minus the LAST digit (a py2 artifact
+    * the reference ships), giving a ~1.6 ms-resolution tag. Accepts
+    * fractional epoch seconds.
     */
-  def timehash(epochSec: Column): Column =
-    lower(substring(hex((epochSec * 10000).cast("long")), 1, 10))
+  def timehash(epochSec: Column): Column = {
+    val h = lower(hex((epochSec * 10000).cast("long")))
+    h.substr(lit(1), length(h) - 1)
+  }
 
   /** F13 yes/no formatter (web/WebStatus.py:51-94). */
   def yesNo(c: Column): Column =
@@ -141,8 +148,14 @@ object PvFunctions {
   private def pad(s: String, width: Int): String =
     if (s.length >= width) s else (" " * (width - s.length)) + s
 
-  /** F6 `time_str2sec` (util.py:372-388): lenient `Y-m-d H:M:S` parse where a
-    * date-less input defaults to today (UTC) and missing H/M/S default to 0.
+  /** F6 `time_str2sec` (util.py:375-388): lenient `Y-m-d H:M:S` parse.
+    * Partial DATES fill from the RIGHT against "today" — one component is
+    * the DAY, two are MONTH-DAY, three are Y-M-D (the reference unpacks
+    * `day = dates[0]` / `mon, day = dates` / `yr, mon, day = dates`).
+    * Partial TIMES fill from the LEFT — one component is the HOUR. The
+    * reference requires both parts (`xdat, xtim = s.split(' ')`); we accept
+    * a missing part as "today" / midnight. UTC instead of localtime for
+    * determinism.
     */
   def timeStr2Sec(s: String, todayEpochSec: Long): Long = {
     val t = s.trim.replace('_', ' ')
@@ -152,9 +165,15 @@ object PvFunctions {
       else (t, "")
     val today = java.time.Instant.ofEpochSecond(todayEpochSec).atZone(java.time.ZoneOffset.UTC).toLocalDate
     val dp = if (datePart.isEmpty) Array.empty[String] else datePart.split("[-/]")
-    val year = if (dp.length > 0) dp(0).toInt else today.getYear
-    val month = if (dp.length > 1) dp(1).toInt else today.getMonthValue
-    val day = if (dp.length > 2) dp(2).toInt else today.getDayOfMonth
+    var year = today.getYear
+    var month = today.getMonthValue
+    var day = today.getDayOfMonth
+    dp.length match {
+      case 0 =>
+      case 1 => day = dp(0).toInt
+      case 2 => month = dp(0).toInt; day = dp(1).toInt
+      case _ => year = dp(0).toInt; month = dp(1).toInt; day = dp(2).toInt
+    }
     val tp = if (timePart.isEmpty) Array.empty[String] else timePart.split(":")
     val hh = if (tp.length > 0 && tp(0).nonEmpty) tp(0).toInt else 0
     val mm = if (tp.length > 1) tp(1).toInt else 0
@@ -184,7 +203,9 @@ object PvFunctions {
     (13 * 3600) + rng.nextInt(8 * 3600)
 
   /** F15 mail-template interpolation (cache.py:662-686): replace
-    * %PV%/%VALUE%/%LABEL%/%COMP%/%TRIP% and nested %PV(name)% lookups (≤25).
+    * %PV%/%VALUE%/%LABEL%/%COMP%/%TRIP%, then nested %PV(name)% lookups —
+    * per LINE, capped at 25 substitutions per line, failed lookups becoming
+    * the literal `unknown` (cache.py:676-681).
     */
   def mailTemplate(
       msg: String,
@@ -194,23 +215,26 @@ object PvFunctions {
       comp: String,
       trip: String,
       lookup: String => Option[String]): String = {
-    var out = msg
+    val base = msg
       .replace("%PV%", pvname)
       .replace("%VALUE%", value)
       .replace("%LABEL%", label)
       .replace("%COMP%", comp)
       .replace("%TRIP%", trip)
     val pat = "%PV\\(([^)]*)\\)%".r
-    var i = 0
-    var m = pat.findFirstMatchIn(out)
-    while (m.isDefined && i < 25) {
-      val name = m.get.group(1)
-      val rep = lookup(name).getOrElse(s"(cannot lookup $name)")
-      out = out.substring(0, m.get.start) + rep + out.substring(m.get.end)
-      i += 1
-      m = pat.findFirstMatchIn(out)
-    }
-    out
+    base.split("\n", -1).map { line0 =>
+      var line = line0
+      var i = 0
+      var m = pat.findFirstMatchIn(line)
+      while (m.isDefined && i < 25) {
+        val name = m.get.group(1)
+        val rep = lookup(name).getOrElse("unknown")
+        line = line.substring(0, m.get.start) + rep + line.substring(m.get.end)
+        i += 1
+        m = pat.findFirstMatchIn(line)
+      }
+      line
+    }.mkString("\n")
   }
 }
 

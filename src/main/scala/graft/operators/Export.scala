@@ -67,15 +67,24 @@ object Export {
         |""".stripMargin
   }
 
-  /** S12 save/restore writer (util.py:391-424): `caput` lines for a
-    * (pv, value) snapshot in plain / idl / python flavor.
+  /** S12 save/restore writer (util.py:391-424), byte-parity with
+    * `write_saverestore`: flavor headers, `cmt`-prefixed extra header
+    * lines, and per-flavor value lines (values UNQUOTED in idl/python, two
+    * spaces in plain).
     */
-  def saveRestore(pvvals: Seq[(String, String)], format: String = "plain"): Seq[String] =
-    format match {
-      case "idl" => "; IDL save file" +: pvvals.map { case (p, v) => s"caput, '$p', '$v'" }
-      case "python" =>
-        Seq("#!/usr/bin/env python", "from epics import caput") ++
-          pvvals.map { case (p, v) => s"caput('$p', '$v')" }
-      case _ => pvvals.map { case (p, v) => s"caput $p $v" }
-    }
+  def saveRestore(
+      pvvals: Seq[(String, String)],
+      format: String = "plain",
+      header: Seq[String] = Nil): Seq[String] = {
+    val fmt = format.toLowerCase
+    val (head, xfmt, cmt) =
+      if (fmt.startsWith("idl"))
+        (Seq("; IDL save restore script"), (p: String, v: String) => s"s = caput('$p', $v)", ";")
+      else if (fmt.startsWith("py"))
+        (Seq("#!/usr/bin/env python", "#  Python save restore script", "from epics import caput"),
+          (p: String, v: String) => s"caput('$p', $v)", "#")
+      else
+        (Seq("# Plain Save/Restore script"), (p: String, v: String) => s"$p  $v", "#")
+    head ++ header.map(h => s"$cmt $h") ++ pvvals.map { case (p, v) => xfmt(p, v) }
+  }
 }

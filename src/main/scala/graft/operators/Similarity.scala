@@ -32,15 +32,18 @@ object Similarity {
     * bit-for-bit the same.
     */
   private val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    val n = math.min(a.length, b.length)
-    var sab = 0.0; var saa = 0.0; var sbb = 0.0
-    var i = 0
-    while (i < n) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      sab += x * y; saa += x * x; sbb += y * y
-      i += 1
+    if (a == null || b == null) null.asInstanceOf[java.lang.Double] // NULL in, NULL out (like the Column form)
+    else {
+      val n = math.min(a.length, b.length)
+      var sab = 0.0; var saa = 0.0; var sbb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        sab += x * y; saa += x * x; sbb += y * y
+        i += 1
+      }
+      java.lang.Double.valueOf(sab / (math.sqrt(saa) * math.sqrt(sbb)))
     }
-    sab / (math.sqrt(saa) * math.sqrt(sbb))
   }
 
   def cosineFast(a: Column, b: Column): Column = cosineUdf(a, b)
@@ -98,10 +101,13 @@ object Similarity {
   }
 
   /** Spark `round(_, 6)` semantics (RoundBase: BigDecimal.valueOf + HALF_UP)
-    * for driver/executor-side Scala code that must match Column results.
+    * for driver/executor-side Scala code that must match Column results —
+    * including NaN/Infinity passthrough (BigDecimal.valueOf would throw;
+    * Spark's round leaves them unchanged).
     */
   private[operators] def round6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Embedding-cosine near-duplicate pairs: all (i < j) pairs with cosine
     * similarity at or above `threshold`.

@@ -169,12 +169,15 @@ object TimeSeries {
       deadtimeUs: Long,
       deadband: Double): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
+    // deadtime AND deadband, like the reference (archiver.py:389-398 sets
+    // do_save by the time test, then for doubles re-ANDs the band test) and
+    // this repo's streaming Downsampler
     df.withColumn("__pts", lag(col(ts), 1).over(w))
       .withColumn("__pv", lag(col(value), 1).over(w))
       .where(
         col("__pts").isNull ||
-          (col(ts) - col("__pts")) > deadtimeUs ||
-          abs(col(value) - col("__pv")) > deadband)
+          ((col(ts) - col("__pts")) > deadtimeUs &&
+            abs(col(value) - col("__pv")) > deadband))
       .drop("__pts", "__pv")
   }
 

@@ -19,7 +19,11 @@ import graft.functions.PvFunctions
   * doc/setup.rst:233-240); here the optimizer does it.
   *
   * Safety: only fires on top-level conjuncts (an OR-ed pvname predicate is
-  * left alone), and skips plans that already constrain `bucket`.
+  * left alone), skips plans that already constrain `bucket`, and requires
+  * the relation to carry the full store signature — `pvname` (string),
+  * `bucket` (int), `run` (long) AND `tsUs` (long) — so an unrelated frame
+  * that merely happens to have a pvname and a bucket column is never
+  * rewritten.
   */
 object BucketPruneRule extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -44,8 +48,18 @@ object BucketPruneRule extends Rule[LogicalPlan] with PredicateHelper {
       }
   }
 
+  private def hasStoreSignature(plan: LogicalPlan): Boolean = {
+    import org.apache.spark.sql.types.LongType
+    // run is a partition column and may come back int-inferred from the
+    // directory names; tsUs is a real long column
+    plan.output.exists(a => a.name == "run" && (a.dataType == LongType || a.dataType == IntegerType)) &&
+      plan.output.exists(a => a.name == "tsUs" && a.dataType == LongType)
+  }
+
   private def bucketAttr(plan: LogicalPlan): Option[Attribute] =
-    plan.output.find(a => a.name == "bucket" && a.dataType == IntegerType)
+    if (hasStoreSignature(plan))
+      plan.output.find(a => a.name == "bucket" && a.dataType == IntegerType)
+    else None
 
   private def pvnameAttr(plan: LogicalPlan): Option[Attribute] =
     plan.output.find(a => a.name == "pvname" && a.dataType == StringType)

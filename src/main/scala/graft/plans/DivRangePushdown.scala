@@ -34,19 +34,26 @@ object DivRangePushdown extends Rule[LogicalPlan] with PredicateHelper {
   private def mulExact(a: Long, b: Long): Option[Long] =
     try Some(Math.multiplyExact(a, b)) catch { case _: ArithmeticException => None }
 
+  /** (v+1)*k with BOTH the increment and the product overflow-checked —
+    * v = Long.MaxValue would otherwise wrap before mulExact sees it.
+    */
+  private def incMulExact(v: Long, k: Long): Option[Long] =
+    try Some(Math.multiplyExact(Math.addExact(v, 1L), k))
+    catch { case _: ArithmeticException => None }
+
   private def implied(p: Expression): Option[Expression] = p match {
     case GreaterThanOrEqual(IntegralDivide(e, Literal(k: Long, LongType), _), Literal(v: Long, LongType))
         if k > 0 && v > 0 =>
       mulExact(v, k).map(b => GreaterThanOrEqual(e, Literal(b)))
     case GreaterThan(IntegralDivide(e, Literal(k: Long, LongType), _), Literal(v: Long, LongType))
         if k > 0 && v > 0 =>
-      mulExact(v + 1, k).map(b => GreaterThanOrEqual(e, Literal(b)))
+      incMulExact(v, k).map(b => GreaterThanOrEqual(e, Literal(b)))
     case LessThan(IntegralDivide(e, Literal(k: Long, LongType), _), Literal(v: Long, LongType))
         if k > 0 && v > 0 =>
       mulExact(v, k).map(b => LessThan(e, Literal(b)))
     case LessThanOrEqual(IntegralDivide(e, Literal(k: Long, LongType), _), Literal(v: Long, LongType))
         if k > 0 && v > 0 =>
-      mulExact(v + 1, k).map(b => LessThan(e, Literal(b)))
+      incMulExact(v, k).map(b => LessThan(e, Literal(b)))
     // literal-on-the-left mirror forms
     case LessThanOrEqual(l @ Literal(_: Long, LongType), d: IntegralDivide) =>
       implied(GreaterThanOrEqual(d, l))

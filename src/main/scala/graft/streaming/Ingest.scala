@@ -58,9 +58,11 @@ object Ingest {
       .queryName(queryName)
       .start()
 
-  /** Optional T7 watermarking: bound state for very late sources. The
-    * RawSample tsUs becomes an event-time column so Spark can GC state
-    * older than `delay`.
+  /** Optional T7 watermarking: declare `tsUs` as event time with a lateness
+    * bound. NOTE: this bounds state for event-time-timeout and windowed-
+    * aggregation operators downstream; the processing-time-timeout
+    * downsampler keeps per-PV state regardless (its state is three scalars
+    * per PV — bounded by fleet size, not by time).
     */
   def withEventTime(source: Dataset[RawSample], delay: String): Dataset[RawSample] = {
     val spark = source.sparkSession

@@ -51,9 +51,10 @@ class ColumnFunctionsSpec extends SparkSpec {
     assert(one(PvFunctions.yesNo(lit(7))) == "7")
   }
 
-  test("timehash: 10 hex chars of 10000x time (F12)") {
-    assert(one(PvFunctions.timehash(lit(1704717015L))) == one(
-      lower(substring(hex(lit(17047170150000L)), 1, 10))))
+  test("timehash drops the 0x prefix and last hex digit like the reference (F12)") {
+    // hex(17047170150000) = 'f8143a64ff0' (11 digits) -> first 10 kept
+    val full = java.lang.Long.toHexString(17047170150000L)
+    assert(one(PvFunctions.timehash(lit(1704717015L))) == full.dropRight(1))
   }
 
   test("validPvName whitelists the reference charset (P5)") {

@@ -72,11 +72,24 @@ class PvFunctionsSpec extends AnyFunSuite {
     }
   }
 
-  test("mailTemplate interpolates incl. nested %PV(name)% lookups") {
+  test("mailTemplate interpolates incl. nested %PV(name)% lookups, 'unknown' fallback") {
     val out = PvFunctions.mailTemplate(
-      msg = "ALERT %PV%=%VALUE% (%LABEL%): %COMP% %TRIP%; other=%PV(XX:other.VAL)% missing=%PV(nope)%",
+      msg = "ALERT %PV%=%VALUE% (%LABEL%): %COMP% %TRIP%\nother=%PV(XX:other.VAL)% missing=%PV(nope)%",
       pvname = "XX:m1.VAL", value = "3.2", label = "Motor1", comp = "greater than", trip = "3.0",
       lookup = n => if (n == "XX:other.VAL") Some("42") else None)
-    assert(out == "ALERT XX:m1.VAL=3.2 (Motor1): greater than 3.0; other=42 missing=(cannot lookup nope)")
+    assert(out == "ALERT XX:m1.VAL=3.2 (Motor1): greater than 3.0\nother=42 missing=unknown")
+    // the 25-substitution cap is per line (cache.py:672-683)
+    val many = (1 to 30).map(i => s"%PV(p$i)%").mkString(" ")
+    val twoLines = PvFunctions.mailTemplate(s"$many\n$many", "p", "v", "l", "c", "t", _ => Some("x"))
+    val Array(l1, l2) = twoLines.split("\n")
+    assert(l1.count(_ == 'x') == 25 && l2.count(_ == 'x') == 25)
+  }
+
+  test("timeStr2Sec fills partial dates from the right (util.py:375-388)") {
+    val today = 1705276800L // 2024-01-15
+    assert(PvFunctions.timeStr2Sec("2-14 10:00:00", today) ==
+      java.time.LocalDateTime.of(2024, 2, 14, 10, 0, 0).toEpochSecond(java.time.ZoneOffset.UTC))
+    assert(PvFunctions.timeStr2Sec("14 08:30:00", today) ==
+      java.time.LocalDateTime.of(2024, 1, 14, 8, 30, 0).toEpochSecond(java.time.ZoneOffset.UTC))
   }
 }

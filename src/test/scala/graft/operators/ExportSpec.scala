@@ -26,10 +26,15 @@ class ExportSpec extends SparkSpec {
     assert(h.endsWith("# ts           value        date      time\n"))
   }
 
-  test("saveRestore flavors (util.py:391-424)") {
+  test("saveRestore matches write_saverestore byte-for-byte (util.py:391-424)") {
     val vals = Seq("XX:m1.VAL" -> "1.5", "XX:s1.VAL" -> "Open")
-    assert(Export.saveRestore(vals) == Seq("caput XX:m1.VAL 1.5", "caput XX:s1.VAL Open"))
-    assert(Export.saveRestore(vals, "idl").head == "; IDL save file")
-    assert(Export.saveRestore(vals, "python").contains("caput('XX:m1.VAL', '1.5')"))
+    assert(Export.saveRestore(vals) == Seq(
+      "# Plain Save/Restore script", "XX:m1.VAL  1.5", "XX:s1.VAL  Open"))
+    assert(Export.saveRestore(vals, "idl", header = Seq("snapshot 1")) == Seq(
+      "; IDL save restore script", "; snapshot 1",
+      "s = caput('XX:m1.VAL', 1.5)", "s = caput('XX:s1.VAL', Open)"))
+    assert(Export.saveRestore(vals, "python") == Seq(
+      "#!/usr/bin/env python", "#  Python save restore script", "from epics import caput",
+      "caput('XX:m1.VAL', 1.5)", "caput('XX:s1.VAL', Open)"))
   }
 }

@@ -56,16 +56,18 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.toSeq == Seq((20L, 1.0, 5.0), (30L, 2.0, 5.0), (40L, 2.0, 6.0)))
   }
 
-  test("downsampleBatch keeps first, time-passed, and band-passed rows") {
+  test("downsampleBatch keeps first and rows passing BOTH deadtime and deadband") {
     val sp = spark
     import sp.implicits._
     val df = Seq(
-      ("p", 0L, 1L, 1.0), ("p", 5L, 2L, 1.05), ("p", 30L, 3L, 1.06), ("p", 35L, 4L, 9.0))
+      ("p", 0L, 1L, 1.0), // first -> keep
+      ("p", 5L, 2L, 9.0), // big move but inside deadtime -> drop
+      ("p", 30L, 3L, 9.1), // deadtime passed but |9.1-9.0| < band -> drop
+      ("p", 60L, 4L, 2.0)) // deadtime AND band passed -> keep
       .toDF("k", "ts", "id", "v")
     val got = TimeSeries.downsampleBatch(df, "k", "ts", "id", "v", deadtimeUs = 20L, deadband = 0.5)
       .collect().map(_.getAs[Long]("ts"))
-    // 0: first; 5: inside deadtime+band -> drop; 30: dt passed; 35: band passed
-    assert(got.toSeq.sorted == Seq(0L, 30L, 35L))
+    assert(got.toSeq.sorted == Seq(0L, 60L))
   }
 
   test("decimate keeps every nth point plus percentile outliers") {

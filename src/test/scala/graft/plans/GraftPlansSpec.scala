@@ -41,9 +41,23 @@ class GraftPlansSpec extends SparkSpec {
     val sp = spark
     import sp.implicits._
     val dir = Files.createTempDirectory("graft_rule").toString
-    Seq(("XX:m1.VAL", 3, 1.0), ("YY:m2.VAL", 7, 2.0)).toDF("pvname", "bucket", "v")
+    Seq(("XX:m1.VAL", 3, 0L, 10L, 1.0), ("YY:m2.VAL", 7, 0L, 20L, 2.0))
+      .toDF("pvname", "bucket", "run", "tsUs", "v")
       .write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir)
+  }
+
+  test("BucketPruneRule ignores relations without the store signature") {
+    Engine.tune(spark)
+    val sp = spark
+    import sp.implicits._
+    val dir = Files.createTempDirectory("graft_rule_neg").toString
+    // pvname+bucket alone (no run/tsUs) — e.g. an unrelated user frame
+    Seq(("XX:m1.VAL", 999, 1.0)).toDF("pvname", "bucket", "v")
+      .write.mode("overwrite").parquet(dir)
+    val plan = sp.read.parquet(dir).where(col("pvname") === "XX:m1.VAL")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("= " + PvFunctions.hashname("XX:m1.VAL").toString), plan)
   }
 
   test("BucketPruneRule adds the bucket conjunct for pvname equality") {
