@@ -356,6 +356,19 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ---- tumbling-window counts (streaming-ready windowed aggregation) -----
+    "q_windowed_counts" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(
+          window(timestamp_micros(col("ts_us")), "1 day").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
+        .select(
+          expr("unix_micros(w.start)").as("day_us"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("day_us"), col("event_type"))
+    }),
+
     // ---- S10 export projection (time formatting pack) ----------------------
     "q_export_rows" -> ((s, dir) => {
       events(s, dir)
@@ -707,6 +720,11 @@ object SparkEntry {
          |  FROM events GROUP BY 1)
          |SELECT run, start_us, stop_us, n, run = (SELECT max(run) FROM r) AS current
          |FROM r ORDER BY run""".stripMargin,
+
+    "q_windowed_counts" ->
+      """SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
+        |  count(*) AS n, round(sum(value), 3) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_media_stats" ->
       """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -135,13 +135,38 @@ object PvFunctions {
   }
 
   /** Python `'{0: L.Pf}'`/`'{0: L.Pe}'` equivalent: space sign flag, width,
-    * precision; lowercase 'e' with ≥2-digit exponent (both languages agree).
+    * precision; lowercase 'e' with ≥2-digit exponent. Implemented on exact
+    * BigDecimal arithmetic with HALF_EVEN — Python rounds the exact binary
+    * value half-even, whereas Java's Formatter rounds the SHORTEST decimal
+    * repr half-up, which differs in the last digit (e.g. %.8f of
+    * 573979.652623395).
     */
   private def formatPy(v: Double, width: Int, prec: Int, form: Char): String = {
-    val body = String.format(s"%.${prec}$form", Double.box(v))
+    val negZero = v == 0.0 && 1.0 / v < 0
+    val body =
+      if (form == 'f') {
+        if (v == 0.0) {
+          val z = java.math.BigDecimal.ZERO.setScale(prec).toPlainString
+          if (negZero) "-" + z else z
+        } else
+          new java.math.BigDecimal(v)
+            .setScale(prec, java.math.RoundingMode.HALF_EVEN).toPlainString
+      } else { // 'e'
+        if (v == 0.0) {
+          val z = if (prec > 0) "0." + ("0" * prec) else "0"
+          (if (negZero) "-" else "") + z + "e+00"
+        } else {
+          val exact = new java.math.BigDecimal(math.abs(v))
+          val r = exact.round(new java.math.MathContext(prec + 1, java.math.RoundingMode.HALF_EVEN))
+          val e = r.precision - r.scale - 1
+          val mantissa = r.movePointLeft(e).setScale(prec) // exact: ≤ prec+1 sig digits
+          val es = f"$e%+03d"
+          (if (v < 0) "-" else "") + mantissa.toPlainString + "e" + es
+        }
+      }
     // Python's ' ' flag: blank for non-negative, '-' kept for negatives
     // INCLUDING -0.0 (which `v >= 0` would misclassify)
-    val signed = if (!body.startsWith("-") && !body.startsWith(" ")) " " + body else body
+    val signed = if (!body.startsWith("-")) " " + body else body
     pad(signed, width)
   }
 
@@ -181,8 +206,26 @@ object PvFunctions {
     java.time.LocalDateTime.of(year, month, day, hh, mm, ss).toEpochSecond(java.time.ZoneOffset.UTC)
   }
 
-  /** F7 `parse_times` relative-range arithmetic (web_utils.py:31-90): date1 is
-    * "N units ago" relative to now when date2 == "now".
+  /** F7 `parse_times` (web_utils.py:31-90): resolve a (date1, date2) pair
+    * to epoch seconds. When date2 is "now" (or empty), date1 is a relative
+    * "N units ago" expression ("3 days", "1.5 hours"); otherwise both are
+    * absolute, parsed leniently via [[timeStr2Sec]]. Seconds truncated,
+    * like the reference's `.replace(microsecond=0)`.
+    */
+  def parseTimes(date1: String, date2: String, nowEpochSec: Long): (Long, Long) = {
+    val d2 = Option(date2).map(_.trim.toLowerCase).getOrElse("")
+    if (d2.isEmpty || d2 == "now") {
+      val parts = date1.trim.split("\\s+")
+      val n = parts(0).toDouble
+      val unit = if (parts.length > 1) parts(1) else "days"
+      (nowEpochSec - timeAgoSeconds(n, unit), nowEpochSec)
+    } else {
+      (timeStr2Sec(date1, nowEpochSec), timeStr2Sec(date2, nowEpochSec))
+    }
+  }
+
+  /** F7 relative-range arithmetic: the reference's unit table
+    * (web_utils.py:68-77).
     */
   def timeAgoSeconds(n: Double, unit: String): Long = {
     val mult = unit.toLowerCase.stripSuffix("s") match {

@@ -150,6 +150,33 @@ object TimeSeries {
       .orderBy(col(ts), col(tieBreak))
   }
 
+  /** Q1 driver loop (webapp.py:396-401): re-apply [[decimate]] until the
+    * series fits the plot cap (reference: 30000 points, sample=3,
+    * percent=15). Each iteration counts — the loop is driver-side control
+    * flow over distributed passes, exactly like the reference's.
+    */
+  def decimateToCap(
+      df: DataFrame,
+      ts: String,
+      tieBreak: String,
+      value: String,
+      cap: Long = 30000L,
+      sample: Int = 3,
+      percent: Double = 15.0,
+      maxIters: Int = 16): DataFrame = {
+    var cur = df
+    var n = cur.count()
+    var i = 0
+    while (n > cap && i < maxIters) {
+      cur = decimate(cur, ts, tieBreak, value, sample, percent)
+      val n2 = cur.count()
+      if (n2 >= n) return cur // all survivors are outliers; cannot shrink
+      n = n2
+      i += 1
+    }
+    cur
+  }
+
   /** W3 — batch twin of the T2 deadtime/deadband downsampler
     * (archiver.py:389-398): keep a row when it is the first of its key, or
     * arrives more than `deadtime` after the previous row, or moves more than

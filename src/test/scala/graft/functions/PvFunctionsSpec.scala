@@ -34,6 +34,17 @@ class PvFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("hformat matches 500 fuzzed reference outputs (src/test/resources fixtures)") {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/hformat_cases.tsv"))
+    try {
+      src.getLines().foreach { line =>
+        val Array(v, l, want) = line.split("\t", 3)
+        assert(PvFunctions.hformat(v.toDouble, l.toInt) == want, s"hformat($v, $l)")
+      }
+    } finally src.close()
+  }
+
   test("hashname matches the reference sha256-base64-charsum buckets") {
     val cases = Seq(
       "S13BMA:cc1.VAL" -> 29,
@@ -54,6 +65,14 @@ class PvFunctionsSpec extends AnyFunSuite {
     assert(PvFunctions.timeStr2Sec("06:30", today) == today + 6 * 3600 + 30 * 60)
     // missing seconds default to 0
     assert(PvFunctions.timeStr2Sec("2024/01/08 12:30", today) == 1704717000L)
+  }
+
+  test("parseTimes resolves relative and absolute ranges (web_utils.py:31-90)") {
+    val now = 1705276800L // 2024-01-15
+    assert(PvFunctions.parseTimes("3 days", "now", now) == (now - 3 * 86400L, now))
+    assert(PvFunctions.parseTimes("1.5 hours", "", now) == (now - 5400L, now))
+    assert(PvFunctions.parseTimes("2024-01-08 06:00:00", "2024-01-09", now) ==
+      (1704693600L, 1704758400L))
   }
 
   test("timeAgoSeconds uses the reference unit table") {

@@ -117,6 +117,19 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("decimateToCap loops until under the plot cap (webapp.py:396-401)") {
+    val sp = spark
+    import sp.implicits._
+    val df = (1 to 2000).map(i => (i.toLong, i.toLong, math.sin(i / 10.0) * 100))
+      .toDF("ts", "id", "v")
+    val out = TimeSeries.decimateToCap(df, "ts", "id", "v", cap = 300, sample = 3, percent = 15.0)
+    val n = out.count()
+    assert(n <= 300 || n < 2000, s"did not shrink: $n")
+    // extremes survive culling
+    val vals = out.select("v").collect().map(_.getDouble(0))
+    assert(vals.max > 99.0 && vals.min < -99.0)
+  }
+
   test("runsOverlapping derives only runs intersecting the window") {
     val sp = spark
     import sp.implicits._
