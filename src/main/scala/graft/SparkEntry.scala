@@ -356,6 +356,23 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ---- distinct-cardinality per series ------------------------------------
+    "q_distinct_users" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- top-k by aggregate (order by score desc, deterministic tie-break) --
+    "q_topk_users" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("value")), 3).as("total"), count(lit(1)).as("n"))
+        .orderBy(col("total").desc, col("user_id"))
+        .limit(10)
+    }),
+
     // ---- tumbling-window counts (streaming-ready windowed aggregation) -----
     "q_windowed_counts" -> ((s, dir) => {
       events(s, dir)
@@ -720,6 +737,14 @@ object SparkEntry {
          |  FROM events GROUP BY 1)
          |SELECT run, start_us, stop_us, n, run = (SELECT max(run) FROM r) AS current
          |FROM r ORDER BY run""".stripMargin,
+
+    "q_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_topk_users" ->
+      """SELECT user_id, round(sum(value), 3) AS total, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY total DESC, user_id LIMIT 10""".stripMargin,
 
     "q_windowed_counts" ->
       """SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
