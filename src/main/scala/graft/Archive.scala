@@ -20,19 +20,27 @@ class Archive(samples: DataFrame, cache: Option[DataFrame] = None) {
     * when the range ends "now" (archiver.py:212-218's with_current) —
     * a single declarative pipeline; run/bucket pruning happens in the scan
     * when `samples` comes from the partitioned store.
+    *
+    * With `withCurrent`, `nowUs` (the timestamp stamped on the cache row)
+    * is required, and the result carries the columns common to both
+    * sources — a store-backed `samples` frame has run/bucket columns the
+    * cache doesn't.
     */
   def getData(pvname: String, t0Us: Long, t1Us: Long, withCurrent: Boolean = false,
-      nowUs: Long = 0L): DataFrame = {
+      nowUs: Long = -1L): DataFrame = {
     val base = TimeSeries.getData(
       samples, col("pvname"), pvname, "tsUs", "tsUs", t0Us, t1Us)
     val withCache = (cache, withCurrent) match {
       case (Some(c), true) =>
+        require(nowUs >= 0, "getData(withCurrent = true) requires nowUs (the cache row's timestamp)")
+        val cacheCols = c.columns.toSet
+        val common = base.columns.filter(cn => cn == "tsUs" || cacheCols.contains(cn))
         val cur = c.where(col("pvname") === pvname)
-          .select(base.columns.map {
+          .select(common.map {
             case "tsUs" => lit(nowUs).as("tsUs")
             case other => col(other)
           }.toSeq: _*)
-        base.unionByName(cur)
+        base.select(common.map(col).toSeq: _*).unionByName(cur)
       case _ => base
     }
     withCache.orderBy(col("tsUs"))

@@ -215,10 +215,20 @@ object PvFunctions {
   def parseTimes(date1: String, date2: String, nowEpochSec: Long): (Long, Long) = {
     val d2 = Option(date2).map(_.trim.toLowerCase).getOrElse("")
     if (d2.isEmpty || d2 == "now") {
-      val parts = date1.trim.split("\\s+")
-      val n = parts(0).toDouble
-      val unit = if (parts.length > 1) parts(1) else "days"
-      (nowEpochSec - timeAgoSeconds(n, unit), nowEpochSec)
+      // like the reference: substring-match the unit anywhere in date1
+      // ("1week", "3 days ago"), number via leading-digits scan; anything
+      // unrecognized falls back to 1 week (web_utils.py:64-77)
+      val d1 = Option(date1).map(_.trim.toLowerCase).getOrElse("")
+      val units = Seq(
+        "minute" -> 60L, "hour" -> 3600L, "day" -> 86400L,
+        "week" -> 604800L, "year" -> 31536000L)
+      val num = "([0-9]*\\.?[0-9]+)".r.findFirstIn(d1).map(_.toDouble)
+      val mult = units.collectFirst { case (u, m) if d1.contains(u) => m }
+      val agoSec = (num, mult) match {
+        case (Some(n), Some(m)) => (n * m).toLong
+        case _ => 604800L // the reference's own default: one week
+      }
+      (nowEpochSec - agoSec, nowEpochSec)
     } else {
       (timeStr2Sec(date1, nowEpochSec), timeStr2Sec(date2, nowEpochSec))
     }

@@ -175,13 +175,18 @@ object Similarity {
     */
   def trainIvfCentroids(
       df: DataFrame,
+      id: String,
       vec: String,
       k: Int,
       iters: Int = 10,
       seed: Long = 42L,
       maxSample: Int = 100000): Array[Array[Double]] = {
     import org.apache.spark.sql.functions.col
-    val sample = df.select(col(vec)).limit(maxSample)
+    // ordered before limit: a bare limit() takes whichever partitions
+    // answer first, which would make the centroids (and every ivfKnn
+    // result) run-dependent; null vectors are excluded
+    val sample = df.where(col(vec).isNotNull)
+      .orderBy(col(id)).limit(maxSample).select(col(vec))
       .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
     require(sample.nonEmpty, "empty training set")
     val rng = new scala.util.Random(seed)
@@ -231,7 +236,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val centroids = trainIvfCentroids(corpus, vec, nCells, seed = seed)
+    val centroids = trainIvfCentroids(corpus, id, vec, nCells, seed = seed)
     val bc = spark.sparkContext.broadcast(centroids)
     val assignUdf = udf { (v: Seq[Float]) =>
       nearestCentroid(v.toArray.map(_.toDouble), bc.value)

@@ -165,11 +165,17 @@ object TimeSeries {
       percent: Double = 15.0,
       maxIters: Int = 16): DataFrame = {
     var cur = df
+    var prev: Option[DataFrame] = None
     var n = cur.count()
     var i = 0
     while (n > cap && i < maxIters) {
-      cur = decimate(cur, ts, tieBreak, value, sample, percent)
+      // persist each pass: without it, iteration i re-executes the whole
+      // lineage of every earlier pass (each holding a percentile agg and a
+      // global window) from the base scan — quadratic recomputation
+      cur = decimate(cur, ts, tieBreak, value, sample, percent).persist()
       val n2 = cur.count()
+      prev.foreach(_.unpersist())
+      prev = Some(cur)
       if (n2 >= n) return cur // all survivors are outliers; cannot shrink
       n = n2
       i += 1

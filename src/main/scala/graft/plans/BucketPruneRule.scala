@@ -27,7 +27,9 @@ import graft.functions.PvFunctions
   */
 object BucketPruneRule extends Rule[LogicalPlan] with PredicateHelper {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString("graft.bucketPrune.enabled", "true").toBoolean) return plan
+    plan.transformUp {
     case f @ Filter(cond, child) =>
       (bucketAttr(child), pvnameAttr(child)) match {
         case (Some(bucket), Some(pvname)) =>
@@ -46,6 +48,7 @@ object BucketPruneRule extends Rule[LogicalPlan] with PredicateHelper {
           }
         case _ => f
       }
+    }
   }
 
   private def hasStoreSignature(plan: LogicalPlan): Boolean = {

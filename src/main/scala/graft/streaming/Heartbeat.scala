@@ -60,7 +60,9 @@ object Heartbeat {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.groupByKey(_.pvname).flatMapGroups { (_, it) =>
-      replayKey(it.toVector.sortBy(_.tsUs), horizonUs, seed).iterator
+      // (tsUs, value) sort: ties on tsUs must not leave the carried value
+      // partition-order dependent
+      replayKey(it.toVector.sortBy(s => (s.tsUs, s.value)), horizonUs, seed).iterator
     }
   }
 

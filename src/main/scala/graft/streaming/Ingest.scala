@@ -21,8 +21,13 @@ import Downsampler.{PvConfig, RawSample, Sample}
 object Ingest {
 
   /** The archive branch: downsample and append to the partitioned store.
-    * Returns the started query; `checkpoint` makes it exactly-once across
-    * restarts.
+    *
+    * Delivery: with `checkpoint`, no data is lost across restarts and
+    * replayed micro-batches are skipped via per-batch marker files
+    * (`<path>/_batches/<id>`) — idempotent in the common crash windows. A
+    * crash BETWEEN the parquet append and the marker write can still
+    * duplicate one batch; a transactional sink (Delta/JDBC upsert keyed on
+    * (pvname, tsUs)) is the fully-exactly-once deployment path.
     */
   def archiveTo(
       source: Dataset[RawSample],
@@ -38,28 +43,39 @@ object Ingest {
     val w = down.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(triggerMs))
-      .foreachBatch { (batch: Dataset[Sample], _: Long) =>
-        val df = batch.toDF()
-          .select(col("pvname"), col("tsUs"), col("value"), col("cvalue"))
-        SampleStore.write(SampleStore.normalize(df, runWidthUs), path)
+      .foreachBatch { (batch: Dataset[Sample], batchId: Long) =>
+        val marker = new java.io.File(s"$path/_batches/$batchId")
+        if (!marker.exists()) {
+          val df = batch.toDF()
+            .select(col("pvname"), col("tsUs"), col("value"), col("cvalue"))
+          SampleStore.write(SampleStore.normalize(df, runWidthUs), path)
+          marker.getParentFile.mkdirs()
+          marker.createNewFile()
+        }
+        ()
       }
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
-  /** The cache branch: latest value per PV into an update-mode sink
-    * (memory sink for tests; JDBC/Delta upsert via foreachBatch in a real
-    * deployment).
+  /** The cache branch: latest value per PV. "update" is the Q6 shape —
+    * sinks receive only PVs changed in the batch (the refresh delta); the
+    * memory sink used in tests accumulates that changelog, so tests pass
+    * "complete" to read the full table directly. Real deployments upsert
+    * the update stream via foreachBatch (JDBC/Delta).
     */
-  def latestTo(source: Dataset[RawSample], queryName: String): StreamingQuery =
+  def latestTo(source: Dataset[RawSample], queryName: String,
+      outputMode: String = "update"): StreamingQuery =
     LatestView.latest(source)
       .writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(queryName)
       .start()
 
-  /** Optional T7 watermarking: declare `tsUs` as event time with a lateness
-    * bound. NOTE: this bounds state for event-time-timeout and windowed-
+  /** Optional T7 watermarking: declare `tsUs` (as a derived `event_time`
+    * timestamp column, KEPT in the schema — dropping it would discard the
+    * watermark metadata downstream operators bind to) with a lateness
+    * bound. This bounds state for event-time-timeout and windowed-
     * aggregation operators downstream; the processing-time-timeout
     * downsampler keeps per-PV state regardless (its state is three scalars
     * per PV — bounded by fleet size, not by time).
@@ -68,9 +84,8 @@ object Ingest {
     val spark = source.sparkSession
     import spark.implicits._
     source
-      .withColumn("__et", timestamp_micros(col("tsUs")))
-      .withWatermark("__et", delay)
-      .drop("__et")
-      .as[RawSample]
+      .withColumn("event_time", timestamp_micros(col("tsUs")))
+      .withWatermark("event_time", delay)
+      .as[RawSample] // typed ops bind the RawSample fields; event_time rides along
   }
 }

@@ -71,6 +71,10 @@ class PvFunctionsSpec extends AnyFunSuite {
     val now = 1705276800L // 2024-01-15
     assert(PvFunctions.parseTimes("3 days", "now", now) == (now - 3 * 86400L, now))
     assert(PvFunctions.parseTimes("1.5 hours", "", now) == (now - 5400L, now))
+    // reference accepts no-space forms and falls back to 1 week on junk
+    assert(PvFunctions.parseTimes("1week", "now", now) == (now - 604800L, now))
+    assert(PvFunctions.parseTimes("3 months", "now", now) == (now - 604800L, now))
+    assert(PvFunctions.parseTimes("garbage", "now", now) == (now - 604800L, now))
     assert(PvFunctions.parseTimes("2024-01-08 06:00:00", "2024-01-09", now) ==
       (1704693600L, 1704758400L))
   }

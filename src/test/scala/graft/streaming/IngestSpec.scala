@@ -36,7 +36,9 @@ class IngestSpec extends SparkSpec {
     // processAllAvailable from settling (see Downsampler.streaming scaladoc)
     val q = Ingest.archiveTo(input.toDS(), dir, runWidthUs = 60 * S, configs = cfg,
       triggerMs = 50L, limboTimeoutMs = 0L)
-    val latest = Ingest.latestTo(input.toDS(), "ingest_latest")
+    // complete mode: the memory sink then holds the whole table (update
+    // mode — the production default — would give a changelog instead)
+    val latest = Ingest.latestTo(input.toDS(), "ingest_latest", outputMode = "complete")
     try {
       input.addData(events.take(40))
       q.processAllAvailable(); latest.processAllAvailable()
