@@ -21,11 +21,13 @@ object Heartbeat {
   final val SpanForceUs: Long = 8L * 3600 * 1000000L
 
   /** k-th force interval for a PV (seeded; mirrors util.py:348-354's
-    * 13 h + rand(8 h) draw).
+    * 13 h + rand(8 h) draw). `minUs`/`spanUs` default to the reference's
+    * 13-21 h window; tests shrink them to drive the timeout path quickly.
     */
-  def forceIntervalUs(pvname: String, k: Int, seed: Long = 42L): Long = {
+  def forceIntervalUs(pvname: String, k: Int, seed: Long = 42L,
+      minUs: Long = MinForceUs, spanUs: Long = SpanForceUs): Long = {
     val rng = new scala.util.Random(seed ^ pvname.hashCode.toLong ^ (k.toLong << 32))
-    MinForceUs + rng.nextLong(SpanForceUs)
+    minUs + rng.nextLong(spanUs)
   }
 
   /** Batch replay over one PV's archived samples (time-ordered): synthetic
@@ -66,13 +68,15 @@ object Heartbeat {
     }
   }
 
-  private case class HbState(lastTs: Long, value: String, cvalue: String, k: Int)
+  case class HbState(lastTs: Long, value: String, cvalue: String, k: Int)
 
   /** Streaming form: per-PV processing-time timeout re-emits the cached
     * value when the force interval elapses with no real sample (stamped at
-    * the wall clock, like the reference's sweep).
+    * the wall clock, like the reference's sweep). `minUs`/`spanUs` shrink
+    * the 13-21 h window for tests.
     */
-  def streaming(ds: Dataset[Sample], seed: Long = 42L): Dataset[Sample] = {
+  def streaming(ds: Dataset[Sample], seed: Long = 42L,
+      minUs: Long = MinForceUs, spanUs: Long = SpanForceUs): Dataset[Sample] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.groupByKey(_.pvname)
@@ -88,12 +92,12 @@ object Heartbeat {
               st = Some(HbState(nowUs, s.value, s.cvalue, s.k + 1))
             }
           }
-          it.toVector.sortBy(_.tsUs).foreach { s =>
+          it.toVector.sortBy(s => (s.tsUs, s.value)).foreach { s =>
             st = Some(HbState(s.tsUs, s.value, s.cvalue, 0))
           }
           st.foreach { s =>
             gs.update(s)
-            gs.setTimeoutDuration(forceIntervalUs(pv, s.k, seed) / 1000L)
+            gs.setTimeoutDuration(math.max(forceIntervalUs(pv, s.k, seed, minUs, spanUs) / 1000L, 1L))
           }
           out.result().iterator
       }

@@ -38,6 +38,33 @@ class HeartbeatSpec extends SparkSpec {
     assert(replayKey(samples, 48 * 4 * H).isEmpty)
   }
 
+  test("streaming heartbeat re-emits the cached value for a quiet PV") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[Sample]
+    // force window shrunk to ~300-400ms so the timeout fires in-test
+    val q = streaming(input.toDS(), minUs = 300000L, spanUs = 100000L)
+      .writeStream.format("memory").queryName("hb_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+      .start()
+    try {
+      input.addData(Sample("HB:pv.VAL", 1000000L, "7.5", "7.5"))
+      val deadline = System.currentTimeMillis() + 20000
+      var rows = Array.empty[Sample]
+      while (rows.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        rows = sp.table("hb_out").as[Sample].collect()
+      }
+      assert(rows.nonEmpty,
+        s"no heartbeat emitted within 20s; exception=${q.exception}; status=${q.status}")
+      // the forced sample repeats the cached value at ~wall-clock time
+      assert(rows.forall(s => s.pvname == "HB:pv.VAL" && s.value == "7.5"))
+      assert(rows.forall(_.tsUs > 1000000L))
+    } finally q.stop()
+  }
+
   test("replayBatch matches per-key replay") {
     val sp = spark
     import sp.implicits._
