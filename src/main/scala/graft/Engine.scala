@@ -19,8 +19,10 @@ object Engine {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // AQE on unless explicitly disabled (benchmark experiments)
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", aqe)
     // engine extensions, idempotently (a cluster deployment would instead
     // set spark.sql.extensions=graft.plans.GraftExtensions)
     Seq(graft.plans.BucketPruneRule, graft.plans.DivRangePushdown).foreach { r =>

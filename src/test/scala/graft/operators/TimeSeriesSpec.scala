@@ -83,6 +83,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.length < 30)
   }
 
+  test("property: getData/valueAtTime match a brute-force oracle on random series") {
+    val sp = spark
+    import sp.implicits._
+    (1 to 5).foreach { seed =>
+      val rng = new scala.util.Random(100 + seed)
+      val rows = (0 until 200).map(i => ("k" + rng.nextInt(3), rng.nextLong(1000L), i.toLong, rng.nextDouble()))
+      val df = rows.toDF("k", "ts", "id", "v")
+      val t0 = 250L + rng.nextLong(200L)
+      val t1 = t0 + 300L
+
+      val got = TimeSeries.getData(df, col("k"), "k1", "ts", "id", t0, t1)
+        .collect().map(r => (r.getAs[Long]("ts"), r.getAs[Long]("id"))).toSeq
+      val series = rows.filter(_._1 == "k1").map(r => (r._2, r._3))
+      val early = series.filter(_._1 < t0).sorted.lastOption.toSeq
+      val want = (early ++ series.filter(r => r._1 >= t0 && r._1 < t1)).sorted
+      assert(got.sorted == want, s"getData seed=$seed")
+
+      val t = 500L
+      val gotV = TimeSeries.valueAtTime(df, "k", "ts", "id", t)
+        .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("ts"), r.getAs[Long]("id"))).toSet
+      val wantV = rows.filter(_._2 <= t).groupBy(_._1).map { case (k, rs) =>
+        val best = rs.map(r => (r._2, r._3)).max
+        (k, best._1, best._2)
+      }.toSet
+      assert(gotV == wantV, s"valueAtTime seed=$seed")
+    }
+  }
+
   test("property: LOCF invariants — grid = union of input timestamps, values piecewise-constant") {
     val sp = spark
     import sp.implicits._
