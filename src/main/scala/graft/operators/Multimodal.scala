@@ -82,6 +82,30 @@ object Multimodal {
     ds.mapPartitions(it => it.map(m => MediaFeature(m.media_id, m.kind, StubCodec.feature(m.payload, bins))))
   }
 
+  /** Resize decoded planes with nearest-neighbor sampling — the real
+    * geometry/batching logic; a production codec would swap in a proper
+    * filter kernel. Deterministic, mapPartitions-batched like the rest.
+    */
+  def resize(ds: Dataset[DecodedImage], outW: Int, outH: Int): Dataset[DecodedImage] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(it => it.map { img =>
+      val out = new Array[Float](outW * outH)
+      var y = 0
+      while (y < outH) {
+        val sy = math.min(img.height - 1, y * img.height / math.max(outH, 1))
+        var x = 0
+        while (x < outW) {
+          val sx = math.min(img.width - 1, x * img.width / math.max(outW, 1))
+          out(y * outW + x) = img.pixels(sy * img.width + sx)
+          x += 1
+        }
+        y += 1
+      }
+      DecodedImage(img.media_id, outW, outH, out)
+    })
+  }
+
   /** Sample every `everyMs` milliseconds of each video into frame features —
     * the `explode`-shaped op of the pack (one input row → many frames).
     */

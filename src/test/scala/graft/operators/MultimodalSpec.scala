@@ -29,6 +29,17 @@ class MultimodalSpec extends SparkSpec {
     out.filter(_.media_id != 3).foreach(f => assert(math.abs(f.feature.sum - 1.0f) < 1e-3))
   }
 
+  test("resize produces exact nearest-neighbor planes") {
+    val sp = spark
+    import sp.implicits._
+    val ds = Seq(media(1, "image", 64, w = 4, h = 4)).toDS()
+    val out = Multimodal.resize(Multimodal.decodeImages(ds), outW = 2, outH = 2).collect()(0)
+    assert(out.width == 2 && out.height == 2 && out.pixels.length == 4)
+    val src = Multimodal.decodeImages(ds).collect()(0).pixels
+    // nearest-neighbor at scale 2: rows/cols 0 and 2 of the 4x4 source
+    assert(out.pixels.toSeq == Seq(src(0), src(2), src(8), src(10)))
+  }
+
   test("sampleFrames explodes videos into per-timestamp frame features") {
     val sp = spark
     import sp.implicits._
