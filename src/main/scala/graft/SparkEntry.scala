@@ -110,10 +110,10 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- J2/W1 multi-series LOCF as-of alignment ---------------------------
+    // ---- J2/W1 multi-series LOCF as-of alignment (chunk-parallel form) -----
     "q_locf_align" -> ((s, dir) => {
-      TimeSeries.locfAlign(events(s, dir), "event_type", "ts_us", "value",
-        Seq("click", "purchase", "view"), T0, T1)
+      TimeSeries.locfAlignChunked(events(s, dir), "event_type", "ts_us", "value",
+        Seq("click", "purchase", "view"), T0, T1, chunkUs = 86400000000L)
     }),
 
     // ---- Q1 cull_data percentile-preserving decimation ---------------------

@@ -123,6 +123,52 @@ object TimeSeries {
       .orderBy(col(ts))
   }
 
+  /** [[locfAlign]]'s scale path: the same alignment with the carry-forward
+    * window PARTITIONED by fixed-width time chunks, so no single ordered
+    * partition ever holds more than one chunk of the grid. Cross-chunk
+    * carry comes from a two-level scan: per-chunk last non-null values
+    * (map-side combinable `max_by`), a tiny cumulative pass over one row
+    * per chunk, and a broadcast join of those seeds back to the grid.
+    * Output is identical to [[locfAlign]].
+    */
+  def locfAlignChunked(
+      df: DataFrame,
+      key: String,
+      ts: String,
+      value: String,
+      keys: Seq[String],
+      t0: Long,
+      t1: Long,
+      chunkUs: Long): DataFrame = {
+    val grid = df
+      .where(col(key).isin(keys: _*) && col(ts) < t1)
+      .groupBy(col(ts))
+      .pivot(key, keys)
+      .agg(max(col(value)))
+      .withColumn("__chunk", expr(s"$ts DIV ${chunkUs}L"))
+    // per-chunk last non-null value of each series
+    val lastPerChunk = grid.groupBy(col("__chunk"))
+      .agg(
+        max_by(col(keys.head), when(col(keys.head).isNotNull, col(ts))).as(s"__last_${keys.head}"),
+        keys.tail.map(k => max_by(col(k), when(col(k).isNotNull, col(ts))).as(s"__last_$k")): _*)
+    // cumulative carry across chunks (one row per chunk — tiny frame)
+    val wPrev = Window.orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seeds = keys.foldLeft(lastPerChunk) { (acc, k) =>
+      acc.withColumn(s"__seed_$k", last(col(s"__last_$k"), ignoreNulls = true).over(wPrev))
+    }.select(col("__chunk") +: keys.map(k => col(s"__seed_$k")): _*)
+    // within-chunk LOCF, seeded by the previous chunks' carry
+    val wChunk = Window.partitionBy(col("__chunk")).orderBy(col(ts))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = keys.foldLeft(grid.join(broadcast(seeds), Seq("__chunk"))) { (acc, k) =>
+      acc.withColumn(k, coalesce(last(col(k), ignoreNulls = true).over(wChunk), col(s"__seed_$k")))
+    }
+    filled
+      .where(col(ts) >= t0 && keys.map(k => col(k).isNotNull).reduce(_ && _))
+      .select(col(ts) +: keys.map(col): _*)
+      .orderBy(col(ts))
+  }
+
   /** Q1 `cull_data` (web_utils.py:131-161): plot decimation that keeps every
     * `sample`-th point plus every point outside the `[percent, 100-percent]`
     * value-percentile band, preserving extremes. One pass computes the exact

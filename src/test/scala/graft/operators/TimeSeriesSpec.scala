@@ -111,6 +111,26 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("property: locfAlignChunked is identical to locfAlign across chunk widths") {
+    val sp = spark
+    import sp.implicits._
+    (1 to 3).foreach { seed =>
+      val rng = new scala.util.Random(200 + seed)
+      val rows = for {
+        k <- Seq("x", "y")
+        _ <- 0 until 40
+      } yield (k, rng.nextLong(5000L), rng.nextDouble())
+      val df = rows.toDF("k", "ts", "v")
+      val plain = TimeSeries.locfAlign(df, "k", "ts", "v", Seq("x", "y"), 500L, 4500L)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+      Seq(100L, 999L, 10000L).foreach { w =>
+        val chunked = TimeSeries.locfAlignChunked(df, "k", "ts", "v", Seq("x", "y"), 500L, 4500L, w)
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+        assert(chunked == plain, s"seed=$seed chunk=$w")
+      }
+    }
+  }
+
   test("property: LOCF invariants — grid = union of input timestamps, values piecewise-constant") {
     val sp = spark
     import sp.implicits._
