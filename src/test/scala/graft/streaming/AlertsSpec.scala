@@ -81,6 +81,29 @@ class AlertsSpec extends SparkSpec {
     assert(labels == "Err")
   }
 
+  test("streaming alerts match batch replay across micro-batches") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = sp.sqlContext
+    val configs = Map(1L -> cfg("gt", "3.0", timeoutUs = 10 * S))
+    val observations = Seq(
+      obs(0, "2.0"), obs(5 * S, "5.0"), obs(10 * S, "6.0"),
+      obs(15 * S, "1.0"), obs(40 * S, "9.0"))
+    val input = MemoryStream[Observation]
+    val q = Alerts.streaming(input.toDS(), configs)
+      .writeStream.format("memory").queryName("alerts_out").outputMode("append").start()
+    try {
+      input.addData(observations.take(3))
+      q.processAllAvailable()
+      input.addData(observations.drop(3))
+      q.processAllAvailable()
+      val got = sp.table("alerts_out").as[AlertEvent].collect().toVector.sortBy(_.tsUs)
+      val want = replayKey(observations, configs(1L)).sortBy(_.tsUs)
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("replayBatch evaluates each alert against its config") {
     val sp = spark
     import sp.implicits._
