@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** T6 — the request queue (cache.py:705-752): add / drop / suspend PV
+  * requests applied onto the PV dimension. The reference polls a `requests`
+  * table each loop; here a batch of requests merges declaratively (the
+  * streaming form is the same merge inside `foreachBatch` on a config
+  * stream).
+  *
+  * Semantics: the LAST request per PV (by tsUs) wins —
+  * add → present + active; suspend → present + inactive; drop → removed.
+  * PVs without requests pass through unchanged.
+  */
+object Requests {
+
+  /** `pvDim(pvname, active, ...)` × `requests(pvname, action, tsUs)` →
+    * updated dimension.
+    */
+  def apply(pvDim: DataFrame, requests: DataFrame): DataFrame = {
+    val latest = requests
+      .groupBy(col("pvname"))
+      .agg(max_by(col("action"), col("tsUs")).as("__action"))
+    val extraCols = pvDim.columns.filterNot(c => c == "pvname" || c == "active")
+    pvDim.join(latest, Seq("pvname"), "full_outer")
+      .where(col("__action").isNull || col("__action") =!= "drop")
+      .select(
+        col("pvname") +:
+          when(col("__action") === "suspend", lit("no"))
+            .when(col("__action") === "add", lit("yes"))
+            .otherwise(coalesce(col("active"), lit("yes"))).as("active") +:
+          extraCols.map(col).toSeq: _*)
+  }
+}
