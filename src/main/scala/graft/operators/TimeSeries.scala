@@ -46,12 +46,12 @@ object TimeSeries {
       t1: Long): DataFrame = {
     val series = df.where(keyCol === keyValue)
     val inRange = series.where(col(ts) >= t0 && col(ts) < t1)
-    val w = Window.orderBy(col(ts).desc, col(tieBreak).desc)
+    // distributed top-1 (TakeOrderedAndProject: per-partition limit + driver
+    // merge) — never concentrates the pre-window history on one task
     val early = series
       .where(col(ts) < t0)
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__rn")
+      .orderBy(col(ts).desc, col(tieBreak).desc)
+      .limit(1)
     early.unionByName(inRange).orderBy(col(ts), col(tieBreak))
   }
 
@@ -151,12 +151,24 @@ object TimeSeries {
       .agg(
         max_by(col(keys.head), when(col(keys.head).isNotNull, col(ts))).as(s"__last_${keys.head}"),
         keys.tail.map(k => max_by(col(k), when(col(k).isNotNull, col(ts))).as(s"__last_$k")): _*)
-    // cumulative carry across chunks (one row per chunk — tiny frame)
-    val wPrev = Window.orderBy(col("__chunk"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val seeds = keys.foldLeft(lastPerChunk) { (acc, k) =>
-      acc.withColumn(s"__seed_$k", last(col(s"__last_$k"), ignoreNulls = true).over(wPrev))
-    }.select(col("__chunk") +: keys.map(k => col(s"__seed_$k")): _*)
+    // cumulative carry across chunks by driver-side scan (the zipWithIndex
+    // control-plane pattern): one row per chunk — bounded by
+    // timeRange/chunkUs, and broadcast below regardless — so the carry loop
+    // touches control data only, never samples
+    val spark = df.sparkSession
+    val lastRows = lastPerChunk.orderBy(col("__chunk")).collect()
+    val carry = Array.fill[Any](keys.length)(null)
+    val seedRows = lastRows.map { r =>
+      val out = org.apache.spark.sql.Row.fromSeq(r.getLong(0) +: carry.toSeq)
+      keys.indices.foreach { i => val v = r.get(i + 1); if (v != null) carry(i) = v }
+      out
+    }
+    val seedSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__chunk", org.apache.spark.sql.types.LongType, nullable = false) +:
+        keys.indices.map(i => org.apache.spark.sql.types.StructField(
+          s"__seed_${keys(i)}", lastPerChunk.schema(i + 1).dataType, nullable = true)))
+    val seeds = spark.createDataFrame(
+      spark.sparkContext.parallelize(seedRows.toIndexedSeq, 1), seedSchema)
     // within-chunk LOCF, seeded by the previous chunks' carry
     val wChunk = Window.partitionBy(col("__chunk")).orderBy(col(ts))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -169,11 +181,46 @@ object TimeSeries {
       .orderBy(col(ts))
   }
 
+  /** Distributed global row number over `(ts, tieBreak)` — identical output
+    * to `row_number().over(Window.orderBy(ts, tieBreak))` but never moves the
+    * data to one partition. Two-phase: number within fixed-width time chunks
+    * (parallel per chunk), then offset each chunk by the cumulative count of
+    * earlier chunks (one row per chunk — tiny, broadcast). The chunk key
+    * `ts DIV chunkUs` is monotone in `ts`, so chunk-major order IS the global
+    * order, and ties (equal ts) land in the same chunk.
+    */
+  def rowNumberChunked(
+      df: DataFrame,
+      ts: String,
+      tieBreak: String,
+      outCol: String,
+      chunkUs: Long): DataFrame = {
+    val withChunk = df.withColumn("__chunk", expr(s"$ts DIV ${chunkUs}L"))
+    val counts = withChunk.groupBy(col("__chunk")).agg(count(lit(1)).as("__cnt"))
+    // chunk offsets by driver-side prefix sum over the per-chunk counts —
+    // the same control-plane job RDD.zipWithIndex runs over per-PARTITION
+    // counts (rdd/ZippedWithIndexRDD.scala); one (long, long) row per chunk,
+    // bounded by timeRange/chunkUs, never the data itself
+    val spark = df.sparkSession
+    var acc = 0L
+    val offs = counts.orderBy(col("__chunk")).collect().map { r =>
+      val o = acc; acc += r.getLong(1); (r.getLong(0), o)
+    }
+    import spark.implicits._
+    val offsets = offs.toSeq.toDF("__chunk", "__off")
+    val wIn = Window.partitionBy(col("__chunk")).orderBy(col(ts), col(tieBreak))
+    withChunk
+      .join(broadcast(offsets), Seq("__chunk"))
+      .withColumn(outCol, row_number().over(wIn).cast("long") + col("__off"))
+      .drop("__chunk", "__off")
+  }
+
   /** Q1 `cull_data` (web_utils.py:131-161): plot decimation that keeps every
     * `sample`-th point plus every point outside the `[percent, 100-percent]`
     * value-percentile band, preserving extremes. One pass computes the exact
     * percentile bounds (a 2-row broadcast), a second filters — both
-    * distributed.
+    * distributed. Row indexing uses [[rowNumberChunked]], so no global
+    * single-partition window even on an unbounded series.
     */
   def decimate(
       df: DataFrame,
@@ -181,15 +228,15 @@ object TimeSeries {
       tieBreak: String,
       value: String,
       sample: Int,
-      percent: Double): DataFrame = {
+      percent: Double,
+      chunkUs: Long = 3600L * 1000000L): DataFrame = {
     // percent/100.0 and (100.0-percent)/100.0 round-trip exactly through
     // decimal literals, so an external SQL oracle lands on bit-identical
     // percentile fractions
     val bounds = df.agg(
       expr(s"percentile($value, ${percent / 100.0})").as("__lo"),
       expr(s"percentile($value, ${(100.0 - percent) / 100.0})").as("__hi"))
-    val w = Window.orderBy(col(ts), col(tieBreak))
-    df.withColumn("__rn", row_number().over(w))
+    rowNumberChunked(df, ts, tieBreak, "__rn", chunkUs)
       .crossJoin(broadcast(bounds))
       .where((col("__rn") - 1) % sample === 0 || col(value) < col("__lo") || col(value) > col("__hi"))
       .drop("__rn", "__lo", "__hi")
