@@ -130,6 +130,15 @@ object SparkEntry {
         .orderBy(col("m1"), col("m2"))
     }),
 
+    // ---- J3 with the skew guard engaged: groups capped to their first 4
+    // (sorted) members, bounding per-group pair expansion to k²/2 ≤ 6 — the
+    // viral-group protection a real 100 TB corpus needs ---------------------
+    "q_pairs_cooccur_capped" -> ((s, dir) => {
+      Pairs.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
+        maxGroupSize = Some(4))
+        .orderBy(col("m1"), col("m2"))
+    }),
+
     // ---- J4/O2 top-k related nodes (suppliers sharing orders) --------------
     "q_pairs_related" -> ((s, dir) => {
       val edges = Pairs.coOccurrence(Tables.lineitem(s, dir), "l_orderkey", "l_suppkey")
@@ -187,6 +196,14 @@ object SparkEntry {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // ---- same output via the DISTRIBUTED prefix-filtered plan (PPJoin
+    // family) — the 100 TB path: inverted-index join on rare-shingle
+    // prefixes, no driver collect anywhere in the plan --------------------
+    "q_jaccard_dist" -> ((s, dir) => {
+      Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text", n = 2, threshold = 0.5)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // ---- MinHash signatures (portable universal-hash family) ---------------
     "q_minhash_sig" -> ((s, dir) => {
       Dedup.minhashSignature(Tables.documents(s, dir), "doc_id", "text", n = 3, numPerm = NUM_PERM)
@@ -216,6 +233,14 @@ object SparkEntry {
     // ---- embedding-cosine near-dup pairs -----------------------------------
     "q_embed_dedup" -> ((s, dir) => {
       Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // ---- same output via the DISTRIBUTED declarative join (no broadcast-
+    // size bound, no driver collect) — the fallback scale path when the
+    // embedding matrix exceeds executor memory ----------------------------
+    "q_embed_dedup_dist" -> ((s, dir) => {
+      Similarity.cosinePairsJoin(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45)
         .orderBy(col("d1"), col("d2"))
     }),
 
@@ -264,8 +289,9 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // ---- T2 downsampler replay via the stateful step function (rows-only:
-    // limbo semantics are imperative state, not SQL) -------------------------
+    // ---- T2 downsampler replay via the stateful step function. Oracle-
+    // checked: the limbo state machine is re-expressed in DuckDB as a pure
+    // list_reduce fold per PV (see [[downsampleStatefulSql]]) ---------------
     "q_downsample_stateful" -> ((s, dir) => {
       import s.implicits._
       val raw = events(s, dir)
@@ -275,10 +301,16 @@ object SparkEntry {
       graft.streaming.Downsampler.replayBatch(raw, Map.empty,
         default = graft.streaming.Downsampler.PvConfig("double", 6L * 3600L * 1000000L, 50.0))
         .toDF()
-        .orderBy(col("pvname"), col("tsUs"))
+        // compare in the value domain: Spark double→string→double round-trips
+        // exactly (shortest-repr cast both ways), and a double column avoids
+        // cross-engine float-formatting parity questions entirely
+        .select(col("pvname"), col("tsUs").as("ts_us"), col("value").cast("double").as("value"))
+        .orderBy(col("pvname"), col("ts_us"))
     }),
 
-    // ---- T3 heartbeat batch replay (rows-only: seeded force intervals) -----
+    // ---- T3 heartbeat batch replay. Oracle-checked: emissions in a gap are
+    // prev.ts + cumulative seeded intervals — the cumulative table is
+    // precomputed here (same PRNG) and embedded in the SQL as VALUES --------
     "q_heartbeat" -> ((s, dir) => {
       import s.implicits._
       val samples = events(s, dir)
@@ -288,7 +320,8 @@ object SparkEntry {
         .as[graft.streaming.Downsampler.Sample]
       graft.streaming.Heartbeat.replayBatch(samples, horizonUs = T1)
         .toDF()
-        .orderBy(col("pvname"), col("tsUs"))
+        .select(col("pvname"), col("tsUs").as("ts_us"), col("value").cast("double").as("value"))
+        .orderBy(col("pvname"), col("ts_us"))
     }),
 
     // ---- T5/A2 run registry over derived runs ------------------------------
@@ -418,6 +451,30 @@ object SparkEntry {
   /** DuckDB fragment mirroring [[Dedup.shingleHash]]. */
   private val shingleHashSql = "CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT)"
 
+  /** Shared by q_jaccard (broadcast sweep) and q_jaccard_dist (prefix-
+    * filtered join): both plans must produce THIS naive-join result.
+    */
+  private lazy val jaccardOracleSql: String =
+    s"""WITH ${shingleCte(2)},
+       |sz AS (SELECT doc, count(*) AS sz FROM s GROUP BY doc),
+       |inter AS (SELECT a.doc AS d1, b.doc AS d2, count(*) AS i
+       |          FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
+       |          GROUP BY 1, 2)
+       |SELECT d1, d2, round(CAST(i AS DOUBLE) / (a.sz + b.sz - i), 6) AS jaccard
+       |FROM inter JOIN sz a ON d1 = a.doc JOIN sz b ON d2 = b.doc
+       |WHERE round(CAST(i AS DOUBLE) / (a.sz + b.sz - i), 6) >= 0.5
+       |ORDER BY d1, d2""".stripMargin
+
+  /** Shared by q_embed_dedup (broadcast triangle) and q_embed_dedup_dist
+    * (declarative join): both plans must produce THIS all-pairs result.
+    */
+  private lazy val embedDedupOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+       |        round(${cosineSql("a.v", "b.v")}, 6) AS sim
+       |      FROM e a, e b WHERE a.vec_id < b.vec_id)
+       |SELECT d1, d2, sim FROM p WHERE sim >= 0.45 ORDER BY d1, d2""".stripMargin
+
   private def minhashSigSql(numPerm: Int, n: Int): String = {
     val mins = (0 until numPerm).map { i =>
       val (a, b) = Dedup.perm(i)
@@ -467,6 +524,93 @@ object SparkEntry {
   private def cosineSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
+  /** T2 limbo downsampler as a pure DuckDB fold: per PV, `list_reduce` over
+    * the time-ordered events with the WHOLE state in one VARCHAR
+    * `lt|lv|bt|bv|em` (last-emit ts/value, limbo ts/value or 'N', ';'-joined
+    * emitted timestamps). A single string is used deliberately: DuckDB
+    * 1.0's list_reduce mis-threads multi-field struct accumulators across
+    * iterations (cross-field aliasing), while scalar accumulators fold
+    * correctly. Emitted samples are recovered by joining the emitted
+    * timestamps back to the events (ts is unique per PV in the testdata),
+    * and values compare as doubles — DuckDB's double↔varchar casts are
+    * shortest-round-trip, so state stays exact. Mirrors
+    * [[graft.streaming.Downsampler.onEvent]] (archiver.py:389-414 limbo
+    * semantics) branch for branch.
+    */
+  private def downsampleStatefulSql(deadtimeUs: Long, deadband: Double): String = {
+    val gap = 1000L // MinGapUs (archiver.py:398)
+    val A = "string_split(a,'|')"
+    val X = "string_split(x,'|')"
+    val lt0 = s"CAST($A[1] AS BIGINT)"
+    val xt = s"CAST($X[1] AS BIGINT)"
+    val xv = s"CAST($X[2] AS DOUBLE)"
+    val flush = s"($A[3] <> 'N' AND $xt > $lt0 + $deadtimeUs)"
+    val lt1 = s"(CASE WHEN $flush THEN TRY_CAST($A[3] AS BIGINT) ELSE $lt0 END)"
+    val lv1 = s"(CASE WHEN $flush THEN TRY_CAST($A[4] AS DOUBLE) ELSE CAST($A[2] AS DOUBLE) END)"
+    val emitE = s"($xt > $lt1 + $deadtimeUs AND abs($xv - $lv1) > $deadband)"
+    s"""WITH e AS (
+       |  SELECT 'u' || CAST(user_id AS VARCHAR) AS pvname, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS v
+       |  FROM events),
+       |g AS (
+       |  SELECT pvname, list(CAST(ts_us AS VARCHAR) || '|' || CAST(v AS VARCHAR) || '|N|N|' || CAST(ts_us AS VARCHAR)
+       |                      ORDER BY ts_us) AS evs
+       |  FROM e GROUP BY pvname),
+       |r AS (
+       |  SELECT pvname, list_reduce(evs, (a, x) ->
+       |       (CASE WHEN $emitE THEN $X[1] WHEN $flush THEN $A[3] ELSE $A[1] END)
+       |    || '|' || (CASE WHEN $emitE THEN $X[2] WHEN $flush THEN $A[4] ELSE $A[2] END)
+       |    || '|' || (CASE WHEN $xt > $lt1 + $deadtimeUs THEN 'N'
+       |                    WHEN $xt > $lt1 + $gap THEN $X[1]
+       |                    ELSE (CASE WHEN $flush THEN 'N' ELSE $A[3] END) END)
+       |    || '|' || (CASE WHEN $xt > $lt1 + $deadtimeUs THEN 'N'
+       |                    WHEN $xt > $lt1 + $gap THEN $X[2]
+       |                    ELSE (CASE WHEN $flush THEN 'N' ELSE $A[4] END) END)
+       |    || '|' || ($A[5] || (CASE WHEN $flush THEN ';' || $A[3] ELSE '' END)
+       |                     || (CASE WHEN $emitE THEN ';' || $X[1] ELSE '' END))
+       |  ) AS st
+       |  FROM g),
+       |fin AS (
+       |  SELECT pvname,
+       |         string_split(st,'|')[5]
+       |         || (CASE WHEN string_split(st,'|')[3] <> 'N' THEN ';' || string_split(st,'|')[3] ELSE '' END) AS em
+       |  FROM r),
+       |u AS (SELECT pvname, CAST(unnest(string_split(em, ';')) AS BIGINT) AS ts_us FROM fin)
+       |SELECT u.pvname AS pvname, u.ts_us AS ts_us, e.v AS value
+       |FROM u JOIN e ON u.pvname = e.pvname AND u.ts_us = e.ts_us
+       |ORDER BY u.pvname, u.ts_us""".stripMargin
+  }
+
+  /** T3 heartbeat oracle: a heartbeat fires at `prev.ts + c_j` for every
+    * cumulative interval `c_j = Σ_{i≤j} forceIntervalUs(pv, i)` that lands
+    * before the next real sample (or the horizon after the last one) — the
+    * per-gap counter k resets on every real sample, so the gap fill is a
+    * plain join against the precomputed cumulative table (no recursion).
+    * The table is generated here with the SAME seeded PRNG the operator
+    * uses and embedded as VALUES.
+    */
+  private def heartbeatSql(horizonUs: Long, nPvs: Int, maxBeatsPerGap: Int): String = {
+    val values = (0 until nPvs).flatMap { u =>
+      val pv = s"u$u"
+      var acc = 0L
+      (0 until maxBeatsPerGap).map { k =>
+        acc += graft.streaming.Heartbeat.forceIntervalUs(pv, k)
+        s"('$pv', $acc)"
+      }
+    }.mkString(", ")
+    s"""WITH s AS (
+       |  SELECT 'u' || CAST(user_id AS VARCHAR) AS pvname, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS v
+       |  FROM events WHERE user_id < $nPvs),
+       |g AS (
+       |  SELECT pvname, ts_us, v,
+       |         coalesce(lead(ts_us) OVER (PARTITION BY pvname ORDER BY ts_us), $horizonUs) AS until
+       |  FROM s),
+       |iv(pvname, c) AS (VALUES $values)
+       |SELECT g.pvname AS pvname, g.ts_us + iv.c AS ts_us, g.v AS value
+       |FROM g JOIN iv ON g.pvname = iv.pvname
+       |WHERE g.ts_us + iv.c < g.until
+       |ORDER BY g.pvname, ts_us""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -485,6 +629,8 @@ object SparkEntry {
          |WHERE event_type = 'click' AND epoch_us(ts) >= $T0 AND epoch_us(ts) < $T1
          |ORDER BY ts_us, event_id""".stripMargin,
 
+    // early point bounded to [T0 - 1 day, T0) like the reference's one-day
+    // slice (archiver.py:192-206) — mirrors getData's earlyLookbackUs default
     "q_get_data" ->
       s"""WITH e AS (
          |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
@@ -492,7 +638,7 @@ object SparkEntry {
          |early AS (
          |  SELECT event_id, user_id, ts_us, value
          |  FROM (SELECT *, row_number() OVER (ORDER BY ts_us DESC, event_id DESC) AS rn
-         |        FROM e WHERE ts_us < $T0)
+         |        FROM e WHERE ts_us < $T0 AND ts_us >= ${T0 - 86400000000L})
          |  WHERE rn = 1)
          |SELECT event_id, user_id, ts_us, value FROM early
          |UNION ALL
@@ -592,6 +738,19 @@ object SparkEntry {
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // capped variant: each group contributes only its first 4 members in
+    // ascending order (mirrors sort_array(collect_set) + slice(.., 1, 4))
+    "q_pairs_cooccur_capped" ->
+      """WITH m AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |r AS (SELECT l_orderkey, l_partkey,
+        |        row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+        |      FROM m),
+        |c AS (SELECT l_orderkey, l_partkey FROM r WHERE rn <= 4)
+        |SELECT a.l_partkey AS m1, b.l_partkey AS m2, count(*) AS score
+        |FROM c a JOIN c b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_pairs_related" ->
       """WITH edges AS (
         |  SELECT a.l_suppkey AS m1, b.l_suppkey AS m2, count(*) AS score
@@ -648,16 +807,10 @@ object SparkEntry {
         |             / len(string_split(text, ' '))), 6) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "q_jaccard" ->
-      s"""WITH ${shingleCte(2)},
-         |sz AS (SELECT doc, count(*) AS sz FROM s GROUP BY doc),
-         |inter AS (SELECT a.doc AS d1, b.doc AS d2, count(*) AS i
-         |          FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
-         |          GROUP BY 1, 2)
-         |SELECT d1, d2, round(CAST(i AS DOUBLE) / (a.sz + b.sz - i), 6) AS jaccard
-         |FROM inter JOIN sz a ON d1 = a.doc JOIN sz b ON d2 = b.doc
-         |WHERE round(CAST(i AS DOUBLE) / (a.sz + b.sz - i), 6) >= 0.5
-         |ORDER BY d1, d2""".stripMargin,
+    "q_jaccard" -> jaccardOracleSql,
+
+    // identical result set, produced by the distributed prefix-filtered plan
+    "q_jaccard_dist" -> jaccardOracleSql,
 
     "q_curation" ->
       """WITH stats AS (
@@ -718,17 +871,19 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, sim, rn AS rank FROM r WHERE rn <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
-    "q_embed_dedup" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
-         |        round(${cosineSql("a.v", "b.v")}, 6) AS sim
-         |      FROM e a, e b WHERE a.vec_id < b.vec_id)
-         |SELECT d1, d2, sim FROM p WHERE sim >= 0.45 ORDER BY d1, d2""".stripMargin,
+    "q_embed_dedup" -> embedDedupOracleSql,
+
+    // identical result set, produced by the distributed declarative join
+    "q_embed_dedup_dist" -> embedDedupOracleSql,
 
     "q_norm_stats" ->
       """SELECT label, count(*) AS n,
         |  round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_downsample_stateful" -> downsampleStatefulSql(6L * 3600L * 1000000L, 50.0),
+
+    "q_heartbeat" -> heartbeatSql(T1, nPvs = 5, maxBeatsPerGap = 80),
 
     "q_run_registry" ->
       s"""WITH r AS (

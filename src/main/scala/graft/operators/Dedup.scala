@@ -77,14 +77,19 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxDf: Option[Int] = None): DataFrame = {
+    // NOT cached despite the multiple self-references below: the operator
+    // must stay a pure lazy plan (no executor-memory lease the caller can't
+    // release), recompute of the map-only shingle pass is cheap relative to
+    // the joins, and AQE + parquet re-scan beat materializing an exploded
+    // (doc, shingle) frame that is ~10× the input size.
     val base = docShingles(df, id, text, n)
-    val ds = (maxDf match {
+    val ds = maxDf match {
       case Some(cap) =>
         val keep = base.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
           .where(col("__df") <= cap).select("shingle")
         base.join(keep, Seq("shingle"))
       case None => base
-    }).cache()
+    }
     val sizes = ds.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val dfreq = ds.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc")).orderBy(col("df"), col("shingle"))

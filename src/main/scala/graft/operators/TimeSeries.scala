@@ -32,9 +32,16 @@ object TimeSeries {
     * tmin", archiver.py:161-165), so as-of/LOCF consumers have a defined value
     * at the window start.
     *
-    * The early point is a per-key argmax over the pre-window slice — at scale
-    * Parquet min/max row-group stats keep the `< t0` scan from reading history
-    * beyond the previous partition.
+    * The early-point scan is BOUNDED to `[t0 - earlyLookbackUs, t0)`, exactly
+    * like the reference's one-day slice (archiver.py:192-206) — without the
+    * bound the argmax would read arbitrarily deep history at 100 TB. The
+    * lower bound is a pushed parquet filter (row-group pruning); pass
+    * `earlyLookbackUs = Long.MaxValue` for the unbounded scan. The heartbeat
+    * sweep (T3) guarantees ≥1 sample/PV/24 h, which is what makes the 1-day
+    * default lossless in the reference's own deployment.
+    *
+    * The top-1 itself is distributed (TakeOrderedAndProject: per-partition
+    * limit + driver merge) — never concentrates history on one task.
     */
   def getData(
       df: DataFrame,
@@ -43,13 +50,13 @@ object TimeSeries {
       ts: String,
       tieBreak: String,
       t0: Long,
-      t1: Long): DataFrame = {
+      t1: Long,
+      earlyLookbackUs: Long = 86400000000L): DataFrame = {
     val series = df.where(keyCol === keyValue)
     val inRange = series.where(col(ts) >= t0 && col(ts) < t1)
-    // distributed top-1 (TakeOrderedAndProject: per-partition limit + driver
-    // merge) — never concentrates the pre-window history on one task
+    val earlyLo = if (earlyLookbackUs >= t0) Long.MinValue else t0 - earlyLookbackUs
     val early = series
-      .where(col(ts) < t0)
+      .where(col(ts) < t0 && col(ts) >= earlyLo)
       .orderBy(col(ts).desc, col(tieBreak).desc)
       .limit(1)
     early.unionByName(inRange).orderBy(col(ts), col(tieBreak))
@@ -127,9 +134,13 @@ object TimeSeries {
     * window PARTITIONED by fixed-width time chunks, so no single ordered
     * partition ever holds more than one chunk of the grid. Cross-chunk
     * carry comes from a two-level scan: per-chunk last non-null values
-    * (map-side combinable `max_by`), a tiny cumulative pass over one row
-    * per chunk, and a broadcast join of those seeds back to the grid.
-    * Output is identical to [[locfAlign]].
+    * (map-side combinable `max_by`), a running `last(ignoreNulls)` over the
+    * ONE-ROW-PER-CHUNK frame (control-plane-sized — its single-partition
+    * window holds timeRange/chunkUs rows, never samples), and a broadcast
+    * join of those seeds back to the grid. Output is identical to
+    * [[locfAlign]], and the whole thing is ONE lazy plan — nothing executes
+    * at construction, so the operator composes (plan audits, caching,
+    * streaming `foreachBatch`) like any other transform.
     */
   def locfAlignChunked(
       df: DataFrame,
@@ -151,28 +162,23 @@ object TimeSeries {
       .agg(
         max_by(col(keys.head), when(col(keys.head).isNotNull, col(ts))).as(s"__last_${keys.head}"),
         keys.tail.map(k => max_by(col(k), when(col(k).isNotNull, col(ts))).as(s"__last_$k")): _*)
-    // cumulative carry across chunks by driver-side scan (the zipWithIndex
-    // control-plane pattern): one row per chunk — bounded by
-    // timeRange/chunkUs, and broadcast below regardless — so the carry loop
-    // touches control data only, never samples
-    val spark = df.sparkSession
-    val lastRows = lastPerChunk.orderBy(col("__chunk")).collect()
-    val carry = Array.fill[Any](keys.length)(null)
-    val seedRows = lastRows.map { r =>
-      val out = org.apache.spark.sql.Row.fromSeq(r.getLong(0) +: carry.toSeq)
-      keys.indices.foreach { i => val v = r.get(i + 1); if (v != null) carry(i) = v }
-      out
-    }
-    val seedSchema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("__chunk", org.apache.spark.sql.types.LongType, nullable = false) +:
-        keys.indices.map(i => org.apache.spark.sql.types.StructField(
-          s"__seed_${keys(i)}", lastPerChunk.schema(i + 1).dataType, nullable = true)))
-    val seeds = spark.createDataFrame(
-      spark.sparkContext.parallelize(seedRows.toIndexedSeq, 1), seedSchema)
-    // within-chunk LOCF, seeded by the previous chunks' carry
+    // seed of chunk c = last non-null of any STRICTLY EARLIER chunk: a
+    // running last(ignoreNulls) over rows (-inf, -1] of the per-chunk frame.
+    // This global window runs over one row per chunk (control data), so the
+    // WindowExec single-partition warning is benign here by construction.
+    val wSeed = Window.orderBy(col("__chunk")).rowsBetween(Window.unboundedPreceding, -1)
+    val seeds = lastPerChunk.select(
+      col("__chunk") +:
+        keys.map(k => last(col(s"__last_$k"), ignoreNulls = true).over(wSeed).as(s"__seed_$k")): _*)
+    // within-chunk LOCF, seeded by the previous chunks' carry (null-safe
+    // join key so a null-ts group keeps its seed row, like a plain window's
+    // nulls-first order)
     val wChunk = Window.partitionBy(col("__chunk")).orderBy(col(ts))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = keys.foldLeft(grid.join(broadcast(seeds), Seq("__chunk"))) { (acc, k) =>
+    val joined = grid.join(
+      broadcast(seeds.withColumnRenamed("__chunk", "__schunk")),
+      col("__chunk") <=> col("__schunk")).drop("__schunk")
+    val filled = keys.foldLeft(joined) { (acc, k) =>
       acc.withColumn(k, coalesce(last(col(k), ignoreNulls = true).over(wChunk), col(s"__seed_$k")))
     }
     filled
@@ -185,9 +191,15 @@ object TimeSeries {
     * to `row_number().over(Window.orderBy(ts, tieBreak))` but never moves the
     * data to one partition. Two-phase: number within fixed-width time chunks
     * (parallel per chunk), then offset each chunk by the cumulative count of
-    * earlier chunks (one row per chunk — tiny, broadcast). The chunk key
-    * `ts DIV chunkUs` is monotone in `ts`, so chunk-major order IS the global
-    * order, and ties (equal ts) land in the same chunk.
+    * earlier chunks. The chunk key `ts DIV chunkUs` is monotone in `ts`, so
+    * chunk-major order IS the global order, and ties (equal ts) land in the
+    * same chunk; null-ts rows form their own (first-ordered) chunk group,
+    * matching a plain window's nulls-first order.
+    *
+    * The prefix sum runs as a window over the one-row-per-chunk counts frame
+    * — control-plane-sized by construction (timeRange/chunkUs rows), lazy,
+    * and part of the same plan, so the operator composes and never runs
+    * side jobs at DataFrame-construction time.
     */
   def rowNumberChunked(
       df: DataFrame,
@@ -197,22 +209,18 @@ object TimeSeries {
       chunkUs: Long): DataFrame = {
     val withChunk = df.withColumn("__chunk", expr(s"$ts DIV ${chunkUs}L"))
     val counts = withChunk.groupBy(col("__chunk")).agg(count(lit(1)).as("__cnt"))
-    // chunk offsets by driver-side prefix sum over the per-chunk counts —
-    // the same control-plane job RDD.zipWithIndex runs over per-PARTITION
-    // counts (rdd/ZippedWithIndexRDD.scala); one (long, long) row per chunk,
-    // bounded by timeRange/chunkUs, never the data itself
-    val spark = df.sparkSession
-    var acc = 0L
-    val offs = counts.orderBy(col("__chunk")).collect().map { r =>
-      val o = acc; acc += r.getLong(1); (r.getLong(0), o)
-    }
-    import spark.implicits._
-    val offsets = offs.toSeq.toDF("__chunk", "__off")
+    val wOff = Window.orderBy(col("__chunk")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .select(col("__chunk"), col("__off"))
     val wIn = Window.partitionBy(col("__chunk")).orderBy(col(ts), col(tieBreak))
+    // null-safe join key: a null-ts chunk group must keep its offset row
+    // (a plain window orders nulls first; an equi-join would drop them)
     withChunk
-      .join(broadcast(offsets), Seq("__chunk"))
+      .join(broadcast(offsets.withColumnRenamed("__chunk", "__ochunk")),
+        col("__chunk") <=> col("__ochunk"))
       .withColumn(outCol, row_number().over(wIn).cast("long") + col("__off"))
-      .drop("__chunk", "__off")
+      .drop("__chunk", "__ochunk", "__off")
   }
 
   /** Q1 `cull_data` (web_utils.py:131-161): plot decimation that keeps every
@@ -247,6 +255,13 @@ object TimeSeries {
     * series fits the plot cap (reference: 30000 points, sample=3,
     * percent=15). Each iteration counts — the loop is driver-side control
     * flow over distributed passes, exactly like the reference's.
+    *
+    * Cache lifecycle: every pass is persisted so pass i+1 does not re-run
+    * the whole lineage of passes 1..i (quadratic recomputation); each
+    * intermediate is unpersisted as soon as its successor materializes. The
+    * RETURNED frame is still persisted — the loop has already materialized
+    * it (its final `count()`), so downstream reads are served from cache;
+    * call `.unpersist()` on the result when done with it.
     */
   def decimateToCap(
       df: DataFrame,

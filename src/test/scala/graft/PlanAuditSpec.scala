@@ -32,4 +32,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("get_data early-point scan pushes the bounded one-day lower bound") {
+    val plan = formatted("q_get_data")
+    // T0 - 1 day in raw nanos (DivRangePushdown rewrites ts_us bounds to ts)
+    assert(plan.contains("GreaterThanOrEqual(ts,1704585600000000000)"), plan)
+  }
+
+  test("distributed gate plans + chunked operators build lazily — no driver jobs at construction") {
+    // The 100 TB paths must be pure lazy plans: a collect() at DataFrame-
+    // construction time (the round-2 anti-pattern) would show up here as a
+    // Spark job. Building the executedPlan forces full analysis/planning.
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.add(js.stageInfos.map(_.name).mkString("/"))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val dir = "/root/testdata/sf0.001"
+      Seq("q_jaccard_dist", "q_embed_dedup_dist", "q_pairs_cooccur_capped",
+        "q_locf_align", "q_decimate", "q_get_data").foreach { q =>
+        SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+      }
+      org.apache.spark.GraftSparkTestHooks.waitListenerBus(spark.sparkContext)
+      // spark.read.parquet runs one footer/schema-inference job per table —
+      // scan setup, unavoidable without a user-supplied schema. Anything
+      // else (a collect()/count() in an operator) fails the audit.
+      val offenders = java.util.List.copyOf(jobs).toArray.map(_.toString)
+        .filterNot(_.startsWith("parquet at "))
+      assert(offenders.isEmpty, s"operator ran driver jobs at construction: ${offenders.mkString("; ")}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("q_jaccard_dist runs as distributed joins (no ExistingRDD from a driver collect)") {
+    val plan = formatted("q_jaccard_dist")
+    assert(!plan.contains("ExistingRDD"), plan)
+    assert(plan.contains("Join"), plan)
+  }
 }
