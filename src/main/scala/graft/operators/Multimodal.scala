@@ -6,12 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns for training-data pipelines: media as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * The Spark-side plumbing — schema, partitioning, batch shape, feature
-  * columns — is real and tested. The actual codecs (JPEG/PNG decode, audio
-  * resample, video frame extraction) are STUBBED with a deterministic fake
-  * (`???`-equivalent clearly marked below) because no image/audio libraries
-  * ship in this environment; swap [[StubCodec]] for a real one (e.g. javacv)
-  * without touching the operator shapes.
+  * Codecs: one REAL pure-JVM decoder per modality lives in [[Codecs]] —
+  * BMP/PPM images, WAV PCM16 audio, Y4M raw video — detected by magic
+  * bytes. Compressed formats (JPEG/PNG/MP3/H.264) would need native
+  * libraries this environment doesn't ship; payloads that aren't a
+  * recognized format fall back to the clearly-marked deterministic
+  * [[StubCodec]] so synthetic testdata keeps flowing through the same
+  * operator shapes.
   *
   * Scale shape: every operator is `mapPartitions` (no per-row JNI/codec
   * setup — one codec instance per partition, amortized), binary payloads
@@ -64,14 +65,40 @@ object Multimodal {
     }
   }
 
-  /** Decode image rows to pixel planes, one codec pass per partition. */
+  /** Decode image rows to pixel planes, one codec pass per partition.
+    * BMP/PPM payloads decode for real (dimensions come from the FILE, which
+    * wins over row metadata); other payloads fall back to [[StubCodec]]
+    * with the metadata geometry.
+    */
   def decodeImages(ds: Dataset[MediaRow]): Dataset[DecodedImage] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.filter(_.kind == "image").mapPartitions { it =>
       // per-partition codec init would go here (amortized over the batch)
-      it.map(m => DecodedImage(m.media_id, m.width, m.height,
-        StubCodec.decodeImage(m.payload, m.width, m.height)))
+      it.map { m =>
+        Codecs.decodeBmp(m.payload).orElse(Codecs.decodePpm(m.payload)) match {
+          case Some(p) => DecodedImage(m.media_id, p.width, p.height, p.pixels)
+          case None => DecodedImage(m.media_id, m.width, m.height,
+            StubCodec.decodeImage(m.payload, m.width, m.height))
+        }
+      }
+    }
+  }
+
+  case class DecodedAudio(media_id: Long, sampleRate: Int, channels: Int, samples: Array[Float])
+
+  /** Decode audio rows to mono PCM float waveforms. WAV PCM16 payloads
+    * decode for real; anything else is skipped (no fake waveform — a wrong
+    * sample rate would poison downstream resampling).
+    */
+  def decodeAudio(ds: Dataset[MediaRow]): Dataset[DecodedAudio] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter(_.kind == "audio").mapPartitions { it =>
+      it.flatMap { m =>
+        Codecs.decodeWav(m.payload).map(p =>
+          DecodedAudio(m.media_id, p.sampleRate, p.channels, p.samples))
+      }
     }
   }
 
@@ -108,19 +135,44 @@ object Multimodal {
 
   /** Sample every `everyMs` milliseconds of each video into frame features —
     * the `explode`-shaped op of the pack (one input row → many frames).
+    * Y4M payloads decode for real: the sampled timestamp maps to a frame
+    * index via the container's frame rate and the feature is a luma
+    * histogram of THAT frame. Other payloads use the stub sampler.
     */
-  def sampleFrames(ds: Dataset[MediaRow], everyMs: Long): Dataset[VideoFrame] = {
+  def sampleFrames(ds: Dataset[MediaRow], everyMs: Long, bins: Int = 16): Dataset[VideoFrame] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.filter(_.kind == "video").flatMap { m =>
-      val n = math.max(1, (m.durationMs / math.max(everyMs, 1)).toInt)
-      (0 until n).iterator.map { i =>
-        val tsMs = i * everyMs
-        // a real codec would seek to tsMs and decode that frame
-        val window = m.payload.drop((i * 7) % math.max(m.payload.length, 1))
-        VideoFrame(m.media_id, i, tsMs, StubCodec.feature(window))
+      Codecs.decodeY4m(m.payload) match {
+        case Some(v) =>
+          val durationMs = v.lumas.length.toLong * 1000L * v.frameRateDen / math.max(v.frameRateNum, 1)
+          val n = math.max(1, (durationMs / math.max(everyMs, 1)).toInt)
+          (0 until n).iterator.map { i =>
+            val tsMs = i * everyMs
+            val frameIdx = math.min(
+              (tsMs * v.frameRateNum / (1000L * v.frameRateDen)).toInt, v.lumas.length - 1)
+            VideoFrame(m.media_id, i, tsMs, lumaHistogram(v.lumas(frameIdx), bins))
+          }
+        case None =>
+          val n = math.max(1, (m.durationMs / math.max(everyMs, 1)).toInt)
+          (0 until n).iterator.map { i =>
+            val tsMs = i * everyMs
+            val window = m.payload.drop((i * 7) % math.max(m.payload.length, 1))
+            VideoFrame(m.media_id, i, tsMs, StubCodec.feature(window, bins))
+          }
       }
     }
+  }
+
+  /** Fixed-width histogram of a [0,1] luma plane (normalized to sum 1). */
+  private[operators] def lumaHistogram(plane: Array[Float], bins: Int): Array[Float] = {
+    val out = new Array[Float](bins)
+    plane.foreach { v =>
+      val b = math.min((v * bins).toInt, bins - 1)
+      out(math.max(b, 0)) += 1.0f
+    }
+    if (plane.nonEmpty) { var i = 0; while (i < bins) { out(i) /= plane.length; i += 1 } }
+    out
   }
 
   /** Metadata-level stats (pure built-ins; no decode). */

@@ -116,18 +116,38 @@ object Alerts {
     out.result()
   }
 
-  /** Batch replay of alert evaluation over an observation Dataset. */
+  /** Batch replay of alert evaluation over an observation Dataset.
+    * Secondary sort (shuffle on key + external within-partition sort +
+    * streaming run iterator), so a hot alert's full history never
+    * materializes on one executor.
+    */
   def replayBatch(
       ds: Dataset[Observation],
       configs: Map[Long, AlertConfig]): Dataset[AlertEvent] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.groupByKey(_.alertId).flatMapGroups { (id, it) =>
-      configs.get(id) match {
-        case Some(cfg) => replayKey(it.toVector.sortBy(o => (o.tsUs, o.value)), cfg).iterator
-        case None => Iterator.empty
+    import org.apache.spark.sql.functions.col
+    ds.repartition(col("alertId"))
+      .sortWithinPartitions(col("alertId"), col("tsUs"), col("value"))
+      .as[Observation]
+      .mapPartitions { it =>
+        var curId = Long.MinValue
+        var started = false
+        var st = InitState
+        var cfg: Option[AlertConfig] = None
+        it.flatMap { o =>
+          if (!started || o.alertId != curId) {
+            started = true; curId = o.alertId; st = InitState; cfg = configs.get(o.alertId)
+          }
+          cfg match {
+            case Some(c) =>
+              val (ev, st2) = onObservation(st, c, o)
+              st = st2
+              ev.iterator
+            case None => Iterator.empty
+          }
+        }
       }
-    }
   }
 
   /** Streaming form (SURVEY §2.9 T4). */

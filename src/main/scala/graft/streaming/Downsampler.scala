@@ -120,8 +120,12 @@ object Downsampler {
   }
 
   /** Batch replay over a Dataset — the deterministic twin used for
-    * correctness tests and backfills. One shuffle on the key; per-key sort
-    * happens in-memory per group (PV histories are deadtime-bounded).
+    * correctness tests and backfills. Secondary sort, not per-key
+    * materialization: one shuffle on the key, Spark's external
+    * (spill-capable) sort orders `(pvname, tsUs, value)` within partitions,
+    * and a streaming run iterator applies [[onEvent]] with O(1) state per
+    * key — a multi-year backfill of one hot PV cannot OOM an executor the
+    * way a `groupByKey` + in-memory sort would.
     */
   def replayBatch(
       ds: Dataset[RawSample],
@@ -129,10 +133,28 @@ object Downsampler {
       default: PvConfig = DefaultConfig): Dataset[Sample] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.groupByKey(_.pvname)
-      .flatMapGroups { (pv, it) =>
-        val cfg = configs.getOrElse(pv, default)
-        replayKey(it.toVector.sortBy(e => (e.tsUs, e.value)), cfg).iterator
+    import org.apache.spark.sql.functions.col
+    ds.repartition(col("pvname"))
+      .sortWithinPartitions(col("pvname"), col("tsUs"), col("value"))
+      .as[RawSample]
+      .mapPartitions { it =>
+        var curPv: String = null
+        var st: Option[State] = None
+        var cfg: PvConfig = default
+        def trailing(): Vector[Sample] =
+          // end-of-history flush: deadtime has trivially expired by "now"
+          st.flatMap(_.limbo).map(l => Sample(l.pvname, l.tsUs, l.value, l.cvalue)).toVector
+        val main = it.flatMap { e =>
+          val boundary = if (curPv != null && e.pvname != curPv) trailing() else Vector.empty
+          if (e.pvname != curPv) {
+            curPv = e.pvname; st = None; cfg = configs.getOrElse(e.pvname, default)
+          }
+          val (emits, s2) = onEvent(st, e, cfg)
+          st = Some(s2)
+          boundary ++ emits
+        }
+        // lazy tail: evaluated only after `main` is exhausted
+        main ++ Iterator.single(()).flatMap(_ => trailing())
       }
   }
 

@@ -58,14 +58,47 @@ object Heartbeat {
     out.result()
   }
 
+  /** Secondary-sort form: shuffle on the key, external sort within
+    * partitions on `(pvname, tsUs, value)` (the value tie-break keeps the
+    * carried value partition-order independent), then a streaming run
+    * iterator with O(1) state per key — no per-key materialization, so one
+    * hot PV's multi-year history cannot OOM an executor.
+    */
   def replayBatch(ds: Dataset[Sample], horizonUs: Long, seed: Long = 42L): Dataset[Sample] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.groupByKey(_.pvname).flatMapGroups { (_, it) =>
-      // (tsUs, value) sort: ties on tsUs must not leave the carried value
-      // partition-order dependent
-      replayKey(it.toVector.sortBy(s => (s.tsUs, s.value)), horizonUs, seed).iterator
-    }
+    import org.apache.spark.sql.functions.col
+    ds.repartition(col("pvname"))
+      .sortWithinPartitions(col("pvname"), col("tsUs"), col("value"))
+      .as[Sample]
+      .mapPartitions { it =>
+        var curPv: String = null
+        var last: Sample = null
+        var k = 0
+        def fill(until: Long): Vector[Sample] = {
+          if (last == null) Vector.empty
+          else {
+            val out = Vector.newBuilder[Sample]
+            var ts = last.tsUs
+            var interval = forceIntervalUs(last.pvname, k, seed)
+            while (ts + interval < until) {
+              ts += interval
+              out += Sample(last.pvname, ts, last.value, last.cvalue)
+              k += 1
+              interval = forceIntervalUs(last.pvname, k, seed)
+            }
+            out.result()
+          }
+        }
+        val main = it.flatMap { s =>
+          val boundary = if (curPv != null && s.pvname != curPv) fill(horizonUs) else Vector.empty
+          if (s.pvname != curPv) { curPv = s.pvname; last = null; k = 0 }
+          val gapFill = fill(s.tsUs)
+          last = s; k = 0
+          boundary ++ gapFill
+        }
+        main ++ Iterator.single(()).flatMap(_ => fill(horizonUs))
+      }
   }
 
   case class HbState(lastTs: Long, value: String, cvalue: String, k: Int)

@@ -28,6 +28,12 @@ object Ingest {
     * crash BETWEEN the parquet append and the marker write can still
     * duplicate one batch; a transactional sink (Delta/JDBC upsert keyed on
     * (pvname, tsUs)) is the fully-exactly-once deployment path.
+    *
+    * Markers go through the Hadoop `FileSystem` API resolved from `path`, so
+    * idempotence holds on HDFS/S3A/any object store the deployment actually
+    * archives to — `java.io.File` would silently report "no marker" off the
+    * local disk and double-write every replayed batch after a restart.
+    * `create(.., overwrite=false)` is the atomic claim on real filesystems.
     */
   def archiveTo(
       source: Dataset[RawSample],
@@ -39,22 +45,38 @@ object Ingest {
       limboTimeoutMs: Long = 1000L): StreamingQuery = {
     val spark = source.sparkSession
     import spark.implicits._
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
     val down = Downsampler.streaming(source, configs, timeoutMs = limboTimeoutMs)
     val w = down.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: Dataset[Sample], batchId: Long) =>
-        val marker = new java.io.File(s"$path/_batches/$batchId")
-        if (!marker.exists()) {
-          val df = batch.toDF()
-            .select(col("pvname"), col("tsUs"), col("value"), col("cvalue"))
-          SampleStore.write(SampleStore.normalize(df, runWidthUs), path)
-          marker.getParentFile.mkdirs()
-          marker.createNewFile()
-        }
-        ()
+        writeBatchIdempotent(batch, path, runWidthUs, batchId, hadoopConf)
       }
     checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** One micro-batch append, exactly as replayed after a restart: Structured
+    * Streaming re-invokes foreachBatch with the SAME `batchId` for any batch
+    * whose sink commit is not recorded, so a marker claimed per batch id
+    * makes the append idempotent. Public so the restart path is directly
+    * testable without forcing a checkpoint replay.
+    */
+  def writeBatchIdempotent(
+      batch: Dataset[Sample],
+      path: String,
+      runWidthUs: Long,
+      batchId: Long,
+      hadoopConf: org.apache.hadoop.conf.Configuration): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_batches/$batchId")
+    val fs = marker.getFileSystem(hadoopConf)
+    if (!fs.exists(marker)) {
+      val df = batch.toDF()
+        .select(col("pvname"), col("tsUs"), col("value"), col("cvalue"))
+      SampleStore.write(SampleStore.normalize(df, runWidthUs), path)
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, false).close()
+    }
   }
 
   /** The cache branch: latest value per PV. "update" is the Q6 shape —

@@ -111,6 +111,25 @@ class DownsamplerSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("replayBatch survives one huge key (secondary sort, no per-key materialization)") {
+    val sp = spark
+    import sp.implicits._
+    // one hot PV with 150k events (shuffled input order) + a small bystander:
+    // the old groupByKey + toVector form concentrated the hot key's whole
+    // history in one task's heap; the secondary-sort form streams it
+    val rnd = new scala.util.Random(7)
+    val hot = rnd.shuffle((0 until 150000).toVector).map { i =>
+      RawSample("HOT", i * 2 * S, (i % 97 * 1.0).toString, "")
+    }
+    val cold = (0 until 50).map(i => RawSample("COLD", i * 60 * S, i.toString, ""))
+    val got = replayBatch((hot ++ cold).toDS().repartition(8), Map.empty)
+      .collect().toVector.sortBy(s => (s.pvname, s.tsUs))
+    val want = ((hot ++ cold).groupBy(_.pvname).toVector.flatMap { case (_, es) =>
+      replayKey(es.sortBy(e => (e.tsUs, e.value)), DefaultConfig)
+    }).sortBy(s => (s.pvname, s.tsUs))
+    assert(got == want)
+  }
+
   test("streaming timeout flushes a quiet PV's limbo with its original timestamp") {
     val sp = spark
     import sp.implicits._

@@ -65,4 +65,28 @@ class IngestSpec extends SparkSpec {
     assert(latestRows("ING:a.VAL") == 59 * 2 * S)
     assert(latestRows("ING:b.VAL") == 9 * 30 * S)
   }
+
+  test("batch replay after restart is idempotent (marker claims via Hadoop FS)") {
+    val sp = spark
+    import sp.implicits._
+    graft.Engine.tune(sp)
+
+    val dir = Files.createTempDirectory("graft_ingest_replay").toString
+    val batch = Seq(
+      Downsampler.Sample("RPL:a.VAL", 10 * S, "1.0", "1.0"),
+      Downsampler.Sample("RPL:a.VAL", 20 * S, "2.0", "2.0"),
+      Downsampler.Sample("RPL:b.VAL", 15 * S, "on", "on")).toDS()
+    val conf = sp.sparkContext.hadoopConfiguration
+
+    // first delivery of batch 7 writes; a crash-and-restart redelivers the
+    // SAME batch id — the marker must swallow the duplicate append
+    Ingest.writeBatchIdempotent(batch, dir, runWidthUs = 60 * S, batchId = 7L, conf)
+    val afterFirst = SampleStore.read(sp, dir).count()
+    Ingest.writeBatchIdempotent(batch, dir, runWidthUs = 60 * S, batchId = 7L, conf)
+    assert(SampleStore.read(sp, dir).count() == afterFirst, "replayed batch double-wrote")
+
+    // a NEW batch id still appends
+    Ingest.writeBatchIdempotent(batch, dir, runWidthUs = 60 * S, batchId = 8L, conf)
+    assert(SampleStore.read(sp, dir).count() == afterFirst * 2)
+  }
 }
