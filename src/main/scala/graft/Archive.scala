@@ -21,16 +21,23 @@ class Archive(samples: DataFrame, cache: Option[DataFrame] = None) {
     * a single declarative pipeline; run/bucket pruning happens in the scan
     * when `samples` comes from the partitioned store.
     *
-    * With `withCurrent`, `nowUs` (the timestamp stamped on the cache row)
-    * is required, and the result carries the columns common to both
-    * sources — a store-backed `samples` frame has run/bucket columns the
-    * cache doesn't.
+    * `withCurrent = None` mirrors the reference's auto-enable
+    * (archiver.py:139-146): the cache row joins in whenever `t1Us` lands
+    * within a minute of `nowUs` — a caller asking for "history up to now"
+    * gets the live value without opting in. `Some(b)` forces it either way.
+    *
+    * When the cache row is used, `nowUs` (the timestamp stamped on it) is
+    * required, and the result carries the columns common to both sources —
+    * a store-backed `samples` frame has run/bucket columns the cache
+    * doesn't.
     */
-  def getData(pvname: String, t0Us: Long, t1Us: Long, withCurrent: Boolean = false,
-      nowUs: Long = -1L): DataFrame = {
+  def getData(pvname: String, t0Us: Long, t1Us: Long,
+      withCurrent: Option[Boolean] = None, nowUs: Long = -1L): DataFrame = {
+    val useCurrent = withCurrent.getOrElse(
+      nowUs >= 0 && math.abs(t1Us - nowUs) < 60L * 1000000L)
     val base = TimeSeries.getData(
       samples, col("pvname"), pvname, "tsUs", "tsUs", t0Us, t1Us)
-    val withCache = (cache, withCurrent) match {
+    val withCache = (cache, useCurrent) match {
       case (Some(c), true) =>
         require(nowUs >= 0, "getData(withCurrent = true) requires nowUs (the cache row's timestamp)")
         val cacheCols = c.columns.toSet

@@ -196,11 +196,14 @@ object SparkEntry {
         .orderBy(col("d1"), col("d2"))
     }),
 
-    // ---- same output via the DISTRIBUTED prefix-filtered plan (PPJoin
-    // family) — the 100 TB path: inverted-index join on rare-shingle
-    // prefixes, no driver collect anywhere in the plan --------------------
+    // ---- same output via the DISTRIBUTED block-partitioned sweep — the
+    // 100 TB exact path for dense corpora: no driver collect, no full
+    // broadcast, shuffle O(n·blocks), one task per block pair. (The
+    // prefix-filtered PPJoin form Dedup.ngramJaccard is the Zipfian-corpus
+    // alternative; on this dense small-vocab corpus prefixes prune nothing
+    // and it degenerates to a slower all-pairs.) ---------------------------
     "q_jaccard_dist" -> ((s, dir) => {
-      Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text", n = 2, threshold = 0.5)
+      Dedup.ngramJaccardBlocked(Tables.documents(s, dir), "doc_id", "text", n = 2, threshold = 0.5)
         .orderBy(col("d1"), col("d2"))
     }),
 
@@ -236,11 +239,13 @@ object SparkEntry {
         .orderBy(col("d1"), col("d2"))
     }),
 
-    // ---- same output via the DISTRIBUTED declarative join (no broadcast-
-    // size bound, no driver collect) — the fallback scale path when the
-    // embedding matrix exceeds executor memory ----------------------------
+    // ---- same output via the DISTRIBUTED block-partitioned sweep (no
+    // broadcast-size bound, no driver collect) — the exact scale path when
+    // the embedding matrix exceeds executor memory. (cosinePairsJoin is the
+    // declarative fallback; its per-pair UDF invocation over 25M boxed rows
+    // is ~60× this primitive-array sweep.) --------------------------------
     "q_embed_dedup_dist" -> ((s, dir) => {
-      Similarity.cosinePairsJoin(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45)
+      Similarity.cosinePairsBlocked(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45)
         .orderBy(col("d1"), col("d2"))
     }),
 

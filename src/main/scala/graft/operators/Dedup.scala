@@ -120,6 +120,31 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /** Exact Jaccard of two SORTED distinct-shingle arrays with the
+    * size-ratio filter and the early-exit merge-intersection; returns NaN
+    * when the pair cannot reach (or fails) the threshold. Shared by the
+    * broadcast and blocked sweeps so their arithmetic is bit-identical.
+    */
+  private[operators] def jaccardPair(a: Array[String], b: Array[String], threshold: Double): Double = {
+    val la = a.length; val lb = b.length
+    val maxInter = math.min(la, lb)
+    // size filter: even full containment cannot reach the threshold
+    if (Similarity.round6(maxInter.toDouble / (la + lb - maxInter)) < threshold) return Double.NaN
+    // minimal intersection for J >= t: inter >= t(la+lb)/(1+t)
+    val needed = math.ceil(threshold * (la + lb) / (1.0 + threshold) - 1e-9).toInt
+    var ai = 0; var bi = 0; var inter = 0
+    var live = true
+    while (live && ai < la && bi < lb) {
+      val c = a(ai).compareTo(b(bi))
+      if (c == 0) { inter += 1; ai += 1; bi += 1 }
+      else if (c < 0) ai += 1
+      else bi += 1
+      if (inter + math.min(la - ai, lb - bi) < needed) live = false
+    }
+    val jac = Similarity.round6(inter.toDouble / (la + lb - inter))
+    if (live && jac >= threshold) jac else Double.NaN
+  }
+
   /** Broadcast all-pairs form of [[ngramJaccard]] — identical output,
     * different physical strategy: collect each doc's sorted distinct
     * shingle set, broadcast, and sweep the (i, j) upper triangle with a
@@ -157,25 +182,61 @@ object Dedup {
           val (d1, a) = data(i)
           (i + 1 until nDocs).iterator.flatMap { j =>
             val (d2, b) = data(j)
-            val la = a.length; val lb = b.length
-            val maxInter = math.min(la, lb)
-            // size filter: even full containment cannot reach the threshold
-            if (Similarity.round6(maxInter.toDouble / (la + lb - maxInter)) < threshold)
-              Iterator.empty
-            else {
-              // minimal intersection for J >= t: inter >= t(la+lb)/(1+t)
-              val needed = math.ceil(threshold * (la + lb) / (1.0 + threshold) - 1e-9).toInt
-              var ai = 0; var bi = 0; var inter = 0
-              var live = true
-              while (live && ai < la && bi < lb) {
-                val c = a(ai).compareTo(b(bi))
-                if (c == 0) { inter += 1; ai += 1; bi += 1 }
-                else if (c < 0) ai += 1
-                else bi += 1
-                if (inter + math.min(la - ai, lb - bi) < needed) live = false
-              }
-              val jac = Similarity.round6(inter.toDouble / (la + lb - inter))
-              if (live && jac >= threshold) Iterator.single((d1, d2, jac)) else Iterator.empty
+            val jac = jaccardPair(a, b, threshold)
+            if (jac.isNaN) Iterator.empty else Iterator.single((d1, d2, jac))
+          }
+        }
+      }
+      .toDF("d1", "d2", "jaccard")
+  }
+
+  /** Block-partitioned exact all-pairs form of [[ngramJaccard]] — identical
+    * output, NO driver collect and NO full broadcast: docs are hashed into
+    * `blocks` groups, each group's shingle sets travel once per partner
+    * block (a shuffle of ~corpus×blocks bytes), and every unordered block
+    * pair `(b1 ≤ b2)` is one task running the same early-exit
+    * merge-intersection sweep as [[ngramJaccardBroadcast]].
+    *
+    * This is the 100 TB plan for DENSE corpora, where prefix filtering
+    * ([[ngramJaccard]]) degenerates to all-pairs anyway but pays three
+    * extra shuffles and a candidate-dedup to discover that: compute is the
+    * unavoidable O(n²/2) verify, communication is O(n·blocks), parallelism
+    * is blocks·(blocks+1)/2 independent tasks, and per-task memory is two
+    * blocks — tune `blocks` so a block fits comfortably in one task's heap.
+    */
+  def ngramJaccardBlocked(
+      df: DataFrame,
+      id: String,
+      text: String,
+      n: Int,
+      threshold: Double,
+      blocks: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sets = docShingles(df, id, text, n)
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_set(col("shingle"))).as("sh"))
+      .select(
+        pmod(col("doc"), lit(blocks)).cast("int").as("b"),
+        struct(col("doc").cast("long").as("_1"), col("sh").as("_2")).as("ds"))
+    val grouped = sets.groupBy(col("b")).agg(collect_list(col("ds")).as("docs"))
+    val lhs = grouped.select(col("b").as("b1"), col("docs").as("d1s"))
+    val rhs = grouped.select(col("b").as("b2"), col("docs").as("d2s"))
+    lhs.join(rhs, col("b1") <= col("b2"))
+      .select(col("b1"), col("b2"), col("d1s"), col("d2s"))
+      .as[(Int, Int, Array[(Long, Array[String])], Array[(Long, Array[String])])]
+      .mapPartitions { it =>
+        it.flatMap { case (bi, bj, as, bs) =>
+          val same = bi == bj
+          as.iterator.flatMap { case (id1, a) =>
+            // same-block halving by ID (collect_list order is not
+            // deterministic across the two join sides, so index-based
+            // halving would double/miss pairs)
+            val partner = if (same) bs.iterator.filter(_._1 > id1) else bs.iterator
+            partner.flatMap { case (id2, b) =>
+              val jac = jaccardPair(a, b, threshold)
+              if (jac.isNaN) Iterator.empty
+              else Iterator.single((math.min(id1, id2), math.max(id1, id2), jac))
             }
           }
         }

@@ -153,6 +153,64 @@ object Similarity {
       .toDF("d1", "d2", "sim")
   }
 
+  /** Block-partitioned exact all-pairs form of [[cosinePairs]] — identical
+    * output, NO driver collect and NO full broadcast: vectors are hashed
+    * into `blocks` groups, each group travels once per partner block (a
+    * shuffle of ~corpus×blocks bytes), and every unordered block pair is
+    * one task running a primitive-array dot-product sweep (norms computed
+    * once per block side). The 100 TB exact path when the matrix exceeds
+    * executor memory: compute is the unavoidable O(n²/2) scoring,
+    * communication O(n·blocks), parallelism blocks·(blocks+1)/2 tasks.
+    */
+  def cosinePairsBlocked(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      threshold: Double,
+      blocks: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sets = df.select(
+      pmod(col(id), lit(blocks)).cast("int").as("b"),
+      struct(col(id).cast("long").as("_1"), col(vec).as("_2")).as("dv"))
+    val grouped = sets.groupBy(col("b")).agg(collect_list(col("dv")).as("vs"))
+    val lhs = grouped.select(col("b").as("b1"), col("vs").as("v1s"))
+    val rhs = grouped.select(col("b").as("b2"), col("vs").as("v2s"))
+    lhs.join(rhs, col("b1") <= col("b2"))
+      .select(col("b1"), col("b2"), col("v1s"), col("v2s"))
+      .as[(Int, Int, Array[(Long, Array[Float])], Array[(Long, Array[Float])])]
+      .mapPartitions { it =>
+        def norms(vs: Array[(Long, Array[Float])]): Array[Double] = vs.map { case (_, v) =>
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+          math.sqrt(s)
+        }
+        it.flatMap { case (bi, bj, as, bs) =>
+          // same-block halving is by ID, not index: collect_list order is
+          // not deterministic across the two join sides even for b1 == b2
+          val same = bi == bj
+          val nb = norms(bs)
+          val na = norms(as)
+          as.iterator.zipWithIndex.flatMap { case ((id1, vi), i) =>
+            val ni = na(i)
+            bs.indices.iterator.flatMap { j =>
+              val (id2, vj) = bs(j)
+              if (same && id2 <= id1) Iterator.empty
+              else {
+                var sab = 0.0; var k = 0; val len = math.min(vi.length, vj.length)
+                while (k < len) { sab += vi(k).toDouble * vj(k).toDouble; k += 1 }
+                val sim = round6(sab / (ni * nb(j)))
+                if (sim >= threshold)
+                  Iterator.single((math.min(id1, id2), math.max(id1, id2), sim))
+                else Iterator.empty
+              }
+            }
+          }
+        }
+      }
+      .toDF("d1", "d2", "sim")
+  }
+
   /** Declarative join form of [[cosinePairs]] — no broadcast-size bound,
     * one nested-loop join; the scale fallback when the matrix cannot be
     * broadcast and bucketing is not acceptable.

@@ -76,8 +76,16 @@ object SampleStore {
     * column scan. In Parquet terms this IS the "zarr copy": columnar,
     * compressed, min/max-indexed; kept as an explicit compaction job for
     * closed runs.
+    *
+    * `pvMeta` is the attrs sidecar — save_zarr's per-PV `grp.attrs`
+    * (description/type/deadtime/deadband/graph_*, archiver.py:576-582)
+    * written as one parquet under `<path>/_attrs`. The underscore prefix
+    * makes it invisible to data reads of `path` (Hadoop hidden-file
+    * convention) while [[readAttrs]] fetches it explicitly — the same
+    * data/metadata separation the zarr layout gives.
     */
-  def exportRunSorted(samples: DataFrame, path: String): Unit =
+  def exportRunSorted(samples: DataFrame, path: String,
+      pvMeta: Option[DataFrame] = None): Unit = {
     samples
       .repartition(col("run"))
       // run first: satisfies the writer's required ordering so the
@@ -87,6 +95,13 @@ object SampleStore {
       .mode(SaveMode.Overwrite)
       .partitionBy("run")
       .parquet(path)
+    pvMeta.foreach(
+      _.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_attrs"))
+  }
+
+  /** Read back the attrs sidecar written by [[exportRunSorted]]. */
+  def readAttrs(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/_attrs")
 
   /** S7 plain-text dump (pvarch save / mysqldump ≈ CSV per run). */
   def dumpCsv(samples: DataFrame, path: String): Unit =

@@ -30,9 +30,25 @@ class ArchiveSpec extends SparkSpec {
     // 20s is the early point before tmin=25s; 30/40 in range
     assert(plain.toSeq == Seq((20 * S, "2.0"), (30 * S, "3.0"), (40 * S, "4.0")))
 
-    val withCur = a.getData("pv1", 25 * S, 45 * S, withCurrent = true, nowUs = 50 * S)
+    val withCur = a.getData("pv1", 25 * S, 45 * S, withCurrent = Some(true), nowUs = 50 * S)
       .collect().map(r => (r.getAs[Long]("tsUs"), r.getAs[String]("value")))
     assert(withCur.toSeq == Seq((20 * S, "2.0"), (30 * S, "3.0"), (40 * S, "4.0"), (50 * S, "9.9")))
+  }
+
+  test("getData auto-enables with_current when tmax lands near now (archiver.py:139-146)") {
+    val a = new Archive(samplesDf, Some(cacheDf))
+    // t1 = 45s is within 60s of now = 50s -> live cache row joins in unasked
+    val auto = a.getData("pv1", 25 * S, 45 * S, nowUs = 50 * S)
+      .collect().map(_.getAs[Long]("tsUs"))
+    assert(auto.toSeq == Seq(20 * S, 30 * S, 40 * S, 50 * S))
+    // an historical window (t1 far from now) stays history-only
+    val hist = a.getData("pv1", 25 * S, 45 * S, nowUs = 500 * S)
+      .collect().map(_.getAs[Long]("tsUs"))
+    assert(hist.toSeq == Seq(20 * S, 30 * S, 40 * S))
+    // Some(false) forces it off even at the live edge
+    val forced = a.getData("pv1", 25 * S, 45 * S, withCurrent = Some(false), nowUs = 50 * S)
+      .collect().map(_.getAs[Long]("tsUs"))
+    assert(forced.toSeq == Seq(20 * S, 30 * S, 40 * S))
   }
 
   test("valueAtTime returns the latest at-or-before row (Q2)") {

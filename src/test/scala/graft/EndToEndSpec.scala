@@ -51,7 +51,7 @@ class EndToEndSpec extends SparkSpec {
     val samples = SampleStore.read(sp, dir)
     val cache = Seq(("E2E:fast.VAL", 300 * S, "9999.0")).toDF("pvname", "tsUs", "value")
     val archive = new Archive(samples.select(col("pvname"), col("tsUs"), col("value")), Some(cache))
-    val got = archive.getData("E2E:fast.VAL", 60 * S, 301 * S, withCurrent = true, nowUs = 300 * S)
+    val got = archive.getData("E2E:fast.VAL", 60 * S, 301 * S, withCurrent = Some(true), nowUs = 300 * S)
       .collect().map(r => (r.getAs[Long]("tsUs"), r.getAs[String]("value")))
     // one point before tmin, all archived in range, then the cache row last
     assert(got.head._1 < 60 * S)

@@ -39,6 +39,13 @@ class DedupSpec extends SparkSpec {
     assert(a.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0)) // exact dup pair
     assert(a.exists(p => p._1 == 1L && p._2 == 3L && p._3 > 0.5)) // near dup pair
     assert(!a.exists(p => p._2 == 4L))
+    // block-partitioned sweep (the no-broadcast scale path) agrees too,
+    // including blocks larger than the doc count (empty blocks)
+    Seq(2, 7).foreach { blocks =>
+      val c = Dedup.ngramJaccardBlocked(docs, "doc_id", "text", n = 2, threshold = 0.3, blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+      assert(c.toSeq == a.toSeq, s"blocks=$blocks")
+    }
   }
 
   test("minhash signatures identical for identical docs, close for near-dups") {

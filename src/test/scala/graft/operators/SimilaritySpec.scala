@@ -39,6 +39,12 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
     assert(a.toSeq == b.toSeq)
     assert(a.length == 6) // all (i<j) pairs of 4 vectors
+    // block-partitioned sweep (the no-broadcast scale path) agrees too
+    Seq(2, 3, 9).foreach { blocks =>
+      val c = Similarity.cosinePairsBlocked(vecs, "vec_id", "embedding", threshold = -1.0, blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+      assert(c.toSeq == a.toSeq, s"blocks=$blocks")
+    }
   }
 
   test("bucketedKnn: same-bucket neighbors only, deterministic buckets") {

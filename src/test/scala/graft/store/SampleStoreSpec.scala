@@ -52,6 +52,28 @@ class SampleStoreSpec extends SparkSpec {
     assert(csv.count() == 100)
   }
 
+  test("exportRunSorted attrs sidecar: per-PV metadata rides along, invisible to data reads") {
+    val sp = spark
+    import sp.implicits._
+    val dir = Files.createTempDirectory("graft_export_attrs").toString
+    val raw = (0 until 20).map { i =>
+      (s"X:pv${i % 2}.VAL", i * 10 * S, "1.0", "1.0")
+    }.toDF("pvname", "tsUs", "value", "cvalue")
+    // the save_zarr grp.attrs columns (archiver.py:576-582)
+    val meta = Seq(
+      ("X:pv0.VAL", "beam current", "double", 5.0, 0.1, Double.box(250.0), Double.box(0.0), "line"),
+      ("X:pv1.VAL", "shutter", "enum", 10.0, 0.0, null.asInstanceOf[java.lang.Double], null.asInstanceOf[java.lang.Double], "discrete"))
+      .toDF("pvname", "description", "type", "deadtime", "deadband", "graph_hi", "graph_lo", "graph_type")
+    SampleStore.exportRunSorted(SampleStore.normalize(raw, runWidth), s"$dir/sorted", Some(meta))
+    // data reads of the export see ONLY samples (underscore path is hidden)
+    assert(sp.read.parquet(s"$dir/sorted").count() == 20)
+    assert(!sp.read.parquet(s"$dir/sorted").columns.contains("description"))
+    // the sidecar reads back complete
+    val attrs = SampleStore.readAttrs(sp, s"$dir/sorted")
+      .collect().map(r => (r.getAs[String]("pvname"), r.getAs[String]("type"))).sorted
+    assert(attrs.toSeq == Seq(("X:pv0.VAL", "double"), ("X:pv1.VAL", "enum")))
+  }
+
   test("runRegistry marks the newest run current with per-run spans") {
     val sp = spark
     import sp.implicits._

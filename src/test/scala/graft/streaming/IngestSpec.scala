@@ -89,4 +89,46 @@ class IngestSpec extends SparkSpec {
     Ingest.writeBatchIdempotent(batch, dir, runWidthUs = 60 * S, batchId = 8L, conf)
     assert(SampleStore.read(sp, dir).count() == afterFirst * 2)
   }
+
+  test("JDBC sink upserts keyed (pvname, ts_us): replay is a no-op, updates win (embedded Derby)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val url = "jdbc:derby:memory:graft_ingest_jdbc;create=true"
+
+    // stream through the full topology: source -> T2 downsampler -> JDBC
+    val input = MemoryStream[RawSample]
+    val q = Ingest.jdbcArchiveTo(input.toDS(), url, "archive",
+      configs = Map("JDB:a.VAL" -> PvConfig("double", 5 * S, 0.5)),
+      triggerMs = 50L, limboTimeoutMs = 0L)
+    try {
+      input.addData((0 until 20).map(i => RawSample("JDB:a.VAL", i * 10 * S, s"$i.0", s"$i.0")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def all(): Vector[(String, Long, String)] = {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement()
+          .executeQuery("SELECT pvname, ts_us, value FROM archive ORDER BY pvname, ts_us")
+        val out = Vector.newBuilder[(String, Long, String)]
+        while (rs.next()) out += ((rs.getString(1), rs.getLong(2), rs.getString(3)))
+        out.result()
+      } finally conn.close()
+    }
+    val first = all()
+    assert(first.nonEmpty && first.forall(_._1 == "JDB:a.VAL"))
+
+    // crash-and-replay: the SAME downsampled batch upserts the same keys
+    val replay = first.map { case (pv, ts, v) => Downsampler.Sample(pv, ts, v, v) }.toDS()
+    Ingest.jdbcUpsertBatch(replay, url, "archive")
+    assert(all() == first, "replayed upsert changed the table")
+
+    // an upsert with a corrected value for an existing key updates in place
+    val fix = Seq(Downsampler.Sample("JDB:a.VAL", first.head._2, "99.5", "99.5")).toDS()
+    Ingest.jdbcUpsertBatch(fix, url, "archive")
+    val after = all()
+    assert(after.size == first.size)
+    assert(after.head._3 == "99.5")
+  }
 }
