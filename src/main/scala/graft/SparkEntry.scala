@@ -284,8 +284,8 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- LSH-bucketed approximate KNN (scale path; rows-only check: the
-    // seeded gaussian hyperplanes are not expressible in portable SQL) ------
+    // ---- LSH-bucketed approximate KNN (scale path). Oracle-checked: the
+    // seeded gaussian hyperplanes are embedded in the SQL as literals ------
     "q_knn_bucketed" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.bucketedKnn(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
@@ -336,7 +336,8 @@ object SparkEntry {
       graft.store.SampleStore.runRegistry(samples)
     }),
 
-    // ---- IVF approximate KNN (rows-only: seeded k-means quantizer) ---------
+    // ---- IVF approximate KNN. Oracle-checked via dataDependentOracles:
+    // Verify trains the same seeded quantizer and embeds the centroids -----
     "q_knn_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfKnn(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
@@ -376,7 +377,11 @@ object SparkEntry {
       Multimodal.mediaStats(media).orderBy(col("kind"))
     }),
 
-    // ---- multimodal feature extraction (rows-only: stub codec histograms) --
+    // ---- multimodal feature extraction. Oracle-checked: the stub-codec
+    // byte histogram is portable SQL over ASCII payloads; bins 1 and 3
+    // (bytes 32-63 / 96-127: punctuation+digits vs lowercase) carry the
+    // signal for text payloads, and the oracle mirrors the FLOAT division
+    // so round(.., 6) agrees bit-for-bit ------------------------------------
     "q_media_features" -> ((s, dir) => {
       import s.implicits._
       val media = Tables.documents(s, dir)
@@ -389,8 +394,8 @@ object SparkEntry {
       Multimodal.extractFeatures(media, bins = 8)
         .toDF()
         .select(col("media_id"), col("kind"),
-          round(element_at(col("feature"), 1), 6).as("f0"),
-          round(element_at(col("feature"), 8), 6).as("f7"))
+          round(element_at(col("feature"), 2).cast("double"), 6).as("f1"),
+          round(element_at(col("feature"), 4).cast("double"), 6).as("f3"))
         .orderBy(col("media_id"))
     }),
 
@@ -615,6 +620,77 @@ object SparkEntry {
        |WHERE g.ts_us + iv.c < g.until
        |ORDER BY g.pvname, ts_us""".stripMargin
   }
+
+  /** Seeded random-hyperplane literals — the SAME PRNG stream as
+    * [[Similarity.randomHyperplaneBuckets]], rendered as DuckDB DOUBLE[]
+    * literals (shortest-repr doubles round-trip exactly through SQL
+    * parsing, so the planes are bit-identical on both engines).
+    */
+  private def hyperplaneLits(planes: Int, dim: Int, seed: Long = 7L): Seq[String] = {
+    val rng = new scala.util.Random(seed)
+    (0 until planes).map(_ => "[" + Array.fill(dim)(rng.nextGaussian()).mkString(", ") + "]")
+  }
+
+  /** LSH-bucketed KNN oracle: bucket = sign pattern against the literal
+    * hyperplanes, then same-bucket cosine top-k — mirrors
+    * [[Similarity.bucketedKnn]] exactly (the only cross-engine freedom is
+    * dot-product summation order, which can flip a bucket bit only when a
+    * dot lands within an ulp of zero — vanishing for gaussian planes).
+    */
+  private def knnBucketedSql(k: Int, planes: Int, dim: Int): String = {
+    val lits = hyperplaneLits(planes, dim)
+    val bucketExpr = (0 until planes).map { p =>
+      s"(CASE WHEN list_dot_product(v, ${lits(p)}) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" | ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM b),
+       |sc AS (SELECT query_id, neighbor_id, round(${cosineSql("qv", "cv")}, 6) AS sim
+       |       FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM sc)
+       |SELECT query_id, neighbor_id, sim, rn AS rank FROM r WHERE rn <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** IVF KNN oracle around Verify-time centroids: the coarse quantizer is
+    * trained by the SAME seeded Scala k-means the operator uses
+    * ([[Similarity.trainIvfCentroids]]) and embedded as literals; the SQL
+    * then mirrors assignment (first-nearest cell), probing (nprobe nearest
+    * cells by (distance, cell)), and same-cell cosine top-k.
+    */
+  private def ivfSql(cents: Array[Array[Double]], k: Int, nprobe: Int): String = {
+    val lits = cents.map(c => "[" + c.mkString(", ") + "]")
+    val n = lits.length
+    val dists = (0 until n).map(i => s"list_distance(v, ${lits(i)}) AS d$i").mkString(", ")
+    val m = s"least(${(0 until n).map("d" + _).mkString(", ")})"
+    val cellCase = "CASE " + (0 until n).map(i => s"WHEN d$i = $m THEN $i").mkString(" ") + " END"
+    val probeStructs = (0 until n).map(i => s"{'cell': $i, 'd': d$i}").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dd AS (SELECT vec_id, v, $dists FROM e),
+       |cb AS (SELECT vec_id AS neighbor_id, v AS cv, $cellCase AS cell FROM dd),
+       |qq AS (SELECT vec_id, v, unnest([$probeStructs]) AS u FROM dd WHERE vec_id < 5),
+       |qp AS (SELECT vec_id AS query_id, v AS qv, u.cell AS cell,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY u.d, u.cell) AS pr FROM qq),
+       |q AS (SELECT query_id, qv, cell FROM qp WHERE pr <= $nprobe),
+       |sc AS (SELECT query_id, neighbor_id, round(${cosineSql("qv", "cv")}, 6) AS sim
+       |       FROM q JOIN cb USING (cell) WHERE query_id <> neighbor_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM sc)
+       |SELECT query_id, neighbor_id, sim, rn AS rank FROM r WHERE rn <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Oracles whose SQL embeds values derived from the DATA (not just from
+    * seeds): generated by Verify at dump time with the engine's own
+    * deterministic training code, then checked by DuckDB like any other
+    * entry. Currently: the IVF coarse quantizer's centroids.
+    */
+  def dataDependentOracles(spark: SparkSession, dir: String): Map[String, String] = Map(
+    "q_knn_ivf" -> {
+      val cents = Similarity.trainIvfCentroids(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, seed = 42L)
+      ivfSql(cents, k = 5, nprobe = 3)
+    })
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -889,6 +965,26 @@ object SparkEntry {
     "q_downsample_stateful" -> downsampleStatefulSql(6L * 3600L * 1000000L, 50.0),
 
     "q_heartbeat" -> heartbeatSql(T1, nPvs = 5, maxBeatsPerGap = 80),
+
+    "q_knn_bucketed" -> knnBucketedSql(k = 5, planes = 4, dim = 64),
+
+    // stub-codec byte histogram over ASCII payloads; FLOAT division
+    // mirrored so round(.., 6) agrees with the operator's Float math
+    "q_media_features" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    list_transform(generate_series(1, length(text)),
+        |                   i -> unicode(substr(text, i, 1)) // 32) AS bins,
+        |    length(text) AS n
+        |  FROM documents)
+        |SELECT media_id, kind,
+        |  round(CAST(CAST(len(list_filter(bins, x -> x = 1)) AS FLOAT)
+        |             / CAST(n AS FLOAT) AS DOUBLE), 6) AS f1,
+        |  round(CAST(CAST(len(list_filter(bins, x -> x = 3)) AS FLOAT)
+        |             / CAST(n AS FLOAT) AS DOUBLE), 6) AS f3
+        |FROM b ORDER BY media_id""".stripMargin,
 
     "q_run_registry" ->
       s"""WITH r AS (

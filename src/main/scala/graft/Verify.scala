@@ -34,7 +34,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // static oracles + the data-dependent ones (IVF centroids trained here
+    // with the engine's own seeded code, embedded as SQL literals)
+    val oracles = SparkEntry.oracleSql ++ SparkEntry.dataDependentOracles(spark, sfDir)
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
