@@ -429,6 +429,26 @@ object SparkEntry {
         .orderBy(col("day_us"), col("event_type"))
     }),
 
+    // ---- Q5 string-PV table: char-array waveform decoded to (iso, value)
+    // rows; the waveform is derived from event_type with a NUL + trailing
+    // junk so the F9 truncation path is what the oracle actually checks ----
+    "q_string_table" -> ((s, dir) => {
+      val wave = events(s, dir)
+        .where(col("event_type") === "view" && col("ts_us") >= T0 && col("ts_us") < TMID)
+        .withColumn("wave",
+          concat(
+            transform(split(col("event_type"), ""), c => ascii(c)),
+            array(lit(0), lit(88), lit(89))))
+      Export.stringPvTable(wave, "ts_us", "wave")
+    }),
+
+    // ---- Q4 plot-trace assembly: cull (Q1) + iso x-axis + numeric y ------
+    "q_plot_trace" -> ((s, dir) => {
+      val e = events(s, dir)
+        .where(col("event_type") === "error" && col("ts_us") >= T0 && col("ts_us") < T1)
+      Export.plotTrace(e, "ts_us", "event_id", "value", sample = 5, percent = 10.0)
+    }),
+
     // ---- S10 export projection (time formatting pack) ----------------------
     "q_export_rows" -> ((s, dir) => {
       events(s, dir)
@@ -1018,6 +1038,29 @@ object SparkEntry {
     "q_props_json" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // F9's NUL truncation makes the decoded waveform exactly event_type
+    "q_string_table" ->
+      s"""SELECT epoch_us(ts) AS ts_us,
+         |  strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%d %H:%M:%S.%g') AS iso,
+         |  event_type AS value
+         |FROM events
+         |WHERE event_type = 'view' AND epoch_us(ts) >= $T0 AND epoch_us(ts) < $TMID
+         |ORDER BY ts_us""".stripMargin,
+
+    "q_plot_trace" ->
+      s"""WITH e AS (
+         |  SELECT epoch_us(ts) AS ts_us, event_id, value FROM events
+         |  WHERE event_type = 'error' AND epoch_us(ts) >= $T0 AND epoch_us(ts) < $T1),
+         |b AS (SELECT quantile_cont(CAST(value AS DOUBLE), CAST(0.1 AS DOUBLE)) AS lo,
+         |             quantile_cont(CAST(value AS DOUBLE), CAST(0.9 AS DOUBLE)) AS hi FROM e),
+         |r AS (SELECT ts_us, event_id, value, row_number() OVER (ORDER BY ts_us, event_id) AS rn FROM e)
+         |SELECT ts_us, event_id,
+         |  strftime(make_timestamp(ts_us), '%Y-%m-%d %H:%M:%S.%g') AS x,
+         |  CAST(value AS DOUBLE) AS y
+         |FROM r, b
+         |WHERE (rn - 1) % 5 = 0 OR value < lo OR value > hi
+         |ORDER BY ts_us, event_id""".stripMargin,
 
     "q_export_rows" ->
       s"""SELECT event_id, epoch_us(ts) AS ts_us,

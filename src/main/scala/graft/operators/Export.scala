@@ -67,6 +67,58 @@ object Export {
         |""".stripMargin
   }
 
+  /** Q5 — the string-PV table (webapp.py:390-394): the first string-typed
+    * PV's window rendered as `(iso timestamp, decoded value)` rows — F8
+    * `ts2iso` + F9 `chararray_as_string` composed as one distributed
+    * projection over a [[TimeSeries.getData]] window. `charArr` is the
+    * int-array waveform column (decoded up to the first NUL).
+    */
+  def stringPvTable(df: DataFrame, tsUs: String, charArr: String): DataFrame =
+    df.select(
+      col(tsUs),
+      PvFunctions.ts2iso(col(tsUs)).as("iso"),
+      PvFunctions.charArrayAsString(col(charArr)).as("value"))
+      .orderBy(col(tsUs))
+
+  /** Q4 — engine side of plot assembly (webapp.py:396-409 +
+    * web_utils.py:177-237): cull the series (Q1 decimation — the driver
+    * loop to the 30k cap is [[TimeSeries.decimateToCap]]), then emit the
+    * plot frame: `x` = ISO timestamps, `y` = numeric values. Layout, enum
+    * tick labels, and colors are presentation-layer per SURVEY §2.10.
+    */
+  def plotTrace(
+      df: DataFrame,
+      tsUs: String,
+      tieBreak: String,
+      value: String,
+      sample: Int = 3,
+      percent: Double = 15.0): DataFrame =
+    TimeSeries.decimate(df, tsUs, tieBreak, value, sample, percent)
+      .select(
+        col(tsUs),
+        col(tieBreak),
+        PvFunctions.ts2iso(col(tsUs)).as("x"),
+        col(value).cast("double").as("y"))
+      .orderBy(col(tsUs), col(tieBreak))
+
+  /** Q4 helper — `auto_ylog`'s DOCUMENTED heuristic (web_utils.py:113-127):
+    * a non-negative series goes log-scale when its 1st-99th percentile
+    * spread (over values > 1e-150) exceeds ×200. The reference SHIPS this
+    * disabled (the function body returns False); the aggregation is
+    * provided for deployments that re-enable it — one distributed pass,
+    * one 3-value row to the driver.
+    */
+  def autoYLog(df: DataFrame, value: String): Boolean = {
+    val r = df.agg(
+      min(col(value).cast("double")).as("mn"),
+      expr(s"percentile(CASE WHEN $value > 1e-150 THEN CAST($value AS DOUBLE) END, 0.01)").as("p01"),
+      expr(s"percentile(CASE WHEN $value > 1e-150 THEN CAST($value AS DOUBLE) END, 0.99)").as("p99"))
+      .collect()(0)
+    !r.isNullAt(0) && r.getDouble(0) >= 0 &&
+      !r.isNullAt(1) && !r.isNullAt(2) && r.getDouble(1) > 0 &&
+      r.getDouble(2) / r.getDouble(1) > 200.0
+  }
+
   /** S12 save/restore writer (util.py:391-424), byte-parity with
     * `write_saverestore`: flavor headers, `cmt`-prefixed extra header
     * lines, and per-flavor value lines (values UNQUOTED in idl/python, two

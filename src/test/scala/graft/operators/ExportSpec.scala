@@ -26,6 +26,43 @@ class ExportSpec extends SparkSpec {
     assert(h.endsWith("# ts           value        date      time\n"))
   }
 
+  test("stringPvTable decodes char-array waveforms to (iso, value) rows (Q5)") {
+    val sp = spark
+    import sp.implicits._
+    // "Open" + NUL + junk: F9 must stop at the NUL
+    val df = Seq(
+      (1704672000000000L, Seq(79, 112, 101, 110, 0, 88)),
+      (1704672001500000L, Seq(83, 104, 117, 116))).toDF("tsUs", "wave")
+    val got = Export.stringPvTable(df, "tsUs", "wave")
+      .collect().map(r => (r.getAs[String]("iso"), r.getAs[String]("value")))
+    assert(got.toSeq == Seq(
+      ("2024-01-08 00:00:00.000", "Open"),
+      ("2024-01-08 00:00:01.500", "Shut")))
+  }
+
+  test("plotTrace culls and emits iso-x/numeric-y plot frames (Q4)") {
+    val sp = spark
+    import sp.implicits._
+    val df = (0 until 100).map(i => (i.toLong * 1000000L, i.toLong, i * 1.0))
+      .toDF("tsUs", "id", "v")
+    val got = Export.plotTrace(df, "tsUs", "id", "v", sample = 10, percent = 10.0).collect()
+    // every 10th row + the <p10 / >p90 outliers, x formatted, y double
+    assert(got.length > 10 && got.length < 40)
+    assert(got.head.getAs[String]("x").startsWith("1970-01-01 00:00:00"))
+    assert(got.map(_.getAs[Double]("y")).toSeq == got.map(_.getAs[Double]("y")).toSeq.sorted)
+  }
+
+  test("autoYLog: documented percentile-spread rule (web_utils.py:113-127)") {
+    val sp = spark
+    import sp.implicits._
+    // 4 decades of positive spread -> log
+    assert(Export.autoYLog((1 to 1000).map(i => math.pow(10, i % 5 * 1.0)).toDF("v"), "v"))
+    // narrow spread -> linear
+    assert(!Export.autoYLog((1 to 1000).map(_.toDouble % 7 + 1).toDF("v"), "v"))
+    // any negative value -> linear
+    assert(!Export.autoYLog(Seq(-1.0, 10.0, 1e6).toDF("v"), "v"))
+  }
+
   test("saveRestore matches write_saverestore byte-for-byte (util.py:391-424)") {
     val vals = Seq("XX:m1.VAL" -> "1.5", "XX:s1.VAL" -> "Open")
     assert(Export.saveRestore(vals) == Seq(
