@@ -52,7 +52,8 @@ class PlanAuditSpec extends SparkSpec {
     try {
       val dir = "/root/testdata/sf0.001"
       Seq("q_jaccard_dist", "q_embed_dedup_dist", "q_pairs_cooccur_capped",
-        "q_locf_align", "q_decimate", "q_get_data").foreach { q =>
+        "q_locf_align", "q_decimate", "q_get_data", "q_plot_trace",
+        "q_string_table").foreach { q =>
         SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
       }
       org.apache.spark.GraftSparkTestHooks.waitListenerBus(spark.sparkContext)
