@@ -481,8 +481,8 @@ object SparkEntry {
   /** DuckDB fragment mirroring [[Dedup.shingleHash]]. */
   private val shingleHashSql = "CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT)"
 
-  /** Shared by q_jaccard (broadcast sweep) and q_jaccard_dist (prefix-
-    * filtered join): both plans must produce THIS naive-join result.
+  /** Shared by q_jaccard (broadcast sweep) and q_jaccard_dist (block-
+    * partitioned sweep): both plans must produce THIS naive-join result.
     */
   private lazy val jaccardOracleSql: String =
     s"""WITH ${shingleCte(2)},
@@ -496,7 +496,8 @@ object SparkEntry {
        |ORDER BY d1, d2""".stripMargin
 
   /** Shared by q_embed_dedup (broadcast triangle) and q_embed_dedup_dist
-    * (declarative join): both plans must produce THIS all-pairs result.
+    * (block-partitioned sweep): both plans must produce THIS all-pairs
+    * result.
     */
   private lazy val embedDedupOracleSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -910,7 +911,7 @@ object SparkEntry {
 
     "q_jaccard" -> jaccardOracleSql,
 
-    // identical result set, produced by the distributed prefix-filtered plan
+    // identical result set, produced by the block-partitioned sweep
     "q_jaccard_dist" -> jaccardOracleSql,
 
     "q_curation" ->
@@ -974,7 +975,7 @@ object SparkEntry {
 
     "q_embed_dedup" -> embedDedupOracleSql,
 
-    // identical result set, produced by the distributed declarative join
+    // identical result set, produced by the block-partitioned sweep
     "q_embed_dedup_dist" -> embedDedupOracleSql,
 
     "q_norm_stats" ->

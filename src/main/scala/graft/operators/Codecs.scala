@@ -48,17 +48,20 @@ object Codecs {
     val hRaw = i32(b, 22)
     val bpp = u16(b, 28)
     val compression = i32(b, 30)
-    if (w <= 0 || hRaw == 0 || bpp != 24 || compression != 0) return None
+    if (w <= 0 || hRaw == 0 || hRaw == Int.MinValue || bpp != 24 || compression != 0) return None
     val h = math.abs(hRaw)
     val topDown = hRaw < 0
-    val stride = ((w * 3 + 3) / 4) * 4
-    if (dataOff < 0 || dataOff.toLong + stride.toLong * h > b.length) return None
+    // all geometry in Long: crafted headers must not overflow Int in the
+    // bounds check (a negative stride*h would pass it) or in w*h allocation
+    val stride = ((w.toLong * 3 + 3) / 4) * 4
+    if (dataOff < 0 || dataOff.toLong + stride * h > b.length) return None
+    if (w.toLong * h > Int.MaxValue) return None
     val out = new Array[Float](w * h)
     var y = 0
     while (y < h) {
       val srcRow = if (topDown) y else h - 1 - y
       var x = 0
-      val rowOff = dataOff + srcRow * stride
+      val rowOff = (dataOff + srcRow * stride).toInt // bounds-checked above
       while (x < w) {
         val p = rowOff + x * 3 // BGR order
         out(y * w + x) = luma(b(p + 2) & 0xff, b(p + 1) & 0xff, b(p) & 0xff)
@@ -188,8 +191,14 @@ object Codecs {
       case p if p.startsWith("C") => c420 = p.drop(1).startsWith("420")
       case _ => ()
     }
-    if (w <= 0 || h <= 0 || !c420) return None
-    val frameSize = w * h + 2 * ((w + 1) / 2) * ((h + 1) / 2)
+    // reject degenerate geometry/rate headers: frame-size arithmetic must
+    // not overflow Int (a negative frameSize passes <= length checks and
+    // then walks the cursor backwards), and a zero frame-rate denominator
+    // would divide-by-zero in consumers mapping timestamps to frames
+    if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0 || !c420) return None
+    val frameSizeL = w.toLong * h + 2L * ((w.toLong + 1) / 2) * ((h.toLong + 1) / 2)
+    if (w.toLong * h > Int.MaxValue || frameSizeL > Int.MaxValue) return None
+    val frameSize = frameSizeL.toInt
     i = end + 1
     val lumas = Vector.newBuilder[Array[Float]]
     var live = true
@@ -197,10 +206,10 @@ object Codecs {
       var e = i
       while (e < b.length && b(e) != '\n') e += 1
       val line = new String(b, i, math.min(e - i, 5), "US-ASCII")
-      if (line != "FRAME" || e >= b.length || e + 1 + frameSize > b.length + 0) live = false
+      if (line != "FRAME" || e >= b.length || e.toLong + 1 + frameSize > b.length) live = false
       else {
         val base = e + 1
-        if (base + frameSize > b.length) live = false
+        if (base.toLong + frameSize > b.length) live = false
         else {
           val plane = new Array[Float](w * h)
           var p = 0

@@ -165,7 +165,7 @@ object Alerts {
             case Some(cfg) =>
               var st = gs.getOption.getOrElse(InitState)
               val out = Vector.newBuilder[AlertEvent]
-              it.toVector.sortBy(o => (o.tsUs, o.value)).foreach { o =>
+              it.toVector.sortBy(o => (o.tsUs, o.value))(Downsampler.EventOrder).foreach { o =>
                 val (ev, st2) = onObservation(st, cfg, o)
                 out ++= ev
                 st = st2

@@ -49,6 +49,28 @@ object Downsampler {
 
   val DefaultConfig: PvConfig = PvConfig("double", 5000000L, 1.0e-8)
 
+  /** UTF-8 binary string order — the order Spark SQL sorts strings in
+    * (UTF8String byte comparison). The equal-timestamp tie-break must use
+    * THIS ordering everywhere: the secondary-sort batch replays tie-break
+    * via `sortWithinPartitions` (Spark binary order), so the streaming
+    * twins' in-memory sorts use the same order, or supplementary-plane
+    * values (where UTF-16 code-unit order and UTF-8 byte order disagree)
+    * would process in a different sequence and desynchronize the state
+    * machines.
+    */
+  val Utf8Order: Ordering[String] = (x: String, y: String) => {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    var r = 0
+    while (r == 0 && i < n) { r = (a(i) & 0xff) - (b(i) & 0xff); i += 1 }
+    if (r != 0) r else a.length - b.length
+  }
+
+  /** (tsUs, value) event order with the UTF-8 tie-break. */
+  val EventOrder: Ordering[(Long, String)] = Ordering.Tuple2(Ordering.Long, Utf8Order)
+
   /** Minimum gap (1 ms, archiver.py:398) below which a change is ignored. */
   private final val MinGapUs = 1000L
 
@@ -193,7 +215,7 @@ object Downsampler {
               st = Some(s2)
             }
           }
-          it.toVector.sortBy(e => (e.tsUs, e.value)).foreach { e =>
+          it.toVector.sortBy(e => (e.tsUs, e.value))(EventOrder).foreach { e =>
             val (emits, s2) = onEvent(st, e, cfg)
             out ++= emits
             st = Some(s2)

@@ -125,7 +125,7 @@ object Heartbeat {
               st = Some(HbState(nowUs, s.value, s.cvalue, s.k + 1))
             }
           }
-          it.toVector.sortBy(s => (s.tsUs, s.value)).foreach { s =>
+          it.toVector.sortBy(s => (s.tsUs, s.value))(Downsampler.EventOrder).foreach { s =>
             st = Some(HbState(s.tsUs, s.value, s.cvalue, 0))
           }
           st.foreach { s =>

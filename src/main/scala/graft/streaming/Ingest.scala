@@ -106,9 +106,13 @@ object Ingest {
 
   /** Upsert one batch into `table` keyed `(pvname, ts_us)`. The table is
     * created on first use. Each partition opens one connection and runs a
-    * single transaction: INSERT, and on a duplicate key (SQLState 23505 —
-    * the replay case) UPDATE in place. Partition-parallel, no driver-side
-    * row handling.
+    * single transaction, UPDATE-first per row: the replay/correction case
+    * is an in-place UPDATE (no constraint violation, so no PostgreSQL
+    * "transaction aborted" trap), a fresh key falls through to INSERT, and
+    * a true concurrent-writer race on the INSERT (integrity violation,
+    * SQLState class 23 on every major RDBMS) retries the UPDATE once.
+    * Partition-parallel, no driver-side row handling; portable across
+    * Derby/MySQL/PostgreSQL — nothing here is vendor-specific.
     */
   def jdbcUpsertBatch(batch: Dataset[Sample], url: String, table: String): Unit = {
     ensureJdbcTable(url, table)
@@ -121,16 +125,23 @@ object Ingest {
             s"INSERT INTO $table (pvname, ts_us, value, cvalue) VALUES (?, ?, ?, ?)")
           val upd = conn.prepareStatement(
             s"UPDATE $table SET value = ?, cvalue = ? WHERE pvname = ? AND ts_us = ?")
+          def update(s: Sample): Int = {
+            upd.setString(1, s.value); upd.setString(2, s.cvalue)
+            upd.setString(3, s.pvname); upd.setLong(4, s.tsUs)
+            upd.executeUpdate()
+          }
+          def isDuplicateKey(e: java.sql.SQLException): Boolean =
+            e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
+              Option(e.getSQLState).exists(_.startsWith("23"))
           it.foreach { s =>
-            try {
-              ins.setString(1, s.pvname); ins.setLong(2, s.tsUs)
-              ins.setString(3, s.value); ins.setString(4, s.cvalue)
-              ins.executeUpdate()
-            } catch {
-              case e: java.sql.SQLException if e.getSQLState == "23505" =>
-                upd.setString(1, s.value); upd.setString(2, s.cvalue)
-                upd.setString(3, s.pvname); upd.setLong(4, s.tsUs)
-                upd.executeUpdate()
+            if (update(s) == 0) {
+              try {
+                ins.setString(1, s.pvname); ins.setLong(2, s.tsUs)
+                ins.setString(3, s.value); ins.setString(4, s.cvalue)
+                ins.executeUpdate()
+              } catch {
+                case e: java.sql.SQLException if isDuplicateKey(e) => update(s)
+              }
             }
           }
           conn.commit()
@@ -139,23 +150,31 @@ object Ingest {
     }
   }
 
-  /** CREATE TABLE with the `(pvname, ts_us)` primary key, tolerating
-    * "already exists" (Derby X0Y32 / standard 42S01-family states).
+  /** CREATE TABLE with the `(pvname, ts_us)` primary key if it does not
+    * exist — existence probed via `DatabaseMetaData.getTables` (portable;
+    * "already exists" SQLStates are vendor-soup: Derby X0Y32, MySQL 42S01,
+    * PostgreSQL 42P07), with a broad fallback catch for the benign race
+    * where a concurrent writer creates it between probe and CREATE.
     */
   def ensureJdbcTable(url: String, table: String): Unit = {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
-      val st = conn.createStatement()
-      try st.executeUpdate(
-        s"""CREATE TABLE $table (
-           |  pvname VARCHAR(128) NOT NULL,
-           |  ts_us BIGINT NOT NULL,
-           |  value VARCHAR(4096),
-           |  cvalue VARCHAR(4096),
-           |  PRIMARY KEY (pvname, ts_us))""".stripMargin)
-      catch {
-        case e: java.sql.SQLException
-          if e.getSQLState == "X0Y32" || e.getSQLState == "42S01" => ()
+      val md = conn.getMetaData
+      def exists(name: String): Boolean = {
+        val rs = md.getTables(null, null, name, Array("TABLE"))
+        try rs.next() finally rs.close()
+      }
+      if (!exists(table.toUpperCase) && !exists(table.toLowerCase) && !exists(table)) {
+        val st = conn.createStatement()
+        try st.executeUpdate(
+          s"""CREATE TABLE $table (
+             |  pvname VARCHAR(128) NOT NULL,
+             |  ts_us BIGINT NOT NULL,
+             |  value VARCHAR(4096),
+             |  cvalue VARCHAR(4096),
+             |  PRIMARY KEY (pvname, ts_us))""".stripMargin)
+        catch { case _: java.sql.SQLException if exists(table.toUpperCase) ||
+          exists(table.toLowerCase) || exists(table) => () }
       }
     } finally conn.close()
   }
