@@ -190,12 +190,64 @@ object Dedup {
       .toDF("d1", "d2", "jaccard")
   }
 
+  /** A document's distinct shingles as a SORTED flat array of 128-bit MD5
+    * hashes (pairs of longs at indices 2i, 2i+1) — one JIT map pass per
+    * doc, no explode. The merge-intersection downstream compares 16-byte
+    * hashes instead of strings; a count-changing collision needs two
+    * distinct shingles with equal MD5 (P ≈ m²/2¹²⁹ — vanishing), so
+    * results are identical to the string-set forms.
+    */
+  private val shingleHashSetUdf = udf { (s: String, n: Int) =>
+    if (s == null) Array.empty[Long]
+    else {
+      val toks = s.split(" ", -1)
+      val m = math.max(toks.length - n, 0)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val seen = new scala.collection.mutable.TreeSet[(Long, Long)]()
+      var i = 0
+      while (i <= m) {
+        val sh = toks.slice(i, math.min(i + n, toks.length)).mkString(" ")
+        val d = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val bb = java.nio.ByteBuffer.wrap(d)
+        seen += ((bb.getLong(0), bb.getLong(8)))
+        i += 1
+      }
+      val out = new Array[Long](seen.size * 2)
+      var j = 0
+      seen.foreach { case (h1, h2) => out(j) = h1; out(j + 1) = h2; j += 2 }
+      out
+    }
+  }
+
+  /** Exact Jaccard on two sorted flat 128-bit hash arrays ([[shingleHashSetUdf]]
+    * layout) with the same size filter + early-exit merge as [[jaccardPair]].
+    */
+  private[operators] def jaccardPairHashed(a: Array[Long], b: Array[Long], threshold: Double): Double = {
+    val la = a.length / 2; val lb = b.length / 2
+    val maxInter = math.min(la, lb)
+    if (Similarity.round6(maxInter.toDouble / (la + lb - maxInter)) < threshold) return Double.NaN
+    val needed = math.ceil(threshold * (la + lb) / (1.0 + threshold) - 1e-9).toInt
+    var ai = 0; var bi = 0; var inter = 0
+    var live = true
+    while (live && ai < la && bi < lb) {
+      val c1 = java.lang.Long.compare(a(2 * ai), b(2 * bi))
+      val c = if (c1 != 0) c1 else java.lang.Long.compare(a(2 * ai + 1), b(2 * bi + 1))
+      if (c == 0) { inter += 1; ai += 1; bi += 1 }
+      else if (c < 0) ai += 1
+      else bi += 1
+      if (inter + math.min(la - ai, lb - bi) < needed) live = false
+    }
+    val jac = Similarity.round6(inter.toDouble / (la + lb - inter))
+    if (live && jac >= threshold) jac else Double.NaN
+  }
+
   /** Block-partitioned exact all-pairs form of [[ngramJaccard]] — identical
-    * output, NO driver collect and NO full broadcast: docs are hashed into
-    * `blocks` groups, each group's shingle sets travel once per partner
-    * block (a shuffle of ~corpus×blocks bytes), and every unordered block
-    * pair `(b1 ≤ b2)` is one task running the same early-exit
-    * merge-intersection sweep as [[ngramJaccardBroadcast]].
+    * output, NO driver collect and NO full broadcast: each doc becomes a
+    * sorted 128-bit shingle-hash set in ONE map pass (no explode, no
+    * per-shingle shuffle), docs hash into `blocks` groups, each group
+    * travels once per partner block (a shuffle of ~hashes×blocks bytes),
+    * and every unordered block pair `(b1 ≤ b2)` is one task running the
+    * early-exit merge-intersection sweep on primitive long arrays.
     *
     * This is the 100 TB plan for DENSE corpora, where prefix filtering
     * ([[ngramJaccard]]) degenerates to all-pairs anyway but pays three
@@ -213,18 +265,15 @@ object Dedup {
       blocks: Int = 16): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sets = docShingles(df, id, text, n)
-      .groupBy(col("doc"))
-      .agg(sort_array(collect_set(col("shingle"))).as("sh"))
-      .select(
-        pmod(col("doc"), lit(blocks)).cast("int").as("b"),
-        struct(col("doc").cast("long").as("_1"), col("sh").as("_2")).as("ds"))
+    val sets = df.select(
+      pmod(col(id), lit(blocks)).cast("int").as("b"),
+      struct(col(id).cast("long").as("_1"), shingleHashSetUdf(col(text), lit(n)).as("_2")).as("ds"))
     val grouped = sets.groupBy(col("b")).agg(collect_list(col("ds")).as("docs"))
     val lhs = grouped.select(col("b").as("b1"), col("docs").as("d1s"))
     val rhs = grouped.select(col("b").as("b2"), col("docs").as("d2s"))
     lhs.join(rhs, col("b1") <= col("b2"))
       .select(col("b1"), col("b2"), col("d1s"), col("d2s"))
-      .as[(Int, Int, Array[(Long, Array[String])], Array[(Long, Array[String])])]
+      .as[(Int, Int, Array[(Long, Array[Long])], Array[(Long, Array[Long])])]
       .mapPartitions { it =>
         it.flatMap { case (bi, bj, as, bs) =>
           val same = bi == bj
@@ -234,7 +283,7 @@ object Dedup {
             // halving would double/miss pairs)
             val partner = if (same) bs.iterator.filter(_._1 > id1) else bs.iterator
             partner.flatMap { case (id2, b) =>
-              val jac = jaccardPair(a, b, threshold)
+              val jac = jaccardPairHashed(a, b, threshold)
               if (jac.isNaN) Iterator.empty
               else Iterator.single((math.min(id1, id2), math.max(id1, id2), jac))
             }
