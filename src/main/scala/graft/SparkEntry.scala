@@ -145,6 +145,12 @@ object SparkEntry {
       Pairs.related(edges, "m1", "m2", "score", lit(1L), k = 5)
     }),
 
+    // ---- J4 as a point query: same result WITHOUT building the pair graph
+    // (broadcast semi-join on the node's groups — the ad-hoc 100 TB path) --
+    "q_related_direct" -> ((s, dir) => {
+      Pairs.relatedDirect(Tables.lineitem(s, dir), "l_orderkey", "l_suppkey", 1L, k = 5)
+    }),
+
     // ---- A4 canonical max-merge of duplicate/reversed edges ----------------
     "q_pairs_merge" -> ((s, dir) => {
       val edges = Tables.lineitem(s, dir)
@@ -480,6 +486,23 @@ object SparkEntry {
 
   /** DuckDB fragment mirroring [[Dedup.shingleHash]]. */
   private val shingleHashSql = "CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT)"
+
+  /** Shared by q_pairs_related (graph then point lookup) and
+    * q_related_direct (graph-free semi-join): both plans must produce THIS
+    * result.
+    */
+  private lazy val relatedOracleSql: String =
+    """WITH edges AS (
+      |  SELECT a.l_suppkey AS m1, b.l_suppkey AS m2, count(*) AS score
+      |  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+      |  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      |  GROUP BY 1, 2)
+      |SELECT other, score FROM (
+      |  SELECT m2 AS other, score FROM edges WHERE m1 = 1
+      |  UNION ALL
+      |  SELECT m1 AS other, score FROM edges WHERE m2 = 1)
+      |ORDER BY score DESC, other LIMIT 5""".stripMargin
 
   /** Shared by q_jaccard (broadcast sweep) and q_jaccard_dist (block-
     * partitioned sweep): both plans must produce THIS naive-join result.
@@ -853,18 +876,10 @@ object SparkEntry {
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    "q_pairs_related" ->
-      """WITH edges AS (
-        |  SELECT a.l_suppkey AS m1, b.l_suppkey AS m2, count(*) AS score
-        |  FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
-        |  JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
-        |  GROUP BY 1, 2)
-        |SELECT other, score FROM (
-        |  SELECT m2 AS other, score FROM edges WHERE m1 = 1
-        |  UNION ALL
-        |  SELECT m1 AS other, score FROM edges WHERE m2 = 1)
-        |ORDER BY score DESC, other LIMIT 5""".stripMargin,
+    "q_pairs_related" -> relatedOracleSql,
+
+    // identical result, computed by the graph-free point-query plan
+    "q_related_direct" -> relatedOracleSql,
 
     "q_pairs_merge" ->
       """SELECT least(l_partkey, l_suppkey) AS m1, greatest(l_partkey, l_suppkey) AS m2,

@@ -86,6 +86,28 @@ object Pairs {
     left.unionByName(right).orderBy(col(score).desc, col("other")).limit(k)
   }
 
+  /** J4 as a POINT query, without materializing the graph: top-k
+    * co-occurrence neighbors of ONE node, computed from only the groups
+    * that contain it. The reference (and [[related]]) answers this by
+    * first building every pair's score — fine when the graph is cached,
+    * quadratic waste for one ad-hoc node at 100 TB. Here a broadcast
+    * semi-join on the node's own groups (bounded: one row per group the
+    * node appears in) restricts the scan, then a plain count per
+    * co-member. Result is identical to
+    * `related(coOccurrence(df, group, member), "m1", "m2", "score", node, k)`.
+    */
+  def relatedDirect(df: DataFrame, group: String, member: String, node: Any, k: Int): DataFrame = {
+    val m = df.select(col(group).as("__g"), col(member).as("__m")).distinct()
+    val nodeGroups = m.where(col("__m") === lit(node)).select(col("__g"))
+    m.join(broadcast(nodeGroups), Seq("__g"))
+      .where(col("__m") =!= lit(node))
+      .groupBy(col("__m"))
+      .agg(count(lit(1)).as("score"))
+      .select(col("__m").as("other"), col("score"))
+      .orderBy(col("score").desc, col("other"))
+      .limit(k)
+  }
+
   /** A4 sum-variant (webapp.py:419-437): related-to-any of a set of nodes,
     * scores summed across the set, top-k.
     */

@@ -36,6 +36,16 @@ class PairsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", 2L), ("c", 1L))) // score desc, then name
   }
 
+  test("relatedDirect: graph-free point query equals related over the full graph") {
+    val direct = Pairs.relatedDirect(rel, "grp", "m", "b", k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val viaGraph = Pairs.related(
+      Pairs.coOccurrence(rel, "grp", "m"), "m1", "m2", "score", lit("b"), k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(direct.toSeq == viaGraph.toSeq)
+    assert(direct.toSeq == Seq(("a", 2L), ("c", 1L), ("d", 1L)))
+  }
+
   test("relatedToSet sums scores across the seed set and excludes it") {
     val edges = Pairs.coOccurrence(rel, "grp", "m")
     val got = Pairs.relatedToSet(edges, "m1", "m2", "score", Seq("a", "c"), k = 5).collect()
