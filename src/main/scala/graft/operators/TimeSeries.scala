@@ -63,15 +63,20 @@ object TimeSeries {
   }
 
   /** Q2 `get_value_at_time` (archiver.py:112-129) generalized to every key:
-    * latest row at-or-before `t` per key. One shuffle on the key; the
-    * pre-filter `ts <= t` is pushed to the scan.
+    * latest row at-or-before `t` per key. The pre-filter `ts <= t` is
+    * pushed to the scan, and the per-key argmax is a `max_by` aggregation —
+    * map-side combinable (partial argmax per input partition, then one
+    * shuffle of ONE row per key), where the previous per-key window had to
+    * shuffle and sort every qualifying row. Same output, including the
+    * `(ts, tieBreak)` tie-break.
     */
   def valueAtTime(df: DataFrame, key: String, ts: String, tieBreak: String, t: Long): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(col(ts).desc, col(tieBreak).desc)
+    val others = df.columns.filter(_ != key)
+    val ord = struct(col(ts), col(tieBreak))
     df.where(col(ts) <= t)
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__rn")
+      .groupBy(col(key))
+      .agg(max_by(struct(others.map(col): _*), ord).as("__r"))
+      .select(df.columns.map(c => if (c == key) col(c) else col(s"__r.$c").as(c)): _*)
   }
 
   /** A1 — latest-per-key (the reference's cache table, cache.py:433-462).

@@ -27,10 +27,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
-  test("latest-per-key is a two-phase (partial) aggregation, not a window") {
-    val plan = formatted("q_latest_per_key")
-    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"), plan)
-    assert(!plan.contains("Window"), plan)
+  test("latest-per-key and value-at-time are two-phase (partial) aggregations, not windows") {
+    Seq("q_latest_per_key", "q_value_at_time").foreach { q =>
+      val plan = formatted(q)
+      assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"), s"$q: $plan")
+      assert(!plan.contains("Window"), s"$q: $plan")
+    }
   }
 
   test("get_data early-point scan pushes the bounded one-day lower bound") {
