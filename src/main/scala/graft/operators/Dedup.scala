@@ -28,24 +28,30 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(col(text)).as("fp"))
       .agg(min(col(id)).as("rep_id"), count(lit(1)).as("n_dups"))
 
+  /** The ONE shingling loop every Jaccard variant derives from — the
+    * string-set and hash-set UDFs below must stay byte-identical on the
+    * shingle text, or the cross-variant "identical output" guarantee
+    * silently breaks.
+    */
+  private def shingleWindows(s: String, n: Int): Array[String] = {
+    val toks = s.split(" ", -1)
+    val m = math.max(toks.length - n, 0)
+    val out = new Array[String](m + 1)
+    var i = 0
+    while (i <= m) {
+      out(i) = toks.slice(i, math.min(i + n, toks.length)).mkString(" ")
+      i += 1
+    }
+    out
+  }
+
   /** Distinct word n-grams as a JIT pass — output identical to
     * `array_distinct(TextAnalysis.shingles(_, n))`, but Catalyst's
     * `transform`/`slice` lambdas evaluate interpreted per element, which
     * dominates the shingling stage on large corpora.
     */
   private val shingleUdf = udf { (s: String, n: Int) =>
-    if (s == null) Array.empty[String]
-    else {
-      val toks = s.split(" ", -1)
-      val m = math.max(toks.length - n, 0)
-      val out = new Array[String](m + 1)
-      var i = 0
-      while (i <= m) {
-        out(i) = toks.slice(i, math.min(i + n, toks.length)).mkString(" ")
-        i += 1
-      }
-      out.distinct
-    }
+    if (s == null) Array.empty[String] else shingleWindows(s, n).distinct
   }
 
   /** Distinct (docId, shingle) pairs — the inverted-index input. */
@@ -197,25 +203,40 @@ object Dedup {
     * distinct shingles with equal MD5 (P ≈ m²/2¹²⁹ — vanishing), so
     * results are identical to the string-set forms.
     */
+  private def packSortedHashes(seen: scala.collection.mutable.TreeSet[(Long, Long)]): Array[Long] = {
+    val out = new Array[Long](seen.size * 2)
+    var j = 0
+    seen.foreach { case (h1, h2) => out(j) = h1; out(j + 1) = h2; j += 2 }
+    out
+  }
+
   private val shingleHashSetUdf = udf { (s: String, n: Int) =>
     if (s == null) Array.empty[Long]
     else {
-      val toks = s.split(" ", -1)
-      val m = math.max(toks.length - n, 0)
       val md = java.security.MessageDigest.getInstance("MD5")
       val seen = new scala.collection.mutable.TreeSet[(Long, Long)]()
-      var i = 0
-      while (i <= m) {
-        val sh = toks.slice(i, math.min(i + n, toks.length)).mkString(" ")
+      shingleWindows(s, n).foreach { sh =>
         val d = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         val bb = java.nio.ByteBuffer.wrap(d)
         seen += ((bb.getLong(0), bb.getLong(8)))
-        i += 1
       }
-      val out = new Array[Long](seen.size * 2)
-      var j = 0
-      seen.foreach { case (h1, h2) => out(j) = h1; out(j + 1) = h2; j += 2 }
-      out
+      packSortedHashes(seen)
+    }
+  }
+
+  /** Union of per-row hash sets — rows sharing a doc id must merge into ONE
+    * set, exactly like the string variants' `collect_set` over exploded
+    * shingles (a doc split across rows, or an accidental duplicate id).
+    */
+  private val mergeHashSetsUdf = udf { (sets: Seq[Seq[Long]]) =>
+    if (sets.length == 1) sets.head.toArray
+    else {
+      val seen = new scala.collection.mutable.TreeSet[(Long, Long)]()
+      sets.foreach { hs =>
+        var i = 0
+        while (i + 1 < hs.length) { seen += ((hs(i), hs(i + 1))); i += 2 }
+      }
+      packSortedHashes(seen)
     }
   }
 
@@ -265,9 +286,17 @@ object Dedup {
       blocks: Int = 16): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sets = df.select(
-      pmod(col(id), lit(blocks)).cast("int").as("b"),
-      struct(col(id).cast("long").as("_1"), shingleHashSetUdf(col(text), lit(n)).as("_2")).as("ds"))
+    // per-doc union BEFORE blocking: rows sharing an id merge into one set
+    // (matching the string variants' collect_set semantics); the shuffled
+    // payload is the compact 16-bytes-per-shingle hash arrays, still no
+    // per-shingle explode
+    val sets = df
+      .select(col(id).cast("long").as("doc"), shingleHashSetUdf(col(text), lit(n)).as("hs"))
+      .groupBy(col("doc"))
+      .agg(collect_list(col("hs")).as("hss"))
+      .select(
+        pmod(col("doc"), lit(blocks)).cast("int").as("b"),
+        struct(col("doc").as("_1"), mergeHashSetsUdf(col("hss")).as("_2")).as("ds"))
     val grouped = sets.groupBy(col("b")).agg(collect_list(col("ds")).as("docs"))
     val lhs = grouped.select(col("b").as("b1"), col("docs").as("d1s"))
     val rhs = grouped.select(col("b").as("b2"), col("docs").as("d2s"))

@@ -97,10 +97,17 @@ object Pairs {
     * `related(coOccurrence(df, group, member), "m1", "m2", "score", node, k)`.
     */
   def relatedDirect(df: DataFrame, group: String, member: String, node: Any, k: Int): DataFrame = {
-    val m = df.select(col(group).as("__g"), col(member).as("__m")).distinct()
-    val nodeGroups = m.where(col("__m") === lit(node)).select(col("__g"))
-    m.join(broadcast(nodeGroups), Seq("__g"))
+    val rows = df.select(col(group).as("__g"), col(member).as("__m"))
+    val nodeGroups = rows.where(col("__m") === lit(node))
+      .select(col("__g").as("__ng")).distinct()
+    // join the RAW rows against the node's groups FIRST (Catalyst cannot
+    // push a join below an aggregate, so distinct-then-join would still
+    // shuffle the whole relation); dedupe only the survivors. Null-safe
+    // key: coOccurrence's groupBy keeps a null group, so this must too.
+    rows.join(broadcast(nodeGroups), col("__g") <=> col("__ng"))
       .where(col("__m") =!= lit(node))
+      .select(col("__g"), col("__m"))
+      .distinct()
       .groupBy(col("__m"))
       .agg(count(lit(1)).as("score"))
       .select(col("__m").as("other"), col("score"))

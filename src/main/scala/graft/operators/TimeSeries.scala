@@ -76,7 +76,9 @@ object TimeSeries {
     df.where(col(ts) <= t)
       .groupBy(col(key))
       .agg(max_by(struct(others.map(col): _*), ord).as("__r"))
-      .select(df.columns.map(c => if (c == key) col(c) else col(s"__r.$c").as(c)): _*)
+      // getField, not a "__r.c" string path: column names containing dots
+      // must keep resolving (they did under the old window form)
+      .select(df.columns.map(c => if (c == key) col(c) else col("__r").getField(c).as(c)): _*)
   }
 
   /** A1 — latest-per-key (the reference's cache table, cache.py:433-462).

@@ -48,6 +48,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ngramJaccardBlocked unions rows sharing a doc id (collect_set parity)") {
+    val sp = spark
+    import sp.implicits._
+    // doc 1 split across two rows: every variant must treat it as ONE set
+    val split = Seq(
+      (1L, "the quick brown fox"), (1L, "jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words here entirely")).toDF("doc_id", "text")
+    val broadcastForm = Dedup.ngramJaccardBroadcast(split, "doc_id", "text", n = 2, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    val blockedForm = Dedup.ngramJaccardBlocked(split, "doc_id", "text", n = 2, threshold = 0.1, blocks = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    assert(blockedForm.toSeq == broadcastForm.toSeq)
+    assert(blockedForm.exists(p => p._1 == 1L && p._2 == 2L)) // split doc still overlaps doc 2
+  }
+
   test("minhash signatures identical for identical docs, close for near-dups") {
     val sig = Dedup.minhashSignature(docs, "doc_id", "text", n = 2, numPerm = 16)
       .collect().map(r => r.getAs[Long]("doc") -> (0 until 16).map(i => r.getAs[Long](s"mh$i")))
