@@ -29,11 +29,20 @@ object SampleStore {
     * null) / `cvalue` (display string), `bucket` from the reference's
     * sha256-base64-charsum hash, `run` from a fixed-width time partition.
     *
+    * The width cap lives HERE, at the storage boundary: the reference's
+    * clean_string accepts maxlen but never applies it — the effective cap
+    * is its varchar(4096) columns truncating on insert (schema.py:22,47),
+    * so the store mirrors that, and `dvalue` parses the capped value just
+    * as the reference's read side parses what MySQL kept.
+    *
     * Input columns: pvname, tsUs (long), value (string), cvalue (string).
     */
+  final val MaxValueChars = 4096
+
   def normalize(raw: DataFrame, runWidthUs: Long): DataFrame =
     raw
-      .withColumn("value", PvFunctions.cleanString(col("value")))
+      .withColumn("value", substring(PvFunctions.cleanString(col("value")), 1, MaxValueChars))
+      .withColumn("cvalue", substring(col("cvalue"), 1, MaxValueChars))
       .withColumn("dvalue", PvFunctions.cleanValue(col("value")))
       .withColumn("bucket", graft.functions.GraftUdfs.hashnameCol(col("pvname")))
       .withColumn("run", expr(s"tsUs DIV ${runWidthUs}L"))

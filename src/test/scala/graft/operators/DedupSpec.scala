@@ -48,6 +48,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("property: blocked and broadcast Jaccard agree on random corpora") {
+    val sp = spark
+    import sp.implicits._
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+      val corpus = (0L until 40L).map { id =>
+        (id, Seq.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val t = 0.2 + 0.2 * rnd.nextDouble()
+      val a = Dedup.ngramJaccardBroadcast(corpus, "doc_id", "text", n = 2, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+      val b = Dedup.ngramJaccardBlocked(corpus, "doc_id", "text", n = 2, threshold = t, blocks = 1 + rnd.nextInt(6))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+      assert(a.toSeq == b.toSeq, s"seed=$seed t=$t")
+    }
+  }
+
   test("ngramJaccardBlocked unions rows sharing a doc id (collect_set parity)") {
     val sp = spark
     import sp.implicits._

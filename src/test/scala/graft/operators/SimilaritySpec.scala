@@ -47,6 +47,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("property: blocked and broadcast cosine pairs agree on random matrices") {
+    val sp = spark
+    import sp.implicits._
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val mat = (0L until 30L).map(id => (id, Array.fill(16)(rnd.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding")
+      val t = rnd.nextDouble() * 0.4
+      val a = Similarity.cosinePairs(mat, "vec_id", "embedding", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+      val b = Similarity.cosinePairsBlocked(mat, "vec_id", "embedding", t, blocks = 1 + rnd.nextInt(5))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+      assert(a.toSeq == b.toSeq, s"seed=$seed t=$t")
+    }
+  }
+
   test("bucketedKnn: same-bucket neighbors only, deterministic buckets") {
     val got = Similarity.bucketedKnn(vecs, vecs.where(col("vec_id") === 1), "vec_id", "embedding",
       k = 3, planes = 2, dim = 3)

@@ -29,6 +29,16 @@ class SampleStoreSpec extends SparkSpec {
     assert(n.contains(("XX:s1.VAL", "Open", null, PvFunctions.hashname("XX:s1.VAL"), 0L)))
   }
 
+  test("normalize caps value width at the storage boundary (varchar(4096) parity)") {
+    val sp = spark
+    import sp.implicits._
+    val long = "x" * 9000
+    val raw = Seq(("XX:w.VAL", 10 * S, long, long)).toDF("pvname", "tsUs", "value", "cvalue")
+    val r = SampleStore.normalize(raw, runWidth).collect()(0)
+    assert(r.getAs[String]("value").length == SampleStore.MaxValueChars)
+    assert(r.getAs[String]("cvalue").length == SampleStore.MaxValueChars)
+  }
+
   test("exportRunSorted writes per-run sorted files; dumpCsv round-trips") {
     val sp = spark
     import sp.implicits._
