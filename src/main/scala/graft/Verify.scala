@@ -35,8 +35,16 @@ object Verify {
       case c => c.toString
     } + "\""
     // static oracles + the data-dependent ones (IVF centroids trained here
-    // with the engine's own seeded code, embedded as SQL literals)
-    val oracles = SparkEntry.oracleSql ++ SparkEntry.dataDependentOracles(spark, sfDir)
+    // with the engine's own seeded code, embedded as SQL literals). A
+    // failure generating the dynamic entries must not sink the whole dump —
+    // the affected queries just degrade to rows-only for the round.
+    val dynamic =
+      try SparkEntry.dataDependentOracles(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] data-dependent oracles failed: ${e.getMessage}")
+        Map.empty[String, String]
+      }
+    val oracles = SparkEntry.oracleSql ++ dynamic
     val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
