@@ -53,19 +53,45 @@ class Archive(samples: DataFrame, cache: Option[DataFrame] = None) {
     withCache.orderBy(col("tsUs"))
   }
 
-  /** Q2 `get_value_at_time` (archiver.py:112-129). */
-  def valueAtTime(pvname: String, tUs: Long): DataFrame =
-    TimeSeries.valueAtTime(samples.where(col("pvname") === pvname), "pvname", "tsUs", "tsUs", tUs)
+  /** Q2 `get_value_at_time` (archiver.py:112-129). The reference scans
+    * `get_data(tmin = t-60, tmax = t+1)` — a 60 s window plus get_data's
+    * one-day-bounded early point — so the effective lookback is bounded;
+    * mirroring that here keeps the scan pruned at 100 TB instead of
+    * reading a PV's entire history for a single-row answer (the heartbeat
+    * guarantees ≥1 sample/24 h, making the default lossless).
+    */
+  def valueAtTime(pvname: String, tUs: Long,
+      lookbackUs: Long = 86400000000L + 60000000L): DataFrame = {
+    val lo = if (lookbackUs >= tUs) Long.MinValue else tUs - lookbackUs
+    TimeSeries.valueAtTime(
+      samples.where(col("pvname") === pvname && col("tsUs") >= lo),
+      "pvname", "tsUs", "tsUs", tUs)
+  }
+
+  /** The latest-value view: the supplied cache frame, or — when none was
+    * given — the A1 latest-per-key aggregation DERIVED from the samples,
+    * so the cache-shaped APIs below always see one row per PV (falling
+    * back to raw samples would hand a polling web layer many rows per PV
+    * as a "delta").
+    */
+  private lazy val cacheView: DataFrame = cache.getOrElse {
+    samples
+      .groupBy(col("pvname"))
+      .agg(max_by(
+        struct(samples.columns.filter(_ != "pvname").map(col): _*), col("tsUs")).as("__r"))
+      .select(samples.columns.map(c =>
+        if (c == "pvname") col(c) else col("__r").getField(c).as(c)): _*)
+  }
 
   /** P1 `get_values` on the cache (cache.py:464-473). */
   def cacheSince(sinceUs: Long): DataFrame =
-    cache.getOrElse(samples).where(col("tsUs") > sinceUs).orderBy(col("tsUs"))
+    cacheView.where(col("tsUs") > sinceUs).orderBy(col("tsUs"))
 
   /** Q6 cache-refresh delta (webapp.py:52-76): rows changed in the last
     * `ageUs` microseconds — the incremental view a polling web layer merges.
     */
   def refreshDelta(nowUs: Long, ageUs: Long): DataFrame =
-    cache.getOrElse(samples).where(col("tsUs") > nowUs - ageUs)
+    cacheView.where(col("tsUs") > nowUs - ageUs)
 }
 
 /** P3/P4 — the generic where/select surface (util.py:157-240): a dict of

@@ -44,7 +44,12 @@ object PvFunctions {
   def tformat(epochSec: Column): Column =
     date_format(timestamp_seconds(epochSec), "yyyy-MMM-dd HH:mm:ss")
 
-  /** F8 `ts2iso` (web_utils.py:24-29): epoch → ISO with milliseconds. */
+  /** F8 `ts2iso` (web_utils.py:24-29): epoch → ISO with milliseconds.
+    * Deliberate divergence: the reference ROUNDS the fractional part
+    * (`round(tfrac*1000)`), which emits a malformed ".1000" field for
+    * timestamps within 0.5 ms below a whole second; this truncates, which
+    * every SQL engine's formatter agrees on and never exceeds ".999".
+    */
   def ts2iso(epochMicros: Column): Column =
     date_format(timestamp_micros(epochMicros), "yyyy-MM-dd HH:mm:ss.SSS")
 
@@ -62,7 +67,11 @@ object PvFunctions {
     * column, normally from a broadcast dimension).
     */
   def enumLabel(labels: Column, key: Column, ordinal: Column): Column =
-    element_at(element_at(labels, key), ordinal.cast("int") + 1)
+    // try_element_at + try_cast: under Spark 4's default ANSI mode the
+    // strict forms THROW on a missing key / out-of-range ordinal /
+    // non-integral ordinal string, aborting the whole query for one stale
+    // sample — the reference (cache.py:171-178) degrades to null/raw
+    try_element_at(try_element_at(labels, key), ordinal.try_cast("int") + 1)
 
   /** pvextra enum-label storage (cache.py:196-206): the JSON list of labels
     * per PV parsed into `array<string>` — build the F10 map with
@@ -83,9 +92,17 @@ object PvFunctions {
     h.substr(lit(1), length(h) - 1)
   }
 
-  /** F13 yes/no formatter (web/WebStatus.py:51-94). */
-  def yesNo(c: Column): Column =
-    when(c.cast("int") === 0, lit("No")).when(c.cast("int") === 1, lit("Yes")).otherwise(c.cast("string"))
+  /** F13 yes/no formatter (web/WebStatus.py:87-94): `int(float(val))` is 0
+    * → No, 1 → Yes, anything else INCLUDING unparseable → Unknown (the
+    * reference's ValueError path). try_cast, not cast: ANSI mode would
+    * throw on the first non-numeric value and abort the query.
+    */
+  def yesNo(c: Column): Column = {
+    val d = c.try_cast("double")
+    val i = when(d.isNotNull && !isnan(d) &&
+      d >= Int.MinValue.toDouble && d <= Int.MaxValue.toDouble, d.cast("int"))
+    when(i === 0, lit("No")).when(i === 1, lit("Yes")).otherwise(lit("Unknown"))
+  }
 
   /** P5 pvname charset whitelist (util.py:325-326). */
   def validPvName(c: Column): Column = c.rlike("^[a-zA-Z0-9_:.\\[\\]();<>{}+=#-]+$")
@@ -128,6 +145,10 @@ object PvFunctions {
       prec += 4
       if (expon > 0) prec = math.max(0, prec - expon)
     }
+    // len=7 with a 3-digit exponent drives prec to -1; the reference crashes
+    // there (a '%.-1e' format spec) — clamp to 0 instead of aborting a
+    // whole export for one extreme value (output may exceed len by one)
+    prec = math.max(prec, 0)
     var out = formatPy(value, len, prec, form)
     if (out.length > len) out = out.substring(0, len)
     if (out.endsWith("000")) out = out.dropRight(3)

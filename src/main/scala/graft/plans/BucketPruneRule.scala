@@ -31,7 +31,15 @@ object BucketPruneRule extends Rule[LogicalPlan] with PredicateHelper {
     if (!conf.getConfString("graft.bucketPrune.enabled", "true").toBoolean) return plan
     plan.transformUp {
     case f @ Filter(cond, child) =>
-      (bucketAttr(child), pvnameAttr(child)) match {
+      // the pvname/bucket attributes must come from the LEAF relation
+      // unchanged (same exprId): a projection that REDEFINES pvname (e.g.
+      // upper(pvname)) mints a new attribute whose equality literal no
+      // longer corresponds to the stored hashname buckets — adding the
+      // bucket conjunct there would silently drop matching rows
+      val leafAttrs = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+        child.collectLeaves().flatMap(_.output))
+      (bucketAttr(child).filter(leafAttrs.contains),
+        pvnameAttr(child).filter(leafAttrs.contains)) match {
         case (Some(bucket), Some(pvname)) =>
           val conjuncts = splitConjunctivePredicates(cond)
           val alreadyBucketed = conjuncts.exists(_.references.contains(bucket))

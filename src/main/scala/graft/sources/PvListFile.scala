@@ -30,18 +30,23 @@ object PvListFile {
     * `PV1,PV2 | description | format` into typed columns.
     */
   def template(spark: SparkSession, path: String): DataFrame = {
+    // reference line filter: '#' comments and lines shorter than 2 chars
+    // are skipped (web_utils.py:276-277); hr/space/section classify by
+    // PREFIX — the docs' own '----' divider must not parse as a PV row —
+    // and a section title runs to the first ']' or end of line
+    // (web_utils.py:278-288)
     val lines = spark.read.text(path)
       .withColumn("line_id", monotonically_increasing_id())
       .withColumn("value", trim(col("value")))
-      .where(col("value") =!= "" && !col("value").startsWith("#"))
+      .where(length(col("value")) >= 2 && !col("value").startsWith("#"))
     lines.select(
       col("line_id"),
-      when(col("value").startsWith("[") && col("value").endsWith("]"), "section")
-        .when(col("value") === "--", "hr")
-        .when(col("value") === "<>", "space")
+      when(col("value").startsWith("["), "section")
+        .when(col("value").startsWith("--"), "hr")
+        .when(col("value").startsWith("<>"), "space")
         .otherwise("row").as("kind"),
       when(col("value").startsWith("["),
-        regexp_extract(col("value"), "^\\[(.*)\\]$", 1)).as("section"),
+        regexp_extract(col("value"), "^\\[([^\\]]*)", 1)).as("section"),
       split(trim(try_element_at(split(col("value"), "\\|"), lit(1))), "[,\\s]+").as("pvnames"),
       trim(try_element_at(split(col("value"), "\\|"), lit(2))).as("description"),
       trim(try_element_at(split(col("value"), "\\|"), lit(3))).as("format"))

@@ -45,10 +45,13 @@ class ColumnFunctionsSpec extends SparkSpec {
     assert(one(PvFunctions.enumLabel(labels, lit("XX:sh"), lit(0))) == "Closed")
   }
 
-  test("yesNo formats 0/1 and passes other values through (F13)") {
+  test("yesNo: int(float(v)) 0/1 -> No/Yes, everything else Unknown (F13, WebStatus.py:87-94)") {
     assert(one(PvFunctions.yesNo(lit(0))) == "No")
     assert(one(PvFunctions.yesNo(lit(1))) == "Yes")
-    assert(one(PvFunctions.yesNo(lit(7))) == "7")
+    assert(one(PvFunctions.yesNo(lit("1.0"))) == "Yes") // int(float("1.0")) == 1
+    assert(one(PvFunctions.yesNo(lit("0.7"))) == "No") // truncation toward zero
+    assert(one(PvFunctions.yesNo(lit(7))) == "Unknown") // reference default
+    assert(one(PvFunctions.yesNo(lit("Open"))) == "Unknown") // ValueError path, no ANSI throw
   }
 
   test("timehash drops the 0x prefix and last hex digit like the reference (F12)") {
