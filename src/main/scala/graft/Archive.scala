@@ -74,14 +74,10 @@ class Archive(samples: DataFrame, cache: Option[DataFrame] = None) {
     * back to raw samples would hand a polling web layer many rows per PV
     * as a "delta").
     */
-  private lazy val cacheView: DataFrame = cache.getOrElse {
-    samples
-      .groupBy(col("pvname"))
-      .agg(max_by(
-        struct(samples.columns.filter(_ != "pvname").map(col): _*), col("tsUs")).as("__r"))
-      .select(samples.columns.map(c =>
-        if (c == "pvname") col(c) else col("__r").getField(c).as(c)): _*)
-  }
+  private lazy val cacheView: DataFrame = cache.getOrElse(
+    // tie-break on value so equal-ts duplicates resolve the same way on
+    // every run (same rule as every other argmax in the engine)
+    TimeSeries.valueAtTime(samples, "pvname", "tsUs", "value", Long.MaxValue))
 
   /** P1 `get_values` on the cache (cache.py:464-473). */
   def cacheSince(sinceUs: Long): DataFrame =

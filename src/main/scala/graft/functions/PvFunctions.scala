@@ -66,12 +66,18 @@ object PvFunctions {
     * per-key label map (`labels` is a `MapType(String, ArrayType(String))`
     * column, normally from a broadcast dimension).
     */
-  def enumLabel(labels: Column, key: Column, ordinal: Column): Column =
+  def enumLabel(labels: Column, key: Column, ordinal: Column): Column = {
     // try_element_at + try_cast: under Spark 4's default ANSI mode the
     // strict forms THROW on a missing key / out-of-range ordinal /
     // non-integral ordinal string, aborting the whole query for one stale
-    // sample — the reference (cache.py:171-178) degrades to null/raw
-    try_element_at(try_element_at(labels, key), ordinal.try_cast("int") + 1)
+    // sample — the reference (cache.py:171-178) degrades to null/raw.
+    // The index is nulled below 1 because ElementAt is NOT try-safe there:
+    // index 0 throws INVALID_INDEX_OF_ZERO even in the try form, and a
+    // negative index silently resolves end-relative (ordinal -2 would
+    // return the LAST label instead of nothing)
+    val idx = ordinal.try_cast("int") + 1
+    try_element_at(try_element_at(labels, key), when(idx >= 1, idx))
+  }
 
   /** pvextra enum-label storage (cache.py:196-206): the JSON list of labels
     * per PV parsed into `array<string>` — build the F10 map with

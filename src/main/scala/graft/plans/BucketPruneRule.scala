@@ -31,16 +31,17 @@ object BucketPruneRule extends Rule[LogicalPlan] with PredicateHelper {
     if (!conf.getConfString("graft.bucketPrune.enabled", "true").toBoolean) return plan
     plan.transformUp {
     case f @ Filter(cond, child) =>
-      // the pvname/bucket attributes must come from the LEAF relation
+      // the pvname/bucket attributes must come from the SAME leaf relation
       // unchanged (same exprId): a projection that REDEFINES pvname (e.g.
       // upper(pvname)) mints a new attribute whose equality literal no
-      // longer corresponds to the stored hashname buckets — adding the
-      // bucket conjunct there would silently drop matching rows
-      val leafAttrs = org.apache.spark.sql.catalyst.expressions.AttributeSet(
-        child.collectLeaves().flatMap(_.output))
-      (bucketAttr(child).filter(leafAttrs.contains),
-        pvnameAttr(child).filter(leafAttrs.contains)) match {
-        case (Some(bucket), Some(pvname)) =>
+      // longer corresponds to the stored hashname buckets, and above a join
+      // the pvname may belong to a DIFFERENT relation than the bucket (a
+      // non-pvname-equi join of store × dim) — adding the bucket conjunct
+      // in either case would silently drop matching rows. The leaf walk
+      // only runs once both attributes matched (the common no-store case
+      // stays a cheap output scan).
+      (bucketAttr(child), pvnameAttr(child)) match {
+        case (Some(bucket), Some(pvname)) if sameLeaf(child, bucket, pvname) =>
           val conjuncts = splitConjunctivePredicates(cond)
           val alreadyBucketed = conjuncts.exists(_.references.contains(bucket))
           val pvLiterals = conjuncts.collect {
@@ -58,6 +59,12 @@ object BucketPruneRule extends Rule[LogicalPlan] with PredicateHelper {
       }
     }
   }
+
+  private def sameLeaf(plan: LogicalPlan, a: Attribute, b: Attribute): Boolean =
+    plan.collectLeaves().exists { leaf =>
+      val out = org.apache.spark.sql.catalyst.expressions.AttributeSet(leaf.output)
+      out.contains(a) && out.contains(b)
+    }
 
   private def hasStoreSignature(plan: LogicalPlan): Boolean = {
     import org.apache.spark.sql.types.LongType

@@ -57,6 +57,17 @@ class ArchiveSpec extends SparkSpec {
     assert(r.length == 1 && r(0).getAs[Long]("tsUs") == 30 * S)
   }
 
+  test("cacheSince without a cache frame derives one row per PV, deterministic on ts ties (P1)") {
+    val sp = spark
+    import sp.implicits._
+    val dup = Seq( // pv1 has two rows at the same tsUs: value tie-break picks "b"
+      ("pv1", 10 * S, "a"), ("pv1", 10 * S, "b"), ("pv2", 5 * S, "x"))
+      .toDF("pvname", "tsUs", "value")
+    val got = new Archive(dup).cacheSince(0L).collect()
+      .map(r => (r.getAs[String]("pvname"), r.getAs[String]("value"))).sortBy(_._1)
+    assert(got.toSeq == Seq(("pv1", "b"), ("pv2", "x")))
+  }
+
   test("refreshDelta returns only recently-changed rows (Q6)") {
     val a = new Archive(samplesDf, Some(cacheDf))
     val d = a.refreshDelta(nowUs = 100 * S, ageUs = 1500000L * 1)

@@ -45,6 +45,19 @@ class ColumnFunctionsSpec extends SparkSpec {
     assert(one(PvFunctions.enumLabel(labels, lit("XX:sh"), lit(0))) == "Closed")
   }
 
+  test("enumLabel degrades to null on bad input instead of throwing or wrapping (F10, cache.py:171-178)") {
+    val labels = map(lit("XX:sh"), array(lit("Closed"), lit("Open")))
+    // missing key, out-of-range ordinal, non-integral ordinal: all null
+    assert(one(PvFunctions.enumLabel(labels, lit("YY:zz"), lit(1)).isNull) == true)
+    assert(one(PvFunctions.enumLabel(labels, lit("XX:sh"), lit(5)).isNull) == true)
+    assert(one(PvFunctions.enumLabel(labels, lit("XX:sh"), lit("junk")).isNull) == true)
+    // ordinal -1 maps to array index 0 (INVALID_INDEX_OF_ZERO even under
+    // try_element_at) and -2 to end-relative index -1 (the LAST label):
+    // both must degrade to null, not throw or wrap around
+    assert(one(PvFunctions.enumLabel(labels, lit("XX:sh"), lit(-1)).isNull) == true)
+    assert(one(PvFunctions.enumLabel(labels, lit("XX:sh"), lit(-2)).isNull) == true)
+  }
+
   test("yesNo: int(float(v)) 0/1 -> No/Yes, everything else Unknown (F13, WebStatus.py:87-94)") {
     assert(one(PvFunctions.yesNo(lit(0))) == "No")
     assert(one(PvFunctions.yesNo(lit(1))) == "Yes")

@@ -79,6 +79,25 @@ class GraftPlansSpec extends SparkSpec {
     assert(!manual.contains("= " + PvFunctions.hashname("XX:m1.VAL").toString))
   }
 
+  test("BucketPruneRule never rewrites a filter whose pvname and bucket come from different relations") {
+    Engine.tune(spark)
+    val sp = spark
+    import sp.implicits._
+    val dimDir = Files.createTempDirectory("graft_rule_dim").toString
+    Seq(("XX:m1.VAL", 1.0)).toDF("pvname", "score")
+      .write.mode("overwrite").parquet(dimDir)
+    // store side WITHOUT its pvname × dim side WITH one: the joined frame
+    // carries the full store signature plus a pvname that belongs to the
+    // OTHER relation — a bucket conjunct derived from it would wrongly
+    // restrict the store rows (here the YY row, bucket 7) even though the
+    // join is not a pvname equi-join
+    val q = parquetDf.drop("pvname").crossJoin(sp.read.parquet(dimDir))
+      .where(col("pvname") === "XX:m1.VAL")
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("= " + PvFunctions.hashname("XX:m1.VAL").toString), plan)
+    assert(q.count() == 2) // both store rows survive the dim-side filter
+  }
+
   test("BucketPruneRule prunes partitioned store scans end-to-end") {
     Engine.tune(spark)
     val sp = spark
