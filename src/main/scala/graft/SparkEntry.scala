@@ -466,6 +466,61 @@ object SparkEntry {
           date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd HH:mm:ss.SSS").as("iso"),
           col("value"))
         .orderBy(col("ts_us"), col("event_id"))
+    }),
+
+    // ---- deterministic train/val/test split: pure map, no shuffle, stable
+    // under corpus growth -----------------------------------------------------
+    "q_split_assign" -> ((s, dir) => {
+      Sampling.splitAssign(Tables.documents(s, dir), "doc_id")
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- per-language stratified downsampling (driver-resolved integer
+    // thresholds; membership reproducible by any engine) ----------------------
+    "q_sample_stratified" -> ((s, dir) => {
+      Sampling.sampleStratified(Tables.documents(s, dir), "doc_id", "lang",
+        Map("en" -> 0.5, "fr" -> 0.25), defaultRate = 0.1)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- per-source cap: no single domain dominates the corpus --------------
+    "q_source_cap" -> ((s, dir) => {
+      Sampling.perGroupCap(Tables.documents(s, dir), "doc_id", "source", cap = 20)
+        .select(col("doc_id"), col("source"), col("cap_rank"))
+        .orderBy(col("source"), col("cap_rank"))
+    }),
+
+    // ---- benchmark-contamination scan: docs sharing a 4-gram with the
+    // "eval set" (stand-in: doc_id < 10), broadcast semi-join ----------------
+    "q_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.contamination(
+        docs.where(col("doc_id") >= 10), docs.where(col("doc_id") < 10),
+        "doc_id", "text", n = 4)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Gopher-style repetition quality signals ---------------------------
+    "q_repetition" -> ((s, dir) => {
+      TextAnalysis.repetition(Tables.documents(s, dir), "doc_id", "text", n = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- PII scrub over a deterministically PII-laced corpus (the synthetic
+    // documents carry no PII, so the gate splices an email/phone/IP per doc
+    // from doc_id — identically in the oracle — and hash-checks the counts
+    // AND the redacted text) --------------------------------------------------
+    "q_pii_redact" -> ((s, dir) => {
+      val laced = Tables.documents(s, dir).select(
+        col("doc_id"),
+        concat(
+          col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com or +1 (555) 000-"), col("doc_id"),
+          lit(" ip 10.0."), col("doc_id") % 256, lit(".7")).as("text"))
+      TextAnalysis.piiRedact(laced, "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1085,6 +1140,77 @@ object SparkEntry {
          |  value
          |FROM events
          |WHERE event_type = 'signup' AND epoch_us(ts) >= $T0 AND epoch_us(ts) < $T1
-         |ORDER BY ts_us, event_id""".stripMargin
+         |ORDER BY ts_us, event_id""".stripMargin,
+
+    "q_split_assign" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN ${docBucketSql(100)} < 80 THEN 'train'
+         |       WHEN ${docBucketSql(100)} < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${docBucketSql(1000000)} <
+         |  CASE WHEN lang = 'fr' THEN 250000
+         |       WHEN lang = 'en' THEN 500000
+         |       ELSE 100000 END
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_source_cap" ->
+      s"""SELECT doc_id, source, cap_rank FROM (
+         |  SELECT doc_id, source, CAST(row_number() OVER (
+         |    PARTITION BY source
+         |    ORDER BY ${docBucketSql(1073741824)}, doc_id) AS BIGINT) AS cap_rank
+         |  FROM documents)
+         |WHERE cap_rank <= 20 ORDER BY source, cap_rank""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH ${shingleCte(4)},
+         |ev AS (SELECT DISTINCT shingle FROM s WHERE doc < 10)
+         |SELECT c.doc AS doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM s c JOIN ev USING (shingle)
+         |WHERE c.doc >= 10
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(
+        |        generate_series(0, greatest(len(toks) - 2, 0)),
+        |        i -> array_to_string(toks[i + 1 : i + 2], ' '))) AS g FROM t),
+        |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |        count(*) AS n_distinct, max(c) AS top FROM c GROUP BY 1)
+        |SELECT doc_id, n_grams, n_distinct,
+        |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS dup_frac,
+        |  round(CAST(top AS DOUBLE) / n_grams, 6) AS top_frac
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q_pii_redact" ->
+      s"""WITH laced AS (SELECT doc_id,
+         |  text || ' contact user' || doc_id || '@mail.example.com or +1 (555) 000-'
+         |       || doc_id || ' ip 10.0.' || (doc_id % 256) || '.7' AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$PII_EMAIL')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '$PII_IPV4')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(text, '$PII_PHONE')) AS BIGINT) AS n_phone,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$PII_EMAIL', '<EMAIL>', 'g'),
+         |    '$PII_IPV4', '<IP>', 'g'),
+         |    '$PII_PHONE', '<PHONE>', 'g') AS redacted
+         |FROM laced ORDER BY doc_id""".stripMargin
   )
+
+  /** DuckDB fragment mirroring [[Sampling.hashBucket]] over `doc_id` with the
+    * default "graft" salt.
+    */
+  private def docBucketSql(buckets: Long): String =
+    s"CAST('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % $buckets"
+
+  // the PII patterns, shared verbatim with [[TextAnalysis]] (lookaround-free:
+  // legal in both Java regex and RE2)
+  private val PII_EMAIL = TextAnalysis.piiEmailRe
+  private val PII_IPV4 = TextAnalysis.piiIpv4Re
+  private val PII_PHONE = TextAnalysis.piiPhoneRe
 }

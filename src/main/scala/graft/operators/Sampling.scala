@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and splitting for training-data pipelines:
+  * train/val/test assignment, per-stratum downsampling, per-group caps.
+  *
+  * Everything keys off [[hashBucket]] — a pure column expression over the
+  * row's own id — so membership is reproducible across runs, engines and
+  * cluster sizes (unlike `df.sample`, whose outcome depends on partitioning),
+  * re-derivable for any single row without scanning the corpus, and free of
+  * coordination: the 100 TB plan is a map-only filter with no shuffle at all
+  * for splits/sampling, and a single key-partitioned window for caps.
+  */
+object Sampling {
+
+  /** Deterministic hash bucket in `[0, buckets)`: the first 8 hex chars of
+    * `md5(salt || id)` as an integer (the same engine-portable md5-prefix
+    * trick as [[Dedup.shingleHash]] — reproducible by any SQL oracle, unlike
+    * engine-specific hash functions). Change `salt` to draw an independent
+    * assignment; 2^32 ≫ buckets keeps the modulo bias negligible.
+    */
+  def hashBucket(id: Column, salt: String, buckets: Long): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Train/validation/test assignment by hash bucket out of 100:
+    * `[0, trainPct)` → train, `[trainPct, trainPct+valPct)` → val, rest →
+    * test. Adding documents later never moves an existing document between
+    * splits — the property that keeps eval sets stable as a corpus grows.
+    */
+  def splitAssign(df: DataFrame, id: String, salt: String = "graft",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"split percentages must fit in 100, got train=$trainPct val=$valPct")
+    val b = hashBucket(col(id), salt, 100L)
+    df.withColumn("split",
+      when(b < trainPct, lit("train"))
+        .when(b < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** Per-stratum deterministic downsampling: keep a `rates(stratum)` (or
+    * `defaultRate`) fraction of each stratum's rows. Thresholds are resolved
+    * to integer buckets-per-million ON THE DRIVER (`math.floor(r * 1e6)`) so
+    * the plan compares integers — no float-rounding divergence between
+    * engines at the cut line. Map-only: no shuffle, no state.
+    */
+  def sampleStratified(df: DataFrame, id: String, stratum: String,
+      rates: Map[String, Double], defaultRate: Double,
+      salt: String = "graft"): DataFrame = {
+    def perMillion(r: Double): Long = {
+      require(r >= 0.0 && r <= 1.0, s"rate must be in [0,1], got $r")
+      math.floor(r * 1e6).toLong
+    }
+    val threshold = rates.foldLeft(lit(perMillion(defaultRate))) {
+      case (acc, (k, r)) => when(col(stratum) === k, lit(perMillion(r))).otherwise(acc)
+    }
+    df.where(hashBucket(col(id), salt, 1000000L) < threshold)
+  }
+
+  /** Keep at most `cap` rows per group, chosen by deterministic hash order
+    * (the per-domain cap of web-scale pipelines: no single source may
+    * dominate the corpus). One shuffle on the group key; a skewed giant
+    * group costs its row count in one task's sort but emits only `cap` rows.
+    * The hash order makes the kept subset a stable "random" draw — sorting
+    * by id alone would always keep each domain's oldest pages.
+    */
+  def perGroupCap(df: DataFrame, id: String, group: String, cap: Int,
+      salt: String = "graft"): DataFrame = {
+    val w = Window.partitionBy(col(group))
+      .orderBy(hashBucket(col(id), salt, 1L << 30), col(id))
+    df.withColumn("cap_rank", row_number().over(w).cast("long"))
+      .where(col("cap_rank") <= cap)
+  }
+}

@@ -106,4 +106,75 @@ object TextAnalysis {
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
   }
+
+  /** Benchmark-contamination scan: which corpus documents share at least one
+    * word n-gram with an evaluation set, and how many distinct n-grams they
+    * share — the standard train/test-overlap check run before training.
+    *
+    * The eval side (always small — benchmarks are thousands of items, not
+    * terabytes) is distinct-ed and BROADCAST, so the 100 TB corpus side is a
+    * single map pass: shingle, hash-semi-join against the in-memory eval
+    * set, then one partially-aggregated count per contaminated doc. The
+    * corpus is never shuffled; only matching (id, shingle) pairs reach the
+    * aggregation exchange.
+    */
+  def contamination(corpus: DataFrame, evalDf: DataFrame,
+      id: String, text: String, n: Int): DataFrame = {
+    val evalShingles = evalDf
+      .select(explode(array_distinct(shingles(col(text), n))).as("shingle"))
+      .distinct()
+    corpus
+      .select(col(id), explode(array_distinct(shingles(col(text), n))).as("shingle"))
+      .join(broadcast(evalShingles), Seq("shingle"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Gopher-style repetition statistics per document: total and distinct
+    * word n-grams, the duplicate fraction `1 - distinct/total`, and the
+    * share of the single most-repeated n-gram — the signals behind the
+    * "repetitious documents" quality filters. Two partial aggregations
+    * ((id, gram) then id), both map-side combinable; no windows, no UDFs.
+    */
+  def repetition(df: DataFrame, id: String, text: String, n: Int): DataFrame =
+    df.select(col(id), explode(shingles(col(text), n)).as("__g"))
+      .groupBy(col(id), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(id))
+      .agg(
+        sum(col("__c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("__c")).as("__top"))
+      .select(
+        col(id),
+        col("n_grams"),
+        col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6).as("dup_frac"),
+        round(col("__top").cast("double") / col("n_grams"), 6).as("top_frac"))
+
+  // PII patterns, deliberately lookaround-free so they run identically on
+  // Java regex (Spark) and RE2 (DuckDB, Go tooling): emails, dotted-quad
+  // IPv4s, and +-prefixed international phone numbers (an unanchored
+  // domestic-number pattern would eat arbitrary digit runs)
+  val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val piiPhoneRe = "\\+[0-9][0-9 ()-]{6,}[0-9]"
+
+  /** PII scrub: per-document counts of emails / IPv4 addresses / phone
+    * numbers plus the redacted text. Replacement order (email → ip → phone)
+    * matters for byte-identical output and is safe because the replacement
+    * tokens contain no digits or '@'. Pure regexp columns — codegen'd,
+    * per-row, shuffle-free.
+    */
+  def piiRedact(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(
+      col(id),
+      regexp_count(col(text), lit(piiEmailRe)).cast("long").as("n_email"),
+      regexp_count(col(text), lit(piiIpv4Re)).cast("long").as("n_ip"),
+      regexp_count(col(text), lit(piiPhoneRe)).cast("long").as("n_phone"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(text), lit(piiEmailRe), lit("<EMAIL>")),
+          lit(piiIpv4Re), lit("<IP>")),
+        lit(piiPhoneRe), lit("<PHONE>")).as("redacted"))
 }

@@ -55,7 +55,9 @@ class PlanAuditSpec extends SparkSpec {
       val dir = "/root/testdata/sf0.001"
       Seq("q_jaccard_dist", "q_embed_dedup_dist", "q_pairs_cooccur_capped",
         "q_locf_align", "q_decimate", "q_get_data", "q_plot_trace",
-        "q_string_table").foreach { q =>
+        "q_string_table", "q_split_assign", "q_sample_stratified",
+        "q_source_cap", "q_contamination", "q_repetition",
+        "q_pii_redact").foreach { q =>
         SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
       }
       org.apache.spark.GraftSparkTestHooks.waitListenerBus(spark.sparkContext)

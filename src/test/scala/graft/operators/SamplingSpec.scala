@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+
+  private def docs = {
+    val sp = spark
+    import sp.implicits._
+    (0L until 200L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "fr" else "de",
+      s"src${i % 5}")).toDF("doc_id", "lang", "source")
+  }
+
+  test("splitAssign is exhaustive, deterministic, and stable under corpus growth") {
+    val full = Sampling.splitAssign(docs, "doc_id").select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full.values.toSet.subsetOf(Set("train", "val", "test")))
+    // roughly 80/10/10 (hash buckets, not exact)
+    val train = full.values.count(_ == "train")
+    assert(train > 120 && train < 200, s"train=$train of 200")
+    // stability: assigning a PREFIX of the corpus gives identical labels —
+    // growing the corpus never moves an existing doc between splits
+    val prefix = Sampling.splitAssign(docs.where(col("doc_id") < 50), "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    prefix.foreach { case (id, s) => assert(full(id) == s) }
+  }
+
+  test("splitAssign rejects percentages that exceed 100") {
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(docs, "doc_id", trainPct = 80, valPct = 30)
+    }
+  }
+
+  test("sampleStratified applies per-stratum rates; different salts draw independent samples") {
+    val kept = Sampling.sampleStratified(docs, "doc_id", "lang",
+      Map("en" -> 1.0, "fr" -> 0.0), defaultRate = 0.5)
+    val byLang = kept.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.getOrElse("en", 0L) == 67L) // rate 1.0: all 67 en docs
+    assert(byLang.getOrElse("fr", 0L) == 0L) // rate 0.0: none
+    val de = byLang.getOrElse("de", 0L)
+    assert(de > 10 && de < 56, s"de=$de of 66 at rate 0.5") // hash-approximate
+    // a different salt keeps ~the same COUNT but a different membership
+    val a = Sampling.sampleStratified(docs, "doc_id", "lang", Map(), 0.5, salt = "s1")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val b = Sampling.sampleStratified(docs, "doc_id", "lang", Map(), 0.5, salt = "s2")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(a != b)
+  }
+
+  test("perGroupCap keeps at most cap rows per group, deterministically") {
+    val capped = Sampling.perGroupCap(docs, "doc_id", "source", cap = 7)
+    val counts = capped.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.size == 5 && counts.values.forall(_ == 7L)) // 40 docs/source -> 7
+    assert(capped.agg(max(col("cap_rank"))).collect()(0).getLong(0) == 7L)
+    // deterministic: same draw twice
+    val again = Sampling.perGroupCap(docs, "doc_id", "source", cap = 7)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(again == capped.select(col("doc_id")).collect().map(_.getLong(0)).toSet)
+    // a group smaller than the cap survives whole
+    val tiny = Sampling.perGroupCap(docs.where(col("doc_id") < 3), "doc_id", "source", cap = 7)
+    assert(tiny.count() == 3)
+  }
+}

@@ -44,4 +44,52 @@ class TextAnalysisSpec extends SparkSpec {
       .collect()(0).getAs[scala.collection.Seq[String]]("s")
     assert(got.toSeq == Seq("a b")) // shorter than n -> whole doc
   }
+
+  test("contamination counts distinct shared n-grams per corpus doc (broadcast semi-join)") {
+    val sp = spark
+    import sp.implicits._
+    val evalSet = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x alpha beta y"), // shares "alpha beta"
+      (2L, "beta gamma delta epsilon beta gamma delta"), // 2 distinct shared bigrams
+      (3L, "nothing in common here")).toDF("doc_id", "text")
+    val got = TextAnalysis.contamination(corpus, evalSet, "doc_id", "text", n = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L)) // doc 3 clean -> absent
+    // the plan broadcasts the eval side: the corpus is never shuffled for the join
+    val plan = TextAnalysis.contamination(corpus, evalSet, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("repetition: duplicate and top-gram fractions (Gopher-style signals)") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "a b a b a b"), // bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+      (2L, "u v w x y")).toDF("doc_id", "text") // all 4 bigrams distinct
+    val got = TextAnalysis.repetition(df, "doc_id", "text", n = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_distinct"), r.getAs[Double]("dup_frac"), r.getAs[Double]("top_frac")))
+      .sortBy(_._1)
+    assert(got(0) == ((1L, 5L, 2L, 0.6, 0.6))) // "a b" appears 3/5
+    assert(got(1) == ((2L, 4L, 4L, 0.0, 0.25)))
+  }
+
+  test("piiRedact counts and redacts emails, IPv4s and +intl phones; clean text untouched") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "mail me at jo.doe+spam@sub.example.org or call +44 (0) 1632-960018 now"),
+      (2L, "server 192.168.0.17 and 10.0.0.1 are internal"),
+      (3L, "no pii here, just 3.14 and v1.2.3 and a dash - ok")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiRedact(df, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_email"),
+        r.getAs[Long]("n_ip"), r.getAs[Long]("n_phone"), r.getAs[String]("redacted")))
+      .sortBy(_._1)
+    assert(got(0) == ((1L, 1L, 0L, 1L, "mail me at <EMAIL> or call <PHONE> now")))
+    assert(got(1) == ((2L, 0L, 2L, 0L, "server <IP> and <IP> are internal")))
+    // 3.14 / v1.2.3 are not dotted quads; a bare dash is not a phone
+    assert(got(2) == ((3L, 0L, 0L, 0L, "no pii here, just 3.14 and v1.2.3 and a dash - ok")))
+  }
 }
