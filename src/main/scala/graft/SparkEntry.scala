@@ -508,6 +508,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- sequence packing: concat-and-chunk docs into 512-token context
+    // windows across 8 shards (hash order = the training shuffle) ------------
+    "q_pack_sequences" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Sampling.packSequences(docs, "doc_id",
+        size(split(col("text"), " ")), seqLen = 512, shards = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- PII scrub over a deterministically PII-laced corpus (the synthetic
     // documents carry no PII, so the gate splices an email/phone/IP per doc
     // from doc_id — identically in the oracle — and hash-checks the counts
@@ -1185,6 +1194,22 @@ object SparkEntry {
         |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS dup_frac,
         |  round(CAST(top AS DOUBLE) / n_grams, 6) AS top_frac
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    ${docBucketSql(8)} AS shard,
+         |    CAST('0x' || substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |      % 1073741824 AS ord,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |    COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
+         |  FROM d)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST(floor(cum / 512.0) AS BIGINT) AS bin,
+         |  cum % 512 AS tok_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_pii_redact" ->
       s"""WITH laced AS (SELECT doc_id,

@@ -75,4 +75,37 @@ object Sampling {
     df.withColumn("cap_rank", row_number().over(w).cast("long"))
       .where(col("cap_rank") <= cap)
   }
+
+  /** Sequence packing for pretraining: concatenate documents (in a
+    * deterministic hash-shuffled order) and chunk the stream into
+    * `seqLen`-token context windows — each doc lands in shard `shard`,
+    * window `bin`, starting `offset` tokens into it. This is the
+    * concat-and-chunk packing of GPT-style pipelines: bins are filled
+    * exactly (a doc crossing a boundary spills into the next window), so
+    * there is no per-bin loop and no sequential state — one shuffle on the
+    * shard key, one per-shard running sum.
+    *
+    * Shards bound the sort: each shard's documents are one task's
+    * `Window partitionBy` sort, so pick `shards` ≈ the cluster's task count
+    * at 100 TB. The hash order also *is* the training shuffle — downstream
+    * readers consume (shard, bin) in order and get a reproducible,
+    * well-mixed epoch without a separate global sort.
+    */
+  def packSequences(df: DataFrame, id: String, tokenCount: Column,
+      seqLen: Int, shards: Int, salt: String = "graft"): DataFrame = {
+    require(seqLen > 0 && shards > 0, s"seqLen and shards must be positive")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(hashBucket(col(id), salt, 1L << 30), col(id))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("shard", hashBucket(col(id), salt, shards.toLong))
+      .withColumn("n_tokens", tokenCount.cast("long"))
+      .withColumn("__cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col(id), col("shard"), col("n_tokens"),
+        // floor, not a bare cast: the oracle mirrors with floor() because
+        // DuckDB's double->bigint CAST rounds where Spark's truncates
+        floor(col("__cum_before") / seqLen).as("bin"),
+        // "tok_offset", not "offset": OFFSET is reserved in most SQL engines
+        (col("__cum_before") % seqLen).as("tok_offset"))
+  }
 }

@@ -57,7 +57,7 @@ class PlanAuditSpec extends SparkSpec {
         "q_locf_align", "q_decimate", "q_get_data", "q_plot_trace",
         "q_string_table", "q_split_assign", "q_sample_stratified",
         "q_source_cap", "q_contamination", "q_repetition",
-        "q_pii_redact").foreach { q =>
+        "q_pii_redact", "q_pack_sequences").foreach { q =>
         SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
       }
       org.apache.spark.GraftSparkTestHooks.waitListenerBus(spark.sparkContext)

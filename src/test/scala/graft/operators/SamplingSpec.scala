@@ -64,4 +64,26 @@ class SamplingSpec extends SparkSpec {
     val tiny = Sampling.perGroupCap(docs.where(col("doc_id") < 3), "doc_id", "source", cap = 7)
     assert(tiny.count() == 3)
   }
+
+  test("packSequences: concat-and-chunk bins fill exactly and offsets chain per shard") {
+    val sp = spark
+    import sp.implicits._
+    val df = (0L until 100L).map(i => (i, 10L + i % 7)).toDF("doc_id", "n_toks")
+    val got = Sampling.packSequences(df, "doc_id", col("n_toks"), seqLen = 64, shards = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("bin"), r.getAs[Long]("tok_offset")))
+    assert(got.length == 100)
+    // within each shard, in hash order, each doc starts exactly where the
+    // previous ended: bin*64 + tok_offset is the running token sum
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val inOrder = rows.sortBy(r => r._4 * 64 + r._5) // position order
+      var cum = 0L
+      inOrder.foreach { case (_, _, n, bin, off) =>
+        assert(bin == cum / 64 && off == cum % 64)
+        cum += n
+      }
+    }
+    // shards partition the corpus
+    assert(got.map(_._2).distinct.sorted.toSeq.forall(s => s >= 0 && s < 4))
+  }
 }
