@@ -1215,16 +1215,17 @@ object SparkEntry {
       s"""WITH laced AS (SELECT doc_id,
          |  text || ' contact user' || doc_id || '@mail.example.com or +1 (555) 000-'
          |       || doc_id || ' ip 10.0.' || (doc_id % 256) || '.7' AS text
-         |  FROM documents)
+         |  FROM documents),
+         |r1 AS (SELECT doc_id, text,
+         |    regexp_replace(text, '$PII_EMAIL', '<EMAIL>', 'g') AS t1 FROM laced),
+         |r2 AS (SELECT doc_id, text, t1,
+         |    regexp_replace(t1, '$PII_IPV4', '<IP>', 'g') AS t2 FROM r1)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '$PII_EMAIL')) AS BIGINT) AS n_email,
-         |  CAST(len(regexp_extract_all(text, '$PII_IPV4')) AS BIGINT) AS n_ip,
-         |  CAST(len(regexp_extract_all(text, '$PII_PHONE')) AS BIGINT) AS n_phone,
-         |  regexp_replace(regexp_replace(regexp_replace(text,
-         |    '$PII_EMAIL', '<EMAIL>', 'g'),
-         |    '$PII_IPV4', '<IP>', 'g'),
-         |    '$PII_PHONE', '<PHONE>', 'g') AS redacted
-         |FROM laced ORDER BY doc_id""".stripMargin
+         |  CAST(len(regexp_extract_all(t1, '$PII_IPV4')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(t2, '$PII_PHONE')) AS BIGINT) AS n_phone,
+         |  regexp_replace(t2, '$PII_PHONE', '<PHONE>', 'g') AS redacted
+         |FROM r2 ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB fragment mirroring [[Sampling.hashBucket]] over `doc_id` with the

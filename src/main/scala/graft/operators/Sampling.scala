@@ -23,8 +23,7 @@ object Sampling {
     * assignment; 2^32 ≫ buckets keeps the modulo bias negligible.
     */
   def hashBucket(id: Column, salt: String, buckets: Long): Column =
-    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
-      .cast("long") % buckets
+    Dedup.shingleHash(concat(lit(salt), id.cast("string"))) % buckets
 
   /** Train/validation/test assignment by hash bucket out of 100:
     * `[0, trainPct)` → train, `[trainPct, trainPct+valPct)` → val, rest →
@@ -53,7 +52,10 @@ object Sampling {
       salt: String = "graft"): DataFrame = {
     def perMillion(r: Double): Long = {
       require(r >= 0.0 && r <= 1.0, s"rate must be in [0,1], got $r")
-      math.floor(r * 1e6).toLong
+      // round, not floor: 0.3 * 1e6 is 299999.99999999994 in binary — floor
+      // would silently shave one bucket off every rate that isn't exactly
+      // representable; round is exact for rates with <= 6 decimal digits
+      math.round(r * 1e6)
     }
     val threshold = rates.foldLeft(lit(perMillion(defaultRate))) {
       case (acc, (k, r)) => when(col(stratum) === k, lit(perMillion(r))).otherwise(acc)

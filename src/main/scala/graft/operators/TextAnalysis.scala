@@ -163,18 +163,21 @@ object TextAnalysis {
   /** PII scrub: per-document counts of emails / IPv4 addresses / phone
     * numbers plus the redacted text. Replacement order (email → ip → phone)
     * matters for byte-identical output and is safe because the replacement
-    * tokens contain no digits or '@'. Pure regexp columns — codegen'd,
-    * per-row, shuffle-free.
+    * tokens contain no digits or '@'. Each count runs on the text AFTER the
+    * earlier replacements, so `n_phone` always equals the number of
+    * `<PHONE>` tokens in `redacted` — counting on the raw text would tally
+    * a phone-shaped digit run inside an email's local part that the email
+    * replacement then consumes. Pure regexp columns — codegen'd, per-row,
+    * shuffle-free.
     */
-  def piiRedact(df: DataFrame, id: String, text: String): DataFrame =
+  def piiRedact(df: DataFrame, id: String, text: String): DataFrame = {
+    val afterEmail = regexp_replace(col(text), lit(piiEmailRe), lit("<EMAIL>"))
+    val afterIp = regexp_replace(afterEmail, lit(piiIpv4Re), lit("<IP>"))
     df.select(
       col(id),
       regexp_count(col(text), lit(piiEmailRe)).cast("long").as("n_email"),
-      regexp_count(col(text), lit(piiIpv4Re)).cast("long").as("n_ip"),
-      regexp_count(col(text), lit(piiPhoneRe)).cast("long").as("n_phone"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col(text), lit(piiEmailRe), lit("<EMAIL>")),
-          lit(piiIpv4Re), lit("<IP>")),
-        lit(piiPhoneRe), lit("<PHONE>")).as("redacted"))
+      regexp_count(afterEmail, lit(piiIpv4Re)).cast("long").as("n_ip"),
+      regexp_count(afterIp, lit(piiPhoneRe)).cast("long").as("n_phone"),
+      regexp_replace(afterIp, lit(piiPhoneRe), lit("<PHONE>")).as("redacted"))
+  }
 }

@@ -83,7 +83,7 @@ class SamplingSpec extends SparkSpec {
         cum += n
       }
     }
-    // shards partition the corpus
-    assert(got.map(_._2).distinct.sorted.toSeq.forall(s => s >= 0 && s < 4))
+    // shards genuinely partition the corpus (all 4 in use, ids in range)
+    assert(got.map(_._2).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
   }
 }

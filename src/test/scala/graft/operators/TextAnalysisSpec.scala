@@ -92,4 +92,15 @@ class TextAnalysisSpec extends SparkSpec {
     // 3.14 / v1.2.3 are not dotted quads; a bare dash is not a phone
     assert(got(2) == ((3L, 0L, 0L, 0L, "no pii here, just 3.14 and v1.2.3 and a dash - ok")))
   }
+
+  test("piiRedact counts reconcile with the redacted output when patterns nest") {
+    val sp = spark
+    import sp.implicits._
+    // "+123456789" is phone-shaped but lives inside the email's local part:
+    // the email replacement consumes it, so it must NOT count as a phone
+    val df = Seq((1L, "write a+123456789@x.com now")).toDF("doc_id", "text")
+    val r = TextAnalysis.piiRedact(df, "doc_id", "text").collect()(0)
+    assert(r.getAs[String]("redacted") == "write <EMAIL> now")
+    assert(r.getAs[Long]("n_email") == 1L && r.getAs[Long]("n_phone") == 0L)
+  }
 }
