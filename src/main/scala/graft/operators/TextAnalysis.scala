@@ -98,13 +98,16 @@ object TextAnalysis {
   }
 
   /** Word n-gram shingles of a document: positions i..i+n-1 joined by a
-    * space. Array-lambda expansion; no UDF.
+    * space. Array-lambda expansion; no UDF. Null text yields a null array
+    * (no shingles after explode) — without the guard, `greatest(null, 0)`
+    * IGNORES the null and a null doc would mint one phantom "" shingle.
     */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
+    when(text.isNotNull,
+      transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
   }
 
   /** Benchmark-contamination scan: which corpus documents share at least one

@@ -93,6 +93,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) == ((3L, 0L, 0L, 0L, "no pii here, just 3.14 and v1.2.3 and a dash - ok")))
   }
 
+  test("null text degrades to null/absent rows, never throws (ANSI-mode safety)") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "a b c")).toDF("doc_id", "text")
+    // per-row stats: null in, null out (the row is preserved for auditing)
+    val s = TextAnalysis.stats(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.isNullAt(r.fieldIndex("n_tokens"))).toMap
+    assert(s == Map(1L -> true, 2L -> false))
+    // shingle-explode ops: the null doc simply contributes no shingles
+    val rep = TextAnalysis.repetition(df, "doc_id", "text", 2).collect().map(_.getLong(0))
+    assert(rep.toSeq == Seq(2L))
+    val cont = TextAnalysis.contamination(
+      df, Seq((9L, "a b")).toDF("doc_id", "text"), "doc_id", "text", 2)
+      .collect().map(_.getLong(0))
+    assert(cont.toSeq == Seq(2L))
+    // redaction: null text -> null redacted, zero... (counts are null too)
+    val pii = TextAnalysis.piiRedact(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.isNullAt(r.fieldIndex("redacted"))).toMap
+    assert(pii == Map(1L -> true, 2L -> false))
+  }
+
   test("piiRedact counts reconcile with the redacted output when patterns nest") {
     val sp = spark
     import sp.implicits._

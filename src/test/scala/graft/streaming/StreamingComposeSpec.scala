@@ -64,6 +64,47 @@ class StreamingComposeSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq == expected.sortBy(_._1).toSeq)
   }
 
+  test("curation ops (sample/split/PII) attach directly to a streaming frame (stateless append mode)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.Engine.tune(sp)
+    import graft.operators.{Sampling, TextAnalysis}
+
+    val docs = (0L until 300L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de", s"doc $i mail u$i@ex.org body"))
+    def curate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      TextAnalysis.piiRedact(
+        Sampling.splitAssign(
+          Sampling.sampleStratified(df, "doc_id", "lang", Map("en" -> 0.8), 0.3),
+          "doc_id").where(col("split") === "train"),
+        "doc_id", "text")
+
+    val input = MemoryStream[(Long, String, String)]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    // the whole pipeline is stateless/map-only, so it attaches DIRECTLY to
+    // the streaming frame before the sink (append mode, no watermark; the
+    // foreachBatch below is only the collection sink, not the transform)
+    val q = curate(input.toDS().toDF("doc_id", "lang", "text"))
+      .select(col("doc_id"), col("n_email"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= b.collect().map(r => (r.getLong(0), r.getLong(1))) }
+        ()
+      }.start()
+    try {
+      input.addData(docs.take(150))
+      q.processAllAvailable()
+      input.addData(docs.drop(150))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batch = curate(docs.toDF("doc_id", "lang", "text"))
+      .select(col("doc_id"), col("n_email"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.toSeq == batch.sorted.toSeq && got.forall(_._2 == 1L))
+  }
+
   test("checkpointed restart resumes downsampler state and does not double-write (T7/exactly-once)") {
     val sp = spark
     import sp.implicits._
