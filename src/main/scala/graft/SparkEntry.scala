@@ -508,6 +508,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- near-dup clusters: pairwise Jaccard output resolved to connected
+    // components (min-id representative per cluster) — pairs (1,2)+(2,3)
+    // are ONE cluster, the decision a dedup pipeline actually needs --------
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardBlocked(
+        Tables.documents(s, dir), "doc_id", "text", n = 2, threshold = 0.5)
+      Dedup.connectedComponents(pairs, "d1", "d2").orderBy(col("doc"))
+    }),
+
     // ---- sequence packing: concat-and-chunk docs into 512-token context
     // windows across 8 shards (hash order = the training shuffle) ------------
     "q_pack_sequences" -> ((s, dir) => {
@@ -571,16 +580,22 @@ object SparkEntry {
   /** Shared by q_jaccard (broadcast sweep) and q_jaccard_dist (block-
     * partitioned sweep): both plans must produce THIS naive-join result.
     */
-  private lazy val jaccardOracleSql: String =
-    s"""WITH ${shingleCte(2)},
+  /** CTE chain ending in `jp(d1, d2, jaccard)` — the thresholded near-dup
+    * pairs, reused by the pair queries and the clustering oracle.
+    */
+  private lazy val jaccardPairsCtes: String =
+    s"""${shingleCte(2)},
        |sz AS (SELECT doc, count(*) AS sz FROM s GROUP BY doc),
        |inter AS (SELECT a.doc AS d1, b.doc AS d2, count(*) AS i
        |          FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
-       |          GROUP BY 1, 2)
-       |SELECT d1, d2, round(CAST(i AS DOUBLE) / (a.sz + b.sz - i), 6) AS jaccard
-       |FROM inter JOIN sz a ON d1 = a.doc JOIN sz b ON d2 = b.doc
-       |WHERE round(CAST(i AS DOUBLE) / (a.sz + b.sz - i), 6) >= 0.5
-       |ORDER BY d1, d2""".stripMargin
+       |          GROUP BY 1, 2),
+       |jp AS (SELECT d1, d2, round(CAST(i AS DOUBLE) / (a.sz + b.sz - i), 6) AS jaccard
+       |       FROM inter JOIN sz a ON d1 = a.doc JOIN sz b ON d2 = b.doc
+       |       WHERE round(CAST(i AS DOUBLE) / (a.sz + b.sz - i), 6) >= 0.5)""".stripMargin
+
+  private lazy val jaccardOracleSql: String =
+    s"""WITH $jaccardPairsCtes
+       |SELECT d1, d2, jaccard FROM jp ORDER BY d1, d2""".stripMargin
 
   /** Shared by q_embed_dedup (broadcast triangle) and q_embed_dedup_dist
     * (block-partitioned sweep): both plans must produce THIS all-pairs
@@ -1194,6 +1209,20 @@ object SparkEntry {
         |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS dup_frac,
         |  round(CAST(top AS DOUBLE) / n_grams, 6) AS top_frac
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // transitive closure over the symmetric pair edges; component = the
+    // smallest id reachable (DuckDB recursive CTE mirrors the engine's
+    // hash-min label-propagation fixpoint)
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+         |e AS (SELECT d1 AS a, d2 AS b FROM jp UNION SELECT d2, d1 FROM jp),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         |comp AS (SELECT a AS doc, least(a, min(b)) AS component
+         |         FROM reach GROUP BY a)
+         |SELECT doc, component FROM comp ORDER BY doc""".stripMargin,
 
     "q_pack_sequences" ->
       s"""WITH d AS (SELECT doc_id,

@@ -438,4 +438,70 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select(col("doc").as("d1"), col("d2"), col("hamming"))
   }
+
+  /** Connected components over a near-duplicate pair list: every doc that
+    * appears in a pair gets labeled with the MINIMUM doc id transitively
+    * reachable from it — the canonical cluster representative. This is the
+    * step that turns pairwise near-dup output (`ngramJaccard*`,
+    * `minhashDedup`, `simhashDedup`, `cosinePairs*`) into dedup decisions:
+    * pairs (1,2) and (2,3) are ONE cluster {1,2,3} with rep 1, not two
+    * independent drops.
+    *
+    * Hash-min label propagation: each round every node adopts the smallest
+    * label among itself and its neighbors (one join + one partial-agg min —
+    * two shuffles per round), converging in O(cluster diameter) rounds.
+    * Near-dup clusters are short-diameter in practice (members all overlap
+    * the same content), so rounds stay single-digit at any corpus size; the
+    * pair list is the SMALL output of the near-dup stage, not the corpus.
+    *
+    * Like [[graft.operators.TimeSeries.decimateToCap]], the driver loop is
+    * control flow only (one convergence count per round — mirroring the
+    * reference's own iterate-until-fits loop); all data movement stays in
+    * distributed joins. Each round's labels are `localCheckpoint`ed to
+    * TRUNCATE lineage — without it the logical plan nests the previous
+    * round's plan on both sides of the join and grows exponentially
+    * (round ~12 of a chain graph OOMs the driver just stringifying the
+    * plan). NOT a lazy plan — call it at pipeline-action time.
+    */
+  def connectedComponents(pairs: DataFrame, a: String, b: String,
+      maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
+    val sym = edges
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val nbrMin = sym.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("comp")).as("__nbr"))
+      val step = labels.join(nbrMin, col("node") === col("src"), "left_outer")
+        .select(col("node"), col("comp"),
+          least(col("comp"), coalesce(col("__nbr"), col("comp"))).as("__next"))
+        .persist()
+      changed = step.where(col("__next") < col("comp")).count()
+      labels = step.select(col("node"), col("__next").as("comp")).localCheckpoint(true)
+      step.unpersist()
+      i += 1
+    }
+    sym.unpersist()
+    if (changed > 0) { // unconverged labels are silently WRONG — refuse
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          s"($changed labels still moving) — raise maxIters for long-chain graphs")
+    }
+    labels.select(col("node").as("doc"), col("comp").as("component"))
+  }
+
+  /** Dedup survivors under a clustering: drop every doc whose cluster
+    * representative (minimum id) is a DIFFERENT doc; docs in no pair always
+    * survive. Broadcast-sized right side (the drop list is bounded by the
+    * pair list), left-anti join — the corpus is never shuffled.
+    */
+  def clusterSurvivors(docs: DataFrame, id: String, components: DataFrame): DataFrame =
+    docs.join(
+      broadcast(components.where(col("doc") =!= col("component")).select(col("doc"))),
+      docs(id) === col("doc"), "left_anti")
 }

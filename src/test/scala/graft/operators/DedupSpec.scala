@@ -110,4 +110,28 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("connectedComponents merges transitive pairs; survivors keep one rep per cluster") {
+    val sp = spark
+    import sp.implicits._
+    // {1,2,3} via (1,2)(2,3); {7,9}; a 12-node chain 100..111 (worst-case
+    // diameter for hash-min: the min label must walk the whole chain)
+    val chain = (100L until 111L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 2L), (2L, 3L), (7L, 9L)) ++ chain).toDF("d1", "d2")
+    val comp = Dedup.connectedComponents(pairs, "d1", "d2")
+    val got = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(7L) == 7L && got(9L) == 7L)
+    assert((100L to 111L).forall(got(_) == 100L))
+    // survivors: reps + never-paired docs survive, duplicates drop
+    val docs = (0L until 10L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val surv = Dedup.clusterSurvivors(docs, "doc_id", comp)
+      .collect().map(_.getLong(0)).sorted
+    assert(surv.toSeq == Seq(0L, 1L, 4L, 5L, 6L, 7L, 8L)) // 2,3,9 dropped
+    // convergence guard: a long chain with too few rounds throws, never
+    // returns half-propagated labels
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain.toDF("d1", "d2"), "d1", "d2", maxIters = 3)
+    }
+  }
 }
