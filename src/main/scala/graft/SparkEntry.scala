@@ -577,9 +577,6 @@ object SparkEntry {
       |  SELECT m1 AS other, score FROM edges WHERE m2 = 1)
       |ORDER BY score DESC, other LIMIT 5""".stripMargin
 
-  /** Shared by q_jaccard (broadcast sweep) and q_jaccard_dist (block-
-    * partitioned sweep): both plans must produce THIS naive-join result.
-    */
   /** CTE chain ending in `jp(d1, d2, jaccard)` — the thresholded near-dup
     * pairs, reused by the pair queries and the clustering oracle.
     */
@@ -593,6 +590,9 @@ object SparkEntry {
        |       FROM inter JOIN sz a ON d1 = a.doc JOIN sz b ON d2 = b.doc
        |       WHERE round(CAST(i AS DOUBLE) / (a.sz + b.sz - i), 6) >= 0.5)""".stripMargin
 
+  /** Shared by q_jaccard (broadcast sweep) and q_jaccard_dist (block-
+    * partitioned sweep): both plans must produce THIS naive-join result.
+    */
   private lazy val jaccardOracleSql: String =
     s"""WITH $jaccardPairsCtes
        |SELECT d1, d2, jaccard FROM jp ORDER BY d1, d2""".stripMargin

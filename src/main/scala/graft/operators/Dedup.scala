@@ -465,6 +465,16 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, a: String, b: String,
       maxIters: Int = 50): DataFrame = {
+    // the materialized RDD behind a localCheckpoint-ed frame (its analyzed
+    // plan is a LogicalRDD), so each superseded round's blocks are freed
+    // the moment the next round materializes, instead of lingering until
+    // the ContextCleaner notices. Safe: the new round's checkpoint is
+    // self-contained, nothing reads the old blocks again.
+    def ckptRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+        case _ => None
+      }
     val edges = pairs.select(col(a).cast("long").as("src"), col(b).cast("long").as("dst"))
     val sym = edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -481,27 +491,35 @@ object Dedup {
           least(col("comp"), coalesce(col("__nbr"), col("comp"))).as("__next"))
         .persist()
       changed = step.where(col("__next") < col("comp")).count()
+      val prev = labels
       labels = step.select(col("node"), col("__next").as("comp")).localCheckpoint(true)
       step.unpersist()
+      ckptRdd(prev).foreach(_.unpersist(blocking = false))
       i += 1
     }
     sym.unpersist()
     if (changed > 0) { // unconverged labels are silently WRONG — refuse
-      labels.unpersist()
+      ckptRdd(labels).foreach(_.unpersist(blocking = false))
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +
           s"($changed labels still moving) — raise maxIters for long-chain graphs")
     }
+    // the RESULT keeps its one materialized label table (same contract as
+    // decimateToCap's returned cache); the ContextCleaner frees it once the
+    // frame is unreferenced
     labels.select(col("node").as("doc"), col("comp").as("component"))
   }
 
   /** Dedup survivors under a clustering: drop every doc whose cluster
     * representative (minimum id) is a DIFFERENT doc; docs in no pair always
-    * survive. Broadcast-sized right side (the drop list is bounded by the
-    * pair list), left-anti join — the corpus is never shuffled.
+    * survive. Plain left-anti join — the drop list is O(duplicated docs),
+    * which on a heavily duplicated corpus is NOT broadcast-sized, so the
+    * join strategy is left to the planner/AQE (it broadcasts small drop
+    * lists on its own). The drop side is aliased so a docs frame that
+    * itself has a "doc" column can't make the condition ambiguous.
     */
   def clusterSurvivors(docs: DataFrame, id: String, components: DataFrame): DataFrame =
     docs.join(
-      broadcast(components.where(col("doc") =!= col("component")).select(col("doc"))),
-      docs(id) === col("doc"), "left_anti")
+      components.where(col("doc") =!= col("component")).select(col("doc").as("__drop")),
+      docs(id) === col("__drop"), "left_anti")
 }

@@ -128,6 +128,12 @@ class DedupSpec extends SparkSpec {
     val surv = Dedup.clusterSurvivors(docs, "doc_id", comp)
       .collect().map(_.getLong(0)).sorted
     assert(surv.toSeq == Seq(0L, 1L, 4L, 5L, 6L, 7L, 8L)) // 2,3,9 dropped
+    // a docs frame whose id column is itself named "doc" must not collide
+    // with the components frame's "doc" column
+    val docsNamedDoc = (0L until 5L).map(i => (i, s"t$i")).toDF("doc", "text")
+    val surv2 = Dedup.clusterSurvivors(docsNamedDoc, "doc", comp)
+      .collect().map(_.getLong(0)).sorted
+    assert(surv2.toSeq == Seq(0L, 1L, 4L))
     // convergence guard: a long chain with too few rounds throws, never
     // returns half-propagated labels
     intercept[IllegalStateException] {
