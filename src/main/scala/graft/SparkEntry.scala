@@ -517,6 +517,29 @@ object SparkEntry {
       Dedup.connectedComponents(pairs, "d1", "d2").orderBy(col("doc"))
     }),
 
+    // ---- the full curation pipeline composed end-to-end: near-dup cluster
+    // survivors, minus high-repetition docs, minus eval-contaminated docs,
+    // capped per source, split train/val/test — the manifest a training job
+    // would actually consume. Every stage is an operator oracled on its own
+    // above; this proves they COMPOSE. -----------------------------------------
+    "q_corpus_manifest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardBlocked(docs, "doc_id", "text", n = 2, threshold = 0.5)
+      val surv = Dedup.clusterSurvivors(
+        docs, "doc_id", Dedup.connectedComponents(pairs, "d1", "d2"))
+      val lowRep = TextAnalysis.repetition(docs, "doc_id", "text", n = 2)
+        .where(col("dup_frac") <= 0.05).select(col("doc_id"))
+      val contaminated = TextAnalysis.contamination(
+        docs.where(col("doc_id") >= 10), docs.where(col("doc_id") < 10),
+        "doc_id", "text", n = 4).select(col("doc_id"))
+      val kept = surv.where(col("doc_id") >= 10) // the eval set never trains
+        .join(lowRep, "doc_id")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      Sampling.splitAssign(Sampling.perGroupCap(kept, "doc_id", "source", cap = 40), "doc_id")
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- sequence packing: concat-and-chunk docs into 512-token context
     // windows across 8 shards (hash order = the training shuffle) ------------
     "q_pack_sequences" -> ((s, dir) => {
@@ -1223,6 +1246,45 @@ object SparkEntry {
          |comp AS (SELECT a AS doc, least(a, min(b)) AS component
          |         FROM reach GROUP BY a)
          |SELECT doc, component FROM comp ORDER BY doc""".stripMargin,
+
+    // the per-stage oracles composed: recursive-CTE clusters -> drop list,
+    // repetition + contamination filters, hash cap, hash split
+    "q_corpus_manifest" ->
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+         |e AS (SELECT d1 AS a, d2 AS b FROM jp UNION SELECT d2, d1 FROM jp),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         |dropdup AS (SELECT a AS doc FROM reach GROUP BY a HAVING least(a, min(b)) <> a),
+         |g AS (SELECT doc_id, unnest(list_transform(
+         |        generate_series(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+         |        i -> array_to_string((string_split(text, ' '))[i + 1 : i + 2], ' '))) AS g
+         |      FROM documents),
+         |gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+         |lowrep AS (SELECT doc_id FROM gc GROUP BY doc_id
+         |           HAVING round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT), 6) <= 0.05),
+         |t4 AS (SELECT doc_id AS doc, string_split(text, ' ') AS toks FROM documents),
+         |s4 AS (SELECT doc, unnest(list_distinct(list_transform(
+         |        generate_series(0, greatest(len(toks) - 4, 0)),
+         |        i -> array_to_string(toks[i + 1 : i + 4], ' ')))) AS shingle4 FROM t4),
+         |contam AS (SELECT DISTINCT c.doc FROM s4 c
+         |           JOIN (SELECT DISTINCT shingle4 FROM s4 WHERE doc < 10) ev USING (shingle4)
+         |           WHERE c.doc >= 10),
+         |kept AS (SELECT d.doc_id, d.source FROM documents d
+         |         JOIN lowrep USING (doc_id)
+         |         WHERE d.doc_id >= 10
+         |           AND d.doc_id NOT IN (SELECT doc FROM dropdup)
+         |           AND d.doc_id NOT IN (SELECT doc FROM contam)),
+         |capped AS (SELECT doc_id, source FROM (
+         |    SELECT doc_id, source, row_number() OVER (
+         |      PARTITION BY source ORDER BY ${docBucketSql(1073741824)}, doc_id) AS rn
+         |    FROM kept) WHERE rn <= 40)
+         |SELECT doc_id, source,
+         |  CASE WHEN ${docBucketSql(100)} < 80 THEN 'train'
+         |       WHEN ${docBucketSql(100)} < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM capped ORDER BY doc_id""".stripMargin,
 
     "q_pack_sequences" ->
       s"""WITH d AS (SELECT doc_id,
