@@ -572,13 +572,30 @@ object SparkEntry {
   private final val MERSENNE = 2305843009213693951L // 2^61 - 1
 
   /** DuckDB fragment: distinct (doc, shingle) pairs, n-token shingles —
-    * mirrors [[Dedup.docShingles]] / [[TextAnalysis.shingles]].
+    * mirrors [[Dedup.docShingles]] / [[TextAnalysis.shingles]] INCLUDING
+    * their null-text behavior (a null doc contributes no shingles: the
+    * Spark sides guard or return empty arrays, while unguarded DuckDB
+    * `greatest(len(NULL)-n, 0)` would ignore the null and mint one NULL
+    * gram). `suffix` renames the CTEs so two shingle widths can coexist in
+    * one composed query.
     */
-  private def shingleCte(n: Int): String =
-    s"""t AS (SELECT doc_id AS doc, string_split(text, ' ') AS toks FROM documents),
-       |s AS (SELECT doc, unnest(list_distinct(list_transform(
+  private def shingleCte(n: Int, suffix: String = ""): String =
+    s"""t$suffix AS (SELECT doc_id AS doc, string_split(text, ' ') AS toks
+       |      FROM documents WHERE text IS NOT NULL),
+       |s$suffix AS (SELECT doc, unnest(list_distinct(list_transform(
        |        generate_series(0, greatest(len(toks) - $n, 0)),
-       |        i -> array_to_string(toks[i + 1 : i + $n], ' ')))) AS shingle FROM t)""".stripMargin
+       |        i -> array_to_string(toks[i + 1 : i + $n], ' ')))) AS shingle FROM t$suffix)""".stripMargin
+
+  /** DuckDB fragment: NON-distinct per-doc n-grams `g(doc_id, g)` —
+    * mirrors [[TextAnalysis.repetition]]'s exploded grams (same null-text
+    * rule as [[shingleCte]]).
+    */
+  private def gramCte(n: Int): String =
+    s"""tg AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |      FROM documents WHERE text IS NOT NULL),
+       |g AS (SELECT doc_id, unnest(list_transform(
+       |        generate_series(0, greatest(len(toks) - $n, 0)),
+       |        i -> array_to_string(toks[i + 1 : i + $n], ' '))) AS g FROM tg)""".stripMargin
 
   /** DuckDB fragment mirroring [[Dedup.shingleHash]]. */
   private val shingleHashSql = "CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT)"
@@ -1221,17 +1238,14 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q_repetition" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |g AS (SELECT doc_id, unnest(list_transform(
-        |        generate_series(0, greatest(len(toks) - 2, 0)),
-        |        i -> array_to_string(toks[i + 1 : i + 2], ' '))) AS g FROM t),
-        |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
-        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
-        |        count(*) AS n_distinct, max(c) AS top FROM c GROUP BY 1)
-        |SELECT doc_id, n_grams, n_distinct,
-        |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS dup_frac,
-        |  round(CAST(top AS DOUBLE) / n_grams, 6) AS top_frac
-        |FROM a ORDER BY doc_id""".stripMargin,
+      s"""WITH ${gramCte(2)},
+         |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+         |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         |        count(*) AS n_distinct, max(c) AS top FROM c GROUP BY 1)
+         |SELECT doc_id, n_grams, n_distinct,
+         |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS dup_frac,
+         |  round(CAST(top AS DOUBLE) / n_grams, 6) AS top_frac
+         |FROM a ORDER BY doc_id""".stripMargin,
 
     // transitive closure over the symmetric pair edges; component = the
     // smallest id reachable (DuckDB recursive CTE mirrors the engine's
@@ -1257,19 +1271,13 @@ object SparkEntry {
          |  UNION
          |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
          |dropdup AS (SELECT a AS doc FROM reach GROUP BY a HAVING least(a, min(b)) <> a),
-         |g AS (SELECT doc_id, unnest(list_transform(
-         |        generate_series(0, greatest(len(string_split(text, ' ')) - 2, 0)),
-         |        i -> array_to_string((string_split(text, ' '))[i + 1 : i + 2], ' '))) AS g
-         |      FROM documents),
+         |${gramCte(2)},
          |gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
          |lowrep AS (SELECT doc_id FROM gc GROUP BY doc_id
          |           HAVING round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT), 6) <= 0.05),
-         |t4 AS (SELECT doc_id AS doc, string_split(text, ' ') AS toks FROM documents),
-         |s4 AS (SELECT doc, unnest(list_distinct(list_transform(
-         |        generate_series(0, greatest(len(toks) - 4, 0)),
-         |        i -> array_to_string(toks[i + 1 : i + 4], ' ')))) AS shingle4 FROM t4),
+         |${shingleCte(4, "4")},
          |contam AS (SELECT DISTINCT c.doc FROM s4 c
-         |           JOIN (SELECT DISTINCT shingle4 FROM s4 WHERE doc < 10) ev USING (shingle4)
+         |           JOIN (SELECT DISTINCT shingle FROM s4 WHERE doc < 10) ev USING (shingle)
          |           WHERE c.doc >= 10),
          |kept AS (SELECT d.doc_id, d.source FROM documents d
          |         JOIN lowrep USING (doc_id)
