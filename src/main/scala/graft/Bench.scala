@@ -15,14 +15,19 @@ import org.apache.spark.sql.SparkSession
   *  - each query is then timed `RUNS` times and the MEDIAN is reported, so
   *    one GC pause or compilation stall cannot move a per-query number.
   *
-  * `SPARK_GRAFT_BENCH_RUNS` overrides the run count (default 3); the
-  * reported total is the sum of per-query medians.
+  * `SPARK_GRAFT_BENCH_RUNS` overrides the run count (default 3);
+  * `SPARK_GRAFT_BENCH_ONLY` (comma-separated names) restricts the query set
+  * for local iteration; `SPARK_GRAFT_BENCH_INGEST=0` skips the streaming
+  * throughput measurement. The reported total is the sum of per-query
+  * medians; `ingest_rows_per_sec` rides along as an extra key.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -37,7 +42,9 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy(_._1)
 
     // untimed warm-up: run everything once
     ordered.foreach { case (_, fn) =>
@@ -54,10 +61,55 @@ object Bench {
       val ts = (0 until math.max(runs, 1)).map(_ => time(fn)).sorted
       name -> ts(ts.length / 2)
     }
+    val ingest =
+      if (sys.env.get("SPARK_GRAFT_BENCH_INGEST").contains("0")) 0.0
+      else benchIngest(spark)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""ingest_rows_per_sec":$ingest,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** T2 streaming ingest throughput with the REAL sink: MemoryStream →
+    * stateful downsampler (flatMapGroupsWithState) → partitioned-store
+    * append with checkpoint + per-batch idempotence markers — the full
+    * [[graft.streaming.Ingest.archiveTo]] topology, not a noop sink. The
+    * input is pre-queued so the number measures processing, not feed
+    * cadence; a smaller untimed run warms the streaming codepaths first.
+    * Reported as input rows/s so round-over-round ingest regressions are
+    * visible in BENCH_r{N}.json.
+    */
+  private def benchIngest(spark: SparkSession): Double = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Downsampler.RawSample
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val nPvs = 500
+    // 10 s spacing per PV > the 5 s default deadtime, values step > the
+    // deadband: every input row emits, so the store append cost is real
+    def mkEvents(n: Int): Seq[RawSample] = (0 until n).map { i =>
+      val v = s"${i % 997}.25"
+      RawSample(s"B:pv${i % nPvs}.VAL", (i / nPvs).toLong * 10000000L, v, v)
+    }
+    def run(n: Int): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bench_store").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_ckpt").toString
+      val input = MemoryStream[RawSample]
+      mkEvents(n).grouped(50000).foreach(c => input.addData(c))
+      val t0 = System.nanoTime()
+      // limboTimeoutMs = 0 → NoTimeout: a registered processing-time
+      // timeout busy-loops no-data batches under processAllAvailable (see
+      // Downsampler.streaming scaladoc); the 10 s event spacing never
+      // parks a limbo here, so the flush path is moot for this workload
+      val q = graft.streaming.Ingest.archiveTo(input.toDS(), dir,
+        runWidthUs = 30L * 86400000000L, checkpoint = Some(ckpt),
+        triggerMs = 100L, limboTimeoutMs = 0L)
+      try q.processAllAvailable() finally q.stop()
+      n / ((System.nanoTime() - t0) / 1e9)
+    }
+    run(50000) // warm-up: JIT the stateful path + first parquet commit
+    run(200000)
   }
 }

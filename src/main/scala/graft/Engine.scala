@@ -29,9 +29,10 @@ object Engine {
       if (!spark.experimental.extraOptimizations.contains(r))
         spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+ r
     }
-    val (ident, info, builder) = graft.plans.GraftExtensions.hformatFunction
-    if (!spark.sessionState.functionRegistry.functionExists(ident))
-      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    graft.plans.GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      if (!spark.sessionState.functionRegistry.functionExists(ident))
+        spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
     spark
   }
 

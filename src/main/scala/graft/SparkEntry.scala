@@ -231,6 +231,26 @@ object SparkEntry {
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text").orderBy(col("doc"))
     }),
 
+    // ---- SimHash near-dup pairs: 16-bit prefix bucket join + Hamming cap ---
+    "q_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashDedup(Tables.documents(s, dir), "doc_id", "text",
+        prefixBits = 16, maxHamming = 8)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // ---- prefix-filtered PPJoin Jaccard on its intended SKEWED corpus
+    // (see [[zipfFixtureSql]]) — the prefix filter prunes the Zipf-head
+    // shingles for real; same `jp` oracle CTE as the other two Jaccard
+    // plans, over the identical derived text ---------------------------------
+    "q_jaccard_ppjoin" -> ((s, dir) => {
+      val skewed = Tables.documents(s, dir)
+        .where(col("text").isNotNull) // mirror the oracle CTE's null guard
+        .select(col("doc_id"), expr(zipfFixtureSql("DIV", "STRING")).as("text"))
+      Dedup.ngramJaccard(skewed, "doc_id", "text", n = 2, threshold = 0.5)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // ---- brute-force cosine top-k over embeddings --------------------------
     "q_knn_brute" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -317,6 +337,74 @@ object SparkEntry {
         // cross-engine float-formatting parity questions entirely
         .select(col("pvname"), col("tsUs").as("ts_us"), col("value").cast("double").as("value"))
         .orderBy(col("pvname"), col("ts_us"))
+    }),
+
+    // ---- T4 alert state machine replay. Oracle-checked: the per-alert
+    // (status, lastNotice) fold is re-expressed in DuckDB as a list_reduce
+    // over the time-ordered observations with the WHOLE state in one
+    // VARCHAR — the same technique that oracles the T2 limbo machine
+    // (see [[alertsSql]]) ---------------------------------------------------
+    "q_alerts" -> ((s, dir) => {
+      import s.implicits._
+      val obs = events(s, dir)
+        .where(col("user_id") < 8)
+        .select(col("user_id").cast("long").as("alertId"), col("ts_us").as("tsUs"),
+          col("value").cast("string").as("value"))
+        .as[graft.streaming.Alerts.Observation]
+      graft.streaming.Alerts.replayBatch(obs, alertConfigs.map(c => c.alertId -> c).toMap)
+        .toDF()
+        .select(col("alertId").as("alert_id"), col("pvname"), col("tsUs").as("ts_us"),
+          col("value").cast("double").as("value"), col("status"), col("notified"))
+        .orderBy(col("alert_id"), col("ts_us"))
+    }),
+
+    // ---- F5/F8/F10/F12/F13 formatter pack in one projection — pure
+    // codegen'd column functions, per-row, shuffle-free ----------------------
+    "q_format_pack" -> ((s, dir) => {
+      import graft.functions.PvFunctions
+      val labels = map(
+        lit("click"), array(lit("idle"), lit("busy"), lit("fault")),
+        lit("view"), array(lit("off"), lit("on")),
+        lit("purchase"), array(lit("zero"), lit("one"), lit("two"), lit("three")))
+      val sec = expr("ts_us DIV 1000000L")
+      events(s, dir).select(
+        col("event_id"),
+        PvFunctions.tformat(sec).as("t_fmt"),
+        PvFunctions.ts2iso(col("ts_us")).as("iso"),
+        PvFunctions.timehash(sec).as("thash"),
+        PvFunctions.yesNo((col("event_id") % 3).cast("string")).as("yn"),
+        PvFunctions.yesNo(col("event_type")).as("yn_raw"),
+        // missing key / out-of-range ordinal decode to null; a sentinel keeps
+        // the compare null-free (the gate sorts row tuples)
+        coalesce(PvFunctions.enumLabel(labels, col("event_type"), col("event_id") % 5),
+          lit("(none)")).as("enum_label"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- F6/F7 lenient time parsing. The web-request parse is driver-side
+    // in the reference too (form fields → epoch range); the oracle is an
+    // INDEPENDENT SQL restatement of each input's resolution (strptime +
+    // epoch arithmetic), so a parse bug on either side hash-mismatches ------
+    "q_time_parse" -> ((s, dir) => {
+      import s.implicits._
+      val today = TMID / 1000000L
+      timeParseInputs.map { case (id, d1, d2) =>
+        val (t1, t2) = graft.functions.PvFunctions.parseTimes(d1, d2, today)
+        (id, d1, d2, t1, t2)
+      }.toDF("id", "d1", "d2", "t1_sec", "t2_sec").orderBy(col("id"))
+    }),
+
+    // ---- instrument snapshot: named PV-set catalog + point-in-time values
+    // (WebInstruments.py) — broadcast membership join + map-side argmax ------
+    "q_instrument_snapshot" -> ((s, dir) => {
+      import s.implicits._
+      val samples = events(s, dir).select(col("event_type").as("pvname"),
+        col("ts_us").as("tsUs"), col("event_id"), col("value"))
+      Instruments.snapshot(samples, instrumentSets.toDF("set_name", "pvname"), TMID,
+        ts = "tsUs", tieBreak = "event_id")
+        .select(col("set_name"), col("pvname"), col("tsUs").as("ts_us"),
+          col("event_id"), col("value"))
+        .orderBy(col("set_name"), col("pvname"))
     }),
 
     // ---- T3 heartbeat batch replay. Oracle-checked: emissions in a gap are
@@ -579,8 +667,8 @@ object SparkEntry {
     * gram). `suffix` renames the CTEs so two shingle widths can coexist in
     * one composed query.
     */
-  private def shingleCte(n: Int, suffix: String = ""): String =
-    s"""t$suffix AS (SELECT doc_id AS doc, string_split(text, ' ') AS toks
+  private def shingleCte(n: Int, suffix: String = "", textExpr: String = "text"): String =
+    s"""t$suffix AS (SELECT doc_id AS doc, string_split($textExpr, ' ') AS toks
        |      FROM documents WHERE text IS NOT NULL),
        |s$suffix AS (SELECT doc, unnest(list_distinct(list_transform(
        |        generate_series(0, greatest(len(toks) - $n, 0)),
@@ -619,9 +707,10 @@ object SparkEntry {
 
   /** CTE chain ending in `jp(d1, d2, jaccard)` — the thresholded near-dup
     * pairs, reused by the pair queries and the clustering oracle.
+    * `textExpr` lets the PPJoin fixture derive a skewed corpus in place.
     */
-  private lazy val jaccardPairsCtes: String =
-    s"""${shingleCte(2)},
+  private def jaccardPairsCtes(textExpr: String = "text"): String =
+    s"""${shingleCte(2, textExpr = textExpr)},
        |sz AS (SELECT doc, count(*) AS sz FROM s GROUP BY doc),
        |inter AS (SELECT a.doc AS d1, b.doc AS d2, count(*) AS i
        |          FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
@@ -634,7 +723,7 @@ object SparkEntry {
     * partitioned sweep): both plans must produce THIS naive-join result.
     */
   private lazy val jaccardOracleSql: String =
-    s"""WITH $jaccardPairsCtes
+    s"""WITH ${jaccardPairsCtes()}
        |SELECT d1, d2, jaccard FROM jp ORDER BY d1, d2""".stripMargin
 
   /** Shared by q_embed_dedup (broadcast triangle) and q_embed_dedup_dist
@@ -681,16 +770,76 @@ object SparkEntry {
        |ORDER BY d1, d2""".stripMargin
   }
 
-  private def simhashSql: String = {
+  /** CTE chain ending in `sig(doc, simhash)` — shared by the signature and
+    * pair queries.
+    */
+  private def simhashSigCtes: String = {
     val bits = 60
     val votes = (0 until bits)
       .map(k => s"sum(CASE WHEN (h >> $k) & 1 = 1 THEN 1 ELSE -1 END) AS v$k").mkString(", ")
     val sig = (0 until bits)
       .map(k => s"(CASE WHEN v$k > 0 THEN (1::BIGINT << $k) ELSE 0 END)").mkString(" | ")
-    s"""WITH tok AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS t FROM documents),
+    s"""tok AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS t FROM documents),
        |h AS (SELECT doc, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok),
-       |v AS (SELECT doc, $votes FROM h GROUP BY doc)
-       |SELECT doc, $sig AS simhash FROM v ORDER BY doc""".stripMargin
+       |v AS (SELECT doc, $votes FROM h GROUP BY doc),
+       |sig AS (SELECT doc, $sig AS simhash FROM v)""".stripMargin
+  }
+
+  private def simhashSql: String =
+    s"""WITH $simhashSigCtes
+       |SELECT doc, simhash FROM sig ORDER BY doc""".stripMargin
+
+  /** Mirrors [[Dedup.simhashDedup]]: same-16-bit-prefix bucket join, pairs
+    * kept at Hamming ≤ cap over the full 60-bit signature.
+    */
+  private def simhashPairsSql(prefixBits: Int, maxHamming: Int): String =
+    s"""WITH $simhashSigCtes,
+       |b AS (SELECT doc, simhash, simhash >> ${60 - prefixBits} AS bucket FROM sig)
+       |SELECT a.doc AS d1, b2.doc AS d2,
+       |       CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
+       |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc < b2.doc
+       |WHERE bit_count(xor(a.simhash, b2.simhash)) <= $maxHamming
+       |ORDER BY d1, d2""".stripMargin
+
+  /** Independent SQL restatement of each [[timeParseInputs]] row's expected
+    * resolution (strptime + epoch arithmetic — NOT generated from the Scala
+    * parser), joined back to the inputs. today/now = 1705276800
+    * (2024-01-15T00:00:00Z), matching the anchor q_time_parse passes.
+    */
+  private def timeParseSql: String = {
+    val inp = timeParseInputs.map { case (id, d1, d2) => s"($id, '$d1', '$d2')" }.mkString(", ")
+    s"""WITH inp(id, d1, d2) AS (VALUES $inp),
+       |exp(id, t1_sec, t2_sec) AS (VALUES
+       |  (1, 1705276800 - 3*86400, 1705276800),
+       |  (2, 1705276800 - 5400, 1705276800),
+       |  (3, 1705276800 - 604800, 1705276800),
+       |  (4, 1705276800 - 604800, 1705276800),
+       |  (5, epoch(strptime('2024-01-10', '%Y-%m-%d')), epoch(strptime('2024-01-15 12:00:00', '%Y-%m-%d %H:%M:%S'))),
+       |  (6, epoch(strptime('2024-01-10', '%Y-%m-%d')), epoch(strptime('2024-01-15 06:30:00', '%Y-%m-%d %H:%M:%S'))),
+       |  (7, epoch(strptime('2024-01-15 12:45:00', '%Y-%m-%d %H:%M:%S')), epoch(strptime('2024-01-12 23:59:59', '%Y-%m-%d %H:%M:%S'))),
+       |  (8, 1705276800 - 2*604800, 1705276800),
+       |  (9, 1705276800 - 604800, 1705276800),
+       |  (10, epoch(strptime('2024-01-10 06:00:00', '%Y-%m-%d %H:%M:%S')), epoch(strptime('2024-01-14 06:00:00', '%Y-%m-%d %H:%M:%S'))))
+       |SELECT CAST(i.id AS BIGINT) AS id, i.d1 AS d1, i.d2 AS d2,
+       |       CAST(e.t1_sec AS BIGINT) AS t1_sec, CAST(e.t2_sec AS BIGINT) AS t2_sec
+       |FROM inp i JOIN exp e USING (id) ORDER BY id""".stripMargin
+  }
+
+  /** Mirrors [[Instruments.snapshot]] over the q_instrument_snapshot
+    * derivation: membership VALUES from the same [[instrumentSets]], as-of
+    * row per (set, pv) via row_number with the (ts, event_id) tie-break.
+    */
+  private def instrumentSnapshotSql(tUs: Long): String = {
+    val values = instrumentSets.map { case (sn, pv) => s"('$sn', '$pv')" }.mkString(", ")
+    s"""WITH sets(set_name, pvname) AS (VALUES $values),
+       |e AS (SELECT event_type AS pvname, epoch_us(ts) AS ts_us, event_id, value
+       |      FROM events WHERE epoch_us(ts) <= $tUs),
+       |r AS (SELECT s.set_name AS set_name, e.pvname AS pvname, e.ts_us, e.event_id, e.value,
+       |        row_number() OVER (PARTITION BY s.set_name, e.pvname
+       |                           ORDER BY e.ts_us DESC, e.event_id DESC) AS rn
+       |      FROM e JOIN sets s USING (pvname))
+       |SELECT set_name, pvname, ts_us, event_id, value FROM r WHERE rn = 1
+       |ORDER BY set_name, pvname""".stripMargin
   }
 
   /** DuckDB fragment mirroring [[Similarity.cosine]] (dot / (‖a‖·‖b‖)). */
@@ -751,6 +900,142 @@ object SparkEntry {
        |SELECT u.pvname AS pvname, u.ts_us AS ts_us, e.v AS value
        |FROM u JOIN e ON u.pvname = e.pvname AND u.ts_us = e.ts_us
        |ORDER BY u.pvname, u.ts_us""".stripMargin
+  }
+
+  /** Zipfian fixture for the PPJoin plan (q_jaccard_ppjoin), derived from
+    * doc_id so both engines compute the identical corpus. The documents
+    * table's own text is PPJoin's documented ANTI-regime (dense small
+    * vocabulary — every shingle frequent, prefixes prune nothing, the
+    * blocked sweep is the oracled plan there); this fixture is the regime
+    * the operator exists for: docs 2k/2k+1 share five rare group bigrams
+    * (near-dup pairs, Jaccard 0.555556 or 0.6 by tail), each doc carries
+    * df=1 marker bigrams through its unique `z<id>` token (always inside
+    * the ascending-df prefix), and the `hot wall [big]` tail bigrams have
+    * df=n_docs/2 (the Zipf head — always OUTSIDE the prefix, so the hot
+    * join the naive oracle pays never happens in the engine plan).
+    * `div`/`str`: integer-division keyword and string type name ("DIV"/
+    * "STRING" on Spark, "//"/"VARCHAR" on DuckDB).
+    */
+  private def zipfFixtureSql(div: String, str: String): String =
+    s"'a' || CAST((doc_id $div 2) % 101 AS $str) || ' b' || CAST((doc_id $div 2) % 89 AS $str)" +
+      s" || ' c' || CAST((doc_id $div 2) % 97 AS $str) || ' d' || CAST((doc_id $div 2) % 83 AS $str)" +
+      s" || ' e' || CAST((doc_id $div 2) % 79 AS $str) || ' z' || CAST(doc_id AS $str)" +
+      s" || CASE WHEN (doc_id $div 2) % 2 = 0 THEN ' hot wall' ELSE ' hot wall big' END"
+
+  /** F6/F7 lenient-parse inputs for q_time_parse: relative forms (unit
+    * substring + leading-number scan), the unrecognized→1-week default,
+    * absolute lenient dates (right-filled partial dates, left-filled
+    * times, '_' separators, '/' dates, fractional seconds). "today"/"now"
+    * anchor is TMID (2024-01-15T00:00:00Z).
+    */
+  private[graft] val timeParseInputs: Seq[(Long, String, String)] = Seq(
+    (1L, "3 days", "now"),
+    (2L, "1.5 hours", "now"),
+    (3L, "1week", ""),
+    (4L, "sometime", "now"),
+    (5L, "2024-01-10", "2024-01-15 12:00:00"),
+    (6L, "1-10", "15 6:30"),
+    (7L, "12:45", "2024/01/12 23:59:59.5"),
+    (8L, "2 weeks ago", "now"),
+    (9L, "", "now"),
+    (10L, "2024-01-10_06:00:00", "2024-01-14_06:00:00"))
+
+  /** Named PV sets for q_instrument_snapshot (WebInstruments.py catalog):
+    * event_type plays the PV; "click" is a member of TWO sets to exercise
+    * the membership fan-out.
+    */
+  private[graft] val instrumentSets: Seq[(String, String)] = Seq(
+    ("webstats", "click"), ("webstats", "view"),
+    ("commerce", "purchase"), ("commerce", "signup"),
+    ("ops", "error"), ("ops", "click"))
+
+  /** T4 demo alert set over events users 0–7: every compare op, numeric and
+    * string trippoints (string compare on '2!' depends only on the value's
+    * first digit, so it is immune to float-formatting differences), a
+    * never-tripping alert, an inactive alert, and an unconfigured observer
+    * (user 7) — cache.py:601-630 semantics. Timeouts straddle the ~10 h
+    * median inter-observation gap so the debounce both fires and suppresses.
+    */
+  private final val HOUR_US = 3600000000L
+  private[graft] def alertConfigs: Seq[graft.streaming.Alerts.AlertConfig] = {
+    import graft.streaming.Alerts.AlertConfig
+    Seq(
+      AlertConfig(0, "u0", "hi", "gt", "150.0", 72 * HOUR_US, active = true),
+      AlertConfig(1, "u1", "lo", "le", "50.0", 48 * HOUR_US, active = true),
+      AlertConfig(2, "u2", "crit", "ge", "120.0", 0L, active = true),
+      AlertConfig(3, "u3", "rare", "lt", "10.0", 24 * HOUR_US, active = true),
+      AlertConfig(4, "u4", "strcmp", "lt", "2!", 2 * HOUR_US, active = true),
+      AlertConfig(5, "u5", "never", "eq", "nope", 3 * HOUR_US, active = true),
+      AlertConfig(6, "u6", "off", "gt", "100.0", HOUR_US, active = false))
+  }
+
+  /** T4 alert machine as a pure DuckDB fold (mirrors
+    * [[graft.streaming.Alerts.onObservation]], cache.py:601-630): per alert,
+    * `list_reduce` over the time-ordered observations with the whole
+    * (status, lastNotice, emits) state in ONE VARCHAR `status|ln|emits` —
+    * scalar accumulators fold correctly where DuckDB 1.0 mis-threads
+    * multi-field structs (see [[downsampleStatefulSql]]). The initial state
+    * is `list_prepend`ed so the fold needs no seed argument. The alarm bit
+    * depends only on (config, value), so it is computed as a plain column
+    * BEFORE the fold — generated per config from the same [[alertConfigs]]
+    * definition the Spark side uses (single source of truth), picking the
+    * numeric or string compare exactly like `Alerts.tripped`. Emitted
+    * events are recovered by splitting the `;`-joined `ts:status:notified`
+    * triples and joining ts back to the observations (ts is unique per
+    * user in the testdata).
+    */
+  private def alertsSql: String = {
+    val sqlOp = Map("eq" -> "=", "ne" -> "<>", "le" -> "<=", "lt" -> "<", "ge" -> ">=", "gt" -> ">")
+    val active = alertConfigs.filter(_.active)
+    val alarmWhens = active.map { c =>
+      val numeric = graft.streaming.Downsampler.parseDouble(c.trippoint).isDefined
+      val (lhs, rhs) =
+        if (numeric) ("v", c.trippoint) else ("CAST(v AS VARCHAR)", s"'${c.trippoint}'")
+      s"WHEN ${c.alertId} THEN ($lhs ${sqlOp(c.compare)} $rhs)"
+    }.mkString(" ")
+    val cfgValues = active.map(c => s"(${c.alertId}, '${c.pvname}', ${c.timeoutUs})").mkString(", ")
+    val A = "string_split(a,'|')"
+    val X = "string_split(x,'|')"
+    val xt = s"CAST($X[1] AS BIGINT)"
+    val al = s"($X[2] = '1')"
+    val to = s"CAST($X[3] AS BIGINT)"
+    val st0 = s"$A[1]"
+    val ln0 = s"CAST($A[2] AS BIGINT)"
+    val status = s"(CASE WHEN $al THEN 'alarm' ELSE 'ok' END)"
+    val notify = s"($st0 = 'ok' AND $al AND $xt > $ln0 + $to)"
+    val emit = s"($status <> $st0 OR $notify)"
+    val step =
+      s"$status || '|' || CAST(CASE WHEN $notify THEN $xt ELSE $ln0 END AS VARCHAR) || '|' || " +
+        s"($A[3] || CASE WHEN $emit THEN ';' || $X[1] || ':' || $status || ':' || " +
+        s"(CASE WHEN $notify THEN '1' ELSE '0' END) ELSE '' END)"
+    s"""WITH obs AS (
+       |  SELECT user_id AS alert_id, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS v
+       |  FROM events WHERE user_id < 8),
+       |cfg(alert_id, pvname, timeout_us) AS (VALUES $cfgValues),
+       |e AS (
+       |  SELECT o.alert_id AS alert_id, o.ts_us, o.v, cfg.pvname, cfg.timeout_us,
+       |         (CASE o.alert_id $alarmWhens END) AS alarm
+       |  FROM obs o JOIN cfg ON o.alert_id = cfg.alert_id),
+       |g AS (
+       |  SELECT alert_id, pvname,
+       |         list(CAST(ts_us AS VARCHAR) || '|' || (CASE WHEN alarm THEN '1' ELSE '0' END)
+       |              || '|' || CAST(timeout_us AS VARCHAR) ORDER BY ts_us) AS evs
+       |  FROM e GROUP BY alert_id, pvname),
+       |r AS (
+       |  SELECT alert_id, pvname,
+       |         list_reduce(list_prepend('ok|${Long.MinValue / 2}|', evs), (a, x) -> $step) AS st
+       |  FROM g),
+       |u AS (
+       |  SELECT alert_id, pvname, unnest(string_split(substr(string_split(st,'|')[3], 2), ';')) AS em
+       |  FROM r WHERE string_split(st,'|')[3] <> ''),
+       |f AS (
+       |  SELECT alert_id, pvname, CAST(string_split(em,':')[1] AS BIGINT) AS ts_us,
+       |         string_split(em,':')[2] AS status, string_split(em,':')[3] = '1' AS notified
+       |  FROM u)
+       |SELECT f.alert_id AS alert_id, f.pvname AS pvname, f.ts_us AS ts_us, o.v AS value,
+       |       f.status AS status, f.notified AS notified
+       |FROM f JOIN obs o ON f.alert_id = o.alert_id AND f.ts_us = o.ts_us
+       |ORDER BY alert_id, ts_us""".stripMargin
   }
 
   /** T3 heartbeat oracle: a heartbeat fires at `prev.ts + c_j` for every
@@ -1119,6 +1404,34 @@ object SparkEntry {
 
     "q_downsample_stateful" -> downsampleStatefulSql(6L * 3600L * 1000000L, 50.0),
 
+    "q_alerts" -> alertsSql,
+
+    "q_simhash_pairs" -> simhashPairsSql(prefixBits = 16, maxHamming = 8),
+
+    // same jp CTE as q_jaccard/q_jaccard_dist, over the skewed derived text
+    "q_jaccard_ppjoin" ->
+      s"""WITH ${jaccardPairsCtes(zipfFixtureSql("//", "VARCHAR"))}
+         |SELECT d1, d2, jaccard FROM jp ORDER BY d1, d2""".stripMargin,
+
+    "q_format_pack" ->
+      """SELECT event_id,
+        |  strftime(make_timestamp((epoch_us(ts) // 1000000) * 1000000), '%Y-%b-%d %H:%M:%S') AS t_fmt,
+        |  strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%d %H:%M:%S.%g') AS iso,
+        |  substr(lower(hex((epoch_us(ts) // 1000000) * 10000)), 1,
+        |         length(lower(hex((epoch_us(ts) // 1000000) * 10000))) - 1) AS thash,
+        |  CASE event_id % 3 WHEN 0 THEN 'No' WHEN 1 THEN 'Yes' ELSE 'Unknown' END AS yn,
+        |  'Unknown' AS yn_raw,
+        |  coalesce(CASE event_type
+        |    WHEN 'click' THEN (['idle','busy','fault'])[CAST(event_id % 5 AS INT) + 1]
+        |    WHEN 'view' THEN (['off','on'])[CAST(event_id % 5 AS INT) + 1]
+        |    WHEN 'purchase' THEN (['zero','one','two','three'])[CAST(event_id % 5 AS INT) + 1]
+        |    END, '(none)') AS enum_label
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_time_parse" -> timeParseSql,
+
+    "q_instrument_snapshot" -> instrumentSnapshotSql(TMID),
+
     "q_heartbeat" -> heartbeatSql(T1, nPvs = 5, maxBeatsPerGap = 80),
 
     "q_knn_bucketed" -> knnBucketedSql(k = 5, planes = 4, dim = 64),
@@ -1251,7 +1564,7 @@ object SparkEntry {
     // smallest id reachable (DuckDB recursive CTE mirrors the engine's
     // hash-min label-propagation fixpoint)
     "q_dedup_clusters" ->
-      s"""WITH RECURSIVE $jaccardPairsCtes,
+      s"""WITH RECURSIVE ${jaccardPairsCtes()},
          |e AS (SELECT d1 AS a, d2 AS b FROM jp UNION SELECT d2, d1 FROM jp),
          |reach(a, b) AS (
          |  SELECT a, b FROM e
@@ -1264,7 +1577,7 @@ object SparkEntry {
     // the per-stage oracles composed: recursive-CTE clusters -> drop list,
     // repetition + contamination filters, hash cap, hash split
     "q_corpus_manifest" ->
-      s"""WITH RECURSIVE $jaccardPairsCtes,
+      s"""WITH RECURSIVE ${jaccardPairsCtes()},
          |e AS (SELECT d1 AS a, d2 AS b FROM jp UNION SELECT d2, d1 FROM jp),
          |reach(a, b) AS (
          |  SELECT a, b FROM e

@@ -120,10 +120,17 @@ object PvFunctions {
 
   /** F11 `hashname` (archiver.py:25-32): sha256(name) → base64 → sum of char
     * codes mod 128. Selects the hash bucket (reference: 1 of 128 data tables;
-    * here: the `bucket` partition column of the sample store).
+    * here: the `bucket` partition column of the sample store). Called per
+    * ingested row from [[graft.plans.HashNameExpr]]'s generated code, so the
+    * digest instance is thread-local rather than re-created per call
+    * (`digest()` resets it for reuse).
     */
+  private val sha256 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("SHA-256")
+  }
+
   def hashname(name: String): Int = {
-    val digest = MessageDigest.getInstance("SHA-256").digest(name.getBytes("UTF-8"))
+    val digest = sha256.get().digest(name.getBytes("UTF-8"))
     val b64 = Base64.getEncoder.encodeToString(digest)
     b64.map(_.toInt).sum % 128
   }

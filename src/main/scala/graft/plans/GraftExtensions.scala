@@ -11,16 +11,27 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.hformatFunction)
+    GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => BucketPruneRule)
     ext.injectOptimizerRule(_ => DivRangePushdown)
   }
 }
 
 object GraftExtensions {
-  val hformatFunction: (FunctionIdentifier, ExpressionInfo, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression) = (
+  type FunctionDescription = (FunctionIdentifier, ExpressionInfo,
+    Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)
+
+  val hformatFunction: FunctionDescription = (
     FunctionIdentifier("graft_hformat"),
     new ExpressionInfo(classOf[HFormatExpr].getName, "graft_hformat"),
     (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
       HFormatExpr.build(children))
+
+  val hashnameFunction: FunctionDescription = (
+    FunctionIdentifier("graft_hashname"),
+    new ExpressionInfo(classOf[HashNameExpr].getName, "graft_hashname"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      HashNameExpr.build(children))
+
+  val functions: Seq[FunctionDescription] = Seq(hformatFunction, hashnameFunction)
 }

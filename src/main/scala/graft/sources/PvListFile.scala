@@ -51,4 +51,30 @@ object PvListFile {
       trim(try_element_at(split(col("value"), "\\|"), lit(2))).as("description"),
       trim(try_element_at(split(col("value"), "\\|"), lit(3))).as("format"))
   }
+
+  /** S9 rendering semantics (tmpl2jinja row emission, web_utils.py:283-322):
+    * the LOGICAL row stream of the generated status page, with the
+    * reference's defaulting rules applied —
+    *  - every PV name is `normalize_pvname`'d (web_utils.py:297);
+    *  - a missing/empty description falls back to the comma-joined
+    *    normalized names (web_utils.py:300-303);
+    *  - the `yes/no` format marks every PV in the row `yesno = true`
+    *    (the `form="yesno"` showpv argument, web_utils.py:304-310).
+    * The jinja/HTML table wrapper stays out of scope (presentation, not
+    * analytics) — golden-file parity in PvListFileSpec covers this content.
+    */
+  def render(spark: SparkSession, path: String): DataFrame = {
+    val norm = transform(col("pvnames"),
+      p => graft.functions.PvFunctions.normalizePvName(p))
+    template(spark, path).select(
+      col("line_id"),
+      col("kind"),
+      col("section"),
+      when(col("kind") === "row",
+        coalesce(when(length(col("description")) > 0, col("description")),
+          concat_ws(", ", norm))).as("description"),
+      when(col("kind") === "row",
+        transform(norm, p => struct(p.as("pvname"),
+          coalesce(col("format") === "yes/no", lit(false)).as("yesno")))).as("pvs"))
+  }
 }

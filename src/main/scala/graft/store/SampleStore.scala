@@ -39,13 +39,16 @@ object SampleStore {
     */
   final val MaxValueChars = 4096
 
-  def normalize(raw: DataFrame, runWidthUs: Long): DataFrame =
+  def normalize(raw: DataFrame, runWidthUs: Long): DataFrame = {
+    graft.Engine.tune(raw.sparkSession) // idempotent: graft_hashname must resolve
     raw
       .withColumn("value", substring(PvFunctions.cleanString(col("value")), 1, MaxValueChars))
       .withColumn("cvalue", substring(col("cvalue"), 1, MaxValueChars))
       .withColumn("dvalue", PvFunctions.cleanValue(col("value")))
-      .withColumn("bucket", graft.functions.GraftUdfs.hashnameCol(col("pvname")))
+      // native codegen expression, not a UDF: this runs per ingested row
+      .withColumn("bucket", graft.plans.HashNameExpr.hashname(col("pvname")))
       .withColumn("run", expr(s"tsUs DIV ${runWidthUs}L"))
+  }
 
   /** S3 archive sink: append one (or more) runs of samples. The sort is
     * prefixed with the partition columns: FileFormatWriter requires its

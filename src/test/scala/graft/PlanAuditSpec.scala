@@ -57,7 +57,8 @@ class PlanAuditSpec extends SparkSpec {
         "q_locf_align", "q_decimate", "q_get_data", "q_plot_trace",
         "q_string_table", "q_split_assign", "q_sample_stratified",
         "q_source_cap", "q_contamination", "q_repetition",
-        "q_pii_redact", "q_pack_sequences").foreach { q =>
+        "q_pii_redact", "q_pack_sequences", "q_alerts", "q_format_pack",
+        "q_instrument_snapshot", "q_jaccard_ppjoin", "q_simhash_pairs").foreach { q =>
         SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
       }
       org.apache.spark.GraftSparkTestHooks.waitListenerBus(spark.sparkContext)
@@ -68,6 +69,22 @@ class PlanAuditSpec extends SparkSpec {
         .filterNot(_.startsWith("parquet at "))
       assert(offenders.isEmpty, s"operator ran driver jobs at construction: ${offenders.mkString("; ")}")
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("instrument snapshot broadcasts membership and aggregates without a window") {
+    val plan = formatted("q_instrument_snapshot")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("format pack is one whole-stage-codegen projection — no UDFs, no shuffle before sort") {
+    val df = SparkEntry.queries("q_format_pack")(spark, "/root/testdata/sf0.001")
+    val cg = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+    assert(cg.contains("WholeStageCodegen"), cg) // projection runs inside whole-stage codegen
+    val plan = formatted("q_format_pack")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+    // only the output sort shuffles; the formatting itself is map-only
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 2, plan)
   }
 
   test("q_jaccard_dist runs as distributed joins (no ExistingRDD from a driver collect)") {

@@ -35,6 +35,36 @@ class GraftPlansSpec extends SparkSpec {
     assert(out.forall(_.getString(0).length <= 10))
   }
 
+  test("HashNameExpr matches the Scala function through SQL and Column forms") {
+    Engine.tune(spark)
+    val sp = spark
+    import sp.implicits._
+    val df = Seq("XX:m1.VAL", "S13:v", "", "T:pv1.VAL", "π:uni").toDF("p")
+    val got = df.select(
+      expr("graft_hashname(p)").as("sqlform"),
+      HashNameExpr.hashname(col("p")).as("colform"),
+      col("p")).collect()
+    got.foreach { r =>
+      val want = PvFunctions.hashname(r.getString(2))
+      assert(r.getInt(0) == want && r.getInt(1) == want, r.getString(2))
+    }
+  }
+
+  test("HashNameExpr survives whole-stage codegen and handles nulls") {
+    Engine.tune(spark)
+    val sp = spark
+    import sp.implicits._
+    val df = (1 to 500).map(i => s"T:pv$i.VAL").toDF("p")
+      .unionByName(Seq.empty[String].toDF("p"))
+    val out = df.where(length(col("p")) > 6)
+      .select(expr("graft_hashname(p)").as("b")).collect()
+    assert(out.forall { r => val b = r.getInt(0); b >= 0 && b < 128 })
+    // null in → null out (nullSafeEval path)
+    val n = Seq[Option[String]](None).toDF("p")
+      .select(expr("graft_hashname(p)")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   // a parquet-backed relation: ConvertToLocalRelation would otherwise fold
   // a Filter-over-LocalRelation away before the plan can be inspected
   private lazy val parquetDf = {

@@ -52,4 +52,35 @@ class PvListFileSpec extends SparkSpec {
     assert(rows(1).getAs[String]("format") == "%8.3f")
     assert(rows(2).getAs[scala.collection.Seq[String]]("pvnames").toSeq == Seq("XX:s1.VAL", "XX:s2.VAL"))
   }
+
+  test("render: tmpl2jinja row-emission parity (web_utils.py:283-322 golden)") {
+    val path = write(
+      "# header comment",
+      "[Beamline Status]",
+      "S13:m1, S13:m2 | Motors | yes/no",
+      "S13:v1.RBV",
+      "--",
+      "<>",
+      "XX:temp | ")
+    val rows = PvListFile.render(spark, path).collect().sortBy(_.getAs[Long]("line_id"))
+    def pvs(i: Int): Seq[(String, Boolean)] =
+      rows(i).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("pvs")
+        .map(r => (r.getString(0), r.getBoolean(1))).toSeq
+
+    assert(rows.map(_.getAs[String]("kind")).toSeq ==
+      Seq("section", "row", "row", "hr", "space", "row"))
+    assert(rows(0).getAs[String]("section") == "Beamline Status")
+    // normalize_pvname appends .VAL; 'yes/no' marks every PV in the row
+    assert(pvs(1) == Seq(("S13:m1.VAL", true), ("S13:m2.VAL", true)))
+    assert(rows(1).getAs[String]("description") == "Motors")
+    // a name with a field suffix stays; missing description falls back to
+    // the comma-joined normalized names (the reference's desc=None path)
+    assert(pvs(2) == Seq(("S13:v1.RBV", false)))
+    assert(rows(2).getAs[String]("description") == "S13:v1.RBV")
+    // empty-after-trim description (trailing '|') also falls back
+    assert(pvs(5) == Seq(("XX:temp.VAL", false)))
+    assert(rows(5).getAs[String]("description") == "XX:temp.VAL")
+    // non-row kinds carry no pv payload
+    assert(rows(3).isNullAt(rows(3).fieldIndex("pvs")) && rows(4).isNullAt(rows(4).fieldIndex("description")))
+  }
 }
