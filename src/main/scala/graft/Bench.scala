@@ -61,9 +61,14 @@ object Bench {
       val ts = (0 until math.max(runs, 1)).map(_ => time(fn)).sorted
       name -> ts(ts.length / 2)
     }
-    val ingest =
-      if (sys.env.get("SPARK_GRAFT_BENCH_INGEST").contains("0")) 0.0
-      else benchIngest(spark)
+    // a restricted run is local iteration: skip the ~250k-row streaming
+    // measurement unless explicitly requested (INGEST=1 overrides)
+    val ingestDefault = only.isEmpty
+    val ingest = sys.env.get("SPARK_GRAFT_BENCH_INGEST") match {
+      case Some("0") => 0.0
+      case Some(_) => benchIngest(spark)
+      case None => if (ingestDefault) benchIngest(spark) else 0.0
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -93,9 +98,15 @@ object Bench {
       val v = s"${i % 997}.25"
       RawSample(s"B:pv${i % nPvs}.VAL", (i / nPvs).toLong * 10000000L, v, v)
     }
+    def deleteRecursively(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
     def run(n: Int): Double = {
-      val dir = java.nio.file.Files.createTempDirectory("graft_bench_store").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_ckpt").toString
+      val dir = java.nio.file.Files.createTempDirectory("graft_bench_store")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_ckpt")
       val input = MemoryStream[RawSample]
       mkEvents(n).grouped(50000).foreach(c => input.addData(c))
       val t0 = System.nanoTime()
@@ -103,11 +114,13 @@ object Bench {
       // timeout busy-loops no-data batches under processAllAvailable (see
       // Downsampler.streaming scaladoc); the 10 s event spacing never
       // parks a limbo here, so the flush path is moot for this workload
-      val q = graft.streaming.Ingest.archiveTo(input.toDS(), dir,
-        runWidthUs = 30L * 86400000000L, checkpoint = Some(ckpt),
+      val q = graft.streaming.Ingest.archiveTo(input.toDS(), dir.toString,
+        runWidthUs = 30L * 86400000000L, checkpoint = Some(ckpt.toString),
         triggerMs = 100L, limboTimeoutMs = 0L)
       try q.processAllAvailable() finally q.stop()
-      n / ((System.nanoTime() - t0) / 1e9)
+      val secs = (System.nanoTime() - t0) / 1e9
+      Seq(dir, ckpt).foreach(deleteRecursively) // don't leak 250k-row stores per run
+      n / secs
     }
     run(50000) // warm-up: JIT the stateful path + first parquet commit
     run(200000)

@@ -29,6 +29,17 @@ object Engine {
       if (!spark.experimental.extraOptimizations.contains(r))
         spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+ r
     }
+    registerFunctions(spark)
+    spark
+  }
+
+  /** Just the native-function registrations — for library code that needs
+    * `graft_hformat`/`graft_hashname` to resolve but must NOT rewrite the
+    * caller's session config the way [[tune]] does (timezone, AQE,
+    * nanosAsLong are session-wide side effects an embedding application
+    * owns).
+    */
+  def registerFunctions(spark: SparkSession): SparkSession = {
     graft.plans.GraftExtensions.functions.foreach { case (ident, info, builder) =>
       if (!spark.sessionState.functionRegistry.functionExists(ident))
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)

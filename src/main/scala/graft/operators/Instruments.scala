@@ -41,8 +41,12 @@ object Instruments {
     * per set with member count and the sorted member list.
     */
   def catalog(sets: DataFrame): DataFrame =
+    // count DISTINCT members so n_pvs stays coherent with the deduped pvs
+    // list when the membership dimension carries duplicate rows (e.g.
+    // concatenated set files)
     sets.groupBy(col("set_name"))
-      .agg(count(lit(1)).as("n_pvs"), sort_array(collect_set(col("pvname"))).as("pvs"))
+      .agg(countDistinct(col("pvname")).as("n_pvs"),
+        sort_array(collect_set(col("pvname"))).as("pvs"))
 
   /** Save a named position (WebInstruments.py save_position): the snapshot
     * stamped with the position name — rows to append to a positions store

@@ -38,10 +38,13 @@ case class HFormatExpr(left: Expression, right: Expression)
 object HFormatExpr {
 
   /** Coercing builder used by the function registry. */
-  def build(children: Seq[Expression]): Expression =
+  def build(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      s"graft_hformat expects 2 arguments, got ${children.length}")
     HFormatExpr(
       Cast(children.head, DoubleType),
       Cast(children(1), IntegerType))
+  }
 
   /** Column form for the DataFrame API (via the registered SQL function —
     * [[graft.Engine.tune]] or [[GraftExtensions]] must have run).

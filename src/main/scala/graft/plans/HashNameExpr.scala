@@ -35,8 +35,11 @@ case class HashNameExpr(child: Expression) extends UnaryExpression {
 object HashNameExpr {
 
   /** Coercing builder used by the function registry. */
-  def build(children: Seq[Expression]): Expression =
+  def build(children: Seq[Expression]): Expression = {
+    require(children.length == 1,
+      s"graft_hashname expects 1 argument, got ${children.length}")
     HashNameExpr(Cast(children.head, StringType))
+  }
 
   /** Column form for the DataFrame API (via the registered SQL function —
     * [[graft.Engine.tune]] or [[GraftExtensions]] must have run).

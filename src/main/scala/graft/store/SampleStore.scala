@@ -40,7 +40,9 @@ object SampleStore {
   final val MaxValueChars = 4096
 
   def normalize(raw: DataFrame, runWidthUs: Long): DataFrame = {
-    graft.Engine.tune(raw.sparkSession) // idempotent: graft_hashname must resolve
+    // registration only — tune() would also rewrite session-wide config
+    // (timezone, AQE) as a side effect of a pure-looking transform
+    graft.Engine.registerFunctions(raw.sparkSession)
     raw
       .withColumn("value", substring(PvFunctions.cleanString(col("value")), 1, MaxValueChars))
       .withColumn("cvalue", substring(col("cvalue"), 1, MaxValueChars))
