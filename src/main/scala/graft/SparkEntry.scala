@@ -101,6 +101,28 @@ object SparkEntry {
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text").orderBy(col("fp"))
     }),
 
+    // ---- incremental dedup: a new shard (doc_id ≡ 0 mod 5) against the
+    // existing corpus (the rest) — the append-only crawl-drop question ------
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalExact(
+        docs.where(col("doc_id") % 5 === 0),
+        docs.where(col("doc_id") % 5 =!= 0),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- corpus vocabulary head: top-50 word bigrams -----------------------
+    "q_vocab_topk" -> ((s, dir) => {
+      TextAnalysis.vocabTopK(Tables.documents(s, dir), "doc_id", "text", n = 2, k = 50)
+    }),
+
+    // ---- BM25 lexical retrieval (fixed probe terms, top-20) ----------------
+    "q_bm25" -> ((s, dir) => {
+      TextAnalysis.bm25(Tables.documents(s, dir), "doc_id", "text",
+        BM25_TERMS, k = 20)
+    }),
+
     // ---- text stats: tokens / chars / stopword ratio -----------------------
     "q_text_stats" -> ((s, dir) => {
       TextAnalysis.stats(Tables.documents(s, dir), "doc_id", "text")
@@ -654,6 +676,38 @@ object SparkEntry {
   )
 
   // ---- shared constants + generated oracle fragments -----------------------
+
+  /** Probe terms for q_bm25 (words of the synthetic corpus vocabulary). */
+  private final val BM25_TERMS = Seq("spark", "query", "merge")
+
+  /** DuckDB mirror of [[TextAnalysis.bm25]]. Every floating-point constant
+    * is interpolated from the SAME Scala doubles the Column plan uses
+    * (shortest-round-trip toString), and term contributions add in `terms`
+    * order with the Column operator precedence spelled out — double
+    * arithmetic is order-sensitive, so the SQL must be the same expression
+    * tree, not just the same formula.
+    */
+  private def bm25Sql(terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): String = {
+    val tfCols = terms.indices.map(i =>
+      s"CAST(len(list_filter(toks, x -> x = '${terms(i)}')) AS DOUBLE) AS tf$i").mkString(",\n  ")
+    val dfAggs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i").mkString(", ")
+    val score = terms.indices.map { i =>
+      s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * ${k1 + 1.0}) / " +
+        s"(tf$i + $k1 * (1.0 - $b + $b * dl / avgdl))"
+    }.mkString("\n    + ")
+    val nTerms = terms.indices.map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tf AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+       |  $tfCols FROM t),
+       |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, $dfAggs FROM tf),
+       |sc AS (SELECT doc_id,
+       |  round($score, 6) AS score,
+       |  CAST($nTerms AS BIGINT) AS n_terms
+       |  FROM tf, s)
+       |SELECT doc_id, score, n_terms FROM sc WHERE score > 0
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
 
   /** MinHash width used by q_minhash_sig / q_minhash_lsh. */
   private final val NUM_PERM = 16
@@ -1217,6 +1271,23 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS rep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // anti-join as NOT EXISTS on the fingerprint: null-md5 docs stay (a
+    // null key matches nothing), same as Spark's left_anti null semantics
+    "q_dedup_incremental" ->
+      """SELECT d.doc_id, md5(d.text) AS fp FROM documents d
+        |WHERE d.doc_id % 5 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents e
+        |  WHERE e.doc_id % 5 <> 0 AND md5(e.text) = md5(d.text))
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_vocab_topk" ->
+      s"""WITH ${gramCte(2)},
+         |pc AS (SELECT g, doc_id, count(*) AS c FROM g GROUP BY 1, 2)
+         |SELECT g AS gram, CAST(sum(c) AS BIGINT) AS n_occur, count(*) AS n_docs
+         |FROM pc GROUP BY 1 ORDER BY n_occur DESC, gram LIMIT 50""".stripMargin,
+
+    "q_bm25" -> bm25Sql(BM25_TERMS, k = 20),
 
     "q_text_stats" ->
       """SELECT doc_id,

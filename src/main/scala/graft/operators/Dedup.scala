@@ -28,6 +28,45 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(col(text)).as("fp"))
       .agg(min(col(id)).as("rep_id"), count(lit(1)).as("n_dups"))
 
+  /** Cross-corpus (incremental) exact dedup: the rows of `newDocs` whose
+    * text does not already appear in `existing` — the shard-vs-corpus
+    * question every append-only training pipeline asks on each new crawl
+    * drop. A fingerprint anti-join: both sides shuffle only their
+    * (fp, id) projections, never the text.
+    */
+  def incrementalExact(newDocs: DataFrame, existing: DataFrame,
+      id: String, text: String): DataFrame =
+    newDocs
+      .select(col(id), TextAnalysis.fingerprint(col(text)).as("fp"))
+      .join(
+        existing.select(TextAnalysis.fingerprint(col(text)).as("fp")).distinct(),
+        Seq("fp"), "left_anti")
+      .select(col(id), col("fp"))
+
+  /** Bloom-prefiltered twin of [[incrementalExact]] — IDENTICAL output.
+    * A Bloom filter over the existing fingerprints (one distributed
+    * aggregation, merged on the driver, broadcast) splits the new shard
+    * map-side: a negative is *definitely* novel and passes through with no
+    * shuffle at all; only the ~fpp fraction of positives pays the exact
+    * anti-join. At 100 TB the anti-join's shuffle shrinks from the whole
+    * shard to (true duplicates + fpp·novel) — the right way to re-dedup a
+    * petabyte corpus against a daily drop. Null fingerprints (null text)
+    * are bloom-negatives and anti-join non-matches alike: kept.
+    */
+  def incrementalExactBloom(newDocs: DataFrame, existing: DataFrame,
+      id: String, text: String, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val exFp = existing.select(TextAnalysis.fingerprint(col(text)).as("fp"))
+    val bloom = exFp.stat.bloomFilter("fp", math.max(expectedItems, 1L), fpp)
+    val bc = newDocs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf { (fp: String) => fp != null && bc.value.mightContainString(fp) }
+    val withFp = newDocs.select(col(id), TextAnalysis.fingerprint(col(text)).as("fp"))
+    val definitelyNovel = withFp.where(!mightContain(col("fp")))
+    val verified = withFp.where(mightContain(col("fp")))
+      .join(exFp.distinct(), Seq("fp"), "left_anti")
+      .select(col(id), col("fp"))
+    definitelyNovel.unionByName(verified)
+  }
+
   /** The ONE shingling loop every Jaccard variant derives from — the
     * string-set and hash-set UDFs below must stay byte-identical on the
     * shingle text, or the cross-variant "identical output" guarantee

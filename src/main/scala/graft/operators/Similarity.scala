@@ -281,6 +281,12 @@ object Similarity {
     * cell (one mapPartitions pass, centroids broadcast); each query scans
     * only its `nprobe` nearest cells. The standard ANN scale path when the
     * corpus exceeds broadcast size but the centroid table does not.
+    *
+    * Assign and probe are tight JIT loops over primitive arrays in
+    * `mapPartitions` (ids cast to long, like every distributed sweep here) —
+    * the UDF form paid boxed `Seq[Float]` conversion per corpus row, the
+    * dominant per-row cost of the whole index build. Null vectors are
+    * skipped (the quantizer never sees them either).
     */
   def ivfKnn(
       corpus: DataFrame,
@@ -296,19 +302,36 @@ object Similarity {
     import org.apache.spark.sql.functions._
     val centroids = trainIvfCentroids(corpus, id, vec, nCells, seed = seed)
     val bc = spark.sparkContext.broadcast(centroids)
-    val assignUdf = udf { (v: Seq[Float]) =>
-      nearestCentroid(v.toArray.map(_.toDouble), bc.value)
+    def toDouble(v: Array[Float]): Array[Double] = {
+      val d = new Array[Double](v.length)
+      var i = 0; while (i < v.length) { d(i) = v(i).toDouble; i += 1 }
+      d
     }
-    val probeUdf = udf { (v: Seq[Float]) =>
-      val vd = v.toArray.map(_.toDouble)
-      bc.value.indices
-        .map(c => (dist2(vd, bc.value(c)), c))
-        .sortBy(identity).take(nprobe).map(_._2)
-    }
-    val cb = corpus.withColumn("cell", assignUdf(col(vec)))
-      .select(col(id).as("neighbor_id"), col(vec).as("__cv"), col("cell"))
-    val qb = queries.withColumn("cell", explode(probeUdf(col(vec))))
-      .select(col(id).as("query_id"), col(vec).as("__qv"), col("cell"))
+    val cb = corpus.select(col(id).cast("long"), col(vec))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.collect { case (i, v) if v != null =>
+          (i, v, nearestCentroid(toDouble(v), cs))
+        }
+      }
+      .toDF("neighbor_id", "__cv", "cell")
+    val qb = queries.select(col(id).cast("long"), col(vec))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (i, v) =>
+          if (v == null) Iterator.empty
+          else {
+            val vd = toDouble(v)
+            cs.indices
+              .map(c => (dist2(vd, cs(c)), c))
+              .sortBy(identity).take(nprobe).iterator
+              .map { case (_, c) => (i, v, c) }
+          }
+        }
+      }
+      .toDF("query_id", "__qv", "cell")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     cb.join(broadcast(qb), Seq("cell"))

@@ -155,6 +155,68 @@ object TextAnalysis {
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6).as("dup_frac"),
         round(col("__top").cast("double") / col("n_grams"), 6).as("top_frac"))
 
+  /** Corpus vocabulary: the `k` most frequent word n-grams, with total
+    * occurrences and the number of distinct documents containing each — the
+    * Zipf head a curation pass inspects for boilerplate. Two stacked
+    * aggregations ((gram, id) then gram), both map-side combinable, then a
+    * `TakeOrdered` top-k — never a full sort of the vocabulary.
+    */
+  def vocabTopK(df: DataFrame, id: String, text: String, n: Int, k: Int): DataFrame =
+    df.select(col(id), explode(shingles(col(text), n)).as("gram"))
+      .groupBy(col("gram"), col(id))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("gram"))
+      .agg(sum(col("__c")).as("n_occur"), count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occur").desc, col("gram"))
+      .limit(k)
+
+  /** BM25 lexical retrieval (Robertson/Spärck Jones; the +1 idf form used
+    * by Lucene, so idf is always positive): top-k documents for a small
+    * fixed term set — the lexical baseline next to the embedding ANN, and
+    * the retrieval step of data-curation passes (finding docs "about" a
+    * probe topic).
+    *
+    * Physical shape: per-term tf is a per-row array filter (codegen, no
+    * explode — the term set is a handful of literals); corpus stats (N,
+    * avgdl, per-term document frequency) are ONE partial aggregation
+    * producing a single broadcast row. The corpus is never shuffled; the
+    * only movement is the top-k TakeOrdered. Term contributions sum in
+    * `terms` order and round once at the end, so results are reproducible
+    * across engines.
+    */
+  def bm25(df: DataFrame, id: String, text: String, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one term")
+    val toks = tokens(col(text))
+    val base = df.select(col(id), toks.as("__toks"),
+      size(toks).cast("double").as("__dl"))
+    val withTf = terms.zipWithIndex.foldLeft(base) { case (acc, (t, i)) =>
+      acc.withColumn(s"__tf_$i",
+        size(filter(col("__toks"), x => x === lit(t))).cast("double"))
+    }.drop("__toks")
+    val statAggs =
+      count(lit(1)).cast("double").as("__n") ::
+        avg(col("__dl")).as("__avgdl") ::
+        terms.indices.map(i =>
+          sum((col(s"__tf_$i") > 0).cast("double")).as(s"__df_$i")).toList
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    val score = terms.indices.map { i =>
+      val tf = col(s"__tf_$i")
+      val idf = log(lit(1.0) +
+        (col("__n") - col(s"__df_$i") + lit(0.5)) / (col(s"__df_$i") + lit(0.5)))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl")))
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .select(
+        col(id),
+        round(score, 6).as("score"),
+        terms.indices.map(i => (col(s"__tf_$i") > 0).cast("long")).reduce(_ + _).as("n_terms"))
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col(id))
+      .limit(k)
+  }
+
   // PII patterns, deliberately lookaround-free so they run identically on
   // Java regex (Spark) and RE2 (DuckDB, Go tooling): emails, dotted-quad
   // IPv4s, and +-prefixed international phone numbers (an unanchored

@@ -140,4 +140,39 @@ class DedupSpec extends SparkSpec {
       Dedup.connectedComponents(chain.toDF("d1", "d2"), "d1", "d2", maxIters = 3)
     }
   }
+
+  test("incrementalExact: new-shard rows absent from the existing corpus") {
+    val sp = spark
+    import sp.implicits._
+    val existing = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon zeta"))
+      .toDF("doc_id", "text")
+    val shard = Seq(
+      (10L, "gamma delta"), // dup of 2
+      (11L, "brand new text"),
+      (12L, "another novel doc"),
+      (13L, "alpha beta")) // dup of 1
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(shard, existing, "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(got.toSeq == Seq(11L, 12L))
+  }
+
+  test("incrementalExactBloom: identical output, even at collision-forcing fpp") {
+    val sp = spark
+    import sp.implicits._
+    val existing = (1L to 200L).map(i => (i, s"existing doc number $i")).toDF("doc_id", "text")
+    val shard = ((1L to 50L).map(i => (1000L + i, s"existing doc number $i")) ++ // dups
+      (1L to 50L).map(i => (2000L + i, s"novel doc number $i"))).toDF("doc_id", "text")
+    val exact = Dedup.incrementalExact(shard, existing, "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(exact == (2001L to 2050L))
+    // tight filter AND a saturated one (fpp 0.5 forces false positives
+    // through the verify join) must both reproduce the exact result
+    for (fpp <- Seq(0.01, 0.5)) {
+      val got = Dedup.incrementalExactBloom(shard, existing, "doc_id", "text",
+        expectedItems = 200, fpp = fpp)
+        .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(got == exact, s"fpp=$fpp")
+    }
+  }
 }

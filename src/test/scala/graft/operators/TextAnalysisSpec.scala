@@ -124,4 +124,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[String]("redacted") == "write <EMAIL> now")
     assert(r.getAs[Long]("n_email") == 1L && r.getAs[Long]("n_phone") == 0L)
   }
+
+  test("vocabTopK: occurrence + doc counts with deterministic tie-break") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // doc1 bigrams: "a b","b a","a b"; doc2: "a b","b c"
+    val got = TextAnalysis.vocabTopK(df, "doc_id", "text", n = 2, k = 3).collect()
+      .map(r => (r.getAs[String]("gram"), r.getAs[Long]("n_occur"), r.getAs[Long]("n_docs")))
+    assert(got.toSeq == Seq(("a b", 3L, 2L), ("b a", 1L, 1L), ("b c", 1L, 1L)))
+  }
+
+  test("bm25: term-dense doc ranks first, termless docs are excluded") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "spark spark spark pad pad pad"),
+      (2L, "spark pad pad pad pad pad"),
+      (3L, "nothing relevant here at all x")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(df, "doc_id", "text", Seq("spark"), k = 10).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"), r.getAs[Long]("n_terms")))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L)) // 3 has no term -> excluded
+    assert(got(0)._2 > got(1)._2 && got.forall(_._3 == 1L))
+  }
+
+  test("bm25: multi-term scores add per term and shorter docs win at equal tf") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "spark merge x y"),
+      (2L, "spark merge x y z w q r s t u v"),
+      (3L, "spark only here")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(df, "doc_id", "text", Seq("spark", "merge"), k = 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+        r.getAs[Long]("n_terms")))
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(byId(1L)._3 == 2L && byId(2L)._3 == 2L && byId(3L)._3 == 1L)
+    assert(byId(1L)._2 > byId(2L)._2) // same tf, shorter doc scores higher
+    assert(got.map(_._1).head == 1L)
+  }
 }
