@@ -117,6 +117,33 @@ object SparkEntry {
       TextAnalysis.vocabTopK(Tables.documents(s, dir), "doc_id", "text", n = 2, k = 50)
     }),
 
+    // ---- asymmetric containment: docs mostly contained in another ----------
+    "q_containment" -> ((s, dir) => {
+      Dedup.ngramContainment(Tables.documents(s, dir), "doc_id", "text",
+        n = 2, threshold = 0.8)
+        .orderBy(col("src"), col("dst"))
+    }),
+
+    // ---- native text normalization over an adversarially mutated corpus
+    // (NFD combining mark + tab + space runs appended to every doc) ----------
+    "q_text_clean" -> ((s, dir) => {
+      graft.Engine.registerFunctions(s)
+      val mutated = concat(col("text"), lit("  spark\te\u0301 "))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.normalizeText(mutated).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- diversity sampling: per-semantic-cell cap over IVF cells ----------
+    "q_diverse_sample" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", k = 8, seed = 42L)
+      val cells = Similarity.assignCells(emb, "vec_id", "embedding", cents)
+      Sampling.perGroupCap(cells, "vec_id", "cell", cap = 20)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"), col("cap_rank"))
+        .orderBy(col("cell"), col("cap_rank"))
+    }),
+
     // ---- BM25 lexical retrieval (fixed probe terms, top-20) ----------------
     "q_bm25" -> ((s, dir) => {
       TextAnalysis.bm25(Tables.documents(s, dir), "doc_id", "text",
@@ -1192,7 +1219,33 @@ object SparkEntry {
       val cents = Similarity.trainIvfCentroids(
         Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, seed = 42L)
       ivfSql(cents, k = 5, nprobe = 3)
+    },
+    "q_diverse_sample" -> {
+      val cents = Similarity.trainIvfCentroids(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, seed = 42L)
+      diverseSampleSql(cents, cap = 20)
     })
+
+  /** Diversity-sampling oracle: IVF cell assignment (same centroid literals
+    * and first-nearest CASE as [[ivfSql]]) followed by the q_source_cap
+    * hash-order window cap, keyed on vec_id.
+    */
+  private def diverseSampleSql(cents: Array[Array[Double]], cap: Int): String = {
+    val lits = cents.map(c => "[" + c.mkString(", ") + "]")
+    val n = lits.length
+    val dists = (0 until n).map(i => s"list_distance(v, ${lits(i)}) AS d$i").mkString(", ")
+    val m = s"least(${(0 until n).map("d" + _).mkString(", ")})"
+    val cellCase = "CASE " + (0 until n).map(i => s"WHEN d$i = $m THEN $i").mkString(" ") + " END"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dd AS (SELECT vec_id, v, $dists FROM e),
+       |cb AS (SELECT vec_id, CAST($cellCase AS BIGINT) AS cell FROM dd),
+       |r AS (SELECT vec_id, cell, CAST(row_number() OVER (
+       |    PARTITION BY cell ORDER BY
+       |    CAST('0x' || substr(md5('graft' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 1073741824,
+       |    vec_id) AS BIGINT) AS cap_rank FROM cb)
+       |SELECT vec_id, cell, cap_rank FROM r WHERE cap_rank <= $cap
+       |ORDER BY cell, cap_rank""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1286,6 +1339,27 @@ object SparkEntry {
          |pc AS (SELECT g, doc_id, count(*) AS c FROM g GROUP BY 1, 2)
          |SELECT g AS gram, CAST(sum(c) AS BIGINT) AS n_occur, count(*) AS n_docs
          |FROM pc GROUP BY 1 ORDER BY n_occur DESC, gram LIMIT 50""".stripMargin,
+
+    "q_containment" ->
+      s"""WITH ${shingleCte(2)},
+         |sz AS (SELECT doc, count(*) AS sz FROM s GROUP BY doc),
+         |inter AS (SELECT a.doc AS d1, b.doc AS d2, count(*) AS i
+         |          FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
+         |          GROUP BY 1, 2),
+         |dir AS (SELECT d1 AS src, d2 AS dst, i FROM inter
+         |        UNION ALL SELECT d2 AS src, d1 AS dst, i FROM inter)
+         |SELECT src, dst, round(CAST(i AS DOUBLE) / sz.sz, 6) AS containment
+         |FROM dir JOIN sz ON src = sz.doc
+         |WHERE round(CAST(i AS DOUBLE) / sz.sz, 6) >= 0.8
+         |ORDER BY src, dst""".stripMargin,
+
+    // mutation appends a decomposed e+U+0301, a tab, and space runs; the
+    // normalizer must NFC-compose, scrub the control char, and collapse
+    "q_text_clean" ->
+      """SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |  nfc_normalize(text || '  spark' || chr(9) || 'e' || chr(769) || ' '),
+        |  '[\p{Cc}\p{Cf}]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_bm25" -> bm25Sql(BM25_TERMS, k = 20),
 

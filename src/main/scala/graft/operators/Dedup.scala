@@ -97,6 +97,34 @@ object Dedup {
   def docShingles(df: DataFrame, id: String, text: String, n: Int): DataFrame =
     df.select(col(id).as("doc"), explode(shingleUdf(col(text), lit(n))).as("shingle"))
 
+  /** Asymmetric n-gram containment: directed pairs (src, dst) with
+    * |S(src) ∩ S(dst)| / |S(src)| ≥ threshold — "src is mostly contained in
+    * dst". Catches quotes, partial copies, and superset documents that
+    * symmetric Jaccard misses when the container is much longer than the
+    * contained doc (a long page quoting a short one has low Jaccard but
+    * containment ≈ 1).
+    *
+    * Plan: intersection counts come from [[Pairs.coOccurrence]] over the
+    * inverted index (per-shingle doc lists, array-lambda pair expansion —
+    * no self-join), so `maxShingleDf` is the same skew cap J3 has: shingles
+    * shared by more than that many docs (boilerplate) are dropped from
+    * BOTH the intersections and nothing else, an explicit approximation
+    * knob. None = exact.
+    */
+  def ngramContainment(df: DataFrame, id: String, text: String, n: Int,
+      threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
+    val s = docShingles(df, id, text, n)
+    val sz = s.groupBy(col("doc")).agg(count(lit(1)).as("__sz"))
+    val inter = Pairs.coOccurrence(s, "shingle", "doc", maxShingleDf)
+    val directed = inter
+      .select(col("m1").as("src"), col("m2").as("dst"), col("score"))
+      .unionByName(inter.select(col("m2").as("src"), col("m1").as("dst"), col("score")))
+    directed.join(sz, col("src") === col("doc"))
+      .withColumn("containment", round(col("score").cast("double") / col("__sz"), 6))
+      .where(col("containment") >= threshold)
+      .select(col("src"), col("dst"), col("containment"))
+  }
+
   /** n-gram Jaccard near-dup pairs, scored |A∩B| / (|A|+|B|−|A∩B|) and kept
     * at or above `threshold`.
     *

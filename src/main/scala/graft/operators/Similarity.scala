@@ -302,20 +302,8 @@ object Similarity {
     import org.apache.spark.sql.functions._
     val centroids = trainIvfCentroids(corpus, id, vec, nCells, seed = seed)
     val bc = spark.sparkContext.broadcast(centroids)
-    def toDouble(v: Array[Float]): Array[Double] = {
-      val d = new Array[Double](v.length)
-      var i = 0; while (i < v.length) { d(i) = v(i).toDouble; i += 1 }
-      d
-    }
-    val cb = corpus.select(col(id).cast("long"), col(vec))
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val cs = bc.value
-        it.collect { case (i, v) if v != null =>
-          (i, v, nearestCentroid(toDouble(v), cs))
-        }
-      }
-      .toDF("neighbor_id", "__cv", "cell")
+    val cb = assignCells(corpus, id, vec, centroids)
+      .select(col(id).as("neighbor_id"), col(vec).as("__cv"), col("cell"))
     val qb = queries.select(col(id).cast("long"), col(vec))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -340,6 +328,33 @@ object Similarity {
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("__rn").as("rank"))
+  }
+
+  /** Map-only nearest-centroid cell assignment — the IVF index build, and
+    * on its own the semantic-clustering primitive (diversity sampling,
+    * per-topic stats). Centroids broadcast; one tight primitive-array loop
+    * per row; null vectors skipped. Output: (`id` as long, `vec`, cell).
+    */
+  def assignCells(df: DataFrame, id: String, vec: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    df.select(col(id).cast("long"), col(vec))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.collect { case (i, v) if v != null =>
+          (i, v, nearestCentroid(toDouble(v), cs))
+        }
+      }
+      .toDF(id, vec, "cell")
+  }
+
+  private def toDouble(v: Array[Float]): Array[Double] = {
+    val d = new Array[Double](v.length)
+    var i = 0; while (i < v.length) { d(i) = v(i).toDouble; i += 1 }
+    d
   }
 
   private def dist2(a: Array[Double], b: Array[Double]): Double = {

@@ -155,6 +155,14 @@ object TextAnalysis {
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6).as("dup_frac"),
         round(col("__top").cast("double") / col("n_grams"), 6).as("top_frac"))
 
+  /** C4/ftfy-lite normalization (NFC + control-char scrub + whitespace
+    * collapse) — Column form of the native codegen'd
+    * [[graft.plans.NormalizeTextExpr]]; requires
+    * [[graft.Engine.registerFunctions]] (or the extensions) to have run.
+    */
+  def normalizeText(text: Column): Column =
+    graft.plans.NormalizeTextExpr.normalizeText(text)
+
   /** Corpus vocabulary: the `k` most frequent word n-grams, with total
     * occurrences and the number of distinct documents containing each — the
     * Zipf head a curation pass inspects for boilerplate. Two stacked

@@ -33,5 +33,12 @@ object GraftExtensions {
     (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
       HashNameExpr.build(children))
 
-  val functions: Seq[FunctionDescription] = Seq(hformatFunction, hashnameFunction)
+  val normalizeTextFunction: FunctionDescription = (
+    FunctionIdentifier("graft_normalize_text"),
+    new ExpressionInfo(classOf[NormalizeTextExpr].getName, "graft_normalize_text"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      NormalizeTextExpr.build(children))
+
+  val functions: Seq[FunctionDescription] =
+    Seq(hformatFunction, hashnameFunction, normalizeTextFunction)
 }

@@ -141,6 +141,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ngramContainment: short doc contained in a long container, not vice versa") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "intro words then the quick brown fox jumps and a long tail of extra content here"),
+      (3L, "totally unrelated text again")).toDF("doc_id", "text")
+    val got = Dedup.ngramContainment(df, "doc_id", "text", n = 2, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"),
+        r.getAs[Double]("containment")))
+    // doc1's 4 bigrams all appear in doc2 -> containment 1.0 one way only
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
   test("incrementalExact: new-shard rows absent from the existing corpus") {
     val sp = spark
     import sp.implicits._

@@ -65,6 +65,28 @@ class GraftPlansSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("NormalizeTextExpr: NFC + control scrub + collapse, through codegen") {
+    Engine.tune(spark)
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      "cafe\u0301  x",          // NFD -> café; double space collapses
+      "a\tb\r\nc",              // controls become single spaces
+      " \u200b lead/trail \t ", // zero-width (Cf) scrubbed, trimmed
+      "",
+      "\t\t").toDF("t")
+      .union((1 to 300).map(i => s"bulk doc $i").toDF("t")) // force codegen path
+    val got = df.select(expr("graft_normalize_text(t)").as("c")).collect()
+      .map(_.getString(0)).take(5)
+    assert(got(0) == "caf\u00e9 x")
+    assert(got(1) == "a b c")
+    assert(got(2) == "lead/trail")
+    assert(got(3) == "" && got(4) == "")
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(expr("graft_normalize_text(t)")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   // a parquet-backed relation: ConvertToLocalRelation would otherwise fold
   // a Filter-over-LocalRelation away before the plan can be inspected
   private lazy val parquetDf = {
