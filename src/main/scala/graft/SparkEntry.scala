@@ -629,6 +629,14 @@ object SparkEntry {
         .orderBy(col("source"), col("cap_rank"))
     }),
 
+    // ---- token-budget mixing: ~3000 chars per source, hash-drawn -----------
+    "q_token_budget" -> ((s, dir) => {
+      Sampling.perGroupTokenCap(Tables.documents(s, dir), "doc_id", "source",
+        col("n_chars"), budget = 3000)
+        .select(col("doc_id"), col("source"), col("cum_tokens").as("cum_chars"))
+        .orderBy(col("source"), col("cum_chars"))
+    }),
+
     // ---- benchmark-contamination scan: docs sharing a 4-gram with the
     // "eval set" (stand-in: doc_id < 10), broadcast semi-join ----------------
     "q_contamination" -> ((s, dir) => {
@@ -1686,6 +1694,14 @@ object SparkEntry {
          |    ORDER BY ${docBucketSql(1073741824)}, doc_id) AS BIGINT) AS cap_rank
          |  FROM documents)
          |WHERE cap_rank <= 20 ORDER BY source, cap_rank""".stripMargin,
+
+    "q_token_budget" ->
+      s"""SELECT doc_id, source, cum_chars FROM (
+         |  SELECT doc_id, source, n_chars, CAST(sum(n_chars) OVER (
+         |    PARTITION BY source ORDER BY ${docBucketSql(1073741824)}, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars
+         |  FROM documents)
+         |WHERE cum_chars - n_chars < 3000 ORDER BY source, cum_chars""".stripMargin,
 
     "q_contamination" ->
       s"""WITH ${shingleCte(4)},

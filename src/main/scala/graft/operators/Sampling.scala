@@ -78,6 +78,26 @@ object Sampling {
       .where(col("cap_rank") <= cap)
   }
 
+  /** Token-budget corpus mixing — the "N tokens per source" step of
+    * pretraining mixture recipes (the per-source row-count cousin of
+    * [[perGroupCap]], weighted by a token column instead of 1): keep each
+    * group's rows, in the same deterministic hash order, until the group's
+    * cumulative token count reaches `budget`. The row that CROSSES the
+    * budget is kept (a soft cap: mixtures say "about N tokens", and
+    * truncating that document is a downstream concern), everything after it
+    * is dropped — so a group whose first draw already exceeds the budget
+    * still contributes that one row. Cost shape identical to perGroupCap:
+    * one shuffle on the group key, one bounded per-group running sum.
+    */
+  def perGroupTokenCap(df: DataFrame, id: String, group: String,
+      tokens: Column, budget: Long, salt: String = "graft"): DataFrame = {
+    val w = Window.partitionBy(col(group))
+      .orderBy(hashBucket(col(id), salt, 1L << 30), col(id))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(tokens).over(w).cast("long"))
+      .where(col("cum_tokens") - tokens.cast("long") < budget)
+  }
+
   /** Sequence packing for pretraining: concatenate documents (in a
     * deterministic hash-shuffled order) and chunk the stream into
     * `seqLen`-token context windows — each doc lands in shard `shard`,

@@ -92,4 +92,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("ExistingRDD"), plan)
     assert(plan.contains("Join"), plan)
   }
+
+  test("bm25 never shuffles the corpus: broadcast stats row + TakeOrdered top-k") {
+    val plan = formatted("q_bm25")
+    // the single-row stats frame arrives by broadcast, not a shuffled join
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // exchanges: the stats aggregation's + the broadcast — the corpus side
+    // itself reaches the top-k straight from the scan
+    assert(!plan.contains("hashpartitioning(doc_id"), plan)
+  }
+
+  test("q_text_clean is a map-only codegen projection over the scan") {
+    val df = SparkEntry.queries("q_text_clean")(spark, "/root/testdata/sf0.001")
+    val cg = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+    assert(cg.contains("WholeStageCodegen"), cg)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    // one exchange node at most: the output sort
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 1, plan)
+  }
+
+  test("incremental bloom dedup: the definite-novel branch has no shuffle") {
+    val sp = spark
+    import sp.implicits._
+    // parquet-backed: local relations would constant-fold the whole union
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_plan").toString
+    (1L to 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/existing")
+    (51L to 80L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/shard")
+    val df = graft.operators.Dedup.incrementalExactBloom(
+      sp.read.parquet(s"$dir/shard"), sp.read.parquet(s"$dir/existing"),
+      "doc_id", "text", expectedItems = 50)
+    val plan = df.queryExecution.executedPlan.toString
+    // the union's first child (bloom negatives) must be scan→filter→project
+    // with no Exchange; only the verify branch joins
+    val lines = plan.linesIterator.toSeq
+    val firstJoinIdx = lines.indexWhere(_.contains("Join"))
+    assert(plan.contains("Union"), plan)
+    assert(firstJoinIdx > 0, plan)
+    val exchangesBeforeJoin = lines.take(firstJoinIdx).count(_.contains("Exchange"))
+    assert(exchangesBeforeJoin == 0, plan)
+  }
 }

@@ -86,4 +86,22 @@ class SamplingSpec extends SparkSpec {
     // shards genuinely partition the corpus (all 4 in use, ids in range)
     assert(got.map(_._2).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
   }
+
+  test("perGroupTokenCap: crossing row kept, then the group stops; order is the hash draw") {
+    val sp = spark
+    import sp.implicits._
+    val df = ((1L to 10L).map(i => (i, "a", 40L)) ++ // group a: 10 x 40 tokens
+      Seq((100L, "b", 500L), (101L, "b", 1L))) // group b: first draw may blow the budget
+      .toDF("doc_id", "source", "n_tok")
+    val got = Sampling.perGroupTokenCap(df, "doc_id", "source", col("n_tok"), budget = 100)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("cum_tokens")))
+    val a = got.filter(_._2 == "a").sortBy(_._3)
+    // 40+40 < 100, third row crosses (cum 120) and is kept, fourth is not
+    assert(a.map(_._3).toSeq == Seq(40L, 80L, 120L))
+    val b = got.filter(_._2 == "b").sortBy(_._3).map(_._3).toSeq
+    // whichever of the two b rows the hash draws first, the crossing row
+    // stays: 500-first keeps only it; 1-first keeps both (1, then 501)
+    assert(b == Seq(500L) || b == Seq(1L, 501L), b.toString)
+  }
 }
