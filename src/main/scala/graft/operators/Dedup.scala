@@ -104,14 +104,83 @@ object Dedup {
     * contained doc (a long page quoting a short one has low Jaccard but
     * containment ≈ 1).
     *
-    * Plan: intersection counts come from [[Pairs.coOccurrence]] over the
-    * inverted index (per-shingle doc lists, array-lambda pair expansion —
-    * no self-join), so `maxShingleDf` is the same skew cap J3 has: shingles
-    * shared by more than that many docs (boilerplate) are dropped from
-    * BOTH the intersections and nothing else, an explicit approximation
-    * knob. None = exact.
+    * This default is the block-partitioned sweep (the
+    * [[ngramJaccardBlocked]] strategy: sorted 128-bit shingle-hash sets,
+    * block-pair tasks, early-exit merge-intersection emitting BOTH
+    * directions from one pass) — the right plan for dense corpora, where an
+    * inverted index degenerates to Σ df² pair rows. On Zipfian corpora with
+    * rare shingles, [[ngramContainmentIndex]] trades the O(n²) sweep for
+    * index joins.
     */
   def ngramContainment(df: DataFrame, id: String, text: String, n: Int,
+      threshold: Double, blocks: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sets = df
+      .select(col(id).cast("long").as("doc"), shingleHashSetUdf(col(text), lit(n)).as("hs"))
+      .groupBy(col("doc"))
+      .agg(collect_list(col("hs")).as("hss"))
+      .select(
+        pmod(col("doc"), lit(blocks)).cast("int").as("b"),
+        struct(col("doc").as("_1"), mergeHashSetsUdf(col("hss")).as("_2")).as("ds"))
+    val grouped = sets.groupBy(col("b")).agg(collect_list(col("ds")).as("docs"))
+    val lhs = grouped.select(col("b").as("b1"), col("docs").as("d1s"))
+    val rhs = grouped.select(col("b").as("b2"), col("docs").as("d2s"))
+    lhs.join(rhs, col("b1") <= col("b2"))
+      .select(col("b1"), col("b2"), col("d1s"), col("d2s"))
+      .as[(Int, Int, Array[(Long, Array[Long])], Array[(Long, Array[Long])])]
+      .mapPartitions { it =>
+        it.flatMap { case (bi, bj, as, bs) =>
+          val same = bi == bj
+          as.iterator.flatMap { case (id1, a) =>
+            val partner = if (same) bs.iterator.filter(_._1 > id1) else bs.iterator
+            partner.flatMap { case (id2, b) =>
+              containmentPairHashed(id1, a, id2, b, threshold)
+            }
+          }
+        }
+      }
+      .toDF("src", "dst", "containment")
+  }
+
+  /** One early-exit merge-intersection, both containment directions out.
+    * The abort bound uses the EASIER direction (t·min sizes): if the
+    * intersection cannot reach it, neither direction can pass.
+    */
+  private[operators] def containmentPairHashed(id1: Long, a: Array[Long],
+      id2: Long, b: Array[Long], threshold: Double): Iterator[(Long, Long, Double)] = {
+    val la = a.length / 2; val lb = b.length / 2
+    if (la == 0 || lb == 0) return Iterator.empty
+    val needed = math.ceil(threshold * math.min(la, lb) - 1e-9).toInt
+    var ai = 0; var bi = 0; var inter = 0
+    var live = true
+    while (live && ai < la && bi < lb) {
+      val c1 = java.lang.Long.compare(a(2 * ai), b(2 * bi))
+      val c = if (c1 != 0) c1 else java.lang.Long.compare(a(2 * ai + 1), b(2 * bi + 1))
+      if (c == 0) { inter += 1; ai += 1; bi += 1 }
+      else if (c < 0) ai += 1
+      else bi += 1
+      if (inter + math.min(la - ai, lb - bi) < needed) live = false
+    }
+    if (!live || inter == 0) Iterator.empty
+    else {
+      val cab = Similarity.round6(inter.toDouble / la)
+      val cba = Similarity.round6(inter.toDouble / lb)
+      (if (cab >= threshold) Iterator.single((id1, id2, cab)) else Iterator.empty) ++
+        (if (cba >= threshold) Iterator.single((id2, id1, cba)) else Iterator.empty)
+    }
+  }
+
+  /** Inverted-index form of [[ngramContainment]] — identical output, the
+    * Zipfian-corpus plan: intersection counts from [[Pairs.coOccurrence]]
+    * over per-shingle doc lists (array-lambda pair expansion, no
+    * self-join). `maxShingleDf` is the same skew cap J3 has: shingles
+    * shared by more than that many docs (boilerplate) are dropped from the
+    * intersections — an explicit approximation knob; None keeps exact
+    * semantics. On dense small-vocabulary corpora this degenerates to
+    * Σ df² pair rows; use the blocked sweep there.
+    */
+  def ngramContainmentIndex(df: DataFrame, id: String, text: String, n: Int,
       threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
     val s = docShingles(df, id, text, n)
     val sz = s.groupBy(col("doc")).agg(count(lit(1)).as("__sz"))

@@ -155,6 +155,27 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("ngramContainment blocked sweep and inverted index agree (incl. both-direction pairs)") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(11)
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val df = (1L to 40L).map { i =>
+      val base = Seq.fill(6 + rng.nextInt(8))(words(rng.nextInt(words.length)))
+      (i, base.mkString(" "))
+    }.toDF("doc_id", "text")
+    def norm(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"), r.getAs[Double]("containment")))
+      .sortBy(p => (p._1, p._2)).toSeq
+    val blocked = norm(Dedup.ngramContainment(df, "doc_id", "text", n = 2, threshold = 0.5, blocks = 4))
+    val index = norm(Dedup.ngramContainmentIndex(df, "doc_id", "text", n = 2, threshold = 0.5))
+    assert(blocked == index)
+    assert(blocked.nonEmpty) // small vocab guarantees overlaps
+    // exact dups (if any same text) give 1.0 both ways; at minimum the
+    // direction multiset must contain a pair and its size asymmetry
+    assert(blocked.forall(p => p._3 >= 0.5 && p._3 <= 1.0))
+  }
+
   test("incrementalExact: new-shard rows absent from the existing corpus") {
     val sp = spark
     import sp.implicits._
