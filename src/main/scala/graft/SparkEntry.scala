@@ -662,6 +662,14 @@ object SparkEntry {
       Dedup.connectedComponents(pairs, "d1", "d2").orderBy(col("doc"))
     }),
 
+    // ---- semantic near-dup clusters: the same CC core over embedding-cosine
+    // pairs instead of n-gram Jaccard — SimClusters-style dedup ---------------
+    "q_semantic_clusters" -> ((s, dir) => {
+      val pairs = Similarity.cosinePairsBlocked(
+        Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45)
+      Dedup.connectedComponents(pairs, "d1", "d2").orderBy(col("doc"))
+    }),
+
     // ---- the full curation pipeline composed end-to-end: near-dup cluster
     // survivors, minus high-repetition docs, minus eval-contaminated docs,
     // capped per source, split train/val/test — the manifest a training job
@@ -1726,6 +1734,22 @@ object SparkEntry {
     // hash-min label-propagation fixpoint)
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE ${jaccardPairsCtes()},
+         |e AS (SELECT d1 AS a, d2 AS b FROM jp UNION SELECT d2, d1 FROM jp),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         |comp AS (SELECT a AS doc, least(a, min(b)) AS component
+         |         FROM reach GROUP BY a)
+         |SELECT doc, component FROM comp ORDER BY doc""".stripMargin,
+
+    // identical CC oracle over the q_embed_dedup cosine-pair CTE
+    "q_semantic_clusters" ->
+      s"""WITH RECURSIVE e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+         |        round(${cosineSql("a.v", "b.v")}, 6) AS sim
+         |      FROM e0 a, e0 b WHERE a.vec_id < b.vec_id),
+         |jp AS (SELECT d1, d2 FROM p WHERE sim >= 0.45),
          |e AS (SELECT d1 AS a, d2 AS b FROM jp UNION SELECT d2, d1 FROM jp),
          |reach(a, b) AS (
          |  SELECT a, b FROM e
