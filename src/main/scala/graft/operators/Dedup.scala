@@ -72,7 +72,7 @@ object Dedup {
     * shingle text, or the cross-variant "identical output" guarantee
     * silently breaks.
     */
-  private def shingleWindows(s: String, n: Int): Array[String] = {
+  private[operators] def shingleWindows(s: String, n: Int): Array[String] = {
     val toks = s.split(" ", -1)
     val m = math.max(toks.length - n, 0)
     val out = new Array[String](m + 1)

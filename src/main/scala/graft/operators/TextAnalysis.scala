@@ -110,6 +110,21 @@ object TextAnalysis {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
   }
 
+  /** The explode-site twin of [[shingles]] as one JIT pass (same windows —
+    * [[Dedup.shingleWindows]] — and the same null contract: null text → null
+    * array → nothing after explode). Catalyst's interpreted `transform`/
+    * `slice` lambdas cost ~10× this loop on corpus-wide gram explodes, so
+    * the explode-based operators below use these; the Column form stays for
+    * in-plan array composition.
+    */
+  private val gramsUdf = udf { (s: String, n: Int) =>
+    if (s == null) null else Dedup.shingleWindows(s, n)
+  }
+
+  private val distinctGramsUdf = udf { (s: String, n: Int) =>
+    if (s == null) null else Dedup.shingleWindows(s, n).distinct
+  }
+
   /** Benchmark-contamination scan: which corpus documents share at least one
     * word n-gram with an evaluation set, and how many distinct n-grams they
     * share — the standard train/test-overlap check run before training.
@@ -124,10 +139,10 @@ object TextAnalysis {
   def contamination(corpus: DataFrame, evalDf: DataFrame,
       id: String, text: String, n: Int): DataFrame = {
     val evalShingles = evalDf
-      .select(explode(array_distinct(shingles(col(text), n))).as("shingle"))
+      .select(explode(distinctGramsUdf(col(text), lit(n))).as("shingle"))
       .distinct()
     corpus
-      .select(col(id), explode(array_distinct(shingles(col(text), n))).as("shingle"))
+      .select(col(id), explode(distinctGramsUdf(col(text), lit(n))).as("shingle"))
       .join(broadcast(evalShingles), Seq("shingle"))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_shared"))
@@ -140,7 +155,7 @@ object TextAnalysis {
     * ((id, gram) then id), both map-side combinable; no windows, no UDFs.
     */
   def repetition(df: DataFrame, id: String, text: String, n: Int): DataFrame =
-    df.select(col(id), explode(shingles(col(text), n)).as("__g"))
+    df.select(col(id), explode(gramsUdf(col(text), lit(n))).as("__g"))
       .groupBy(col(id), col("__g"))
       .agg(count(lit(1)).as("__c"))
       .groupBy(col(id))
@@ -170,7 +185,7 @@ object TextAnalysis {
     * `TakeOrdered` top-k — never a full sort of the vocabulary.
     */
   def vocabTopK(df: DataFrame, id: String, text: String, n: Int, k: Int): DataFrame =
-    df.select(col(id), explode(shingles(col(text), n)).as("gram"))
+    df.select(col(id), explode(gramsUdf(col(text), lit(n))).as("gram"))
       .groupBy(col("gram"), col(id))
       .agg(count(lit(1)).as("__c"))
       .groupBy(col("gram"))
