@@ -100,9 +100,13 @@ object Bench {
     }
     def deleteRecursively(p: java.nio.file.Path): Unit = {
       import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      if (java.nio.file.Files.exists(p)) {
+        // Files.walk holds directory handles open until the stream closes
+        val s = java.nio.file.Files.walk(p)
+        try s.iterator().asScala.toSeq.reverse
           .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        finally s.close()
+      }
     }
     def run(n: Int): Double = {
       val dir = java.nio.file.Files.createTempDirectory("graft_bench_store")

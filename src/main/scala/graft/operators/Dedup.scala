@@ -145,13 +145,17 @@ object Dedup {
 
   /** One early-exit merge-intersection, both containment directions out.
     * The abort bound uses the EASIER direction (t·min sizes): if the
-    * intersection cannot reach it, neither direction can pass.
+    * intersection cannot reach it, neither direction can pass. The bound
+    * carries the HALF_UP-rounding slack ([[roundSlack]]) so a pair whose
+    * ratio rounds UP to the threshold is never aborted — the final
+    * round-then-compare is the single source of truth, as in the index
+    * variant and the SQL oracle.
     */
   private[operators] def containmentPairHashed(id1: Long, a: Array[Long],
       id2: Long, b: Array[Long], threshold: Double): Iterator[(Long, Long, Double)] = {
     val la = a.length / 2; val lb = b.length / 2
     if (la == 0 || lb == 0) return Iterator.empty
-    val needed = math.ceil(threshold * math.min(la, lb) - 1e-9).toInt
+    val needed = math.ceil(roundSlack(threshold) * math.min(la, lb) - 1e-9).toInt
     var ai = 0; var bi = 0; var inter = 0
     var live = true
     while (live && ai < la && bi < lb) {
@@ -174,17 +178,28 @@ object Dedup {
   /** Inverted-index form of [[ngramContainment]] — identical output, the
     * Zipfian-corpus plan: intersection counts from [[Pairs.coOccurrence]]
     * over per-shingle doc lists (array-lambda pair expansion, no
-    * self-join). `maxShingleDf` is the same skew cap J3 has: shingles
-    * shared by more than that many docs (boilerplate) are dropped from the
-    * intersections — an explicit approximation knob; None keeps exact
-    * semantics. On dense small-vocabulary corpora this degenerates to
-    * Σ df² pair rows; use the blocked sweep there.
+    * self-join). `maxShingleDf` drops shingles shared by more than that
+    * many docs (boilerplate) from the INTERSECTIONS — denominators stay
+    * full — an explicit approximation knob; None keeps exact semantics.
+    * On dense small-vocabulary corpora this degenerates to Σ df² pair
+    * rows; use the blocked sweep there.
     */
   def ngramContainmentIndex(df: DataFrame, id: String, text: String, n: Int,
       threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
-    val s = docShingles(df, id, text, n)
-    val sz = s.groupBy(col("doc")).agg(count(lit(1)).as("__sz"))
-    val inter = Pairs.coOccurrence(s, "shingle", "doc", maxShingleDf)
+    // distinct: rows sharing an id merge into ONE shingle set, matching the
+    // blocked sweep's mergeHashSetsUdf (and sizes count the union set)
+    val s0 = docShingles(df, id, text, n).distinct()
+    val s = maxShingleDf match {
+      case Some(cap) =>
+        // the documented DROP, not coOccurrence's list truncation (which
+        // would keep the cap lowest doc ids and id-bias every score)
+        val keep = s0.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= cap).select("shingle")
+        s0.join(keep, Seq("shingle"))
+      case None => s0
+    }
+    val sz = s0.groupBy(col("doc")).agg(count(lit(1)).as("__sz"))
+    val inter = Pairs.coOccurrence(s, "shingle", "doc", None)
     val directed = inter
       .select(col("m1").as("src"), col("m2").as("dst"), col("score"))
       .unionByName(inter.select(col("m2").as("src"), col("m1").as("dst"), col("score")))
@@ -262,6 +277,14 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /** A threshold loosened by the half-ulp of `round(_, 6)`'s HALF_UP step:
+    * early-exit bounds must use THIS, not the raw threshold — a ratio as
+    * low as t − 5e-7 still rounds up to t and passes the final
+    * round-then-compare, so an abort bound at raw t would drop boundary
+    * pairs the naive forms (and the SQL oracles) keep.
+    */
+  private def roundSlack(threshold: Double): Double = threshold - 5e-7
+
   /** Exact Jaccard of two SORTED distinct-shingle arrays with the
     * size-ratio filter and the early-exit merge-intersection; returns NaN
     * when the pair cannot reach (or fails) the threshold. Shared by the
@@ -272,8 +295,10 @@ object Dedup {
     val maxInter = math.min(la, lb)
     // size filter: even full containment cannot reach the threshold
     if (Similarity.round6(maxInter.toDouble / (la + lb - maxInter)) < threshold) return Double.NaN
-    // minimal intersection for J >= t: inter >= t(la+lb)/(1+t)
-    val needed = math.ceil(threshold * (la + lb) / (1.0 + threshold) - 1e-9).toInt
+    // minimal intersection for J >= t: inter >= t(la+lb)/(1+t), with the
+    // rounding slack so the final round-then-compare stays the arbiter
+    val t = roundSlack(threshold)
+    val needed = math.ceil(t * (la + lb) / (1.0 + t) - 1e-9).toInt
     var ai = 0; var bi = 0; var inter = 0
     var live = true
     while (live && ai < la && bi < lb) {
@@ -383,7 +408,8 @@ object Dedup {
     val la = a.length / 2; val lb = b.length / 2
     val maxInter = math.min(la, lb)
     if (Similarity.round6(maxInter.toDouble / (la + lb - maxInter)) < threshold) return Double.NaN
-    val needed = math.ceil(threshold * (la + lb) / (1.0 + threshold) - 1e-9).toInt
+    val t = roundSlack(threshold)
+    val needed = math.ceil(t * (la + lb) / (1.0 + t) - 1e-9).toInt
     var ai = 0; var bi = 0; var inter = 0
     var live = true
     while (live && ai < la && bi < lb) {

@@ -300,6 +300,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    requireIntegralId(queries, id)
     val centroids = trainIvfCentroids(corpus, id, vec, nCells, seed = seed)
     val bc = spark.sparkContext.broadcast(centroids)
     val cb = assignCells(corpus, id, vec, centroids)
@@ -339,6 +340,7 @@ object Similarity {
       centroids: Array[Array[Double]]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    requireIntegralId(df, id)
     val bc = spark.sparkContext.broadcast(centroids)
     df.select(col(id).cast("long"), col(vec))
       .as[(Long, Array[Float])]
@@ -355,6 +357,17 @@ object Similarity {
     val d = new Array[Double](v.length)
     var i = 0; while (i < v.length) { d(i) = v(i).toDouble; i += 1 }
     d
+  }
+
+  /** The typed mapPartitions paths cast ids to long (like every distributed
+    * sweep in the repo) — fail fast on non-numeric ids instead of letting
+    * the cast null them out and the non-nullable encoder throw mid-job.
+    */
+  private def requireIntegralId(df: DataFrame, id: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(id).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"column '$id' must be an integral type (cast to long internally); got $dt")
   }
 
   private def dist2(a: Array[Double], b: Array[Double]): Double = {

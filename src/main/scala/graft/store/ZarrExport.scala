@@ -92,22 +92,34 @@ object ZarrExport {
 
   private def gzip(raw: Array[Byte]): Array[Byte] = {
     val bos = new ByteArrayOutputStream(raw.length / 2 + 64)
-    val gz = new GZIPOutputStream(bos)
+    // level 1, matching the advertised compressor metadata (and the
+    // reference's zarr GZip(level=1)); the JDK default (6) would make the
+    // .zarray metadata lie about the bytes
+    val gz = new GZIPOutputStream(bos) {
+      `def`.setLevel(java.util.zip.Deflater.BEST_SPEED)
+    }
     gz.write(raw); gz.close()
     bos.toByteArray
   }
 
-  private[store] def f8Chunk(values: Array[Double], from: Int, until: Int): Array[Byte] = {
-    val bb = ByteBuffer.allocate((until - from) * 8).order(ByteOrder.LITTLE_ENDIAN)
+  /** Chunks are ALWAYS `chunkElems` long — zarr v2 readers reshape every
+    * stored chunk (including the last) to the full chunk shape and slice by
+    * the array shape, so a truncated final chunk is unreadable. The tail
+    * beyond `until` is zero fill.
+    */
+  private[store] def f8Chunk(values: Array[Double], from: Int, until: Int,
+      chunkElems: Int): Array[Byte] = {
+    val bb = ByteBuffer.allocate(chunkElems * 8).order(ByteOrder.LITTLE_ENDIAN)
     var i = from
     while (i < until) { bb.putDouble(values(i)); i += 1 }
     gzip(bb.array())
   }
 
   private[store] def bytesChunk(values: Array[Array[Byte]], width: Int,
-      from: Int, until: Int): Array[Byte] = {
-    // numpy S<w> semantics: each element null-padded to the fixed width
-    val raw = new Array[Byte]((until - from) * width)
+      from: Int, until: Int, chunkElems: Int): Array[Byte] = {
+    // numpy S<w> semantics: each element null-padded to the fixed width;
+    // the fill tail past `until` stays zeroed like the f8 chunks
+    val raw = new Array[Byte](chunkElems * width)
     var i = from
     while (i < until) {
       val v = values(i)
@@ -138,7 +150,7 @@ object ZarrExport {
       Entry(s"$g/.zgroup", zgroupJson.getBytes(StandardCharsets.UTF_8)),
       Entry(s"$g/.zattrs", zattrsJson(attrs).getBytes(StandardCharsets.UTF_8)),
       Entry(s"$g/ts/.zarray", zarrayJson(n, chunkElems, "<f8").getBytes(StandardCharsets.UTF_8)))
-    val tsChunks = chunks((a, b) => f8Chunk(ts, a, b), "ts")
+    val tsChunks = chunks((a, b) => f8Chunk(ts, a, b, chunkElems), "ts")
     val floats = new Array[Double](n)
     var isFloat = true
     var i = 0
@@ -153,13 +165,13 @@ object ZarrExport {
       if (isFloat)
         Iterator(Entry(s"$g/data/.zarray",
           zarrayJson(n, chunkElems, "<f8").getBytes(StandardCharsets.UTF_8))) ++
-          chunks((a, b) => f8Chunk(floats, a, b), "data")
+          chunks((a, b) => f8Chunk(floats, a, b, chunkElems), "data")
       else {
         val bytes = values.map(v => Option(v).getOrElse("").getBytes(StandardCharsets.UTF_8))
         val width = math.max(1, if (bytes.isEmpty) 1 else bytes.map(_.length).max)
         Iterator(Entry(s"$g/data/.zarray",
           zarrayJson(n, chunkElems, s"|S$width").getBytes(StandardCharsets.UTF_8))) ++
-          chunks((a, b) => bytesChunk(bytes, width, a, b), "data")
+          chunks((a, b) => bytesChunk(bytes, width, a, b, chunkElems), "data")
       }
     head ++ tsChunks ++ dataEntries
   }

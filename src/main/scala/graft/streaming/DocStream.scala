@@ -30,9 +30,16 @@ object DocStream {
     * accumulated store — the standard streaming/batch split.
     */
   def dedupedDocs(docs: DataFrame, text: String, tsCol: String,
-      delay: String): DataFrame =
-    docs
-      .withColumn("fp", TextAnalysis.fingerprint(col(text)))
+      delay: String): DataFrame = {
+    val withFp = docs.withColumn("fp", TextAnalysis.fingerprint(col(text)))
+    // null-text docs (fetch failures) carry a null fingerprint and are NOT
+    // duplicates of one another — the batch twins keep them all (a null
+    // anti-join key matches nothing), so the stream must too; routing them
+    // through dropDuplicates would group null keys and keep only the first
+    val nullFp = withFp.where(col("fp").isNull)
+    withFp.where(col("fp").isNotNull)
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("fp")
+      .unionByName(nullFp)
+  }
 }

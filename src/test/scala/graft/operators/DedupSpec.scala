@@ -160,10 +160,11 @@ class DedupSpec extends SparkSpec {
     import sp.implicits._
     val rng = new scala.util.Random(11)
     val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
-    val df = (1L to 40L).map { i =>
+    val df = ((1L to 40L).map { i =>
       val base = Seq.fill(6 + rng.nextInt(8))(words(rng.nextInt(words.length)))
       (i, base.mkString(" "))
-    }.toDF("doc_id", "text")
+    } :+ (1L, "alpha beta gamma")) // duplicate id: both variants must UNION its sets
+      .toDF("doc_id", "text")
     def norm(d: org.apache.spark.sql.DataFrame) = d.collect()
       .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"), r.getAs[Double]("containment")))
       .sortBy(p => (p._1, p._2)).toSeq

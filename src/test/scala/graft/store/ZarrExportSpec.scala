@@ -74,22 +74,25 @@ class ZarrExportSpec extends SparkSpec {
       assert(tsMeta.contains("\"dtype\":\"<f8\"") && tsMeta.contains("\"shape\":[10]")
         && tsMeta.contains("\"chunks\":[4]")
         && tsMeta.contains("\"compressor\":{\"id\":\"gzip\",\"level\":1}"))
-      val ts = doubles(entry("pvarch/XX:m1.VAL/ts/0")) ++
-        doubles(entry("pvarch/XX:m1.VAL/ts/1")) ++
-        doubles(entry("pvarch/XX:m1.VAL/ts/2"))
-      assert(ts.toSeq == (1 to 10).map(_.toDouble))
+      // every chunk (incl. the last) decodes to the FULL chunk shape, as a
+      // zarr reader's chunk.reshape(chunks) requires; the array shape
+      // slices the zero-filled tail away
+      val tsChunks = Seq("0", "1", "2").map(c => doubles(entry(s"pvarch/XX:m1.VAL/ts/$c")))
+      assert(tsChunks.forall(_.length == 4))
+      assert(tsChunks.flatten.take(10) == (1 to 10).map(_.toDouble))
+      assert(tsChunks.flatten.drop(10).forall(_ == 0.0)) // fill tail
 
       // all-numeric data -> <f8
-      val d = doubles(entry("pvarch/XX:m1.VAL/data/0")) ++
-        doubles(entry("pvarch/XX:m1.VAL/data/1")) ++
-        doubles(entry("pvarch/XX:m1.VAL/data/2"))
-      assert(d.toSeq == Seq(1.5, 2.5, 3.0, 4.25, 5.0, 6.0, 7.0, 8.0, 9.0, 10.5))
+      val d = Seq("0", "1", "2").flatMap(c => doubles(entry(s"pvarch/XX:m1.VAL/data/$c")))
+      assert(d.take(10) == Seq(1.5, 2.5, 3.0, 4.25, 5.0, 6.0, 7.0, 8.0, 9.0, 10.5))
 
-      // mixed values -> |S5 ("FAULT"), null-padded fixed width
+      // mixed values -> |S5 ("FAULT"), null-padded fixed width + fill tail
       val sMeta = text("pvarch/XX:status/data/.zarray")
       assert(sMeta.contains("\"dtype\":\"|S5\"") && sMeta.contains("\"shape\":[3]"))
-      val raw = gunzip(entry("pvarch/XX:status/data/0"))
-      assert(raw.length == 15)
+      val full = gunzip(entry("pvarch/XX:status/data/0"))
+      assert(full.length == 20) // chunkElems * width, zero-filled past n
+      assert(full.drop(15).forall(_ == 0))
+      val raw = full.take(15)
       assert(new String(raw, StandardCharsets.UTF_8) ==
         "OK\u0000\u0000\u00003.5\u0000\u0000FAULT")
 
@@ -108,9 +111,9 @@ class ZarrExportSpec extends SparkSpec {
     val ts = doubles(read("pvarch/XX:m1.VAL/ts/0")) ++
       doubles(read("pvarch/XX:m1.VAL/ts/1")) ++
       doubles(read("pvarch/XX:m1.VAL/ts/2"))
-    assert(ts.toSeq == (1 to 10).map(_.toDouble))
+    assert(ts.length == 12 && ts.take(10).toSeq == (1 to 10).map(_.toDouble))
     assert(text("pvarch/XX:status/data/.zarray").contains("\"dtype\":\"|S5\""))
-    assert(gunzip(read("pvarch/XX:status/data/0")).length == 15)
+    assert(gunzip(read("pvarch/XX:status/data/0")).length == 20)
     // missing meta row -> empty attrs object, still valid JSON
     val noMeta = Files.createTempDirectory("graft_zarr_dir2").toString
     ZarrExport.exportDirectoryStore(samples.limit(2), noMeta, None, chunkElems = 4)
