@@ -626,6 +626,46 @@ object Dedup {
     * plan). NOT a lazy plan — call it at pipeline-action time.
     */
   def connectedComponents(pairs: DataFrame, a: String, b: String,
+      maxIters: Int = 50, maxDriverPairs: Long = 2000000L): DataFrame = {
+    // Fast path: near-dup pair lists are usually MUCH smaller than the
+    // corpus (thresholding sees to that). When the edge list fits a
+    // documented driver bound, one collect + union-find replaces
+    // O(diameter) distributed rounds whose cost here is almost entirely
+    // fixed job overhead. Identical output (min reachable id per node);
+    // the label-propagation loop below remains the unbounded-graph path.
+    // The (expensive) pair plan is persisted so the size gate and the
+    // chosen path both read the one materialization.
+    val spark0 = pairs.sparkSession
+    import spark0.implicits._
+    val edges0 = pairs.select(col(a).cast("long").as(a), col(b).cast("long").as(b)).persist()
+    try {
+      if (edges0.count() <= maxDriverPairs) {
+        val es = edges0.as[(Long, Long)].collect()
+        val parent = new scala.collection.mutable.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+          r
+        }
+        es.foreach { case (x, y) =>
+          parent.getOrElseUpdate(x, x); parent.getOrElseUpdate(y, y)
+          val rx = find(x); val ry = find(y)
+          // union by MIN root: a component's root is always its least id,
+          // so labels match the hash-min propagation exactly
+          if (rx != ry) { if (rx < ry) parent(ry) = rx else parent(rx) = ry }
+        }
+        parent.keys.toSeq.sorted.map(n => (n, find(n))).toDF("doc", "component")
+      } else connectedComponentsDistributed(edges0, a, b, maxIters)
+    } finally edges0.unpersist(blocking = false)
+  }
+
+  /** The unbounded-graph path of [[connectedComponents]]: distributed
+    * hash-min label propagation with localCheckpoint lineage truncation
+    * and a convergence guard that refuses wrong labels.
+    */
+  def connectedComponentsDistributed(pairs: DataFrame, a: String, b: String,
       maxIters: Int = 50): DataFrame = {
     // the materialized RDD behind a localCheckpoint-ed frame (its analyzed
     // plan is a LogicalRDD), so each superseded round's blocks are freed

@@ -120,6 +120,10 @@ class DedupSpec extends SparkSpec {
     val pairs = (Seq((1L, 2L), (2L, 3L), (7L, 9L)) ++ chain).toDF("d1", "d2")
     val comp = Dedup.connectedComponents(pairs, "d1", "d2")
     val got = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // both physical paths must produce the identical labeling
+    val gotDist = Dedup.connectedComponentsDistributed(pairs, "d1", "d2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == gotDist)
     assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
     assert(got(7L) == 7L && got(9L) == 7L)
     assert((100L to 111L).forall(got(_) == 100L))
@@ -134,10 +138,15 @@ class DedupSpec extends SparkSpec {
     val surv2 = Dedup.clusterSurvivors(docsNamedDoc, "doc", comp)
       .collect().map(_.getLong(0)).sorted
     assert(surv2.toSeq == Seq(0L, 1L, 4L))
-    // convergence guard: a long chain with too few rounds throws, never
-    // returns half-propagated labels
+    // convergence guard (distributed path — the driver union-find needs no
+    // rounds): a long chain with too few rounds throws, never returns
+    // half-propagated labels; the size gate routes there too
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain.toDF("d1", "d2"), "d1", "d2", maxIters = 3)
+      Dedup.connectedComponentsDistributed(chain.toDF("d1", "d2"), "d1", "d2", maxIters = 3)
+    }
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain.toDF("d1", "d2"), "d1", "d2", maxIters = 3,
+        maxDriverPairs = 0L)
     }
   }
 
