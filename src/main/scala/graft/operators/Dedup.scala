@@ -116,6 +116,7 @@ object Dedup {
       threshold: Double, blocks: Int = 16): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    Similarity.requireIntegralId(df, id)
     val sets = df
       .select(col(id).cast("long").as("doc"), shingleHashSetUdf(col(text), lit(n)).as("hs"))
       .groupBy(col("doc"))
@@ -252,12 +253,15 @@ object Dedup {
     val w = Window.partitionBy(col("doc")).orderBy(col("df"), col("shingle"))
     // prefix length |d| − ⌈t·|d|⌉ + 1; the epsilon keeps FP noise in t·|d|
     // from rounding the ceiling UP (which would shorten the prefix and
-    // silently drop true pairs)
+    // silently drop true pairs), and t carries the same HALF_UP rounding
+    // slack as the sweeps' early-exit bounds — a pair whose Jaccard rounds
+    // up to t must still collide inside the prefixes
     val prefix = ds
       .join(dfreq, Seq("shingle"))
       .withColumn("pos", row_number().over(w))
       .join(sizes, Seq("doc"))
-      .where(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .where(col("pos") <=
+        col("sz") - ceil(lit(roundSlack(threshold)) * col("sz") - lit(1e-9)) + 1)
       .select(col("doc"), col("shingle"))
     val cands = prefix.select(col("doc").as("d1"), col("shingle"))
       .join(prefix.select(col("doc").as("d2"), col("shingle")), Seq("shingle"))
@@ -448,6 +452,7 @@ object Dedup {
       blocks: Int = 16): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    Similarity.requireIntegralId(df, id)
     // per-doc union BEFORE blocking: rows sharing an id merge into one set
     // (matching the string variants' collect_set semantics); the shuffled
     // payload is the compact 16-bytes-per-shingle hash arrays, still no
@@ -637,7 +642,13 @@ object Dedup {
     // chosen path both read the one materialization.
     val spark0 = pairs.sparkSession
     import spark0.implicits._
-    val edges0 = pairs.select(col(a).cast("long").as(a), col(b).cast("long").as(b)).persist()
+    // a null endpoint carries no connectivity information; dropping it here
+    // keeps the two physical paths identical (the driver path's non-null
+    // encoder would crash on it, the distributed path would emit a
+    // nonsense (null, null) label row)
+    val edges0 = pairs.select(col(a).cast("long").as(a), col(b).cast("long").as(b))
+      .where(col(a).isNotNull && col(b).isNotNull)
+      .persist()
     try {
       if (edges0.count() <= maxDriverPairs) {
         val es = edges0.as[(Long, Long)].collect()
@@ -681,6 +692,11 @@ object Dedup {
     val sym = edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
+    // materialize sym now: the input (often a cached edge list from the
+    // size gate) is read exactly once and can be released before the
+    // O(diameter) rounds instead of occupying storage through all of them
+    sym.count()
+    pairs.unpersist(blocking = false)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node")).localCheckpoint(true)
     var changed = 1L

@@ -123,6 +123,7 @@ object Similarity {
   def cosinePairs(df: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    requireIntegralId(df, id)
     val data = df.select(col(id).cast("long"), col(vec))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val norms = data.map { case (_, v) =>
@@ -170,6 +171,7 @@ object Similarity {
       blocks: Int = 16): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    requireIntegralId(df, id)
     val sets = df.select(
       pmod(col(id), lit(blocks)).cast("int").as("b"),
       struct(col(id).cast("long").as("_1"), col(vec).as("_2")).as("dv"))
@@ -300,6 +302,9 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions._
+    // both sides, BEFORE the training collect — failing inside assignCells
+    // would waste the k-means pass
+    requireIntegralId(corpus, id)
     requireIntegralId(queries, id)
     val centroids = trainIvfCentroids(corpus, id, vec, nCells, seed = seed)
     val bc = spark.sparkContext.broadcast(centroids)
@@ -362,8 +367,9 @@ object Similarity {
   /** The typed mapPartitions paths cast ids to long (like every distributed
     * sweep in the repo) — fail fast on non-numeric ids instead of letting
     * the cast null them out and the non-nullable encoder throw mid-job.
+    * Shared by every operator that takes the `.cast("long")` shortcut.
     */
-  private def requireIntegralId(df: DataFrame, id: String): Unit = {
+  private[operators] def requireIntegralId(df: DataFrame, id: String): Unit = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val dt = df.schema(id).dataType
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),

@@ -169,9 +169,18 @@ object ZarrExport {
       else {
         val bytes = values.map(v => Option(v).getOrElse("").getBytes(StandardCharsets.UTF_8))
         val width = math.max(1, if (bytes.isEmpty) 1 else bytes.map(_.length).max)
+        // the S-array's chunk length shrinks with element width so a chunk
+        // buffer stays ~2 MiB — chunkElems * width at the f8 default would
+        // allocate gigabytes (or overflow Int) for wide values; the
+        // declared `chunks` metadata shrinks with it, staying valid zarr
+        val bce = math.max(1L, math.min(chunkElems.toLong, (2L << 20) / width)).toInt
+        val bChunks = Iterator.range(0, math.max(1, (n + bce - 1) / bce)).map { c =>
+          val from = c * bce
+          Entry(s"$g/data/$c",
+            bytesChunk(bytes, width, from, math.min(n, from + bce), bce))
+        }
         Iterator(Entry(s"$g/data/.zarray",
-          zarrayJson(n, chunkElems, s"|S$width").getBytes(StandardCharsets.UTF_8))) ++
-          chunks((a, b) => bytesChunk(bytes, width, a, b, chunkElems), "data")
+          zarrayJson(n, bce, s"|S$width").getBytes(StandardCharsets.UTF_8))) ++ bChunks
       }
     head ++ tsChunks ++ dataEntries
   }

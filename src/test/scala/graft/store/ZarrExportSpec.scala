@@ -101,6 +101,24 @@ class ZarrExportSpec extends SparkSpec {
     } finally zf.close()
   }
 
+  test("wide string values shrink the data chunk length instead of exploding the buffer") {
+    val sp = spark
+    import sp.implicits._
+    val wide = "x" * 3000 // non-numeric -> |S3000
+    val df = Seq(("W:pv", 1000000L, wide), ("W:pv", 2000000L, "short"))
+      .toDF("pvname", "tsUs", "value")
+    val dir = Files.createTempDirectory("graft_zarr_wide").toString
+    // default chunkElems (256 Ki): a width-scaled chunk would be 750 MiB
+    ZarrExport.exportDirectoryStore(df, dir, None)
+    val meta = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "pvarch/W:pv/data/.zarray")), StandardCharsets.UTF_8)
+    val chunkLen = "\"chunks\":\\[(\\d+)\\]".r.findFirstMatchIn(meta).get.group(1).toInt
+    assert(chunkLen == (2 << 20) / 3000, meta) // ~2 MiB budget / width
+    val raw = gunzip(Files.readAllBytes(java.nio.file.Paths.get(dir, "pvarch/W:pv/data/0")))
+    assert(raw.length == chunkLen * 3000)
+    assert(new String(raw, 0, 3000, StandardCharsets.UTF_8) == wide)
+  }
+
   test("directory store: distributed writer produces the same zarr v2 bytes") {
     val dir = Files.createTempDirectory("graft_zarr_dir").toString
     ZarrExport.exportDirectoryStore(samples, dir, Some(meta), chunkElems = 4)
