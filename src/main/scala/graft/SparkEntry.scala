@@ -489,6 +489,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- PQ approximate KNN (codes + ADC). Oracle-checked via
+    // dataDependentOracles: the same seeded sub-quantizers embedded as
+    // SQL literals -----------------------------------------------------------
+    "q_knn_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqKnn(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
+        topK = 10)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- composite training-data curation pipeline: exact-dedup survivors
     // with language + quality gates, joined to their embedding labels -------
     "q_curation" -> ((s, dir) => {
@@ -1240,7 +1251,61 @@ object SparkEntry {
       val cents = Similarity.trainIvfCentroids(
         Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, seed = 42L)
       diverseSampleSql(cents, cap = 20)
+    },
+    "q_knn_pq" -> {
+      val books = Similarity.trainPqCodebooks(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", m = 4, k = 16, seed = 42L)
+      pqSql(books, topK = 10)
     })
+
+  /** PQ/ADC oracle around Verify-time codebooks. Every distance is the
+    * engine-portable `v·v − 2 v·c + c·c` (dot products via
+    * `list_dot_product` = the encoder's index-order loop; `c·c` a literal
+    * computed by the SAME Scala dot), code assignment is first-minimum,
+    * and ADC sums subspace lookups in subspace order — so both engines
+    * evaluate identical float expressions end to end.
+    */
+  private def pqSql(books: Array[Array[Array[Double]]], topK: Int): String = {
+    val m = books.length
+    val k = books(0).length
+    val sub = books(0)(0).length
+    val ccn = books.map(_.map(c => Similarity.dotIdx(c, c)))
+    def slice(s: Int) = s"v[${s * sub + 1}:${(s + 1) * sub}]"
+    val vvs = (0 until m).map(s =>
+      s"list_dot_product(${slice(s)}, ${slice(s)}) AS vv$s").mkString(",\n  ")
+    val vcs = (for (s <- 0 until m; j <- 0 until k) yield
+      s"list_dot_product(${slice(s)}, [${books(s)(j).mkString(", ")}]) AS vc${s}_$j")
+      .mkString(",\n  ")
+    val ds = (for (s <- 0 until m; j <- 0 until k) yield
+      s"vv$s - 2.0*vc${s}_$j + ${ccn(s)(j)} AS d${s}_$j").mkString(",\n  ")
+    val mins = (0 until m).map(s =>
+      s"least(${(0 until k).map(j => s"d${s}_$j").mkString(", ")}) AS m$s").mkString(",\n  ")
+    val codes = (0 until m).map(s =>
+      "CASE " + (0 until k).map(j => s"WHEN d${s}_$j = m$s THEN $j").mkString(" ") +
+        s" END AS c$s").mkString(",\n  ")
+    val qcols = (for (s <- 0 until m; j <- 0 until k) yield
+      s"d${s}_$j AS q${s}_$j").mkString(", ")
+    val adc = (0 until m).map(s =>
+      s"(CASE c$s " + (0 until k).map(j => s"WHEN $j THEN q${s}_$j").mkString(" ") + " END)")
+      .mkString("\n    + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p1 AS (SELECT vec_id,
+       |  $vvs,
+       |  $vcs FROM e),
+       |p2 AS (SELECT vec_id,
+       |  $ds FROM p1),
+       |p3 AS (SELECT *,
+       |  $mins FROM p2),
+       |cb AS (SELECT vec_id AS neighbor_id,
+       |  $codes FROM p3),
+       |qd AS (SELECT vec_id AS query_id, $qcols FROM p2 WHERE vec_id < 5),
+       |sc AS (SELECT query_id, neighbor_id,
+       |  round($adc, 6) AS adc
+       |  FROM qd, cb WHERE query_id <> neighbor_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn FROM sc)
+       |SELECT query_id, neighbor_id, adc, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= $topK
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Diversity-sampling oracle: IVF cell assignment (same centroid literals
     * and first-nearest CASE as [[ivfSql]]) followed by the q_source_cap

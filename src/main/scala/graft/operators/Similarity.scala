@@ -248,6 +248,15 @@ object Similarity {
     val sample = df.where(col(vec).isNotNull)
       .orderBy(col(id)).limit(maxSample).select(col(vec))
       .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    kmeansFit(sample, k, iters, seed)
+  }
+
+  /** Seeded Lloyd's k-means over a driver-side sample — shared by the IVF
+    * coarse quantizer and the PQ sub-quantizers. Fully deterministic:
+    * seeded init, fixed iteration count, index-order arithmetic.
+    */
+  private def kmeansFit(sample: Array[Array[Double]], k: Int, iters: Int,
+      seed: Long): Array[Array[Double]] = {
     require(sample.nonEmpty, "empty training set")
     val rng = new scala.util.Random(seed)
     var centroids = rng.shuffle(sample.indices.toVector).take(k).map(sample).toArray
@@ -389,4 +398,139 @@ object Similarity {
     df.select(col(label), norm(col(vec)).as("__n"))
       .groupBy(col(label))
       .agg(count(lit(1)).as("n"), round(avg(col("__n")), 6).as("avg_norm"))
+
+  // ------------------------------------------------------------------ PQ --
+
+  /** Product-quantization codebooks (Jégou, Douze, Schmid, TPAMI 2011):
+    * split the vector into `m` subspaces and k-means each over a driver
+    * sample (seed varies per subspace). Shape: m × k × (dim/m). With m=4,
+    * k=16 a 64-dim float vector compresses 64× to 4 byte-sized codes —
+    * the way a 100 TB embedding corpus fits in cluster memory for ANN.
+    */
+  def trainPqCodebooks(df: DataFrame, id: String, vec: String, m: Int,
+      k: Int = 16, iters: Int = 10, seed: Long = 42L,
+      maxSample: Int = 100000): Array[Array[Array[Double]]] = {
+    val sample = df.where(col(vec).isNotNull)
+      .orderBy(col(id)).limit(maxSample).select(col(vec))
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "empty training set")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      val subSample = sample.map(v => java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub))
+      kmeansFit(subSample, k, iters, seed + s)
+    }
+  }
+
+  /** Index-order dot product — the ONE summation both the PQ encoder and
+    * its SQL oracle (`list_dot_product`) must share bit-for-bit.
+    */
+  private[graft] def dotIdx(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Squared distance in the engine-portable form `v·v − 2 v·c + c·c` —
+    * NOT Σ(v−c)²: both engines then evaluate the identical float
+    * expression (dot products in index order, literal c·c), so code
+    * assignments and ADC scores agree to the last ulp.
+    */
+  private def pqSqDist(vv: Double, vc: Double, cc: Double): Double =
+    vv - 2.0 * vc + cc
+
+  /** Map-only PQ encoding: (id as long, codes array — one sub-quantizer
+    * cell index per subspace, first-minimum tie rule).
+    */
+  def pqEncode(df: DataFrame, id: String, vec: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    requireIntegralId(df, id)
+    val ccn = codebooks.map(_.map(c => dotIdx(c, c)))
+    val bc = spark.sparkContext.broadcast((codebooks, ccn))
+    df.select(col(id).cast("long"), col(vec))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (books, cc) = bc.value
+        val m = books.length
+        val sub = books(0)(0).length
+        it.collect { case (i, v) if v != null =>
+          val codes = new Array[Int](m)
+          var s = 0
+          while (s < m) {
+            val off = s * sub
+            var vv = 0.0
+            var t = 0
+            while (t < sub) { val x = v(off + t).toDouble; vv += x * x; t += 1 }
+            var best = 0; var bestD = Double.MaxValue
+            var j = 0
+            while (j < books(s).length) {
+              val c = books(s)(j)
+              var vc = 0.0; var u = 0
+              while (u < sub) { vc += v(off + u).toDouble * c(u); u += 1 }
+              val d = pqSqDist(vv, vc, cc(s)(j))
+              if (d < bestD) { bestD = d; best = j }
+              j += 1
+            }
+            codes(s) = best
+            s += 1
+          }
+          (i, codes)
+        }
+      }
+      .toDF(id, "codes")
+  }
+
+  /** PQ approximate KNN by asymmetric distance computation (ADC): the
+    * corpus is scanned once over its byte codes; each query carries an
+    * m×k lookup table of subspace distances, so scoring a neighbor is `m`
+    * array reads instead of a `dim`-length loop. Distances (not
+    * similarities): smaller adc ranks first. The query set is collected
+    * driver-side (bounded, like every broadcast-query KNN here).
+    */
+  def pqKnn(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      topK: Int, m: Int = 4, kCodes: Int = 16, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    requireIntegralId(corpus, id)
+    requireIntegralId(queries, id)
+    val books = trainPqCodebooks(corpus, id, vec, m, kCodes, seed = seed)
+    val ccn = books.map(_.map(c => dotIdx(c, c)))
+    val sub = books(0)(0).length
+    val qs = queries.select(col(id).cast("long"), col(vec))
+      .as[(Long, Array[Float])].collect().filter(_._2 != null).sortBy(_._1)
+    val luts = qs.map { case (qid, qv) =>
+      val lut = Array.tabulate(m) { s =>
+        val off = s * sub
+        val qd = qv.slice(off, off + sub).map(_.toDouble)
+        val vv = dotIdx(qd, qd)
+        Array.tabulate(books(s).length)(j =>
+          pqSqDist(vv, dotIdx(qd, books(s)(j)), ccn(s)(j)))
+      }
+      (qid, lut)
+    }
+    val bc = spark.sparkContext.broadcast(luts)
+    val scored = pqEncode(corpus, id, vec, books)
+      .as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val qluts = bc.value
+        it.flatMap { case (nid, codes) =>
+          qluts.iterator.collect { case (qid, lut) if qid != nid =>
+            var adc = 0.0
+            var s = 0
+            while (s < codes.length) { adc += lut(s)(codes(s)); s += 1 }
+            (qid, nid, round6(adc))
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "adc")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("__rn").as("rank"))
+  }
 }

@@ -90,6 +90,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 = $recall")
   }
 
+  test("pqKnn: codes reconstruct per-subspace argmin; ADC search is deterministic with nonzero recall") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.where(col("vec_id") < 10)
+    // encoding: every code must be a valid cell index, stable across runs
+    val books = Similarity.trainPqCodebooks(emb, "vec_id", "embedding", m = 4, k = 16)
+    assert(books.length == 4 && books.forall(_.length == 16) && books.forall(_.forall(_.length == 16)))
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getSeq[Int](r.fieldIndex("codes"))))
+    assert(codes.forall { case (_, cs) => cs.length == 4 && cs.forall(c => c >= 0 && c < 16) })
+    // ADC search: deterministic, k rows per query, distances ascending
+    val got = Similarity.pqKnn(emb, queries, "vec_id", "embedding", topK = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("adc"), r.getAs[Int]("rank")))
+    val again = Similarity.pqKnn(emb, queries, "vec_id", "embedding", topK = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("adc"), r.getAs[Int]("rank")))
+    assert(got.toSeq.sorted == again.toSeq.sorted)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.length == 5)
+      assert(byRank.map(_._3).toSeq == byRank.map(_._3).sorted.toSeq) // adc ascending
+    }
+    // coarse 4x16 quantization still overlaps the exact neighbors
+    val exact = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = got.map(r => (r._1, r._2)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.0, s"recall@5 = $recall")
+  }
+
   test("normStats: per-label count and average norm") {
     val sp = spark
     import sp.implicits._
