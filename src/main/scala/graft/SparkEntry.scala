@@ -1288,7 +1288,8 @@ object SparkEntry {
     val adc = (0 until m).map(s =>
       s"(CASE c$s " + (0 until k).map(j => s"WHEN $j THEN q${s}_$j").mkString(" ") + " END)")
       .mkString("\n    + ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |       WHERE embedding IS NOT NULL),
        |p1 AS (SELECT vec_id,
        |  $vvs,
        |  $vcs FROM e),

@@ -415,6 +415,8 @@ object Similarity {
       .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
     require(sample.nonEmpty, "empty training set")
     val dim = sample.head.length
+    require(sample.forall(_.length == dim),
+      s"PQ needs uniform dimensionality; training sample mixes lengths")
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
     Array.tabulate(m) { s =>
@@ -457,7 +459,10 @@ object Similarity {
         val (books, cc) = bc.value
         val m = books.length
         val sub = books(0)(0).length
-        it.collect { case (i, v) if v != null =>
+        // null or shorter-than-trained-dim vectors are skipped, like the
+        // trainer's isNotNull filter — reading past the array would fail
+        // the whole job for one malformed row
+        it.collect { case (i, v) if v != null && v.length >= m * sub =>
           val codes = new Array[Int](m)
           var s = 0
           while (s < m) {
@@ -501,7 +506,8 @@ object Similarity {
     val ccn = books.map(_.map(c => dotIdx(c, c)))
     val sub = books(0)(0).length
     val qs = queries.select(col(id).cast("long"), col(vec))
-      .as[(Long, Array[Float])].collect().filter(_._2 != null).sortBy(_._1)
+      .as[(Long, Array[Float])].collect()
+      .filter(q => q._2 != null && q._2.length >= m * sub).sortBy(_._1)
     val luts = qs.map { case (qid, qv) =>
       val lut = Array.tabulate(m) { s =>
         val off = s * sub

@@ -99,6 +99,23 @@ class SimilaritySpec extends SparkSpec {
     val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
       .collect().map(r => (r.getAs[Long]("vec_id"), r.getSeq[Int](r.fieldIndex("codes"))))
     assert(codes.forall { case (_, cs) => cs.length == 4 && cs.forall(c => c >= 0 && c < 16) })
+    // independent argmin recomputation: each code must be the subspace's
+    // nearest centroid by plain squared distance
+    val vecsById = emb.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](r.fieldIndex("embedding")).toArray)
+      .toMap
+    codes.take(25).foreach { case (id, cs) =>
+      val v = vecsById(id)
+      (0 until 4).foreach { s =>
+        val dists = books(s).map { c =>
+          var d = 0.0; var i = 0
+          while (i < 16) { val t = v(s * 16 + i).toDouble - c(i); d += t * t; i += 1 }
+          d
+        }
+        assert(dists(cs(s)) == dists.min,
+          s"vec $id subspace $s: code ${cs(s)} is not the argmin")
+      }
+    }
     // ADC search: deterministic, k rows per query, distances ascending
     val got = Similarity.pqKnn(emb, queries, "vec_id", "embedding", topK = 5)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
