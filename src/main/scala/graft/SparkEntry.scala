@@ -117,6 +117,29 @@ object SparkEntry {
       TextAnalysis.vocabTopK(Tables.documents(s, dir), "doc_id", "text", n = 2, k = 50)
     }),
 
+    // ---- F1/F2/P5/F11 PV-name pack: normalize (clean + .VAL default),
+    // validity predicate, native hashname bucket, reference data-table name —
+    // over pvnames derived from part rows. p_name spaces make some names
+    // invalid; modular suffixes exercise the comment-strip and the
+    // already-dotted branches ------------------------------------------------
+    "q_pv_pack" -> ((s, dir) => {
+      graft.Engine.registerFunctions(s)
+      val key = col("p_partkey")
+      val raw = concat(lit("P"), key, lit(":"), substring(col("p_name"), 1, 8),
+        when(key % 7 === 0, lit("#drop this tail"))
+          .when(key % 5 === 0, lit(".RBV"))
+          .otherwise(lit("")))
+      val norm = graft.functions.PvFunctions.normalizePvName(raw)
+      Tables.part(s, dir)
+        .select(
+          key,
+          norm.as("pvname"),
+          graft.functions.PvFunctions.validPvName(norm).as("valid"),
+          graft.plans.HashNameExpr.hashname(norm).cast("long").as("bucket"))
+        .withColumn("data_table", format_string("pvdat%03d", col("bucket") + 1))
+        .orderBy(key)
+    }),
+
     // ---- asymmetric containment: docs mostly contained in another ----------
     "q_containment" -> ((s, dir) => {
       Dedup.ngramContainment(Tables.documents(s, dir), "doc_id", "text",
@@ -1421,6 +1444,27 @@ object SparkEntry {
          |pc AS (SELECT g, doc_id, count(*) AS c FROM g GROUP BY 1, 2)
          |SELECT g AS gram, CAST(sum(c) AS BIGINT) AS n_occur, count(*) AS n_docs
          |FROM pc GROUP BY 1 ORDER BY n_occur DESC, gram LIMIT 50""".stripMargin,
+
+    // hashname restated independently: sha256 bytes -> base64 -> char-code
+    // sum mod 128 (archiver.py:25-32), per character via unicode()
+    "q_pv_pack" ->
+      """WITH p AS (SELECT p_partkey,
+        |  'P' || CAST(p_partkey AS VARCHAR) || ':' || substr(p_name, 1, 8) ||
+        |  CASE WHEN p_partkey % 7 = 0 THEN '#drop this tail'
+        |       WHEN p_partkey % 5 = 0 THEN '.RBV' ELSE '' END AS raw
+        |  FROM part),
+        |c AS (SELECT p_partkey, trim(regexp_replace(raw, '[;#].*', '', 's')) AS cln FROM p),
+        |n AS (SELECT p_partkey,
+        |  CASE WHEN contains(cln, '.') THEN cln ELSE cln || '.VAL' END AS pvname FROM c),
+        |b AS (SELECT p_partkey, pvname,
+        |  CAST(list_sum(list_transform(
+        |    string_split(to_base64(unhex(sha256(pvname))), ''),
+        |    ch -> unicode(ch))) % 128 AS BIGINT) AS bucket FROM n)
+        |SELECT p_partkey, pvname,
+        |  regexp_matches(pvname, '^[a-zA-Z0-9_:.\[\]();<>{}+=#-]+$') AS valid,
+        |  bucket,
+        |  printf('pvdat%03d', bucket + 1) AS data_table
+        |FROM b ORDER BY p_partkey""".stripMargin,
 
     "q_containment" ->
       s"""WITH ${shingleCte(2)},
