@@ -140,6 +140,16 @@ object SparkEntry {
         .orderBy(key)
     }),
 
+    // ---- P2/P3/P4 generic select surface: where-map conjunction + ordering
+    // (util.py:157-240) over a real table -----------------------------------
+    "q_generic_select" -> ((s, dir) => {
+      graft.Generic.getRows(
+        Tables.part(s, dir),
+        Map("p_brand" -> "Brand#2", "p_size" -> 2),
+        orderBy = Some(("p_partkey", true)))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+    }),
+
     // ---- asymmetric containment: docs mostly contained in another ----------
     "q_containment" -> ((s, dir) => {
       Dedup.ngramContainment(Tables.documents(s, dir), "doc_id", "text",
@@ -1444,6 +1454,11 @@ object SparkEntry {
          |pc AS (SELECT g, doc_id, count(*) AS c FROM g GROUP BY 1, 2)
          |SELECT g AS gram, CAST(sum(c) AS BIGINT) AS n_occur, count(*) AS n_docs
          |FROM pc GROUP BY 1 ORDER BY n_occur DESC, gram LIMIT 50""".stripMargin,
+
+    "q_generic_select" ->
+      """SELECT p_partkey, p_name, p_brand, p_size FROM part
+        |WHERE p_brand = 'Brand#2' AND p_size = 2
+        |ORDER BY p_partkey""".stripMargin,
 
     // hashname restated independently: sha256 bytes -> base64 -> char-code
     // sum mod 128 (archiver.py:25-32), per character via unicode()
