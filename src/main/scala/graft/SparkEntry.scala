@@ -140,6 +140,16 @@ object SparkEntry {
         .orderBy(key)
     }),
 
+    // ---- P1/Q6 cache read surface: the latest-value view filtered to rows
+    // newer than a poll horizon (webapp.py:52-76), via the Archive facade ----
+    "q_cache_delta" -> ((s, dir) => {
+      val samples = events(s, dir).select(
+        col("user_id").as("pvname"), col("ts_us").as("tsUs"), col("value"))
+      new graft.Archive(samples).refreshDelta(nowUs = T1, ageUs = T1 - TMID)
+        .select(col("pvname"), col("tsUs").as("ts_us"), col("value"))
+        .orderBy(col("pvname"))
+    }),
+
     // ---- P2/P3/P4 generic select surface: where-map conjunction + ordering
     // (util.py:157-240) over a real table -----------------------------------
     "q_generic_select" -> ((s, dir) => {
@@ -1454,6 +1464,16 @@ object SparkEntry {
          |pc AS (SELECT g, doc_id, count(*) AS c FROM g GROUP BY 1, 2)
          |SELECT g AS gram, CAST(sum(c) AS BIGINT) AS n_occur, count(*) AS n_docs
          |FROM pc GROUP BY 1 ORDER BY n_occur DESC, gram LIMIT 50""".stripMargin,
+
+    // latest row per key (value tie-break, like the engine's cacheView
+    // argmax), kept when newer than the poll horizon
+    "q_cache_delta" ->
+      s"""SELECT pvname, ts_us, value FROM (
+         |  SELECT user_id AS pvname, epoch_us(ts) AS ts_us, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts) DESC, value DESC) AS rn
+         |  FROM events)
+         |WHERE rn = 1 AND ts_us > $TMID ORDER BY pvname""".stripMargin,
 
     "q_generic_select" ->
       """SELECT p_partkey, p_name, p_brand, p_size FROM part
