@@ -125,7 +125,12 @@ object SparkEntry {
     "q_pv_pack" -> ((s, dir) => {
       graft.Engine.registerFunctions(s)
       val key = col("p_partkey")
-      val raw = concat(lit("P"), key, lit(":"), substring(col("p_name"), 1, 8),
+      // every third name underscores its spaces so the validity predicate
+      // sees BOTH outcomes (p_name's spaces make the rest invalid)
+      val stem = when(key % 3 === 0,
+        regexp_replace(substring(col("p_name"), 1, 8), " ", "_"))
+        .otherwise(substring(col("p_name"), 1, 8))
+      val raw = concat(lit("P"), key, lit(":"), stem,
         when(key % 7 === 0, lit("#drop this tail"))
           .when(key % 5 === 0, lit(".RBV"))
           .otherwise(lit("")))
@@ -143,8 +148,11 @@ object SparkEntry {
     // ---- P1/Q6 cache read surface: the latest-value view filtered to rows
     // newer than a poll horizon (webapp.py:52-76), via the Archive facade ----
     "q_cache_delta" -> ((s, dir) => {
+      // string pvnames, per Archive's column convention (same u<id> mapping
+      // as the other Archive-shaped entries)
       val samples = events(s, dir).select(
-        col("user_id").as("pvname"), col("ts_us").as("tsUs"), col("value"))
+        concat(lit("u"), col("user_id")).as("pvname"),
+        col("ts_us").as("tsUs"), col("value"))
       new graft.Archive(samples).refreshDelta(nowUs = T1, ageUs = T1 - TMID)
         .select(col("pvname"), col("tsUs").as("ts_us"), col("value"))
         .orderBy(col("pvname"))
@@ -155,9 +163,20 @@ object SparkEntry {
     "q_generic_select" -> ((s, dir) => {
       graft.Generic.getRows(
         Tables.part(s, dir),
-        Map("p_brand" -> "Brand#2", "p_size" -> 2),
+        Map("p_size" -> 2),
         orderBy = Some(("p_partkey", true)))
         .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+    }),
+
+    // ---- P2 key lookup: the primary-key where-overload + limitOne with a
+    // descending order (util.py:157-240's remaining branches) ----------------
+    "q_generic_lookup" -> ((s, dir) => {
+      val part = Tables.part(s, dir).withColumnRenamed("p_partkey", "id")
+      part.where(graft.Generic.handleWhere(42L))
+        .unionByName(graft.Generic.getRows(part, Map("p_brand" -> "Brand#2"),
+          orderBy = Some(("id", false)), limitOne = true))
+        .select(col("id"), col("p_name"), col("p_brand"))
+        .orderBy(col("id"))
     }),
 
     // ---- asymmetric containment: docs mostly contained in another ----------
@@ -1469,7 +1488,8 @@ object SparkEntry {
     // argmax), kept when newer than the poll horizon
     "q_cache_delta" ->
       s"""SELECT pvname, ts_us, value FROM (
-         |  SELECT user_id AS pvname, epoch_us(ts) AS ts_us, value,
+         |  SELECT 'u' || CAST(user_id AS VARCHAR) AS pvname,
+         |    epoch_us(ts) AS ts_us, value,
          |    row_number() OVER (PARTITION BY user_id
          |      ORDER BY epoch_us(ts) DESC, value DESC) AS rn
          |  FROM events)
@@ -1477,14 +1497,25 @@ object SparkEntry {
 
     "q_generic_select" ->
       """SELECT p_partkey, p_name, p_brand, p_size FROM part
-        |WHERE p_brand = 'Brand#2' AND p_size = 2
+        |WHERE p_size = 2
         |ORDER BY p_partkey""".stripMargin,
+
+    "q_generic_lookup" ->
+      """SELECT id, p_name, p_brand FROM (
+        |  SELECT p_partkey AS id, p_name, p_brand FROM part WHERE p_partkey = 42
+        |  UNION ALL
+        |  (SELECT p_partkey AS id, p_name, p_brand FROM part
+        |   WHERE p_brand = 'Brand#2' ORDER BY p_partkey DESC LIMIT 1))
+        |ORDER BY id""".stripMargin,
 
     // hashname restated independently: sha256 bytes -> base64 -> char-code
     // sum mod 128 (archiver.py:25-32), per character via unicode()
     "q_pv_pack" ->
       """WITH p AS (SELECT p_partkey,
-        |  'P' || CAST(p_partkey AS VARCHAR) || ':' || substr(p_name, 1, 8) ||
+        |  'P' || CAST(p_partkey AS VARCHAR) || ':' ||
+        |  CASE WHEN p_partkey % 3 = 0
+        |       THEN replace(substr(p_name, 1, 8), ' ', '_')
+        |       ELSE substr(p_name, 1, 8) END ||
         |  CASE WHEN p_partkey % 7 = 0 THEN '#drop this tail'
         |       WHEN p_partkey % 5 = 0 THEN '.RBV' ELSE '' END AS raw
         |  FROM part),
