@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through verbatim: the driver parses
+// Bench's one-line JSON from stdout, and sbt's default LoggedOutput
+// prefixes every line with "[info] ", which breaks per-line JSON parsing
+// (BENCH_r{1..4}.json all show "parsed": null for exactly this reason).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
