@@ -801,7 +801,9 @@ object SparkEntry {
     * (shortest-round-trip toString), and term contributions add in `terms`
     * order with the Column operator precedence spelled out — double
     * arithmetic is order-sensitive, so the SQL must be the same expression
-    * tree, not just the same formula.
+    * tree, not just the same formula. Null-text docs are filtered on BOTH
+    * sides (the text operators' shared convention), so N/avgdl exclude
+    * them regardless of engine null semantics.
     */
   private def bm25Sql(terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): String = {
     val tfCols = terms.indices.map(i =>
@@ -813,7 +815,8 @@ object SparkEntry {
         s"(tf$i + $k1 * (1.0 - $b + $b * dl / avgdl))"
     }.mkString("\n    + ")
     val nTerms = terms.indices.map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
        |tf AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
        |  $tfCols FROM t),
        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, $dfAggs FROM tf),

@@ -668,16 +668,21 @@ object Dedup {
           if (rx != ry) { if (rx < ry) parent(ry) = rx else parent(rx) = ry }
         }
         parent.keys.toSeq.sorted.map(n => (n, find(n))).toDF("doc", "component")
-      } else connectedComponentsDistributed(edges0, a, b, maxIters)
+      } else connectedComponentsDistributed(edges0, a, b, maxIters, releaseInput = true)
     } finally edges0.unpersist(blocking = false)
   }
 
   /** The unbounded-graph path of [[connectedComponents]]: distributed
     * hash-min label propagation with localCheckpoint lineage truncation
     * and a convergence guard that refuses wrong labels.
+    *
+    * `releaseInput = true` unpersists `pairs` as soon as the symmetrized
+    * edge table is materialized (it is read exactly once). The wrapper
+    * passes true for the persist it owns; direct callers keep their own
+    * cache unless they opt in.
     */
   def connectedComponentsDistributed(pairs: DataFrame, a: String, b: String,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50, releaseInput: Boolean = false): DataFrame = {
     // the materialized RDD behind a localCheckpoint-ed frame (its analyzed
     // plan is a LogicalRDD), so each superseded round's blocks are freed
     // the moment the next round materializes, instead of lingering until
@@ -696,7 +701,7 @@ object Dedup {
     // size gate) is read exactly once and can be released before the
     // O(diameter) rounds instead of occupying storage through all of them
     sym.count()
-    pairs.unpersist(blocking = false)
+    if (releaseInput) pairs.unpersist(blocking = false)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node")).localCheckpoint(true)
     var changed = 1L

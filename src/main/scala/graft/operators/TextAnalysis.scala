@@ -211,7 +211,11 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one term")
     val toks = tokens(col(text))
-    val base = df.select(col(id), toks.as("__toks"),
+    // null docs carry no terms and must not dilute N/avgdl. Filtering (the
+    // other text operators' null convention) also keeps parity independent
+    // of ANSI mode: with ANSI off, size(null) = -1 would otherwise poison
+    // __dl and let a null doc score.
+    val base = df.where(col(text).isNotNull).select(col(id), toks.as("__toks"),
       size(toks).cast("double").as("__dl"))
     val withTf = terms.zipWithIndex.foldLeft(base) { case (acc, (t, i)) =>
       acc.withColumn(s"__tf_$i",

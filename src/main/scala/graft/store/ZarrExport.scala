@@ -132,13 +132,34 @@ object ZarrExport {
   /** One file of the store: relative path + final (compressed) bytes. */
   final case class Entry(path: String, bytes: Array[Byte])
 
+  /** The engine's PV-name alphabet ([[graft.functions.PvFunctions.validPvName]])
+    * re-checked where the name becomes a STORE PATH component: no '/', and
+    * the all-dots names the alphabet would otherwise admit ('.', '..') are
+    * rejected, so a hostile pvname can neither reshape the group layout nor
+    * traverse outside the directory-store root.
+    */
+  private val SafePvName = "^[a-zA-Z0-9_:.\\[\\]();<>{}+=#-]+$".r
+  private[store] def requireSafePvName(pv: String): Unit =
+    require(pv != null && pv.exists(_ != '.') && SafePvName.matches(pv),
+      s"pvname ${if (pv == null) "null" else s"'$pv'"} is not usable as a zarr store path component")
+
   /** All entries for one PV group, in write order. `values` are the raw
     * display strings; the reference's is_float scan decides the dtype for
     * the whole array (archiver.py:586-597).
+    *
+    * Known byte divergence from the reference in ONE edge case: when an
+    * array flips from numeric to string mid-way, the reference's fallback
+    * re-renders the ALREADY-PARSED prefix through Python float repr (so
+    * '1' is stored as b'1.0'), while this writer keeps the raw display
+    * strings (b'1') for the whole |S array. Matching would require a
+    * Python-repr double formatter (JDK 17 Double.toString picks different
+    * scientific-notation thresholds); homogeneous arrays — every real
+    * archive PV — are byte-identical.
     */
   private[store] def pvEntries(pvname: String, ts: Array[Double],
       values: Array[String], attrs: Map[String, String],
       chunkElems: Int): Iterator[Entry] = {
+    requireSafePvName(pvname)
     val g = s"pvarch/$pvname"
     val n = ts.length
     def chunks(make: (Int, Int) => Array[Byte], arr: String): Iterator[Entry] =
@@ -191,15 +212,16 @@ object ZarrExport {
 
   // ------------------------------------------------------- group builder --
 
-  /** Group a (pvname, tsUs)-sorted row iterator into per-PV entry streams.
+  /** Group a (pvname, tsUs)-sorted row iterator into per-PV entry streams,
+    * keyed by PV so the directory store can commit one PV group at a time.
     * Memory: one PV's arrays at a time.
     */
-  private def groupedEntries(rows: Iterator[Row], attrs: Map[String, Map[String, String]],
-      chunkElems: Int): Iterator[Entry] = {
+  private def groupedPvEntries(rows: Iterator[Row], attrs: Map[String, Map[String, String]],
+      chunkElems: Int): Iterator[(String, Iterator[Entry])] = {
     val rs = rows.buffered
-    new Iterator[Iterator[Entry]] {
+    new Iterator[(String, Iterator[Entry])] {
       def hasNext: Boolean = rs.hasNext
-      def next(): Iterator[Entry] = {
+      def next(): (String, Iterator[Entry]) = {
         val pv = rs.head.getAs[String]("pvname")
         val ts = Array.newBuilder[Double]
         val vs = Array.newBuilder[String]
@@ -209,10 +231,14 @@ object ZarrExport {
           ts += r.getAs[Long]("tsUs") / 1e6
           vs += Option(r.getAs[String]("value")).getOrElse("")
         }
-        pvEntries(pv, ts.result(), vs.result(), attrs.getOrElse(pv, Map.empty), chunkElems)
+        pv -> pvEntries(pv, ts.result(), vs.result(), attrs.getOrElse(pv, Map.empty), chunkElems)
       }
-    }.flatten
+    }
   }
+
+  private def groupedEntries(rows: Iterator[Row], attrs: Map[String, Map[String, String]],
+      chunkElems: Int): Iterator[Entry] =
+    groupedPvEntries(rows, attrs, chunkElems).flatMap(_._2)
 
   private def metaMap(pvMeta: Option[DataFrame]): Map[String, Map[String, String]] =
     pvMeta match {
@@ -266,6 +292,17 @@ object ZarrExport {
     * task streams its PVs through the Hadoop FileSystem API. The Hadoop
     * conf travels as a plain string map (public API only) so the writer
     * works against HDFS/S3A exactly as against local files.
+    *
+    * Commit protocol: `repartition(pvname)` makes every PV group the
+    * property of exactly one task, so each group is staged under a
+    * task-attempt-unique `_stage-*` directory and RENAMED into place only
+    * once all of its chunks are written. A retried or speculative attempt
+    * whose rename loses the race just discards its staging copy — the
+    * bytes are deterministic, so whichever attempt committed is equally
+    * correct — and readers never observe a partial PV group. (On object
+    * stores without atomic rename, e.g. raw S3, rename is copy+delete;
+    * there the guarantee weakens to per-file visibility, same as every
+    * rename-based Hadoop committer.)
     */
   def exportDirectoryStore(samples: DataFrame, dir: String,
       pvMeta: Option[DataFrame] = None,
@@ -282,12 +319,13 @@ object ZarrExport {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fsDriver = root.getFileSystem(hadoopConf)
     fsDriver.mkdirs(root)
-    def put(fs: org.apache.hadoop.fs.FileSystem, e: Entry): Unit = {
-      val p = new org.apache.hadoop.fs.Path(root, e.path)
+    def put(fs: org.apache.hadoop.fs.FileSystem, under: org.apache.hadoop.fs.Path,
+        e: Entry): Unit = {
+      val p = new org.apache.hadoop.fs.Path(under, e.path)
       val os = fs.create(p, true)
       try os.write(e.bytes) finally os.close()
     }
-    rootEntries.foreach(put(fsDriver, _))
+    rootEntries.foreach(put(fsDriver, root, _))
     sorted(samples)
       .repartition(col("pvname"))
       .sortWithinPartitions(col("pvname"), col("tsUs"))
@@ -295,8 +333,25 @@ object ZarrExport {
         if (rows.nonEmpty) {
           val conf = new org.apache.hadoop.conf.Configuration(false)
           confMap.foreach { case (k, v) => conf.set(k, v) }
-          val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
-          groupedEntries(rows, attrsBc.value, chunkElems).foreach(put(fs, _))
+          val rootT = new org.apache.hadoop.fs.Path(dir)
+          val fs = rootT.getFileSystem(conf)
+          val ctx = org.apache.spark.TaskContext.get()
+          val stage = new org.apache.hadoop.fs.Path(rootT,
+            s"_stage-${ctx.stageId()}-${ctx.partitionId()}-${ctx.taskAttemptId()}")
+          try {
+            groupedPvEntries(rows, attrsBc.value, chunkElems).foreach { case (pv, entries) =>
+              entries.foreach(put(fs, stage, _))
+              val src = new org.apache.hadoop.fs.Path(stage, s"pvarch/$pv")
+              val dst = new org.apache.hadoop.fs.Path(rootT, s"pvarch/$pv")
+              // lost the race to a sibling attempt (or retrying over a
+              // half-committed dst from a crashed run): theirs is the same
+              // bytes or stale — replace-or-discard, never leave both
+              if (!fs.rename(src, dst)) {
+                fs.delete(dst, true)
+                if (!fs.rename(src, dst)) fs.delete(src, true)
+              }
+            }
+          } finally fs.delete(stage, true)
         }
       }
   }

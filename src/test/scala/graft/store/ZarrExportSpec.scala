@@ -139,5 +139,38 @@ class ZarrExportSpec extends SparkSpec {
     assert(new String(Files.readAllBytes(
       java.nio.file.Paths.get(noMeta, "pvarch/XX:m1.VAL/.zattrs")),
       StandardCharsets.UTF_8).startsWith("{"))
+    // the staged-commit protocol must leave no _stage-* litter behind
+    assert(!Files.list(java.nio.file.Paths.get(dir)).iterator().asScalaIt
+      .exists(_.getFileName.toString.startsWith("_stage-")))
+  }
+
+  test("path-shaped pvnames are rejected before they touch the store layout") {
+    val sp = spark
+    import sp.implicits._
+    for (bad <- Seq("a/b", "../escape", "..", ".", "a/../../b")) {
+      val df = Seq((bad, 1000000L, "1.0")).toDF("pvname", "tsUs", "value")
+      val dir = Files.createTempDirectory("graft_zarr_bad").toString
+      val e = intercept[org.apache.spark.SparkException] {
+        ZarrExport.exportDirectoryStore(df, dir, None, chunkElems = 4)
+      }
+      assert(e.getMessage.contains("not usable") ||
+        Option(e.getCause).exists(_.getMessage.contains("not usable")), bad)
+      // nothing escaped or half-committed under pvarch/ (Hadoop's local FS
+      // adds .crc checksum sidecars; those aren't store content)
+      assert(!Files.list(java.nio.file.Paths.get(dir, "pvarch")).iterator().asScalaIt
+        .exists(p => p.getFileName.toString != ".zgroup" &&
+          !p.getFileName.toString.endsWith(".crc")))
+    }
+    intercept[IllegalArgumentException] {
+      ZarrExport.exportZipStore(
+        Seq(("x/y", 1000000L, "1.0")).toDF("pvname", "tsUs", "value"),
+        Files.createTempDirectory("graft_zarr_badzip").resolve("z.zip").toString)
+    }
+  }
+
+  private implicit class JIter[A](it: java.util.Iterator[A]) {
+    def asScalaIt: Iterator[A] = new Iterator[A] {
+      def hasNext = it.hasNext; def next() = it.next()
+    }
   }
 }
