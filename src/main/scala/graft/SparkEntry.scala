@@ -788,6 +788,53 @@ object SparkEntry {
           lit(" ip 10.0."), col("doc_id") % 256, lit(".7")).as("text"))
       TextAnalysis.piiRedact(laced, "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- T6 request queue merged onto a PV dimension (cache.py:705-752):
+    // last request per PV wins, adds create, suspends deactivate, drops
+    // remove, and suspend/drop naming an absent PV is ignored ---------------
+    "q_requests" -> ((s, dir) => {
+      val dim = Tables.supplier(s, dir).select(
+        concat(lit("s"), col("s_suppkey")).as("pvname"),
+        when(col("s_suppkey") % 3 === 0, lit("no")).otherwise(lit("yes")).as("active"),
+        col("s_nationkey").cast("long").as("nation"))
+      val reqs = Tables.orders(s, dir).select(
+        concat(lit("s"), col("o_custkey") % 150).as("pvname"),
+        element_at(array(lit("add"), lit("suspend"), lit("drop")),
+          (col("o_orderkey") % 3).cast("int") + 1).as("action"),
+        col("o_orderkey").cast("long").as("tsUs"))
+      graft.sources.Requests(dim, reqs)
+        // adds of PVs absent from the dimension have no nation; a sentinel
+        // keeps the compare null-free (the gate sorts row tuples)
+        .select(col("pvname"), col("active"), coalesce(col("nation"), lit(-1L)).as("nation"))
+        .orderBy(col("pvname"))
+    }),
+
+    // ---- fixed-window document chunking with overlap — map-only, the
+    // training-sequence producer upstream of q_pack_sequences ---------------
+    "q_chunk_docs" -> ((s, dir) => {
+      TextAnalysis.chunkDocs(Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // ---- bigram-LM cross-entropy (perplexity-proxy quality score),
+    // self-trained on the corpus with add-k smoothing ------------------------
+    "q_lm_xent" -> ((s, dir) => {
+      TextAnalysis.lmCrossEntropy(Tables.documents(s, dir), "doc_id", "text", addK = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- ANN quality gate: recall@k of the LSH-bucketed KNN against the
+    // exact brute-force ranking on the same query sample ---------------------
+    "q_knn_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.where(col("vec_id") < 5)
+      Similarity.recallAtK(
+        Similarity.bruteForceKnn(emb, qs, "vec_id", "embedding", k = 5),
+        Similarity.bucketedKnn(emb, qs, "vec_id", "embedding", k = 5, planes = 4, dim = 64),
+        k = 5)
+        .orderBy(col("query_id"))
     })
   )
 
@@ -1258,11 +1305,18 @@ object SparkEntry {
     * dot-product summation order, which can flip a bucket bit only when a
     * dot lands within an ulp of zero — vanishing for gaussian planes).
     */
-  private def knnBucketedSql(k: Int, planes: Int, dim: Int): String = {
+  /** The LSH bucket id of vector column `v` as a DuckDB expression (same
+    * seeded hyperplanes as [[Similarity.randomHyperplaneBuckets]]).
+    */
+  private def bucketExprSql(planes: Int, dim: Int): String = {
     val lits = hyperplaneLits(planes, dim)
-    val bucketExpr = (0 until planes).map { p =>
+    (0 until planes).map { p =>
       s"(CASE WHEN list_dot_product(v, ${lits(p)}) >= 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" | ")
+  }
+
+  private def knnBucketedSql(k: Int, planes: Int, dim: Int): String = {
+    val bucketExpr = bucketExprSql(planes, dim)
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
        |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
@@ -1272,6 +1326,34 @@ object SparkEntry {
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM sc)
        |SELECT query_id, neighbor_id, sim, rn AS rank FROM r WHERE rn <= $k
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Recall@k of the LSH-bucketed KNN against the exact brute-force
+    * ranking — both plans restated in full (same rounded-sim tie-break
+    * ranking as their standalone oracles) and joined per (query, neighbor).
+    */
+  private def knnRecallSql(k: Int, planes: Int, dim: Int): String = {
+    val bucketExpr = bucketExprSql(planes, dim)
+    val hit = "CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q0 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |sc AS (SELECT query_id, vec_id AS neighbor_id, round(${cosineSql("qv", "v")}, 6) AS sim
+       |       FROM q0, e WHERE query_id <> vec_id),
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |         FROM sc) WHERE rn <= $k),
+       |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+       |qb AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+       |sb AS (SELECT query_id, b.vec_id AS neighbor_id, round(${cosineSql("qv", "b.v")}, 6) AS sim
+       |       FROM qb JOIN b USING (bucket) WHERE query_id <> b.vec_id),
+       |ap AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |         FROM sb) WHERE rn <= $k)
+       |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(sum($hit) AS BIGINT) AS n_hit,
+       |  round(CAST(sum($hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+       |FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
   }
 
   /** IVF KNN oracle around Verify-time centroids: the coarse quantizer is
@@ -2001,7 +2083,62 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(t1, '$PII_IPV4')) AS BIGINT) AS n_ip,
          |  CAST(len(regexp_extract_all(t2, '$PII_PHONE')) AS BIGINT) AS n_phone,
          |  regexp_replace(t2, '$PII_PHONE', '<PHONE>', 'g') AS redacted
-         |FROM r2 ORDER BY doc_id""".stripMargin
+         |FROM r2 ORDER BY doc_id""".stripMargin,
+
+    // T6 request-queue merge: arg_max = Spark max_by (ts = o_orderkey is
+    // unique, so neither engine hits tie semantics)
+    "q_requests" ->
+      """WITH dim AS (SELECT 's' || s_suppkey AS pvname,
+        |    CASE WHEN s_suppkey % 3 = 0 THEN 'no' ELSE 'yes' END AS active,
+        |    CAST(s_nationkey AS BIGINT) AS nation FROM supplier),
+        |req AS (SELECT 's' || (o_custkey % 150) AS pvname,
+        |    (['add','suspend','drop'])[CAST(o_orderkey % 3 AS INT) + 1] AS action,
+        |    o_orderkey AS ts FROM orders),
+        |latest AS (SELECT pvname, arg_max(action, ts) AS action FROM req GROUP BY 1)
+        |SELECT coalesce(d.pvname, l.pvname) AS pvname,
+        |  CASE WHEN l.action = 'suspend' THEN 'no'
+        |       WHEN l.action = 'add' THEN 'yes'
+        |       ELSE coalesce(d.active, 'yes') END AS active,
+        |  coalesce(d.nation, -1) AS nation
+        |FROM dim d FULL OUTER JOIN latest l ON d.pvname = l.pvname
+        |WHERE (d.pvname IS NOT NULL OR l.action = 'add')
+        |  AND (l.action IS NULL OR l.action <> 'drop')
+        |ORDER BY pvname""".stripMargin,
+
+    // fixed 64-token windows, 16-token overlap -> step 48; DuckDB list
+    // slices are 1-based inclusive and clamp at the end like Spark's slice
+    "q_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, toks, len(toks) AS n,
+        |    ((greatest(len(toks) - 64, 0) + 47) // 48) + 1 AS nc FROM t),
+        |e AS (SELECT doc_id, toks, n,
+        |    unnest(generate_series(0, nc - 1)) AS chunk_id FROM c)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk,
+        |  CAST(least(64, n - chunk_id * 48) AS BIGINT) AS n_tokens
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // self-trained add-k bigram LM; the score reuses the EXACT expression
+    // tree of the Column plan: (c2 + k) / (c1 + k * v), log2, avg, negate,
+    // round — double arithmetic is order-sensitive
+    "q_lm_xent" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+        |g AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(0, len(toks) - 2),
+        |    i -> array_to_string(toks[i + 1 : i + 2], ' '))) AS g FROM tk),
+        |c2 AS (SELECT g, count(*) AS c2 FROM g GROUP BY 1),
+        |c1 AS (SELECT string_split(g, ' ')[1] AS w1, count(*) AS c1 FROM g GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+        |      FROM (SELECT unnest(toks) AS t FROM tk))
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(-avg(log2((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v))), 6) AS xent
+        |FROM g JOIN c2 ON g.g = c2.g
+        |       JOIN c1 ON string_split(g.g, ' ')[1] = c1.w1, v
+        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_knn_recall" -> knnRecallSql(k = 5, planes = 4, dim = 64)
   )
 
   /** DuckDB fragment mirroring [[Sampling.hashBucket]] over `doc_id` with the

@@ -100,6 +100,33 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("__rn").as("rank"))
   }
 
+  /** Recall@k of an approximate KNN result against the exact one — the
+    * quality gate every ANN deployment runs before trusting its buckets
+    * (here: [[bucketedKnn]] / [[ivfKnn]] / [[pqKnn]] vs [[bruteForceKnn]]
+    * on a held-out query sample). Both inputs use the *Knn operators'
+    * `(query_id, neighbor_id, rank)` contract; recall is
+    * `|approx ∩ exact| / |exact|` per query (exact can return fewer than k
+    * neighbors on a small corpus, and a missing query scores 0 hits rather
+    * than disappearing).
+    *
+    * Physical shape: one key-partitioned left join plus one partial
+    * aggregation over frames already bounded to k rows per query —
+    * control-plane-sized next to the scans that produced them.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val e = exact.where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val a = approx.where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    e.join(a, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+  }
+
   /** Spark `round(_, 6)` semantics (RoundBase: BigDecimal.valueOf + HALF_UP)
     * for driver/executor-side Scala code that must match Column results —
     * including NaN/Infinity passthrough (BigDecimal.valueOf would throw;

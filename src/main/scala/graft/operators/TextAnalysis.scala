@@ -244,6 +244,72 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Fixed-size token-window chunking with overlap — the step that turns
+    * curated documents into training sequences (the upstream sibling of
+    * [[graft.operators.Sampling.packSequences]]). Windows start every
+    * `chunkTokens - overlap` tokens; the last window is the first one that
+    * reaches the document end, so no trailing stub is fully contained in
+    * its predecessor. Map-only (explode + slice over codegen'd collection
+    * ops, no lambda, no shuffle) — scales linearly with input splits.
+    */
+  def chunkDocs(df: DataFrame, id: String, text: String, chunkTokens: Int,
+      overlap: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlap >= 0 && overlap < chunkTokens,
+      "overlap must be in [0, chunkTokens) or every step would revisit the same window")
+    val step = chunkTokens - overlap
+    val toks = tokens(col(text))
+    // chunks = 1 + ceil((n - chunkTokens) / step) for n > chunkTokens else 1;
+    // ints < 2^53 are exact in the double division, so floor is safe
+    val extra = greatest(size(toks) - lit(chunkTokens), lit(0))
+    val nChunks = floor((extra + lit(step - 1)).cast("double") / lit(step.toDouble))
+      .cast("int") + lit(1)
+    df.where(col(text).isNotNull)
+      .select(col(id), toks.as("__toks"), size(toks).as("__n"),
+        explode(sequence(lit(0), nChunks - lit(1))).as("__ci"))
+      .select(
+        col(id),
+        col("__ci").cast("long").as("chunk_id"),
+        array_join(slice(col("__toks"), col("__ci") * lit(step) + lit(1), lit(chunkTokens)),
+          " ").as("chunk"),
+        least(lit(chunkTokens), col("__n") - col("__ci") * lit(step)).cast("long").as("n_tokens"))
+  }
+
+  /** Bigram language-model cross-entropy — the perplexity-proxy quality
+    * score of KenLM-style corpus filtering, self-trained: an add-k smoothed
+    * bigram model `P(w2|w1) = (c(w1 w2) + k) / (c(w1 ·) + k·|V|)` is
+    * estimated on the scored corpus itself, and each document (≥2 tokens,
+    * non-null) scores the negative mean log2-probability of its bigrams —
+    * i.e. log2 perplexity. Low xent = predictable boilerplate, high =
+    * noise; both tails are the usual filter targets.
+    *
+    * Physical shape: one gram explode (the shared JIT shingling loop), two
+    * map-side-combinable count aggregations, a single-row broadcast for
+    * |V|, and key-partitioned joins of grams to their counts — model state
+    * is never broadcast whole, so the plan survives corpora whose bigram
+    * vocabulary exceeds executor memory.
+    */
+  def lmCrossEntropy(df: DataFrame, id: String, text: String,
+      addK: Double = 0.5): DataFrame = {
+    require(addK > 0, "addK must be positive (an unsmoothed zero has log 0)")
+    val docs = df.where(col(text).isNotNull && size(tokens(col(text))) >= 2)
+    val grams = docs.select(col(id), explode(gramsUdf(col(text), lit(2))).as("__g"))
+    val c2 = grams.groupBy(col("__g")).agg(count(lit(1)).as("__c2"))
+    val c1 = grams.groupBy(substring_index(col("__g"), " ", 1).as("__w1"))
+      .agg(count(lit(1)).as("__c1"))
+    val vocab = docs.select(explode(tokens(col(text))).as("__t"))
+      .agg(countDistinct(col("__t")).cast("double").as("__v"))
+    grams
+      .join(c2, "__g")
+      .join(c1, substring_index(col("__g"), " ", 1) === col("__w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(-avg(log2((col("__c2") + lit(addK)) / (col("__c1") + lit(addK) * col("__v")))), 6)
+          .as("xent"))
+  }
+
   // PII patterns, deliberately lookaround-free so they run identically on
   // Java regex (Spark) and RE2 (DuckDB, Go tooling): emails, dotted-quad
   // IPv4s, and +-prefixed international phone numbers (an unanchored

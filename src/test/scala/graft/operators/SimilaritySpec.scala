@@ -90,6 +90,37 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 = $recall")
   }
 
+  test("recallAtK: per-query hit ratio, missing queries score zero, extras ignored") {
+    val sp = spark
+    import sp.implicits._
+    val exact = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val approx = Seq(
+      (1L, 10L, 1), (1L, 12L, 2), (1L, 99L, 3), // 2 of 3 hit, one stranger
+      (3L, 30L, 1)                              // stray query: not in exact -> dropped
+    ).toDF("query_id", "neighbor_id", "rank")
+    val got = Similarity.recallAtK(exact, approx, k = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("n_exact"),
+        r.getAs[Long]("n_hit"), r.getAs[Double]("recall"))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 3L, 2L, 0.666667), (2L, 2L, 0L, 0.0)))
+    // sanity on real vectors: the bucketed plan against brute force agrees
+    // with the set arithmetic the operator is supposed to encode
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.where(col("vec_id") < 5)
+    val ex = Similarity.bruteForceKnn(emb, queries, "vec_id", "embedding", k = 5)
+    val ap = Similarity.bucketedKnn(emb, queries, "vec_id", "embedding", k = 5,
+      planes = 4, dim = 64)
+    val rec = Similarity.recallAtK(ex, ap, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Double]("recall"))).toMap
+    val exSet = ex.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    val apSet = ap.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    exSet.groupBy(_._1).foreach { case (q, nbrs) =>
+      val hand = nbrs.count(apSet.contains).toDouble / nbrs.length
+      assert(math.abs(rec(q) - hand) < 1e-6, s"query $q: ${rec(q)} vs $hand")
+    }
+  }
+
   test("pqKnn: codes reconstruct per-subspace argmin; ADC search is deterministic with nonzero recall") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.where(col("vec_id") < 10)

@@ -135,6 +135,69 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a b", 3L, 2L), ("b a", 1L, 1L), ("b c", 1L, 1L)))
   }
 
+  test("chunkDocs: overlapping windows reach the end without a contained stub") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 toks, chunk 4 step 2 -> 4 chunks
+      (2L, "a b"),                           // shorter than chunk -> 1 chunk
+      (3L, null.asInstanceOf[String])        // dropped
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocs(df, "doc_id", "text", chunkTokens = 4, overlap = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[String]("chunk"), r.getAs[Long]("n_tokens")))
+      .sortBy(t => (t._1, t._2))
+    // starts 0,2,4,6: 6+4 = 10 reaches the end, so no start 8 stub
+    assert(got.toSeq == Seq(
+      (1L, 0L, "t0 t1 t2 t3", 4L), (1L, 1L, "t2 t3 t4 t5", 4L),
+      (1L, 2L, "t4 t5 t6 t7", 4L), (1L, 3L, "t6 t7 t8 t9", 4L),
+      (2L, 0L, "a b", 2L)))
+    // map-only: the plan must not shuffle
+    val plan = TextAnalysis.chunkDocs(df, "doc_id", "text", 4, 2)
+      .queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, plan)
+  }
+
+  test("chunkDocs: a non-covering final window is emitted when the step overshoots") {
+    val sp = spark
+    import sp.implicits._
+    // 7 toks, chunk 4, step 3: starts 0,3 -> 3+4=7 covers; chunk 5 step 5 on
+    // 7 toks: starts 0,5 -> last chunk is the 2-token tail
+    val df = Seq((1L, "x0 x1 x2 x3 x4 x5 x6")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocs(df, "doc_id", "text", chunkTokens = 5, overlap = 0)
+      .collect().map(r => (r.getAs[Long]("chunk_id"), r.getAs[String]("chunk"),
+        r.getAs[Long]("n_tokens"))).sortBy(_._1)
+    assert(got.toSeq == Seq((0L, "x0 x1 x2 x3 x4", 5L), (1L, "x5 x6", 2L)))
+  }
+
+  test("lmCrossEntropy: add-k bigram model matches the hand fold") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "a b a b"),                 // bigrams: ab, ba, ab
+      (2L, "a b"),                     // bigram: ab
+      (3L, "solo"),                    // <2 tokens -> excluded
+      (4L, null.asInstanceOf[String])  // null -> excluded
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lmCrossEntropy(df, "doc_id", "text", addK = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"), r.getAs[Double]("xent")))
+      .sortBy(_._1)
+    // model: c2(ab)=3, c2(ba)=1; c1(a)=3, c1(b)=1; V={a,b} -> 2; k=0.5
+    val pAb = (3 + 0.5) / (3 + 0.5 * 2) // 0.875
+    val pBa = (1 + 0.5) / (1 + 0.5 * 2) // 0.75
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val x1 = -(log2(pAb) + log2(pBa) + log2(pAb)) / 3
+    val x2 = -log2(pAb)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    assert(got(0)._2 == 3L && got(1)._2 == 1L)
+    assert(math.abs(got(0)._3 - x1) < 1e-6, s"${got(0)._3} vs $x1")
+    assert(math.abs(got(1)._3 - x2) < 1e-6, s"${got(1)._3} vs $x2")
+  }
+
   test("bm25: term-dense doc ranks first, termless docs are excluded") {
     val sp = spark
     import sp.implicits._
