@@ -88,6 +88,37 @@ class Archive(samples: DataFrame, cache: Option[DataFrame] = None) {
     */
   def refreshDelta(nowUs: Long, ageUs: Long): DataFrame =
     cacheView.where(col("tsUs") > nowUs - ageUs)
+
+  /** Liveness/activity check (pvarch.py:184-192, config defaults
+    * util.py:43-46): updates in the trailing window `(tUs - windowUs, tUs]`
+    * per PV, with the reference's verdict `alive = n_recent >= minUpdates`
+    * (cache: ≥2 updates/10 s; archive: ≥2 inserts/60 s). The reference
+    * gates process-level totals; the per-PV generalization is what a
+    * 1000-executor fleet needs to find the silent channels, and the total
+    * is one further `agg` away.
+    *
+    * `pvDim` (the monitored-PV dimension) makes silent PVs visible: a PV
+    * with no recent samples appears with `n_recent = 0, alive = false`
+    * instead of vanishing. Physical shape: a pushed-down time filter over
+    * the scan, one map-side-combinable count, and a broadcast-sized
+    * dimension outer join — no data-sized shuffle.
+    */
+  def activity(tUs: Long, windowUs: Long, minUpdates: Long,
+      pvDim: Option[DataFrame] = None): DataFrame = {
+    val recent = samples
+      .where(col("tsUs") > tUs - windowUs && col("tsUs") <= tUs)
+      .groupBy(col("pvname"))
+      .agg(count(lit(1)).as("n_recent"))
+    val base = pvDim match {
+      case Some(dim) =>
+        dim.select(col("pvname")).distinct()
+          .join(recent, Seq("pvname"), "left_outer")
+          .select(col("pvname"), coalesce(col("n_recent"), lit(0L)).as("n_recent"))
+      case None => recent
+    }
+    base.select(col("pvname"), col("n_recent"),
+      (col("n_recent") >= minUpdates).as("alive"))
+  }
 }
 
 /** P3/P4 — the generic where/select surface (util.py:157-240): a dict of

@@ -825,6 +825,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- liveness/activity check (pvarch.py:184-192): per-PV trailing-
+    // window update counts + the reference's alive verdict; the click-only
+    // sample stream vs the all-events dimension leaves some PVs silent ------
+    "q_activity" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val samples = ev.where(col("event_type") === "click").select(
+        concat(lit("u"), col("user_id")).as("pvname"), col("ts_us").as("tsUs"),
+        col("value"))
+      val dim = ev.select(concat(lit("u"), col("user_id")).as("pvname"))
+      new graft.Archive(samples)
+        .activity(tUs = TMID, windowUs = 6L * 3600L * 1000000L, minUpdates = 2L,
+          pvDim = Some(dim))
+        .orderBy(col("pvname"))
+    }),
+
+    // ---- tokenizer-vocabulary coverage: per-doc OOV fraction against the
+    // self-derived top-100 unigram head (L14 composed with L28) --------------
+    "q_oov" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = TextAnalysis.vocabTopK(docs, "doc_id", "text", n = 1, k = 100)
+        .select(col("gram").as("token"))
+      TextAnalysis.oovRate(docs, "doc_id", "text", vocab)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- ANN quality gate: recall@k of the LSH-bucketed KNN against the
     // exact brute-force ranking on the same query sample ---------------------
     "q_knn_recall" -> ((s, dir) => {
@@ -2138,7 +2163,37 @@ object SparkEntry {
         |       JOIN c1 ON string_split(g.g, ' ')[1] = c1.w1, v
         |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
 
-    "q_knn_recall" -> knnRecallSql(k = 5, planes = 4, dim = 64)
+    "q_knn_recall" -> knnRecallSql(k = 5, planes = 4, dim = 64),
+
+    // trailing-window activity counts; silent dimension PVs surface as 0
+    "q_activity" ->
+      s"""WITH s AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS pvname, epoch_us(ts) AS ts_us
+         |  FROM events WHERE event_type = 'click'),
+         |dim AS (SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS pvname FROM events),
+         |r AS (SELECT pvname, CAST(count(*) AS BIGINT) AS n_recent FROM s
+         |      WHERE ts_us > $TMID - ${6L * 3600L * 1000000L} AND ts_us <= $TMID
+         |      GROUP BY 1)
+         |SELECT dim.pvname, coalesce(r.n_recent, 0) AS n_recent,
+         |  coalesce(r.n_recent, 0) >= 2 AS alive
+         |FROM dim LEFT JOIN r ON dim.pvname = r.pvname
+         |ORDER BY dim.pvname""".stripMargin,
+
+    // OOV coverage vs the corpus's own top-100 unigram head (the q_vocab_topk
+    // ranking at n = 1, same deterministic tie-break)
+    "q_oov" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |pc AS (SELECT tok, doc_id, count(*) AS c FROM u GROUP BY 1, 2),
+        |vocab AS (SELECT tok FROM (
+        |  SELECT tok, sum(c) AS n_occur FROM pc GROUP BY 1
+        |  ORDER BY n_occur DESC, tok LIMIT 100)),
+        |j AS (SELECT u.doc_id, CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |      FROM u LEFT JOIN vocab v ON u.tok = v.tok)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) - sum(hit) AS BIGINT) AS n_oov,
+        |  round(CAST(count(*) - sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS oov_frac
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB fragment mirroring [[Sampling.hashBucket]] over `doc_id` with the

@@ -310,6 +310,35 @@ object TextAnalysis {
           .as("xent"))
   }
 
+  /** Tokenizer-vocabulary coverage: per-document out-of-vocabulary token
+    * count and fraction against a vocabulary dimension — the pre-training
+    * check that a tokenizer/vocab actually covers a corpus (a high OOV
+    * fraction flags mojibake, the wrong language, or a stale vocab).
+    * Compose with [[vocabTopK]] (n = 1) for a self-derived head vocabulary.
+    *
+    * Physical shape: the vocabulary is dimension-sized, so it broadcasts;
+    * the exploded token stream left-joins it map-side and re-aggregates per
+    * doc with map-side combine — the only shuffle is O(docs), never
+    * O(tokens).
+    */
+  def oovRate(df: DataFrame, id: String, text: String, vocab: DataFrame,
+      token: String = "token"): DataFrame = {
+    val toks = tokens(col(text))
+    val dim = vocab.select(col(token).as("__t")).distinct()
+      .withColumn("__in", lit(1L))
+    df.where(col(text).isNotNull)
+      .select(col(id), explode(toks).as("__t"))
+      .join(broadcast(dim), Seq("__t"), "left_outer")
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        coalesce(sum(col("__in")), lit(0L)).as("__nin"))
+      .select(col(id), col("n_tokens"),
+        (col("n_tokens") - col("__nin")).as("n_oov"),
+        round((col("n_tokens") - col("__nin")).cast("double") / col("n_tokens"), 6)
+          .as("oov_frac"))
+  }
+
   // PII patterns, deliberately lookaround-free so they run identically on
   // Java regex (Spark) and RE2 (DuckDB, Go tooling): emails, dotted-quad
   // IPv4s, and +-prefixed international phone numbers (an unanchored

@@ -74,6 +74,27 @@ class ArchiveSpec extends SparkSpec {
     assert(d.collect().map(_.getAs[String]("pvname")).toSet == Set("pv1"))
   }
 
+  test("activity: trailing-window liveness counts, silent dimension PVs visible") {
+    val sp = spark
+    import sp.implicits._
+    val samples = Seq(
+      ("a", 95L, "1"), ("a", 99L, "2"), ("a", 100L, "3"), // 3 inside (90, 100]
+      ("a", 80L, "0"),                                    // before the window
+      ("b", 92L, "1"),                                    // 1 inside -> below min 2
+      ("c", 101L, "1")                                    // after tUs -> excluded
+    ).toDF("pvname", "tsUs", "value")
+    val dim = Seq("a", "b", "c", "d").toDF("pvname")
+    val got = new Archive(samples).activity(100L, 10L, 2L, Some(dim)).collect()
+      .map(r => (r.getAs[String]("pvname"), r.getAs[Long]("n_recent"), r.getAs[Boolean]("alive")))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(("a", 3L, true), ("b", 1L, false),
+      ("c", 0L, false), ("d", 0L, false)))
+    // without a dimension, only PVs with in-window samples appear
+    val bare = new Archive(samples).activity(100L, 10L, 2L).collect()
+      .map(_.getAs[String]("pvname")).sorted
+    assert(bare.toSeq == Seq("a", "b"))
+  }
+
   test("Generic.getRows: where-map conjunction + order + limit (P3/P4)") {
     val sp = spark
     import sp.implicits._

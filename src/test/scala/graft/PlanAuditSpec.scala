@@ -58,7 +58,9 @@ class PlanAuditSpec extends SparkSpec {
         "q_string_table", "q_split_assign", "q_sample_stratified",
         "q_source_cap", "q_contamination", "q_repetition",
         "q_pii_redact", "q_pack_sequences", "q_alerts", "q_format_pack",
-        "q_instrument_snapshot", "q_jaccard_ppjoin", "q_simhash_pairs").foreach { q =>
+        "q_instrument_snapshot", "q_jaccard_ppjoin", "q_simhash_pairs",
+        "q_requests", "q_chunk_docs", "q_lm_xent", "q_knn_recall",
+        "q_activity", "q_oov").foreach { q =>
         SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
       }
       org.apache.spark.GraftSparkTestHooks.waitListenerBus(spark.sparkContext)
@@ -69,6 +71,14 @@ class PlanAuditSpec extends SparkSpec {
         .filterNot(_.startsWith("parquet at "))
       assert(offenders.isEmpty, s"operator ran driver jobs at construction: ${offenders.mkString("; ")}")
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("oov coverage broadcasts the vocab; activity is a partial agg without windows") {
+    val oov = formatted("q_oov")
+    assert(oov.contains("BroadcastHashJoin"), oov)
+    val act = formatted("q_activity")
+    assert(act.contains("HashAggregate"), act)
+    assert(!act.contains("Window"), act)
   }
 
   test("instrument snapshot broadcasts membership and aggregates without a window") {

@@ -198,6 +198,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(got(1)._3 - x2) < 1e-6, s"${got(1)._3} vs $x2")
   }
 
+  test("oovRate: per-doc OOV fraction against a (deduplicated, broadcast) vocab") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, "a b a zz"), (2L, "zz yy"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val vocab = Seq("a", "b", "b").toDF("token") // the dup must not double-count
+    val got = TextAnalysis.oovRate(df, "doc_id", "text", vocab).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_oov"), r.getAs[Double]("oov_frac")))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 4L, 1L, 0.25), (2L, 2L, 2L, 1.0)))
+    val plan = TextAnalysis.oovRate(df, "doc_id", "text", vocab)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("bm25: term-dense doc ranks first, termless docs are excluded") {
     val sp = spark
     import sp.implicits._
