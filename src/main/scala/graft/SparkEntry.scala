@@ -850,6 +850,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- cross-corpus NEAR-dup incremental dedup: the odd-id shard deduped
+    // against the even-id corpus — LSH banding on both sides, bucket-keyed
+    // candidate join, exact-Jaccard verify, survivors by anti-join ----------
+    "q_minhash_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalMinhash(
+        docs.where(col("doc_id") % 2 === 1), docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", n = 2, numPerm = NUM_PERM, bands = 4, threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- ANN quality gate: recall@k of the LSH-bucketed KNN against the
     // exact brute-force ranking on the same query sample ---------------------
     "q_knn_recall" -> ((s, dir) => {
@@ -1013,6 +1024,46 @@ object SparkEntry {
        |FROM inter JOIN sz a ON d1 = a.doc JOIN sz b ON d2 = b.doc
        |WHERE round(CAST(i AS DOUBLE) / (a.sz + b.sz - i), 6) >= $threshold
        |ORDER BY d1, d2""".stripMargin
+  }
+
+  /** DuckDB mirror of [[Dedup.incrementalMinhash]] over the odd/even doc_id
+    * split: both shards' signatures from the same seeded permutation family
+    * as [[minhashLshSql]], band-equality candidates, exact-Jaccard verify,
+    * survivors = odd ids (null-text included) minus verified dups.
+    */
+  private def minhashIncrementalSql(numPerm: Int, bands: Int, n: Int,
+      threshold: Double): String = {
+    val rows = numPerm / bands
+    def sigCtes(sfx: String, parity: Int): String =
+      s"""t$sfx AS (SELECT doc_id AS doc, string_split(text, ' ') AS toks
+         |      FROM documents WHERE text IS NOT NULL AND doc_id % 2 = $parity),
+         |s$sfx AS (SELECT doc, unnest(list_distinct(list_transform(
+         |        generate_series(0, greatest(len(toks) - $n, 0)),
+         |        i -> array_to_string(toks[i + 1 : i + $n], ' ')))) AS shingle FROM t$sfx),
+         |h$sfx AS (SELECT doc, $shingleHashSql AS h FROM s$sfx),
+         |sig$sfx AS (SELECT doc, ${(0 until numPerm).map { i =>
+            val (a, bb) = Dedup.perm(i)
+            s"min((h * $a + $bb) % $MERSENNE) AS mh$i"
+          }.mkString(", ")} FROM h$sfx GROUP BY doc)""".stripMargin
+    val bandJoins = (0 until bands).map { b =>
+      val eqs = (b * rows until (b + 1) * rows).map(i => s"a.mh$i = b.mh$i").mkString(" AND ")
+      s"SELECT a.doc AS dn, b.doc AS dx FROM sigN a JOIN sigX b ON $eqs"
+    }
+    s"""WITH ${sigCtes("N", 1)},
+       |${sigCtes("X", 0)},
+       |cand AS (SELECT DISTINCT dn, dx FROM (${bandJoins.mkString(" UNION ALL ")})),
+       |inter AS (SELECT c.dn, c.dx, count(*) AS i
+       |          FROM cand c JOIN sN x ON c.dn = x.doc
+       |                      JOIN sX y ON c.dx = y.doc AND x.shingle = y.shingle
+       |          GROUP BY c.dn, c.dx),
+       |szN AS (SELECT doc, count(*) AS sz FROM sN GROUP BY doc),
+       |szX AS (SELECT doc, count(*) AS sz FROM sX GROUP BY doc),
+       |dups AS (SELECT DISTINCT dn FROM inter
+       |         JOIN szN a ON dn = a.doc JOIN szX b ON dx = b.doc
+       |         WHERE round(CAST(i AS DOUBLE) / (a.sz + b.sz - i), 6) >= $threshold)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT dn FROM dups)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** CTE chain ending in `sig(doc, simhash)` — shared by the signature and
@@ -1827,6 +1878,8 @@ object SparkEntry {
     "q_minhash_sig" -> minhashSigSql(NUM_PERM, 3),
 
     "q_minhash_lsh" -> minhashLshSql(NUM_PERM, 4, 2, 0.5),
+
+    "q_minhash_incremental" -> minhashIncrementalSql(NUM_PERM, 4, 2, 0.5),
 
     "q_simhash" -> simhashSql,
 

@@ -570,6 +570,57 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /** Cross-corpus NEAR-dup incremental dedup — the fuzzy sibling of
+    * [[incrementalExact]] and the shape a daily crawl drop actually needs:
+    * dedupe the NEW shard against the EXISTING corpus without ever pairing
+    * existing docs with each other. A new doc is dropped when it band-
+    * collides with an existing doc (MinHash LSH, same banding as
+    * [[minhashDedup]]) AND the exact shingle Jaccard verifies at or above
+    * `threshold`; everything else — including null-text docs, which have no
+    * shingles — survives.
+    *
+    * Scale shape: both sides reduce to banded signatures before any join,
+    * the candidate join is bucket-keyed (never all-pairs), verification
+    * touches only colliding pairs, and the final survivor filter is a
+    * left-anti join on the new shard's ids. The existing corpus is read for
+    * signatures + shingles of colliding docs only, never shuffled whole
+    * against itself.
+    */
+  def incrementalMinhash(newDocs: DataFrame, existing: DataFrame,
+      id: String, text: String, n: Int = 3, numPerm: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val rows = numPerm / bands
+    def banded(df: DataFrame, side: String): DataFrame = {
+      val sig = minhashSignature(df, id, text, n, numPerm)
+      val bandStructs = (0 until bands).map { b =>
+        val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
+        struct(lit(b).as("band"), concat_ws("_", cols: _*).as("bucket"))
+      }
+      sig.select(col("doc").as(side), explode(array(bandStructs: _*)).as("__b"))
+        .select(col(side), col("__b.band").as("band"), col("__b.bucket").as("bucket"))
+    }
+    val cands = banded(newDocs, "dn")
+      .join(banded(existing, "dx"), Seq("band", "bucket"))
+      .select(col("dn"), col("dx")).distinct()
+    val dsN = docShingles(newDocs, id, text, n)
+    val dsX = docShingles(existing, id, text, n)
+    val inter = cands
+      .join(dsN.select(col("doc").as("dn"), col("shingle")), Seq("dn"))
+      .join(dsX.select(col("doc").as("dx"), col("shingle")), Seq("dx", "shingle"))
+      .groupBy(col("dn"), col("dx"))
+      .agg(count(lit(1)).as("inter"))
+    val dups = inter
+      .join(dsN.groupBy(col("doc")).agg(count(lit(1)).as("szn"))
+        .select(col("doc").as("dn"), col("szn")), Seq("dn"))
+      .join(dsX.groupBy(col("doc")).agg(count(lit(1)).as("szx"))
+        .select(col("doc").as("dx"), col("szx")), Seq("dx"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("szn") + col("szx") - col("inter")), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("dn")).distinct()
+    newDocs.select(col(id)).join(dups, col(id) === col("dn"), "left_anti")
+  }
+
   /** SimHash: 64-bit signature where bit k is the sign of the sum over tokens
     * of ±1 according to bit k of the token hash. Near-dups share most bits.
     * Uses the portable md5-derived token hash; map-only per document.

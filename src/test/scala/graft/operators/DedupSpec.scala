@@ -100,6 +100,33 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(p => p._2 == 4L || p._1 == 4L))
   }
 
+  test("incrementalMinhash: new docs near-dup of the existing corpus are dropped") {
+    val sp = spark
+    import sp.implicits._
+    val existing = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (4L, "completely unrelated content about spark physical plans and shuffles"))
+      .toDF("doc_id", "text")
+    val shard = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 2
+      (3L, "the quick brown fox jumps over the lazy dog near the river"),      // near dup of 2
+      (5L, "a brand new document sharing nothing with the existing corpus"),   // novel
+      (7L, null.asInstanceOf[String]))                                         // null text survives
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalMinhash(shard, existing, "doc_id", "text",
+      n = 2, numPerm = 16, bands = 4, threshold = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(got.toSeq == Seq(5L, 7L))
+    // the existing corpus is never deduped against itself: an exact dup
+    // PAIR inside `existing` must not affect the shard's survivors
+    val got2 = Dedup.incrementalMinhash(shard,
+      existing.unionByName(Seq((6L, "completely unrelated content about spark physical plans and shuffles"))
+        .toDF("doc_id", "text")),
+      "doc_id", "text", n = 2, numPerm = 16, bands = 4, threshold = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(got2.toSeq == Seq(5L, 7L))
+  }
+
   test("simhash: identical docs equal, near-dups within small hamming distance") {
     val sig = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc") -> r.getAs[Long]("simhash")).toMap
