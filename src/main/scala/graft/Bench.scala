@@ -135,9 +135,10 @@ object Bench {
       n / secs
     }
     run(50000) // warm-up: JIT the stateful path + first parquet commit
-    // best-of-2: throughput reports peak sustained capability, and a single
-    // run is hostage to one badly-timed GC (BENCH_r04 read 9.2k rows/s in a
-    // band that otherwise measures 25-50k)
-    math.max(run(200000), run(200000))
+    // median-of-3, the same statistic the query timings use: a single run
+    // is hostage to one badly-timed GC (BENCH_r04 read 9.2k rows/s in a
+    // band that otherwise measures 25-50k), while a max would hide real
+    // intermittent regressions behind one lucky run
+    Seq(run(200000), run(200000), run(200000)).sorted.apply(1)
   }
 }

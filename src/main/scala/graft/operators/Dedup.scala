@@ -554,8 +554,11 @@ object Dedup {
       .where(col("doc") < col("d2"))
       .select(col("doc").as("d1"), col("d2"))
       .distinct()
-    // verify candidates with exact Jaccard on distinct shingles
-    val ds = docShingles(df, id, text, n)
+    // verify candidates with exact Jaccard on distinct shingles — distinct
+    // ACROSS rows, not just within one: duplicate-id doc rows must merge
+    // into one shingle set or the set sizes double and skew the verdict
+    // (the invariant every dedup variant shares)
+    val ds = docShingles(df, id, text, n).distinct()
     val sizes = ds.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val inter = cands
       .join(ds.select(col("doc").as("d1"), col("shingle")), Seq("d1"))
@@ -602,8 +605,11 @@ object Dedup {
     val cands = banded(newDocs, "dn")
       .join(banded(existing, "dx"), Seq("band", "bucket"))
       .select(col("dn"), col("dx")).distinct()
-    val dsN = docShingles(newDocs, id, text, n)
-    val dsX = docShingles(existing, id, text, n)
+    // distinct across rows: duplicate-id doc rows merge into ONE shingle
+    // set (shared dedup-variant invariant), or inter/sz double and the
+    // Jaccard verdict drops docs it shouldn't
+    val dsN = docShingles(newDocs, id, text, n).distinct()
+    val dsX = docShingles(existing, id, text, n).distinct()
     val inter = cands
       .join(dsN.select(col("doc").as("dn"), col("shingle")), Seq("dn"))
       .join(dsX.select(col("doc").as("dx"), col("shingle")), Seq("dx", "shingle"))

@@ -295,8 +295,11 @@ object TextAnalysis {
     val docs = df.where(col(text).isNotNull && size(tokens(col(text))) >= 2)
     val grams = docs.select(col(id), explode(gramsUdf(col(text), lit(2))).as("__g"))
     val c2 = grams.groupBy(col("__g")).agg(count(lit(1)).as("__c2"))
-    val c1 = grams.groupBy(substring_index(col("__g"), " ", 1).as("__w1"))
-      .agg(count(lit(1)).as("__c1"))
+    // context counts derive from the bigram table, not a second corpus
+    // explode: c1(w1) = Σ c2 over grams starting with w1 — identical
+    // counts from a distinct-gram-sized input
+    val c1 = c2.groupBy(substring_index(col("__g"), " ", 1).as("__w1"))
+      .agg(sum(col("__c2")).as("__c1"))
     val vocab = docs.select(explode(tokens(col(text))).as("__t"))
       .agg(countDistinct(col("__t")).cast("double").as("__v"))
     grams

@@ -134,13 +134,14 @@ object ZarrExport {
 
   /** The engine's PV-name alphabet ([[graft.functions.PvFunctions.validPvName]])
     * re-checked where the name becomes a STORE PATH component: no '/', and
-    * the all-dots names the alphabet would otherwise admit ('.', '..') are
-    * rejected, so a hostile pvname can neither reshape the group layout nor
-    * traverse outside the directory-store root.
+    * no leading dot — that rejects traversal ('.', '..') AND collisions
+    * with the zarr metadata names ('.zgroup', '.zattrs'), so a hostile
+    * pvname can neither reshape the group layout nor traverse outside the
+    * directory-store root.
     */
   private val SafePvName = "^[a-zA-Z0-9_:.\\[\\]();<>{}+=#-]+$".r
   private[store] def requireSafePvName(pv: String): Unit =
-    require(pv != null && pv.exists(_ != '.') && SafePvName.matches(pv),
+    require(pv != null && !pv.startsWith(".") && SafePvName.matches(pv),
       s"pvname ${if (pv == null) "null" else s"'$pv'"} is not usable as a zarr store path component")
 
   /** All entries for one PV group, in write order. `values` are the raw
@@ -296,13 +297,20 @@ object ZarrExport {
     * Commit protocol: `repartition(pvname)` makes every PV group the
     * property of exactly one task, so each group is staged under a
     * task-attempt-unique `_stage-*` directory and RENAMED into place only
-    * once all of its chunks are written. A retried or speculative attempt
-    * whose rename loses the race just discards its staging copy — the
-    * bytes are deterministic, so whichever attempt committed is equally
-    * correct — and readers never observe a partial PV group. (On object
-    * stores without atomic rename, e.g. raw S3, rename is copy+delete;
-    * there the guarantee weakens to per-file visibility, same as every
-    * rename-based Hadoop committer.)
+    * once all of its chunks are written. A group directory can only come
+    * into existence through that rename, so an existing destination is
+    * always a COMPLETE commit (by this job or a sibling attempt — the
+    * bytes are deterministic, so either is equally correct): an attempt
+    * that finds the destination present, or loses the rename race, simply
+    * discards its staging copy. The destination is never deleted from a
+    * task — Hadoop's rename-onto-existing-directory semantics nest rather
+    * than replace, and a delete-then-rename window would let a killed
+    * speculative attempt erase its sibling's committed group. Re-exports
+    * start clean instead: the DRIVER removes any previous `pvarch` tree
+    * and stage litter before the job runs. (On object stores without
+    * atomic rename, e.g. raw S3, rename is copy+delete; there the
+    * guarantee weakens to per-file visibility, same as every rename-based
+    * Hadoop committer.)
     */
   def exportDirectoryStore(samples: DataFrame, dir: String,
       pvMeta: Option[DataFrame] = None,
@@ -319,6 +327,12 @@ object ZarrExport {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fsDriver = root.getFileSystem(hadoopConf)
     fsDriver.mkdirs(root)
+    // fresh store per export: stale groups from a previous export must not
+    // survive (task commits keep existing groups by design), and neither
+    // must stage litter from a crashed run
+    fsDriver.delete(new org.apache.hadoop.fs.Path(root, "pvarch"), true)
+    val stale = fsDriver.globStatus(new org.apache.hadoop.fs.Path(root, "_stage-*"))
+    if (stale != null) stale.foreach(s => fsDriver.delete(s.getPath, true))
     def put(fs: org.apache.hadoop.fs.FileSystem, under: org.apache.hadoop.fs.Path,
         e: Entry): Unit = {
       val p = new org.apache.hadoop.fs.Path(under, e.path)
@@ -343,13 +357,12 @@ object ZarrExport {
               entries.foreach(put(fs, stage, _))
               val src = new org.apache.hadoop.fs.Path(stage, s"pvarch/$pv")
               val dst = new org.apache.hadoop.fs.Path(rootT, s"pvarch/$pv")
-              // lost the race to a sibling attempt (or retrying over a
-              // half-committed dst from a crashed run): theirs is the same
-              // bytes or stale — replace-or-discard, never leave both
-              if (!fs.rename(src, dst)) {
-                fs.delete(dst, true)
-                if (!fs.rename(src, dst)) fs.delete(src, true)
-              }
+              // an existing dst is a COMPLETE commit by a sibling attempt
+              // (groups only appear via rename) — discard ours; renaming
+              // onto it would NEST (Hadoop rename-into-directory), and
+              // deleting it would race a kill into data loss
+              if (fs.exists(dst)) fs.delete(src, true)
+              else if (!fs.rename(src, dst)) fs.delete(src, true) // lost the race
             }
           } finally fs.delete(stage, true)
         }

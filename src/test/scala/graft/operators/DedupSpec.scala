@@ -127,6 +127,25 @@ class DedupSpec extends SparkSpec {
     assert(got2.toSeq == Seq(5L, 7L))
   }
 
+  test("incrementalMinhash/minhashDedup: duplicate-id rows merge into ONE shingle set") {
+    val sp = spark
+    import sp.implicits._
+    // doc 1 appears twice; its bigram shingles {"x y","y z"} vs doc 9's
+    // {"x y","y z","z w"}: true distinct-set Jaccard = 2/3 — double-counted
+    // shingles would read 4/(4+3-4) = 4/3 and drop doc 1 at ANY threshold
+    val shard = Seq((1L, "x y z"), (1L, "x y z")).toDF("doc_id", "text")
+    val corpus = Seq((9L, "x y z w")).toDF("doc_id", "text")
+    val survivors = Dedup.incrementalMinhash(shard, corpus, "doc_id", "text",
+      n = 2, numPerm = 16, bands = 4, threshold = 0.75)
+      .collect().map(_.getAs[Long]("doc_id")).distinct
+    assert(survivors.toSeq == Seq(1L)) // 2/3 < 0.75: must survive
+    val pairs = Dedup.minhashDedup(
+      shard.unionByName(corpus), "doc_id", "text",
+      n = 2, numPerm = 16, bands = 4, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+    assert(pairs.toSeq == Seq((1L, 9L, 0.666667)))
+  }
+
   test("simhash: identical docs equal, near-dups within small hamming distance") {
     val sig = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc") -> r.getAs[Long]("simhash")).toMap

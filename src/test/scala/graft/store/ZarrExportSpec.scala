@@ -140,8 +140,7 @@ class ZarrExportSpec extends SparkSpec {
       java.nio.file.Paths.get(noMeta, "pvarch/XX:m1.VAL/.zattrs")),
       StandardCharsets.UTF_8).startsWith("{"))
     // the staged-commit protocol must leave no _stage-* litter behind
-    assert(!Files.list(java.nio.file.Paths.get(dir)).iterator().asScalaIt
-      .exists(_.getFileName.toString.startsWith("_stage-")))
+    assert(!listNames(dir).exists(_.startsWith("_stage-")))
   }
 
   test("path-shaped pvnames are rejected before they touch the store layout") {
@@ -157,9 +156,14 @@ class ZarrExportSpec extends SparkSpec {
         Option(e.getCause).exists(_.getMessage.contains("not usable")), bad)
       // nothing escaped or half-committed under pvarch/ (Hadoop's local FS
       // adds .crc checksum sidecars; those aren't store content)
-      assert(!Files.list(java.nio.file.Paths.get(dir, "pvarch")).iterator().asScalaIt
-        .exists(p => p.getFileName.toString != ".zgroup" &&
-          !p.getFileName.toString.endsWith(".crc")))
+      assert(!listNames(dir, "pvarch")
+        .exists(n => n != ".zgroup" && !n.endsWith(".crc")))
+    }
+    // reserved zarr metadata names must be rejected like path shapes
+    intercept[org.apache.spark.SparkException] {
+      ZarrExport.exportDirectoryStore(
+        Seq((".zgroup", 1000000L, "1.0")).toDF("pvname", "tsUs", "value"),
+        Files.createTempDirectory("graft_zarr_badmeta").toString, None, chunkElems = 4)
     }
     intercept[IllegalArgumentException] {
       ZarrExport.exportZipStore(
@@ -168,9 +172,32 @@ class ZarrExportSpec extends SparkSpec {
     }
   }
 
-  private implicit class JIter[A](it: java.util.Iterator[A]) {
-    def asScalaIt: Iterator[A] = new Iterator[A] {
-      def hasNext = it.hasNext; def next() = it.next()
-    }
+  test("re-export replaces the previous store's groups instead of nesting into them") {
+    val sp = spark
+    import sp.implicits._
+    val dir = Files.createTempDirectory("graft_zarr_rerun").toString
+    val v1 = Seq(("RR:pv", 1000000L, "1.0"), ("RR:old", 1000000L, "2.0"))
+      .toDF("pvname", "tsUs", "value")
+    ZarrExport.exportDirectoryStore(v1, dir, None, chunkElems = 4)
+    val v2 = Seq(("RR:pv", 1000000L, "9.0")).toDF("pvname", "tsUs", "value")
+    ZarrExport.exportDirectoryStore(v2, dir, None, chunkElems = 4)
+    // no nested RR:pv/RR:pv, the dropped PV is gone, and the data is v2's
+    assert(listNames(dir, "pvarch").filterNot(_.endsWith(".crc")).sorted ==
+      Seq(".zgroup", "RR:pv"))
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "pvarch/RR:pv/RR:pv")))
+    val data = doubles(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "pvarch/RR:pv/data/0")))
+    assert(data(0) == 9.0, data.toSeq)
+  }
+
+  /** Immediate file names under dir/parts, with the Files.list stream
+    * closed (its javadoc requires it).
+    */
+  private def listNames(dir: String, parts: String*): Seq[String] = {
+    val s = Files.list(java.nio.file.Paths.get(dir, parts: _*))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString).toList
+    } finally s.close()
   }
 }
