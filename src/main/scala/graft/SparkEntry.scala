@@ -861,6 +861,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- corpus drift between two snapshots (even vs odd doc ids): tokens
+    // with the largest smoothed log2 frequency-ratio shift ------------------
+    "q_vocab_shift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.vocabShift(
+        docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", k = 50, addK = 0.5)
+    }),
+
     // ---- ANN quality gate: recall@k of the LSH-bucketed KNN against the
     // exact brute-force ranking on the same query sample ---------------------
     "q_knn_recall" -> ((s, dir) => {
@@ -1880,6 +1889,24 @@ object SparkEntry {
     "q_minhash_lsh" -> minhashLshSql(NUM_PERM, 4, 2, 0.5),
 
     "q_minhash_incremental" -> minhashIncrementalSql(NUM_PERM, 4, 2, 0.5),
+
+    // even vs odd snapshot drift; same smoothed-ratio expression tree as the
+    // Column plan, ranked on the ROUNDED shift
+    "q_vocab_shift" ->
+      """WITH ta AS (SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0),
+        |ca AS (SELECT token, count(*) AS n_a FROM ta GROUP BY 1),
+        |tb AS (SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1),
+        |cb AS (SELECT token, count(*) AS n_b FROM tb GROUP BY 1),
+        |j AS (SELECT coalesce(ca.token, cb.token) AS token,
+        |        coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |      FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+        |s AS (SELECT CAST(sum(n_a) AS DOUBLE) AS ta2, CAST(sum(n_b) AS DOUBLE) AS tb2,
+        |        CAST(count(*) AS DOUBLE) AS v FROM j)
+        |SELECT token, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  round(log2(((n_a + 0.5) / (ta2 + 0.5 * v)) / ((n_b + 0.5) / (tb2 + 0.5 * v))), 6) AS shift
+        |FROM j, s ORDER BY abs(shift) DESC, token LIMIT 50""".stripMargin,
 
     "q_simhash" -> simhashSql,
 

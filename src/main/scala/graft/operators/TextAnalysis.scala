@@ -342,6 +342,43 @@ object TextAnalysis {
           .as("oov_frac"))
   }
 
+  /** Corpus-shift report: the k tokens whose relative frequency moved most
+    * between two corpus snapshots — the drift monitor run between crawl
+    * drops before retraining (a big |shift| flags new jargon, a language
+    * mix change, or a scraper regression). `shift` is the add-k smoothed
+    * log2 probability ratio `log2(P_a(t) / P_b(t))` with a shared vocab
+    * size V = |tokens(a) ∪ tokens(b)|; positive = gained ground in `a`.
+    *
+    * Physical shape: each side collapses to vocab-sized token counts
+    * (map-side combine) before the full-outer join; totals and V travel as
+    * one broadcast row; ranking is a TakeOrdered over the rounded shift.
+    * Nothing data-sized is broadcast or windowed.
+    */
+  def vocabShift(a: DataFrame, b: DataFrame, id: String, text: String,
+      k: Int, addK: Double = 0.5): DataFrame = {
+    require(addK > 0, "addK must be positive (an unseen token has log 0)")
+    def counts(df: DataFrame, side: String) =
+      df.where(col(text).isNotNull)
+        .select(explode(tokens(col(text))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as(side))
+    val joined = counts(a, "n_a").join(counts(b, "n_b"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val stats = joined.agg(
+      sum(col("n_a")).cast("double").as("__ta"),
+      sum(col("n_b")).cast("double").as("__tb"),
+      count(lit(1)).cast("double").as("__v"))
+    joined.crossJoin(broadcast(stats))
+      .select(col("token"), col("n_a"), col("n_b"),
+        round(log2(
+          ((col("n_a") + lit(addK)) / (col("__ta") + lit(addK) * col("__v"))) /
+            ((col("n_b") + lit(addK)) / (col("__tb") + lit(addK) * col("__v")))), 6)
+          .as("shift"))
+      .orderBy(abs(col("shift")).desc, col("token"))
+      .limit(k)
+  }
+
   // PII patterns, deliberately lookaround-free so they run identically on
   // Java regex (Spark) and RE2 (DuckDB, Go tooling): emails, dotted-quad
   // IPv4s, and +-prefixed international phone numbers (an unanchored

@@ -214,6 +214,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("vocabShift: smoothed log2 ratio matches the hand fold; one-sided tokens rank high") {
+    val sp = spark
+    import sp.implicits._
+    val a = Seq((1L, "x x y"), (2L, "x z")).toDF("doc_id", "text") // x:3 y:1 z:1, total 5
+    val b = Seq((3L, "y y y z")).toDF("doc_id", "text")            // y:3 z:1, total 4
+    val got = TextAnalysis.vocabShift(a, b, "doc_id", "text", k = 3, addK = 0.5)
+      .collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Double]("shift")))
+    // V = |{x,y,z}| = 3; P_a(t) = (n_a + .5)/(5 + 1.5); P_b(t) = (n_b + .5)/(4 + 1.5)
+    def shift(na: Long, nb: Long) =
+      math.log(((na + 0.5) / 6.5) / ((nb + 0.5) / 5.5)) / math.log(2.0)
+    assert(got.map(_._1).toSeq == Seq("x", "y", "z")) // |x| > |y| > |z|
+    assert(got(0)._2 == 3L && got(0)._3 == 0L)
+    got.foreach { case (t, na, nb, s) =>
+      assert(math.abs(s - shift(na, nb)) < 1e-6, s"$t: $s vs ${shift(na, nb)}")
+    }
+  }
+
   test("bm25: term-dense doc ranks first, termless docs are excluded") {
     val sp = spark
     import sp.implicits._

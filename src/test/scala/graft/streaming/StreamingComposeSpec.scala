@@ -64,6 +64,41 @@ class StreamingComposeSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq == expected.sortBy(_._1).toSeq)
   }
 
+  test("windowed counts: the A3 batch plan and a watermarked streaming agg agree") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val day = 86400L * S
+    // 300 hourly events over ~12.5 days, three event types
+    val rows = (0 until 300).map(i => (s"t${i % 3}", i.toLong * 3600L * S, i * 0.5))
+    def agg(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.groupBy(window(timestamp_micros(col("tsUs")), "1 day").as("w"), col("typ"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
+        .select(expr("unix_micros(w.start)").as("day_us"), col("typ"),
+          col("n"), col("sum_value"))
+    val input = MemoryStream[(String, Long, Double)]
+    val q = input.toDS().toDF("typ", "tsUs", "value")
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("typ"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
+      .select(expr("unix_micros(w.start)").as("day_us"), col("typ"),
+        col("n"), col("sum_value"))
+      .writeStream.outputMode("append").format("memory").queryName("wc_stream")
+      .start()
+    try {
+      rows.grouped(60).foreach { g => input.addData(g); q.processAllAvailable() }
+      // a far-future sentinel advances the watermark past every real window
+      input.addData(Seq(("zz", rows.map(_._2).max + 10 * day, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = sp.table("wc_stream").where(col("typ") =!= "zz").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = agg(rows.toDF("typ", "tsUs", "value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("curation ops (sample/split/PII) attach directly to a streaming frame (stateless append mode)") {
     val sp = spark
     import sp.implicits._
