@@ -861,6 +861,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- generic keyed as-of join (vectorized Q2): every view event picks
+    // up the user's latest click value at or before its time ----------------
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val views = ev.where(col("event_type") === "view").select(
+        concat(lit("u"), col("user_id")).as("pvname"),
+        col("ts_us"), col("event_id"))
+      val clicks = ev.where(col("event_type") === "click").select(
+        concat(lit("u"), col("user_id")).as("pvname"),
+        col("ts_us").as("click_ts"), col("value"))
+        // unique per (key, ts): max tie-break, mirrored in the oracle
+        .groupBy(col("pvname"), col("click_ts"))
+        .agg(max(col("value")).as("click_value"))
+      TimeSeries.asofJoin(views, clicks, "pvname", "ts_us", "click_ts",
+        Seq("click_value"))
+        // views before any click carry null; a sentinel keeps the compare
+        // null-free (the gate sorts row tuples)
+        .select(col("pvname"), col("ts_us"), col("event_id"),
+          coalesce(col("click_value"), lit(-1.0)).as("click_value"))
+        .orderBy(col("pvname"), col("ts_us"), col("event_id"))
+    }),
+
     // ---- corpus drift between two snapshots (even vs odd doc ids): tokens
     // with the largest smoothed log2 frequency-ratio shift ------------------
     "q_vocab_shift" -> ((s, dir) => {
@@ -1889,6 +1911,20 @@ object SparkEntry {
     "q_minhash_lsh" -> minhashLshSql(NUM_PERM, 4, 2, 0.5),
 
     "q_minhash_incremental" -> minhashIncrementalSql(NUM_PERM, 4, 2, 0.5),
+
+    // DuckDB's native ASOF LEFT JOIN is the independent restatement of the
+    // union+running-last plan — an implementation-divergent oracle
+    "q_asof_join" ->
+      """WITH l AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS pvname,
+        |    epoch_us(ts) AS ts_us, event_id FROM events WHERE event_type = 'view'),
+        |r AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS pvname,
+        |    epoch_us(ts) AS click_ts, max(value) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT l.pvname, l.ts_us, l.event_id,
+        |  coalesce(r.click_value, -1.0) AS click_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.pvname = r.pvname AND l.ts_us >= r.click_ts
+        |ORDER BY l.pvname, l.ts_us, l.event_id""".stripMargin,
 
     // even vs odd snapshot drift; same smoothed-ratio expression tree as the
     // Column plan, ranked on the ROUNDED shift

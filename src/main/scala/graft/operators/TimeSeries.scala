@@ -103,6 +103,44 @@ object TimeSeries {
   def countSince(df: DataFrame, key: String, ts: String, since: Long): DataFrame =
     df.where(col(ts) > since).groupBy(col(key)).agg(count(lit(1)).as("n"))
 
+  /** Generic keyed AS-OF JOIN — the vectorized form of Q2 `get_value_at_time`
+    * (archiver.py:112-129): every left row picks up the latest right row
+    * with `rightTs <= leftTs` on the same key (null value columns when no
+    * right row precedes it). Spark has no native as-of join; rather than an
+    * O(n·m) inequality join, both sides union into one frame and the right
+    * values carry forward with a per-key running `last(ignoreNulls)` — ONE
+    * shuffle by key, sort within partitions, linear scan. A right row tied
+    * with a left row's timestamp IS visible to it (`>=` semantics, matching
+    * DuckDB's ASOF JOIN, which the oracle uses).
+    *
+    * `right` must be unique per (key, rightTs) — pre-aggregate duplicates
+    * (e.g. `max_by`) or the carried value among ties is order-dependent.
+    * Left column names and `rightVals` must not collide.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    require(rightVals.nonEmpty, "asofJoin needs at least one right value column")
+    require(rightVals.intersect(lCols).isEmpty,
+      s"right value columns ${rightVals.intersect(lCols).mkString(",")} collide with left columns")
+    val l = left.select(
+      col(leftTs).as("__t") +: lit(1).as("__side") +: lCols.map(col) ++:
+        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right.select(
+      col(rightTs).as("__t") +: lit(0).as("__side") +: col(key) +:
+        lCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
+        rightVals.map(col): _*)
+    // side 0 < 1: a right row at the same timestamp sorts before the left
+    // row, so the left row sees it
+    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightVals.foldLeft(l.unionByName(r)) { (acc, c) =>
+      acc.withColumn(s"__carry_$c", last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.where(col("__side") === 1)
+      .select(lCols.map(col) ++ rightVals.map(c => col(s"__carry_$c").as(c)): _*)
+  }
+
   /** J2/W1 — multi-series as-of alignment with LOCF (scripts/get_pvarch:122-192):
     * pivot the series onto the union of their timestamps, then carry each
     * series' last value forward; rows before every series has a value are

@@ -37,6 +37,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", 20L), ("b", 25L)))
   }
 
+  test("asofJoin: latest right row at-or-before each left row, per key") {
+    val sp = spark
+    import sp.implicits._
+    val probes = Seq( // (key, ts, probe_id)
+      ("a", 10L, 1L), ("a", 20L, 2L), ("a", 25L, 3L),
+      ("b", 5L, 4L),  // before any b sample -> null
+      ("b", 30L, 5L)
+    ).toDF("k", "pt", "probe_id")
+    val samples = Seq( // (key, ts, v); 20 ties probe 2's timestamp exactly
+      ("a", 8L, 1.0), ("a", 20L, 2.0), ("a", 21L, 3.0),
+      ("b", 6L, 10.0), ("b", 30L, 11.0)
+    ).toDF("k", "st", "v")
+    val got = TimeSeries.asofJoin(probes, samples, "k", "pt", "st", Seq("v"))
+      .collect()
+      .map(r => (r.getAs[Long]("probe_id"), Option(r.getAs[java.lang.Double]("v")).map(_.toDouble)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, Some(1.0)),  // 8 <= 10
+      (2L, Some(2.0)),  // tie at 20: >= semantics, the tied row wins
+      (3L, Some(3.0)),  // 21 <= 25
+      (4L, None),       // nothing at or before 5
+      (5L, Some(11.0)))) // tie at 30
+    // one shuffle by key, no global window
+    val plan = TimeSeries.asofJoin(probes, samples, "k", "pt", "st", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("latestPerKey keeps newest row with all requested values") {
     val got = TimeSeries.latestPerKey(events, "k", "ts", "id", Seq("v"))
       .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("ts"), r.getAs[Double]("v")))
