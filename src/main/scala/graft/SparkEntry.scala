@@ -861,6 +861,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- gap-based sessionization per user (30 min idle timeout) ----------
+    "q_sessions" -> ((s, dir) => {
+      val samples = events(s, dir).select(
+        concat(lit("u"), col("user_id")).as("pvname"), col("ts_us"))
+      TimeSeries.sessionStats(samples, "pvname", "ts_us", gapUs = 30L * 60L * 1000000L)
+        .orderBy(col("pvname"), col("session_idx"))
+    }),
+
     // ---- generic keyed as-of join (vectorized Q2): every view event picks
     // up the user's latest click value at or before its time ----------------
     "q_asof_join" -> ((s, dir) => {
@@ -1911,6 +1919,24 @@ object SparkEntry {
     "q_minhash_lsh" -> minhashLshSql(NUM_PERM, 4, 2, 0.5),
 
     "q_minhash_incremental" -> minhashIncrementalSql(NUM_PERM, 4, 2, 0.5),
+
+    // lag/cumsum sessionization restated over the same 30-min idle gap
+    "q_sessions" ->
+      s"""WITH e AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS pvname, epoch_us(ts) AS ts_us
+         |  FROM events),
+         |f AS (SELECT pvname, ts_us,
+         |    CASE WHEN lag(ts_us) OVER (PARTITION BY pvname ORDER BY ts_us) IS NULL
+         |           OR ts_us - lag(ts_us) OVER (PARTITION BY pvname ORDER BY ts_us)
+         |              > ${30L * 60L * 1000000L} THEN 1 ELSE 0 END AS is_new
+         |  FROM e),
+         |sx AS (SELECT pvname, ts_us, CAST(sum(is_new) OVER (
+         |    PARTITION BY pvname ORDER BY ts_us
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         |  FROM f)
+         |SELECT pvname, session_idx, min(ts_us) AS start_us, max(ts_us) AS end_us,
+         |  CAST(count(*) AS BIGINT) AS n_events
+         |FROM sx GROUP BY pvname, session_idx
+         |ORDER BY pvname, session_idx""".stripMargin,
 
     // DuckDB's native ASOF LEFT JOIN is the independent restatement of the
     // union+running-last plan — an implementation-divergent oracle

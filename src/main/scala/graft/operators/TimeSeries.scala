@@ -103,6 +103,37 @@ object TimeSeries {
   def countSince(df: DataFrame, key: String, ts: String, since: Long): DataFrame =
     df.where(col(ts) > since).groupBy(col(key)).agg(count(lit(1)).as("n"))
 
+  /** Gap-based sessionization: a new session starts whenever the gap from
+    * the previous event on the same key exceeds `gapUs` (the idle-timeout
+    * definition Structured Streaming's `session_window` uses — the
+    * streaming twin is spec-checked against this batch form; the one
+    * boundary divergence: an event at EXACTLY prev + gap continues the
+    * session here, while session_window's end-exclusive range opens a new
+    * one). Adds
+    * `session_idx`, the per-key session ordinal; (key, session_idx) is the
+    * session identity. Per-key window — one shuffle by key, no global sort.
+    */
+  def sessionize(df: DataFrame, key: String, ts: String, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+    val isNew = when(
+      lag(col(ts), 1).over(w).isNull ||
+        col(ts) - lag(col(ts), 1).over(w) > gapUs, 1L).otherwise(0L)
+    df.withColumn("session_idx", sum(isNew).over(
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-session rollup over [[sessionize]]: start/end/event count per
+    * (key, session). Two-phase aggregation after the sessionizing window —
+    * map-side combinable on the same key partitioning.
+    */
+  def sessionStats(df: DataFrame, key: String, ts: String, gapUs: Long): DataFrame =
+    sessionize(df, key, ts, gapUs)
+      .groupBy(col(key), col("session_idx"))
+      .agg(
+        min(col(ts)).as("start_us"),
+        max(col(ts)).as("end_us"),
+        count(lit(1)).as("n_events"))
+
   /** Generic keyed AS-OF JOIN — the vectorized form of Q2 `get_value_at_time`
     * (archiver.py:112-129): every left row picks up the latest right row
     * with `rightTs <= leftTs` on the same key (null value columns when no

@@ -61,7 +61,7 @@ class PlanAuditSpec extends SparkSpec {
         "q_instrument_snapshot", "q_jaccard_ppjoin", "q_simhash_pairs",
         "q_requests", "q_chunk_docs", "q_lm_xent", "q_knn_recall",
         "q_activity", "q_oov", "q_minhash_incremental", "q_vocab_shift",
-        "q_asof_join").foreach { q =>
+        "q_asof_join", "q_sessions").foreach { q =>
         SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
       }
       org.apache.spark.GraftSparkTestHooks.waitListenerBus(spark.sparkContext)

@@ -37,6 +37,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", 20L), ("b", 25L)))
   }
 
+  test("sessionize: idle gaps split sessions per key; rollup counts match") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      ("a", 0L), ("a", 5L), ("a", 9L), // gaps 5, 4 <= 10 -> one session
+      ("a", 20L),                      // gap 11 > 10 -> new session
+      ("b", 100L)
+    ).toDF("k", "t")
+    val got = TimeSeries.sessionStats(df, "k", "t", gapUs = 10L)
+      .collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("start_us"), r.getAs[Long]("end_us"), r.getAs[Long]("n_events")))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      ("a", 1L, 0L, 9L, 3L), ("a", 2L, 20L, 20L, 1L), ("b", 1L, 100L, 100L, 1L)))
+    // per-key window only — the plan must not collapse to one partition
+    val plan = TimeSeries.sessionize(df, "k", "t", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("asofJoin: latest right row at-or-before each left row, per key") {
     val sp = spark
     import sp.implicits._

@@ -99,6 +99,44 @@ class StreamingComposeSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("sessionization: streaming session_window rollup equals the batch lag/cumsum form") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val gapUs = 600L * S // 10 min idle timeout
+    // three users, bursts separated by > gap; minute-spaced events inside
+    val rows = for {
+      u <- 0 until 3
+      burst <- 0 until 4
+      i <- 0 until 5
+    } yield (s"u$u", (burst.toLong * 3600L + u * 7L + i * 60L) * S)
+    val input = MemoryStream[(String, Long)]
+    val q = input.toDS().toDF("k", "tsUs")
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("k"))
+      .agg(count(lit(1)).as("n_events"), expr("min(tsUs)").as("start_us"),
+        expr("max(tsUs)").as("end_us"))
+      .select(col("k"), col("start_us"), col("end_us"), col("n_events"))
+      .writeStream.outputMode("append").format("memory").queryName("sess_stream")
+      .start()
+    try {
+      // feed in event-time order: the watermark advances with each batch,
+      // so out-of-order feeding would drop whole keys as late data
+      rows.sortBy(_._2).grouped(20).foreach { g => input.addData(g); q.processAllAvailable() }
+      input.addData(Seq(("zz", rows.map(_._2).max + 100L * 3600L * S)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = sp.table("sess_stream").where(col("k") =!= "zz").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch twin: identical idle-gap definition, identical rollup
+    val batch = graft.operators.TimeSeries
+      .sessionStats(rows.toDF("k", "tsUs"), "k", "tsUs", gapUs)
+      .select(col("k"), col("start_us"), col("end_us"), col("n_events")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch && streamed.size >= 12) // >= 4 sessions x 3 users
+  }
+
   test("curation ops (sample/split/PII) attach directly to a streaming frame (stateless append mode)") {
     val sp = spark
     import sp.implicits._
