@@ -910,6 +910,21 @@ object SparkEntry {
         Similarity.bucketedKnn(emb, qs, "vec_id", "embedding", k = 5, planes = 4, dim = 64),
         k = 5)
         .orderBy(col("query_id"))
+    }),
+
+    // ---- repeated-span (exact substring) duplication profile: per-doc
+    // coverage by 8-token spans seen verbatim in >= 2 distinct docs --------
+    "q_span_dedup" -> ((s, dir) => {
+      Dedup.repeatedSpans(Tables.documents(s, dir), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- semantic outliers: the 25 vectors farthest from their nearest
+    // IVF centroid (the curation pipeline's "weird tail" report) -----------
+    "q_semantic_outliers" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", k = 8, seed = 42L)
+      Similarity.semanticOutliers(emb, "vec_id", "embedding", cents, topN = 25)
     })
   )
 
@@ -1518,7 +1533,38 @@ object SparkEntry {
       val books = Similarity.trainPqCodebooks(
         Tables.embeddings(spark, dir), "vec_id", "embedding", m = 4, k = 16, seed = 42L)
       pqSql(books, topK = 10)
+    },
+    "q_semantic_outliers" -> {
+      val cents = Similarity.trainIvfCentroids(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, seed = 42L)
+      semanticOutliersSql(cents, topN = 25)
     })
+
+  /** Semantic-outlier oracle around Verify-time centroids: squared
+    * distances in the PQ family's engine-portable `v·v − 2 v·c + c·c`
+    * form (dots via `list_dot_product` = index order, `c·c` a Scala-dot
+    * literal), first-minimum cell, `round(sqrt(greatest(min,0)),6)`
+    * distance, top-N by (dist DESC, vec_id).
+    */
+  private def semanticOutliersSql(cents: Array[Array[Double]], topN: Int): String = {
+    val lits = cents.map(c => "[" + c.mkString(", ") + "]")
+    val n = lits.length
+    val ccs = cents.map(c => Similarity.dotIdx(c, c))
+    val vcs = (0 until n).map(i => s"list_dot_product(v, ${lits(i)}) AS vc$i").mkString(",\n  ")
+    val ds = (0 until n).map(i => s"vv - 2.0*vc$i + ${ccs(i)} AS d$i").mkString(",\n  ")
+    val m = s"least(${(0 until n).map("d" + _).mkString(", ")})"
+    val cellCase = "CASE " + (0 until n).map(i => s"WHEN d$i = $m THEN $i").mkString(" ") + " END"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |       WHERE embedding IS NOT NULL),
+       |p1 AS (SELECT vec_id, list_dot_product(v, v) AS vv,
+       |  $vcs FROM e),
+       |p2 AS (SELECT vec_id,
+       |  $ds FROM p1),
+       |p3 AS (SELECT vec_id, CAST($cellCase AS BIGINT) AS cell,
+       |  round(sqrt(greatest($m, 0.0)), 6) AS dist FROM p2)
+       |SELECT vec_id, cell, dist FROM p3
+       |ORDER BY dist DESC, vec_id LIMIT $topN""".stripMargin
+  }
 
   /** PQ/ADC oracle around Verify-time codebooks. Every distance is the
     * engine-portable `v·v − 2 v·c + c·c` (dot products via
@@ -2335,7 +2381,33 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  CAST(count(*) - sum(hit) AS BIGINT) AS n_oov,
         |  round(CAST(count(*) - sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS oov_frac
-        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // repeated 8-token spans seen in >= 2 distinct docs; coverage is the
+    // UNION of overlapping span positions (count DISTINCT token index)
+    "q_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |sp AS (SELECT doc_id, unnest(generate_series(0, n - 8)) AS pos, toks
+        |  FROM b WHERE n >= 8),
+        |h AS (SELECT doc_id, pos,
+        |  md5(array_to_string(toks[pos + 1 : pos + 8], ' ')) AS h FROM sp),
+        |dup AS (SELECT h FROM h GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT doc_id, count(DISTINCT pos) AS n_dup_spans,
+        |    count(DISTINCT ti) AS dup_tokens
+        |  FROM (SELECT s.doc_id, s.pos,
+        |          unnest(generate_series(s.pos, s.pos + 7)) AS ti
+        |        FROM h s JOIN dup USING (h))
+        |  GROUP BY 1)
+        |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+        |  CAST(greatest(b.n - 7, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(cov.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        |  CAST(coalesce(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  round(CAST(coalesce(cov.dup_tokens, 0) AS DOUBLE) / CAST(b.n AS DOUBLE), 6)
+        |    AS dup_frac
+        |FROM b LEFT JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB fragment mirroring [[Sampling.hashBucket]] over `doc_id` with the

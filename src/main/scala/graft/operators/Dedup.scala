@@ -802,4 +802,69 @@ object Dedup {
     docs.join(
       components.where(col("doc") =!= col("component")).select(col("doc").as("__drop")),
       docs(id) === col("__drop"), "left_anti")
+
+  /** Repeated-span (exact substring) duplication profile — the
+    * Spark-native re-expression of suffix-array span dedup ("Deduplicating
+    * Training Data Makes Language Models Better"): for every document,
+    * how much of it is covered by k-token spans that also occur verbatim
+    * in at least `minDocs` distinct documents. Where whole-doc dedup
+    * ([[exact]]/[[minhashDedup]]) asks "is this document a copy?", this
+    * asks "which PARTS of it are boilerplate?" — licence headers,
+    * navigation chrome, quoted templates.
+    *
+    * Plan shape (the 100 TB path):
+    *   1. map-only rolling windows: every k-token span at stride 1, hashed
+    *      (md5) so only 32-byte keys shuffle, never span text;
+    *   2. span-hash frequency: ONE hash-groupBy with map-side combine —
+    *      the same shape as [[exact]] — keeping hashes seen in >= minDocs
+    *      distinct docs (count_distinct(doc) partial-aggregates);
+    *   3. join spans against the duplicated-hash set ON THE HASH — the
+    *      dup set is O(boilerplate), typically broadcastable, and the
+    *      planner/AQE picks that up on its own;
+    *   4. union token coverage per doc: duplicated spans overlap, so
+    *      positions are exploded (bounded k-fold blowup of the DUP spans
+    *      only, not the corpus) and count_distinct'd per doc.
+    * No windows, no driver collect, no all-pairs term anywhere; the only
+    * quadratic-looking step (3) is linear in span occurrences.
+    *
+    * Output: one row per non-null-text doc —
+    * (id, n_tokens, n_spans, n_dup_spans, dup_tokens, dup_frac) with
+    * dup_frac rounded to 6 places (cross-engine double hygiene). Docs
+    * shorter than k tokens have zero spans and dup_frac 0.
+    */
+  def repeatedSpans(df: DataFrame, id: String, text: String, k: Int,
+      minDocs: Int = 2): DataFrame = {
+    require(k >= 2, s"span width must be >= 2 tokens, got $k")
+    val base = df.filter(col(text).isNotNull)
+      .select(col(id).as("__doc"), split(col(text), " ").as("__toks"))
+      .select(col("__doc"), col("__toks"), size(col("__toks")).as("__n"))
+    // (doc, pos, h): every k-token window, stride 1, hashed map-side
+    val spans = base.filter(col("__n") >= k)
+      .select(col("__doc"),
+        explode(expr(
+          s"""transform(sequence(0, size(__toks) - $k),
+             |  i -> struct(i AS pos,
+             |    md5(array_join(slice(__toks, i + 1, $k), ' ')) AS h))"""
+            .stripMargin)).as("__sp"))
+      .select(col("__doc"), col("__sp.pos").as("__pos"), col("__sp.h").as("__h"))
+    val dupHashes = spans.groupBy(col("__h"))
+      .agg(count_distinct(col("__doc")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h"))
+    val dupCover = spans.join(dupHashes, Seq("__h"))
+      .select(col("__doc"), col("__pos"),
+        explode(expr(s"sequence(__pos, __pos + ${k - 1})")).as("__ti"))
+      .groupBy(col("__doc"))
+      .agg(
+        count_distinct(col("__pos")).as("__ndup"),
+        count_distinct(col("__ti")).as("__cov"))
+    base.join(dupCover, Seq("__doc"), "left_outer")
+      .select(
+        col("__doc").as(id),
+        col("__n").cast("long").as("n_tokens"),
+        greatest(col("__n") - (k - 1), lit(0)).cast("long").as("n_spans"),
+        coalesce(col("__ndup"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("__cov"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("__cov"), lit(0L)) / col("__n"), 6).as("dup_frac"))
+  }
 }

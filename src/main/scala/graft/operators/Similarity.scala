@@ -394,6 +394,51 @@ object Similarity {
       .toDF(id, vec, "cell")
   }
 
+  /** Semantic outlier detection: the `topN` vectors farthest from their
+    * nearest IVF centroid — embeddings no trained cell explains well.
+    * In a curation pipeline this is the "weird tail" report: OCR garbage,
+    * wrong-modality rows, adversarial spam that survived text filters.
+    *
+    * Scale shape: centroids broadcast, ONE map-only pass (tight
+    * primitive-array loop, no boxing), then a global TakeOrdered of
+    * `topN` rows — no shuffle of the corpus, no window. At 100 TB this
+    * is a scan + a k-sized heap per partition.
+    *
+    * Cross-engine determinism: squared distances use the PQ family's
+    * portable `v·v − 2 v·c + c·c` form with index-order dots
+    * ([[dotIdx]]), cell is first-minimum, and the reported distance is
+    * `round(sqrt(max(d², 0)), 6)` — the ordering key both engines sort
+    * by (ties broken on id).
+    */
+  def semanticOutliers(df: DataFrame, id: String, vec: String,
+      centroids: Array[Array[Double]], topN: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    requireIntegralId(df, id)
+    val bc = spark.sparkContext.broadcast(centroids)
+    df.select(col(id).cast("long"), col(vec))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        val ccs = cs.map(c => dotIdx(c, c))
+        it.collect { case (i, v) if v != null =>
+          val dv = toDouble(v)
+          val vv = dotIdx(dv, dv)
+          var best = 0; var bd = Double.MaxValue
+          var j = 0
+          while (j < cs.length) {
+            val d = pqSqDist(vv, dotIdx(dv, cs(j)), ccs(j))
+            if (d < bd) { bd = d; best = j } // first-minimum tie rule
+            j += 1
+          }
+          (i, best.toLong, round6(math.sqrt(math.max(bd, 0.0))))
+        }
+      }
+      .toDF(id, "cell", "dist")
+      .orderBy(col("dist").desc, col(id))
+      .limit(topN)
+  }
+
   private def toDouble(v: Array[Float]): Array[Double] = {
     val d = new Array[Double](v.length)
     var i = 0; while (i < v.length) { d(i) = v(i).toDouble; i += 1 }

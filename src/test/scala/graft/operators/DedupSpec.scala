@@ -266,4 +266,34 @@ class DedupSpec extends SparkSpec {
       assert(got == exact, s"fpp=$fpp")
     }
   }
+
+  test("repeatedSpans: cross-doc span coverage unions overlaps; within-doc repeats don't count") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "the quick brown fox jumps over a lazy dog"), // shares a 6-token prefix
+      (4L, "completely different words entirely here now"),
+      (5L, "x y z x y z"), // span repeats only WITHIN the doc
+      (6L, "too short"), // < k tokens: zero spans
+      (7L, null.asInstanceOf[String])) // null text: excluded
+      .toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(df, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"),
+        r.getAs[Long]("dup_tokens"), r.getAs[Double]("dup_frac"))))
+      .toMap
+    // docs 1/2: every 3-gram duplicated, full coverage
+    assert(got(1L) == ((9L, 7L, 7L, 9L, 1.0)))
+    assert(got(2L) == ((9L, 7L, 7L, 9L, 1.0)))
+    // doc 3: spans at pos 0..3 match doc 1's prefix -> positions 0..5 covered
+    assert(got(3L) == ((9L, 7L, 4L, 6L, 0.666667)))
+    assert(got(4L) == ((6L, 4L, 0L, 0L, 0.0)))
+    // "x y z" occurs twice in doc 5 but in no other doc: not a duplicate
+    assert(got(5L) == ((6L, 4L, 0L, 0L, 0.0)))
+    assert(got(6L) == ((2L, 0L, 0L, 0L, 0.0)))
+    assert(!got.contains(7L))
+  }
 }

@@ -177,4 +177,32 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
     assert(got.toSeq == Seq((0, 2L, 7.5), (1, 1L, 1.0)))
   }
+
+  test("semanticOutliers: farthest-from-centroid ranking, null vectors skipped") {
+    val sp = spark
+    import sp.implicits._
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 0.0))
+    val df = Seq(
+      (1L, Array(0.1f, 0.0f)), // near centroid 0, dist 0.1
+      (2L, Array(10.0f, 3.0f)), // cell 1, dist 3
+      (3L, Array(5.0f, 0.0f)), // equidistant: first-minimum -> cell 0, dist 5
+      (4L, Array(0.0f, 4.0f)), // cell 0, dist 4
+      (5L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticOutliers(df, "vec_id", "embedding", cents, topN = 3)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+        r.getAs[Double]("dist")))
+    assert(got.toSeq == Seq((3L, 0L, 5.0), (4L, 0L, 4.0), (2L, 1L, 3.0)))
+  }
+
+  test("semanticOutliers cells agree with assignCells on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", k = 8, seed = 42L)
+    val out = Similarity.semanticOutliers(emb, "vec_id", "embedding", cents, topN = 10)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"))).toMap
+    val cells = Similarity.assignCells(emb, "vec_id", "embedding", cents)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell").toLong)).toMap
+    out.foreach { case (id, cell) => assert(cells(id) == cell, s"vec $id") }
+    assert(out.size == 10)
+  }
 }
