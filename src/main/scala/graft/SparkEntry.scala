@@ -925,6 +925,30 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", k = 8, seed = 42L)
       Similarity.semanticOutliers(emb, "vec_id", "embedding", cents, topN = 25)
+    }),
+
+    // ---- temperature-scaled source mixture (mT5/XLM-R alpha sampling) ----
+    "q_mixture_weights" -> ((s, dir) => {
+      Sampling.mixtureWeights(Tables.documents(s, dir), "source",
+        size(TextAnalysis.tokens(col("text"))), alpha = 0.5, budgetTokens = 1000000L)
+        .orderBy(col("source"))
+    }),
+
+    // ---- BPE merge statistics: corpus-weighted adjacent char pairs,
+    // expanded over the VOCAB (the corpus pays one agg) ---------------------
+    "q_bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(Tables.documents(s, dir), "text", k = 50)),
+
+    // ---- per-source length profile: exact interpolated percentiles ------
+    "q_source_profile" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 6).as("avg_chars"),
+          round(expr("percentile(n_chars, 0.5D)"), 6).as("p50_chars"),
+          round(expr("percentile(n_chars, 0.9D)"), 6).as("p90_chars"))
+        .orderBy(col("source"))
     })
   )
 
@@ -2407,7 +2431,38 @@ object SparkEntry {
         |  round(CAST(coalesce(cov.dup_tokens, 0) AS DOUBLE) / CAST(b.n AS DOUBLE), 6)
         |    AS dup_frac
         |FROM b LEFT JOIN cov USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // alpha-sampling mixture: weight = n_tokens^0.5 / sum over sources;
+    // target spends the 1M-token budget by weight (same expression order)
+    "q_mixture_weights" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(pow(n_tokens, 0.5)) AS z FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  round(pow(n_tokens, 0.5) / z, 6) AS weight,
+        |  round(pow(n_tokens, 0.5) / z * 1000000, 3) AS target_tokens
+        |FROM per, tot ORDER BY source""".stripMargin,
+
+    // adjacent char pairs weighted by word frequency; pair expansion runs
+    // over the distinct-word table, mirroring the vocab-sized Spark plan
+    "q_bpe_merges" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |wc AS (SELECT w, count(*) AS c FROM w GROUP BY 1),
+        |p AS (SELECT c, unnest(list_transform(generate_series(1, length(w) - 1),
+        |        i -> substr(w, i, 2))) AS pair
+        |  FROM wc WHERE length(w) >= 2)
+        |SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM p GROUP BY 1
+        |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+
+    "q_source_profile" ->
+      """SELECT source, count(*) AS n_docs,
+        |  round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), CAST(0.5 AS DOUBLE)), 6) AS p50_chars,
+        |  round(quantile_cont(CAST(n_chars AS DOUBLE), CAST(0.9 AS DOUBLE)), 6) AS p90_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 
   /** DuckDB fragment mirroring [[Sampling.hashBucket]] over `doc_id` with the

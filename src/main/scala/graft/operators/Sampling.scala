@@ -130,4 +130,33 @@ object Sampling {
         // "tok_offset", not "offset": OFFSET is reserved in most SQL engines
         (col("__cum_before") % seqLen).as("tok_offset"))
   }
+
+  /** Temperature-scaled mixture weights — the multilingual/multi-source
+    * sampling formula of mT5/XLM-R: source `g`'s draw probability is
+    * `n_tokens(g)^alpha / Σ_h n_tokens(h)^alpha`. `alpha = 1` reproduces
+    * natural proportions, `alpha → 0` flattens toward uniform; the usual
+    * training settings live in between (0.3–0.7), boosting low-resource
+    * sources without drowning the head. `target_tokens` spends
+    * `budgetTokens` according to those weights — the per-epoch quota a
+    * downstream sampler (e.g. [[perGroupTokenCap]]) enforces.
+    *
+    * Scale shape: ONE map-side-combinable aggregation over the corpus to
+    * a groups-sized table, then a 1-row total broadcast back over it —
+    * the corpus is read once and never shuffled (null token counts — null
+    * text — drop out of the sums on both engines). Weights and targets
+    * are rounded (6 / 3 places) for cross-engine double hygiene.
+    */
+  def mixtureWeights(df: DataFrame, group: String, tokenCount: Column,
+      alpha: Double, budgetTokens: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val per = df.groupBy(col(group))
+      .agg(count(lit(1)).as("n_docs"), sum(tokenCount).cast("long").as("n_tokens"))
+    val tot = per.agg(sum(pow(col("n_tokens"), alpha)).as("__z"))
+    per.crossJoin(broadcast(tot))
+      .select(
+        col(group), col("n_docs"), col("n_tokens"),
+        round(pow(col("n_tokens"), alpha) / col("__z"), 6).as("weight"),
+        round(pow(col("n_tokens"), alpha) / col("__z") * budgetTokens, 3)
+          .as("target_tokens"))
+  }
 }

@@ -193,6 +193,35 @@ object TextAnalysis {
       .orderBy(col("n_occur").desc, col("gram"))
       .limit(k)
 
+  /** BPE merge-pair statistics — iteration zero of byte-pair-encoding
+    * tokenizer training: the corpus-weighted frequency of every adjacent
+    * character pair inside words, whose top entry is the first merge a BPE
+    * trainer would perform. Running this over a 100 TB corpus is how a
+    * production tokenizer's merge table is seeded.
+    *
+    * Scale shape — the key trick is that the pair explosion runs over the
+    * VOCABULARY, not the corpus: the corpus pays exactly one exploded-token
+    * aggregation (map-side combinable) down to a word-frequency table;
+    * adjacent pairs are then expanded from each distinct word and weighted
+    * by its count. Corpus-sized work is a single groupBy; everything after
+    * is vocab-sized. Top-k is a TakeOrdered (no global sort).
+    */
+  def bpePairCounts(df: DataFrame, text: String, k: Int): DataFrame = {
+    val wordCounts = df.filter(col(text).isNotNull)
+      .select(explode(tokens(col(text))).as("__w"))
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    wordCounts
+      .filter(length(col("__w")) >= 2) // guard: sequence(0,-1) would descend
+      .select(col("__c"),
+        explode(expr("transform(sequence(0, length(__w) - 2), i -> substring(__w, i + 1, 2))"))
+          .as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("__c")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
   /** BM25 lexical retrieval (Robertson/Spärck Jones; the +1 idf form used
     * by Lucene, so idf is always positive): top-k documents for a small
     * fixed term set — the lexical baseline next to the embedding ANN, and

@@ -104,4 +104,24 @@ class SamplingSpec extends SparkSpec {
     // stays: 500-first keeps only it; 1-first keeps both (1, then 501)
     assert(b == Seq(500L) || b == Seq(1L, 501L), b.toString)
   }
+
+  test("mixtureWeights: alpha=0.5 temperature scaling, null text drops from token sums") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "a", "w x"), // 2 tokens
+      (2L, "a", "y z"), // 2 tokens -> a: 4 tokens, sqrt = 2
+      (3L, "a", null.asInstanceOf[String]), // counted as a doc, no tokens
+      (4L, "b", "t1 t2 t3 t4 t5 t6 t7 t8 t9")) // b: 9 tokens, sqrt = 3
+      .toDF("doc_id", "source", "text")
+    val got = Sampling.mixtureWeights(df, "source",
+      size(split(col("text"), " ")), alpha = 0.5, budgetTokens = 1000L)
+      .collect()
+      .map(r => (r.getAs[String]("source"), (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Double]("weight"),
+        r.getAs[Double]("target_tokens"))))
+      .toMap
+    assert(got("a") == ((3L, 4L, 0.4, 400.0)))
+    assert(got("b") == ((1L, 9L, 0.6, 600.0)))
+  }
 }

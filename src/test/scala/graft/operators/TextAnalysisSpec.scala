@@ -261,4 +261,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byId(1L)._2 > byId(2L)._2) // same tf, shorter doc scores higher
     assert(got.map(_._1).head == 1L)
   }
+
+  test("bpePairCounts: pairs weighted by word frequency; 1-char words and nulls ignored") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "abc ab"),
+      (2L, "ab x"), // "x" too short to hold a pair
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    // word counts: ab=2, abc=1, x=1 -> pairs: ab = 2 + 1, bc = 1
+    val got = TextAnalysis.bpePairCounts(df, "text", k = 10)
+      .collect().map(r => (r.getAs[String]("pair"), r.getAs[Long]("n")))
+    assert(got.toSeq == Seq(("ab", 3L), ("bc", 1L)))
+  }
 }
