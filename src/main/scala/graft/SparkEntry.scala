@@ -949,6 +949,21 @@ object SparkEntry {
           round(expr("percentile(n_chars, 0.5D)"), 6).as("p50_chars"),
           round(expr("percentile(n_chars, 0.9D)"), 6).as("p90_chars"))
         .orderBy(col("source"))
+    }),
+
+    // ---- hybrid retrieval: RRF fusion of the BM25 lexical run and the
+    // cosine KNN semantic run (doc ids and vec ids share a domain) ---------
+    "q_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = TextAnalysis.bm25(Tables.documents(s, dir), "doc_id", "text",
+        BM25_TERMS, k = 20)
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long").as("rank"))
+      val emb = Tables.embeddings(s, dir)
+      val sem = Similarity.bruteForceKnn(emb, emb.where(col("vec_id") === 0),
+        "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank").cast("long").as("rank"))
+      Retrieval.rrfFuse(Seq(lex, sem), "doc_id", c = 60, k = 15)
     })
   )
 
@@ -2462,7 +2477,26 @@ object SparkEntry {
         |  round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
         |  round(quantile_cont(CAST(n_chars AS DOUBLE), CAST(0.5 AS DOUBLE)), 6) AS p50_chars,
         |  round(quantile_cont(CAST(n_chars AS DOUBLE), CAST(0.9 AS DOUBLE)), 6) AS p90_chars
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // RRF fusion of the bm25 oracle (as a subquery) and a cosine-KNN run
+    // for query vector 0; 1.0/(60+rank) sums are 2-term (commutative)
+    "q_hybrid_rrf" ->
+      s"""WITH lex AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM (${bm25Sql(BM25_TERMS, 20)})),
+         |eq AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         |ec AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id <> 0),
+         |ss AS (SELECT vec_id AS doc_id, round(${cosineSql("qv", "cv")}, 6) AS sim
+         |  FROM ec, eq),
+         |sem AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rank
+         |  FROM ss ORDER BY sim DESC, doc_id LIMIT 20),
+         |runs AS (
+         |  SELECT doc_id, 1.0 / (60 + rank) AS s FROM lex
+         |  UNION ALL
+         |  SELECT doc_id, 1.0 / (60 + rank) AS s FROM sem)
+         |SELECT doc_id, round(sum(s), 6) AS rrf, CAST(count(*) AS BIGINT) AS n_runs
+         |FROM runs GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin
   )
 
   /** DuckDB fragment mirroring [[Sampling.hashBucket]] over `doc_id` with the
