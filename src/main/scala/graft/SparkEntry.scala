@@ -951,6 +951,20 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---- per-label mean embeddings (class centroids), long format --------
+    "q_label_centroids" -> ((s, dir) => {
+      Similarity.labelCentroids(Tables.embeddings(s, dir), "label", "embedding")
+        .orderBy(col("label"), col("dim"))
+    }),
+
+    // ---- salted exact count-distinct: same oracle as q_distinct_users,
+    // skew-proof two-phase plan (salt derived from the dedup column) -------
+    "q_distinct_users_salted" -> ((s, dir) => {
+      Skew.saltedDistinct(events(s, dir), "event_type", "user_id", salts = 16)
+        .select(col("event_type"), col("n_distinct").as("n_users"), col("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- hybrid retrieval: RRF fusion of the BM25 lexical run and the
     // cosine KNN semantic run (doc ids and vec ids share a domain) ---------
     "q_hybrid_rrf" -> ((s, dir) => {
@@ -1230,6 +1244,14 @@ object SparkEntry {
        |SELECT set_name, pvname, ts_us, event_id, value FROM r WHERE rn = 1
        |ORDER BY set_name, pvname""".stripMargin
   }
+
+  /** Shared by q_distinct_users (built-in count_distinct) and
+    * q_distinct_users_salted ([[Skew.saltedDistinct]]): both plans must
+    * produce THIS result.
+    */
+  private val distinctUsersSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** DuckDB fragment mirroring [[Similarity.cosine]] (dot / (‖a‖·‖b‖)). */
   private def cosineSql(a: String, b: String): String =
@@ -2136,9 +2158,20 @@ object SparkEntry {
          |SELECT run, start_us, stop_us, n, run = (SELECT max(run) FROM r) AS current
          |FROM r ORDER BY run""".stripMargin,
 
-    "q_distinct_users" ->
-      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_distinct_users" -> distinctUsersSql,
+
+    // identical result, produced by the salted two-phase plan
+    "q_distinct_users_salted" -> distinctUsersSql,
+
+    // long-format class centroids: one row per (label, dim)
+    "q_label_centroids" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |x AS (SELECT label, unnest(list_transform(generate_series(1, len(v)),
+        |    i -> {'dim': i - 1, 'x': v[i]})) AS u FROM e)
+        |SELECT label, CAST(u.dim AS BIGINT) AS dim, count(*) AS n,
+        |  round(avg(u.x), 6) AS mean
+        |FROM x GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
 
     "q_topk_users" ->
       """SELECT user_id, round(sum(value), 3) AS total, count(*) AS n

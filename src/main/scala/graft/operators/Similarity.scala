@@ -463,6 +463,24 @@ object Similarity {
     d
   }
 
+  /** Per-label mean embedding (class centroids), in long format: one row
+    * per (label, dim) with the rounded mean coordinate. The semantic
+    * companion of [[normStats]] — class centroids are the seed of
+    * label-conditioned diversity sampling, drift monitoring (compare
+    * per-label centroids across snapshots), and nearest-class-mean
+    * classification.
+    *
+    * Scale shape: posexplode multiplies the corpus by `dim` but feeds ONE
+    * map-side-combinable aggregation on (label, dim) — the classic
+    * long-format vector mean, shuffling only (label, dim, partial sums),
+    * never the vectors. Null vectors drop out.
+    */
+  def labelCentroids(df: DataFrame, label: String, vec: String): DataFrame =
+    df.filter(col(vec).isNotNull)
+      .select(col(label), posexplode(col(vec)).as(Seq("dim", "__x")))
+      .groupBy(col(label), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), round(avg(col("__x")), 6).as("mean"))
+
   /** Per-label embedding stats (count + mean L2 norm) — a cheap corpus
     * health check used by the oracle suite.
     */

@@ -178,6 +178,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq((0, 2L, 7.5), (1, 1L, 1.0)))
   }
 
+  test("labelCentroids: per-(label, dim) means, null vectors dropped") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (0, Array(1.0f, 3.0f)),
+      (0, Array(3.0f, 5.0f)),
+      (1, Array(2.0f, 2.0f)),
+      (1, null.asInstanceOf[Array[Float]]))
+      .toDF("label", "embedding")
+    val got = Similarity.labelCentroids(df, "label", "embedding")
+      .collect()
+      .map(r => ((r.getAs[Int]("label"), r.getAs[Long]("dim")),
+        (r.getAs[Long]("n"), r.getAs[Double]("mean")))).toMap
+    assert(got((0, 0L)) == ((2L, 2.0)) && got((0, 1L)) == ((2L, 4.0)))
+    assert(got((1, 0L)) == ((1L, 2.0)) && got((1, 1L)) == ((1L, 2.0)))
+    assert(got.size == 4)
+  }
+
   test("semanticOutliers: farthest-from-centroid ranking, null vectors skipped") {
     val sp = spark
     import sp.implicits._

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SkewSpec extends SparkSpec {
+
+  test("saltedDistinct: exact at any salt width, including a heavily skewed key") {
+    val sp = spark
+    import sp.implicits._
+    // key "hot" gets 500 rows over 100 users (each user repeated), "cold" 3
+    val df = ((1 to 500).map(i => ("hot", (i % 100).toLong)) ++
+      Seq(("cold", 1L), ("cold", 1L), ("cold", 2L)))
+      .toDF("k", "u")
+    val expected = df.groupBy(col("k"))
+      .agg(countDistinct(col("u")).as("nd"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    for (salts <- Seq(1, 7, 64)) {
+      val got = Skew.saltedDistinct(df, "k", "u", salts)
+        .collect()
+        .map(r => (r.getAs[String]("k"),
+          (r.getAs[Long]("n_distinct"), r.getAs[Long]("n")))).toMap
+      assert(got == expected, s"salts=$salts")
+    }
+    assert(expected("hot") == ((100L, 500L)) && expected("cold") == ((2L, 3L)))
+  }
+
+  test("saltedDistinct: null dedup values behave like count_distinct (ignored)") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(("a", java.lang.Long.valueOf(1L)), ("a", null.asInstanceOf[java.lang.Long]),
+      ("a", java.lang.Long.valueOf(1L))).toDF("k", "u")
+    val got = Skew.saltedDistinct(df, "k", "u", 8).collect()
+      .map(r => (r.getAs[Long]("n_distinct"), r.getAs[Long]("n"))).head
+    // count_distinct skips nulls; the row count does not
+    assert(got == ((1L, 3L)))
+  }
+}
