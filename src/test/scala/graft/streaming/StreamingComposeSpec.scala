@@ -246,4 +246,64 @@ class StreamingComposeSpec extends SparkSpec {
     assert(stored.sorted.toSeq == expected.sorted.toSeq ||
       stored.sorted.toSeq == expected.sorted.dropRight(1).toSeq)
   }
+
+  test("stream-stream interval join equals the batch join (watermarked state, bounded)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val min = 60L * S
+    // impressions every 10 min for 3 users over 2 h; conversions at +5 min
+    // (inside the 30-min attribution window), +45 min (outside), and one
+    // for an unknown user (no match)
+    val day0 = 86400L * S // start off epoch 0: ts=0 sits exactly on the
+    // initial watermark and eviction boundaries — a degenerate fixture, not
+    // a case a real deployment's clock ever produces
+    val imprRows = for { u <- 0 until 3; i <- 0 until 12 }
+      yield (s"u$u", day0 + (i.toLong * 10L + u) * min)
+    val convRows =
+      imprRows.filter(t => (t._2 - day0) % (20L * min) == 0)
+        .map { case (k, t) => (k, t + 5L * min) } ++
+        imprRows.filter(t => (t._2 - day0) % (30L * min) == 0)
+          .map { case (k, t) => (k, t + 45L * min) } ++
+        Seq(("ghost", day0 + 30L * min))
+    def batchJoin(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      a.join(b, expr(s"k = k2 AND bUs >= aUs AND bUs <= aUs + ${30L * min}"))
+        .select(col("k"), col("aUs"), col("bUs"))
+
+    val impr = MemoryStream[(String, Long)]
+    val conv = MemoryStream[(String, Long)]
+    // the watermark delay exceeds the fixture's whole span: the two sources
+    // may be drained in separate micro-batches in either order, and a
+    // tighter delay would let one side's batch mark the other side's
+    // still-queued rows late (a real 24/7 deployment tunes this to its
+    // actual disorder bound; the fixture just needs determinism)
+    val a = impr.toDS().toDF("k", "aUs")
+      .withColumn("tsa", timestamp_micros(col("aUs"))).withWatermark("tsa", "4 hours")
+    val b = conv.toDS().toDF("k2", "bUs")
+      .withColumn("tsb", timestamp_micros(col("bUs"))).withWatermark("tsb", "4 hours")
+    // the time bound rides on the EVENT-TIME columns, so the join state on
+    // both sides is watermark-bounded (old impressions age out instead of
+    // accumulating forever — the property that makes this runnable 24/7)
+    val q = a.join(b,
+        expr("k = k2 AND tsb >= tsa AND tsb <= tsa + interval 30 minutes"))
+      .select(col("k"), col("aUs"), col("bUs"))
+      .writeStream.outputMode("append").format("memory").queryName("ssj_stream")
+      .start()
+    try {
+      // interleave both streams in event-time order, two batches each
+      impr.addData(imprRows.take(18)); conv.addData(convRows.take(10))
+      q.processAllAvailable()
+      impr.addData(imprRows.drop(18)); conv.addData(convRows.drop(10))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = sp.table("ssj_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = batchJoin(imprRows.toDF("k", "aUs"), convRows.toDF("k2", "bUs"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == expected && streamed.nonEmpty)
+    // the out-of-window (+45 min) and unknown-user conversions never match
+    assert(!streamed.exists(_._1 == "ghost"))
+  }
 }
