@@ -61,7 +61,9 @@ class PlanAuditSpec extends SparkSpec {
         "q_instrument_snapshot", "q_jaccard_ppjoin", "q_simhash_pairs",
         "q_requests", "q_chunk_docs", "q_lm_xent", "q_knn_recall",
         "q_activity", "q_oov", "q_minhash_incremental", "q_vocab_shift",
-        "q_asof_join", "q_sessions").foreach { q =>
+        "q_asof_join", "q_sessions", "q_span_dedup", "q_mixture_weights",
+        "q_bpe_merges", "q_source_profile", "q_label_centroids",
+        "q_distinct_users_salted", "q_hybrid_rrf").foreach { q =>
         SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
       }
       org.apache.spark.GraftSparkTestHooks.waitListenerBus(spark.sparkContext)
@@ -146,5 +148,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(firstJoinIdx > 0, plan)
     val exchangesBeforeJoin = lines.take(firstJoinIdx).count(_.contains("Exchange"))
     assert(exchangesBeforeJoin == 0, plan)
+  }
+
+  test("span dedup: hash aggregates + joins, no windows, no driver collect") {
+    val plan = formatted("q_span_dedup")
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("ExistingRDD"), plan)
+  }
+
+  test("mixture weights: corpus feeds one agg; totals arrive by broadcast") {
+    val plan = formatted("q_mixture_weights")
+    // the 1-row totals frame joins by broadcast, never a shuffled join
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("bpe merges: corpus-side agg then vocab-side explode, TakeOrdered top-k") {
+    val plan = formatted("q_bpe_merges")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+    // the pair explosion (Generate) sits ABOVE the word-count aggregation:
+    // grams expand from the vocab table, not from the corpus scan
+    val lines = plan.linesIterator.toSeq
+    val genIdx = lines.indexWhere(_.matches(".*\\(\\d+\\) Generate.*"))
+    val aggIdxs = lines.zipWithIndex.filter(_._1.contains("HashAggregate")).map(_._2)
+    assert(genIdx > 0 && aggIdxs.exists(_ > genIdx), plan)
+  }
+
+  test("salted distinct: aggregation-only plan (no Window, no join), same result as built-in") {
+    val plan = formatted("q_distinct_users_salted")
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+  }
+
+  test("label centroids: posexplode feeds a two-phase partial aggregation") {
+    val plan = formatted("q_label_centroids")
+    assert(plan.contains("Generate"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("semantic outliers: global top-N is a TakeOrdered, not a sort-the-world") {
+    val plan = formatted("q_semantic_outliers")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
   }
 }
