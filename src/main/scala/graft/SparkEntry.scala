@@ -965,6 +965,28 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- perplexity-quartile profile: exact quantile thresholds over the
+    // (identically rounded) lm_xent scores, then per-bucket stats ----------
+    "q_quality_buckets" -> ((s, dir) => {
+      val xent = TextAnalysis.lmCrossEntropy(Tables.documents(s, dir), "doc_id", "text",
+        addK = 0.5)
+      val qs = xent.agg(expr("percentile(xent, array(0.25D, 0.5D, 0.75D))").as("__q"))
+      xent.crossJoin(broadcast(qs))
+        .select(col("xent"),
+          when(col("xent") <= col("__q").getItem(0), 0L)
+            .when(col("xent") <= col("__q").getItem(1), 1L)
+            .when(col("xent") <= col("__q").getItem(2), 2L)
+            .otherwise(3L).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), round(avg(col("xent")), 6).as("avg_xent"),
+          round(min(col("xent")), 6).as("min_xent"), round(max(col("xent")), 6).as("max_xent"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ---- one-row corpus dataset card ------------------------------------
+    "q_dataset_card" -> ((s, dir) =>
+      TextAnalysis.datasetCard(Tables.documents(s, dir), "text", "lang", "source")),
+
     // ---- hybrid retrieval: RRF fusion of the BM25 lexical run and the
     // cosine KNN semantic run (doc ids and vec ids share a domain) ---------
     "q_hybrid_rrf" -> ((s, dir) => {
@@ -1244,6 +1266,27 @@ object SparkEntry {
        |SELECT set_name, pvname, ts_us, event_id, value FROM r WHERE rn = 1
        |ORDER BY set_name, pvname""".stripMargin
   }
+
+  /** Self-trained add-k bigram LM cross-entropy — shared by q_lm_xent and
+    * (as a CTE) q_quality_buckets. The score reuses the EXACT expression
+    * tree of the Column plan: (c2 + k) / (c1 + k * v), log2, avg, negate,
+    * round — double arithmetic is order-sensitive.
+    */
+  private val lmXentSql: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+      |g AS (SELECT doc_id, unnest(list_transform(
+      |    generate_series(0, len(toks) - 2),
+      |    i -> array_to_string(toks[i + 1 : i + 2], ' '))) AS g FROM tk),
+      |c2 AS (SELECT g, count(*) AS c2 FROM g GROUP BY 1),
+      |c1 AS (SELECT string_split(g, ' ')[1] AS w1, count(*) AS c1 FROM g GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+      |      FROM (SELECT unnest(toks) AS t FROM tk))
+      |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  round(-avg(log2((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v))), 6) AS xent
+      |FROM g JOIN c2 ON g.g = c2.g
+      |       JOIN c1 ON string_split(g.g, ' ')[1] = c1.w1, v
+      |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin
 
   /** Shared by q_distinct_users (built-in count_distinct) and
     * q_distinct_users_salted ([[Skew.saltedDistinct]]): both plans must
@@ -2407,21 +2450,42 @@ object SparkEntry {
     // self-trained add-k bigram LM; the score reuses the EXACT expression
     // tree of the Column plan: (c2 + k) / (c1 + k * v), log2, avg, negate,
     // round — double arithmetic is order-sensitive
-    "q_lm_xent" ->
-      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
-        |  FROM documents WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
-        |g AS (SELECT doc_id, unnest(list_transform(
-        |    generate_series(0, len(toks) - 2),
-        |    i -> array_to_string(toks[i + 1 : i + 2], ' '))) AS g FROM tk),
-        |c2 AS (SELECT g, count(*) AS c2 FROM g GROUP BY 1),
-        |c1 AS (SELECT string_split(g, ' ')[1] AS w1, count(*) AS c1 FROM g GROUP BY 1),
-        |v AS (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
-        |      FROM (SELECT unnest(toks) AS t FROM tk))
-        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  round(-avg(log2((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v))), 6) AS xent
-        |FROM g JOIN c2 ON g.g = c2.g
-        |       JOIN c1 ON string_split(g.g, ' ')[1] = c1.w1, v
-        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+    "q_lm_xent" -> lmXentSql,
+
+    // perplexity-proxy quartile profile over the lm_xent result: thresholds
+    // from exact interpolated quantiles over the (identically rounded)
+    // xent column, buckets compared on identical doubles in both engines
+    "q_quality_buckets" ->
+      s"""WITH lx AS ($lmXentSql),
+         |qs AS (SELECT quantile_cont(xent, CAST(0.25 AS DOUBLE)) AS q1,
+         |       quantile_cont(xent, CAST(0.5 AS DOUBLE)) AS q2,
+         |       quantile_cont(xent, CAST(0.75 AS DOUBLE)) AS q3 FROM lx),
+         |b AS (SELECT doc_id, xent,
+         |    CASE WHEN xent <= q1 THEN 0 WHEN xent <= q2 THEN 1
+         |         WHEN xent <= q3 THEN 2 ELSE 3 END AS bucket FROM lx, qs)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+         |  round(avg(xent), 6) AS avg_xent, round(min(xent), 6) AS min_xent,
+         |  round(max(xent), 6) AS max_xent
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // one-row corpus summary; entropy written ln(p)/ln(2) on both sides
+    "q_dataset_card" ->
+      """WITH card AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens,
+        |    count(DISTINCT lang) AS n_langs,
+        |    count(DISTINCT source) AS n_sources,
+        |    count(DISTINCT md5(text)) AS uniq
+        |  FROM documents),
+        |lc AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM lc),
+        |ent AS (SELECT round(-sum((c / tot) * (ln(c / tot) / ln(2.0))), 6)
+        |        AS lang_entropy FROM lc, tot)
+        |SELECT n_docs, n_null_text, n_tokens, avg_tokens, n_langs, n_sources,
+        |  round(1.0 - (uniq / (n_docs - n_null_text)), 6) AS dup_frac,
+        |  lang_entropy
+        |FROM card, ent""".stripMargin,
 
     "q_knn_recall" -> knnRecallSql(k = 5, planes = 4, dim = 64),
 

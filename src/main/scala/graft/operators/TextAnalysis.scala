@@ -342,6 +342,40 @@ object TextAnalysis {
           .as("xent"))
   }
 
+  /** One-row corpus "dataset card": doc/token volume, null-text count,
+    * language and source cardinalities, exact-duplicate fraction (md5),
+    * and the Shannon entropy of the language distribution — the summary
+    * block a dataset release ships next to the data.
+    *
+    * Scale shape: two corpus scans (the flat aggregate and the language
+    * histogram), each ONE map-side-combinable aggregation; everything
+    * downstream is 1-row or languages-sized frames stitched by broadcast.
+    * Entropy is written `ln(p)/ln(2)` so both engines evaluate the same
+    * float expression.
+    */
+  def datasetCard(df: DataFrame, text: String, lang: String, source: String): DataFrame = {
+    val toks = size(tokens(col(text)))
+    val card = df.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col(text).isNull, 1L).otherwise(0L)).cast("long").as("n_null_text"),
+      sum(toks).cast("long").as("n_tokens"),
+      round(avg(toks), 6).as("avg_tokens"),
+      count_distinct(col(lang)).as("n_langs"),
+      count_distinct(col(source)).as("n_sources"),
+      count_distinct(md5(col(text))).as("__uniq"))
+    val langCounts = df.groupBy(col(lang)).agg(count(lit(1)).as("__c"))
+    val tot = langCounts.agg(sum(col("__c")).cast("double").as("__tot"))
+    val entropy = langCounts.crossJoin(broadcast(tot))
+      .agg(round(-sum((col("__c") / col("__tot")) *
+        (log(col("__c") / col("__tot")) / log(lit(2.0)))), 6).as("lang_entropy"))
+    card.crossJoin(broadcast(entropy))
+      .select(col("n_docs"), col("n_null_text"), col("n_tokens"), col("avg_tokens"),
+        col("n_langs"), col("n_sources"),
+        round(lit(1.0) - col("__uniq") / (col("n_docs") - col("n_null_text")), 6)
+          .as("dup_frac"),
+        col("lang_entropy"))
+  }
+
   /** Tokenizer-vocabulary coverage: per-document out-of-vocabulary token
     * count and fraction against a vocabulary dimension — the pre-training
     * check that a tokenizer/vocab actually covers a corpus (a high OOV

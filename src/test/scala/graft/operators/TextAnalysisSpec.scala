@@ -262,6 +262,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.map(_._1).head == 1L)
   }
 
+  test("datasetCard: volumes, dup fraction over non-null docs, lang entropy") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "en", "web", "a b c"),
+      (2L, "en", "web", "a b c"), // exact dup of 1
+      (3L, "de", "book", "x y"),
+      (4L, "de", "web", null.asInstanceOf[String]))
+      .toDF("doc_id", "lang", "source", "text")
+    val r = TextAnalysis.datasetCard(df, "text", "lang", "source").collect().head
+    assert(r.getAs[Long]("n_docs") == 4L && r.getAs[Long]("n_null_text") == 1L)
+    assert(r.getAs[Long]("n_tokens") == 8L) // 3 + 3 + 2, null skipped
+    assert(r.getAs[Double]("avg_tokens") == 2.666667)
+    assert(r.getAs[Long]("n_langs") == 2L && r.getAs[Long]("n_sources") == 2L)
+    // 2 unique texts over 3 non-null docs -> dup_frac = 1 - 2/3
+    assert(r.getAs[Double]("dup_frac") == 0.333333)
+    // langs split 2/2 -> entropy exactly 1 bit
+    assert(r.getAs[Double]("lang_entropy") == 1.0)
+  }
+
   test("bpePairCounts: pairs weighted by word frequency; 1-char words and nulls ignored") {
     val sp = spark
     import sp.implicits._
