@@ -965,6 +965,25 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- trailing-window moving stats + z-score anomaly flag (the
+    // "suddenly 6-sigma off its last 6 hours" monitoring primitive) --------
+    "q_trailing_stats" -> ((s, dir) => {
+      val samples = events(s, dir)
+        .where(col("event_type") === "click" && col("ts_us") >= T0 && col("ts_us") < TMID)
+        .select(concat(lit("u"), col("user_id")).as("pvname"),
+          col("ts_us"), col("value"))
+      TimeSeries.trailingStats(samples, "pvname", "ts_us", "value",
+        windowUs = 6L * 3600L * 1000000L)
+        // driver-compare hygiene: no NULLs in oracle-checked outputs (the
+        // row sort can't order None against values) — absent baselines
+        // surface as NaN on both engines
+        .select(col("pvname"), col("ts_us"), col("value"), col("n_prev"),
+          coalesce(col("mean_prev"), lit(Double.NaN)).as("mean_prev"),
+          coalesce(col("std_prev"), lit(Double.NaN)).as("std_prev"),
+          coalesce(col("z"), lit(Double.NaN)).as("z"))
+        .orderBy(col("pvname"), col("ts_us"), col("value"))
+    }),
+
     // ---- perplexity-quartile profile: exact quantile thresholds over the
     // (identically rounded) lm_xent scores, then per-bucket stats ----------
     "q_quality_buckets" -> ((s, dir) => {
@@ -2451,6 +2470,31 @@ object SparkEntry {
     // tree of the Column plan: (c2 + k) / (c1 + k * v), log2, avg, negate,
     // round — double arithmetic is order-sensitive
     "q_lm_xent" -> lmXentSql,
+
+    // strictly-preceding 6 h range frame per key; stddev/z gated on a
+    // >= 2-point baseline, z additionally on a non-constant one
+    "q_trailing_stats" ->
+      s"""WITH s AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS pvname,
+         |    epoch_us(ts) AS ts_us, value
+         |  FROM events WHERE event_type = 'click'
+         |    AND epoch_us(ts) >= $T0 AND epoch_us(ts) < $TMID),
+         |w AS (SELECT pvname, ts_us, value,
+         |    count(value) OVER win AS n_prev,
+         |    avg(value) OVER win AS mean_raw,
+         |    stddev_samp(value) OVER win AS std_raw
+         |  FROM s
+         |  WINDOW win AS (PARTITION BY pvname ORDER BY ts_us
+         |    RANGE BETWEEN ${6L * 3600L * 1000000L} PRECEDING AND 1 PRECEDING))
+         |SELECT pvname, ts_us, value,
+         |  CAST(n_prev AS BIGINT) AS n_prev,
+         |  coalesce(CASE WHEN n_prev >= 1 THEN round(mean_raw, 6) END,
+         |    'NaN'::DOUBLE) AS mean_prev,
+         |  coalesce(CASE WHEN n_prev >= 2 THEN round(std_raw, 6) END,
+         |    'NaN'::DOUBLE) AS std_prev,
+         |  coalesce(CASE WHEN n_prev >= 2 AND std_raw > 0
+         |       THEN round((value - mean_raw) / std_raw, 6) END,
+         |    'NaN'::DOUBLE) AS z
+         |FROM w ORDER BY pvname, ts_us, value""".stripMargin,
 
     // perplexity-proxy quartile profile over the lm_xent result: thresholds
     // from exact interpolated quantiles over the (identically rounded)

@@ -148,6 +148,38 @@ object TimeSeries {
     * (e.g. `max_by`) or the carried value among ties is order-dependent.
     * Left column names and `rightVals` must not collide.
     */
+  /** Trailing-window moving statistics + z-score anomaly flag: for every
+    * sample, count/mean/stddev over the STRICTLY-PRECEDING `windowUs` of
+    * the same key (`[ts - windowUs, ts - 1]` — excluding the row itself
+    * and its same-timestamp peers, so a spike cannot contaminate its own
+    * baseline), and the sample's z-score against that baseline. The
+    * monitoring primitive behind "PV suddenly reads 6σ off its last hour".
+    *
+    * Scale shape: ONE key-partitioned range window — state per task is the
+    * window's worth of samples for its keys, never the corpus; no global
+    * window, no second shuffle (mean/std/count share the frame).
+    * stddev/z are null until the baseline has >= 2 points, and z is null
+    * when the baseline is constant (stddev 0).
+    *
+    * Cross-engine determinism: both engines stream their variance update
+    * in frame order over identical doubles; mean/std/z round to 6 after
+    * the shared expression `(v − mean) / std`.
+    */
+  def trailingStats(df: DataFrame, key: String, ts: String, value: String,
+      windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+      .rangeBetween(-windowUs, -1L)
+    val n = count(col(value)).over(w)
+    val mean = avg(col(value)).over(w)
+    val std = stddev_samp(col(value)).over(w)
+    df.select(col(key), col(ts), col(value),
+        n.as("n_prev"),
+        when(n >= 1, round(mean, 6)).as("mean_prev"),
+        when(n >= 2, round(std, 6)).as("std_prev"),
+        when(n >= 2 && std > 0, round((col(value) - mean) / std, 6)).as("z"))
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
     val lCols = left.columns.toSeq

@@ -235,4 +235,30 @@ class TimeSeriesSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("run_id"))
     assert(got.toSeq == Seq(2L, 3L, 4L))
   }
+
+  test("trailingStats: strictly-preceding baseline, window expiry, z-score gates") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      ("a", 0L, 10.0), // no baseline
+      ("a", 10L, 20.0), // baseline {10}: n=1, mean only
+      ("a", 20L, 30.0), // baseline {10, 20}: mean 15, std ~7.07, z = 15/7.07
+      ("a", 200L, 5.0), // window 50: everything expired -> no baseline
+      ("b", 10L, 7.0), ("b", 15L, 7.0), ("b", 20L, 99.0)) // constant baseline: z null
+      .toDF("k", "ts", "v")
+    val got = TimeSeries.trailingStats(rows, "k", "ts", "v", windowUs = 50L)
+      .collect()
+      .map(r => ((r.getAs[String]("k"), r.getAs[Long]("ts")),
+        (r.getAs[Long]("n_prev"), Option(r.getAs[Any]("mean_prev")),
+          Option(r.getAs[Any]("std_prev")), Option(r.getAs[Any]("z")))))
+      .toMap
+    assert(got(("a", 0L)) == ((0L, None, None, None)))
+    assert(got(("a", 10L)) == ((1L, Some(10.0), None, None)))
+    val a20 = got(("a", 20L))
+    assert(a20._1 == 2L && a20._2 == Some(15.0))
+    assert(a20._3 == Some(7.071068) && a20._4 == Some(2.12132))
+    assert(got(("a", 200L)) == ((0L, None, None, None)))
+    // constant baseline: stddev 0 -> std reported, z gated off
+    assert(got(("b", 20L)) == ((2L, Some(7.0), Some(0.0), None)))
+  }
 }
