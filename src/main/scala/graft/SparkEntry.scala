@@ -965,6 +965,21 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- linear-interpolation resampling to an hourly grid (the smooth-
+    // plot twin of the LOCF alignment family) ------------------------------
+    "q_interpolate" -> ((s, dir) => {
+      val samples = events(s, dir)
+        .where(col("event_type") === "click" && col("ts_us") >= T0 && col("ts_us") < TMID)
+        .where(col("user_id") < 40)
+        .select(concat(lit("u"), col("user_id")).as("pvname"),
+          col("ts_us"), col("value"))
+      TimeSeries.interpolateLinear(samples, "pvname", "ts_us", "value",
+        t0 = T0, t1 = TMID, stepUs = 6L * 3600L * 1000000L)
+        .select(col("pvname"), col("ts_us"),
+          coalesce(col("value"), lit(Double.NaN)).as("value"))
+        .orderBy(col("pvname"), col("ts_us"))
+    }),
+
     // ---- trailing-window moving stats + z-score anomaly flag (the
     // "suddenly 6-sigma off its last 6 hours" monitoring primitive) --------
     "q_trailing_stats" -> ((s, dir) => {
@@ -2470,6 +2485,41 @@ object SparkEntry {
     // tree of the Column plan: (c2 + k) / (c1 + k * v), log2, avg, negate,
     // round — double arithmetic is order-sensitive
     "q_lm_xent" -> lmXentSql,
+
+    // grid rows interleave AFTER their same-timestamp sample (is_grid
+    // orders last), so "prev" is at-or-before and "next" strictly after;
+    // head-of-series grid points have no value -> NaN (driver hygiene)
+    "q_interpolate" ->
+      s"""WITH s AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS pvname,
+         |    epoch_us(ts) AS ts_us, max(value) AS v
+         |  FROM events WHERE event_type = 'click'
+         |    AND epoch_us(ts) >= $T0 AND epoch_us(ts) < $TMID AND user_id < 40
+         |  GROUP BY 1, 2),
+         |grid AS (SELECT pvname, unnest(generate_series($T0, $TMID,
+         |    ${6L * 3600L * 1000000L})) AS ts_us
+         |  FROM (SELECT DISTINCT pvname FROM s)),
+         |u AS (SELECT pvname, ts_us, v, 0 AS is_grid FROM s
+         |  UNION ALL SELECT pvname, ts_us, NULL, 1 FROM grid),
+         |f AS (SELECT pvname, ts_us, is_grid,
+         |    last_value(CASE WHEN is_grid = 0 AND v IS NOT NULL THEN v END
+         |      IGNORE NULLS) OVER wp AS pv,
+         |    last_value(CASE WHEN is_grid = 0 AND v IS NOT NULL THEN ts_us END
+         |      IGNORE NULLS) OVER wp AS pt,
+         |    first_value(CASE WHEN is_grid = 0 AND v IS NOT NULL THEN v END
+         |      IGNORE NULLS) OVER wn AS nv,
+         |    first_value(CASE WHEN is_grid = 0 AND v IS NOT NULL THEN ts_us END
+         |      IGNORE NULLS) OVER wn AS nt
+         |  FROM u
+         |  WINDOW wp AS (PARTITION BY pvname ORDER BY ts_us, is_grid
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wn AS (PARTITION BY pvname ORDER BY ts_us, is_grid
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT pvname, ts_us,
+         |  coalesce(round(CASE
+         |    WHEN pt IS NOT NULL AND nt IS NOT NULL
+         |      THEN pv + (nv - pv) * ((ts_us - pt) / (nt - pt))
+         |    WHEN pt IS NOT NULL THEN pv END, 6), 'NaN'::DOUBLE) AS value
+         |FROM f WHERE is_grid = 1 ORDER BY pvname, ts_us""".stripMargin,
 
     // strictly-preceding 6 h range frame per key; stddev/z gated on a
     // >= 2-point baseline, z additionally on a non-constant one

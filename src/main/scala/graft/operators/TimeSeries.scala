@@ -180,6 +180,49 @@ object TimeSeries {
         when(n >= 2 && std > 0, round((col(value) - mean) / std, 6)).as("z"))
   }
 
+  /** Resample each key's series onto a regular `[t0, t1]` grid (every
+    * `stepUs`) with LINEAR interpolation — the smooth-plot twin of the
+    * LOCF family: a grid point between two samples takes
+    * `prev + (next − prev)·(t − tp)/(tn − tp)`; past the last sample the
+    * value carries forward (LOCF tail); before the first there is no
+    * value (null). A grid point landing exactly on a sample reproduces it
+    * (the factor is exactly 0). Same-timestamp duplicate samples collapse
+    * to their max first (one deterministic value per instant).
+    *
+    * Plan shape: samples dedupe in one key-partitioned aggregation; the
+    * grid is a map-only key×sequence explode; neighbors come from ONE
+    * key-partitioned window pass (running last below, running first
+    * above — sample rows sort before their same-timestamp grid row, so
+    * "next" is strictly later). No global window, no join: per-task state
+    * is one key's rows, the locfAlignChunked-style time-chunking applies
+    * if single keys outgrow a task.
+    */
+  def interpolateLinear(df: DataFrame, key: String, ts: String, value: String,
+      t0: Long, t1: Long, stepUs: Long): DataFrame = {
+    require(stepUs > 0, s"stepUs must be positive, got $stepUs")
+    require(t1 >= t0, s"empty grid: t1 $t1 < t0 $t0")
+    val samples = df.groupBy(col(key), col(ts)).agg(max(col(value)).cast("double").as("__v"))
+    val grid = samples.select(col(key)).distinct()
+      .select(col(key), explode(sequence(lit(t0), lit(t1), lit(stepUs))).as(ts))
+      .withColumn("__v", lit(null).cast("double"))
+      .withColumn("__g", lit(1))
+    val u = samples.withColumn("__g", lit(0)).unionByName(grid)
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__g"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val isSample = col("__g") === 0 && col("__v").isNotNull
+    val pv = last(when(isSample, col("__v")), ignoreNulls = true).over(wPrev)
+    val pt = last(when(isSample, col(ts)), ignoreNulls = true).over(wPrev)
+    val nv = first(when(isSample, col("__v")), ignoreNulls = true).over(wNext)
+    val nt = first(when(isSample, col(ts)), ignoreNulls = true).over(wNext)
+    u.select(col(key), col(ts), col("__g"),
+        when(pt.isNotNull && nt.isNotNull,
+          pv + (nv - pv) * ((col(ts) - pt) / (nt - pt)))
+          .when(pt.isNotNull, pv).as("__iv"))
+      .where(col("__g") === 1)
+      .select(col(key), col(ts), round(col("__iv"), 6).as("value"))
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
     val lCols = left.columns.toSeq

@@ -236,6 +236,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.toSeq == Seq(2L, 3L, 4L))
   }
 
+  test("interpolateLinear: grid hits samples exactly, interpolates between, LOCF tail, null head") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      ("a", 10L, 10.0), ("a", 10L, 5.0), // duplicate instant collapses to max
+      ("a", 30L, 30.0),
+      ("b", 25L, 7.0))
+      .toDF("k", "ts", "v")
+    val got = TimeSeries.interpolateLinear(rows, "k", "ts", "v", t0 = 0L, t1 = 40L, stepUs = 10L)
+      .collect()
+      .map(r => ((r.getAs[String]("k"), r.getAs[Long]("ts")),
+        Option(r.getAs[Any]("value")))).toMap
+    assert(got(("a", 0L)).isEmpty) // before the first sample
+    assert(got(("a", 10L)) == Some(10.0)) // exactly on a (deduped) sample
+    assert(got(("a", 20L)) == Some(20.0)) // midpoint
+    assert(got(("a", 30L)) == Some(30.0))
+    assert(got(("a", 40L)) == Some(30.0)) // LOCF past the last sample
+    assert(got(("b", 20L)).isEmpty && got(("b", 30L)) == Some(7.0))
+    assert(got.size == 10) // 2 keys x 5 grid points
+  }
+
   test("trailingStats: strictly-preceding baseline, window expiry, z-score gates") {
     val sp = spark
     import sp.implicits._
