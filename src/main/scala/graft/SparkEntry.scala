@@ -1021,6 +1021,17 @@ object SparkEntry {
     "q_dataset_card" -> ((s, dir) =>
       TextAnalysis.datasetCard(Tables.documents(s, dir), "text", "lang", "source")),
 
+    // ---- per-source top terms (exact heavy hitters; window over the
+    // vocab-sized count table, never the corpus) ---------------------------
+    "q_source_top_terms" -> ((s, dir) =>
+      TextAnalysis.topTermsPerGroup(Tables.documents(s, dir), "source", "text", k = 5)
+        .orderBy(col("source"), col("rank"))),
+
+    // ---- source-vocabulary cosine: which sources read alike --------------
+    "q_source_similarity" -> ((s, dir) =>
+      TextAnalysis.groupVocabCosine(Tables.documents(s, dir), "source", "text")
+        .orderBy(col("g1"), col("g2"))),
+
     // ---- hybrid retrieval: RRF fusion of the BM25 lexical run and the
     // cosine KNN semantic run (doc ids and vec ids share a domain) ---------
     "q_hybrid_rrf" -> ((s, dir) => {
@@ -2561,6 +2572,32 @@ object SparkEntry {
          |  round(avg(xent), 6) AS avg_xent, round(min(xent), 6) AS min_xent,
          |  round(max(xent), 6) AS max_xent
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-source exact heavy hitters; rank ties break on the term
+    "q_source_top_terms" ->
+      """WITH u AS (SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT source, term, count(*) AS n FROM u GROUP BY 1, 2),
+        |r AS (SELECT source, term, CAST(n AS BIGINT) AS n,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n DESC, term) AS BIGINT) AS rank
+        |  FROM c)
+        |SELECT source, term, n, rank
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+
+    // inverted-index self-join on the term: pairwise structure is
+    // vocab-bounded, never group x group x vocab
+    "q_source_similarity" ->
+      """WITH u AS (SELECT source, unnest(string_split(text, ' ')) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT source, t, CAST(count(*) AS DOUBLE) AS c FROM u GROUP BY 1, 2),
+        |n AS (SELECT source, sqrt(sum(c * c)) AS nrm FROM c GROUP BY 1),
+        |d AS (SELECT a.source AS g1, b.source AS g2, sum(a.c * b.c) AS dot
+        |  FROM c a JOIN c b ON a.t = b.t AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT g1, g2, round(dot / (n1.nrm * n2.nrm), 6) AS cosine
+        |FROM d JOIN n n1 ON d.g1 = n1.source JOIN n n2 ON d.g2 = n2.source
+        |ORDER BY g1, g2""".stripMargin,
 
     // one-row corpus summary; entropy written ln(p)/ln(2) on both sides
     "q_dataset_card" ->

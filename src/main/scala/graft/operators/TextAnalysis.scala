@@ -193,6 +193,56 @@ object TextAnalysis {
       .orderBy(col("n_occur").desc, col("gram"))
       .limit(k)
 
+  /** Per-group top-k terms — the "what does each source talk about"
+    * report (heavy hitters per group, exact). Two stacked
+    * map-side-combinable aggregations down to a (group × vocab)-sized
+    * table, then ONE rank window over that table — the window runs over
+    * vocabulary rows, never corpus rows, so the sort is group-local and
+    * small. Rank ties break on the term (deterministic cut at k).
+    */
+  def topTermsPerGroup(df: DataFrame, group: String, text: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(text).isNotNull)
+      .select(col(group), explode(tokens(col(text))).as("term"))
+      .groupBy(col(group), col("term"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(group)).orderBy(col("n").desc, col("term"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Source-vocabulary similarity: cosine between the token-frequency
+    * vectors of every pair of groups — "which sources read alike", the
+    * corpus-composition diagnostic behind mixture decisions (a new crawl
+    * that cosines 0.99 against an existing source adds volume, not
+    * diversity).
+    *
+    * Scale shape: the corpus collapses to a (group × vocab)-sized count
+    * table in one map-side-combinable agg; the pairwise structure is an
+    * inverted-index self-join ON THE TERM (never group × group × vocab),
+    * followed by a pair-keyed dot-product agg and a broadcast of the
+    * groups-sized norm table. Dot products sum in deterministic rounding
+    * range (6 places) on both engines.
+    */
+  def groupVocabCosine(df: DataFrame, group: String, text: String): DataFrame = {
+    val counts = df.filter(col(text).isNotNull)
+      .select(col(group), explode(tokens(col(text))).as("__t"))
+      .groupBy(col(group), col("__t"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val norms = counts.groupBy(col(group))
+      .agg(sqrt(sum(col("__c") * col("__c"))).as("__norm"))
+    val a = counts.select(col(group).as("g1"), col("__t"), col("__c").as("__c1"))
+    val b = counts.select(col(group).as("g2"), col("__t"), col("__c").as("__c2"))
+    a.join(b, Seq("__t"))
+      .where(col("g1") < col("g2"))
+      .groupBy(col("g1"), col("g2"))
+      .agg(sum(col("__c1") * col("__c2")).as("__dot"))
+      .join(broadcast(norms.select(col(group).as("g1"), col("__norm").as("__n1"))), Seq("g1"))
+      .join(broadcast(norms.select(col(group).as("g2"), col("__norm").as("__n2"))), Seq("g2"))
+      .select(col("g1"), col("g2"),
+        round(col("__dot") / (col("__n1") * col("__n2")), 6).as("cosine"))
+  }
+
   /** BPE merge-pair statistics — iteration zero of byte-pair-encoding
     * tokenizer training: the corpus-weighted frequency of every adjacent
     * character pair inside words, whose top entry is the first merge a BPE

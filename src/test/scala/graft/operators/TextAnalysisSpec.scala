@@ -282,6 +282,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("lang_entropy") == 1.0)
   }
 
+  test("topTermsPerGroup: per-group exact heavy hitters with term tie-break") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "web", "a a a b b c"),
+      (2L, "web", "b d"),
+      (3L, "book", "z z y"),
+      (4L, "book", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.topTermsPerGroup(df, "source", "text", k = 2)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("term"),
+        r.getAs[Long]("n"), r.getAs[Long]("rank"))).sortBy(t => (t._1, t._4))
+    // web: a=3, b=3 -> tie broken on term; book: z=2, y=1
+    assert(got.toSeq == Seq(
+      ("book", "z", 2L, 1L), ("book", "y", 1L, 2L),
+      ("web", "a", 3L, 1L), ("web", "b", 3L, 2L)))
+  }
+
+  test("groupVocabCosine: identical vocab -> 1, disjoint -> no pair, partial overlap in between") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "s1", "a b"),
+      (2L, "s2", "a b"), // same frequency vector as s1
+      (3L, "s3", "a a"), // shares only 'a' with s1/s2
+      (4L, "s4", "zz")) // disjoint vocabulary: no output pair
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.groupVocabCosine(df, "source", "text")
+      .collect()
+      .map(r => ((r.getAs[String]("g1"), r.getAs[String]("g2")), r.getAs[Double]("cosine")))
+      .toMap
+    assert(got(("s1", "s2")) == 1.0)
+    // s1=(1,1), s3=(2,0): cos = 2 / (sqrt(2)*2) = 0.707107
+    assert(got(("s1", "s3")) == 0.707107 && got(("s2", "s3")) == 0.707107)
+    assert(got.size == 3) // s4 pairs with nobody
+  }
+
   test("bpePairCounts: pairs weighted by word frequency; 1-char words and nulls ignored") {
     val sp = spark
     import sp.implicits._
