@@ -74,14 +74,20 @@ object Bench {
       case Some(_) => benchIngest(spark)
       case None => if (ingestDefault) benchIngest(spark) else 0.0
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Driver visibility constraints (BENCH_r{1..4} all show "parsed": null):
+    // the driver keeps only the last ~2000 chars of stdout. A 100-query map
+    // at full double precision is ~2.9k chars, so whatever prints first is
+    // cut. Millisecond resolution per query (3 dp) keeps the line as small
+    // as honest reporting allows, and ordering the map FASTEST-FIRST puts
+    // the slow, diagnosis-worthy queries in the surviving tail window.
+    // `total_sec` repeats the headline at the very END of the line for the
+    // same reason.
+    def s3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.sortBy(_._2).map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // `total_sec` repeats the headline at the END of the line: the driver
-    // keeps only the last ~2000 chars of stdout, and with 76+ queries the
-    // leading "value" key scrolls out of that tail.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""ingest_rows_per_sec":$ingest,"sf":"$sfDir","total_sec":$total}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,""" +
+      s""""ingest_rows_per_sec":${s3(ingest)},"sf":"$sfDir","total_sec":${s3(total)}}""")
     spark.stop()
   }
 

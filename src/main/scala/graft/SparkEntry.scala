@@ -980,6 +980,76 @@ object SparkEntry {
         .orderBy(col("pvname"), col("ts_us"))
     }),
 
+    // ---- per-series daily OHLC rollup (first/last/min/max per bucket) ------
+    "q_ohlc" -> ((s, dir) => {
+      TimeSeries.bucketRollup(
+        events(s, dir).select(col("event_type").as("pvname"), col("ts_us"), col("value")),
+        "pvname", "ts_us", "value", widthUs = 86400000000L)
+        .orderBy(col("pvname"), col("bucket"))
+    }),
+
+    // ---- per-series fixed-range value histogram (20 bins over [0, 500],
+    // out-of-range clamped into the edge bins) -----------------------------
+    "q_histogram" -> ((s, dir) => {
+      TimeSeries.histogram(
+        events(s, dir).select(col("event_type").as("pvname"), col("value")),
+        "pvname", "value", lo = 0.0, hi = 500.0, bins = 20)
+        .orderBy(col("pvname"), col("bin"))
+    }),
+
+    // ---- per-key sample-to-sample delta / rate of change -------------------
+    "q_delta_rate" -> ((s, dir) => {
+      val samples = events(s, dir)
+        .where(col("event_type") === "click" && col("ts_us") >= T0 && col("ts_us") < TMID)
+        .select(concat(lit("u"), col("user_id")).as("pvname"),
+          col("ts_us"), col("value"))
+      TimeSeries.deltaRate(samples, "pvname", "ts_us", "value")
+        // first-of-key rows carry no rate; drop them here so the oracled
+        // output has no NULLs (driver row-sort hygiene, like q_trailing_stats)
+        .where(col("delta").isNotNull)
+        .select(col("pvname"), col("ts_us"), col("value"), col("delta"),
+          col("dt_us"),
+          coalesce(col("rate_per_sec"), lit(Double.NaN)).as("rate_per_sec"))
+        .orderBy(col("pvname"), col("ts_us"))
+    }),
+
+    // ---- per-key EWMA smoothing (sequential fold; secondary-sort linear
+    // scan in Spark, list_reduce fold in the oracle — identical op order,
+    // bit-identical doubles before the shared round) -----------------------
+    "q_ewma" -> ((s, dir) => {
+      val samples = events(s, dir)
+        .where(col("event_type") === "click")
+        .select(concat(lit("u"), col("user_id")).as("pvname"),
+          col("ts_us"), col("value"))
+      TimeSeries.ewma(samples, "pvname", "ts_us", "value", alpha = 0.25)
+        // floor-quantize, not round: alpha=0.25 makes many ewma values exact
+        // dyadics sitting ON decimal half-points, where Spark (BigDecimal
+        // HALF_UP) and DuckDB (float rounding) disagree; floor of the
+        // bit-identical fold output is engine-invariant
+        .withColumn("ewma", floor(col("ewma") * 1000000.0) / 1000000.0)
+        .orderBy(col("pvname"), col("ts_us"))
+    }),
+
+    // ---- correlation matrix over the LOCF-aligned series ("do these PVs
+    // move together") — explicit-sum Pearson from ONE shared agg pass ------
+    "q_pv_corr" -> ((s, dir) => {
+      val aligned = TimeSeries.locfAlign(
+        events(s, dir).select(col("event_type"), col("ts_us"), col("value")),
+        "event_type", "ts_us", "value", Seq("click", "purchase", "view"), T0, T1)
+      TimeSeries.correlationMatrix(aligned, Seq("click", "purchase", "view"))
+        .select(col("k1"), col("k2"), col("n"),
+          coalesce(col("corr"), lit(Double.NaN)).as("corr"))
+        .orderBy(col("k1"), col("k2"))
+    }),
+
+    // ---- largest-triangle plot decimation (parallel fixed-anchor LTTB) ----
+    "q_lttb" -> ((s, dir) => {
+      Export.lttb(
+        events(s, dir).select(col("event_type").as("pvname"), col("ts_us"), col("value")),
+        "pvname", "ts_us", "value", buckets = 48)
+        .orderBy(col("pvname"), col("ts_us"))
+    }),
+
     // ---- trailing-window moving stats + z-score anomaly flag (the
     // "suddenly 6-sigma off its last 6 hours" monitoring primitive) --------
     "q_trailing_stats" -> ((s, dir) => {
@@ -2531,6 +2601,150 @@ object SparkEntry {
          |      THEN pv + (nv - pv) * ((ts_us - pt) / (nt - pt))
          |    WHEN pt IS NOT NULL THEN pv END, 6), 'NaN'::DOUBLE) AS value
          |FROM f WHERE is_grid = 1 ORDER BY pvname, ts_us""".stripMargin,
+
+    // daily OHLC rollup: dedupe per (key, ts) first so arg_min/arg_max are
+    // tie-free; open/high/low/close are exact data values (no rounding)
+    "q_ohlc" ->
+      s"""WITH s AS (SELECT event_type AS pvname, epoch_us(ts) AS ts_us,
+         |    max(CAST(value AS DOUBLE)) AS v
+         |  FROM events GROUP BY 1, 2)
+         |SELECT pvname, ts_us // 86400000000 AS bucket,
+         |  arg_min(v, ts_us) AS open, max(v) AS high, min(v) AS low,
+         |  arg_max(v, ts_us) AS close, CAST(count(*) AS BIGINT) AS n,
+         |  round(avg(v), 6) AS mean
+         |FROM s GROUP BY 1, 2 ORDER BY pvname, bucket""".stripMargin,
+
+    // fixed-range histogram: identical clamp expression on both engines
+    // ((500-0)/20 = 25.0 exact, so the bin arithmetic is exact-double)
+    "q_histogram" ->
+      s"""WITH s AS (SELECT event_type AS pvname, CAST(value AS DOUBLE) AS v
+         |  FROM events WHERE value IS NOT NULL)
+         |SELECT pvname,
+         |  CAST(least(greatest(floor((v - 0.0) / 25.0), 0), 19) AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(0.0 AS DOUBLE) + CAST(least(greatest(floor((v - 0.0) / 25.0), 0), 19) AS BIGINT) * CAST(25.0 AS DOUBLE), 6) AS bin_lo
+         |FROM s GROUP BY 1, 2 ORDER BY pvname, bin""".stripMargin,
+
+    // per-key delta / rate of change: lag over the deduped series; rows
+    // without a predecessor are dropped on both sides
+    "q_delta_rate" ->
+      s"""WITH s AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS pvname,
+         |    epoch_us(ts) AS ts_us, max(CAST(value AS DOUBLE)) AS v
+         |  FROM events WHERE event_type = 'click'
+         |    AND epoch_us(ts) >= $T0 AND epoch_us(ts) < $TMID
+         |  GROUP BY 1, 2),
+         |d AS (SELECT pvname, ts_us, v,
+         |    v - lag(v) OVER w AS dd, ts_us - lag(ts_us) OVER w AS dt_us
+         |  FROM s WINDOW w AS (PARTITION BY pvname ORDER BY ts_us))
+         |SELECT pvname, ts_us, v AS value, round(dd, 6) AS delta, dt_us,
+         |  coalesce(CASE WHEN dt_us > 0
+         |      THEN round(dd / (dt_us / 1000000.0), 6) END,
+         |    'NaN'::DOUBLE) AS rate_per_sec
+         |FROM d WHERE dd IS NOT NULL ORDER BY pvname, ts_us""".stripMargin,
+
+    // EWMA: the sequential fold re-expressed as a per-prefix list_reduce
+    // (same technique as q_downsample_stateful/q_alerts). 0.75*a + 0.25*x
+    // mirrors the Scala fold's (1-alpha)*s + alpha*v literally — both
+    // constants are exact doubles, so pre-round values are bit-identical.
+    "q_ewma" ->
+      s"""WITH s AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS pvname,
+         |    epoch_us(ts) AS ts_us, max(CAST(value AS DOUBLE)) AS v
+         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         |g AS (SELECT pvname, list(ts_us ORDER BY ts_us) AS tss,
+         |    list(v ORDER BY ts_us) AS vs
+         |  FROM s GROUP BY pvname),
+         |u AS (SELECT pvname,
+         |    unnest(tss) AS ts_us,
+         |    unnest(vs) AS value,
+         |    unnest([floor(list_reduce(vs[1:i], (a, x) -> 0.75 * a + 0.25 * x) * 1000000.0) / 1000000.0
+         |            FOR i IN generate_series(1, len(vs))]) AS ewma
+         |  FROM g)
+         |SELECT pvname, ts_us, value, ewma FROM u
+         |ORDER BY pvname, ts_us""".stripMargin,
+
+    // correlation matrix over the q_locf_align grid: explicit-sum Pearson
+    // (identical formula both engines — not each engine's corr() internals)
+    "q_pv_corr" ->
+      s"""WITH e AS (
+         |  SELECT epoch_us(ts) AS ts_us, event_type, value FROM events
+         |  WHERE event_type IN ('click', 'purchase', 'view') AND epoch_us(ts) < $T1),
+         |g AS (SELECT ts_us,
+         |        max(CASE WHEN event_type = 'click' THEN value END) AS c0,
+         |        max(CASE WHEN event_type = 'purchase' THEN value END) AS c1,
+         |        max(CASE WHEN event_type = 'view' THEN value END) AS c2
+         |      FROM e GROUP BY ts_us),
+         |f AS (SELECT ts_us,
+         |        last_value(c0 IGNORE NULLS) OVER w AS a,
+         |        last_value(c1 IGNORE NULLS) OVER w AS b,
+         |        last_value(c2 IGNORE NULLS) OVER w AS c
+         |      FROM g WINDOW w AS (ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |al AS (SELECT a, b, c FROM f
+         |       WHERE ts_us >= $T0 AND a IS NOT NULL AND b IS NOT NULL AND c IS NOT NULL),
+         |sums AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    sum(a) AS sxa, sum(a*a) AS sxxa,
+         |    sum(b) AS sxb, sum(b*b) AS sxxb,
+         |    sum(c) AS sxc, sum(c*c) AS sxxc,
+         |    sum(a*b) AS sab, sum(a*c) AS sac, sum(b*c) AS sbc
+         |  FROM al),
+         |p AS (
+         |  SELECT 'click' AS k1, 'purchase' AS k2, n, sab AS sxy,
+         |         sxa AS sx1, sxxa AS sxx1, sxb AS sx2, sxxb AS sxx2 FROM sums
+         |  UNION ALL
+         |  SELECT 'click', 'view', n, sac, sxa, sxxa, sxc, sxxc FROM sums
+         |  UNION ALL
+         |  SELECT 'purchase', 'view', n, sbc, sxb, sxxb, sxc, sxxc FROM sums)
+         |SELECT k1, k2, CAST(n AS BIGINT) AS n,
+         |  coalesce(CASE WHEN sqrt(n * sxx1 - sx1 * sx1) * sqrt(n * sxx2 - sx2 * sx2) > 0
+         |      THEN round((n * sxy - sx1 * sx2) /
+         |        (sqrt(n * sxx1 - sx1 * sx1) * sqrt(n * sxx2 - sx2 * sx2)), 6) END,
+         |    'NaN'::DOUBLE) AS corr
+         |FROM p ORDER BY k1, k2""".stripMargin,
+
+    // parallel fixed-anchor LTTB: time normalized to bucket units before
+    // averaging (areas O(bucket x value), so the shared 6-dp rounding is
+    // meaningful); area DESC, ts ASC argmax == Spark's max(struct) pick
+    "q_lttb" ->
+      s"""WITH s AS (SELECT event_type AS pvname, epoch_us(ts) AS ts_us,
+         |    max(CAST(value AS DOUBLE)) AS v
+         |  FROM events GROUP BY 1, 2),
+         |ext AS (SELECT pvname, min(ts_us) AS t0, max(ts_us) AS t1,
+         |    arg_min(v, ts_us) AS vfirst, arg_max(v, ts_us) AS vlast,
+         |    count(*) AS cnt
+         |  FROM s GROUP BY pvname),
+         |j AS (SELECT s.pvname, s.ts_us, s.v, ext.t0, ext.t1,
+         |    ext.vfirst, ext.vlast, ext.cnt
+         |  FROM s JOIN ext USING (pvname)),
+         |pass AS (SELECT pvname, ts_us, v FROM j
+         |  WHERE NOT (cnt > 50 AND t1 > t0)),
+         |interior AS (SELECT pvname, ts_us, v, vfirst, vlast,
+         |    (ts_us - t0) / (CAST(t1 - t0 AS DOUBLE) / 48) AS x,
+         |    least(CAST(floor((ts_us - t0) / (CAST(t1 - t0 AS DOUBLE) / 48)) AS BIGINT), 47) AS b
+         |  FROM j WHERE (cnt > 50 AND t1 > t0) AND ts_us > t0 AND ts_us < t1),
+         |avgs AS (SELECT pvname, b, avg(x) AS at, avg(v) AS av
+         |  FROM interior GROUP BY 1, 2),
+         |anch AS (SELECT pvname, b,
+         |    lag(at) OVER w AS pat, lag(av) OVER w AS pav,
+         |    lead(at) OVER w AS nat, lead(av) OVER w AS nav
+         |  FROM avgs WINDOW w AS (PARTITION BY pvname ORDER BY b)),
+         |scored AS (SELECT i.pvname, i.b, i.ts_us, i.v,
+         |    round(abs(
+         |      (coalesce(a.pat, CAST(0.0 AS DOUBLE)) - coalesce(a.nat, CAST(48.0 AS DOUBLE)))
+         |        * (i.v - coalesce(a.pav, i.vfirst))
+         |      - (coalesce(a.pat, CAST(0.0 AS DOUBLE)) - i.x)
+         |        * (coalesce(a.nav, i.vlast) - coalesce(a.pav, i.vfirst))), 6) AS area
+         |  FROM interior i JOIN anch a USING (pvname, b)),
+         |win AS (SELECT pvname, b, ts_us, v,
+         |    row_number() OVER (PARTITION BY pvname, b ORDER BY area DESC, ts_us ASC) AS rn
+         |  FROM scored),
+         |sel AS (SELECT pvname, ts_us, v FROM win WHERE rn = 1),
+         |firsts AS (SELECT pvname, t0 AS ts_us, vfirst AS v FROM ext
+         |  WHERE cnt > 50 AND t1 > t0),
+         |lasts AS (SELECT pvname, t1 AS ts_us, vlast AS v FROM ext
+         |  WHERE cnt > 50 AND t1 > t0),
+         |u AS (SELECT * FROM pass UNION ALL SELECT * FROM firsts
+         |  UNION ALL SELECT * FROM lasts UNION ALL SELECT * FROM sel)
+         |SELECT pvname, ts_us, v AS value FROM u
+         |ORDER BY pvname, ts_us""".stripMargin,
 
     // strictly-preceding 6 h range frame per key; stddev/z gated on a
     // >= 2-point baseline, z additionally on a non-constant one

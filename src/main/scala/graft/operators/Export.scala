@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftUdfs, PvFunctions}
@@ -100,6 +101,80 @@ object Export {
         PvFunctions.ts2iso(col(tsUs)).as("x"),
         col(value).cast("double").as("y"))
       .orderBy(col(tsUs), col(tieBreak))
+
+  /** Largest-triangle plot decimation, the fixed-anchor (parallelizable)
+    * take on LTTB — the modern alternative to the reference's
+    * sample/percent cull (Q1, web_utils.py:131-161): per key, keep the
+    * first and last samples, split the interior span into `buckets`
+    * equal-TIME buckets, and from each keep the point forming the largest
+    * triangle against its neighbor buckets' average points. Unlike
+    * sequential LTTB (whose anchor is the previously SELECTED point, an
+    * inherently serial dependency), both anchors here are bucket averages,
+    * so every bucket decides independently — the standard parallel
+    * variant. Keys with `<= buckets + 2` points (or a zero-width span)
+    * pass through untouched.
+    *
+    * Scale shape: dedupe agg, per-key extents agg, one keyed join, bucket
+    * averages agg, `lag`/`lead` anchor windows over the BUCKET table
+    * (`<= buckets` rows per key, control-plane-sized), and a per-bucket
+    * `max(struct)` argmax — every shuffle is on the series key, no global
+    * window, no driver loop. Ties on the (6-dp-rounded) area break toward
+    * the earlier point, so the selection is deterministic and
+    * engine-portable.
+    */
+  def lttb(df: DataFrame, key: String, ts: String, value: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive, got $buckets")
+    val b = buckets
+    val s = df.groupBy(col(key), col(ts)).agg(max(col(value)).cast("double").as("__v"))
+    val ext = s.groupBy(col(key)).agg(
+      min(col(ts)).as("__t0"), max(col(ts)).as("__t1"),
+      min_by(col("__v"), col(ts)).as("__vfirst"),
+      max_by(col("__v"), col(ts)).as("__vlast"),
+      count(lit(1)).as("__cnt"))
+    val j = s.join(ext, key)
+    val isBig = col("__cnt") > (b + 2) && col("__t1") > col("__t0")
+    val passThrough = j.where(!isBig).select(col(key), col(ts), col("__v"))
+    // time normalized into BUCKET UNITS (x in [0, b]) before any averaging:
+    // epoch-micros are ~1e15 and bucket-average noise at that magnitude
+    // would swamp a fixed-decimal area rounding; in bucket units the area
+    // is O(bucket x value-range) and 6-dp rounding is meaningful
+    val xOf = (col(ts) - col("__t0")).cast("double") /
+      ((col("__t1") - col("__t0")).cast("double") / b)
+    val interior = j.where(isBig && col(ts) > col("__t0") && col(ts) < col("__t1"))
+      .withColumn("__x", xOf)
+      .withColumn("__b", least(floor(col("__x")), lit((b - 1).toLong)))
+    val avgs = interior.groupBy(col(key), col("__b"))
+      .agg(avg(col("__x")).as("__at"), avg(col("__v")).as("__av"))
+    // anchors: neighbor NON-EMPTY buckets' averages (lag/lead over the
+    // bucket table skips empties by construction), endpoints at the edges
+    val wb = Window.partitionBy(col(key)).orderBy(col("__b"))
+    val anchors = avgs
+      .withColumn("__pat", lag(col("__at"), 1).over(wb))
+      .withColumn("__pav", lag(col("__av"), 1).over(wb))
+      .withColumn("__nat", lead(col("__at"), 1).over(wb))
+      .withColumn("__nav", lead(col("__av"), 1).over(wb))
+    val withAnchors = interior.join(anchors.drop("__at", "__av"), Seq(key, "__b"))
+      .select(col(key), col("__b"), col(ts), col("__v"), col("__x"),
+        coalesce(col("__pat"), lit(0.0)).as("__ax"),
+        coalesce(col("__pav"), col("__vfirst")).as("__ay"),
+        coalesce(col("__nat"), lit(b.toDouble)).as("__cx"),
+        coalesce(col("__nav"), col("__vlast")).as("__cy"))
+    // twice the triangle area vs the fixed anchors (the LTTB ranking
+    // quantity); rounded so both engines argmax identical doubles
+    val area = round(abs(
+      (col("__ax") - col("__cx")) * (col("__v") - col("__ay")) -
+        (col("__ax") - col("__x")) * (col("__cy") - col("__ay"))), 6)
+    val winners = withAnchors
+      .groupBy(col(key), col("__b"))
+      .agg(max(struct(area.as("a"), (-col(ts)).as("nt"), col(ts).as("t"),
+        col("__v").as("v"))).as("__w"))
+      .select(col(key), col("__w.t").as(ts), col("__w.v").as("__v"))
+    val firsts = ext.where(isBig).select(col(key), col("__t0").as(ts), col("__vfirst").as("__v"))
+    val lasts = ext.where(isBig).select(col(key), col("__t1").as(ts), col("__vlast").as("__v"))
+    passThrough.unionByName(firsts).unionByName(lasts).unionByName(winners)
+      .select(col(key), col(ts), col("__v").as(value))
+  }
 
   /** Q4 helper — `auto_ylog`'s DOCUMENTED heuristic (web_utils.py:113-127):
     * a non-negative series goes log-scale when its 1st-99th percentile

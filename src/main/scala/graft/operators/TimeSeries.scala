@@ -484,4 +484,152 @@ object TimeSeries {
       .agg(min(col(ts)).as("start_us"), max(col(ts)).as("stop_us"), count(lit(1)).as("n"))
       .where(col("stop_us") >= q0 && col("start_us") <= q1)
       .orderBy(col("run_id"))
+
+  /** Per-key fixed-width time-bucket OHLC rollup — the hourly/daily report
+    * shape behind the reference's plot and status pages (first/last/min/max
+    * per PV per interval; web_utils.py time-binned summaries). Same-timestamp
+    * duplicates collapse to their max first, so open/close are deterministic
+    * (`min_by`/`max_by` ties cannot arise once `(key, ts)` is unique).
+    *
+    * Scale shape: two map-side-combinable aggregations, both keyed on the
+    * series key (the second adds the bucket), so per-task state is one
+    * partial row per (key, bucket) — never the samples. No windows, no
+    * joins; at 100 TB this is the textbook reduce-side rollup and the
+    * bucket count bounds the output, not the input.
+    */
+  def bucketRollup(df: DataFrame, key: String, ts: String, value: String,
+      widthUs: Long): DataFrame = {
+    require(widthUs > 0, s"widthUs must be positive, got $widthUs")
+    val s = df.groupBy(col(key), col(ts)).agg(max(col(value)).cast("double").as("__v"))
+    s.groupBy(col(key), expr(s"$ts DIV ${widthUs}L").as("bucket"))
+      .agg(
+        min_by(col("__v"), col(ts)).as("open"),
+        max(col("__v")).as("high"),
+        min(col("__v")).as("low"),
+        max_by(col("__v"), col(ts)).as("close"),
+        count(lit(1)).as("n"),
+        round(avg(col("__v")), 6).as("mean"))
+  }
+
+  /** Per-key fixed-range value histogram: `bins` equal-width bins over
+    * `[lo, hi]`, out-of-range values clamped into the edge bins (a PV
+    * briefly railing past its display limits still shows up, like the
+    * reference's plot clipping). Null values are dropped. Returns one row
+    * per NON-EMPTY (key, bin) — dense zero-filled axes are presentation,
+    * not data (web_utils.py leaves that to the plot layer too).
+    *
+    * ONE map-side-combinable aggregation; the bin arithmetic is a codegen'd
+    * scalar expression so the scan never materializes an intermediate.
+    */
+  def histogram(df: DataFrame, key: String, value: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    require(hi > lo, s"empty range: hi $hi <= lo $lo")
+    val w = (hi - lo) / bins
+    val bin = least(greatest(floor((col(value).cast("double") - lo) / w), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+    df.where(col(value).isNotNull)
+      .groupBy(col(key), bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", round(lit(lo) + col("bin") * w, 6))
+  }
+
+  /** Per-key sample-to-sample delta and rate of change (the numeric
+    * derivative behind "how fast is this PV moving" monitoring). Duplicate
+    * timestamps collapse to their max first; each survivor reports the
+    * difference from its predecessor and the per-second rate. The first
+    * sample of a key has no predecessor (null delta/dt/rate).
+    *
+    * One key-partitioned `lag` window after the dedup shuffle — per-task
+    * state is a single previous row per key.
+    */
+  def deltaRate(df: DataFrame, key: String, ts: String, value: String): DataFrame = {
+    val s = df.groupBy(col(key), col(ts)).agg(max(col(value)).cast("double").as("__v"))
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+    s.select(col(key), col(ts), col("__v"),
+        (col("__v") - lag(col("__v"), 1).over(w)).as("__d"),
+        (col(ts) - lag(col(ts), 1).over(w)).as("dt_us"))
+      .select(col(key), col(ts), col("__v").as("value"),
+        round(col("__d"), 6).as("delta"),
+        col("dt_us"),
+        when(col("dt_us") > 0, round(col("__d") / (col("dt_us") / 1.0e6), 6))
+          .as("rate_per_sec"))
+  }
+
+  /** Per-key exponentially-weighted moving average (the classic control-room
+    * smoothing filter): `s_1 = v_1`, `s_i = (1-alpha)*s_{i-1} + alpha*v_i`
+    * over time order. Duplicate timestamps collapse to their max first so
+    * the fold order is total.
+    *
+    * The recurrence is inherently sequential PER KEY, so the scale path is
+    * the same secondary-sort shape as the stateful downsampler's batch twin
+    * ([[graft.streaming.Downsampler]]): hash-repartition on the key, sort
+    * within partitions by `(key, ts)`, one linear `mapPartitions` fold with
+    * O(1) state per key. No window that collects a key's history, no
+    * driver-side anything; a 100 TB corpus folds as width(keys) parallel
+    * linear scans. Cross-engine determinism: the fold applies the exact
+    * double expression `(1-alpha)*s + alpha*v` in the exact same order as
+    * the oracle's `list_reduce`, so the `ewma` doubles are bit-identical —
+    * returned UNROUNDED (a dyadic alpha lands many values exactly on
+    * decimal rounding half-points, where engines' round() disagree;
+    * quantize with floor(x*1e6)/1e6 if a fixed-decimal compare is needed).
+    */
+  def ewma(df: DataFrame, key: String, ts: String, value: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val oneMinus = 1.0 - alpha
+    val s = df.groupBy(col(key), col(ts)).agg(max(col(value)).cast("double").as("__v"))
+      .select(col(key).cast("string"), col(ts).cast("long"), col("__v"))
+      .as[(String, Long, Double)]
+    s.repartition(col(s.columns.head))
+      .sortWithinPartitions(col(s.columns.head), col(s.columns(1)))
+      .mapPartitions { it =>
+        var curKey: String = null
+        var state = 0.0
+        it.map { case (k, t, v) =>
+          if (k != curKey) { curKey = k; state = v }
+          else state = oneMinus * state + alpha * v
+          (k, t, v, state)
+        }
+      }
+      .toDF(key, ts, "value", "ewma")
+  }
+
+  /** Pearson correlation matrix between LOCF-aligned series — "do these PVs
+    * move together" over a shared time grid (feed it [[locfAlign]] /
+    * [[locfAlignChunked]] output, or any wide frame of numeric columns).
+    * Returns one row per unordered pair `(k1, k2, n, corr)`; `corr` is null
+    * when either side is constant.
+    *
+    * Every pairwise co-moment comes from ONE shared aggregation pass
+    * (`k + k(k+1)/2` partial sums over a single scan, map-side combinable)
+    * and the correlations are assembled from those sums on the one result
+    * row — the explicit-sum formula, identical on both engines, rather than
+    * each engine's internal `corr` update order. Pair count is k², but k is
+    * the aligned series list (plot-sized), never the corpus.
+    */
+  def correlationMatrix(aligned: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.size >= 2, s"need at least 2 series, got ${keys.size}")
+    val pairs = for { i <- keys.indices; j <- i + 1 until keys.size }
+      yield (keys(i), keys(j))
+    val n = count(lit(1)).cast("double").as("__n")
+    val perKey = keys.flatMap { k =>
+      Seq(sum(col(k)).as(s"__sx_$k"), sum(col(k) * col(k)).as(s"__sxx_$k"))
+    }
+    val perPair = pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"__sxy_${a}__$b") }
+    val sums = aligned.agg(n, (perKey ++ perPair): _*)
+    def varN(k: String) =
+      col("__n") * col(s"__sxx_$k") - col(s"__sx_$k") * col(s"__sx_$k")
+    val rows = pairs.map { case (a, b) =>
+      val num = col("__n") * col(s"__sxy_${a}__$b") - col(s"__sx_$a") * col(s"__sx_$b")
+      val den = sqrt(varN(a)) * sqrt(varN(b))
+      struct(lit(a).as("k1"), lit(b).as("k2"),
+        when(den > 0, round(num / den, 6)).as("corr"))
+    }
+    sums.select(col("__n").cast("long").as("n"), explode(array(rows: _*)).as("p"))
+      .select(col("p.k1").as("k1"), col("p.k2").as("k2"), col("n"),
+        col("p.corr").as("corr"))
+  }
 }

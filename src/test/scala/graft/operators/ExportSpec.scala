@@ -63,6 +63,34 @@ class ExportSpec extends SparkSpec {
     assert(!Export.autoYLog(Seq(-1.0, 10.0, 1e6).toDF("v"), "v"))
   }
 
+  test("lttb: endpoints kept, one point per bucket, spike survives, small keys pass through") {
+    val sp = spark
+    import sp.implicits._
+    // key "a": 100 points on a flat line except a spike at ts=55; 4 buckets
+    // over (0, 99) -> <= 6 points out, spike MUST be among them (largest
+    // triangle in its bucket). key "b": 3 points -> pass-through.
+    val rows = (0 until 100).map(i => ("a", i.toLong, if (i == 55) 50.0 else 1.0)) ++
+      Seq(("b", 1L, 1.0), ("b", 2L, 2.0), ("b", 3L, 3.0))
+    val df = rows.toDF("k", "ts", "v")
+    val got = Export.lttb(df, "k", "ts", "v", buckets = 4).collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("ts"), r.getAs[Double]("v")))
+    val a = got.filter(_._1 == "a")
+    assert(a.length == 6) // first + last + one per non-empty bucket
+    assert(a.exists(p => p._2 == 0L) && a.exists(p => p._2 == 99L)) // endpoints
+    assert(a.exists(p => p._2 == 55L && p._3 == 50.0)) // the spike survives
+    val b = got.filter(_._1 == "b")
+    assert(b.length == 3) // <= buckets+2 points: untouched
+  }
+
+  test("lttb: duplicate instants collapse to max before selection") {
+    val sp = spark
+    import sp.implicits._
+    val rows = (0 until 50).map(i => ("a", i.toLong, 1.0)) :+ ("a", 25L, 9.0)
+    val got = Export.lttb(rows.toDF("k", "ts", "v"), "k", "ts", "v", buckets = 4)
+      .collect().map(r => (r.getAs[Long]("ts"), r.getAs[Double]("v"))).toMap
+    assert(got(25L) == 9.0) // the deduped max, and selected as its bucket's point
+  }
+
   test("saveRestore matches write_saverestore byte-for-byte (util.py:391-424)") {
     val vals = Seq("XX:m1.VAL" -> "1.5", "XX:s1.VAL" -> "Open")
     assert(Export.saveRestore(vals) == Seq(

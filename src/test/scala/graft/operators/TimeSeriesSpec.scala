@@ -282,4 +282,105 @@ class TimeSeriesSpec extends SparkSpec {
     // constant baseline: stddev 0 -> std reported, z gated off
     assert(got(("b", 20L)) == ((2L, Some(7.0), Some(0.0), None)))
   }
+
+  test("bucketRollup: deterministic OHLC per bucket, dup instants collapse to max") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      ("a", 5L, 2.0), ("a", 5L, 4.0), // same instant: dedupe to 4.0 -> open
+      ("a", 7L, 1.0), ("a", 9L, 3.0), // close = 3.0, low = 1.0
+      ("a", 12L, 8.0), // second bucket
+      ("b", 3L, 6.0))
+      .toDF("k", "ts", "v")
+    val got = TimeSeries.bucketRollup(rows, "k", "ts", "v", widthUs = 10L)
+      .collect()
+      .map(r => ((r.getAs[String]("k"), r.getAs[Long]("bucket")),
+        (r.getAs[Double]("open"), r.getAs[Double]("high"), r.getAs[Double]("low"),
+          r.getAs[Double]("close"), r.getAs[Long]("n"), r.getAs[Double]("mean"))))
+      .toMap
+    assert(got(("a", 0L)) == ((4.0, 4.0, 1.0, 3.0, 3L, 2.666667)))
+    assert(got(("a", 1L)) == ((8.0, 8.0, 8.0, 8.0, 1L, 8.0)))
+    assert(got(("b", 0L)) == ((6.0, 6.0, 6.0, 6.0, 1L, 6.0)))
+    assert(got.size == 3)
+  }
+
+  test("histogram: equal-width bins, out-of-range clamps into edge bins, nulls dropped") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      ("a", Some(-5.0)), // below lo -> bin 0
+      ("a", Some(0.0)), ("a", Some(9.9)), // bin 0
+      ("a", Some(10.0)), // boundary -> bin 1
+      ("a", Some(99.9)), ("a", Some(100.0)), ("a", Some(250.0)), // clamp -> bin 9
+      ("a", None))
+      .toDF("k", "v")
+    val got = TimeSeries.histogram(rows, "k", "v", lo = 0.0, hi = 100.0, bins = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("bin"), (r.getAs[Long]("n"), r.getAs[Double]("bin_lo"))))
+      .toMap
+    assert(got(0L) == ((3L, 0.0)))
+    assert(got(1L) == ((1L, 10.0)))
+    assert(got(9L) == ((3L, 90.0)))
+    assert(got.size == 3) // empty bins are absent, null row dropped
+  }
+
+  test("deltaRate: per-key lag delta and per-second rate, first row null") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      ("a", 0L, 10.0), ("a", 2000000L, 15.0), // +5 over 2 s -> 2.5/s
+      ("a", 2000000L, 11.0), // dup instant collapses to max (15.0)
+      ("a", 3000000L, 9.0), // -6 over 1 s
+      ("b", 5L, 1.0))
+      .toDF("k", "ts", "v")
+    val got = TimeSeries.deltaRate(rows, "k", "ts", "v")
+      .collect()
+      .map(r => ((r.getAs[String]("k"), r.getAs[Long]("ts")),
+        (Option(r.getAs[Any]("delta")), Option(r.getAs[Any]("rate_per_sec")))))
+      .toMap
+    assert(got(("a", 0L)) == ((None, None)))
+    assert(got(("a", 2000000L)) == ((Some(5.0), Some(2.5))))
+    assert(got(("a", 3000000L)) == ((Some(-6.0), Some(-6.0))))
+    assert(got(("b", 5L)) == ((None, None)))
+    assert(got.size == 4)
+  }
+
+  test("ewma: seeded by first sample, folds in time order per key") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      ("a", 30L, 8.0), // out of order on purpose: fold must sort by ts
+      ("a", 10L, 4.0), ("a", 20L, 8.0),
+      ("b", 5L, 100.0))
+      .toDF("k", "ts", "v")
+    val got = TimeSeries.ewma(rows, "k", "ts", "v", alpha = 0.5)
+      .collect()
+      .map(r => ((r.getAs[String]("k"), r.getAs[Long]("ts")), r.getAs[Double]("ewma")))
+      .toMap
+    assert(got(("a", 10L)) == 4.0) // s1 = v1
+    assert(got(("a", 20L)) == 6.0) // 0.5*4 + 0.5*8
+    assert(got(("a", 30L)) == 7.0) // 0.5*6 + 0.5*8
+    assert(got(("b", 5L)) == 100.0)
+  }
+
+  test("correlationMatrix: exact +-1 on linear series, null on constant series") {
+    val sp = spark
+    import sp.implicits._
+    // x ascends, y = 2x+1 (corr +1), z descends (corr -1 vs x), c constant
+    val aligned = Seq(
+      (1.0, 3.0, 9.0, 5.0), (2.0, 5.0, 8.0, 5.0), (3.0, 7.0, 7.0, 5.0),
+      (4.0, 9.0, 6.0, 5.0))
+      .toDF("x", "y", "z", "c")
+    val got = TimeSeries.correlationMatrix(aligned, Seq("x", "y", "z", "c"))
+      .collect()
+      .map(r => ((r.getAs[String]("k1"), r.getAs[String]("k2")),
+        (r.getAs[Long]("n"), Option(r.getAs[Any]("corr")))))
+      .toMap
+    assert(got(("x", "y")) == ((4L, Some(1.0))))
+    assert(got(("x", "z")) == ((4L, Some(-1.0))))
+    assert(got(("y", "z")) == ((4L, Some(-1.0))))
+    // constant column: zero variance -> corr undefined (null), not NaN
+    assert(got(("x", "c")) == ((4L, None)))
+    assert(got.size == 6)
+  }
 }
