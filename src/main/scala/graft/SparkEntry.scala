@@ -386,6 +386,12 @@ object SparkEntry {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // ---- int8 scalar quantization of the embedding corpus ------------------
+    "q_embed_quantize" -> ((s, dir) => {
+      Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- per-label embedding norm stats ------------------------------------
     "q_norm_stats" -> ((s, dir) => {
       Similarity.normStats(Tables.embeddings(s, dir), "label", "embedding")
@@ -2255,6 +2261,25 @@ object SparkEntry {
       """SELECT label, count(*) AS n,
         |  round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // int8 scalar quantization: per-dim min/max grid, affine codes in
+    // [-128, 127] (integer stats compare exactly), 6-dp reconstruction MSE
+    // (a vector's components aggregate in dimension order on both engines)
+    "q_embed_quantize" ->
+      """WITH x AS (SELECT vec_id,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v,
+        |    generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |st AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM x GROUP BY pos),
+        |c AS (SELECT vec_id, v, mn, mx,
+        |    CAST(least(greatest(round((v - mn) / ((mx - mn) / 255.0)), 0), 255) AS BIGINT) - 128 AS code
+        |  FROM x JOIN st USING (pos) WHERE mx > mn)
+        |SELECT vec_id,
+        |  CAST(sum(code) AS BIGINT) AS code_sum,
+        |  min(code) AS code_min, max(code) AS code_max,
+        |  CAST(count(*) AS BIGINT) AS n_dims,
+        |  round(avg(pow(v - (mn + (code + 128) * ((mx - mn) / 255.0)), 2)), 6) AS mse
+        |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "q_downsample_stateful" -> downsampleStatefulSql(6L * 3600L * 1000000L, 50.0),
 

@@ -439,6 +439,41 @@ object Similarity {
       .limit(topN)
   }
 
+  /** Int8 scalar quantization of an embedding column — the standard 4×
+    * shrink before ANN serving: per-DIMENSION min/max over the corpus give
+    * an affine grid (`scale = range/255`), each component maps to a code in
+    * `[-128, 127]`, and the per-vector reconstruction MSE reports the
+    * quality loss. Constant dimensions (max == min) carry no information
+    * and are dropped from codes and error alike.
+    *
+    * Returns one row per vector: integer code stats (exact, engine-portable)
+    * plus the 6-dp MSE. Plan shape: long-format `posexplode` into a
+    * dimension-keyed stats agg (dims-sized, broadcast back), then ONE
+    * map-side-combinable per-vector agg — a row's exploded components stay
+    * adjacent in its partition, so even the floating MSE accumulates in
+    * dimension order on both engines. No driver collect, no window.
+    */
+  def quantizeInt8(df: DataFrame, id: String, vec: String): DataFrame = {
+    val x = df.where(col(vec).isNotNull)
+      .select(col(id), posexplode(col(vec)))
+      .select(col(id), col("pos"), col("col").cast("double").as("v"))
+    val st = x.groupBy(col("pos")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val scale = (col("mx") - col("mn")) / 255.0
+    val code = least(greatest(round((col("v") - col("mn")) / scale, 0), lit(0.0)),
+      lit(255.0)).cast("long") - 128
+    x.join(broadcast(st), "pos")
+      .where(col("mx") > col("mn"))
+      .withColumn("code", code)
+      .withColumn("recon", col("mn") + (col("code") + 128) * scale)
+      .groupBy(col(id))
+      .agg(
+        sum(col("code")).as("code_sum"),
+        min(col("code")).as("code_min"),
+        max(col("code")).as("code_max"),
+        count(lit(1)).as("n_dims"),
+        round(avg(pow(col("v") - col("recon"), 2)), 6).as("mse"))
+  }
+
   private def toDouble(v: Array[Float]): Array[Double] = {
     val d = new Array[Double](v.length)
     var i = 0; while (i < v.length) { d(i) = v(i).toDouble; i += 1 }

@@ -213,6 +213,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq((3L, 0L, 5.0), (4L, 0L, 4.0), (2L, 1L, 3.0)))
   }
 
+  test("quantizeInt8: affine codes span [-128, 127], constant dims dropped, exact on grid points") {
+    val sp = spark
+    import sp.implicits._
+    // dim 0 spans [0, 255] (scale exactly 1: code = v - 128, zero error);
+    // dim 1 is constant (dropped); dim 2 spans [0, 510] (scale 2)
+    val df = Seq(
+      (1L, Array(0.0f, 7.0f, 0.0f)),
+      (2L, Array(255.0f, 7.0f, 510.0f)),
+      (3L, Array(128.0f, 7.0f, 255.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        (r.getAs[Long]("code_sum"), r.getAs[Long]("code_min"), r.getAs[Long]("code_max"),
+          r.getAs[Long]("n_dims"), r.getAs[Double]("mse")))).toMap
+    assert(got(1L) == ((-256L, -128L, -128L, 2L, 0.0))) // both mins -> code -128
+    assert(got(2L) == ((254L, 127L, 127L, 2L, 0.0))) // both maxes -> code 127
+    // 128 -> code 0; 255/2 = 127.5 rounds HALF_UP to 128 -> code 0, recon 256, err (255-256)^2/2
+    assert(got(3L) == ((0L, 0L, 0L, 2L, 0.5)))
+    assert(got.size == 3)
+  }
+
   test("semanticOutliers cells agree with assignCells on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", k = 8, seed = 42L)

@@ -137,6 +137,41 @@ class StreamingComposeSpec extends SparkSpec {
     assert(streamed == batch && streamed.size >= 12) // >= 4 sessions x 3 users
   }
 
+  test("streaming dedup: dropDuplicatesWithinWatermark equals batch distinct for in-delay duplicates") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // T7's streaming face: exactly-once on (key, ts) against redelivery.
+    // Duplicates arrive in the SAME and in ADJACENT batches, always inside
+    // the 1 h watermark delay, so state still holds the first copy and the
+    // streaming result must equal the batch distinct.
+    // start a day past the epoch: the initial watermark is 0, and an event
+    // AT the watermark is treated as late by the dedup state store
+    val base = (0 until 120).map(i => (s"k${i % 4}", (86400L + i * 600L) * S, i * 1.5))
+    val withDups = base ++ base.filter(_._2 % (1800L * S) == 0) // re-deliver every 3rd
+    val input = MemoryStream[(String, Long, Double)]
+    val q = input.toDS().toDF("k", "tsUs", "value")
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("k", "tsUs")
+      .select(col("k"), col("tsUs"), col("value"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_stream")
+      .start()
+    try {
+      // adjacent-batch duplicates: feed in overlapping chunks of the
+      // time-ordered doubled list
+      withDups.sortBy(_._2).grouped(40).foreach { g => input.addData(g); q.processAllAvailable() }
+      input.addData(Seq(("zz", withDups.map(_._2).max + 86400L * 1000L * S, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = sp.table("dedup_stream").where(col("k") =!= "zz").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = withDups.toDF("k", "tsUs", "value").dropDuplicates("k", "tsUs")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.size == base.size) // every duplicate dropped, nothing lost
+  }
+
   test("curation ops (sample/split/PII) attach directly to a streaming frame (stateless append mode)") {
     val sp = spark
     import sp.implicits._
