@@ -1048,6 +1048,16 @@ object SparkEntry {
         .orderBy(col("k1"), col("k2"))
     }),
 
+    // ---- time-weighted average (LOCF weighting + W2 pre-window seed) ------
+    "q_twa" -> ((s, dir) => {
+      val samples = events(s, dir)
+        .where(col("event_type") === "click")
+        .select(concat(lit("u"), col("user_id")).as("pvname"),
+          col("ts_us"), col("value"))
+      TimeSeries.timeWeightedAvg(samples, "pvname", "ts_us", "value", T0, TMID)
+        .orderBy(col("pvname"))
+    }),
+
     // ---- largest-triangle plot decimation (parallel fixed-anchor LTTB) ----
     "q_lttb" -> ((s, dir) => {
       Export.lttb(
@@ -2724,6 +2734,26 @@ object SparkEntry {
          |        (sqrt(n * sxx1 - sx1 * sx1) * sqrt(n * sxx2 - sx2 * sx2)), 6) END,
          |    'NaN'::DOUBLE) AS corr
          |FROM p ORDER BY k1, k2""".stripMargin,
+
+    // time-weighted average: LOCF segment weighting, pre-window arg_max
+    // seed carried to t0 (a real sample AT t0 wins via the flag argmax),
+    // covered-time normalization for keys with no seed
+    "q_twa" ->
+      s"""WITH e AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS pvname,
+         |    epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS v
+         |  FROM events WHERE event_type = 'click'),
+         |seed AS (SELECT pvname, $T0 AS ts_us, arg_max(v, ts_us) AS v, 0 AS fl
+         |  FROM e WHERE ts_us < $T0 GROUP BY pvname),
+         |iw AS (SELECT pvname, ts_us, max(v) AS v, 1 AS fl
+         |  FROM e WHERE ts_us >= $T0 AND ts_us < $TMID GROUP BY 1, 2),
+         |pts AS (SELECT pvname, ts_us, arg_max(v, fl) AS v
+         |  FROM (SELECT * FROM iw UNION ALL SELECT * FROM seed) GROUP BY 1, 2),
+         |seg AS (SELECT pvname, v,
+         |    coalesce(lead(ts_us) OVER (PARTITION BY pvname ORDER BY ts_us), $TMID) - ts_us AS w
+         |  FROM pts)
+         |SELECT pvname, round(sum(v * w) / sum(w), 6) AS twa,
+         |  CAST(sum(w) AS BIGINT) AS covered_us, CAST(count(*) AS BIGINT) AS n
+         |FROM seg GROUP BY pvname ORDER BY pvname""".stripMargin,
 
     // parallel fixed-anchor LTTB: time normalized to bucket units before
     // averaging (areas O(bucket x value), so the shared 6-dp rounding is

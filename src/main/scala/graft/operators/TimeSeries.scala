@@ -597,6 +597,46 @@ object TimeSeries {
       .toDF(key, ts, "value", "ewma")
   }
 
+  /** Per-key TIME-WEIGHTED average over `[t0, t1)` — the canonical archiver
+    * aggregate for irregularly-sampled PVs (a value "counts" for as long as
+    * it was current, LOCF weighting): each sample carries its value until
+    * the next sample or the window end, and the pre-window LOCF seed
+    * (W2's one-point-before, archiver.py:131-223) anchors the span from
+    * `t0` to the first in-window sample. A plain `avg` over-weights bursts;
+    * this is the mean a strip-chart integral gives. Keys whose coverage
+    * starts inside the window (no seed) normalize by COVERED time, not the
+    * full window. Returns `(key, twa, covered_us, n)`.
+    *
+    * Plan shape: bounded pre-window argmax (map-side combinable) union the
+    * in-window dedupe, one per-key `lead` window for segment widths, one
+    * final rollup — every shuffle on the key, output one row per key.
+    */
+  def timeWeightedAvg(df: DataFrame, key: String, ts: String, value: String,
+      t0: Long, t1: Long): DataFrame = {
+    require(t1 > t0, s"empty window: t1 $t1 <= t0 $t0")
+    // LOCF seed: the latest strictly-pre-window sample, carried to t0. A
+    // real sample AT t0 wins over the seed (flag-based argmax).
+    val seed = df.where(col(ts) < t0)
+      .groupBy(col(key))
+      .agg(max_by(col(value), col(ts)).cast("double").as("__v"))
+      .select(col(key), lit(t0).as(ts), col("__v"), lit(0).as("__fl"))
+    val inWin = df.where(col(ts) >= t0 && col(ts) < t1)
+      .groupBy(col(key), col(ts))
+      .agg(max(col(value)).cast("double").as("__v"))
+      .select(col(key), col(ts), col("__v"), lit(1).as("__fl"))
+    val pts = inWin.unionByName(seed)
+      .groupBy(col(key), col(ts))
+      .agg(max_by(col("__v"), col("__fl")).as("__v"))
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+    val seg = pts.withColumn("__w",
+      coalesce(lead(col(ts), 1).over(w), lit(t1)) - col(ts))
+    seg.groupBy(col(key))
+      .agg(
+        round(sum(col("__v") * col("__w")) / sum(col("__w")), 6).as("twa"),
+        sum(col("__w")).as("covered_us"),
+        count(lit(1)).as("n"))
+  }
+
   /** Pearson correlation matrix between LOCF-aligned series — "do these PVs
     * move together" over a shared time grid (feed it [[locfAlign]] /
     * [[locfAlignChunked]] output, or any wide frame of numeric columns).

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twin of [[graft.operators.TimeSeries.ewma]]: the per-key
+  * exponential smoothing fold (`s_1 = v_1`, `s_i = (1-alpha)*s_{i-1} +
+  * alpha*v_i`) as a `flatMapGroupsWithState` topology — the live
+  * strip-chart smoother over an EPICS monitor stream, in lockstep with the
+  * batch replay (same double expression, same order, bit-identical).
+  *
+  * Within a micro-batch, a key's events fold in `(tsUs, value)` order
+  * (same per-batch sort as [[Downsampler.streaming]]); across batches the
+  * fold assumes per-key event-time monotone delivery (the T7 convention —
+  * an out-of-order sample would need the batch replay to reconstruct
+  * history). State per key is TWO scalars; shuffle is keyed; emission is
+  * one row per input row in Append mode.
+  */
+object Smoothing {
+
+  /** A numeric sample on the monitor stream. */
+  case class Point(pvname: String, tsUs: Long, value: Double)
+
+  /** Per-key fold state: the running ewma and the last folded event time
+    * (late arrivals — tsUs below it — are dropped, not folded backwards).
+    */
+  case class SmoothState(ewma: Double, lastTsUs: Long)
+
+  /** A smoothed sample. */
+  case class Smoothed(pvname: String, tsUs: Long, value: Double, ewma: Double)
+
+  def streaming(ds: Dataset[Point], alpha: Double): Dataset[Smoothed] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val oneMinus = 1.0 - alpha
+    ds.groupByKey(_.pvname)
+      .flatMapGroupsWithState[SmoothState, Smoothed](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (pv: String, it: Iterator[Point], gs: GroupState[SmoothState]) =>
+          val out = Vector.newBuilder[Smoothed]
+          var st: Option[SmoothState] = gs.getOption
+          // value DESC inside an instant: the max folds first and its
+          // same-instant peers drop, matching the batch twin's
+          // max-per-(key, ts) dedupe when the duplicates share a batch
+          it.toVector.sortBy(p => (p.tsUs, -p.value)).foreach { p =>
+            st match {
+              case None =>
+                st = Some(SmoothState(p.value, p.tsUs))
+                out += Smoothed(pv, p.tsUs, p.value, p.value)
+              case Some(s) if p.tsUs > s.lastTsUs =>
+                val e = oneMinus * s.ewma + alpha * p.value
+                st = Some(SmoothState(e, p.tsUs))
+                out += Smoothed(pv, p.tsUs, p.value, e)
+              case Some(_) => () // late or duplicate instant: dropped (T7)
+            }
+          }
+          st.foreach(gs.update)
+          out.result().iterator
+      }
+  }
+}

@@ -345,6 +345,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("timeWeightedAvg: LOCF segment weighting, pre-window seed, covered-time normalization") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      // key a: seed 2.0 at ts<t0 covers [100,140); 10.0 covers [140,200)
+      ("a", 50L, 2.0), ("a", 140L, 10.0),
+      // key b: no seed; first sample at 150 -> covered 50 only
+      ("b", 150L, 4.0),
+      // key c: sample exactly AT t0 beats the seed
+      ("c", 80L, 1.0), ("c", 100L, 7.0))
+      .toDF("k", "ts", "v")
+    val got = TimeSeries.timeWeightedAvg(rows, "k", "ts", "v", t0 = 100L, t1 = 200L)
+      .collect()
+      .map(r => (r.getAs[String]("k"),
+        (r.getAs[Double]("twa"), r.getAs[Long]("covered_us"), r.getAs[Long]("n"))))
+      .toMap
+    assert(got("a") == (((2.0 * 40 + 10.0 * 60) / 100, 100L, 2L))) // 6.8
+    assert(got("b") == ((4.0, 50L, 1L)))
+    assert(got("c") == ((7.0, 100L, 1L)))
+  }
+
   test("ewma: seeded by first sample, folds in time order per key") {
     val sp = spark
     import sp.implicits._

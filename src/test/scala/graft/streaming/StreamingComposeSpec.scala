@@ -172,6 +172,34 @@ class StreamingComposeSpec extends SparkSpec {
     assert(streamed.size == base.size) // every duplicate dropped, nothing lost
   }
 
+  test("ewma: the streaming flatMapGroupsWithState fold equals the batch secondary-sort fold") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // three keys, jittered values; includes a same-instant duplicate pair
+    // (the streaming in-batch max-first rule matches the batch max dedupe)
+    val rows = (0 until 90).map { i =>
+      Smoothing.Point(s"p${i % 3}", (1000L + i * 7L) * S, (i * 37 % 11) + i * 0.25)
+    } :+ Smoothing.Point("p0", (1000L + 3L * 7L) * S, -5.0) // dup instant, smaller value
+    val input = MemoryStream[Smoothing.Point]
+    val q = Smoothing.streaming(input.toDS(), alpha = 0.25)
+      .writeStream.outputMode("append").format("memory").queryName("ewma_stream")
+      .start()
+    try {
+      // per-key time-monotone delivery across batches (the documented
+      // contract); the duplicate travels in the same batch as its peer
+      rows.sortBy(_.tsUs).grouped(25).foreach { g => input.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = sp.table("ewma_stream").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    val batch = TimeSeries.ewma(
+      rows.toDF("pvname", "tsUs", "value"), "pvname", "tsUs", "value", alpha = 0.25)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(streamed == batch) // bit-identical fold, dedupe included
+    assert(streamed.size == 90) // the dup instant collapsed
+  }
+
   test("curation ops (sample/split/PII) attach directly to a streaming frame (stateless append mode)") {
     val sp = spark
     import sp.implicits._
