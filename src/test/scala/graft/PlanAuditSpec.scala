@@ -195,4 +195,67 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("OHLC rollup and histogram are window-free two-phase aggregations") {
+    Seq("q_ohlc", "q_histogram").foreach { q =>
+      val plan = formatted(q)
+      assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"), s"$q: $plan")
+      assert(!plan.contains("Window"), s"$q: $plan")
+    }
+  }
+
+  test("twa: pre-window seed is a partial-aggregated argmax, one key window for segments") {
+    val plan = formatted("q_twa")
+    // exactly one Window (the per-key lead); seed and rollup are aggs
+    assert(plan.linesIterator.count(_.matches(".*\\(\\d+\\) Window.*")) == 1, plan)
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"), plan)
+  }
+
+  test("correlation matrix: every pairwise moment from ONE aggregation, no join, no window") {
+    val plan = formatted("q_pv_corr")
+    // aligned grid feeds a single global agg; pairs explode from its 1 row
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+    // detail lines ascend leaf -> root, so "Generate above the aggs" means
+    // every HashAggregate detail prints BEFORE the Generate detail
+    val lines = plan.linesIterator.toSeq
+    val genIdx = lines.indexWhere(_.matches(".*\\(\\d+\\) Generate.*"))
+    assert(genIdx >= 0, plan) // the pair explode exists...
+    val aggIdxs = lines.zipWithIndex.filter(_._1.matches(".*\\(\\d+\\) HashAggregate.*")).map(_._2)
+    assert(aggIdxs.nonEmpty && aggIdxs.forall(_ < genIdx), plan)
+  }
+
+  test("embed quantize: dim stats arrive by broadcast; per-vector rollup is a partial agg") {
+    val plan = formatted("q_embed_quantize")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"), plan)
+  }
+
+  test("lttb: anchors from the bucket table; no global window, no driver collect") {
+    val plan = formatted("q_lttb")
+    assert(!plan.contains("ExistingRDD"), plan)
+    // the only Windows are the per-key lag/lead over bucket averages —
+    // every Window line must carry the key partitioning
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.forall(_.contains("pvname")), winLines.mkString("\n"))
+  }
+
+  test("new stateful/sequential ops build lazily too (ewma, twa, lttb, delta, quantize)") {
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.add(js.stageInfos.map(_.name).mkString("/"))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val dir = "/root/testdata/sf0.001"
+      Seq("q_ohlc", "q_histogram", "q_delta_rate", "q_ewma", "q_pv_corr",
+        "q_lttb", "q_twa", "q_embed_quantize").foreach { q =>
+        SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+      }
+      org.apache.spark.GraftSparkTestHooks.waitListenerBus(spark.sparkContext)
+      val offenders = java.util.List.copyOf(jobs).toArray.map(_.toString)
+        .filterNot(_.startsWith("parquet at "))
+      assert(offenders.isEmpty, s"operator ran driver jobs at construction: ${offenders.mkString("; ")}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
