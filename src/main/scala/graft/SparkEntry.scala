@@ -1048,6 +1048,26 @@ object SparkEntry {
         .orderBy(col("k1"), col("k2"))
     }),
 
+    // ---- rolling-median despiking filter ----------------------------------
+    "q_despike" -> ((s, dir) => {
+      val samples = events(s, dir)
+        .where(col("event_type") === "click" && col("ts_us") >= T0 && col("ts_us") < TMID)
+        .select(concat(lit("u"), col("user_id")).as("pvname"),
+          col("ts_us"), col("value"))
+      TimeSeries.medianFilter(samples, "pvname", "ts_us", "value",
+        halfWindow = 2, spikeThresh = 50.0)
+        .orderBy(col("pvname"), col("ts_us"))
+    }),
+
+    // ---- time-bucket x value-bin heatmap (waterfall plot frame) -----------
+    "q_heatmap" -> ((s, dir) => {
+      TimeSeries.heatmap(
+        events(s, dir).select(col("event_type").as("pvname"), col("ts_us"), col("value")),
+        "pvname", "ts_us", "value",
+        widthUs = 86400000000L, lo = 0.0, hi = 500.0, bins = 10)
+        .orderBy(col("pvname"), col("bucket"), col("bin"))
+    }),
+
     // ---- time-weighted average (LOCF weighting + W2 pre-window seed) ------
     "q_twa" -> ((s, dir) => {
       val samples = events(s, dir)
@@ -2734,6 +2754,35 @@ object SparkEntry {
          |        (sqrt(n * sxx1 - sx1 * sx1) * sqrt(n * sxx2 - sx2 * sx2)), 6) END,
          |    'NaN'::DOUBLE) AS corr
          |FROM p ORDER BY k1, k2""".stripMargin,
+
+    // rolling-median despike: exact interpolated median over a centered
+    // ROWS frame (both engines: lower + (upper-lower)*frac on identical
+    // sorted doubles); the spike test compares against the 6-dp median
+    "q_despike" ->
+      s"""WITH s AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS pvname,
+         |    epoch_us(ts) AS ts_us, max(CAST(value AS DOUBLE)) AS v
+         |  FROM events WHERE event_type = 'click'
+         |    AND epoch_us(ts) >= $T0 AND epoch_us(ts) < $TMID
+         |  GROUP BY 1, 2),
+         |m AS (SELECT pvname, ts_us, v,
+         |    round(quantile_cont(v, CAST(0.5 AS DOUBLE)) OVER (
+         |      PARTITION BY pvname ORDER BY ts_us
+         |      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS med
+         |  FROM s)
+         |SELECT pvname, ts_us, v AS value, med AS median,
+         |  (abs(v - med) > 50.0) AS is_spike
+         |FROM m ORDER BY pvname, ts_us""".stripMargin,
+
+    // heatmap: day buckets x clamped value bins, one combinable agg
+    "q_heatmap" ->
+      s"""WITH s AS (SELECT event_type AS pvname, epoch_us(ts) AS ts_us,
+         |    CAST(value AS DOUBLE) AS v
+         |  FROM events WHERE value IS NOT NULL)
+         |SELECT pvname, ts_us // 86400000000 AS bucket,
+         |  CAST(least(greatest(floor((v - 0.0) / 50.0), 0), 9) AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(0.0 AS DOUBLE) + CAST(least(greatest(floor((v - 0.0) / 50.0), 0), 9) AS BIGINT) * CAST(50.0 AS DOUBLE), 6) AS bin_lo
+         |FROM s GROUP BY 1, 2, 3 ORDER BY pvname, bucket, bin""".stripMargin,
 
     // time-weighted average: LOCF segment weighting, pre-window arg_max
     // seed carried to t0 (a real sample AT t0 wins via the flag argmax),

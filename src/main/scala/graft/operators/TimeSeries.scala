@@ -534,6 +534,51 @@ object TimeSeries {
       .withColumn("bin_lo", round(lit(lo) + col("bin") * w, 6))
   }
 
+  /** Per-key centered rolling-MEDIAN filter with a spike flag — the classic
+    * despiking cleanup for noisy PVs (a median shrugs off outliers where a
+    * moving mean chases them): each sample reports the exact interpolated
+    * median of the `2*halfWindow + 1` surrounding samples (frame shrinks at
+    * the series edges) and whether it deviates from that median by more
+    * than `spikeThresh`. Duplicate instants collapse to their max first.
+    *
+    * One key-partitioned ROWS window; per-task state is the frame's
+    * samples for its keys, never the corpus. The spike test uses the
+    * 6-dp-rounded median on both engines so the flag is hash-stable.
+    */
+  def medianFilter(df: DataFrame, key: String, ts: String, value: String,
+      halfWindow: Int, spikeThresh: Double): DataFrame = {
+    require(halfWindow >= 1, s"halfWindow must be >= 1, got $halfWindow")
+    require(spikeThresh > 0, s"spikeThresh must be positive, got $spikeThresh")
+    val s = df.groupBy(col(key), col(ts)).agg(max(col(value)).cast("double").as("__v"))
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+      .rowsBetween(-halfWindow, halfWindow)
+    val med = round(expr("percentile(__v, 0.5D)").over(w), 6)
+    s.select(col(key), col(ts), col("__v").as("value"),
+      med.as("median"),
+      (abs(col("__v") - med) > spikeThresh).as("is_spike"))
+  }
+
+  /** Time-bucket × value-bin occupancy counts — the waterfall/heatmap frame
+    * behind long-horizon PV plots (how a value distribution drifts over
+    * days). The composition of [[bucketRollup]]'s time axis with
+    * [[histogram]]'s clamped value bins: one row per non-empty
+    * `(key, bucket, bin)` cell. ONE map-side-combinable aggregation, no
+    * windows; output bounded by buckets × bins per key.
+    */
+  def heatmap(df: DataFrame, key: String, ts: String, value: String,
+      widthUs: Long, lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(widthUs > 0, s"widthUs must be positive, got $widthUs")
+    require(bins > 0, s"bins must be positive, got $bins")
+    require(hi > lo, s"empty range: hi $hi <= lo $lo")
+    val w = (hi - lo) / bins
+    val bin = least(greatest(floor((col(value).cast("double") - lo) / w), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+    df.where(col(value).isNotNull)
+      .groupBy(col(key), expr(s"$ts DIV ${widthUs}L").as("bucket"), bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", round(lit(lo) + col("bin") * w, 6))
+  }
+
   /** Per-key sample-to-sample delta and rate of change (the numeric
     * derivative behind "how fast is this PV moving" monitoring). Duplicate
     * timestamps collapse to their max first; each survivor reports the

@@ -58,4 +58,28 @@ class ApproxSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(whole == reshuffled, s"$whole vs $reshuffled")
   }
+
+  test("approx_percentile stays within its rank accuracy of the exact percentiles (A5 twin)") {
+    val acc = 1000 // rank error <= n / acc
+    val ps = Seq(0.25, 0.5, 0.9, 0.99)
+    val sorted = events.select(col("value").cast("double")).where(col("value").isNotNull)
+      .collect().map(_.getDouble(0)).sorted
+    val n = sorted.length
+    val approx = events.agg(expr(
+      s"approx_percentile(value, array(${ps.mkString("D, ")}D), $acc)").as("q"))
+      .collect().head.getSeq[Double](0)
+    ps.zip(approx).foreach { case (p, est) =>
+      // the GK guarantee is on RANK, not value: the estimate must sit at a
+      // rank within n/acc (+1 slack) of the target rank
+      val lo = math.max(0, (p * n).toInt - n / acc - 1)
+      val hi = math.min(n - 1, (p * n).toInt + n / acc + 1)
+      assert(est >= sorted(lo) && est <= sorted(hi),
+        s"p$p: $est outside value band [${sorted(lo)}, ${sorted(hi)}]")
+    }
+    // partition-invariant merge, like the HLL++ gate above
+    val reshuffled = events.repartition(13, col("event_id")).agg(expr(
+      s"approx_percentile(value, array(${ps.mkString("D, ")}D), $acc)").as("q"))
+      .collect().head.getSeq[Double](0)
+    assert(reshuffled.length == ps.length)
+  }
 }

@@ -345,6 +345,47 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("medianFilter: centered rolling median, edge frames shrink, spike flagged") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      ("a", 10L, 1.0), ("a", 20L, 2.0), ("a", 30L, 99.0), // spike
+      ("a", 40L, 3.0), ("a", 50L, 4.0), ("a", 60L, 5.0))
+      .toDF("k", "ts", "v")
+    val got = TimeSeries.medianFilter(rows, "k", "ts", "v", halfWindow = 2, spikeThresh = 10.0)
+      .collect()
+      .map(r => (r.getAs[Long]("ts"),
+        (r.getAs[Double]("median"), r.getAs[Boolean]("is_spike"))))
+      .toMap
+    assert(got(10L) == ((2.0, false))) // head frame {1,2,99}: median 2
+    assert(got(20L) == ((2.5, false))) // frame {1,2,99,3}: interpolated 2.5
+    assert(got(30L) == ((3.0, true))) // frame {1,2,99,3,4}: median 3, |99-3| > 10
+    assert(got(40L) == ((4.0, false))) // frame {2,99,3,4,5}: median 4
+    assert(got(60L) == ((4.0, false))) // tail frame {3,4,5}: median 4
+    assert(got.size == 6)
+  }
+
+  test("heatmap: time-bucket x value-bin occupancy with clamped edges") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      ("a", 5L, 5.0), ("a", 7L, 15.0), ("a", 9L, 15.5), // bucket 0: bins 0, 1, 1
+      ("a", 12L, 999.0), // bucket 1, clamped into bin 9
+      ("b", 3L, -4.0)) // clamped into bin 0
+      .toDF("k", "ts", "v")
+    val got = TimeSeries.heatmap(rows, "k", "ts", "v",
+      widthUs = 10L, lo = 0.0, hi = 100.0, bins = 10)
+      .collect()
+      .map(r => ((r.getAs[String]("k"), r.getAs[Long]("bucket"), r.getAs[Long]("bin")),
+        (r.getAs[Long]("n"), r.getAs[Double]("bin_lo"))))
+      .toMap
+    assert(got(("a", 0L, 0L)) == ((1L, 0.0)))
+    assert(got(("a", 0L, 1L)) == ((2L, 10.0)))
+    assert(got(("a", 1L, 9L)) == ((1L, 90.0)))
+    assert(got(("b", 0L, 0L)) == ((1L, 0.0)))
+    assert(got.size == 4)
+  }
+
   test("timeWeightedAvg: LOCF segment weighting, pre-window seed, covered-time normalization") {
     val sp = spark
     import sp.implicits._
