@@ -1048,6 +1048,49 @@ object SparkEntry {
         .orderBy(col("k1"), col("k2"))
     }),
 
+    // ---- two-sided CUSUM drift detection (sequential control-chart fold,
+    // floor-quantized accumulators like q_ewma) ----------------------------
+    "q_cusum" -> ((s, dir) => {
+      val samples = events(s, dir)
+        .where(col("event_type") === "click")
+        .select(concat(lit("u"), col("user_id")).as("pvname"),
+          col("ts_us"), col("value"))
+      TimeSeries.cusum(samples, "pvname", "ts_us", "value",
+        target = 50.0, slack = 5.0, h = 200.0)
+        .withColumn("s_pos", floor(col("s_pos") * 1000000.0) / 1000000.0)
+        .withColumn("s_neg", floor(col("s_neg") * 1000000.0) / 1000000.0)
+        .orderBy(col("pvname"), col("ts_us"))
+    }),
+
+    // ---- Spearman rank-correlation matrix over the LOCF grid (integer-
+    // exact average ranks into the shared explicit-sum Pearson pass) -------
+    "q_spearman" -> ((s, dir) => {
+      val aligned = TimeSeries.locfAlign(
+        events(s, dir).select(col("event_type"), col("ts_us"), col("value")),
+        "event_type", "ts_us", "value", Seq("click", "purchase", "view"), T0, T1)
+      TimeSeries.spearmanMatrix(aligned, Seq("click", "purchase", "view"))
+        .select(col("k1"), col("k2"), col("n"),
+          coalesce(col("corr"), lit(Double.NaN)).as("corr"))
+        .orderBy(col("k1"), col("k2"))
+    }),
+
+    // ---- hour-of-day x day-of-week seasonal profile (pure integer
+    // calendar arithmetic — no timezone library in the hash path) ----------
+    "q_seasonal" -> ((s, dir) => {
+      TimeSeries.seasonalProfile(
+        events(s, dir).select(col("event_type").as("pvname"), col("ts_us"), col("value")),
+        "pvname", "ts_us", "value")
+        .orderBy(col("pvname"), col("hour"), col("dow"))
+    }),
+
+    // ---- PSI distribution drift between the two halves of the month ------
+    "q_psi" -> ((s, dir) => {
+      TimeSeries.psiDrift(
+        events(s, dir).select(col("event_type").as("pvname"), col("ts_us"), col("value")),
+        "pvname", "ts_us", "value", tSplit = TMID, lo = 0.0, hi = 500.0, bins = 20)
+        .orderBy(col("pvname"))
+    }),
+
     // ---- rolling-median despiking filter ----------------------------------
     "q_despike" -> ((s, dir) => {
       val samples = events(s, dir)
@@ -2754,6 +2797,105 @@ object SparkEntry {
          |        (sqrt(n * sxx1 - sx1 * sx1) * sqrt(n * sxx2 - sx2 * sx2)), 6) END,
          |    'NaN'::DOUBLE) AS corr
          |FROM p ORDER BY k1, k2""".stripMargin,
+
+    // two-sided CUSUM: per-prefix folds (list_prepend injects the zero
+    // initial state); (x - 50.0 - 5.0) mirrors the Scala op order exactly,
+    // so accumulators are bit-identical; alarm tests the RAW folds, the
+    // emitted accumulators floor-quantize like q_ewma
+    "q_cusum" ->
+      s"""WITH s AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS pvname,
+         |    epoch_us(ts) AS ts_us, max(CAST(value AS DOUBLE)) AS v
+         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         |g AS (SELECT pvname, list(ts_us ORDER BY ts_us) AS tss,
+         |    list(v ORDER BY ts_us) AS vs
+         |  FROM s GROUP BY pvname),
+         |u AS (SELECT pvname,
+         |    unnest(tss) AS ts_us,
+         |    unnest(vs) AS value,
+         |    unnest([list_reduce(list_prepend(CAST(0 AS DOUBLE), vs[1:i]),
+         |        (a, x) -> greatest(CAST(0 AS DOUBLE), a + (x - 50.0 - 5.0)))
+         |      FOR i IN generate_series(1, len(vs))]) AS sp_raw,
+         |    unnest([list_reduce(list_prepend(CAST(0 AS DOUBLE), vs[1:i]),
+         |        (a, x) -> least(CAST(0 AS DOUBLE), a + (x - 50.0 + 5.0)))
+         |      FOR i IN generate_series(1, len(vs))]) AS sn_raw
+         |  FROM g)
+         |SELECT pvname, ts_us, value,
+         |  floor(sp_raw * 1000000.0) / 1000000.0 AS s_pos,
+         |  floor(sn_raw * 1000000.0) / 1000000.0 AS s_neg,
+         |  (sp_raw > 200.0 OR sn_raw < -200.0) AS alarm
+         |FROM u ORDER BY pvname, ts_us""".stripMargin,
+
+    // Spearman: integer-exact average ranks (min-rank + (ties-1)/2), then
+    // the same explicit-sum Pearson as q_pv_corr over the rank columns
+    "q_spearman" ->
+      s"""WITH e AS (
+         |  SELECT epoch_us(ts) AS ts_us, event_type, value FROM events
+         |  WHERE event_type IN ('click', 'purchase', 'view') AND epoch_us(ts) < $T1),
+         |g AS (SELECT ts_us,
+         |        max(CASE WHEN event_type = 'click' THEN value END) AS c0,
+         |        max(CASE WHEN event_type = 'purchase' THEN value END) AS c1,
+         |        max(CASE WHEN event_type = 'view' THEN value END) AS c2
+         |      FROM e GROUP BY ts_us),
+         |f AS (SELECT ts_us,
+         |        last_value(c0 IGNORE NULLS) OVER w AS a0,
+         |        last_value(c1 IGNORE NULLS) OVER w AS b0,
+         |        last_value(c2 IGNORE NULLS) OVER w AS c0
+         |      FROM g WINDOW w AS (ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |al AS (SELECT a0, b0, c0 FROM f
+         |       WHERE ts_us >= $T0 AND a0 IS NOT NULL AND b0 IS NOT NULL AND c0 IS NOT NULL),
+         |r AS (SELECT
+         |    CAST(rank() OVER (ORDER BY a0) AS DOUBLE) + (count(*) OVER (PARTITION BY a0) - 1) / CAST(2.0 AS DOUBLE) AS a,
+         |    CAST(rank() OVER (ORDER BY b0) AS DOUBLE) + (count(*) OVER (PARTITION BY b0) - 1) / CAST(2.0 AS DOUBLE) AS b,
+         |    CAST(rank() OVER (ORDER BY c0) AS DOUBLE) + (count(*) OVER (PARTITION BY c0) - 1) / CAST(2.0 AS DOUBLE) AS c
+         |  FROM al),
+         |sums AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    sum(a) AS sxa, sum(a*a) AS sxxa,
+         |    sum(b) AS sxb, sum(b*b) AS sxxb,
+         |    sum(c) AS sxc, sum(c*c) AS sxxc,
+         |    sum(a*b) AS sab, sum(a*c) AS sac, sum(b*c) AS sbc
+         |  FROM r),
+         |p AS (
+         |  SELECT 'click' AS k1, 'purchase' AS k2, n, sab AS sxy,
+         |         sxa AS sx1, sxxa AS sxx1, sxb AS sx2, sxxb AS sxx2 FROM sums
+         |  UNION ALL
+         |  SELECT 'click', 'view', n, sac, sxa, sxxa, sxc, sxxc FROM sums
+         |  UNION ALL
+         |  SELECT 'purchase', 'view', n, sbc, sxb, sxxb, sxc, sxxc FROM sums)
+         |SELECT k1, k2, CAST(n AS BIGINT) AS n,
+         |  coalesce(CASE WHEN sqrt(n * sxx1 - sx1 * sx1) * sqrt(n * sxx2 - sx2 * sx2) > 0
+         |      THEN round((n * sxy - sx1 * sx2) /
+         |        (sqrt(n * sxx1 - sx1 * sx1) * sqrt(n * sxx2 - sx2 * sx2)), 6) END,
+         |    'NaN'::DOUBLE) AS corr
+         |FROM p ORDER BY k1, k2""".stripMargin,
+
+    // seasonal profile: integer hour/dow derivation (epoch is a Thursday)
+    "q_seasonal" ->
+      s"""SELECT event_type AS pvname,
+         |  (epoch_us(ts) // 3600000000) % 24 AS hour,
+         |  ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+         |  CAST(count(*) AS BIGINT) AS n, round(avg(value), 6) AS mean
+         |FROM events GROUP BY 1, 2, 3
+         |ORDER BY pvname, hour, dow""".stripMargin,
+
+    // PSI drift: one FILTERed count agg (same bin set as the engine's
+    // two-agg full-outer join), half-count Laplace smoothing, natural log
+    "q_psi" ->
+      s"""WITH s AS (SELECT event_type AS pvname, epoch_us(ts) AS ts_us,
+         |    CAST(value AS DOUBLE) AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |b AS (SELECT pvname,
+         |    CAST(least(greatest(floor((v - 0.0) / 25.0), 0), 19) AS BIGINT) AS bin,
+         |    count(*) FILTER (WHERE ts_us < $TMID) AS n1,
+         |    count(*) FILTER (WHERE ts_us >= $TMID) AS n2
+         |  FROM s GROUP BY 1, 2),
+         |t AS (SELECT pvname, sum(n1) AS t1, sum(n2) AS t2, count(*) AS cells
+         |  FROM b GROUP BY pvname),
+         |pr AS (SELECT b.pvname,
+         |    (n1 + CAST(0.5 AS DOUBLE)) / (t1 + CAST(0.5 AS DOUBLE) * cells) AS p1,
+         |    (n2 + CAST(0.5 AS DOUBLE)) / (t2 + CAST(0.5 AS DOUBLE) * cells) AS p2
+         |  FROM b JOIN t ON b.pvname = t.pvname)
+         |SELECT pvname, round(sum((p1 - p2) * ln(p1 / p2)), 6) AS psi
+         |FROM pr GROUP BY pvname ORDER BY pvname""".stripMargin,
 
     // rolling-median despike: exact interpolated median over a centered
     // ROWS frame (both engines: lower + (upper-lower)*frac on identical

@@ -682,6 +682,110 @@ object TimeSeries {
         count(lit(1)).as("n"))
   }
 
+  /** Per-key two-sided CUSUM change detection — the sequential
+    * control-chart fold (Page's test): against a `target` setpoint with
+    * `slack` allowance, `s_pos` accumulates upward drift
+    * (`max(0, s + (v - target - slack))`), `s_neg` downward
+    * (`min(0, s + (v - target + slack))`), and a sample alarms when either
+    * exceeds `h`. Catches slow drifts a z-score threshold misses.
+    * Duplicate instants collapse to their max first.
+    *
+    * Sequential per key like [[ewma]], and the same scale shape:
+    * hash-repartition on the key, sort within partitions, one linear
+    * `mapPartitions` fold with two doubles of state. Both accumulators are
+    * returned unrounded (bit-identical to the oracle's prefix folds;
+    * floor-quantize for fixed-decimal compares).
+    */
+  def cusum(df: DataFrame, key: String, ts: String, value: String,
+      target: Double, slack: Double, h: Double): DataFrame = {
+    require(slack >= 0, s"slack must be >= 0, got $slack")
+    require(h > 0, s"alarm threshold must be positive, got $h")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val s = df.groupBy(col(key), col(ts)).agg(max(col(value)).cast("double").as("__v"))
+      .select(col(key).cast("string"), col(ts).cast("long"), col("__v"))
+      .as[(String, Long, Double)]
+    s.repartition(col(s.columns.head))
+      .sortWithinPartitions(col(s.columns.head), col(s.columns(1)))
+      .mapPartitions { it =>
+        var curKey: String = null
+        var sPos = 0.0
+        var sNeg = 0.0
+        it.map { case (k, t, v) =>
+          if (k != curKey) { curKey = k; sPos = 0.0; sNeg = 0.0 }
+          sPos = math.max(0.0, sPos + (v - target - slack))
+          sNeg = math.min(0.0, sNeg + (v - target + slack))
+          (k, t, v, sPos, sNeg, sPos > h || sNeg < -h)
+        }
+      }
+      .toDF(key, ts, "value", "s_pos", "s_neg", "alarm")
+  }
+
+  /** Spearman rank-correlation matrix over a LOCF-aligned frame — the
+    * outlier-robust companion to [[correlationMatrix]] (monotone
+    * association, not linear): each column becomes its AVERAGE rank
+    * (`min_rank + (ties-1)/2`, exact halves), then Pearson on the ranks
+    * via the shared explicit-sum pass. Rank windows are global per column,
+    * so this is for plot-sized aligned frames (the [[locfAlign]] contract);
+    * the rank arithmetic is integer-exact, making the matrix
+    * engine-portable where raw-value ranking noise would not be.
+    */
+  def spearmanMatrix(aligned: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.size >= 2, s"need at least 2 series, got ${keys.size}")
+    val ranked = keys.foldLeft(aligned) { (acc, k) =>
+      val wr = Window.orderBy(col(k))
+      val wt = Window.partitionBy(col(k))
+      acc.withColumn(k,
+        rank().over(wr).cast("double") + (count(lit(1)).over(wt) - 1) / 2.0)
+    }
+    correlationMatrix(ranked.select(keys.map(col): _*), keys)
+  }
+
+  /** Per-key hour-of-day × day-of-week seasonal profile — "what does this
+    * PV normally do at 3am on a Sunday", the baseline behind
+    * calendar-aware alarming. Pure INTEGER calendar arithmetic on epoch
+    * micros (UTC; the epoch is a Thursday, hence the +4), identical in any
+    * engine — no timezone library in the hash path. ONE combinable
+    * aggregation; output bounded by 168 cells per key.
+    */
+  def seasonalProfile(df: DataFrame, key: String, ts: String, value: String): DataFrame =
+    df.groupBy(col(key),
+        (expr(s"$ts DIV 3600000000L") % 24).as("hour"),
+        ((expr(s"$ts DIV 86400000000L") + 4) % 7).as("dow"))
+      .agg(count(lit(1)).as("n"), round(avg(col(value)), 6).as("mean"))
+
+  /** Per-key population-stability index (PSI) between the two halves of a
+    * time split — the standard "has this distribution drifted" score
+    * (PSI < 0.1 stable, > 0.25 action): both periods histogram onto the
+    * SAME fixed `[lo, hi]` × `bins` grid ([[histogram]]'s clamp), counts
+    * Laplace-smooth by half a count per bin (so empty cells don't blow up
+    * the log), and `psi = Σ (p1 - p2) · ln(p1 / p2)`. Two combinable
+    * count aggregations + a bins-sized join; output one row per key.
+    */
+  def psiDrift(df: DataFrame, key: String, ts: String, value: String,
+      tSplit: Long, lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    require(hi > lo, s"empty range: hi $hi <= lo $lo")
+    val w = (hi - lo) / bins
+    val bin = least(greatest(floor((col(value).cast("double") - lo) / w), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+    def side(pred: Column, n: String) = df.where(col(value).isNotNull && pred)
+      .groupBy(col(key), bin.as("bin")).agg(count(lit(1)).as(n))
+    val joined = side(col(ts) < tSplit, "n1")
+      .join(side(col(ts) >= tSplit, "n2"), Seq(key, "bin"), "full_outer")
+      .select(col(key), coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"))
+    val tot = joined.groupBy(col(key))
+      .agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"),
+        count(lit(1)).as("cells"))
+    joined.join(tot, Seq(key))
+      .select(col(key),
+        ((col("n1") + 0.5) / (col("t1") + lit(0.5) * col("cells"))).as("p1"),
+        ((col("n2") + 0.5) / (col("t2") + lit(0.5) * col("cells"))).as("p2"))
+      .groupBy(col(key))
+      .agg(round(sum((col("p1") - col("p2")) * log(col("p1") / col("p2"))), 6).as("psi"))
+  }
+
   /** Pearson correlation matrix between LOCF-aligned series — "do these PVs
     * move together" over a shared time grid (feed it [[locfAlign]] /
     * [[locfAlignChunked]] output, or any wide frame of numeric columns).

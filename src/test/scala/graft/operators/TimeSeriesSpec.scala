@@ -425,6 +425,88 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(("b", 5L)) == 100.0)
   }
 
+  test("cusum: accumulates drift above slack, resets at zero, alarms past h") {
+    val sp = spark
+    import sp.implicits._
+    // target 10, slack 1: values at 10 accumulate nothing; a +5 step drifts
+    // s_pos by 4 per sample until the alarm at > 8
+    val rows = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 15.0), ("a", 3L, 15.0), ("a", 4L, 15.0),
+      ("b", 1L, 4.0), ("b", 2L, 10.0))
+      .toDF("k", "ts", "v")
+    val got = TimeSeries.cusum(rows, "k", "ts", "v", target = 10.0, slack = 1.0, h = 8.0)
+      .collect()
+      .map(r => ((r.getAs[String]("k"), r.getAs[Long]("ts")),
+        (r.getAs[Double]("s_pos"), r.getAs[Double]("s_neg"), r.getAs[Boolean]("alarm"))))
+      .toMap
+    assert(got(("a", 1L)) == ((0.0, 0.0, false))) // on target
+    assert(got(("a", 2L)) == ((4.0, 0.0, false)))
+    assert(got(("a", 3L)) == ((8.0, 0.0, false))) // at h, not past it
+    assert(got(("a", 4L)) == ((12.0, 0.0, true)))
+    assert(got(("b", 1L)) == ((0.0, -5.0, false))) // downward drift
+    assert(got(("b", 2L)) == ((0.0, -4.0, false))) // recovering toward 0
+  }
+
+  test("spearmanMatrix: +1 for any monotone relation, ties get average ranks") {
+    val sp = spark
+    import sp.implicits._
+    // y = x^3 is nonlinear but monotone: Pearson < 1, Spearman exactly 1;
+    // z reverses x; t has a tie pair
+    val aligned = Seq(
+      (1.0, 1.0, 9.0, 5.0), (2.0, 8.0, 8.0, 5.0),
+      (3.0, 27.0, 7.0, 6.0), (4.0, 64.0, 6.0, 7.0))
+      .toDF("x", "y", "z", "t")
+    val got = TimeSeries.spearmanMatrix(aligned, Seq("x", "y", "z", "t"))
+      .collect()
+      .map(r => ((r.getAs[String]("k1"), r.getAs[String]("k2")),
+        Option(r.getAs[Any]("corr")))).toMap
+    assert(got(("x", "y")) == Some(1.0))
+    assert(got(("x", "z")) == Some(-1.0))
+    // t's ranks: {1.5, 1.5, 3, 4} vs x's {1,2,3,4} -> corr < 1 but high
+    val xt = got(("x", "t")).get.asInstanceOf[Double]
+    assert(xt > 0.9 && xt < 1.0, xt.toString)
+    // Pearson on x-y is NOT 1 (that's the point of Spearman)
+    val pearson = TimeSeries.correlationMatrix(aligned, Seq("x", "y"))
+      .collect().head.getAs[Double]("corr")
+    assert(pearson < 1.0)
+  }
+
+  test("seasonalProfile: integer hour/dow cells (epoch day 0 is a Thursday)") {
+    val sp = spark
+    import sp.implicits._
+    val hourUs = 3600000000L
+    val dayUs = 86400000000L
+    val rows = Seq(
+      ("a", 3L * hourUs, 10.0), // Thu 03:00 -> (3, 4+0 % 7 = 4)
+      ("a", 3L * hourUs + 1L, 20.0), // same cell
+      ("a", 4L * dayUs, 7.0)) // Monday 00:00 -> (0, (4+4)%7 = 1)
+      .toDF("k", "ts", "v")
+    val got = TimeSeries.seasonalProfile(rows, "k", "ts", "v")
+      .collect()
+      .map(r => ((r.getAs[Long]("hour"), r.getAs[Long]("dow")),
+        (r.getAs[Long]("n"), r.getAs[Double]("mean")))).toMap
+    assert(got((3L, 4L)) == ((2L, 15.0)))
+    assert(got((0L, 1L)) == ((1L, 7.0)))
+    assert(got.size == 2)
+  }
+
+  test("psiDrift: identical halves score ~0, a shifted distribution scores high") {
+    val sp = spark
+    import sp.implicits._
+    // key a: same uniform spread both halves -> psi ~ 0 (only smoothing
+    // noise); key b: values jump from ~10 to ~90 across the split -> large
+    val rows =
+      (0 until 100).map(i => ("a", i.toLong, (i % 10) * 10.0)) ++
+        (100 until 200).map(i => ("a", i.toLong, (i % 10) * 10.0)) ++
+        (0 until 100).map(i => ("b", i.toLong, 10.0)) ++
+        (100 until 200).map(i => ("b", i.toLong, 90.0))
+    val got = TimeSeries.psiDrift(rows.toDF("k", "ts", "v"), "k", "ts", "v",
+      tSplit = 100L, lo = 0.0, hi = 100.0, bins = 10)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Double]("psi"))).toMap
+    assert(math.abs(got("a")) < 0.01, got("a").toString)
+    assert(got("b") > 1.0, got("b").toString)
+  }
+
   test("correlationMatrix: exact +-1 on linear series, null on constant series") {
     val sp = spark
     import sp.implicits._
