@@ -1048,6 +1048,38 @@ object SparkEntry {
         .orderBy(col("k1"), col("k2"))
     }),
 
+    // ---- per-series autocorrelation at lags 1..3 --------------------------
+    "q_acf" -> ((s, dir) => {
+      TimeSeries.autocorrelation(
+        events(s, dir).select(col("event_type").as("pvname"), col("ts_us"), col("value")),
+        "pvname", "ts_us", "value", maxLag = 3)
+        .select(col("pvname"), col("lag"), col("n"),
+          coalesce(col("acf"), lit(Double.NaN)).as("acf"))
+        .orderBy(col("pvname"), col("lag"))
+    }),
+
+    // ---- per-key per-day ingest throttle (hard rate cap, first-2 kept) ----
+    "q_throttle" -> ((s, dir) => {
+      val samples = events(s, dir)
+        .where(col("event_type") === "click")
+        .select(concat(lit("u"), col("user_id")).as("pvname"),
+          col("ts_us"), col("event_id"), col("value"))
+      TimeSeries.throttle(samples, "pvname", "ts_us", "event_id",
+        windowUs = 86400000000L, perWindow = 2)
+        .orderBy(col("pvname"), col("ts_us"), col("event_id"))
+    }),
+
+    // ---- flatline / staleness report (stuck-sensor detector) over a
+    // 50-quantized value so runs actually form ------------------------------
+    "q_flatline" -> ((s, dir) => {
+      val samples = events(s, dir)
+        .where(col("event_type") === "click")
+        .select(concat(lit("u"), col("user_id")).as("pvname"),
+          col("ts_us"), floor(col("value") / 50.0).as("value"))
+      TimeSeries.flatline(samples, "pvname", "ts_us", "value")
+        .orderBy(col("pvname"))
+    }),
+
     // ---- two-sided CUSUM drift detection (sequential control-chart fold,
     // floor-quantized accumulators like q_ewma) ----------------------------
     "q_cusum" -> ((s, dir) => {
@@ -2797,6 +2829,77 @@ object SparkEntry {
          |        (sqrt(n * sxx1 - sx1 * sx1) * sqrt(n * sxx2 - sx2 * sx2)), 6) END,
          |    'NaN'::DOUBLE) AS corr
          |FROM p ORDER BY k1, k2""".stripMargin,
+
+    // autocorrelation: one lag window, per-lag conditional sums (rows where
+    // the lag exists), the shared explicit-sum Pearson formula
+    "q_acf" ->
+      s"""WITH s AS (SELECT event_type AS pvname, epoch_us(ts) AS ts_us,
+         |    max(CAST(value AS DOUBLE)) AS v
+         |  FROM events GROUP BY 1, 2),
+         |lg AS (SELECT pvname, v,
+         |    lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2, lag(v, 3) OVER w AS l3
+         |  FROM s WINDOW w AS (PARTITION BY pvname ORDER BY ts_us)),
+         |a AS (
+         |  SELECT pvname, 1 AS lag_i, CAST(count(*) AS DOUBLE) AS n,
+         |      sum(v) AS sx, sum(v*v) AS sxx, sum(l1) AS sy, sum(l1*l1) AS syy,
+         |      sum(v*l1) AS sxy
+         |    FROM lg WHERE l1 IS NOT NULL GROUP BY pvname
+         |  UNION ALL
+         |  SELECT pvname, 2, CAST(count(*) AS DOUBLE),
+         |      sum(v), sum(v*v), sum(l2), sum(l2*l2), sum(v*l2)
+         |    FROM lg WHERE l2 IS NOT NULL GROUP BY pvname
+         |  UNION ALL
+         |  SELECT pvname, 3, CAST(count(*) AS DOUBLE),
+         |      sum(v), sum(v*v), sum(l3), sum(l3*l3), sum(v*l3)
+         |    FROM lg WHERE l3 IS NOT NULL GROUP BY pvname)
+         |SELECT pvname, CAST(lag_i AS BIGINT) AS "lag", CAST(n AS BIGINT) AS n,
+         |  coalesce(CASE WHEN n >= 2 AND sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) > 0
+         |      THEN round((n * sxy - sx * sy) /
+         |        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) END,
+         |    'NaN'::DOUBLE) AS acf
+         |FROM a ORDER BY pvname, "lag"""".stripMargin,
+
+    // per-day throttle: same row_number survivor rule
+    "q_throttle" ->
+      s"""WITH s AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS pvname,
+         |    epoch_us(ts) AS ts_us, event_id, value
+         |  FROM events WHERE event_type = 'click'),
+         |r AS (SELECT pvname, ts_us, event_id, value,
+         |    row_number() OVER (PARTITION BY pvname, ts_us // 86400000000
+         |      ORDER BY ts_us, event_id) AS rn
+         |  FROM s)
+         |SELECT pvname, ts_us, event_id, value FROM r WHERE rn <= 2
+         |ORDER BY pvname, ts_us, event_id""".stripMargin,
+
+    // flatline: change-flag running sum -> runs -> longest (ties earliest)
+    // via a deterministic row_number; staleness = last sample - last change
+    "q_flatline" ->
+      s"""WITH s AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS pvname,
+         |    epoch_us(ts) AS ts_us,
+         |    max(floor(CAST(value AS DOUBLE) / 50.0)) AS v
+         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         |c AS (SELECT pvname, ts_us, v,
+         |    CASE WHEN lag(v) OVER w IS NULL OR v <> lag(v) OVER w THEN 1 ELSE 0 END AS chg
+         |  FROM s WINDOW w AS (PARTITION BY pvname ORDER BY ts_us)),
+         |r AS (SELECT pvname, ts_us, v,
+         |    sum(chg) OVER (PARTITION BY pvname ORDER BY ts_us
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |  FROM c),
+         |runs AS (SELECT pvname, run, count(*) AS len, min(ts_us) AS start_us,
+         |    max(ts_us) AS end_us, max(v) AS rv
+         |  FROM r GROUP BY 1, 2),
+         |rk AS (SELECT pvname, len, rv,
+         |    row_number() OVER (PARTITION BY pvname ORDER BY len DESC, start_us ASC) AS rn
+         |  FROM runs),
+         |top AS (SELECT pvname, CAST(len AS BIGINT) AS longest_flat, rv AS flat_value
+         |  FROM rk WHERE rn = 1),
+         |agg AS (SELECT pvname, CAST(sum(len) AS BIGINT) AS n_samples,
+         |    CAST(arg_max(len, run) AS BIGINT) AS tail_run,
+         |    CAST(max(end_us) - max(start_us) AS BIGINT) AS stale_us
+         |  FROM runs GROUP BY pvname)
+         |SELECT a.pvname AS pvname, n_samples, longest_flat, flat_value,
+         |  tail_run, stale_us
+         |FROM agg a JOIN top USING (pvname) ORDER BY pvname""".stripMargin,
 
     // two-sided CUSUM: per-prefix folds (list_prepend injects the zero
     // initial state); (x - 50.0 - 5.0) mirrors the Scala op order exactly,

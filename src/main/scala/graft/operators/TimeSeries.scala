@@ -682,6 +682,110 @@ object TimeSeries {
         count(lit(1)).as("n"))
   }
 
+  /** Per-key autocorrelation at lags `1..maxLag` (sample-index lags over
+    * the deduped series) — the periodicity/inertia probe: for each lag,
+    * the Pearson correlation between the series and its lag-shifted self
+    * over the overlapping rows. Explicit-sum formula like
+    * [[correlationMatrix]], so both engines assemble identical arithmetic;
+    * a lag with fewer than 2 overlapping pairs (or a constant slice)
+    * yields null.
+    *
+    * ONE key window produces every lag column, ONE combinable aggregation
+    * collects all 6·maxLag conditional sums, and the per-lag rows explode
+    * from the one result row per key — no joins, no repeated scans.
+    */
+  def autocorrelation(df: DataFrame, key: String, ts: String, value: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val lags = 1 to maxLag
+    val s = df.groupBy(col(key), col(ts)).agg(max(col(value)).cast("double").as("__v"))
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+    val lagged = lags.foldLeft(s) { (acc, l) =>
+      acc.withColumn(s"__l$l", lag(col("__v"), l).over(w))
+    }
+    val sums = lagged.groupBy(col(key)).agg(
+      count(lit(1)).as("__rows"),
+      lags.flatMap { l =>
+        val ok = col(s"__l$l").isNotNull
+        Seq(
+          count(when(ok, 1)).cast("double").as(s"__n$l"),
+          sum(when(ok, col("__v"))).as(s"__sx$l"),
+          sum(when(ok, col("__v") * col("__v"))).as(s"__sxx$l"),
+          sum(when(ok, col(s"__l$l"))).as(s"__sy$l"),
+          sum(when(ok, col(s"__l$l") * col(s"__l$l"))).as(s"__syy$l"),
+          sum(when(ok, col("__v") * col(s"__l$l"))).as(s"__sxy$l"))
+      }: _*)
+    val rows = lags.map { l =>
+      val n = col(s"__n$l")
+      val num = n * col(s"__sxy$l") - col(s"__sx$l") * col(s"__sy$l")
+      val den = sqrt(n * col(s"__sxx$l") - col(s"__sx$l") * col(s"__sx$l")) *
+        sqrt(n * col(s"__syy$l") - col(s"__sy$l") * col(s"__sy$l"))
+      struct(lit(l).cast("long").as("lag"), n.cast("long").as("n"),
+        when(n >= 2 && den > 0, round(num / den, 6)).as("acf"))
+    }
+    sums.select(col(key), explode(array(rows: _*)).as("p"))
+      .select(col(key), col("p.lag").as("lag"), col("p.n").as("n"),
+        col("p.acf").as("acf"))
+  }
+
+  /** Per-key per-window ingest throttle — keep at most `perWindow` samples
+    * of each key in each fixed `windowUs` bucket (the storage-QoS guard in
+    * front of a misbehaving 10 kHz PV; the reference bounds rates per-PV
+    * via deadtime, this is the hard cap flavor). Deterministic survivor
+    * choice: the FIRST `perWindow` by `(ts, tieBreak)`.
+    *
+    * One key+bucket-partitioned `row_number` — state per task is a counter
+    * per (key, bucket), the filter is codegen'd, survivors keep their
+    * original columns.
+    */
+  def throttle(df: DataFrame, key: String, ts: String, tieBreak: String,
+      windowUs: Long, perWindow: Int): DataFrame = {
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    require(perWindow >= 1, s"perWindow must be >= 1, got $perWindow")
+    val w = Window.partitionBy(col(key), expr(s"$ts DIV ${windowUs}L"))
+      .orderBy(col(ts), col(tieBreak))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= perWindow)
+      .drop("__rn")
+  }
+
+  /** Per-key flatline/staleness report — the stuck-sensor detector: a PV
+    * that keeps timestamping the SAME value is alive-but-frozen (the
+    * liveness check Q8 can't see it). Runs of identical consecutive values
+    * come from the classic change-flag running sum; the report gives the
+    * longest flat run (ties -> earliest start), its value, the tail-run
+    * length still in progress, and the time since the last CHANGE.
+    * Duplicate instants collapse to their max first.
+    *
+    * Two key windows (change flag + running run-id) share one sort, then
+    * two combinable rollups (per-run, per-key) — state is never more than
+    * a task's runs.
+    */
+  def flatline(df: DataFrame, key: String, ts: String, value: String): DataFrame = {
+    val s = df.groupBy(col(key), col(ts)).agg(max(col(value)).cast("double").as("__v"))
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+    val chg = when(lag(col("__v"), 1).over(w).isNull ||
+      col("__v") =!= lag(col("__v"), 1).over(w), 1L).otherwise(0L)
+    val runs = s.withColumn("__run",
+        sum(chg).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(key), col("__run"))
+      .agg(count(lit(1)).as("__len"), min(col(ts)).as("__start"),
+        max(col(ts)).as("__end"), max(col("__v")).as("__rv")) // run values all equal
+    runs.groupBy(col(key))
+      .agg(
+        sum(col("__len")).as("n_samples"),
+        max(struct(col("__len").as("len"), (-col("__start")).as("ns"),
+          col("__rv").as("v"))).as("__top"),
+        max_by(col("__len"), col("__run")).as("tail_run"),
+        max(col("__start")).as("__last_chg"),
+        max(col("__end")).as("__last_ts"))
+      .select(col(key), col("n_samples"),
+        col("__top.len").as("longest_flat"),
+        col("__top.v").as("flat_value"),
+        col("tail_run"),
+        (col("__last_ts") - col("__last_chg")).as("stale_us"))
+  }
+
   /** Per-key two-sided CUSUM change detection — the sequential
     * control-chart fold (Page's test): against a `target` setpoint with
     * `slack` allowance, `s_pos` accumulates upward drift

@@ -425,6 +425,70 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(("b", 5L)) == 100.0)
   }
 
+  test("autocorrelation: alternating series has acf -1 at lag 1, +1 at lag 2") {
+    val sp = spark
+    import sp.implicits._
+    val rows = (0 until 12).map(i => ("a", i.toLong, if (i % 2 == 0) 1.0 else 5.0))
+      .toDF("k", "ts", "v")
+    val got = TimeSeries.autocorrelation(rows, "k", "ts", "v", maxLag = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("lag"), (r.getAs[Long]("n"), Option(r.getAs[Any]("acf")))))
+      .toMap
+    assert(got(1L) == ((11L, Some(-1.0))))
+    assert(got(2L) == ((10L, Some(1.0))))
+    assert(got(3L) == ((9L, Some(-1.0))))
+  }
+
+  test("autocorrelation: too-short and constant series yield null acf") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(("a", 1L, 3.0), ("a", 2L, 3.0), ("a", 3L, 3.0), ("b", 1L, 9.0))
+      .toDF("k", "ts", "v")
+    val got = TimeSeries.autocorrelation(rows, "k", "ts", "v", maxLag = 2)
+      .collect()
+      .map(r => ((r.getAs[String]("k"), r.getAs[Long]("lag")),
+        (r.getAs[Long]("n"), Option(r.getAs[Any]("acf"))))).toMap
+    assert(got(("a", 1L)) == ((2L, None))) // constant -> zero variance
+    assert(got(("b", 1L)) == ((0L, None))) // no overlapping pair
+    assert(got(("b", 2L)) == ((0L, None)))
+  }
+
+  test("throttle: keeps the first N per key per window by (ts, tieBreak)") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      ("a", 1L, 1L, 1.0), ("a", 2L, 2L, 2.0), ("a", 3L, 3L, 3.0), // window 0: drop ts=3
+      ("a", 5L, 5L, 5.0), ("a", 5L, 4L, 4.5), // same ts: tiebreak keeps id 4 then 5... cap 2
+      ("a", 12L, 6L, 6.0), // window 1
+      ("b", 1L, 7L, 7.0))
+      .toDF("k", "ts", "id", "v")
+    val got = TimeSeries.throttle(rows, "k", "ts", "id", windowUs = 10L, perWindow = 2)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("id"))).toSet
+    assert(got == Set(("a", 1L), ("a", 2L), ("a", 6L), ("b", 7L)))
+  }
+
+  test("flatline: longest run (ties earliest), tail run, staleness to last change") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      // a: runs [7,7,7] (len 3, start 10), [9] (len 1), [7,7] (len 2, tail)
+      ("a", 10L, 7.0), ("a", 20L, 7.0), ("a", 30L, 7.0),
+      ("a", 40L, 9.0),
+      ("a", 50L, 7.0), ("a", 60L, 7.0),
+      // b: two len-2 runs -> earliest wins
+      ("b", 10L, 1.0), ("b", 20L, 1.0), ("b", 30L, 2.0), ("b", 40L, 2.0))
+      .toDF("k", "ts", "v")
+    val got = TimeSeries.flatline(rows, "k", "ts", "v")
+      .collect()
+      .map(r => (r.getAs[String]("k"),
+        (r.getAs[Long]("n_samples"), r.getAs[Long]("longest_flat"),
+          r.getAs[Double]("flat_value"), r.getAs[Long]("tail_run"),
+          r.getAs[Long]("stale_us"))))
+      .toMap
+    assert(got("a") == ((6L, 3L, 7.0, 2L, 10L))) // last change at 50, last sample 60
+    assert(got("b") == ((4L, 2L, 1.0, 2L, 10L))) // tie -> the earlier (value 1.0) run
+  }
+
   test("cusum: accumulates drift above slack, resets at zero, alarms past h") {
     val sp = spark
     import sp.implicits._
