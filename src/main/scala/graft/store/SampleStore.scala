@@ -68,6 +68,34 @@ object SampleStore {
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
+  /** S3's CO-LOCATED flavor: persist as a `bucketBy(pvname)` TABLE so every
+    * downstream per-PV join/aggregation between same-bucketed tables is
+    * SHUFFLE-FREE — at 100 TB the recurring join of samples to per-PV
+    * state (latest cache, pair scores, alert configs) is the dominant
+    * exchange, and bucketed scans eliminate it entirely (Catalyst matches
+    * the two sides' HashPartitioning from the bucket spec; the spec
+    * asserts the joined plan has no Exchange). `sortBy(pvname, tsUs)`
+    * additionally lets per-key windows start from sorted bucket files.
+    *
+    * Goes through the session catalog because bucket metadata lives there
+    * (plain `.parquet(path)` has nowhere to record it); the table name is
+    * the API. Buckets should be sized so one bucket's hot window fits an
+    * executor (SURVEY §5: the reference's 128-way hashname split scaled to
+    * cluster width).
+    */
+  def writeBucketed(samples: DataFrame, table: String, numBuckets: Int = 128): Unit = {
+    // dimension tables (per-PV configs) bucket the same way but carry no
+    // time column; samples additionally sort by time within each bucket
+    val sortCols =
+      if (samples.columns.contains("tsUs")) Seq("pvname", "tsUs") else Seq("pvname")
+    samples.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "pvname")
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** T5/A2 run registry (`runs` table + `set_runinfo`, schema.py:96-104,
     * cache.py:254-288): one row per run with its observed time span and row
     * count; the newest run is "current" (the reference marks it with

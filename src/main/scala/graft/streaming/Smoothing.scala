@@ -29,6 +29,43 @@ object Smoothing {
   /** A smoothed sample. */
   case class Smoothed(pvname: String, tsUs: Long, value: Double, ewma: Double)
 
+  /** Per-key CUSUM state for [[cusumStreaming]]. */
+  case class CusumState(sPos: Double, sNeg: Double, lastTsUs: Long)
+
+  /** A CUSUM-scored sample. */
+  case class CusumPoint(pvname: String, tsUs: Long, value: Double,
+      sPos: Double, sNeg: Double, alarm: Boolean)
+
+  /** Streaming twin of [[graft.operators.TimeSeries.cusum]] — the live
+    * two-sided control chart: same fold expressions in the same order as
+    * the batch replay (bit-identical accumulators), same per-batch sort
+    * and late-drop rules as [[streaming]], three scalars of state per key.
+    */
+  def cusumStreaming(ds: Dataset[Point], target: Double, slack: Double,
+      h: Double): Dataset[CusumPoint] = {
+    require(slack >= 0, s"slack must be >= 0, got $slack")
+    require(h > 0, s"alarm threshold must be positive, got $h")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.pvname)
+      .flatMapGroupsWithState[CusumState, CusumPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (pv: String, it: Iterator[Point], gs: GroupState[CusumState]) =>
+          val out = Vector.newBuilder[CusumPoint]
+          var st = gs.getOption.getOrElse(CusumState(0.0, 0.0, Long.MinValue))
+          it.toVector.sortBy(p => (p.tsUs, -p.value)).foreach { p =>
+            if (p.tsUs > st.lastTsUs) {
+              val sp = math.max(0.0, st.sPos + (p.value - target - slack))
+              val sn = math.min(0.0, st.sNeg + (p.value - target + slack))
+              st = CusumState(sp, sn, p.tsUs)
+              out += CusumPoint(pv, p.tsUs, p.value, sp, sn, sp > h || sn < -h)
+            } // late or duplicate instant: dropped (T7)
+          }
+          gs.update(st)
+          out.result().iterator
+      }
+  }
+
   def streaming(ds: Dataset[Point], alpha: Double): Dataset[Smoothed] = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
     val spark = ds.sparkSession

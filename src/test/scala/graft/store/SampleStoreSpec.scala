@@ -120,4 +120,33 @@ class SampleStoreSpec extends SparkSpec {
     assert(scanned.nonEmpty && scanned.forall(_.contains(s"bucket=$b")))
     assert(scanned.forall(f => (10 to 29).exists(r => f.contains(s"run=$r"))))
   }
+
+  test("writeBucketed: joins between same-bucketed tables run shuffle-free") {
+    val sp = spark
+    import sp.implicits._
+    val samples = (0 until 400).map(i => (s"PV:${i % 20}", i.toLong * S, i * 0.5))
+      .toDF("pvname", "tsUs", "value")
+    val dims = (0 until 20).map(i => (s"PV:$i", s"desc$i")).toDF("pvname", "description")
+    try {
+      SampleStore.writeBucketed(samples, "graft_bkt_samples", numBuckets = 8)
+      SampleStore.writeBucketed(dims, "graft_bkt_dims", numBuckets = 8)
+      // force a sort-merge shape (no broadcast) to prove the exchange
+      // elimination comes from the BUCKET spec, not from a broadcast;
+      // the hint must ride a join INPUT, not the joined result
+      val smj = sp.table("graft_bkt_samples").hint("merge")
+        .join(sp.table("graft_bkt_dims").hint("merge"), "pvname")
+      val plan = smj.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan) // co-located: zero shuffles
+      assert(smj.count() == 400)
+      // and a per-key aggregation over one bucketed table: also exchange-free
+      val agg = sp.table("graft_bkt_samples").groupBy(col("pvname"))
+        .agg(count(lit(1)).as("n"))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        agg.queryExecution.executedPlan.toString)
+      assert(agg.count() == 20)
+    } finally {
+      sp.sql("DROP TABLE IF EXISTS graft_bkt_samples")
+      sp.sql("DROP TABLE IF EXISTS graft_bkt_dims")
+    }
+  }
 }

@@ -200,6 +200,35 @@ class StreamingComposeSpec extends SparkSpec {
     assert(streamed.size == 90) // the dup instant collapsed
   }
 
+  test("cusum: the streaming control chart equals the batch fold bit-for-bit") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // drifting series so both accumulators engage and alarms fire
+    val rows = (0 until 80).map { i =>
+      Smoothing.Point(s"p${i % 2}", (500L + i * 3L) * S,
+        10.0 + (if (i % 2 == 0) i * 0.4 else -i * 0.3) + (i * 13 % 7))
+    }
+    val input = MemoryStream[Smoothing.Point]
+    val q = Smoothing.cusumStreaming(input.toDS(), target = 12.0, slack = 1.0, h = 20.0)
+      .writeStream.outputMode("append").format("memory").queryName("cusum_stream")
+      .start()
+    try {
+      rows.sortBy(_.tsUs).grouped(30).foreach { g => input.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = sp.table("cusum_stream").collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    val batch = graft.operators.TimeSeries.cusum(
+      rows.toDF("pvname", "tsUs", "value"), "pvname", "tsUs", "value",
+      target = 12.0, slack = 1.0, h = 20.0)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(streamed == batch)
+    assert(streamed.size == 80 && streamed.values.exists(_._3)) // alarms did fire
+  }
+
   test("curation ops (sample/split/PII) attach directly to a streaming frame (stateless append mode)") {
     val sp = spark
     import sp.implicits._
