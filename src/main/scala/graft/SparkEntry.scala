@@ -1048,6 +1048,23 @@ object SparkEntry {
         .orderBy(col("k1"), col("k2"))
     }),
 
+    // ---- downtime/gap report (where the data ISN'T) -----------------------
+    "q_gaps" -> ((s, dir) => {
+      val samples = events(s, dir)
+        .where(col("event_type") === "click")
+        .select(concat(lit("u"), col("user_id")).as("pvname"), col("ts_us"))
+      TimeSeries.gaps(samples, "pvname", "ts_us", minGapUs = 5L * 86400000000L)
+        .orderBy(col("pvname"), col("gap_start"))
+    }),
+
+    // ---- per-day percentile bands (ribbon-plot envelope) ------------------
+    "q_bands" -> ((s, dir) => {
+      TimeSeries.percentileBands(
+        events(s, dir).select(col("event_type").as("pvname"), col("ts_us"), col("value")),
+        "pvname", "ts_us", "value", widthUs = 86400000000L)
+        .orderBy(col("pvname"), col("bucket"))
+    }),
+
     // ---- per-series autocorrelation at lags 1..3 --------------------------
     "q_acf" -> ((s, dir) => {
       TimeSeries.autocorrelation(
@@ -2829,6 +2846,30 @@ object SparkEntry {
          |        (sqrt(n * sxx1 - sx1 * sx1) * sqrt(n * sxx2 - sx2 * sx2)), 6) END,
          |    'NaN'::DOUBLE) AS corr
          |FROM p ORDER BY k1, k2""".stripMargin,
+
+    // downtime gaps: lag over the deduped series, keep intervals > 5 days
+    "q_gaps" ->
+      s"""WITH s AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS pvname,
+         |    epoch_us(ts) AS ts_us
+         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         |d AS (SELECT pvname, lag(ts_us) OVER w AS gap_start, ts_us AS gap_end
+         |  FROM s WINDOW w AS (PARTITION BY pvname ORDER BY ts_us))
+         |SELECT pvname, gap_start, gap_end, gap_end - gap_start AS gap_us
+         |FROM d WHERE gap_start IS NOT NULL
+         |  AND gap_end - gap_start > ${5L * 86400000000L}
+         |ORDER BY pvname, gap_start""".stripMargin,
+
+    // percentile bands: exact interpolated quantiles per (series, day)
+    "q_bands" ->
+      s"""WITH s AS (SELECT event_type AS pvname, epoch_us(ts) AS ts_us,
+         |    CAST(value AS DOUBLE) AS v
+         |  FROM events WHERE value IS NOT NULL)
+         |SELECT pvname, ts_us // 86400000000 AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  round(quantile_cont(v, CAST(0.1 AS DOUBLE)), 6) AS p10,
+         |  round(quantile_cont(v, CAST(0.5 AS DOUBLE)), 6) AS p50,
+         |  round(quantile_cont(v, CAST(0.9 AS DOUBLE)), 6) AS p90
+         |FROM s GROUP BY 1, 2 ORDER BY pvname, bucket""".stripMargin,
 
     // autocorrelation: one lag window, per-lag conditional sums (rows where
     // the lag exists), the shared explicit-sum Pearson formula

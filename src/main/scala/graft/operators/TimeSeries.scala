@@ -682,6 +682,42 @@ object TimeSeries {
         count(lit(1)).as("n"))
   }
 
+  /** Per-key downtime/gap report — every interval between consecutive
+    * samples longer than `minGapUs` (the beam-downtime complement of
+    * [[sessionize]]: sessions are where data IS, this lists where it
+    * ISN'T). One key-partitioned `lag` after the dedupe shuffle; output is
+    * gaps only, bounded by the outage count.
+    */
+  def gaps(df: DataFrame, key: String, ts: String, minGapUs: Long): DataFrame = {
+    require(minGapUs > 0, s"minGapUs must be positive, got $minGapUs")
+    val s = df.groupBy(col(key), col(ts)).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+    s.select(col(key), lag(col(ts), 1).over(w).as("gap_start"), col(ts).as("gap_end"))
+      .where(col("gap_start").isNotNull &&
+        (col("gap_end") - col("gap_start")) > minGapUs)
+      .select(col(key), col("gap_start"), col("gap_end"),
+        (col("gap_end") - col("gap_start")).as("gap_us"))
+  }
+
+  /** Per-key per-time-bucket percentile BANDS (p10/p50/p90 by default) —
+    * the ribbon-plot frame ("show me the envelope of this PV per day").
+    * Exact interpolated percentiles (`percentile` == `quantile_cont`), one
+    * map-side-combinable aggregation, output bounded by buckets × keys.
+    */
+  def percentileBands(df: DataFrame, key: String, ts: String, value: String,
+      widthUs: Long, ps: Seq[Double] = Seq(0.1, 0.5, 0.9)): DataFrame = {
+    require(widthUs > 0, s"widthUs must be positive, got $widthUs")
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"bad percentiles: $ps")
+    val arr = ps.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val qs = df.where(col(value).isNotNull)
+      .groupBy(col(key), expr(s"$ts DIV ${widthUs}L").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        expr(s"percentile(CAST($value AS DOUBLE), $arr)").as("__q"))
+    ps.zipWithIndex.foldLeft(qs) { case (acc, (p, i)) =>
+      acc.withColumn(s"p${(p * 100).round}", round(col("__q").getItem(i), 6))
+    }.drop("__q")
+  }
+
   /** Per-key autocorrelation at lags `1..maxLag` (sample-index lags over
     * the deduped series) — the periodicity/inertia probe: for each lag,
     * the Pearson correlation between the series and its lag-shifted self

@@ -425,6 +425,35 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(("b", 5L)) == 100.0)
   }
 
+  test("gaps: lists only intervals beyond the threshold, per key") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      ("a", 0L), ("a", 10L), ("a", 100L), ("a", 105L), ("a", 300L),
+      ("b", 0L), ("b", 20L))
+      .toDF("k", "ts")
+    val got = TimeSeries.gaps(rows, "k", "ts", minGapUs = 50L)
+      .collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("gap_start"),
+        r.getAs[Long]("gap_end"), r.getAs[Long]("gap_us"))).toSet
+    assert(got == Set(("a", 10L, 100L, 90L), ("a", 105L, 300L, 195L)))
+  }
+
+  test("percentileBands: exact interpolated envelope per bucket") {
+    val sp = spark
+    import sp.implicits._
+    val rows = (1 to 9).map(i => ("a", i.toLong, i.toDouble)) :+ (("a", 12L, 100.0))
+    val got = TimeSeries.percentileBands(rows.toDF("k", "ts", "v"), "k", "ts", "v",
+      widthUs = 10L)
+      .collect()
+      .map(r => (r.getAs[Long]("bucket"),
+        (r.getAs[Long]("n"), r.getAs[Double]("p10"), r.getAs[Double]("p50"),
+          r.getAs[Double]("p90")))).toMap
+    // bucket 0 holds 1..9: p10 = 1.8, p50 = 5, p90 = 8.2 (interpolated)
+    assert(got(0L) == ((9L, 1.8, 5.0, 8.2)))
+    assert(got(1L) == ((1L, 100.0, 100.0, 100.0)))
+  }
+
   test("autocorrelation: alternating series has acf -1 at lag 1, +1 at lag 2") {
     val sp = spark
     import sp.implicits._
