@@ -625,7 +625,10 @@ object TimeSeries {
     val spark = df.sparkSession
     import spark.implicits._
     val oneMinus = 1.0 - alpha
-    val s = df.groupBy(col(key), col(ts)).agg(max(col(value)).cast("double").as("__v"))
+    // null keys dropped: they carry no identity to fold under (and would
+    // alias the fold's pre-first-key sentinel)
+    val s = df.where(col(key).isNotNull)
+      .groupBy(col(key), col(ts)).agg(max(col(value)).cast("double").as("__v"))
       .select(col(key).cast("string"), col(ts).cast("long"), col("__v"))
       .as[(String, Long, Double)]
     s.repartition(col(s.columns.head))
@@ -842,7 +845,10 @@ object TimeSeries {
     require(h > 0, s"alarm threshold must be positive, got $h")
     val spark = df.sparkSession
     import spark.implicits._
-    val s = df.groupBy(col(key), col(ts)).agg(max(col(value)).cast("double").as("__v"))
+    // null keys dropped: they carry no identity to fold under (and would
+    // alias the fold's pre-first-key sentinel)
+    val s = df.where(col(key).isNotNull)
+      .groupBy(col(key), col(ts)).agg(max(col(value)).cast("double").as("__v"))
       .select(col(key).cast("string"), col(ts).cast("long"), col("__v"))
       .as[(String, Long, Double)]
     s.repartition(col(s.columns.head))

@@ -413,7 +413,8 @@ class TimeSeriesSpec extends SparkSpec {
     val rows = Seq(
       ("a", 30L, 8.0), // out of order on purpose: fold must sort by ts
       ("a", 10L, 4.0), ("a", 20L, 8.0),
-      ("b", 5L, 100.0))
+      ("b", 5L, 100.0),
+      (null.asInstanceOf[String], 1L, 7.0)) // null key: dropped, not folded
       .toDF("k", "ts", "v")
     val got = TimeSeries.ewma(rows, "k", "ts", "v", alpha = 0.5)
       .collect()
@@ -423,6 +424,7 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(("a", 20L)) == 6.0) // 0.5*4 + 0.5*8
     assert(got(("a", 30L)) == 7.0) // 0.5*6 + 0.5*8
     assert(got(("b", 5L)) == 100.0)
+    assert(got.size == 4) // the null-key row is dropped
   }
 
   test("gaps: lists only intervals beyond the threshold, per key") {
