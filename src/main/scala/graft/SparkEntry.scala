@@ -337,6 +337,19 @@ object SparkEntry {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // ---- chunk-level ("paragraph") dedup with document reassembly ----------
+    "q_chunk_dedup" -> ((s, dir) => {
+      Dedup.chunkDedup(Tables.documents(s, dir), "doc_id", "text", chunkTokens = 25)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Levenshtein confirmation of the MinHash near-dup candidates -------
+    "q_edit_verify" -> ((s, dir) => {
+      Dedup.editVerify(Tables.documents(s, dir), "doc_id", "text",
+        n = 2, numPerm = NUM_PERM, bands = 4, jaccardThreshold = 0.5)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // ---- SimHash 60-bit signatures -----------------------------------------
     "q_simhash" -> ((s, dir) => {
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text").orderBy(col("doc"))
@@ -566,6 +579,13 @@ object SparkEntry {
         topK = 10)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- leave-one-out kNN majority-vote label audit (confusion matrix) ----
+    "q_knn_classify" -> ((s, dir) => {
+      Similarity.knnClassify(Tables.embeddings(s, dir), "vec_id", "embedding",
+        "label", k = 10)
+        .orderBy(col("label"), col("pred"))
     }),
 
     // ---- composite training-data curation pipeline: exact-dedup survivors
@@ -1036,6 +1056,30 @@ object SparkEntry {
         .orderBy(col("pvname"), col("ts_us"))
     }),
 
+    // ---- per-key Holt level+trend smoothing (sequential two-scalar fold;
+    // same secondary-sort linear scan as q_ewma, struct-state list_reduce
+    // in the oracle — identical op order, bit-identical doubles before the
+    // shared floor quantization) -------------------------------------------
+    "q_holt" -> ((s, dir) => {
+      val samples = events(s, dir)
+        .where(col("event_type") === "click")
+        .select(concat(lit("u"), col("user_id")).as("pvname"),
+          col("ts_us"), col("value"))
+      TimeSeries.holt(samples, "pvname", "ts_us", "value", alpha = 0.5, beta = 0.25)
+        .withColumn("level", floor(col("level") * 1000000.0) / 1000000.0)
+        .withColumn("trend", floor(col("trend") * 1000000.0) / 1000000.0)
+        .orderBy(col("pvname"), col("ts_us"))
+    }),
+
+    // ---- per-event-type winsorized robust stats (exact percentile fences,
+    // clamp, one combinable moment pass) -----------------------------------
+    "q_winsorize" -> ((s, dir) => {
+      TimeSeries.winsorize(
+        events(s, dir).select(col("event_type"), col("value")),
+        "event_type", "value", pLo = 0.05, pHi = 0.95)
+        .orderBy(col("event_type"))
+    }),
+
     // ---- correlation matrix over the LOCF-aligned series ("do these PVs
     // move together") — explicit-sum Pearson from ONE shared agg pass ------
     "q_pv_corr" -> ((s, dir) => {
@@ -1395,6 +1439,39 @@ object SparkEntry {
        |SELECT d1, d2, round(CAST(i AS DOUBLE) / (a.sz + b.sz - i), 6) AS jaccard
        |FROM inter JOIN sz a ON d1 = a.doc JOIN sz b ON d2 = b.doc
        |WHERE round(CAST(i AS DOUBLE) / (a.sz + b.sz - i), 6) >= $threshold
+       |ORDER BY d1, d2""".stripMargin
+  }
+
+  /** [[minhashLshSql]]'s candidate chain extended with the Levenshtein
+    * verify: same banded candidates + exact-Jaccard gate, then integer
+    * `levenshtein` on the pair texts and a floor-quantized normalized
+    * similarity (a ratio of two ints can land exactly on a decimal
+    * half-point; floor of bit-identical doubles is engine-invariant).
+    */
+  private def editVerifySql(numPerm: Int, bands: Int, n: Int, threshold: Double): String = {
+    val rows = numPerm / bands
+    val bandJoins = (0 until bands).map { b =>
+      val eqs = (b * rows until (b + 1) * rows).map(i => s"a.mh$i = b.mh$i").mkString(" AND ")
+      s"SELECT a.doc AS d1, b.doc AS d2 FROM sig a JOIN sig b ON $eqs AND a.doc < b.doc"
+    }
+    val lev = "levenshtein(ta.text, tb.text)"
+    s"""WITH ${shingleCte(n)},
+       |h AS (SELECT doc, $shingleHashSql AS h FROM s),
+       |sig AS (SELECT doc, ${(0 until numPerm).map { i =>
+          val (a, bb) = Dedup.perm(i)
+          s"min((h * $a + $bb) % $MERSENNE) AS mh$i"
+        }.mkString(", ")} FROM h GROUP BY doc),
+       |cand AS (SELECT DISTINCT d1, d2 FROM (${bandJoins.mkString(" UNION ALL ")})),
+       |sz AS (SELECT doc, count(*) AS sz FROM s GROUP BY doc),
+       |inter AS (SELECT c.d1, c.d2, count(*) AS i
+       |          FROM cand c JOIN s x ON c.d1 = x.doc JOIN s y ON c.d2 = y.doc AND x.shingle = y.shingle
+       |          GROUP BY c.d1, c.d2),
+       |jp AS (SELECT d1, d2, round(CAST(i AS DOUBLE) / (a.sz + b.sz - i), 6) AS jaccard
+       |       FROM inter JOIN sz a ON d1 = a.doc JOIN sz b ON d2 = b.doc
+       |       WHERE round(CAST(i AS DOUBLE) / (a.sz + b.sz - i), 6) >= $threshold)
+       |SELECT d1, d2, jaccard, CAST($lev AS BIGINT) AS edit_dist,
+       |  floor((CAST(1 AS DOUBLE) - CAST($lev AS DOUBLE) / greatest(length(ta.text), length(tb.text))) * 1000000.0) / 1000000.0 AS edit_sim
+       |FROM jp JOIN documents ta ON jp.d1 = ta.doc_id JOIN documents tb ON jp.d2 = tb.doc_id
        |ORDER BY d1, d2""".stripMargin
   }
 
@@ -2311,6 +2388,25 @@ object SparkEntry {
 
     "q_minhash_lsh" -> minhashLshSql(NUM_PERM, 4, 2, 0.5),
 
+    // chunk-level dedup: first occurrence elected per distinct chunk
+    // (window row_number here; the engine's map-side min(struct) election
+    // is the same rule), surviving chunks re-joined in index order
+    "q_chunk_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |              FROM documents WHERE text IS NOT NULL),
+        |ch AS (SELECT doc_id, u.i AS cidx,
+        |         array_to_string(ws[u.i * 25 + 1 : (u.i + 1) * 25], ' ') AS chunk
+        |       FROM toks, unnest(generate_series(0, (len(ws) - 1) // 25)) AS u(i)),
+        |r AS (SELECT doc_id, cidx, chunk,
+        |        row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS rn
+        |      FROM ch)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(chunk, ' ' ORDER BY cidx) FILTER (WHERE rn = 1), '') AS text_dedup
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_edit_verify" -> editVerifySql(NUM_PERM, 4, 2, 0.5),
+
     "q_minhash_incremental" -> minhashIncrementalSql(NUM_PERM, 4, 2, 0.5),
 
     // lag/cumsum sessionization restated over the same 30-min idle gap
@@ -2364,6 +2460,28 @@ object SparkEntry {
         |FROM j, s ORDER BY abs(shift) DESC, token LIMIT 50""".stripMargin,
 
     "q_simhash" -> simhashSql,
+
+    // leave-one-out kNN label audit: ranking rule identical to q_knn_brute
+    // (round-6 sim DESC, id tiebreak), vote rule integer-only (count DESC,
+    // best rank, smaller label) — every output column is a BIGINT count
+    "q_knn_classify" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings
+         |           WHERE embedding IS NOT NULL AND label IS NOT NULL),
+         |sc AS (SELECT a.vec_id AS q, b.vec_id AS nb, b.label AS nlab,
+         |         round(${cosineSql("a.e", "b.e")}, 6) AS sim
+         |       FROM v a, v b WHERE a.vec_id <> b.vec_id),
+         |r AS (SELECT q, nlab,
+         |        row_number() OVER (PARTITION BY q ORDER BY sim DESC, nb) AS rn
+         |      FROM sc),
+         |t AS (SELECT q, nlab, count(*) AS cnt, min(rn) AS mr
+         |      FROM r WHERE rn <= 10 GROUP BY q, nlab),
+         |p AS (SELECT q, nlab,
+         |        row_number() OVER (PARTITION BY q ORDER BY cnt DESC, mr, nlab) AS pr
+         |      FROM t)
+         |SELECT CAST(v.label AS BIGINT) AS label, CAST(p.nlab AS BIGINT) AS pred,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM p JOIN v ON p.q = v.vec_id WHERE p.pr = 1
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
@@ -2808,6 +2926,61 @@ object SparkEntry {
          |  FROM g)
          |SELECT pvname, ts_us, value, ewma FROM u
          |ORDER BY pvname, ts_us""".stripMargin,
+
+    // Holt level+trend: the two-scalar fold state rides in ONE VARCHAR
+    // 'l|b' (DuckDB 1.0 list_reduce mis-threads struct accumulators — the
+    // q_downsample_stateful workaround; double<->varchar casts are
+    // shortest-round-trip so state stays bit-exact). The level expression
+    // is inlined twice in the trend update — recomputing an identical
+    // double expression yields identical bits. 0.5/0.25/0.75 are exact
+    // dyadic doubles; op order mirrors TimeSeries.holt literally.
+    "q_holt" -> {
+      val A = "string_split(a,'|')"
+      val l = s"CAST($A[1] AS DOUBLE)"
+      val b = s"CAST($A[2] AS DOUBLE)"
+      val xv = "CAST(x AS DOUBLE)"
+      val lNew = s"(0.5 * $xv + 0.5 * ($l + $b))"
+      val bNew = s"(0.25 * ($lNew - $l) + 0.75 * $b)"
+      s"""WITH s AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS pvname,
+         |    epoch_us(ts) AS ts_us, max(CAST(value AS DOUBLE)) AS v
+         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         |g AS (SELECT pvname, list(ts_us ORDER BY ts_us) AS tss,
+         |    list(v ORDER BY ts_us) AS vs
+         |  FROM s GROUP BY pvname),
+         |u AS (SELECT pvname,
+         |    unnest(tss) AS ts_us,
+         |    unnest(vs) AS value,
+         |    unnest([list_reduce(
+         |        list_prepend(CAST(vs[1] AS VARCHAR) || '|' || CAST(CAST(0 AS DOUBLE) AS VARCHAR),
+         |                     [CAST(x AS VARCHAR) FOR x IN vs[2:i]]),
+         |        (a, x) -> CAST($lNew AS VARCHAR) || '|' || CAST($bNew AS VARCHAR))
+         |      FOR i IN generate_series(1, len(vs))]) AS st
+         |  FROM g)
+         |SELECT pvname, ts_us, value,
+         |  floor(CAST(string_split(st,'|')[1] AS DOUBLE) * 1000000.0) / 1000000.0 AS level,
+         |  floor(CAST(string_split(st,'|')[2] AS DOUBLE) * 1000000.0) / 1000000.0 AS trend
+         |FROM u ORDER BY pvname, ts_us""".stripMargin
+    },
+
+    // winsorized robust stats: quantile_cont == Spark's exact percentile
+    // (the q_bands parity); the moment pass mirrors the engine's
+    // clamp+avg expressions, greatest(_, 0) guards the sqrt cancellation
+    "q_winsorize" ->
+      """WITH b AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+        |           FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |f AS (SELECT event_type,
+        |        quantile_cont(v, CAST(0.05 AS DOUBLE)) AS lo,
+        |        quantile_cont(v, CAST(0.95 AS DOUBLE)) AS hi
+        |      FROM b GROUP BY 1),
+        |c AS (SELECT b.event_type, v, lo, hi, least(greatest(v, lo), hi) AS w
+        |      FROM b JOIN f USING (event_type))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |  round(min(lo), 6) AS p_lo, round(min(hi), 6) AS p_hi,
+        |  round(avg(w), 6) AS win_mean,
+        |  round(sqrt(greatest(avg(w * w) - avg(w) * avg(w), CAST(0 AS DOUBLE))), 6) AS win_std
+        |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // correlation matrix over the q_locf_align grid: explicit-sum Pearson
     // (identical formula both engines — not each engine's corr() internals)

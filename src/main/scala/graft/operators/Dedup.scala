@@ -867,4 +867,96 @@ object Dedup {
         coalesce(col("__cov"), lit(0L)).as("dup_tokens"),
         round(coalesce(col("__cov"), lit(0L)) / col("__n"), 6).as("dup_frac"))
   }
+
+  /** Chunk-level ("paragraph") deduplication with document reassembly — the
+    * sub-document dedup every C4/Dolma-style curation pipeline runs: split
+    * each document into consecutive `chunkTokens`-token chunks (the
+    * structural stand-in for paragraphs in unstructured text; swap the
+    * chunker for a newline split when documents carry real paragraph
+    * boundaries), keep only the globally-FIRST occurrence of each distinct
+    * chunk (first = smallest `(doc, chunk_index)`, the deterministic
+    * "earliest in corpus order" rule), and re-join each document's surviving
+    * chunks in order. Where [[repeatedSpans]] *measures* boilerplate, this
+    * *removes* it.
+    *
+    * Plan shape (the 100 TB path):
+    *   1. map-only chunking — `transform(sequence(...))` + `posexplode`,
+    *      no shuffle, chunk count = tokens / chunkTokens (no stride-1
+    *      blowup);
+    *   2. first-occurrence election: ONE hash-groupBy on the chunk with a
+    *      `min(struct(doc, idx))` — map-side combinable, so a chunk
+    *      duplicated a million times still partial-aggregates to one row
+    *      per map task (no window over a skewed chunk partition);
+    *   3. join the election result back on the chunk key (shuffle keyed by
+    *      chunk, AQE handles residual skew);
+    *   4. per-doc reassembly: `collect_list` of surviving
+    *      `(idx, chunk)` structs, `array_sort` (index order restores the
+    *      original chunk sequence), `array_join` — state bounded by one
+    *      document's chunks.
+    *
+    * Output: one row per non-null-text doc —
+    * `(id, n_chunks, n_kept, text_dedup)`; a fully-duplicated document
+    * survives with `n_kept = 0` and an empty `text_dedup` (callers filter
+    * or quarantine those).
+    */
+  def chunkDedup(df: DataFrame, id: String, text: String, chunkTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val chunks = df.filter(col(text).isNotNull)
+      .select(col(id).cast("long").as("__doc"), split(col(text), " ").as("__toks"))
+      .select(col("__doc"),
+        posexplode(expr(
+          s"""transform(sequence(0, (size(__toks) - 1) DIV $chunkTokens),
+             |  i -> array_join(slice(__toks, i * $chunkTokens + 1, $chunkTokens), ' '))"""
+            .stripMargin)).as(Seq("__cidx", "__chunk")))
+    val firsts = chunks.groupBy(col("__chunk"))
+      .agg(min(struct(col("__doc"), col("__cidx"))).as("__first"))
+    chunks.join(firsts, Seq("__chunk"))
+      .withColumn("__keep",
+        col("__doc") === col("__first.__doc") && col("__cidx") === col("__first.__cidx"))
+      .groupBy(col("__doc"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        array_join(
+          expr("transform(array_sort(collect_list(CASE WHEN __keep THEN struct(__cidx, __chunk) END)), x -> x.__chunk)"),
+          " ").as("text_dedup"))
+      .select(col("__doc").as(id), col("n_chunks"), col("n_kept"), col("text_dedup"))
+  }
+
+  /** Edit-distance confirmation of MinHash near-duplicate candidates — the
+    * final character-level verify stage a production near-dup pipeline runs
+    * before destructive removal (shingle Jaccard is token-order-insensitive;
+    * Levenshtein is not, so it catches "same bag of words, different
+    * document" false positives). Candidates come from [[minhashDedup]]'s
+    * banded LSH + exact-Jaccard verify (already bucketed, never all-pairs);
+    * each surviving pair is then scored
+    * `edit_sim = 1 - levenshtein(a, b) / max(len(a), len(b))`.
+    *
+    * The Levenshtein DP is O(len_a * len_b) per pair — affordable precisely
+    * because LSH has already shrunk the pair set to near-duplicates; at
+    * scale, cap the cost with Spark's thresholded
+    * `levenshtein(l, r, threshold)` (early-exits the DP once the distance
+    * bound is exceeded) when only a pass/fail at `minSim` is needed.
+    *
+    * Output: `(d1, d2, jaccard, edit_dist, edit_sim)` for candidate pairs
+    * with `edit_sim >= minSim` — integer `edit_dist` makes the scores
+    * engine-exact; `edit_sim` is floor-quantized to 6 places (not rounded:
+    * a ratio of two ints can land exactly on a decimal half-point, where
+    * engines' round() disagree — floor of bit-identical doubles cannot).
+    */
+  def editVerify(df: DataFrame, id: String, text: String,
+      n: Int = 3, numPerm: Int = 32, bands: Int = 8,
+      jaccardThreshold: Double = 0.5, minSim: Double = 0.0): DataFrame = {
+    val pairs = minhashDedup(df, id, text, n, numPerm, bands, jaccardThreshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+    val t1 = df.select(col(id).cast("long").as("d1"), col(text).as("__t1"))
+    val t2 = df.select(col(id).cast("long").as("d2"), col(text).as("__t2"))
+    pairs.join(t1, Seq("d1")).join(t2, Seq("d2"))
+      .withColumn("edit_dist", levenshtein(col("__t1"), col("__t2")).cast("long"))
+      .withColumn("edit_sim",
+        floor((lit(1.0) - col("edit_dist") / greatest(length(col("__t1")), length(col("__t2"))))
+          * 1000000.0) / 1000000.0)
+      .where(col("edit_sim") >= minSim)
+      .select(col("d1"), col("d2"), col("jaccard"), col("edit_dist"), col("edit_sim"))
+  }
 }

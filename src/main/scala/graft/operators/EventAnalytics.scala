@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-event analytics over the monitor/event stream — the funnel and
+  * cohort-retention rollups every product-analytics warehouse runs, here as
+  * pure aggregation plans (no sessionizing window over the raw stream, no
+  * driver-side event loops).
+  */
+object EventAnalytics {
+
+  private def quantize6(c: Column): Column = floor(c * 1000000.0) / 1000000.0
+
+  /** Ordered conversion funnel: for each user, step `i+1` counts only if it
+    * happens strictly AFTER the user's step-`i` completion time and within
+    * `horizonUs` of it (the classic windowed funnel — out-of-order or stale
+    * conversions don't count). Completion time of a step is the EARLIEST
+    * qualifying event, matching the standard "first touch" funnel
+    * definition.
+    *
+    * Output: one row per step —
+    * `(stage, step, n_users, conv_from_prev, conv_overall)` with the
+    * conversion ratios floor-quantized to 6 places (ratios of two
+    * engine-exact longs).
+    *
+    * Plan shape: one key-grouped min-aggregation per step (map-side
+    * combinable) joined to the previous step's per-user completion frame on
+    * the user key — `steps.length` small hash joins, each keyed and
+    * skew-free; the final assembly is a `steps.length`-row frame (window
+    * over 3 rows, control-plane sized). At 100 TB the per-step frames are
+    * one row per converting user — the natural shrink point of the
+    * pipeline; nothing re-scans the corpus per step pair.
+    */
+  def funnel(df: DataFrame, user: String, ts: String, eventType: String,
+      steps: Seq[String], horizonUs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(horizonUs > 0, s"horizonUs must be positive, got $horizonUs")
+    val base = df.where(col(user).isNotNull)
+      .select(col(user).as("__u"), col(ts).as("__ts"), col(eventType).as("__et"))
+    // per-user completion time of each successive step
+    val completions = steps.zipWithIndex.foldLeft(List.empty[DataFrame]) {
+      case (acc, (step, i)) =>
+        val hits = base.where(col("__et") === step)
+        val done =
+          if (i == 0) hits.groupBy(col("__u")).agg(min(col("__ts")).as("__t"))
+          else {
+            val prev = acc.head.select(col("__u"), col("__t").as("__tp"))
+            hits.join(prev, Seq("__u"))
+              .where(col("__ts") > col("__tp") && col("__ts") <= col("__tp") + horizonUs)
+              .groupBy(col("__u")).agg(min(col("__ts")).as("__t"))
+          }
+        done :: acc
+    }.reverse
+    val counts = completions.zip(steps).zipWithIndex.map { case ((doneDf, step), i) =>
+      doneDf.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).cast("long").as("stage"), lit(step).as("step"), col("n_users"))
+    }.reduce(_.unionByName(_))
+    val w = Window.orderBy(col("stage")) // steps.length rows — control plane
+    counts
+      .withColumn("__prev", lag(col("n_users"), 1).over(w))
+      .withColumn("__first", first(col("n_users")).over(w))
+      .select(col("stage"), col("step"), col("n_users"),
+        when(col("__prev").isNull, lit(1.0))
+          .otherwise(quantize6(col("n_users") / col("__prev"))).as("conv_from_prev"),
+        quantize6(col("n_users") / col("__first")).as("conv_overall"))
+  }
+
+  /** Day-granularity cohort retention: users cohort by their FIRST-ever
+    * activity day; `retention` at offset `k` is the fraction of the cohort
+    * active (any event) exactly `k` days after its cohort day, `0 <= k <=
+    * maxDays`. Day buckets are epoch-day integers of the event-time micros
+    * (pure integer arithmetic — engine-exact).
+    *
+    * Output: `(cohort_day, k, cohort_size, n_active, retention)`, one row
+    * per non-empty (cohort, offset) cell, retention floor-quantized.
+    *
+    * Plan shape: ONE map-side-combinable min-agg for cohort assignment, one
+    * distinct over (user, day) — both keyed by user — then a count per
+    * (cohort, k): every shuffle is on the user or the (cohort, k) cell, the
+    * output is bounded by cohorts × maxDays, and no window touches
+    * data-sized frames. The cohort dimension joins back broadcast-sized.
+    */
+  def retention(df: DataFrame, user: String, ts: String, maxDays: Int): DataFrame = {
+    require(maxDays >= 0, s"maxDays must be >= 0, got $maxDays")
+    val dayUs = 86400000000L
+    val base = df.where(col(user).isNotNull)
+      .select(col(user).as("__u"), expr(s"$ts DIV ${dayUs}L").as("__day"))
+    val cohorts = base.groupBy(col("__u")).agg(min(col("__day")).as("__cohort"))
+    val sizes = cohorts.groupBy(col("__cohort")).agg(count(lit(1)).as("cohort_size"))
+    val active = base.distinct()
+      .join(cohorts, Seq("__u"))
+      .withColumn("__k", col("__day") - col("__cohort"))
+      .where(col("__k") <= maxDays)
+      .groupBy(col("__cohort"), col("__k"))
+      .agg(count(lit(1)).as("n_active"))
+    active.join(sizes, Seq("__cohort"))
+      .select(col("__cohort").as("cohort_day"), col("__k").as("k"),
+        col("cohort_size"), col("n_active"),
+        quantize6(col("n_active") / col("cohort_size")).as("retention"))
+  }
+}

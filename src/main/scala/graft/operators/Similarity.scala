@@ -664,4 +664,55 @@ object Similarity {
       .where(col("__rn") <= topK)
       .select(col("query_id"), col("neighbor_id"), col("adc"), col("__rn").as("rank"))
   }
+
+  /** Leave-one-out k-NN majority-vote classification over a labeled
+    * embedding corpus — the label-consistency audit behind mislabeled-sample
+    * detection and nearest-neighbor quality classifiers: predict each
+    * vector's label from its `k` nearest OTHER vectors and report the
+    * confusion matrix `(label, pred, n)`. A clean corpus concentrates on the
+    * diagonal; off-diagonal mass pinpoints label noise or entangled classes.
+    *
+    * Vote rule (fully deterministic, integer-only): most neighbor votes,
+    * ties broken by the best (smallest) neighbor rank carrying that label,
+    * then by the smaller label. Neighbor ranking rounds the cosine to 6
+    * places before ordering (ties then broken by id) so rankings are
+    * reproducible across engines' last-ulp differences, exactly like
+    * [[bruteForceKnn]].
+    *
+    * This brute exact form scores all n² pairs via the JIT cosine sweep —
+    * the right tool up to ~10⁵ vectors per label audit. Beyond that, swap
+    * the pair generator for [[randomHyperplaneBuckets]] (probe the query's
+    * bucket) or [[ivfKnn]]'s cells: the vote/confusion stages are unchanged,
+    * they only see `(query, neighbor, rank)` rows.
+    */
+  def knnClassify(df: DataFrame, id: String, vec: String, label: String, k: Int): DataFrame = {
+    requireIntegralId(df, id)
+    // null vectors can't vote or be classified; null labels can't vote —
+    // drop both up front (mirrors the oracle's explicit guards; leaving
+    // them in would also make the sim ordering engine-dependent, engines
+    // disagree on NULLS FIRST/LAST under DESC)
+    val v = df.where(col(vec).isNotNull && col(label).isNotNull)
+      .select(col(id).cast("long").as("__vid"), col(vec).as("__v"),
+        col(label).cast("long").as("__lab"))
+    val q = v.select(col("__vid").as("__qid"), col("__v").as("__qv"))
+    val scored = v
+      .join(broadcast(q), col("__qid") =!= col("__vid"))
+      .withColumn("__sim", round(cosineFast(col("__qv"), col("__v")), 6))
+    val wRank = Window.partitionBy(col("__qid")).orderBy(col("__sim").desc, col("__vid"))
+    val topNbr = scored
+      .withColumn("__rn", row_number().over(wRank))
+      .where(col("__rn") <= k)
+      .select(col("__qid"), col("__lab").as("__nlab"), col("__rn"))
+    val votes = topNbr.groupBy(col("__qid"), col("__nlab"))
+      .agg(count(lit(1)).as("__cnt"), min(col("__rn")).as("__mr"))
+    val wVote = Window.partitionBy(col("__qid"))
+      .orderBy(col("__cnt").desc, col("__mr"), col("__nlab"))
+    val preds = votes
+      .withColumn("__pr", row_number().over(wVote))
+      .where(col("__pr") === 1)
+      .select(col("__qid"), col("__nlab").as("pred"))
+    preds.join(v.select(col("__vid").as("__qid"), col("__lab").as("label")), Seq("__qid"))
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -45,6 +45,36 @@ object TextAnalysis {
         log(lit(1.0) + col("n_tokens")) *
           (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")), 6))
 
+  /** Per-group quality-score calibration — the cross-source comparability
+    * fix every mixture pipeline needs before thresholding on a heuristic
+    * score: raw [[qualityScore]] distributions differ by source (a news
+    * crawl and a forum dump don't share a scale), so each document gets its
+    * `percent_rank` WITHIN its group. A single global threshold on the
+    * calibrated rank then keeps the same top fraction of every source
+    * instead of silently dropping whole sources whose raw scores run low.
+    *
+    * `pct` is floor-quantized to 6 places; percent_rank itself is the
+    * exact rational `(rank-1)/(n-1)` over the already-6dp-rounded quality
+    * (ties share a rank, so equal scores calibrate equally) — engine-exact
+    * given identical scores.
+    *
+    * Plan shape: the scoring scan plus ONE rank window partitioned by the
+    * group — per-partition state is a sort of that group's scores. Groups
+    * at 100 TB are source-sized (large): swap the window for the two-pass
+    * histogram rank (bucketed counts + prefix sums) if a single source
+    * outgrows a task's sort budget.
+    */
+  def calibrateByGroup(df: DataFrame, id: String, text: String, group: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group)).orderBy(col("quality"))
+    qualityScore(df, id, text)
+      .select(col(id), col("quality"))
+      .join(df.select(col(id), col(group)), Seq(id))
+      .withColumn("pct",
+        floor(percent_rank().over(w) * 1000000.0) / 1000000.0)
+      .select(col(id), col(group), col("quality"), col("pct"))
+  }
+
   /** n-gram-heuristic language ID: score each candidate language by its
     * marker-token hit count; highest hit count wins, ties and zero hits fall
     * back to "und". Marker lists are deterministic and tiny (broadcast as

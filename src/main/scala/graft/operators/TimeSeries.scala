@@ -967,4 +967,97 @@ object TimeSeries {
       .select(col("p.k1").as("k1"), col("p.k2").as("k2"), col("n"),
         col("p.corr").as("corr"))
   }
+
+  /** Per-key winsorized robust statistics — outlier-resistant summary the
+    * raw mean/std can't give on spiky archiver channels: exact interpolated
+    * `[pLo, pHi]` percentiles per key, values clamped to that band, then
+    * the winsorized mean/std plus how many samples hit each fence. A large
+    * `n_lo + n_hi` under a stable winsorized mean is the signature of
+    * sensor glitches rather than real drift.
+    *
+    * Two aggregations over one scan shape: percentiles per key (exact
+    * `percentile`, same interpolation as DuckDB's `quantile_cont` — the
+    * [[percentileBands]] parity), result joined back (a per-key dimension
+    * row — broadcast-sized, AQE picks it up), then one map-side-combinable
+    * clamp+moment pass. No windows, no driver collect.
+    *
+    * Output: `(key, n, n_lo, n_hi, p_lo, p_hi, win_mean, win_std)` with the
+    * moments rounded to 6 places (cross-engine double hygiene); std is the
+    * population form (divide by n), 0 for a constant or single-sample key.
+    */
+  def winsorize(df: DataFrame, key: String, value: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad band: [$pLo, $pHi]")
+    val base = df.where(col(value).isNotNull && col(key).isNotNull)
+      .select(col(key), col(value).cast("double").as("__v"))
+    val fences = base.groupBy(col(key))
+      .agg(expr(s"percentile(__v, array(${pLo}D, ${pHi}D))").as("__q"))
+      .select(col(key), col("__q").getItem(0).as("__lo"), col("__q").getItem(1).as("__hi"))
+    val clamped = base.join(fences, Seq(key))
+      .withColumn("__w", least(greatest(col("__v"), col("__lo")), col("__hi")))
+    clamped.groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__v") < col("__lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("__v") > col("__hi"), 1L).otherwise(0L)).as("n_hi"),
+        round(min(col("__lo")), 6).as("p_lo"),
+        round(min(col("__hi")), 6).as("p_hi"),
+        round(avg(col("__w")), 6).as("win_mean"),
+        // greatest(_, 0): the moment difference can cancel to a tiny
+        // negative on constant keys — sqrt would turn that into NaN
+        round(sqrt(greatest(
+          avg(col("__w") * col("__w")) - avg(col("__w")) * avg(col("__w")), lit(0.0))), 6)
+          .as("win_std"))
+  }
+
+  /** Per-key Holt linear-trend (double-exponential) smoothing — EWMA's
+    * sibling that also tracks slope, the standard short-horizon forecast
+    * baseline for drifting channels: seeded `l_1 = v_1, b_1 = 0`, then
+    * {{{
+    *   l_i = alpha * v_i + (1-alpha) * (l_{i-1} + b_{i-1})
+    *   b_i = beta * (l_i - l_{i-1}) + (1-beta) * b_{i-1}
+    * }}}
+    * over time order (duplicate timestamps collapse to their max first so
+    * the fold order is total; null keys dropped like [[ewma]]). The one-step
+    * forecast is `l + b`.
+    *
+    * Same scale shape as [[ewma]]: the recurrence is sequential PER KEY, so
+    * hash-repartition on the key, sort within partitions, one linear
+    * `mapPartitions` fold with two doubles of state per key — width(keys)
+    * parallel scans, no windows collecting history, nothing driver-side.
+    * Cross-engine determinism: with dyadic `alpha`/`beta` the fold applies
+    * bit-exact double arithmetic in a fixed order, mirrored by the oracle's
+    * struct-state `list_reduce`; outputs are returned UNROUNDED (quantize
+    * with `floor(x*1e6)/1e6` for fixed-decimal compares, like [[ewma]]).
+    */
+  def holt(df: DataFrame, key: String, ts: String, value: String,
+      alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0, 1], got $beta")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val oneMinusA = 1.0 - alpha
+    val oneMinusB = 1.0 - beta
+    val s = df.where(col(key).isNotNull)
+      .groupBy(col(key), col(ts)).agg(max(col(value)).cast("double").as("__v"))
+      .select(col(key).cast("string"), col(ts).cast("long"), col("__v"))
+      .as[(String, Long, Double)]
+    s.repartition(col(s.columns.head))
+      .sortWithinPartitions(col(s.columns.head), col(s.columns(1)))
+      .mapPartitions { it =>
+        var curKey: String = null
+        var l = 0.0
+        var b = 0.0
+        it.map { case (k, t, v) =>
+          if (k != curKey) { curKey = k; l = v; b = 0.0 }
+          else {
+            val lNew = alpha * v + oneMinusA * (l + b)
+            b = beta * (lNew - l) + oneMinusB * b
+            l = lNew
+          }
+          (k, t, v, l, b)
+        }
+      }
+      .toDF(key, ts, "value", "level", "trend")
+  }
 }

@@ -66,6 +66,55 @@ object Smoothing {
       }
   }
 
+  /** Per-key Holt state for [[holtStreaming]]: level, trend, last folded
+    * event time.
+    */
+  case class HoltState(level: Double, trend: Double, lastTsUs: Long)
+
+  /** A Holt-smoothed sample (level + trend; one-step forecast = level +
+    * trend).
+    */
+  case class HoltPoint(pvname: String, tsUs: Long, value: Double,
+      level: Double, trend: Double)
+
+  /** Streaming twin of [[graft.operators.TimeSeries.holt]] — the live
+    * level+trend tracker: the same double expressions in the same order as
+    * the batch fold (`lNew = alpha*v + (1-alpha)*(l+b)` then
+    * `b = beta*(lNew-l) + (1-beta)*b`), so accumulators are bit-identical
+    * to the batch replay; same per-batch sort and late-drop rules as
+    * [[streaming]]. Three scalars of state per key, Append emission.
+    */
+  def holtStreaming(ds: Dataset[Point], alpha: Double, beta: Double): Dataset[HoltPoint] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0, 1], got $beta")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val oneMinusA = 1.0 - alpha
+    val oneMinusB = 1.0 - beta
+    ds.groupByKey(_.pvname)
+      .flatMapGroupsWithState[HoltState, HoltPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (pv: String, it: Iterator[Point], gs: GroupState[HoltState]) =>
+          val out = Vector.newBuilder[HoltPoint]
+          var st: Option[HoltState] = gs.getOption
+          it.toVector.sortBy(p => (p.tsUs, -p.value)).foreach { p =>
+            st match {
+              case None =>
+                st = Some(HoltState(p.value, 0.0, p.tsUs))
+                out += HoltPoint(pv, p.tsUs, p.value, p.value, 0.0)
+              case Some(s) if p.tsUs > s.lastTsUs =>
+                val lNew = alpha * p.value + oneMinusA * (s.level + s.trend)
+                val bNew = beta * (lNew - s.level) + oneMinusB * s.trend
+                st = Some(HoltState(lNew, bNew, p.tsUs))
+                out += HoltPoint(pv, p.tsUs, p.value, lNew, bNew)
+              case Some(_) => () // late or duplicate instant: dropped (T7)
+            }
+          }
+          st.foreach(gs.update)
+          out.result().iterator
+      }
+  }
+
   def streaming(ds: Dataset[Point], alpha: Double): Dataset[Smoothed] = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
     val spark = ds.sparkSession

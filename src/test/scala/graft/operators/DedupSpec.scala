@@ -296,4 +296,73 @@ class DedupSpec extends SparkSpec {
     assert(got(6L) == ((2L, 0L, 0L, 0L, 0.0)))
     assert(!got.contains(7L))
   }
+
+  test("chunkDedup: first occurrence survives, documents reassemble in chunk order") {
+    val sp = spark
+    import sp.implicits._
+    // 2-token chunks: doc 1 = [a b][c d], doc 2 repeats [a b] then adds
+    // [e f]; doc 3 is entirely made of already-seen chunks
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b e f"),
+      (3L, "a b c d")).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(df, "doc_id", "text", chunkTokens = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"), r.getAs[String]("text_dedup"))))
+      .toMap
+    assert(got(1L) == ((2L, 2L, "a b c d"))) // first occurrence of both chunks
+    assert(got(2L) == ((2L, 1L, "e f"))) // [a b] already seen in doc 1
+    assert(got(3L) == ((2L, 0L, ""))) // fully duplicated, kept as empty
+  }
+
+  test("chunkDedup: each distinct chunk survives exactly once, corpus-wide") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (10L, "w x y z p q"),
+      (11L, "w x y z r s"),
+      (12L, "p q r s w x")).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(df, "doc_id", "text", chunkTokens = 2)
+    val keptChunks = out.collect().flatMap { r =>
+      val t = r.getAs[String]("text_dedup")
+      if (t.isEmpty) Array.empty[String]
+      else t.split(" ").grouped(2).map(_.mkString(" ")).toArray
+    }
+    // survivor multiset == distinct chunk set (no chunk kept twice or lost)
+    assert(keptChunks.sorted.toSeq == keptChunks.distinct.sorted.toSeq)
+    val allChunks = df.collect().flatMap(_.getString(1).split(" ").grouped(2).map(_.mkString(" ")))
+    assert(keptChunks.toSet == allChunks.toSet)
+  }
+
+  test("editVerify: exact dup scores dist 0 / sim 1; near dup gets its true distance") {
+    val got = Dedup.editVerify(docs, "doc_id", "text",
+      n = 2, numPerm = 16, bands = 4, jaccardThreshold = 0.3).collect()
+      .map(r => ((r.getAs[Long]("d1"), r.getAs[Long]("d2")),
+        (r.getAs[Long]("edit_dist"), r.getAs[Double]("edit_sim"))))
+      .toMap
+    assert(got((1L, 2L)) == ((0L, 1.0))) // identical texts
+    // docs 1/3 ("the lazy" -> "a lazy"): levenshtein 3, normalized by the
+    // longer length 43, floor-quantized
+    got.get((1L, 3L)).foreach { case (d, sim) =>
+      assert(d == 3L)
+      assert(sim == math.floor((1.0 - 3.0 / 43.0) * 1e6) / 1e6)
+    }
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L)) // no false pair
+  }
+
+  test("editVerify: minSim gate drops word-soup pairs that shingles accept") {
+    val sp = spark
+    import sp.implicits._
+    // same bag of bigrams base, heavy reordering: Jaccard-high, edit-low
+    val df = Seq(
+      (1L, "alpha beta gamma delta alpha beta gamma delta"),
+      (2L, "gamma delta alpha beta gamma delta alpha beta")).toDF("doc_id", "text")
+    val all = Dedup.editVerify(df, "doc_id", "text", n = 2, numPerm = 16, bands = 4,
+      jaccardThreshold = 0.3, minSim = 0.0).collect()
+    val gated = Dedup.editVerify(df, "doc_id", "text", n = 2, numPerm = 16, bands = 4,
+      jaccardThreshold = 0.3, minSim = 0.95).collect()
+    assert(all.nonEmpty) // the candidate pair exists and is scored
+    assert(all.forall(_.getAs[Double]("edit_sim") < 0.95)) // but reordering cost shows
+    assert(gated.isEmpty) // so the edit gate rejects it
+  }
 }

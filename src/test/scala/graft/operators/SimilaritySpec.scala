@@ -244,4 +244,37 @@ class SimilaritySpec extends SparkSpec {
     out.foreach { case (id, cell) => assert(cells(id) == cell, s"vec $id") }
     assert(out.size == 10)
   }
+
+  test("knnClassify: clean clusters vote their own label; a planted mislabel shows off-diagonal") {
+    val sp = spark
+    import sp.implicits._
+    // two tight clusters in 4-d; vec 20 sits in cluster B but carries label 0
+    val a = (0L until 6L).map(i => (i, Array(1.0f, 0.0f, 0.01f * i, 0.0f), 0))
+    val b = (10L until 16L).map(i => (i, Array(0.0f, 1.0f, 0.0f, 0.01f * i), 1))
+    val planted = Seq((20L, Array(0.0f, 1.0f, 0.0f, 0.2f), 0))
+    val df = (a ++ b ++ planted).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(df, "vec_id", "embedding", "label", k = 3)
+      .collect()
+      .map(r => ((r.getAs[Long]("label"), r.getAs[Long]("pred")), r.getAs[Long]("n")))
+      .toMap
+    assert(got((0L, 0L)) == 6L) // cluster A all self-consistent
+    assert(got((1L, 1L)) == 6L) // cluster B: the planted 0 can't outvote k=3 true B's
+    assert(got((0L, 1L)) == 1L) // the mislabel is flagged off-diagonal
+    assert(got.values.sum == 13L)
+  }
+
+  test("knnClassify: null vectors and null labels neither vote nor get classified") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), java.lang.Integer.valueOf(0)),
+      (1L, Array(1.0f, 0.1f), java.lang.Integer.valueOf(0)),
+      (2L, Array(0.9f, 0.0f), java.lang.Integer.valueOf(0)),
+      (3L, null.asInstanceOf[Array[Float]], java.lang.Integer.valueOf(1)),
+      (4L, Array(1.0f, 0.05f), null.asInstanceOf[java.lang.Integer]))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(df, "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => ((r.getAs[Long]("label"), r.getAs[Long]("pred")), r.getAs[Long]("n"))).toMap
+    assert(got == Map((0L, 0L) -> 3L)) // only the three labeled+embedded rows
+  }
 }

@@ -622,4 +622,66 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(("x", "c")) == ((4L, None)))
     assert(got.size == 6)
   }
+
+  test("winsorize: fences, clip counts and winsorized moments by hand") {
+    val sp = spark
+    import sp.implicits._
+    // key "a": 1..20 plus a wild outlier 1000 replacing 20
+    val va = (1 to 19).map(_.toDouble) :+ 1000.0
+    val df = (va.map(v => ("a", Some(v))) ++
+      Seq(("b", Some(5.0)), ("b", Some(5.0)), ("a", Option.empty[Double])))
+      .toDF("k", "v")
+    val got = TimeSeries.winsorize(df, "k", "v", pLo = 0.05, pHi = 0.95)
+      .collect()
+      .map(r => (r.getAs[String]("k"),
+        (r.getAs[Long]("n"), r.getAs[Long]("n_lo"), r.getAs[Long]("n_hi"),
+          r.getAs[Double]("p_lo"), r.getAs[Double]("p_hi"),
+          r.getAs[Double]("win_mean"), r.getAs[Double]("win_std"))))
+      .toMap
+    // exact interpolated percentiles of 20 ordered values: p05 at index
+    // 0.95 -> 1.95, p95 at index 18.05 -> 19 + 0.05*(1000-19) = 68.05
+    val (n, nLo, nHi, pLo, pHi, mean, std) = got("a")
+    assert(n == 20L && nLo == 1L && nHi == 1L)
+    assert(pLo == 1.95 && pHi == 68.05)
+    val w = (2 to 19).map(_.toDouble) ++ Seq(1.95, 68.05)
+    val m = w.sum / 20
+    assert(math.abs(mean - m) < 1e-6)
+    assert(math.abs(std - math.sqrt(w.map(x => x * x).sum / 20 - m * m)) < 1e-6)
+    // constant key: zero clips, zero std
+    assert(got("b") == ((2L, 0L, 0L, 5.0, 5.0, 5.0, 0.0)))
+  }
+
+  test("holt: level tracks a linear ramp and trend converges to its slope") {
+    val sp = spark
+    import sp.implicits._
+    val rows = (0 until 40).map(i => ("a", i.toLong, 10.0 + 3.0 * i)) :+
+      (null.asInstanceOf[String], 0L, 9.9) // null key dropped like ewma
+    val got = TimeSeries.holt(rows.toDF("k", "ts", "v"), "k", "ts", "v",
+      alpha = 0.5, beta = 0.25)
+      .collect()
+      .map(r => (r.getAs[Long]("ts"),
+        (r.getAs[Double]("level"), r.getAs[Double]("trend"))))
+      .toMap
+    assert(got.size == 40)
+    assert(got(0L) == ((10.0, 0.0))) // seed: level = v1, trend = 0
+    // manual first fold step: l2 = .5*13 + .5*(10+0) = 11.5; b2 = .25*1.5
+    assert(got(1L) == ((11.5, 0.375)))
+    // the ramp is a fixed point (l = v_i, b = slope); convergence is
+    // geometric at |root| = sqrt(1-alpha) ~ 0.707 per step
+    val (lEnd, bEnd) = got(39L)
+    assert(math.abs(bEnd - 3.0) < 1e-4) // trend locks onto the slope
+    assert(math.abs(lEnd - (10.0 + 3.0 * 39)) < 1e-3) // level tracks the ramp
+  }
+
+  test("holt: duplicate instants collapse to their max before the fold") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(("a", 0L, 4.0), ("a", 0L, 6.0), ("a", 1L, 6.0))
+    val got = TimeSeries.holt(rows.toDF("k", "ts", "v"), "k", "ts", "v",
+      alpha = 0.5, beta = 0.25).collect()
+      .map(r => (r.getAs[Long]("ts"), r.getAs[Double]("level"))).toMap
+    assert(got.size == 2)
+    assert(got(0L) == 6.0) // max of the duplicate instant seeds
+    assert(got(1L) == 6.0) // 0.5*6 + 0.5*(6+0)
+  }
 }

@@ -229,6 +229,36 @@ class StreamingComposeSpec extends SparkSpec {
     assert(streamed.size == 80 && streamed.values.exists(_._3)) // alarms did fire
   }
 
+  test("holt: the streaming level+trend tracker equals the batch fold bit-for-bit") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // ramp + noise so level and trend both move; a duplicate instant checks
+    // the max-dedupe convention matches the batch twin
+    val rows = (0 until 90).map { i =>
+      Smoothing.Point(s"p${i % 3}", (100L + i * 2L) * S,
+        5.0 + 0.7 * i + (i * 11 % 5))
+    } :+ Smoothing.Point("p0", 100L * S, -1.0) // same instant as i=0, smaller
+    val input = MemoryStream[Smoothing.Point]
+    val q = Smoothing.holtStreaming(input.toDS(), alpha = 0.5, beta = 0.25)
+      .writeStream.outputMode("append").format("memory").queryName("holt_stream")
+      .start()
+    try {
+      rows.sortBy(_.tsUs).grouped(35).foreach { g => input.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = sp.table("holt_stream").collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val batch = TimeSeries.holt(
+      rows.toDF("pvname", "tsUs", "value"), "pvname", "tsUs", "value",
+      alpha = 0.5, beta = 0.25)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(streamed == batch) // bit-identical fold, dedupe included
+    assert(streamed.size == 90) // the duplicate instant collapsed
+  }
+
   test("curation ops (sample/split/PII) attach directly to a streaming frame (stateless append mode)") {
     val sp = spark
     import sp.implicits._
