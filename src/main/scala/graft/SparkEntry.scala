@@ -895,6 +895,48 @@ object SparkEntry {
         .orderBy(col("pvname"), col("session_idx"))
     }),
 
+    // ---- ordered conversion funnel view -> click -> purchase (7-day step
+    // horizon, first-touch completion times) --------------------------------
+    "q_funnel" -> ((s, dir) => {
+      EventAnalytics.funnel(events(s, dir), "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"), horizonUs = RUN_WEEK_US)
+        .orderBy(col("stage"))
+    }),
+
+    // ---- day-cohort retention triangle (first-activity cohorts, k <= 13) --
+    "q_retention" -> ((s, dir) => {
+      EventAnalytics.retention(events(s, dir), "user_id", "ts_us", maxDays = 13)
+        .orderBy(col("cohort_day"), col("k"))
+    }),
+
+    // ---- declarative data-quality expectations: one scan per table, a
+    // keyed anti-join for referential integrity, three-valued-logic
+    // violation semantics -----------------------------------------------------
+    "q_dq_checks" -> ((s, dir) => {
+      import DataQuality.Rule
+      val ev = DataQuality.check(events(s, dir), Seq(
+        Rule("events.user_id_present", col("user_id").isNotNull),
+        Rule("events.value_in_range", col("value").between(0, 400)),
+        Rule("events.value_present", col("value").isNotNull)))
+      val li = DataQuality.check(Tables.lineitem(s, dir), Seq(
+        Rule("lineitem.discount_le_8pct", col("l_discount") <= 0.08),
+        Rule("lineitem.quantity_1_50", col("l_quantity").between(1, 50))))
+      val docs = DataQuality.check(Tables.documents(s, dir), Seq(
+        Rule("documents.lang_allowed", col("lang").isin("en", "zh", "fr", "es", "de")),
+        Rule("documents.min_chars_100", col("n_chars") >= 100),
+        Rule("documents.nchars_consistent", col("n_chars") === length(col("text")))))
+      val ref = DataQuality.refIntegrity("orders.custkey_resolves",
+        Tables.orders(s, dir), "o_custkey", Tables.customer(s, dir), "c_custkey")
+      ev.unionByName(li).unionByName(docs).unionByName(ref)
+        .orderBy(col("rule"))
+    }),
+
+    // ---- per-source quality calibration (percent_rank within source) ------
+    "q_quality_calibrated" -> ((s, dir) => {
+      TextAnalysis.calibrateByGroup(Tables.documents(s, dir), "doc_id", "text", "source")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- generic keyed as-of join (vectorized Q2): every view event picks
     // up the user's latest click value at or before its time ----------------
     "q_asof_join" -> ((s, dir) => {
@@ -2426,6 +2468,88 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_events
          |FROM sx GROUP BY pvname, session_idx
          |ORDER BY pvname, session_idx""".stripMargin,
+
+    // windowed first-touch funnel: per-step min-after-previous within the
+    // horizon; ratios of engine-exact longs, floor-quantized
+    "q_funnel" ->
+      s"""WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
+         |  FROM events WHERE user_id IS NOT NULL),
+         |s1 AS (SELECT u, min(t) AS t1 FROM e WHERE et = 'view' GROUP BY u),
+         |s2 AS (SELECT e.u, min(t) AS t2 FROM e JOIN s1 ON e.u = s1.u
+         |       WHERE et = 'click' AND t > t1 AND t <= t1 + $RUN_WEEK_US GROUP BY e.u),
+         |s3 AS (SELECT e.u, min(t) AS t3 FROM e JOIN s2 ON e.u = s2.u
+         |       WHERE et = 'purchase' AND t > t2 AND t <= t2 + $RUN_WEEK_US GROUP BY e.u),
+         |c AS (          SELECT 1 AS stage, 'view' AS step, (SELECT count(*) FROM s1) AS n
+         |      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+         |      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+         |SELECT CAST(stage AS BIGINT) AS stage, step, CAST(n AS BIGINT) AS n_users,
+         |  CASE WHEN lag(n) OVER (ORDER BY stage) IS NULL THEN CAST(1 AS DOUBLE)
+         |       ELSE floor((CAST(n AS DOUBLE) / lag(n) OVER (ORDER BY stage)) * 1000000.0) / 1000000.0 END
+         |    AS conv_from_prev,
+         |  floor((CAST(n AS DOUBLE) / first_value(n) OVER (ORDER BY stage)) * 1000000.0) / 1000000.0
+         |    AS conv_overall
+         |FROM c ORDER BY stage""".stripMargin,
+
+    // day-cohort retention triangle: integer epoch-day buckets, distinct
+    // (user, day) activity, cells bounded by cohorts x maxDays
+    "q_retention" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) // 86400000000 AS d
+        |  FROM events WHERE user_id IS NOT NULL),
+        |coh AS (SELECT u, min(d) AS c FROM e GROUP BY u),
+        |sz AS (SELECT c, CAST(count(*) AS BIGINT) AS cohort_size FROM coh GROUP BY c),
+        |act AS (SELECT DISTINCT u, d FROM e),
+        |cell AS (SELECT c AS cohort_day, d - c AS k, CAST(count(*) AS BIGINT) AS n_active
+        |         FROM act JOIN coh USING (u) WHERE d - c <= 13 GROUP BY 1, 2)
+        |SELECT cohort_day, k, cohort_size, n_active,
+        |  floor((CAST(n_active AS DOUBLE) / cohort_size) * 1000000.0) / 1000000.0 AS retention
+        |FROM cell JOIN sz ON cohort_day = sz.c ORDER BY cohort_day, k""".stripMargin,
+
+    // data-quality expectations: NOT coalesce(pred, false) = the engine's
+    // three-valued violation rule; referential integrity via NOT EXISTS
+    "q_dq_checks" ->
+      """WITH ev AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN NOT coalesce(user_id IS NOT NULL, false) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |    CAST(sum(CASE WHEN NOT coalesce(value BETWEEN 0 AND 400, false) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |    CAST(sum(CASE WHEN NOT coalesce(value IS NOT NULL, false) THEN 1 ELSE 0 END) AS BIGINT) AS v3
+        |  FROM events),
+        |li AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_discount <= 0.08, false) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, false) THEN 1 ELSE 0 END) AS BIGINT) AS v2
+        |  FROM lineitem),
+        |dc AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN NOT coalesce(lang IN ('en','zh','fr','es','de'), false) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |    CAST(sum(CASE WHEN NOT coalesce(n_chars >= 100, false) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |    CAST(sum(CASE WHEN NOT coalesce(n_chars = length(text), false) THEN 1 ELSE 0 END) AS BIGINT) AS v3
+        |  FROM documents),
+        |u AS (          SELECT 'events.user_id_present' AS rule, n, v1 AS nv FROM ev
+        |      UNION ALL SELECT 'events.value_in_range', n, v2 FROM ev
+        |      UNION ALL SELECT 'events.value_present', n, v3 FROM ev
+        |      UNION ALL SELECT 'lineitem.discount_le_8pct', n, v1 FROM li
+        |      UNION ALL SELECT 'lineitem.quantity_1_50', n, v2 FROM li
+        |      UNION ALL SELECT 'documents.lang_allowed', n, v1 FROM dc
+        |      UNION ALL SELECT 'documents.min_chars_100', n, v2 FROM dc
+        |      UNION ALL SELECT 'documents.nchars_consistent', n, v3 FROM dc
+        |      UNION ALL SELECT 'orders.custkey_resolves',
+        |        (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |        (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |         WHERE o.o_custkey IS NULL OR NOT EXISTS
+        |           (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)))
+        |SELECT rule, n AS n_rows, nv AS n_violations,
+        |  CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
+        |       ELSE floor((CAST(nv AS DOUBLE) / n) * 1000000.0) / 1000000.0 END AS violation_rate
+        |FROM u ORDER BY rule""".stripMargin,
+
+    // per-source percent_rank calibration over the shared 6-dp quality
+    "q_quality_calibrated" ->
+      """WITH q AS (SELECT doc_id, source,
+        |    round(ln(1.0 + len(string_split(text, ' '))) *
+        |          (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |                t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |               / len(string_split(text, ' '))), 6) AS quality
+        |  FROM documents)
+        |SELECT doc_id, source, quality,
+        |  floor(percent_rank() OVER (PARTITION BY source ORDER BY quality) * 1000000.0) / 1000000.0 AS pct
+        |FROM q ORDER BY doc_id""".stripMargin,
 
     // DuckDB's native ASOF LEFT JOIN is the independent restatement of the
     // union+running-last plan — an implementation-divergent oracle

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Hybrid retrieval: combining ranked runs from different systems
@@ -40,5 +41,34 @@ object Retrieval {
       .agg(round(sum(col("__s")), 6).as("rrf"), count(lit(1)).cast("long").as("n_runs"))
       .orderBy(col("rrf").desc, col(id))
       .limit(k)
+  }
+
+  /** Search-result diversification by source capping — the re-rank stage
+    * between candidate generation and presentation: at most `perGroup` hits
+    * per `group` survive (in score order), then the global top `k` is cut.
+    * Prevents one domain from monopolizing a result page — the retrieval
+    * face of the corpus-curation per-source cap.
+    *
+    * Ordering is fully deterministic: both cuts order by
+    * `(score DESC, id)` over the already-6dp-rounded score. Plan shape: one
+    * group-keyed row_number window (per-task state = one group's hits),
+    * then a TakeOrdered global cut; the final rank window sees at most `k`
+    * rows. `scored` is any frame with (id, group, score) — BM25, cosine,
+    * or fused scores alike.
+    */
+  def diversifiedTopK(scored: DataFrame, id: String, score: String, group: String,
+      perGroup: Int, k: Int): DataFrame = {
+    require(perGroup >= 1, s"perGroup must be >= 1, got $perGroup")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val wg = Window.partitionBy(col(group)).orderBy(col(score).desc, col(id))
+    val capped = scored
+      .withColumn("__gr", row_number().over(wg))
+      .where(col("__gr") <= perGroup)
+      .orderBy(col(score).desc, col(id))
+      .limit(k)
+    val wk = Window.orderBy(col(score).desc, col(id)) // <= k rows
+    capped
+      .withColumn("rank", row_number().over(wk).cast("long"))
+      .select(col(id), col(group), col(score), col("__gr").cast("long").as("group_rank"), col("rank"))
   }
 }

@@ -159,4 +159,25 @@ object Sampling {
         round(pow(col("n_tokens"), alpha) / col("__z") * budgetTokens, 3)
           .as("target_tokens"))
   }
+
+  /** Weight-proportional Bernoulli sampling — the soft quality filter
+    * (DCLM-style) that keeps a document with probability proportional to a
+    * per-row weight (quality score, recency, source trust): `P(keep) =
+    * w / max(w)`. Deterministic and replay-stable like [[splitAssign]]: the
+    * coin is the md5 hash bucket of the id, so re-running the pipeline (or
+    * adding documents) never flips an existing decision, and any SQL engine
+    * reproduces the draw. The max-weight normalizer is a 1-row broadcast;
+    * the filter itself is map-only (integer bucket < double threshold — an
+    * exact comparison, both engines promote identically). Null or
+    * non-positive weights never pass (their threshold is not > the
+    * non-negative bucket).
+    */
+  def weightedSample(df: DataFrame, id: String, weight: String,
+      salt: String = "graft"): DataFrame = {
+    val mx = df.agg(max(col(weight).cast("double")).as("__wmax"))
+    df.crossJoin(broadcast(mx))
+      .where(hashBucket(col(id), salt, 1000000L) <
+        col(weight).cast("double") / col("__wmax") * 1000000.0)
+      .drop("__wmax")
+  }
 }

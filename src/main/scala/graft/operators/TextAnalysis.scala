@@ -45,6 +45,24 @@ object TextAnalysis {
         log(lit(1.0) + col("n_tokens")) *
           (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")), 6))
 
+  /** Grouping-sets corpus rollup — the OLAP reporting cut over curation
+    * dimensions: document and token counts for every `CUBE(dims)` cell
+    * (each dim combination plus all subtotals and the grand total),
+    * subtotal slots labeled `"ALL"`. One aggregation — Spark expands the
+    * cube into grouping sets inside a single `Aggregate`, all counts are
+    * map-side combinable, output is bounded by the dimension cardinality
+    * product. Assumes the dims themselves are non-null (the testdata
+    * convention); a null dim value would conflate with its subtotal row.
+    */
+  def corpusRollup(df: DataFrame, text: String, dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "corpusRollup needs at least one dimension")
+    df.cube(dims.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col(text))).cast("long")).as("n_tokens"))
+      .select(dims.map(d => coalesce(col(d), lit("ALL")).as(d)) ++
+        Seq(col("n_docs"), col("n_tokens")): _*)
+  }
+
   /** Per-group quality-score calibration — the cross-source comparability
     * fix every mixture pipeline needs before thresholding on a heuristic
     * score: raw [[qualityScore]] distributions differ by source (a news

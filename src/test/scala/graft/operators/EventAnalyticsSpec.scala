@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EventAnalyticsSpec extends SparkSpec {
+
+  private val M = 60000000L // one minute in micros
+
+  test("funnel: steps must happen in order and within the horizon") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      // u1 converts fully: view @0, click @1m, purchase @2m
+      (1L, 0L * M, "view"), (1L, 1L * M, "click"), (1L, 2L * M, "purchase"),
+      // u2's click precedes its first view -> stage 2 not reached
+      (2L, 5L * M, "click"), (2L, 6L * M, "view"),
+      // u3 clicks too late (beyond the 10-minute horizon)
+      (3L, 0L * M, "view"), (3L, 11L * M, "click"),
+      // u4 views only
+      (4L, 0L * M, "view"),
+      // u5 purchases without any view: no stage at all
+      (5L, 0L * M, "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnel(rows, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), horizonUs = 10L * M)
+      .collect()
+      .map(r => (r.getAs[Long]("stage"),
+        (r.getAs[String]("step"), r.getAs[Long]("n_users"),
+          r.getAs[Double]("conv_from_prev"), r.getAs[Double]("conv_overall"))))
+      .toMap
+    assert(got(1L) == (("view", 4L, 1.0, 1.0)))
+    assert(got(2L) == (("click", 1L, 0.25, 0.25))) // only u1
+    assert(got(3L) == (("purchase", 1L, 1.0, 0.25)))
+  }
+
+  test("funnel: completion time is the FIRST qualifying event (first-touch)") {
+    val sp = spark
+    import sp.implicits._
+    // two views: the funnel anchors on the FIRST (t=0), so the click at
+    // t=15m is outside ITS horizon even though the second view is closer
+    val rows = Seq(
+      (1L, 0L * M, "view"), (1L, 12L * M, "view"), (1L, 15L * M, "click"))
+      .toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnel(rows, "user_id", "ts", "event_type",
+      Seq("view", "click"), horizonUs = 10L * M)
+      .collect().map(r => (r.getAs[Long]("stage"), r.getAs[Long]("n_users"))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 0L))
+  }
+
+  test("retention: cohorts by first day, distinct daily activity, offset cap") {
+    val sp = spark
+    import sp.implicits._
+    val D = 86400000000L
+    val rows = Seq(
+      // cohort day 0: u1 active d0,d1,d3; u2 active d0,d1 (twice on d1)
+      (1L, 0L), (1L, D + 1L), (1L, 3L * D),
+      (2L, 5L), (2L, D + 2L), (2L, D + 3L),
+      // cohort day 2: u3 active d2 only
+      (3L, 2L * D))
+      .toDF("user_id", "ts")
+    val got = EventAnalytics.retention(rows, "user_id", "ts", maxDays = 2)
+      .collect()
+      .map(r => ((r.getAs[Long]("cohort_day"), r.getAs[Long]("k")),
+        (r.getAs[Long]("cohort_size"), r.getAs[Long]("n_active"), r.getAs[Double]("retention"))))
+      .toMap
+    assert(got((0L, 0L)) == ((2L, 2L, 1.0)))
+    assert(got((0L, 1L)) == ((2L, 2L, 1.0))) // u2's double activity counts once
+    assert(!got.contains((0L, 3L))) // beyond maxDays
+    assert(!got.contains((0L, 2L))) // empty cell: no row, not a zero row
+    assert(got((2L, 0L)) == ((1L, 1L, 1.0)))
+    assert(got.size == 3)
+  }
+}

@@ -333,4 +333,27 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getAs[String]("pair"), r.getAs[Long]("n")))
     assert(got.toSeq == Seq(("ab", 3L), ("bc", 1L)))
   }
+
+  test("calibrateByGroup: percent_rank within source; ties share a rank") {
+    val sp = spark
+    import sp.implicits._
+    // source A: 3 distinct qualities -> pct 0, 0.5, 1; source B: a tie on
+    // the low score -> both get rank 1 -> pct 0, top gets (3-1)/(3-1) = 1
+    val df = Seq(
+      (1L, "one", "A"),
+      (2L, "one two", "A"),
+      (3L, "one two three four", "A"),
+      (4L, "x", "B"),
+      (5L, "y", "B"),
+      (6L, "x y z w", "B")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.calibrateByGroup(df, "doc_id", "text", "source")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), (r.getAs[String]("source"), r.getAs[Double]("pct"))))
+      .toMap
+    assert(got(1L) == (("A", 0.0)))
+    assert(got(2L) == (("A", 0.5)))
+    assert(got(3L) == (("A", 1.0)))
+    assert(got(4L) == (("B", 0.0)) && got(5L) == (("B", 0.0))) // tied singles
+    assert(got(6L) == (("B", 1.0)))
+  }
 }

@@ -259,6 +259,31 @@ class StreamingComposeSpec extends SparkSpec {
     assert(streamed.size == 90) // the duplicate instant collapsed
   }
 
+  test("throttle: the streaming rate cap equals the batch row_number cap, across batch splits") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // 3 keys x 40 events, 10s apart, 60s windows (6 events/window), cap 4;
+    // batch boundary at 25 deliberately splits windows mid-quota
+    val rows = for { k <- 0 until 3; i <- 0 until 40 } yield
+      Smoothing.Point(s"p$k", (i * 10L + k) * 1000000L, (i * 7 % 5).toDouble)
+    val input = MemoryStream[Smoothing.Point]
+    val q = Throttle.streaming(input.toDS(), windowUs = 60L * 1000000L, perWindow = 4)
+      .writeStream.outputMode("append").format("memory").queryName("throttle_stream")
+      .start()
+    try {
+      rows.sortBy(_.tsUs).grouped(25).foreach { g => input.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = sp.table("throttle_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.operators.TimeSeries.throttle(
+      rows.toDF("pvname", "tsUs", "value"), "pvname", "tsUs", "value",
+      windowUs = 60L * 1000000L, perWindow = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch) // the cap holds across the batch boundary
+    assert(streamed.size == 3 * 7 * 4) // 7 windows/key, 4 survivors each
+  }
+
   test("curation ops (sample/split/PII) attach directly to a streaming frame (stateless append mode)") {
     val sp = spark
     import sp.implicits._
