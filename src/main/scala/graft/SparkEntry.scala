@@ -212,6 +212,31 @@ object SparkEntry {
         BM25_TERMS, k = 20)
     }),
 
+    // ---- diversified retrieval: per-source cap over the full BM25 run,
+    // then the global top-20 (two-stage re-rank) ----------------------------
+    "q_search_diverse" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = TextAnalysis.bm25(docs, "doc_id", "text", BM25_TERMS, k = Int.MaxValue)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      Retrieval.diversifiedTopK(scored.select(col("doc_id"), col("source"), col("score")),
+        "doc_id", "score", "source", perGroup = 2, k = 20)
+        .orderBy(col("rank"))
+    }),
+
+    // ---- weight-proportional deterministic Bernoulli sampling (quality-
+    // weighted corpus thinning) ---------------------------------------------
+    "q_weighted_sample" -> ((s, dir) => {
+      val q = TextAnalysis.qualityScore(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+      Sampling.weightedSample(q, "doc_id", "quality").orderBy(col("doc_id"))
+    }),
+
+    // ---- CUBE rollup over curation dimensions (subtotals + grand total) ---
+    "q_corpus_cube" -> ((s, dir) => {
+      TextAnalysis.corpusRollup(Tables.documents(s, dir), "text", Seq("lang", "source"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // ---- text stats: tokens / chars / stopword ratio -----------------------
     "q_text_stats" -> ((s, dir) => {
       TextAnalysis.stats(Tables.documents(s, dir), "doc_id", "text")
@@ -1381,6 +1406,37 @@ object SparkEntry {
     * gram). `suffix` renames the CTEs so two shingle widths can coexist in
     * one composed query.
     */
+  /** [[bm25Sql]]'s scoring chain (no limit) + source join + the per-source
+    * cap and global top-k windows — the oracle of
+    * [[graft.operators.Retrieval.diversifiedTopK]] over the BM25 run.
+    */
+  private def searchDiverseSql(terms: Seq[String], perGroup: Int, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    val tfCols = terms.indices.map(i =>
+      s"CAST(len(list_filter(toks, x -> x = '${terms(i)}')) AS DOUBLE) AS tf$i").mkString(",\n  ")
+    val dfAggs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i").mkString(", ")
+    val score = terms.indices.map { i =>
+      s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * ${k1 + 1.0}) / " +
+        s"(tf$i + $k1 * (1.0 - $b + $b * dl / avgdl))"
+    }.mkString("\n    + ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |tf AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+       |  $tfCols FROM t),
+       |s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, $dfAggs FROM tf),
+       |sc AS (SELECT doc_id, round($score, 6) AS score FROM tf, s),
+       |j AS (SELECT sc.doc_id, d.source, score
+       |      FROM sc JOIN documents d USING (doc_id) WHERE score > 0),
+       |g AS (SELECT doc_id, source, score,
+       |        row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS gr
+       |      FROM j),
+       |c AS (SELECT * FROM g WHERE gr <= $perGroup ORDER BY score DESC, doc_id LIMIT $k)
+       |SELECT doc_id, source, score, CAST(gr AS BIGINT) AS group_rank,
+       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |FROM c ORDER BY rank""".stripMargin
+  }
+
   private def shingleCte(n: Int, suffix: String = "", textExpr: String = "text"): String =
     s"""t$suffix AS (SELECT doc_id AS doc, string_split($textExpr, ' ') AS toks
        |      FROM documents WHERE text IS NOT NULL),
@@ -2266,6 +2322,29 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_bm25" -> bm25Sql(BM25_TERMS, k = 20),
+
+    "q_search_diverse" -> searchDiverseSql(BM25_TERMS, perGroup = 2, k = 20),
+
+    // deterministic weighted Bernoulli draw: integer md5 bucket vs the
+    // bit-identical double threshold (round-6 quality / exact max)
+    "q_weighted_sample" ->
+      s"""WITH q AS (SELECT doc_id,
+         |    round(ln(1.0 + len(string_split(text, ' '))) *
+         |          (1.0 - CAST(len(list_filter(string_split(text, ' '),
+         |                t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+         |               / len(string_split(text, ' '))), 6) AS quality
+         |  FROM documents),
+         |m AS (SELECT max(quality) AS wmax FROM q)
+         |SELECT doc_id, quality FROM q, m
+         |WHERE ${docBucketSql(1000000)} < quality / wmax * 1000000.0
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_cube" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY CUBE(lang, source)
+        |ORDER BY lang, source""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id,

@@ -28,4 +28,39 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id"))
     assert(got.toSeq == Seq(3L, 5L)) // equal rrf -> ascending id
   }
+
+  test("diversifiedTopK: per-group cap then global cut, ranks deterministic") {
+    val sp = spark
+    import sp.implicits._
+    // source A owns the 4 best scores; cap 2 lets B and C surface
+    val scored = Seq(
+      (1L, "A", 9.0), (2L, "A", 8.0), (3L, "A", 7.0), (4L, "A", 6.0),
+      (5L, "B", 5.0), (6L, "B", 4.5), (7L, "C", 4.0), (8L, "C", 8.0))
+      .toDF("doc_id", "source", "score")
+    val got = Retrieval.diversifiedTopK(scored, "doc_id", "score", "source",
+      perGroup = 2, k = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("rank"),
+        (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[Long]("group_rank"))))
+      .toMap
+    assert(got(1L) == ((1L, "A", 1L)))
+    assert(got(2L) == ((2L, "A", 2L))) // the 8.0 tie breaks by id: 2 before 8
+    assert(got(3L) == ((8L, "C", 1L)))
+    assert(got(4L) == ((5L, "B", 1L)))
+    assert(got(5L) == ((6L, "B", 2L)))
+    // docs 3,4 (A beyond cap) and 7 (below global cut at k=5... ) excluded
+    assert(!got.values.exists(v => v._1 == 3L || v._1 == 4L))
+  }
+
+  test("diversifiedTopK: score ties break by id on both cuts") {
+    val sp = spark
+    import sp.implicits._
+    val scored = Seq(
+      (3L, "A", 5.0), (1L, "A", 5.0), (2L, "A", 5.0), (4L, "B", 5.0))
+      .toDF("doc_id", "source", "score")
+    val got = Retrieval.diversifiedTopK(scored, "doc_id", "score", "source",
+      perGroup = 2, k = 3)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 4L)) // id order inside the tie; 3 capped out
+  }
 }

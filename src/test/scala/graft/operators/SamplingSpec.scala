@@ -124,4 +124,26 @@ class SamplingSpec extends SparkSpec {
     assert(got("a") == ((3L, 4L, 0.4, 400.0)))
     assert(got("b") == ((1L, 9L, 0.6, 600.0)))
   }
+
+  test("weightedSample: max weight always kept, nonpositive/null never, draw is replay-stable") {
+    val sp = spark
+    import sp.implicits._
+    val df = ((0L until 200L).map(i => (i, Some(((i % 10) + 1).toDouble))) ++
+      Seq((900L, Some(0.0)), (901L, Some(-3.0)), (902L, Option.empty[Double])))
+      .toDF("doc_id", "w")
+    val kept = Sampling.weightedSample(df, "doc_id", "w").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    // every max-weight row (w = 10 -> threshold 1e6 > any bucket) is kept
+    val maxIds = (0L until 200L).filter(i => i % 10 == 9).toSet
+    assert(maxIds.subsetOf(kept))
+    assert(!kept.contains(900L) && !kept.contains(901L) && !kept.contains(902L))
+    // the draw leans proportional: low weights keep fewer than high weights
+    val lowKept = (0L until 200L).count(i => i % 10 <= 2 && kept(i))
+    val highKept = (0L until 200L).count(i => i % 10 >= 7 && kept(i))
+    assert(lowKept < highKept)
+    // replay stability: same salt, same draw
+    val again = Sampling.weightedSample(df, "doc_id", "w").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(again == kept)
+  }
 }

@@ -356,4 +356,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) == (("B", 0.0)) && got(5L) == (("B", 0.0))) // tied singles
     assert(got(6L) == (("B", 1.0)))
   }
+
+  test("corpusRollup: CUBE cells, subtotals and grand total reconcile") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "en", "web", "a b c"),
+      (2L, "en", "book", "a b"),
+      (3L, "de", "web", "x y z w")).toDF("doc_id", "lang", "source", "text")
+    val got = TextAnalysis.corpusRollup(df, "text", Seq("lang", "source"))
+      .collect()
+      .map(r => ((r.getAs[String]("lang"), r.getAs[String]("source")),
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))))
+      .toMap
+    assert(got(("en", "web")) == ((1L, 3L)))
+    assert(got(("en", "ALL")) == ((2L, 5L)))
+    assert(got(("ALL", "web")) == ((2L, 7L)))
+    assert(got(("ALL", "ALL")) == ((3L, 9L)))
+    assert(got.size == 8) // 3 cells + 2 lang + 2 source subtotals + grand total
+  }
 }
