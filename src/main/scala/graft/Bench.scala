@@ -74,20 +74,35 @@ object Bench {
       case Some(_) => benchIngest(spark)
       case None => if (ingestDefault) benchIngest(spark) else 0.0
     }
-    // Driver visibility constraints (BENCH_r{1..4} all show "parsed": null):
-    // the driver keeps only the last ~2000 chars of stdout. A 100-query map
-    // at full double precision is ~2.9k chars, so whatever prints first is
-    // cut. Millisecond resolution per query (3 dp) keeps the line as small
-    // as honest reporting allows, and ordering the map FASTEST-FIRST puts
-    // the slow, diagnosis-worthy queries in the surviving tail window.
-    // `total_sec` repeats the headline at the very END of the line for the
-    // same reason.
+    // Driver visibility constraints (BENCH_r{1..5} all show "parsed": null):
+    // the driver keeps only the last ~2000 chars of stdout, and sbt appends
+    // a "[success] Total time" line after ours. At 119 queries the full
+    // per-query map is >2.4k chars, so ANY single line carrying it arrives
+    // truncated and unparseable. So: write the FULL per-query map to
+    // BENCH_FULL.json in the repo (the driver commits the working tree at
+    // round end), and print a compact line — headline totals plus only the
+    // slowest queries, budgeted to fit the tail window with room for the
+    // sbt suffix — as the LAST thing on stdout.
     def s3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.sortBy(_._2).map { case (k, v) => "\"" + k + "\":" + s3(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,""" +
-      s""""ingest_rows_per_sec":${s3(ingest)},"sf":"$sfDir","total_sec":${s3(total)}}""")
+    val fullQs = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + s3(v) }
+      .mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},""" +
+      s""""queries":$fullQs,"ingest_rows_per_sec":${s3(ingest)},"sf":"$sfDir","total_sec":${s3(total)}}"""
+    try {
+      val out = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json"))
+      java.nio.file.Files.write(out, (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    // compact line: slowest-first, cut to a ~1400-char query budget
+    val budget = 1400
+    val slowFirst = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + s3(v) }
+    val kept = new scala.collection.mutable.ArrayBuffer[String]
+    var used = 0
+    slowFirst.foreach { s => if (used + s.length + 1 <= budget) { kept += s; used += s.length + 1 } }
+    val compactQs = kept.mkString("{", ",", "}")
+    println(fullLine)
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},""" +
+      s""""queries":$compactQs,"ingest_rows_per_sec":${s3(ingest)},"sf":"$sfDir","total_sec":${s3(total)}}""")
     spark.stop()
   }
 

@@ -679,39 +679,102 @@ object Similarity {
     * reproducible across engines' last-ulp differences, exactly like
     * [[bruteForceKnn]].
     *
-    * This brute exact form scores all n² pairs via the JIT cosine sweep —
-    * the right tool up to ~10⁵ vectors per label audit. Beyond that, swap
-    * the pair generator for [[randomHyperplaneBuckets]] (probe the query's
-    * bucket) or [[ivfKnn]]'s cells: the vote/confusion stages are unchanged,
-    * they only see `(query, neighbor, rank)` rows.
+    * This brute exact form scores all n² pairs via a broadcast matrix +
+    * bounded per-query top-k sweep in `mapPartitions` — the right tool up
+    * to ~10⁵ vectors per label audit (an earlier draft shipped every scored
+    * pair, both float arrays attached, through a `row_number` window
+    * shuffle; at 6 400 vectors that is 40M wide rows of sort input and it
+    * measured 37 s where this form measures well under a second — the
+    * top-k cut belongs inside the scoring loop, not after a shuffle).
+    * Beyond broadcast scale, swap the pair generator for
+    * [[randomHyperplaneBuckets]] (probe the query's bucket) or [[ivfKnn]]'s
+    * cells and rank/vote with windows over the (query, neighbor, rank)
+    * rows: the vote rule below is unchanged, only the candidate set shrinks.
     */
   def knnClassify(df: DataFrame, id: String, vec: String, label: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     requireIntegralId(df, id)
     // null vectors can't vote or be classified; null labels can't vote —
     // drop both up front (mirrors the oracle's explicit guards; leaving
     // them in would also make the sim ordering engine-dependent, engines
     // disagree on NULLS FIRST/LAST under DESC)
-    val v = df.where(col(vec).isNotNull && col(label).isNotNull)
-      .select(col(id).cast("long").as("__vid"), col(vec).as("__v"),
-        col(label).cast("long").as("__lab"))
-    val q = v.select(col("__vid").as("__qid"), col("__v").as("__qv"))
-    val scored = v
-      .join(broadcast(q), col("__qid") =!= col("__vid"))
-      .withColumn("__sim", round(cosineFast(col("__qv"), col("__v")), 6))
-    val wRank = Window.partitionBy(col("__qid")).orderBy(col("__sim").desc, col("__vid"))
-    val topNbr = scored
-      .withColumn("__rn", row_number().over(wRank))
-      .where(col("__rn") <= k)
-      .select(col("__qid"), col("__lab").as("__nlab"), col("__rn"))
-    val votes = topNbr.groupBy(col("__qid"), col("__nlab"))
-      .agg(count(lit(1)).as("__cnt"), min(col("__rn")).as("__mr"))
-    val wVote = Window.partitionBy(col("__qid"))
-      .orderBy(col("__cnt").desc, col("__mr"), col("__nlab"))
-    val preds = votes
-      .withColumn("__pr", row_number().over(wVote))
-      .where(col("__pr") === 1)
-      .select(col("__qid"), col("__nlab").as("pred"))
-    preds.join(v.select(col("__vid").as("__qid"), col("__lab").as("label")), Seq("__qid"))
+    val data = df.where(col(vec).isNotNull && col(label).isNotNull)
+      .select(col(id).cast("long"), col(label).cast("long"), col(vec))
+      .as[(Long, Long, Array[Float])].collect().sortBy(_._1)
+    val norms = data.map { case (_, _, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    val bc = spark.sparkContext.broadcast((data, norms))
+    val n = data.length
+    spark.range(n.toLong)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { it =>
+        val (d, nrm) = bc.value
+        val m = d.length
+        it.flatMap { ii =>
+          val i = ii.toInt
+          val (_, qlab, qv) = d(i)
+          val qn = nrm(i)
+          // bounded insertion keeps the k best neighbors ordered by
+          // (rounded sim DESC, id ASC) — identical to the window's
+          // `ORDER BY sim DESC, vid` ranking
+          val simArr = new Array[Double](k)
+          val vidArr = new Array[Long](k)
+          val labArr = new Array[Long](k)
+          var size = 0
+          var j = 0
+          while (j < m) {
+            if (j != i) {
+              val (nid, nlab, nv) = d(j)
+              var sab = 0.0; var t = 0; val len = math.min(qv.length, nv.length)
+              while (t < len) { sab += qv(t).toDouble * nv(t).toDouble; t += 1 }
+              val sim = round6(sab / (qn * nrm(j)))
+              var pos = size
+              while (pos > 0 && (sim > simArr(pos - 1) ||
+                  (sim == simArr(pos - 1) && nid < vidArr(pos - 1)))) pos -= 1
+              if (pos < k) {
+                var s2 = math.min(size, k - 1)
+                while (s2 > pos) {
+                  simArr(s2) = simArr(s2 - 1); vidArr(s2) = vidArr(s2 - 1)
+                  labArr(s2) = labArr(s2 - 1); s2 -= 1
+                }
+                simArr(pos) = sim; vidArr(pos) = nid; labArr(pos) = nlab
+                if (size < k) size += 1
+              }
+            }
+            j += 1
+          }
+          if (size == 0) Iterator.empty // nothing to vote (n == 1 corpus)
+          else {
+            // vote: most neighbor votes, ties by best (smallest) rank
+            // carrying that label, then by smaller label — the array is
+            // rank-ordered so a label's first index IS its best rank
+            var bestLab = -1L; var bestCnt = -1L; var bestMr = Int.MaxValue
+            var a = 0
+            while (a < size) {
+              val labA = labArr(a)
+              var seen = false; var b = 0
+              while (b < a) { if (labArr(b) == labA) seen = true; b += 1 }
+              if (!seen) {
+                var cnt = 0L; var c = a
+                while (c < size) { if (labArr(c) == labA) cnt += 1; c += 1 }
+                val mr = a + 1
+                if (cnt > bestCnt || (cnt == bestCnt && (mr < bestMr ||
+                    (mr == bestMr && labA < bestLab)))) {
+                  bestLab = labA; bestCnt = cnt; bestMr = mr
+                }
+              }
+              a += 1
+            }
+            Iterator.single((qlab, bestLab))
+          }
+        }
+      }
+      .toDF("label", "pred")
       .groupBy(col("label"), col("pred"))
       .agg(count(lit(1)).as("n"))
   }
