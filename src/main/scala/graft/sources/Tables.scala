@@ -6,11 +6,15 @@ import org.apache.spark.sql.functions._
 /** Readers for the driver's parquet testdata (TESTDATA.md) plus the engine's
   * own partitioned sample store.
   *
-  * Time convention: the `events` table stores TIMESTAMP(NANOS). Spark reads it
-  * (with `spark.sql.legacy.parquet.nanosAsLong`) as epoch-nanos long; DuckDB
-  * truncates to micros. Every query therefore works in **epoch micros**
-  * (`ts_us = ts DIV 1000`), which both engines agree on exactly — floating
-  * division would lose integer precision at 1e18.
+  * Time convention: every query works in **epoch micros** (`ts_us`, bigint),
+  * which Spark and DuckDB (`epoch_us(ts)`) agree on exactly. The physical
+  * `events.ts` column has shipped in two parquet representations across
+  * driver testdata generations — TIMESTAMP(NANOS), which Spark reads (with
+  * `spark.sql.legacy.parquet.nanosAsLong`) as epoch-nanos long, and
+  * TIMESTAMP(MICROS), which Spark reads as a timestamp (NTZ under the
+  * default `inferTimestampNTZ`) — so [[events]] dispatches on the read
+  * schema rather than assuming one. Integer arithmetic throughout: floating
+  * division would lose precision at 1e18.
   */
 object Tables {
 
@@ -23,9 +27,25 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** `events` with `ts_us` (epoch micros, bigint) derived once. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    apply(spark, dir, "events").withColumn("ts_us", expr("ts DIV 1000L"))
+  /** `events` with `ts_us` (epoch micros, bigint) derived once, whichever
+    * physical type `ts` carries. The session timezone is UTC ([[graft.Engine
+    * .tune]]), so the NTZ→instant cast is the identity on the internal
+    * micros value and both derivations agree with DuckDB's `epoch_us(ts)`.
+    * [[graft.plans.DivRangePushdown]] understands both shapes and rewrites
+    * `ts_us` range predicates into pushable bounds on the raw column.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = apply(spark, dir, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val tsUs = df.schema("ts").dataType match {
+      case LongType          => expr("ts DIV 1000L")               // TIMESTAMP(NANOS) via nanosAsLong
+      case TimestampType     => expr("unix_micros(ts)")            // TIMESTAMP(MICROS), instant
+      case TimestampNTZType  => expr("unix_micros(cast(ts as timestamp))") // TIMESTAMP(MICROS), NTZ
+      case other => throw new IllegalArgumentException(
+        s"unsupported events.ts type: $other")
+    }
+    df.withColumn("ts_us", tsUs)
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")

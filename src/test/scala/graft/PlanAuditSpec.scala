@@ -14,9 +14,14 @@ class PlanAuditSpec extends SparkSpec {
   test("range scan pushes key + time filters and prunes columns") {
     val plan = formatted("q_range_scan")
     assert(plan.contains("PushedFilters") && plan.contains("event_type"), plan)
-    // DivRangePushdown: the ts_us range becomes a raw-nanos pushed filter
-    assert(plan.contains("GreaterThanOrEqual(ts,1704672000000000000)"), plan)
-    assert(plan.contains("LessThan(ts,1705881600000000000)"), plan)
+    // DivRangePushdown: the ts_us range becomes a pushed filter on the raw
+    // ts column, whichever physical type it carries (nanos long →
+    // "...(ts,1704672000000000000)"; micros timestamp → "...(ts,2024-01-08...")
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(ts,"), plan)
+    assert(pushed.contains("LessThan(ts,"), plan)
+    assert(pushed.contains("1704672000000000000") || pushed.contains("2024-01-08"), plan)
+    assert(pushed.contains("1705881600000000000") || pushed.contains("2024-01-22"), plan)
     // only needed columns are read
     val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(!readSchema.contains("props"), readSchema)
@@ -37,8 +42,11 @@ class PlanAuditSpec extends SparkSpec {
 
   test("get_data early-point scan pushes the bounded one-day lower bound") {
     val plan = formatted("q_get_data")
-    // T0 - 1 day in raw nanos (DivRangePushdown rewrites ts_us bounds to ts)
-    assert(plan.contains("GreaterThanOrEqual(ts,1704585600000000000)"), plan)
+    // T0 - 1 day on the raw ts column (DivRangePushdown rewrites ts_us
+    // bounds), in either physical representation
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("GreaterThanOrEqual(ts,"), plan)
+    assert(pushed.contains("1704585600000000000") || pushed.contains("2024-01-07"), plan)
   }
 
   test("distributed gate plans + chunked operators build lazily — no driver jobs at construction") {
