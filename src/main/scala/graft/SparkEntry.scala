@@ -1354,6 +1354,61 @@ object SparkEntry {
         "vec_id", "embedding", k = 20)
         .select(col("neighbor_id").as("doc_id"), col("rank").cast("long").as("rank"))
       Retrieval.rrfFuse(Seq(lex, sem), "doc_id", c = 60, k = 15)
+    }),
+
+    // ---- hard-negative mining: for each query vector, the nearest
+    // DIFFERENT-label vectors (the contrastive-training near-misses) -------
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb, emb.where(col("vec_id") < 8),
+        "vec_id", "embedding", "label", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- matryoshka truncation audit: recall@5 of prefix-d cosine KNN vs
+    // the full 64-dim truth, the gate for searching truncated vectors ------
+    "q_trunc_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.truncatedRecall(emb, emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, dims = Seq(8, 16, 32))
+        .orderBy(col("dims"))
+    }),
+
+    // ---- filter-funnel attrition: per-stage doc/char survival through an
+    // ordered curation gauntlet — one scan, one combinable agg -------------
+    "q_filter_funnel" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      TextAnalysis.filterFunnel(Tables.documents(s, dir), "text", Seq(
+        "nonempty" -> (length(col("text")) > 0),
+        "lang_en" -> (col("lang") === "en"),
+        "min_tokens" -> (size(filter(toks, t => t =!= "")) >= 30),
+        "max_chars" -> (length(col("text")) <= 400),
+        "no_dup_marker" -> !col("text").contains("dup")))
+        .orderBy(col("stage_idx"))
+    }),
+
+    // ---- weighted (tf-idf) near-dup pairs via inverted index; integer-
+    // quantized idf keeps dots/norms exact across engines ------------------
+    "q_tfidf_pairs" -> ((s, dir) => {
+      TextAnalysis.tfidfSimilar(Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.9, maxDfPct = 78)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // ---- MMR diversified re-rank of the top-20 ANN candidates. The
+    // candidate CUT uses the rounded knn sim (discrete, engine-stable); the
+    // greedy fold's relevance is the RAW cosine recomputed from the vectors
+    // (see Retrieval.mmr's determinism contract) ---------------------------
+    "q_mmr_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cands = Similarity.bruteForceKnn(emb, emb.where(col("vec_id") < 3),
+        "vec_id", "embedding", k = 20)
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")), Seq("neighbor_id"))
+        .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("__qv")), Seq("query_id"))
+        .withColumn("rel", Similarity.cosineFast(col("__qv"), col("embedding")))
+      Retrieval.mmr(cands, "query_id", "neighbor_id", "rel", "embedding",
+        k = 8, lambda = 0.7)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -3704,7 +3759,121 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT doc_id, 1.0 / (60 + rank) AS s FROM sem)
          |SELECT doc_id, round(sum(s), 6) AS rrf, CAST(count(*) AS BIGINT) AS n_runs
-         |FROM runs GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin
+         |FROM runs GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
+
+    // hard negatives: the knn_brute CTE with a label-mismatch join guard
+    "q_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, CAST(label AS BIGINT) AS qlab
+         |  FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL AND label IS NOT NULL),
+         |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, CAST(label AS BIGINT) AS nlab
+         |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+         |sc AS (SELECT query_id, qlab, neighbor_id, nlab, round(${cosineSql("qv", "cv")}, 6) AS sim
+         |       FROM q, c WHERE query_id <> neighbor_id AND qlab <> nlab),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM sc)
+         |SELECT query_id, qlab AS query_label, neighbor_id, nlab AS neighbor_label, sim, CAST(rn AS BIGINT) AS rank
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // truncation recall: exact top-5 on prefix-d slices vs the full width;
+    // micro recall over integer hit counts (order-insensitive)
+    "q_trunc_recall" -> {
+      def knnCte(name: String, qvExpr: String, cvExpr: String) =
+        s"""$name AS (SELECT qid, nid FROM (
+           |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY
+           |    round(${cosineSql(qvExpr, cvExpr)}, 6) DESC, nid) AS rn
+           |  FROM q, c WHERE qid <> nid) WHERE rn <= 5)""".stripMargin
+      def recSel(d: Int) =
+        s"""SELECT CAST($d AS BIGINT) AS dims,
+           |  CAST(count(DISTINCT e.qid) AS BIGINT) AS n_queries,
+           |  CAST(count(*) AS BIGINT) AS n_exact,
+           |  CAST(sum(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |  round(sum(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS recall
+           |FROM ex e LEFT JOIN ax$d a ON e.qid = a.qid AND e.nid = a.nid""".stripMargin
+      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+         |${knnCte("ex", "qv", "cv")},
+         |${Seq(8, 16, 32).map(d => knnCte(s"ax$d", s"qv[1:$d]", s"cv[1:$d]")).mkString(",\n")}
+         |${Seq(8, 16, 32).map(recSel).mkString("\nUNION ALL\n")}
+         |ORDER BY dims""".stripMargin
+    },
+
+    // filter funnel: the same first-failing-stage CASE chain, stage rows by
+    // conditional sums (3VL: NOT coalesce(pred, FALSE) = failure)
+    "q_filter_funnel" -> {
+      val preds = Seq(
+        "nonempty" -> "len(text) > 0",
+        "lang_en" -> "lang = 'en'",
+        "min_tokens" -> "len(list_filter(string_split(text, ' '), t -> t <> '')) >= 30",
+        "max_chars" -> "len(text) <= 400",
+        "no_dup_marker" -> "NOT contains(text, 'dup')")
+      val chain = preds.zipWithIndex
+        .map { case ((_, p), i) => s"WHEN NOT coalesce($p, FALSE) THEN $i" }
+        .mkString(" ")
+      val stages = preds.zipWithIndex.map { case ((name, _), i) =>
+        s"""SELECT CAST(${i + 1} AS BIGINT) AS stage_idx, '$name' AS stage,
+           |  CAST(sum(CASE WHEN fail >= $i THEN 1 ELSE 0 END) AS BIGINT) AS docs_in,
+           |  CAST(sum(CASE WHEN fail > $i THEN 1 ELSE 0 END) AS BIGINT) AS docs_out,
+           |  CAST(sum(CASE WHEN fail >= $i THEN 1 ELSE 0 END) - sum(CASE WHEN fail > $i THEN 1 ELSE 0 END) AS BIGINT) AS docs_dropped,
+           |  CAST(sum(CASE WHEN fail > $i THEN l ELSE 0 END) AS BIGINT) AS chars_out
+           |FROM f""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH f AS (SELECT CASE $chain ELSE ${preds.size} END AS fail,
+         |  coalesce(len(text), 0) AS l FROM documents)
+         |$stages
+         |ORDER BY stage_idx""".stripMargin
+    },
+
+    // tf-idf pairs: integer-quantized idf (w = tf * ((N*100) // df), terms
+    // with df > 78% of docs dropped) makes dots and norms exact BIGINT sums
+    "q_tfidf_pairs" ->
+      """WITH t AS (SELECT doc_id AS d, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT d, tok, CAST(count(*) AS BIGINT) AS c FROM t WHERE tok <> '' GROUP BY 1, 2),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE text IS NOT NULL),
+        |w AS (SELECT d, tok, c * ((n.n * 100) // df.df) AS w
+        |      FROM tf JOIN df USING (tok) CROSS JOIN n WHERE df.df * 100 <= n.n * 78),
+        |nm AS (SELECT d, sum(w * w) AS n2 FROM w GROUP BY 1),
+        |p AS (SELECT a.d AS d1, b.d AS d2, sum(a.w * b.w) AS dot
+        |      FROM w a JOIN w b ON a.tok = b.tok AND a.d < b.d GROUP BY 1, 2)
+        |SELECT d1, d2, sim FROM (
+        |  SELECT d1, d2, round(dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) AS sim
+        |  FROM p JOIN nm na ON p.d1 = na.d JOIN nm nb ON p.d2 = nb.d)
+        |WHERE sim >= 0.9 ORDER BY d1, d2""".stripMargin,
+
+    // MMR re-rank: the greedy selection as a list_reduce fold with the
+    // whole state in one VARCHAR of 'idx@score' picks (the q_holt /
+    // q_downsample_stateful technique — scalar accumulators fold reliably
+    // where struct ones mis-thread). Candidate lists are doc-id-ordered on
+    // both sides, so argmax-by-first-position == smallest-id tie-break.
+    "q_mmr_rerank" -> {
+      val selIdx = "[CAST(string_split(e,'@')[1] AS INT) FOR e IN list_filter(string_split(acc,','), e -> e <> '')]"
+      // raw-double step score: both engines derive it from identical bits;
+      // only the EMITTED score is floor-quantized (see Retrieval.mmr docs)
+      val scoreI = s"CASE WHEN list_contains($selIdx, i) THEN -1e18 " +
+        s"ELSE 0.7*rels[i] - 0.3*coalesce(list_max([simm[i][j] FOR j IN $selIdx]), 0.0) END"
+      val scores = s"[$scoreI FOR i IN generate_series(1, len(ids))]"
+      val best = s"list_position($scores, list_max($scores))"
+      val step = s"acc || ',' || CAST($best AS VARCHAR) || '@' || CAST(list_max($scores) AS VARCHAR)"
+      s"""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+         |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+         |sc AS (SELECT qid, nid, round(${cosineSql("qv", "cv")}, 6) AS sim,
+         |              ${cosineSql("qv", "cv")} AS rsim FROM q, c WHERE qid <> nid),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sc),
+         |cand AS (SELECT r.qid, r.nid, r.rsim, c2.cv FROM r JOIN c c2 ON r.nid = c2.nid WHERE r.rn <= 20),
+         |g AS (SELECT qid, list(nid ORDER BY nid) AS ids, list(rsim ORDER BY nid) AS rels,
+         |             list(cv ORDER BY nid) AS vecs FROM cand GROUP BY qid),
+         |m AS (SELECT qid, ids, rels,
+         |        [[${cosineSql("vecs[i]", "vecs[j]")} FOR j IN generate_series(1, len(ids))]
+         |         FOR i IN generate_series(1, len(ids))] AS simm FROM g),
+         |sel AS (SELECT qid, ids,
+         |  list_filter(string_split(list_reduce(['' FOR x IN generate_series(0, 8)], (acc, x) -> $step), ','), e -> e <> '') AS picks
+         |  FROM m)
+         |SELECT qid AS query_id,
+         |  unnest(generate_series(1, len(picks))) AS rank,
+         |  unnest([ids[CAST(string_split(p,'@')[1] AS INT)] FOR p IN picks]) AS doc_id,
+         |  unnest([floor(CAST(string_split(p,'@')[2] AS DOUBLE) * 1000000.0) / 1000000.0 FOR p IN picks]) AS score
+         |FROM sel ORDER BY query_id, rank""".stripMargin
+    }
   )
 
   /** DuckDB fragment mirroring [[Sampling.hashBucket]] over `doc_id` with the

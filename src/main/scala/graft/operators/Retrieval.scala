@@ -71,4 +71,89 @@ object Retrieval {
       .withColumn("rank", row_number().over(wk).cast("long"))
       .select(col(id), col(group), col(score), col("__gr").cast("long").as("group_rank"), col("rank"))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR'98):
+    * greedily build a result list of `k` documents maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)` — relevance traded
+    * against redundancy, the classic answer to a result page (or a RAG
+    * context window) full of near-duplicates of one good hit.
+    *
+    * Input is a CANDIDATE frame `(queryId, docId, rel, vec)` — the top-N of
+    * an upstream ranker (BM25, ANN, RRF), so per-query group size is
+    * bounded by that N and the greedy O(k·N) loop with its O(N²) cosine
+    * matrix is constant work per query. The corpus was paid upstream;
+    * this stage shuffles once on `queryId` and parallelizes across
+    * queries (`KeyValueGroupedDataset.flatMapGroups`, the idiomatic Spark
+    * form for bounded per-key sequential logic).
+    *
+    * Determinism contract (mirrored by the DuckDB oracle's fold): every
+    * quantity the greedy loop COMPARES is a raw IEEE double derived from
+    * the input bits by the same operations in both engines — `rel` as
+    * supplied (derive it identically in the oracle; do NOT pre-round it:
+    * decimal and FP rounding rules disagree on ulps, and an ulp moves the
+    * argmax), candidate-candidate sims as unrounded left-to-right cosine,
+    * and the step score `λ·rel − (1−λ)·maxSim`. Only the EMITTED score is
+    * quantized, as floor(x·1e6)/1e6 — pure FP, so engines agree exactly.
+    * Ties pick the smallest docId (candidates are scanned in docId order
+    * and only a strictly greater score displaces the champion). Null
+    * vectors are dropped up front.
+    */
+  def mmr(candidates: DataFrame, queryId: String, docId: String, rel: String, vec: String,
+      k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val rows = candidates
+      .where(col(vec).isNotNull)
+      .select(col(queryId).cast("long"), col(docId).cast("long"),
+        col(rel).cast("double"), col(vec).cast("array<float>"))
+      .as[(Long, Long, Double, Array[Float])]
+    rows.groupByKey(_._1).flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Array[Float])]) =>
+      val cands = it.toArray.sortBy(_._2) // docId order = index order = tie order
+      val n = cands.length
+      val norms = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val v = cands(i)._4
+        var s = 0.0; var t = 0
+        while (t < v.length) { s += v(t).toDouble * v(t).toDouble; t += 1 }
+        norms(i) = math.sqrt(s)
+        i += 1
+      }
+      def sim(a: Int, b: Int): Double = {
+        val va = cands(a)._4; val vb = cands(b)._4
+        var s = 0.0; var t = 0; val len = math.min(va.length, vb.length)
+        while (t < len) { s += va(t).toDouble * vb(t).toDouble; t += 1 }
+        s / (norms(a) * norms(b)) // raw: see determinism contract above
+      }
+      val chosen = new Array[Boolean](n)
+      val selected = new scala.collection.mutable.ArrayBuffer[Int](k)
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)](math.min(k, n))
+      var step = 0
+      while (step < math.min(k, n)) {
+        var best = -1; var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < n) {
+          if (!chosen(c)) {
+            var maxSim = 0.0
+            var s = 0
+            while (s < selected.length) {
+              val sm = sim(c, selected(s))
+              if (s == 0 || sm > maxSim) maxSim = sm
+              s += 1
+            }
+            val score = lambda * cands(c)._3 - (1.0 - lambda) * maxSim
+            if (score > bestScore) { best = c; bestScore = score } // strict: first (lowest docId) wins ties
+          }
+          c += 1
+        }
+        chosen(best) = true
+        selected += best
+        out += ((qid, (step + 1).toLong, cands(best)._2, math.floor(bestScore * 1e6) / 1e6))
+        step += 1
+      }
+      out.iterator
+    }.toDF("query_id", "rank", "doc_id", "score")
+  }
 }

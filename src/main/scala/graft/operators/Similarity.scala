@@ -127,6 +127,70 @@ object Similarity {
         round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
   }
 
+  /** Hard-negative mining for contrastive/retrieval training: for each query
+    * vector, the `k` most cosine-similar corpus vectors carrying a DIFFERENT
+    * label — the near-misses a ranker must learn to push away (random
+    * negatives are trivially far; the informative ones live just across the
+    * class boundary). Same physical shape as [[bruteForceKnn]]: the query
+    * sample broadcasts, the corpus streams map-side through the scored join,
+    * and the per-query rank window sees only that query's candidates. Null
+    * vectors and null labels on either side are excluded (they can neither
+    * anchor nor serve as a negative, and NULL ordering is engine-dependent).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      label: String, k: Int): DataFrame = {
+    val q = queries.where(col(vec).isNotNull && col(label).isNotNull)
+      .select(col(id).cast("long").as("query_id"), col(vec).as("__qv"),
+        col(label).cast("long").as("query_label"))
+    val c = corpus.where(col(vec).isNotNull && col(label).isNotNull)
+      .select(col(id).cast("long").as("neighbor_id"), col(vec).as("__cv"),
+        col(label).cast("long").as("neighbor_label"))
+    val scored = c
+      .join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") &&
+          col("query_label") =!= col("neighbor_label"))
+      .withColumn("sim", round(cosineFast(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), col("sim"), col("__rn").cast("long").as("rank"))
+  }
+
+  /** Matryoshka-style truncation audit: recall@k of exact cosine KNN run on
+    * only the FIRST `d` dimensions, against KNN on the full vector, for each
+    * `d` in `dims` — the measurement that licenses the standard cost lever
+    * of searching a truncated prefix (d·n FLOPs instead of D·n, a smaller
+    * ANN index, cheaper int8 quantization) and re-ranking survivors at full
+    * width. Per-dims output keeps integer hit counts and computes micro
+    * recall `sum(hits)/sum(exact)` — integer sums, so the number is exact
+    * and engine-reproducible (a mean of per-query ratios would depend on
+    * float summation order).
+    *
+    * Cost shape: one [[bruteForceKnn]] sweep per entry of `dims` plus one
+    * for the full-width truth, each the same broadcast-query scan; the
+    * recall joins see only k-sized frames.
+    */
+  def truncatedRecall(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int, dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty, "truncatedRecall needs at least one truncation width")
+    val full = bruteForceKnn(corpus, queries, id, vec, k)
+    dims.map { d =>
+      val cT = corpus.withColumn("__tv", slice(col(vec), 1, d))
+      val qT = queries.withColumn("__tv", slice(col(vec), 1, d))
+      val approx = bruteForceKnn(cT, qT, id, "__tv", k)
+      recallAtK(full, approx, k)
+        .agg(
+          count(lit(1)).as("n_queries"),
+          sum(col("n_exact")).as("n_exact"),
+          sum(col("n_hit")).as("n_hit"))
+        .select(lit(d).cast("long").as("dims"), col("n_queries"), col("n_exact"),
+          col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Spark `round(_, 6)` semantics (RoundBase: BigDecimal.valueOf + HALF_UP)
     * for driver/executor-side Scala code that must match Column results —
     * including NaN/Infinity passthrough (BigDecimal.valueOf would throw;

@@ -568,4 +568,109 @@ object TextAnalysis {
       regexp_count(afterIp, lit(piiPhoneRe)).cast("long").as("n_phone"),
       regexp_replace(afterIp, lit(piiPhoneRe), lit("<PHONE>")).as("redacted"))
   }
+
+  /** Filter-funnel attrition report: run the corpus through an ORDERED list
+    * of named filter predicates and report, per stage, how many documents
+    * (and how much text) enter, survive, and drop. This is the first chart
+    * every curation pipeline publishes — which gate costs how much data —
+    * and the one that catches a mis-ordered or over-aggressive filter
+    * before a 100 TB run commits to it.
+    *
+    * Execution is ONE corpus scan and ONE map-side-combinable aggregation:
+    * each document computes its first-failing-stage index (a codegen'd CASE
+    * chain; a NULL predicate counts as a failure, mirroring SQL 3VL
+    * filtering), the aggregation takes 3·n_stages conditional sums, and the
+    * per-stage rows explode from that single row. Output is bounded by the
+    * stage count regardless of corpus size.
+    */
+  def filterFunnel(df: DataFrame, text: String, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "filterFunnel needs at least one stage")
+    val n = stages.size
+    val failIdx = stages.zipWithIndex.foldRight(lit(n): Column) {
+      case (((_, pred), i), rest) => when(!coalesce(pred, lit(false)), lit(i)).otherwise(rest)
+    }
+    val d = df.withColumn("__fail", failIdx)
+      .withColumn("__chars", coalesce(length(col(text)).cast("long"), lit(0L)))
+    val aggs = (0 until n).flatMap { i =>
+      Seq(
+        sum(when(col("__fail") >= i, 1L).otherwise(0L)).as(s"__in$i"),
+        sum(when(col("__fail") > i, 1L).otherwise(0L)).as(s"__out$i"),
+        sum(when(col("__fail") > i, col("__chars")).otherwise(0L)).as(s"__chars$i"))
+    }
+    val row = d.agg(aggs.head, aggs.tail: _*)
+    row
+      .select(posexplode(array((0 until n).map { i =>
+        struct(
+          lit(stages(i)._1).as("stage"),
+          col(s"__in$i").as("docs_in"),
+          col(s"__out$i").as("docs_out"),
+          col(s"__chars$i").as("chars_out"))
+      }: _*)))
+      .select(
+        (col("pos") + 1).cast("long").as("stage_idx"),
+        col("col.stage"),
+        col("col.docs_in"),
+        col("col.docs_out"),
+        (col("col.docs_in") - col("col.docs_out")).as("docs_dropped"),
+        col("col.chars_out"))
+  }
+
+  /** Document-level tf-idf cosine similarity above a threshold, via an
+    * inverted index — the weighted near-duplicate detector that catches
+    * template reuse MinHash underrates (shared RARE terms count for much
+    * more than shared boilerplate).
+    *
+    * Weighting is integer-quantized so the result is exactly
+    * engine-reproducible: `w = tf · ((N·100) div df)` — a percent-scaled
+    * reciprocal-df idf. Dots and squared norms are then sums of BIGINTs
+    * (order-insensitive, no float associativity), and only the final
+    * `dot/(‖a‖·‖b‖)` touches floating point. The quantized idf is bounded
+    * by `100/minDfFrac` independent of corpus size, so the integers cannot
+    * overflow at any scale. Terms present in more than `maxDfPct`% of
+    * documents are dropped BEFORE weighting (their idf carries no signal,
+    * and they dominate posting-list length): norms are over the pruned
+    * representation, i.e. this is cosine in the pruned tf-idf space.
+    *
+    * Physical shape: tokenize→(doc,term) tf agg; term-keyed df agg; the
+    * corpus-size scalar arrives by broadcast (1-row frame, no collect); the
+    * pair work is a term-keyed self-join of postings whose lists the df cap
+    * bounds, then one (d1,d2)-keyed sum. All joins/aggs are key-partitioned
+    * shuffles; nothing is driver-side. For web-scale corpora compose with
+    * the PPJoin prefix filter ([[Dedup.ngramJaccard]]) to skip pairs that
+    * cannot reach the threshold.
+    */
+  def tfidfSimilar(df: DataFrame, id: String, text: String, threshold: Double,
+      maxDfPct: Int = 78): DataFrame = {
+    require(maxDfPct >= 1 && maxDfPct <= 100, s"maxDfPct in [1,100], got $maxDfPct")
+    val tf = df.where(col(text).isNotNull)
+      .select(col(id).as("__d"), explode(tokens(col(text))).as("__t"))
+      .where(col("__t") =!= "")
+      .groupBy(col("__d"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val nDocs = df.where(col(text).isNotNull)
+      .agg(count(lit(1)).as("__n")) // 1 row, joins by broadcast
+    val weighted = tf
+      .join(dfreq, Seq("__t"))
+      .join(broadcast(nDocs))
+      .where(col("__df") * 100 <= col("__n") * maxDfPct)
+      .select(col("__d"), col("__t"),
+        (col("__tf") * expr("(__n * 100L) DIV __df")).as("__w"))
+    val norms = weighted.groupBy(col("__d"))
+      .agg(sum(col("__w") * col("__w")).as("__n2"))
+    val a = weighted.select(col("__d").as("d1"), col("__t"), col("__w").as("__w1"))
+    val b = weighted.select(col("__d").as("d2"), col("__t"), col("__w").as("__w2"))
+    a.join(b, Seq("__t"))
+      .where(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(sum(col("__w1") * col("__w2")).as("__dot"))
+      // norms are doc-keyed (corpus-sized): plain equi-joins — AQE broadcasts
+      // them when small, sort-merge joins them at scale; never a hint here
+      .join(norms.select(col("__d").as("d1"), col("__n2").as("__na")), Seq("d1"))
+      .join(norms.select(col("__d").as("d2"), col("__n2").as("__nb")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        round(col("__dot").cast("double") /
+          (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))), 6).as("sim"))
+      .where(col("sim") >= threshold)
+  }
 }

@@ -63,4 +63,48 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"))).toMap
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 4L)) // id order inside the tie; 3 capped out
   }
+
+  test("mmr: first pick is max relevance; a near-duplicate of it is deferred") {
+    val sp = spark
+    import sp.implicits._
+    // docs 1 and 2 are nearly identical vectors with top relevance; doc 3
+    // is orthogonal with lower relevance. Pure-relevance order is 1,2,3;
+    // MMR must interleave: 1 (best), then 3 (2 is redundant), then 2.
+    val cands = Seq(
+      (7L, 1L, 0.90, Array(1.0f, 0.0f, 0.0f)),
+      (7L, 2L, 0.89, Array(0.999f, 0.001f, 0.0f)),
+      (7L, 3L, 0.50, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("qid", "doc_id", "rel", "vec")
+    val got = Retrieval.mmr(cands, "qid", "doc_id", "rel", "vec", k = 3, lambda = 0.5)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id")))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+  }
+
+  test("mmr: lambda=1 reduces to pure relevance order with smallest-id ties") {
+    val sp = spark
+    import sp.implicits._
+    val cands = Seq(
+      (1L, 30L, 0.8, Array(1.0f, 0.0f)), (1L, 10L, 0.8, Array(0.0f, 1.0f)),
+      (1L, 20L, 0.9, Array(0.5f, 0.5f)))
+      .toDF("qid", "doc_id", "rel", "vec")
+    val got = Retrieval.mmr(cands, "qid", "doc_id", "rel", "vec", k = 3, lambda = 1.0)
+      .orderBy(col("rank")).collect().map(_.getAs[Long]("doc_id"))
+    assert(got.toSeq == Seq(20L, 10L, 30L)) // 0.8 tie -> smaller id first
+  }
+
+  test("mmr: k caps output, groups are independent, null vectors dropped") {
+    val sp = spark
+    import sp.implicits._
+    val cands = Seq(
+      (1L, 1L, 0.9, Array(1.0f, 0.0f)), (1L, 2L, 0.8, Array(0.0f, 1.0f)),
+      (1L, 3L, 0.7, Array(0.5f, 0.5f)),
+      (2L, 9L, 0.1, Array(1.0f, 1.0f)),
+      (2L, 8L, 0.2, null.asInstanceOf[Array[Float]]))
+      .toDF("qid", "doc_id", "rel", "vec")
+    val got = Retrieval.mmr(cands, "qid", "doc_id", "rel", "vec", k = 2, lambda = 0.7)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")))
+    assert(got.count(_._1 == 1L) == 2) // capped at k
+    assert(got.filter(_._1 == 2L).map(_._2).toSeq == Seq(9L)) // null vec 8 dropped
+  }
 }

@@ -277,4 +277,34 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => ((r.getAs[Long]("label"), r.getAs[Long]("pred")), r.getAs[Long]("n"))).toMap
     assert(got == Map((0L, 0L) -> 3L)) // only the three labeled+embedded rows
   }
+
+  test("hardNegatives: only different-label neighbors rank; nulls excluded") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), java.lang.Integer.valueOf(0)),
+      (1L, Array(0.99f, 0.1f), java.lang.Integer.valueOf(0)),   // same label: never a negative for 0
+      (2L, Array(0.95f, 0.2f), java.lang.Integer.valueOf(1)),   // the hard negative
+      (3L, Array(0.0f, 1.0f), java.lang.Integer.valueOf(1)),    // easy negative
+      (4L, Array(1.0f, 0.01f), null.asInstanceOf[java.lang.Integer])) // null label: out
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(df, df.where(col("vec_id") === 0),
+      "vec_id", "embedding", "label", k = 2)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("neighbor_label"), r.getAs[Long]("rank")))
+    assert(got.toSeq == Seq((2L, 1L, 1L), (3L, 1L, 2L))) // 1 and 4 excluded; 2 is hardest
+  }
+
+  test("truncatedRecall: full-width truncation is perfect recall; tiny prefixes degrade") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val got = Similarity.truncatedRecall(emb, emb.where(col("vec_id") < 5),
+      "vec_id", "embedding", k = 5, dims = Seq(2, 64))
+      .collect().map(r => (r.getAs[Long]("dims"),
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("n_hit"), r.getAs[Double]("recall")))).toMap
+    val (nExact64, nHit64, rec64) = got(64L)
+    assert(nExact64 == nHit64 && rec64 == 1.0) // d=64 IS the full vector
+    val (nExact2, nHit2, rec2) = got(2L)
+    assert(nExact2 == nExact64)
+    assert(rec2 < 1.0 && nHit2 < nExact2) // 2 dims of 64 cannot preserve the top-5
+  }
 }

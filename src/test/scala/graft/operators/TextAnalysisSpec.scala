@@ -375,4 +375,57 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(("ALL", "ALL")) == ((3L, 9L)))
     assert(got.size == 8) // 3 cells + 2 lang + 2 source subtotals + grand total
   }
+
+  test("filterFunnel: first failing stage charges the drop; later stages never see it") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{col, length}
+    val df = Seq(
+      (1L, "good doc here", "en"),   // passes everything
+      (2L, "", "en"),                // fails stage 1 (empty)
+      (3L, "fine text too", "de"),   // fails stage 2 (lang)
+      (4L, "x", "en"),               // fails stage 3 (too short) - NOT also charged to stage 1
+      (5L, null.asInstanceOf[String], "en")) // null text: 3VL -> fails stage 1
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.filterFunnel(df, "text", Seq(
+      "nonempty" -> (length(col("text")) > 0),
+      "lang_en" -> (col("lang") === "en"),
+      "min_len" -> (length(col("text")) >= 5)))
+      .orderBy(col("stage_idx")).collect()
+      .map(r => (r.getAs[String]("stage"),
+        (r.getAs[Long]("docs_in"), r.getAs[Long]("docs_out"), r.getAs[Long]("docs_dropped"),
+          r.getAs[Long]("chars_out"))))
+    assert(got(0) == (("nonempty", (5L, 3L, 2L, 27L)))) // 2 and null-5 drop; 13+13+1 chars flow on
+    assert(got(1) == (("lang_en", (3L, 2L, 1L, 14L))))  // 3 drops; 13+1 chars
+    assert(got(2) == (("min_len", (2L, 1L, 1L, 13L))))  // 4 drops; doc 1 survives
+  }
+
+  test("tfidfSimilar: shared rare terms outweigh shared boilerplate; df cap prunes stop-terms") {
+    val sp = spark
+    import sp.implicits._
+    // 'common' is in every doc (df=4/4 > 50% cap -> pruned). Docs 1 and 2
+    // share the rare pair (zeta, theta); doc 3 shares only 'mid' with them.
+    val df = Seq(
+      (1L, "common zeta theta mid"),
+      (2L, "common zeta theta"),
+      (3L, "common mid other thing"),
+      (4L, "common unrelated words entirely"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfSimilar(df, "doc_id", "text", threshold = 0.0, maxDfPct = 50)
+      .collect().map(r => ((r.getAs[Long]("d1"), r.getAs[Long]("d2")), r.getAs[Double]("sim")))
+      .toMap
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) > 0.8) // rare-pair overlap dominates
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L)) // only 'common' shared -> pruned away
+    assert(got.get((1L, 3L)).forall(_ < got((1L, 2L)))) // boilerplate-ish 'mid' scores lower
+  }
+
+  test("tfidfSimilar: threshold gates output") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val all = TextAnalysis.tfidfSimilar(df, "doc_id", "text", threshold = 0.999, maxDfPct = 100)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")))
+    assert(all.toSeq == Seq((1L, 2L))) // identical docs only; disjoint pair gated out
+  }
 }
