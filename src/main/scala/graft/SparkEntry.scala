@@ -1387,10 +1387,20 @@ object SparkEntry {
         .orderBy(col("stage_idx"))
     }),
 
-    // ---- weighted (tf-idf) near-dup pairs via inverted index; integer-
-    // quantized idf keeps dots/norms exact across engines ------------------
+    // ---- weighted (tf-idf) near-dup pairs. This corpus is the SMALL-VOCAB
+    // regime (31 terms, dense postings), so the headline entry runs the
+    // broadcast JIT sweep; the inverted-index plan — the Zipfian-corpus
+    // path — is oracled on a subset below (vs the same oracle shape) ------
     "q_tfidf_pairs" -> ((s, dir) => {
-      TextAnalysis.tfidfSimilar(Tables.documents(s, dir), "doc_id", "text",
+      TextAnalysis.tfidfSimilarDense(Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.9, maxDfPct = 78)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // ---- the inverted-index twin, unchanged semantics --------------------
+    "q_tfidf_pairs_inv" -> ((s, dir) => {
+      TextAnalysis.tfidfSimilar(
+        Tables.documents(s, dir).where(col("doc_id") % 10 === 0), "doc_id", "text",
         threshold = 0.9, maxDfPct = 78)
         .orderBy(col("d1"), col("d2"))
     }),
@@ -3823,7 +3833,26 @@ object SparkEntry {
     },
 
     // tf-idf pairs: integer-quantized idf (w = tf * ((N*100) // df), terms
-    // with df > 78% of docs dropped) makes dots and norms exact BIGINT sums
+    // with df > 78% of docs dropped) makes dots and norms exact BIGINT sums.
+    // The _inv twin is the identical computation over the doc_id%10 subset
+    // (N and df re-derived WITHIN the subset, exactly like the operator
+    // sees them).
+    "q_tfidf_pairs_inv" ->
+      """WITH t AS (SELECT doc_id AS d, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0),
+        |tf AS (SELECT d, tok, CAST(count(*) AS BIGINT) AS c FROM t WHERE tok <> '' GROUP BY 1, 2),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0),
+        |w AS (SELECT d, tok, c * ((n.n * 100) // df.df) AS w
+        |      FROM tf JOIN df USING (tok) CROSS JOIN n WHERE df.df * 100 <= n.n * 78),
+        |nm AS (SELECT d, sum(w * w) AS n2 FROM w GROUP BY 1),
+        |p AS (SELECT a.d AS d1, b.d AS d2, sum(a.w * b.w) AS dot
+        |      FROM w a JOIN w b ON a.tok = b.tok AND a.d < b.d GROUP BY 1, 2)
+        |SELECT d1, d2, sim FROM (
+        |  SELECT d1, d2, round(dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) AS sim
+        |  FROM p JOIN nm na ON p.d1 = na.d JOIN nm nb ON p.d2 = nb.d)
+        |WHERE sim >= 0.9 ORDER BY d1, d2""".stripMargin,
+
     "q_tfidf_pairs" ->
       """WITH t AS (SELECT doc_id AS d, unnest(string_split(text, ' ')) AS tok
         |  FROM documents WHERE text IS NOT NULL),

@@ -673,4 +673,92 @@ object TextAnalysis {
           (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))), 6).as("sim"))
       .where(col("sim") >= threshold)
   }
+
+  /** [[tfidfSimilar]]'s broadcast-sweep twin: identical output, different
+    * physical plan for the OPPOSITE corpus regime. The inverted index wins
+    * on Zipfian vocabularies (long tail of rare terms → short posting
+    * lists); on a SMALL-vocabulary corpus its posting lists approach the
+    * corpus itself and the term-keyed self-join degenerates to
+    * all-pairs × vocab. Here the pruned sparse weight vectors are instead
+    * collected and broadcast (the [[Similarity.cosinePairs]] pattern), and
+    * a JIT `mapPartitions` sweep merge-joins sorted index arrays over the
+    * pair triangle — pure integer arithmetic, no shuffle at all after the
+    * two tf/df aggregations. The broadcast side must fit in executor
+    * memory (weights are df-pruned, so this is the doc count times the
+    * per-doc distinct-term count); beyond that, shard the sweep like
+    * [[Similarity.cosinePairsBlocked]] or fall back to [[tfidfSimilar]].
+    *
+    * Same integer-quantized weighting as [[tfidfSimilar]], so the two
+    * plans agree bit-for-bit (cross-checked in TextAnalysisSpec and by
+    * sharing one oracle).
+    */
+  def tfidfSimilarDense(df: DataFrame, id: String, text: String, threshold: Double,
+      maxDfPct: Int = 78, maxVocab: Int = 1 << 16): DataFrame = {
+    require(maxDfPct >= 1 && maxDfPct <= 100, s"maxDfPct in [1,100], got $maxDfPct")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tf = df.where(col(text).isNotNull)
+      .select(col(id).cast("long").as("__d"), explode(tokens(col(text))).as("__t"))
+      .where(col("__t") =!= "")
+      .groupBy(col("__d"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+    val nDocs = df.where(col(text).isNotNull).count()
+    // vocab-sized driver resolution (the IVF-trainer pattern): term → idx +
+    // integer idf; guarded so a genuinely Zipfian corpus is routed back to
+    // the inverted-index plan instead of blowing the driver
+    val vocab = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") * 100 <= lit(nDocs) * maxDfPct)
+      .select(col("__t"), expr(s"(${nDocs}L * 100L) DIV __df").as("__idf"))
+      .as[(String, Long)].collect()
+    require(vocab.length <= maxVocab,
+      s"pruned vocab ${vocab.length} exceeds $maxVocab — use tfidfSimilar (inverted index)")
+    val dict = vocab.sortBy(_._1).zipWithIndex
+      .map { case ((t, idf), i) => t -> ((i, idf)) }.toMap
+    val bcDict = spark.sparkContext.broadcast(dict)
+    val sparseRows = tf.as[(Long, String, Long)]
+      .mapPartitions { it =>
+        val d = bcDict.value
+        it.flatMap { case (doc, t, tfc) =>
+          d.get(t).map { case (idx, idf) => (doc, idx, tfc * idf) }
+        }
+      }.collect()
+    // per-doc sorted sparse vectors + exact integer norms², broadcast once
+    val data = sparseRows.groupBy(_._1).toArray.sortBy(_._1).map { case (doc, rows) =>
+      val sorted = rows.sortBy(_._2)
+      (doc, sorted.map(_._2), sorted.map(_._3))
+    }
+    val norms2 = data.map { case (_, _, ws) =>
+      var s = 0L; var i = 0
+      while (i < ws.length) { s += ws(i) * ws(i); i += 1 }
+      s
+    }
+    val bc = spark.sparkContext.broadcast((data, norms2))
+    val n = data.length
+    spark.range(n.toLong)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { it =>
+        val (d, n2) = bc.value
+        it.flatMap { ii =>
+          val i = ii.toInt
+          val (id1, ix1, w1) = d(i)
+          val na = math.sqrt(n2(i).toDouble)
+          (i + 1 until n).iterator.flatMap { j =>
+            val (id2, ix2, w2) = d(j)
+            var dot = 0L; var a = 0; var b = 0
+            while (a < ix1.length && b < ix2.length) {
+              if (ix1(a) < ix2(b)) a += 1
+              else if (ix1(a) > ix2(b)) b += 1
+              else { dot += w1(a) * w2(b); a += 1; b += 1 }
+            }
+            if (dot == 0L) Iterator.empty
+            else {
+              val sim = Similarity.round6(dot.toDouble / (na * math.sqrt(n2(j).toDouble)))
+              if (sim >= threshold) Iterator.single((id1, id2, sim)) else Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("d1", "d2", "sim")
+  }
 }

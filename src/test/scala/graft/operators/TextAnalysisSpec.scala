@@ -419,6 +419,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.get((1L, 3L)).forall(_ < got((1L, 2L)))) // boilerplate-ish 'mid' scores lower
   }
 
+  test("tfidfSimilar and tfidfSimilarDense agree bit-for-bit on real documents") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val inv = TextAnalysis.tfidfSimilar(docs, "doc_id", "text", threshold = 0.8, maxDfPct = 78)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val dense = TextAnalysis.tfidfSimilarDense(docs, "doc_id", "text", threshold = 0.8, maxDfPct = 78)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(inv.nonEmpty, "fixture should produce pairs at 0.8")
+    assert(inv.toSeq == dense.toSeq)
+  }
+
   test("tfidfSimilar: threshold gates output") {
     val sp = spark
     import sp.implicits._
