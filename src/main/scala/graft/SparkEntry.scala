@@ -1405,6 +1405,19 @@ object SparkEntry {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // ---- token co-occurrence lift (exp-PMI association table) ------------
+    "q_cooccur_lift" -> ((s, dir) => {
+      TextAnalysis.cooccurrenceLift(Tables.documents(s, dir), "doc_id", "text", minCount = 5L)
+        .orderBy(col("t1"), col("t2"))
+    }),
+
+    // ---- behavior-sequence corpus: per-user ordered event-type stream ----
+    "q_user_sequences" -> ((s, dir) => {
+      EventAnalytics.userSequences(events(s, dir).where(col("user_id") < 40),
+        "user_id", "ts_us", "event_id", "event_type", maxLen = 50)
+        .orderBy(col("user_id"))
+    }),
+
     // ---- MMR diversified re-rank of the top-20 ANN candidates. The
     // candidate CUT uses the rounded knn sim (discrete, engine-stable); the
     // greedy fold's relevance is the RAW cosine recomputed from the vectors
@@ -3868,6 +3881,32 @@ object SparkEntry {
         |  SELECT d1, d2, round(dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) AS sim
         |  FROM p JOIN nm na ON p.d1 = na.d JOIN nm nb ON p.d2 = nb.d)
         |WHERE sim >= 0.9 ORDER BY d1, d2""".stripMargin,
+
+    // co-occurrence lift: document-presence counts are exact integers; lift
+    // is one double division of exact integer products (no logs - libm ulps
+    // differ between engines, so exp-PMI is emitted instead of PMI)
+    "q_cooccur_lift" ->
+      """WITH d AS (SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        |ct AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+        |p AS (SELECT a.tok AS t1, b.tok AS t2, CAST(count(*) AS BIGINT) AS n_both
+        |      FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok GROUP BY 1, 2)
+        |SELECT p.t1, p.t2, p.n_both,
+        |  round((p.n_both * n.n)::DOUBLE / (ca.c * cb.c)::DOUBLE, 6) AS lift
+        |FROM p JOIN ct ca ON p.t1 = ca.tok JOIN ct cb ON p.t2 = cb.tok CROSS JOIN n
+        |WHERE p.n_both >= 5 ORDER BY t1, t2""".stripMargin,
+
+    // user sequences: (ts_us, event_id) is unique per user, so the ordered
+    // list render is total-order deterministic in both engines
+    "q_user_sequences" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events WHERE user_id < 40 AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL AND event_type IS NOT NULL)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  array_to_string(list(event_type ORDER BY ts_us, event_id)[1:50], ' ') AS seq
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // MMR re-rank: the greedy selection as a list_reduce fold with the
     // whole state in one VARCHAR of 'idx@score' picks (the q_holt /

@@ -100,4 +100,36 @@ object EventAnalytics {
         col("cohort_size"), col("n_active"),
         quantize6(col("n_active") / col("cohort_size")).as("retention"))
   }
+
+  /** Behavior-sequence corpus builder: per user, the time-ordered token
+    * stream of their events, truncated to `maxLen` tokens and rendered as a
+    * space-joined document — the events→text bridge that lets every
+    * text-side operator (dedup, packing, n-gram stats, sequence-model
+    * pretraining) run over interaction logs, the standard recipe for
+    * recommender/behavior-LM training data.
+    *
+    * One user-keyed aggregation: `collect_list` of (ts, tieBreak, token)
+    * structs combines map-side, `sort_array` orders each user's bounded
+    * list once (no global window), and the projection slices + joins —
+    * all codegen. Per-user state is that user's own event count; users
+    * with pathological volumes should be pre-throttled
+    * ([[TimeSeries.throttle]]) — the same cap a training pipeline wants
+    * anyway. Ordering is total because (`ts`, `tieBreak`) is unique per
+    * user, so the rendered sequence is deterministic in both engines.
+    */
+  def userSequences(df: DataFrame, user: String, ts: String, tieBreak: String,
+      token: String, maxLen: Int): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    df.where(col(user).isNotNull && col(ts).isNotNull && col(token).isNotNull)
+      .groupBy(col(user))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col(ts), col(tieBreak), col(token).as("__tok"))))
+          .as("__evs"))
+      .select(
+        col(user),
+        col("n_events"),
+        concat_ws(" ", slice(transform(col("__evs"), e => e.getField("__tok")), 1, maxLen))
+          .as("seq"))
+  }
 }

@@ -674,6 +674,37 @@ object TextAnalysis {
       .where(col("sim") >= threshold)
   }
 
+  /** Token co-occurrence lift — the association-mining table behind GloVe
+    * co-occurrence matrices and phrase/collocation detection: for every
+    * unordered token pair appearing together in at least `minCount`
+    * documents, `lift = P(a,b)/(P(a)·P(b)) = c_ab·N/(c_a·c_b)` over
+    * document-level presence. Lift is exp(PMI); it is emitted instead of
+    * PMI itself so the number is a ratio of exact integers (one double
+    * division, engine-reproducible) rather than a transcendental log whose
+    * last ulp differs between libm implementations.
+    *
+    * Scale shape: the corpus pays one distinct-token explode + the
+    * [[Pairs.coOccurrence]] per-doc triangle (bounded by per-doc distinct
+    * tokens, which document length bounds); everything downstream —
+    * term counts, the pair table, the lift joins — is vocabulary-bounded,
+    * never corpus-bounded. The 1-row N frame arrives by broadcast.
+    */
+  def cooccurrenceLift(df: DataFrame, id: String, text: String, minCount: Long = 2L): DataFrame = {
+    val toks = df.where(col(text).isNotNull)
+      .select(col(id).as("__d"),
+        explode(array_distinct(filter(tokens(col(text)), t => t =!= ""))).as("__t"))
+    val pair = Pairs.coOccurrence(toks, "__d", "__t") // (m1, m2, score = c_ab)
+    val ct = toks.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    val n = df.where(col(text).isNotNull).agg(count(lit(1)).as("__n"))
+    pair.where(col("score") >= minCount)
+      .join(ct.select(col("__t").as("m1"), col("__c").as("__ca")), Seq("m1"))
+      .join(ct.select(col("__t").as("m2"), col("__c").as("__cb")), Seq("m2"))
+      .join(broadcast(n))
+      .select(col("m1").as("t1"), col("m2").as("t2"), col("score").as("n_both"),
+        round((col("score") * col("__n")).cast("double") /
+          (col("__ca") * col("__cb")).cast("double"), 6).as("lift"))
+  }
+
   /** [[tfidfSimilar]]'s broadcast-sweep twin: identical output, different
     * physical plan for the OPPOSITE corpus regime. The inverted index wins
     * on Zipfian vocabularies (long tail of rare terms → short posting

@@ -72,4 +72,21 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got((2L, 0L)) == ((1L, 1L, 1.0)))
     assert(got.size == 3)
   }
+
+  test("userSequences: time-ordered, tie-broken, truncated; nulls excluded from the stream") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      (1L, 30L, 1L, "c"), (1L, 10L, 2L, "a"), (1L, 20L, 3L, "b"),
+      (1L, 10L, 1L, "z"), // same ts as 'a' -> event_id 1 < 2 orders it first
+      (2L, 5L, 1L, "x"), (2L, 6L, 2L, "y"),
+      (3L, 7L, 1L, null.asInstanceOf[String])) // null token: user 3 vanishes
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventAnalytics.userSequences(rows, "user_id", "ts", "event_id", "event_type", maxLen = 3)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        (r.getAs[Long]("n_events"), r.getAs[String]("seq")))).toMap
+    assert(got(1L) == ((4L, "z a b"))) // 4 events counted, maxLen=3 truncates 'c'
+    assert(got(2L) == ((2L, "x y")))
+    assert(!got.contains(3L))
+  }
 }

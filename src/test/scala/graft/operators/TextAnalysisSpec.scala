@@ -419,6 +419,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.get((1L, 3L)).forall(_ < got((1L, 2L)))) // boilerplate-ish 'mid' scores lower
   }
 
+  test("cooccurrenceLift: independence gives lift 1, exclusion lifts below 1, affinity above") {
+    val sp = spark
+    import sp.implicits._
+    // 'a b' always together (4 docs), 'c' in every doc, 'd' never with 'a'
+    val df = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b c"), (4L, "a b c"),
+      (5L, "d c"), (6L, "d c"), (7L, "d c"), (8L, "d c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.cooccurrenceLift(df, "doc_id", "text", minCount = 2L)
+      .collect().map(r => ((r.getAs[String]("t1"), r.getAs[String]("t2")),
+        (r.getAs[Long]("n_both"), r.getAs[Double]("lift")))).toMap
+    assert(got(("a", "b")) == ((4L, 2.0)))  // 4*8/(4*4): perfect affinity doubles chance
+    assert(got(("a", "c")) == ((4L, 1.0)))  // c is everywhere: independent
+    assert(got(("c", "d")) == ((4L, 1.0)))
+    assert(!got.contains(("a", "d")))       // never co-occur -> below minCount
+  }
+
   test("tfidfSimilar and tfidfSimilarDense agree bit-for-bit on real documents") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val inv = TextAnalysis.tfidfSimilar(docs, "doc_id", "text", threshold = 0.8, maxDfPct = 78)
