@@ -1405,6 +1405,39 @@ object SparkEntry {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // ---- dataset snapshot diff: churn between two corpus versions --------
+    // (old = doc_id%10 in 0..7, new = 2..9 with %10==5 texts mutated, so
+    // added/removed/changed all appear)
+    "q_snapshot_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val oldS = d.where(col("doc_id") % 10 < 8)
+      val newS = d.where(col("doc_id") % 10 >= 2)
+        .withColumn("text", when(col("doc_id") % 10 === 5,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Dedup.snapshotDiff(oldS, newS, "doc_id", "text").orderBy(col("doc_id"))
+    }),
+
+    // ---- cross-source duplication (leakage) matrix over near-dup pairs ---
+    "q_source_leakage" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.leakageMatrix(
+        Dedup.ngramJaccardBroadcast(d, "doc_id", "text", n = 2, threshold = 0.5),
+        d, "doc_id", "source")
+        .orderBy(col("g1"), col("g2"))
+    }),
+
+    // ---- per-source bigram diversity (type-token ratio) ------------------
+    "q_ngram_diversity" -> ((s, dir) => {
+      TextAnalysis.ngramDiversity(Tables.documents(s, dir), "source", "text", n = 2)
+        .orderBy(col("source"))
+    }),
+
+    // ---- embedding hubness: in-degree over the full exact kNN graph ------
+    "q_hubness" -> ((s, dir) => {
+      Similarity.hubness(Tables.embeddings(s, dir), "vec_id", "embedding", k = 5)
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- token co-occurrence lift (exp-PMI association table) ------------
     "q_cooccur_lift" -> ((s, dir) => {
       TextAnalysis.cooccurrenceLift(Tables.documents(s, dir), "doc_id", "text", minCount = 5L)
@@ -3881,6 +3914,51 @@ object SparkEntry {
         |  SELECT d1, d2, round(dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) AS sim
         |  FROM p JOIN nm na ON p.d1 = na.d JOIN nm nb ON p.d2 = nb.d)
         |WHERE sim >= 0.9 ORDER BY d1, d2""".stripMargin,
+
+    // snapshot diff: md5 fingerprints compare as hex strings in both engines
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 < 8),
+        |nw AS (SELECT doc_id, md5(CASE WHEN doc_id % 10 = 5 THEN text || ' v2' ELSE text END) AS fp
+        |       FROM documents WHERE doc_id % 10 >= 2)
+        |SELECT doc_id, status FROM (
+        |  SELECT coalesce(o.doc_id, nw.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN nw.doc_id IS NULL THEN 'removed'
+        |         WHEN o.fp <> nw.fp THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id)
+        |WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin,
+
+    // source leakage: the q_jaccard pair CTEs rolled up to source level
+    "q_source_leakage" ->
+      s"""WITH ${jaccardPairsCtes()}
+         |SELECT least(sa.source, sb.source) AS g1, greatest(sa.source, sb.source) AS g2,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM jp JOIN documents sa ON jp.d1 = sa.doc_id JOIN documents sb ON jp.d2 = sb.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // bigram diversity: distinct/total n-gram counts are exact integers
+    "q_ngram_diversity" ->
+      """WITH d AS (SELECT source, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT source,
+        |    unnest([array_to_string(toks[i:i+1], ' ') FOR i IN generate_series(1, len(toks) - 1)]) AS gm
+        |  FROM d WHERE len(toks) >= 2),
+        |c AS (SELECT source, gm, count(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_grams, CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round(count(*)::DOUBLE / CAST(sum(c) AS DOUBLE), 6) AS ttr
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // hubness: in-degree over the exact kNN graph (same ranking contract as
+    // q_knn_brute); zero-degree vectors kept by the left join
+    "q_hubness" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+         |sc AS (SELECT a.vec_id AS qid, b.vec_id AS nid, round(${cosineSql("a.v", "b.v")}, 6) AS sim
+         |       FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sc),
+         |deg AS (SELECT nid, CAST(count(*) AS BIGINT) AS in_degree FROM r WHERE rn <= 5 GROUP BY 1)
+         |SELECT e.vec_id, coalesce(deg.in_degree, CAST(0 AS BIGINT)) AS in_degree
+         |FROM e LEFT JOIN deg ON e.vec_id = deg.nid ORDER BY vec_id""".stripMargin,
 
     // co-occurrence lift: document-presence counts are exact integers; lift
     // is one double division of exact integer products (no logs - libm ulps

@@ -959,4 +959,49 @@ object Dedup {
       .where(col("edit_sim") >= minSim)
       .select(col("d1"), col("d2"), col("jaccard"), col("edit_dist"), col("edit_sim"))
   }
+
+  /** Dataset snapshot diff — the versioning primitive behind reproducible
+    * training sets: given two corpus snapshots, classify every document id
+    * as `added`, `removed`, or `changed` (same id, different content
+    * fingerprint). Unchanged documents are filtered out, so the output is
+    * churn-bounded — on a 100 TB corpus whose daily delta is 0.1%, the
+    * result is 0.1%-sized while the comparison itself is one id-keyed
+    * full-outer join of two fingerprint projections (map-side md5, no
+    * text shuffled — only the 16-byte fingerprints move).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, id: String, text: String): DataFrame = {
+    val o = oldDf.select(col(id).as("__id"), md5(col(text)).as("__ofp"))
+    val n = newDf.select(col(id).as("__id"), md5(col(text)).as("__nfp"))
+    o.join(n, Seq("__id"), "full_outer")
+      .withColumn("status",
+        when(col("__ofp").isNull, lit("added"))
+          .when(col("__nfp").isNull, lit("removed"))
+          .when(col("__ofp") =!= col("__nfp"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .where(col("status") =!= "unchanged")
+      .select(col("__id").as(id), col("status"))
+  }
+
+  /** Cross-source duplication (leakage) matrix: roll any near-duplicate
+    * pair frame `(d1, d2, ...)` up to the group level — how much of source
+    * A is recycled in source B. The report that decides which overlapping
+    * crawl/dump to drop before near-dedup wastes cluster time re-finding
+    * the same pairs, and the contamination view when `group` is a
+    * train/eval split column.
+    *
+    * The pair frame is near-dup-sized (its producer already paid the
+    * corpus); the two dimension joins are id-keyed; the matrix is bounded
+    * by group cardinality squared. Pair orientation is normalized
+    * (least/greatest) so (A,B) and (B,A) accumulate together.
+    */
+  def leakageMatrix(pairs: DataFrame, docs: DataFrame, id: String, group: String): DataFrame = {
+    val g = docs.select(col(id), col(group))
+    pairs
+      .join(g.select(col(id).as("d1"), col(group).as("__g1")), Seq("d1"))
+      .join(g.select(col(id).as("d2"), col(group).as("__g2")), Seq("d2"))
+      .select(least(col("__g1"), col("__g2")).as("g1"),
+        greatest(col("__g1"), col("__g2")).as("g2"))
+      .groupBy(col("g1"), col("g2"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

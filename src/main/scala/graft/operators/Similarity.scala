@@ -158,6 +158,87 @@ object Similarity {
         col("neighbor_label"), col("sim"), col("__rn").cast("long").as("rank"))
   }
 
+  /** Full exact kNN graph — EVERY vector as a query, its `k` nearest by
+    * cosine, the structure under UMAP/label-propagation/hubness analysis.
+    * Same ranking contract as [[bruteForceKnn]] (`round6` sim DESC, id
+    * ASC), but the all-queries workload uses the broadcast-matrix bounded
+    * top-k sweep ([[knnClassify]]'s physical shape): the k-best cut lives
+    * INSIDE the scoring loop, not behind an n²-row window shuffle. The
+    * broadcast side must fit in executor memory; beyond that, run per
+    * LSH/IVF bucket ([[randomHyperplaneBuckets]] / [[ivfKnn]]'s cells).
+    */
+  def knnGraph(df: DataFrame, id: String, vec: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    requireIntegralId(df, id)
+    val data = df.where(col(vec).isNotNull)
+      .select(col(id).cast("long"), col(vec))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val norms = data.map { case (_, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    val bc = spark.sparkContext.broadcast((data, norms))
+    val n = data.length
+    spark.range(n.toLong)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { it =>
+        val (d, nrm) = bc.value
+        val m = d.length
+        it.flatMap { ii =>
+          val i = ii.toInt
+          val (qid, qv) = d(i)
+          val qn = nrm(i)
+          val simArr = new Array[Double](k)
+          val vidArr = new Array[Long](k)
+          var size = 0
+          var j = 0
+          while (j < m) {
+            if (j != i) {
+              val (nid, nv) = d(j)
+              var sab = 0.0; var t = 0; val len = math.min(qv.length, nv.length)
+              while (t < len) { sab += qv(t).toDouble * nv(t).toDouble; t += 1 }
+              val sim = round6(sab / (qn * nrm(j)))
+              var pos = size
+              while (pos > 0 && (sim > simArr(pos - 1) ||
+                  (sim == simArr(pos - 1) && nid < vidArr(pos - 1)))) pos -= 1
+              if (pos < k) {
+                var s2 = math.min(size, k - 1)
+                while (s2 > pos) {
+                  simArr(s2) = simArr(s2 - 1); vidArr(s2) = vidArr(s2 - 1)
+                  s2 -= 1
+                }
+                simArr(pos) = sim; vidArr(pos) = nid
+                if (size < k) size += 1
+              }
+            }
+            j += 1
+          }
+          (0 until size).iterator.map(r => (qid, vidArr(r), simArr(r), (r + 1).toLong))
+        }
+      }
+      .toDF("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** Hubness report over the [[knnGraph]]: each vector's in-degree — how
+    * many other vectors count it among their `k` nearest. High-dimensional
+    * embedding spaces concentrate: a few "hub" points appear in everyone's
+    * neighbor lists (skewing retrieval and kNN labels) while anti-hubs are
+    * never retrieved at all. Zero-degree vectors are kept via the left
+    * join — the unreachable tail matters as much as the hubs.
+    */
+  def hubness(df: DataFrame, id: String, vec: String, k: Int): DataFrame = {
+    val degrees = knnGraph(df, id, vec, k)
+      .groupBy(col("neighbor_id"))
+      .agg(count(lit(1)).as("in_degree"))
+    df.where(col(vec).isNotNull)
+      .select(col(id).cast("long").as("vec_id"))
+      .join(degrees.withColumnRenamed("neighbor_id", "vec_id"), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+  }
+
   /** Matryoshka-style truncation audit: recall@k of exact cosine KNN run on
     * only the FIRST `d` dimensions, against KNN on the full vector, for each
     * `d` in `dims` — the measurement that licenses the standard cost lever

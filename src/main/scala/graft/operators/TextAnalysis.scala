@@ -674,6 +674,34 @@ object TextAnalysis {
       .where(col("sim") >= threshold)
   }
 
+  /** Per-group n-gram diversity (type-token ratio over n-grams) — the
+    * diversity-collapse detector: a source whose distinct-bigram fraction
+    * craters is template spam or model-generated loops, long before a
+    * human reads it. `ttr = distinct n-grams / total n-grams` per group,
+    * with both counts emitted (the ratio alone hides volume).
+    *
+    * One corpus-paying explode into two stacked aggregations (gram-keyed
+    * then group-keyed), both map-side combinable; output bounded by group
+    * cardinality.
+    */
+  def ngramDiversity(df: DataFrame, group: String, text: String, n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = filter(tokens(col(text)), t => t =!= "")
+    df.where(col(text).isNotNull && size(toks) >= n)
+      .withColumn("__toks", toks)
+      .select(col(group), explode(expr(
+        s"transform(sequence(0, size(__toks) - $n), i -> array_join(slice(__toks, i + 1, $n), ' '))"))
+        .as("__g"))
+      .groupBy(col(group), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(group))
+      .agg(
+        sum(col("__c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"))
+      .select(col(group), col("n_grams"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_grams"), 6).as("ttr"))
+  }
+
   /** Token co-occurrence lift — the association-mining table behind GloVe
     * co-occurrence matrices and phrase/collocation detection: for every
     * unordered token pair appearing together in at least `minCount`

@@ -365,4 +365,27 @@ class DedupSpec extends SparkSpec {
     assert(all.forall(_.getAs[Double]("edit_sim") < 0.95)) // but reordering cost shows
     assert(gated.isEmpty) // so the edit gate rejects it
   }
+
+  test("snapshotDiff: added/removed/changed classified, unchanged suppressed") {
+    val sp = spark
+    import sp.implicits._
+    val oldS = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish")).toDF("doc_id", "text")
+    val newS = Seq((1L, "same"), (2L, "changed!"), (4L, "brand new")).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(oldS, newS, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("status"))).toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added")) // 1 suppressed
+  }
+
+  test("leakageMatrix: pair orientation normalizes, counts accumulate per source pair") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "A"), (2L, "B"), (3L, "A"), (4L, "B"), (5L, "C"))
+      .toDF("doc_id", "source")
+    // (1,2): A-B; (4,3): B-A (reversed orientation); (1,3): A-A
+    val pairs = Seq((1L, 2L), (4L, 3L), (1L, 3L)).toDF("d1", "d2")
+    val got = Dedup.leakageMatrix(pairs, docs, "doc_id", "source")
+      .collect().map(r => ((r.getAs[String]("g1"), r.getAs[String]("g2")), r.getAs[Long]("n_pairs")))
+      .toMap
+    assert(got == Map(("A", "B") -> 2L, ("A", "A") -> 1L)) // B-A folded into A-B; C absent
+  }
 }

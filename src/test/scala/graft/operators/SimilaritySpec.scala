@@ -295,6 +295,21 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq((2L, 1L, 1L), (3L, 1L, 2L))) // 1 and 4 excluded; 2 is hardest
   }
 
+  test("knnGraph matches bruteForceKnn with every vector as query; hubness degrees reconcile") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val graph = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("sim"), r.getAs[Long]("rank"))).toSet
+    val brute = Similarity.bruteForceKnn(emb, emb, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("sim"), r.getAs[Int]("rank").toLong)).toSet
+    assert(graph == brute)
+    val hub = Similarity.hubness(emb, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("in_degree")))
+    assert(hub.length == emb.count()) // zero-degree vectors kept
+    assert(hub.map(_._2).sum == graph.size) // every edge lands on exactly one in-degree
+  }
+
   test("truncatedRecall: full-width truncation is perfect recall; tiny prefixes degrade") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val got = Similarity.truncatedRecall(emb, emb.where(col("vec_id") < 5),

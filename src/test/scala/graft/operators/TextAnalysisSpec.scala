@@ -419,6 +419,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.get((1L, 3L)).forall(_ < got((1L, 2L)))) // boilerplate-ish 'mid' scores lower
   }
 
+  test("ngramDiversity: repeated templates crater the ttr; short docs skipped") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "spam", "a b a b a b"),    // grams: ab,ba,ab,ba,ab -> 5 total, 2 distinct
+      (2L, "spam", "a b a b"),        // ab,ba,ab -> 3 total, same 2 distinct
+      (3L, "fresh", "v w x y z"),     // 4 total, 4 distinct
+      (4L, "fresh", "q"),             // < n tokens: skipped entirely
+      (5L, "fresh", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.ngramDiversity(df, "source", "text", n = 2)
+      .collect().map(r => (r.getAs[String]("source"),
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_distinct"), r.getAs[Double]("ttr")))).toMap
+    assert(got("spam") == ((8L, 2L, 0.25)))
+    assert(got("fresh") == ((4L, 4L, 1.0)))
+    assert(got.size == 2)
+  }
+
   test("cooccurrenceLift: independence gives lift 1, exclusion lifts below 1, affinity above") {
     val sp = spark
     import sp.implicits._
