@@ -71,7 +71,15 @@ class PlanAuditSpec extends SparkSpec {
         "q_activity", "q_oov", "q_minhash_incremental", "q_vocab_shift",
         "q_asof_join", "q_sessions", "q_span_dedup", "q_mixture_weights",
         "q_bpe_merges", "q_source_profile", "q_label_centroids",
-        "q_distinct_users_salted", "q_hybrid_rrf").foreach { q =>
+        "q_distinct_users_salted", "q_hybrid_rrf",
+        // round-6 operators that must stay pure lazy plans (the broadcast-
+        // sweep twins - q_tfidf_pairs, q_hubness, q_knn_classify, and
+        // q_source_leakage, whose pair producer ngramJaccardBroadcast
+        // collects at construction by documented design - are excluded;
+        // leakageMatrix itself is asserted lazy in DedupSpec composition)
+        "q_hard_negatives", "q_filter_funnel", "q_tfidf_pairs_inv",
+        "q_cooccur_lift", "q_user_sequences", "q_snapshot_diff",
+        "q_ngram_diversity").foreach { q =>
         SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
       }
       org.apache.spark.GraftSparkTestHooks.waitListenerBus(spark.sparkContext)
@@ -245,6 +253,43 @@ class PlanAuditSpec extends SparkSpec {
     // every Window line must carry the key partitioning
     val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
     assert(winLines.forall(_.contains("pvname")), winLines.mkString("\n"))
+  }
+
+  test("filter funnel: ONE aggregation pass, stage rows explode above it, no window/join") {
+    val plan = formatted("q_filter_funnel")
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+    val lines = plan.linesIterator.toSeq
+    val genIdx = lines.indexWhere(_.matches(".*\\(\\d+\\) Generate.*"))
+    val aggIdxs = lines.zipWithIndex.filter(_._1.matches(".*\\(\\d+\\) HashAggregate.*")).map(_._2)
+    // detail lines ascend leaf -> root: every agg prints BEFORE the explode
+    assert(genIdx >= 0 && aggIdxs.nonEmpty && aggIdxs.forall(_ < genIdx), plan)
+  }
+
+  test("ngram diversity and cooccurrence lift are window-free aggregation plans") {
+    Seq("q_ngram_diversity", "q_cooccur_lift").foreach { q =>
+      val plan = formatted(q)
+      assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"), s"$q: $plan")
+      assert(!plan.contains("Window"), s"$q: $plan")
+    }
+  }
+
+  test("hard negatives: query side broadcasts; the corpus is never shuffled before ranking") {
+    val plan = formatted("q_hard_negatives")
+    // inequality join conditions -> broadcast nested loop, never a shuffled join
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("snapshot diff: fingerprint projections join; text never aggregated or windowed") {
+    val plan = formatted("q_snapshot_diff")
+    assert(plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("ExistingRDD"), plan)
+    // only md5 fingerprints and ids should cross the join - the full text
+    // column must be pruned out of both scan schemas
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("text"), readSchema) // read for md5...
+    assert(!plan.contains("collect_list"), plan)
   }
 
   test("new stateful/sequential ops build lazily too (ewma, twa, lttb, delta, quantize)") {
