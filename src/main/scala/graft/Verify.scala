@@ -19,15 +19,26 @@ object Verify {
     // this, so its runs always dump the full surface
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    val failed = selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        None
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        Some(name)
       }
     }
+    // loud summary: a query that stops resolving must not vanish silently
+    // from the round's correctness surface (round 5 lost 53 queries to a
+    // testdata schema change with only per-query stderr lines as evidence)
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] SUMMARY: ${failed.size}/${selected.size} queries FAILED to dump: ${failed.mkString(", ")}")
+    else
+      System.err.println(s"[verify] SUMMARY: all ${selected.size} queries dumped")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

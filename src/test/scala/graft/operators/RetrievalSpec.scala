@@ -93,6 +93,25 @@ class RetrievalSpec extends SparkSpec {
     assert(got.toSeq == Seq(20L, 10L, 30L)) // 0.8 tie -> smaller id first
   }
 
+  test("mmr: result is invariant to input partitioning and row order") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(11)
+    val cands = (0 until 4).flatMap { q =>
+      (0 until 15).map { d =>
+        (q.toLong, d.toLong, rng.nextDouble(),
+          Array.fill(8)(rng.nextGaussian().toFloat))
+      }
+    }
+    val base = cands.toDF("qid", "doc_id", "rel", "vec")
+    val a = Retrieval.mmr(base, "qid", "doc_id", "rel", "vec", k = 5, lambda = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+    val b = Retrieval.mmr(base.repartition(7).orderBy(col("rel")), "qid", "doc_id", "rel", "vec",
+      k = 5, lambda = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("mmr: k caps output, groups are independent, null vectors dropped") {
     val sp = spark
     import sp.implicits._
