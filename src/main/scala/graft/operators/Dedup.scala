@@ -113,16 +113,17 @@ object Dedup {
     * index joins.
     */
   def ngramContainment(df: DataFrame, id: String, text: String, n: Int,
-      threshold: Double, blocks: Int = 16): DataFrame = {
+      threshold: Double, blocks: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     Similarity.requireIntegralId(df, id)
+    val nb = if (blocks > 0) blocks else Similarity.autoBlocks(spark)
     val sets = df
       .select(col(id).cast("long").as("doc"), shingleHashSetUdf(col(text), lit(n)).as("hs"))
       .groupBy(col("doc"))
       .agg(collect_list(col("hs")).as("hss"))
       .select(
-        pmod(col("doc"), lit(blocks)).cast("int").as("b"),
+        pmod(col("doc"), lit(nb)).cast("int").as("b"),
         struct(col("doc").as("_1"), mergeHashSetsUdf(col("hss")).as("_2")).as("ds"))
     val grouped = sets.groupBy(col("b")).agg(collect_list(col("ds")).as("docs"))
     val lhs = grouped.select(col("b").as("b1"), col("docs").as("d1s"))
@@ -449,10 +450,11 @@ object Dedup {
       text: String,
       n: Int,
       threshold: Double,
-      blocks: Int = 16): DataFrame = {
+      blocks: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     Similarity.requireIntegralId(df, id)
+    val nb = if (blocks > 0) blocks else Similarity.autoBlocks(spark)
     // per-doc union BEFORE blocking: rows sharing an id merge into one set
     // (matching the string variants' collect_set semantics); the shuffled
     // payload is the compact 16-bytes-per-shingle hash arrays, still no
@@ -462,7 +464,7 @@ object Dedup {
       .groupBy(col("doc"))
       .agg(collect_list(col("hs")).as("hss"))
       .select(
-        pmod(col("doc"), lit(blocks)).cast("int").as("b"),
+        pmod(col("doc"), lit(nb)).cast("int").as("b"),
         struct(col("doc").as("_1"), mergeHashSetsUdf(col("hss")).as("_2")).as("ds"))
     val grouped = sets.groupBy(col("b")).agg(collect_list(col("ds")).as("docs"))
     val lhs = grouped.select(col("b").as("b1"), col("docs").as("d1s"))
