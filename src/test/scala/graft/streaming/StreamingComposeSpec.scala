@@ -453,4 +453,45 @@ class StreamingComposeSpec extends SparkSpec {
     // the out-of-window (+45 min) and unknown-user conversions never match
     assert(!streamed.exists(_._1 == "ghost"))
   }
+
+  test("filter funnel: the live complete-mode dashboard equals the batch report") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    graft.Engine.tune(sp)
+    import graft.operators.TextAnalysis
+
+    val docs = (0L until 200L).map { i =>
+      val text = if (i % 7 == 0) "" else ("w " * (20 + (i % 30)).toInt).trim
+      (i, if (i % 3 == 0) "de" else "en", text)
+    }
+    def stages = Seq(
+      "nonempty" -> (length(col("text")) > 0),
+      "lang_en" -> (col("lang") === "en"),
+      "min_tokens" -> (size(split(col("text"), " ")) >= 25))
+
+    val input = MemoryStream[(Long, String, String)]
+    // the funnel is ONE combinable aggregation, so it attaches directly to
+    // the stream in complete mode - a live attrition dashboard that
+    // re-emits the whole (stage-count-bounded) report each micro-batch
+    val q = TextAnalysis.filterFunnel(input.toDS().toDF("doc_id", "lang", "text"), "text", stages)
+      .writeStream.outputMode("complete").format("memory").queryName("funnel_stream")
+      .start()
+    try {
+      input.addData(docs.take(120))
+      q.processAllAvailable()
+      input.addData(docs.drop(120))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = sp.table("funnel_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    val batch = TextAnalysis.filterFunnel(docs.toDF("doc_id", "lang", "text"), "text", stages)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq)
+    assert(batch.head._3 == 200L) // every delivered doc entered stage 1
+  }
 }
