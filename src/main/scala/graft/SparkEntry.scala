@@ -1405,6 +1405,30 @@ object SparkEntry {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // ---- quality-aware dedup representative: per near-dup cluster, keep
+    // the highest-quality member (not the lowest id) -----------------------
+    "q_cluster_best" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardBroadcast(d, "doc_id", "text", n = 2, threshold = 0.5)
+      val comps = Dedup.connectedComponents(pairs, "d1", "d2")
+      val q = TextAnalysis.qualityScore(d, "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+      Dedup.clusterBestSurvivors(comps, q, "doc_id", "quality")
+        .orderBy(col("component"))
+    }),
+
+    // ---- decontaminated eval split: the 'val' shard minus near-dups of
+    // anything in 'train' (split leakage is the subtle eval-inflation bug
+    // every careful pipeline screens for) ----------------------------------
+    "q_clean_eval_split" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val split = Sampling.splitAssign(d, "doc_id")
+      Dedup.incrementalMinhash(
+        split.where(col("split") === "val"), split.where(col("split") === "train"),
+        "doc_id", "text", n = 2, numPerm = NUM_PERM, bands = 4, threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- dataset snapshot diff: churn between two corpus versions --------
     // (old = doc_id%10 in 0..7, new = 2..9 with %10==5 texts mutated, so
     // added/removed/changed all appear)
@@ -1690,11 +1714,13 @@ object SparkEntry {
     * survivors = odd ids (null-text included) minus verified dups.
     */
   private def minhashIncrementalSql(numPerm: Int, bands: Int, n: Int,
-      threshold: Double): String = {
+      threshold: Double,
+      newPred: String = "doc_id % 2 = 1",
+      existingPred: String = "doc_id % 2 = 0"): String = {
     val rows = numPerm / bands
-    def sigCtes(sfx: String, parity: Int): String =
+    def sigCtes(sfx: String, pred: String): String =
       s"""t$sfx AS (SELECT doc_id AS doc, string_split(text, ' ') AS toks
-         |      FROM documents WHERE text IS NOT NULL AND doc_id % 2 = $parity),
+         |      FROM documents WHERE text IS NOT NULL AND ($pred)),
          |s$sfx AS (SELECT doc, unnest(list_distinct(list_transform(
          |        generate_series(0, greatest(len(toks) - $n, 0)),
          |        i -> array_to_string(toks[i + 1 : i + $n], ' ')))) AS shingle FROM t$sfx),
@@ -1707,8 +1733,8 @@ object SparkEntry {
       val eqs = (b * rows until (b + 1) * rows).map(i => s"a.mh$i = b.mh$i").mkString(" AND ")
       s"SELECT a.doc AS dn, b.doc AS dx FROM sigN a JOIN sigX b ON $eqs"
     }
-    s"""WITH ${sigCtes("N", 1)},
-       |${sigCtes("X", 0)},
+    s"""WITH ${sigCtes("N", newPred)},
+       |${sigCtes("X", existingPred)},
        |cand AS (SELECT DISTINCT dn, dx FROM (${bandJoins.mkString(" UNION ALL ")})),
        |inter AS (SELECT c.dn, c.dx, count(*) AS i
        |          FROM cand c JOIN sN x ON c.dn = x.doc
@@ -1720,7 +1746,7 @@ object SparkEntry {
        |         JOIN szN a ON dn = a.doc JOIN szX b ON dx = b.doc
        |         WHERE round(CAST(i AS DOUBLE) / (a.sz + b.sz - i), 6) >= $threshold)
        |SELECT doc_id FROM documents
-       |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT dn FROM dups)
+       |WHERE text IS NOT NULL AND ($newPred) AND doc_id NOT IN (SELECT dn FROM dups)
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -3914,6 +3940,36 @@ object SparkEntry {
         |  SELECT d1, d2, round(dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) AS sim
         |  FROM p JOIN nm na ON p.d1 = na.d JOIN nm nb ON p.d2 = nb.d)
         |WHERE sim >= 0.9 ORDER BY d1, d2""".stripMargin,
+
+    // quality-aware representative: the q_dedup_clusters closure joined to
+    // the q_quality score, argmax per component via a deterministic window
+    "q_cluster_best" ->
+      s"""WITH RECURSIVE ${jaccardPairsCtes()},
+         |e AS (SELECT d1 AS a, d2 AS b FROM jp UNION SELECT d2, d1 FROM jp),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         |comp AS (SELECT a AS doc, least(a, min(b)) AS component
+         |         FROM reach GROUP BY a),
+         |q AS (SELECT doc_id,
+         |  round(ln(1.0 + len(string_split(text, ' '))) *
+         |        (1.0 - CAST(len(list_filter(string_split(text, ' '),
+         |              t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+         |             / len(string_split(text, ' '))), 6) AS quality
+         |  FROM documents),
+         |sel AS (SELECT component, doc, quality,
+         |          row_number() OVER (PARTITION BY component ORDER BY quality DESC, doc) AS rn,
+         |          count(*) OVER (PARTITION BY component) AS nm
+         |        FROM comp JOIN q ON comp.doc = q.doc_id)
+         |SELECT component, doc AS rep_id, quality AS best_score, CAST(nm AS BIGINT) AS n_members
+         |FROM sel WHERE rn = 1 ORDER BY component""".stripMargin,
+
+    // decontaminated eval split: the incremental-minhash oracle over the
+    // split-bucket predicates instead of the parity shards
+    "q_clean_eval_split" -> minhashIncrementalSql(NUM_PERM, 4, 2, 0.5,
+      newPred = s"${docBucketSql(100)} >= 80 AND ${docBucketSql(100)} < 90",
+      existingPred = s"${docBucketSql(100)} < 80"),
 
     // snapshot diff: md5 fingerprints compare as hex strings in both engines
     "q_snapshot_diff" ->

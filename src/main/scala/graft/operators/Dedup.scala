@@ -800,6 +800,31 @@ object Dedup {
     * lists on its own). The drop side is aliased so a docs frame that
     * itself has a "doc" column can't make the condition ambiguous.
     */
+  /** Quality-aware representative selection: per near-dup component, keep
+    * the member with the HIGHEST score (ties to the smaller id) instead of
+    * [[clusterSurvivors]]'s min-id convention — what a production pipeline
+    * actually wants: of five copies of a page, keep the cleanest one, not
+    * the one that happened to be crawled first.
+    *
+    * One id-keyed join (components are near-dup-sized) and ONE map-side-
+    * combinable aggregation: the argmax rides a `max(struct(score, -id))`
+    * — lexicographic struct ordering gives score-desc/id-asc without a
+    * window, so there is no per-component sort and no skew sensitivity.
+    */
+  def clusterBestSurvivors(components: DataFrame, scored: DataFrame,
+      id: String, score: String): DataFrame =
+    components
+      .join(scored.select(col(id).cast("long").as("doc"), col(score).as("__s")), Seq("doc"))
+      .groupBy(col("component"))
+      .agg(
+        max(struct(col("__s").as("__s"), (-col("doc")).as("__nd"))).as("__best"),
+        count(lit(1)).as("n_members"))
+      .select(
+        col("component"),
+        (-col("__best.__nd")).cast("long").as("rep_id"),
+        col("__best.__s").as("best_score"),
+        col("n_members"))
+
   def clusterSurvivors(docs: DataFrame, id: String, components: DataFrame): DataFrame =
     docs.join(
       components.where(col("doc") =!= col("component")).select(col("doc").as("__drop")),

@@ -366,6 +366,23 @@ class DedupSpec extends SparkSpec {
     assert(gated.isEmpty) // so the edit gate rejects it
   }
 
+  test("clusterBestSurvivors: highest score wins, ties to smaller id, member counts right") {
+    val sp = spark
+    import sp.implicits._
+    // component 1: docs 1,2,3 (3 wins on score); component 10: 10,11 tie -> 10
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc", "component")
+    val scored = Seq((1L, 0.5), (2L, 0.7), (3L, 0.9), (10L, 0.4), (11L, 0.4))
+      .toDF("doc_id", "quality")
+    val got = Dedup.clusterBestSurvivors(comps, scored, "doc_id", "quality")
+      .collect().map(r => (r.getAs[Long]("component"),
+        (r.getAs[Long]("rep_id"), r.getAs[Double]("best_score"), r.getAs[Long]("n_members"))))
+      .toMap
+    assert(got(1L) == ((3L, 0.9, 3L)))
+    assert(got(10L) == ((10L, 0.4, 2L))) // score tie -> smaller id
+    assert(got.size == 2)
+  }
+
   test("snapshotDiff: added/removed/changed classified, unchanged suppressed") {
     val sp = spark
     import sp.implicits._
