@@ -1456,6 +1456,15 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---- embedding dimension covariance/correlation matrix (the leading
+    // 16-dim block: 136 pair moments over the whole corpus) ----------------
+    "q_embed_cov" -> ((s, dir) => {
+      Similarity.covarianceMatrix(
+        Tables.embeddings(s, dir).withColumn("embedding", slice(col("embedding"), 1, 16)),
+        "embedding")
+        .orderBy(col("i"), col("j"))
+    }),
+
     // ---- embedding hubness: in-degree over the full exact kNN graph ------
     "q_hubness" -> ((s, dir) => {
       Similarity.hubness(Tables.embeddings(s, dir), "vec_id", "embedding", k = 5)
@@ -4004,6 +4013,22 @@ object SparkEntry {
         |SELECT source, CAST(sum(c) AS BIGINT) AS n_grams, CAST(count(*) AS BIGINT) AS n_distinct,
         |  round(count(*)::DOUBLE / CAST(sum(c) AS DOUBLE), 6) AS ttr
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // embedding covariance: aligned unnests zip (x, dim) into long format;
+    // population moments; diagonal joined back for the corr normalization
+    "q_embed_cov" ->
+      """WITH v AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS e FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |l AS (SELECT vec_id, unnest(generate_series(1, len(e))) AS ix, unnest(e) AS x FROM v),
+        |p AS (SELECT a.ix - 1 AS i, b.ix - 1 AS j, count(*) AS n,
+        |        sum(a.x * b.x) AS sp, sum(a.x) AS si, sum(b.x) AS sj
+        |      FROM l a JOIN l b ON a.vec_id = b.vec_id AND a.ix <= b.ix GROUP BY 1, 2),
+        |m AS (SELECT i, j, n, sp / n - (si / n) * (sj / n) AS cov FROM p),
+        |d AS (SELECT i, cov AS var FROM m WHERE i = j)
+        |SELECT m.i, m.j, CAST(m.n AS BIGINT) AS n, round(m.cov, 6) AS cov,
+        |  round(m.cov / sqrt(di.var * dj.var), 6) AS corr
+        |FROM m JOIN d di ON m.i = di.i JOIN d dj ON m.j = dj.i
+        |ORDER BY m.i, m.j""".stripMargin,
 
     // hubness: in-degree over the exact kNN graph (same ranking contract as
     // q_knn_brute); zero-degree vectors kept by the left join

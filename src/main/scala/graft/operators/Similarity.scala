@@ -158,6 +158,45 @@ object Similarity {
         col("neighbor_label"), col("sim"), col("__rn").cast("long").as("rank"))
   }
 
+  /** Per-dimension covariance/correlation matrix of the embedding corpus —
+    * the input to whitening, PCA-style dimensionality decisions, and
+    * product-quantizer subspace design (strongly correlated dims in one
+    * subspace waste codebook entries). Population moments over all
+    * non-null vectors; output one row per unordered dim pair `i ≤ j`
+    * (the diagonal carries the variance, corr = 1).
+    *
+    * Plan shape: each row explodes its own D·(D+1)/2 pair products (one
+    * codegen'd `Generate`, no self-join — the id never matters), then ONE
+    * map-side-combinable aggregation collapses the corpus to the
+    * dims²-bounded moment table; the diagonal joins back broadcast-sized
+    * for the correlation normalization. At 100 TB the shuffle carries
+    * only per-task partial sums of D·(D+1)/2 groups.
+    */
+  def covarianceMatrix(df: DataFrame, vec: String): DataFrame = {
+    val pairs = df.where(col(vec).isNotNull)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, size($vec) - 1), i ->
+           |  transform(sequence(i, size($vec) - 1), j -> struct(
+           |    i AS i, j AS j,
+           |    CAST(element_at($vec, i + 1) AS DOUBLE) * CAST(element_at($vec, j + 1) AS DOUBLE) AS p,
+           |    CAST(element_at($vec, i + 1) AS DOUBLE) AS xi,
+           |    CAST(element_at($vec, j + 1) AS DOUBLE) AS xj))))""".stripMargin)).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"),
+        col("e.xi").as("xi"), col("e.xj").as("xj"))
+    val moments = pairs.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"),
+        sum(col("xi")).as("si"), sum(col("xj")).as("sj"))
+      .withColumn("cov", col("sp") / col("n") - (col("si") / col("n")) * (col("sj") / col("n")))
+    val diag = moments.where(col("i") === col("j"))
+      .select(col("i").as("__d"), col("cov").as("__var"))
+    moments
+      .join(broadcast(diag.withColumnRenamed("__d", "i").withColumnRenamed("__var", "__vi")), Seq("i"))
+      .join(broadcast(diag.withColumnRenamed("__d", "j").withColumnRenamed("__var", "__vj")), Seq("j"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("n"), round(col("cov"), 6).as("cov"),
+        round(col("cov") / sqrt(col("__vi") * col("__vj")), 6).as("corr"))
+  }
+
   /** Full exact kNN graph — EVERY vector as a query, its `k` nearest by
     * cosine, the structure under UMAP/label-propagation/hubness analysis.
     * Same ranking contract as [[bruteForceKnn]] (`round6` sim DESC, id

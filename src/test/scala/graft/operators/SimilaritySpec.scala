@@ -295,6 +295,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq((2L, 1L, 1L), (3L, 1L, 2L))) // 1 and 4 excluded; 2 is hardest
   }
 
+  test("covarianceMatrix: hand moments — perfect correlation, anti-correlation, diagonal = 1") {
+    val sp = spark
+    import sp.implicits._
+    // dim1 = 2*dim0 (corr +1), dim2 = -dim0 (corr -1)
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, -1.0f)),
+      (2L, Array(2.0f, 4.0f, -2.0f)),
+      (3L, Array(3.0f, 6.0f, -3.0f)),
+      (4L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.covarianceMatrix(df, "embedding")
+      .collect().map(r => ((r.getAs[Long]("i"), r.getAs[Long]("j")),
+        (r.getAs[Long]("n"), r.getAs[Double]("cov"), r.getAs[Double]("corr")))).toMap
+    assert(got.size == 6) // 3 dims -> 6 unordered pairs, null vector dropped
+    // var(dim0) = E[x^2]-E[x]^2 = (14/3) - 4 = 2/3
+    assert(got((0L, 0L))._1 == 3L)
+    assert(math.abs(got((0L, 0L))._2 - 2.0 / 3.0) < 1e-6)
+    assert(got((0L, 0L))._3 == 1.0)     // diagonal corr
+    assert(got((0L, 1L))._3 == 1.0)     // dim1 = 2*dim0
+    assert(got((0L, 2L))._3 == -1.0)    // dim2 = -dim0
+    assert(math.abs(got((0L, 1L))._2 - 4.0 / 3.0) < 1e-6) // cov(x, 2x) = 2 var
+  }
+
   test("knnGraph matches bruteForceKnn with every vector as query; hubness degrees reconcile") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val graph = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3)
