@@ -1405,6 +1405,27 @@ object SparkEntry {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // ---- retrieval eval: MRR / DCG@5 / nDCG@5 under label relevance ------
+    "q_rank_metrics" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val run = Similarity.bruteForceKnn(emb, emb.where(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5)
+      Retrieval.rankMetrics(run, emb, "vec_id", "label", k = 5)
+        .orderBy(col("query_id"))
+    }),
+
+    // ---- order preservation: Kendall tau between the exact and the LSH-
+    // bucketed rankings (the quality axis recall@k cannot see) -------------
+    "q_rank_agreement" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.where(col("vec_id") < 8)
+      Retrieval.rankAgreement(
+        Similarity.bruteForceKnn(emb, qs, "vec_id", "embedding", k = 5),
+        Similarity.bucketedKnn(emb, qs, "vec_id", "embedding", k = 5, planes = 4, dim = 64),
+        k = 5)
+        .orderBy(col("query_id"))
+    }),
+
     // ---- quality-aware dedup representative: per near-dup cluster, keep
     // the highest-quality member (not the lowest id) -----------------------
     "q_cluster_best" -> ((s, dir) => {
@@ -3949,6 +3970,81 @@ object SparkEntry {
         |  SELECT d1, d2, round(dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) AS sim
         |  FROM p JOIN nm na ON p.d1 = na.d JOIN nm nb ON p.d2 = nb.d)
         |WHERE sim >= 0.9 ORDER BY d1, d2""".stripMargin,
+
+    // rank metrics: DCG discounts injected as driver-computed literals on
+    // BOTH sides (libm log2 may differ in the last ulp; a literal cannot)
+    "q_rank_metrics" -> {
+      val k = 5
+      val disc = graft.operators.Retrieval.dcgDiscounts(k)
+      val discArr = "[" + disc.mkString(", ") + "]"
+      val cumArr = "[" + disc.scanLeft(0.0)(_ + _).tail.mkString(", ") + "]"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q0 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+         |sc AS (SELECT query_id, vec_id AS neighbor_id, round(${cosineSql("qv", "v")}, 6) AS sim
+         |       FROM q0, e WHERE query_id <> vec_id),
+         |r AS (SELECT query_id, neighbor_id, rn AS rank FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+         |        FROM sc) WHERE rn <= $k),
+         |lab AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS lab FROM embeddings WHERE label IS NOT NULL),
+         |cnt AS (SELECT lab, CAST(count(*) AS BIGINT) AS cnt FROM lab GROUP BY 1),
+         |j AS (SELECT r.query_id, r.rank, ql.lab AS qlab,
+         |        CASE WHEN nl.lab = ql.lab THEN 1 ELSE 0 END AS rel
+         |      FROM r JOIN lab ql ON r.query_id = ql.id JOIN lab nl ON r.neighbor_id = nl.id),
+         |g AS (SELECT query_id, qlab,
+         |        CAST(sum(rel) AS BIGINT) AS n_rel_at_k,
+         |        min(CASE WHEN rel = 1 THEN rank END) AS fr,
+         |        sum(CASE WHEN rel = 1 THEN ($discArr)[rank] ELSE 0.0 END) AS dcg
+         |      FROM j GROUP BY 1, 2),
+         |f AS (SELECT g.*, greatest(cnt - 1, 0) AS nrel FROM g JOIN cnt ON g.qlab = cnt.lab)
+         |SELECT query_id,
+         |  CAST(coalesce(fr, 0) AS BIGINT) AS first_rel_rank,
+         |  n_rel_at_k,
+         |  CAST(round(CASE WHEN fr IS NOT NULL THEN CAST(1.0 AS DOUBLE) / fr ELSE 0.0 END, 6) AS DOUBLE) AS mrr,
+         |  CAST(round(dcg, 6) AS DOUBLE) AS dcg,
+         |  CAST(round(CASE WHEN nrel >= 1 THEN ($cumArr)[least(nrel, $k)] ELSE 0.0 END, 6) AS DOUBLE) AS idcg,
+         |  CAST(round(CASE WHEN nrel >= 1 AND ($cumArr)[least(nrel, $k)] > 0
+         |        THEN dcg / ($cumArr)[least(nrel, $k)] ELSE 0.0 END, 6) AS DOUBLE) AS ndcg
+         |FROM f ORDER BY query_id""".stripMargin
+    },
+
+    // rank agreement: integer concordant/discordant counts over the items
+    // shared by the exact and bucketed top-5 lists
+    "q_rank_agreement" -> {
+      val k = 5
+      val bucketExpr = bucketExprSql(4, 64)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q0 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+         |sc AS (SELECT query_id, vec_id AS neighbor_id, round(${cosineSql("qv", "v")}, 6) AS sim
+         |       FROM q0, e WHERE query_id <> vec_id),
+         |ra AS (SELECT query_id, neighbor_id, rn AS rka FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+         |         FROM sc) WHERE rn <= $k),
+         |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+         |qb AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 8),
+         |sb AS (SELECT query_id, b.vec_id AS neighbor_id, round(${cosineSql("qv", "b.v")}, 6) AS sim
+         |       FROM qb JOIN b USING (bucket) WHERE query_id <> b.vec_id),
+         |rb AS (SELECT query_id, neighbor_id, rn AS rkb FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+         |         FROM sb) WHERE rn <= $k),
+         |sh AS (SELECT ra.query_id, ra.neighbor_id, rka, rkb
+         |       FROM ra JOIN rb ON ra.query_id = rb.query_id AND ra.neighbor_id = rb.neighbor_id),
+         |ns AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_shared FROM sh GROUP BY 1),
+         |pr AS (SELECT a.query_id,
+         |         CASE WHEN (a.rka < b.rka AND a.rkb < b.rkb) OR (a.rka > b.rka AND a.rkb > b.rkb)
+         |              THEN 1 ELSE 0 END AS conc
+         |       FROM sh a JOIN sh b ON a.query_id = b.query_id AND a.neighbor_id < b.neighbor_id),
+         |pc AS (SELECT query_id, CAST(sum(conc) AS BIGINT) AS concordant,
+         |         CAST(sum(1 - conc) AS BIGINT) AS discordant
+         |       FROM pr GROUP BY 1)
+         |SELECT ns.query_id, ns.n_shared,
+         |  coalesce(pc.concordant, 0) AS concordant,
+         |  coalesce(pc.discordant, 0) AS discordant,
+         |  round(CASE WHEN ns.n_shared >= 2
+         |    THEN CAST(coalesce(pc.concordant, 0) - coalesce(pc.discordant, 0) AS DOUBLE)
+         |         / (ns.n_shared * (ns.n_shared - 1) / 2)
+         |    ELSE 0.0 END, 6) AS tau
+         |FROM ns LEFT JOIN pc ON ns.query_id = pc.query_id ORDER BY ns.query_id""".stripMargin
+    },
 
     // quality-aware representative: the q_dedup_clusters closure joined to
     // the q_quality score, argmax per component via a deterministic window

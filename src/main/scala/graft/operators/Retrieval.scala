@@ -156,4 +156,101 @@ object Retrieval {
       out.iterator
     }.toDF("query_id", "rank", "doc_id", "score")
   }
+
+  /** DCG discount table 1/log2(i+1) for ranks 1..k, computed ONCE on the
+    * driver and embedded as literals in the plan (and, by the caller, in
+    * the oracle SQL) — engines' libm log2 may differ in the last ulp, but
+    * a literal is a literal everywhere.
+    */
+  private[graft] def dcgDiscounts(k: Int): Seq[Double] =
+    (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+
+  /** Ranking-quality metrics for a retrieval run under label relevance:
+    * per query, the first relevant rank, MRR, DCG@k / ideal-DCG@k / nDCG@k
+    * — the standard eval battery run over every ANN index and fused ranker
+    * before it ships. A neighbor is relevant when it carries the query's
+    * label; the ideal DCG uses the corpus-wide count of other same-label
+    * items (capped at k), so nDCG = 1 means "as good as any ordering could
+    * be given the corpus".
+    *
+    * Determinism: ranks and relevance are integers; the only reals are
+    * the DCG discounts, which are injected as driver-computed literals
+    * ([[dcgDiscounts]]) — mirror them into the oracle as literals too.
+    * Physical shape: the run is k-sized per query; two broadcast-size
+    * label joins, a label-keyed corpus count, one per-query aggregation.
+    */
+  def rankMetrics(run: DataFrame, labels: DataFrame, id: String, label: String,
+      k: Int): DataFrame = {
+    val disc = dcgDiscounts(k)
+    val discCol = array(disc.map(lit): _*)
+    val cumCol = array(disc.scanLeft(0.0)(_ + _).tail.map(lit): _*)
+    val lab = labels.where(col(label).isNotNull)
+      .select(col(id).cast("long").as("__id"), col(label).cast("long").as("__lab"))
+    // relevant-per-label corpus counts (minus self: a query can't retrieve itself)
+    val labCounts = lab.groupBy(col("__lab")).agg(count(lit(1)).as("__cnt"))
+    val scored = run.where(col("rank") <= k)
+      .join(lab.select(col("__id").as("query_id"), col("__lab").as("__qlab")), Seq("query_id"))
+      .join(lab.select(col("__id").as("neighbor_id"), col("__lab").as("__nlab")), Seq("neighbor_id"))
+      .withColumn("__rel", (col("__qlab") === col("__nlab")).cast("long"))
+    scored
+      .groupBy(col("query_id"), col("__qlab"))
+      .agg(
+        sum(col("__rel")).as("n_rel_at_k"),
+        min(when(col("__rel") === 1, col("rank"))).as("__fr"),
+        sum(when(col("__rel") === 1, element_at(discCol, col("rank").cast("int")))
+          .otherwise(lit(0.0))).as("__dcg"))
+      .join(broadcast(labCounts.withColumnRenamed("__lab", "__qlab")), Seq("__qlab"))
+      .withColumn("__nrel", greatest(col("__cnt") - 1, lit(0L))) // exclude the query itself
+      .withColumn("__idcg",
+        when(col("__nrel") >= 1,
+          element_at(cumCol, least(col("__nrel"), lit(k.toLong)).cast("int")))
+          .otherwise(lit(0.0)))
+      .select(
+        col("query_id"),
+        coalesce(col("__fr"), lit(0L)).cast("long").as("first_rel_rank"),
+        col("n_rel_at_k"),
+        round(when(col("__fr").isNotNull, lit(1.0) / col("__fr")).otherwise(lit(0.0)), 6).as("mrr"),
+        round(col("__dcg"), 6).as("dcg"),
+        round(col("__idcg"), 6).as("idcg"),
+        round(when(col("__idcg") > 0, col("__dcg") / col("__idcg")).otherwise(lit(0.0)), 6)
+          .as("ndcg"))
+  }
+
+  /** Kendall rank agreement between two runs' top-k lists, per query —
+    * order preservation, the ANN quality axis recall@k cannot see (an
+    * index can fetch the right k items in a scrambled order). Over the
+    * items PRESENT IN BOTH lists: τ = (concordant − discordant) /
+    * (n(n−1)/2). Ranks are unique within a run, so there are no ties and
+    * the counts are exact integers; the only real number is the final
+    * ratio. Work is k²-bounded per query (the runs were paid upstream).
+    */
+  def rankAgreement(runA: DataFrame, runB: DataFrame, k: Int): DataFrame = {
+    val a = runA.where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("__ra"))
+    val b = runB.where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("__rb"))
+    val shared = a.join(b, Seq("query_id", "neighbor_id"))
+    val p1 = shared.select(col("query_id"), col("neighbor_id").as("__i1"),
+      col("__ra").as("__a1"), col("__rb").as("__b1"))
+    val p2 = shared.select(col("query_id"), col("neighbor_id").as("__i2"),
+      col("__ra").as("__a2"), col("__rb").as("__b2"))
+    val pairs = p1.join(p2, Seq("query_id")).where(col("__i1") < col("__i2"))
+      .withColumn("__conc",
+        (((col("__a1") < col("__a2")) && (col("__b1") < col("__b2"))) ||
+          ((col("__a1") > col("__a2")) && (col("__b1") > col("__b2")))).cast("long"))
+    val counts = shared.groupBy(col("query_id")).agg(count(lit(1)).as("n_shared"))
+    pairs.groupBy(col("query_id"))
+      .agg(
+        sum(col("__conc")).as("concordant"),
+        sum(lit(1L) - col("__conc")).as("discordant"))
+      .join(counts, Seq("query_id"), "right_outer")
+      .select(col("query_id"), col("n_shared"),
+        coalesce(col("concordant"), lit(0L)).as("concordant"),
+        coalesce(col("discordant"), lit(0L)).as("discordant"),
+        round(
+          when(col("n_shared") >= 2,
+            (coalesce(col("concordant"), lit(0L)) - coalesce(col("discordant"), lit(0L)))
+              .cast("double") / (col("n_shared") * (col("n_shared") - 1) / 2))
+            .otherwise(lit(0.0)), 6).as("tau"))
+  }
 }

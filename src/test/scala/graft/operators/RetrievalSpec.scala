@@ -93,6 +93,52 @@ class RetrievalSpec extends SparkSpec {
     assert(got.toSeq == Seq(20L, 10L, 30L)) // 0.8 tie -> smaller id first
   }
 
+  test("rankMetrics: hand-computed MRR/DCG/nDCG; no-relevant queries score zero") {
+    val sp = spark
+    import sp.implicits._
+    // query 1 (label 0): relevant at ranks 2 and 3; the corpus holds exactly
+    // those two other label-0 items, so the ideal ordering is (1,2) -> nrel=2
+    // query 2 (label 9): nothing relevant in its list; one other label-9 item exists
+    val run = Seq(
+      (1L, 11L, 1L), (1L, 12L, 2L), (1L, 13L, 3L), (1L, 14L, 4L), (1L, 15L, 5L),
+      (2L, 11L, 1L), (2L, 12L, 2L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val labels = Seq(
+      (1L, 0), (2L, 9), (11L, 7), (12L, 0), (13L, 0), (14L, 7), (15L, 7), (16L, 9))
+      .toDF("vec_id", "label")
+    val got = Retrieval.rankMetrics(run, labels, "vec_id", "label", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        (r.getAs[Long]("first_rel_rank"), r.getAs[Long]("n_rel_at_k"), r.getAs[Double]("mrr"),
+          r.getAs[Double]("dcg"), r.getAs[Double]("idcg"), r.getAs[Double]("ndcg")))).toMap
+    val d = Retrieval.dcgDiscounts(5)
+    val dcg1 = BigDecimal(d(1) + d(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val idcg1 = BigDecimal(d(0) + d(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._1 == 2L && got(1L)._2 == 2L && got(1L)._3 == 0.5)
+    assert(got(1L)._4 == dcg1 && got(1L)._5 == idcg1)
+    assert(math.abs(got(1L)._6 - (d(1) + d(2)) / (d(0) + d(1))) < 1e-6)
+    assert(got(2L) == ((0L, 0L, 0.0, 0.0, 1.0, 0.0))) // idcg=1 (one relevant exists), dcg=0
+  }
+
+  test("rankAgreement: identical order gives tau 1, full reversal -1, missing items shrink n_shared") {
+    val sp = spark
+    import sp.implicits._
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L),
+      (2L, 10L, 1L), (2L, 20L, 2L), (2L, 30L, 3L),
+      (3L, 10L, 1L), (3L, 20L, 2L), (3L, 99L, 3L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L), // same order
+      (2L, 30L, 1L), (2L, 20L, 2L), (2L, 10L, 3L),           // reversed
+      (3L, 20L, 1L), (3L, 10L, 2L), (3L, 77L, 3L))           // one swap, one item missing
+      .toDF("query_id", "neighbor_id", "rank")
+    val got = Retrieval.rankAgreement(a, b, k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        (r.getAs[Long]("n_shared"), r.getAs[Long]("concordant"), r.getAs[Long]("discordant"),
+          r.getAs[Double]("tau")))).toMap
+    assert(got(1L) == ((3L, 3L, 0L, 1.0)))
+    assert(got(2L) == ((3L, 0L, 3L, -1.0)))
+    assert(got(3L) == ((2L, 0L, 1L, -1.0))) // only 10,20 shared; their order flipped
+  }
+
   test("mmr: result is invariant to input partitioning and row order") {
     val sp = spark
     import sp.implicits._
