@@ -1405,6 +1405,22 @@ object SparkEntry {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // ---- boilerplate n-gram coverage: per-doc fraction of 3-gram
+    // occurrences that appear in > 60% of documents ------------------------
+    "q_boilerplate" -> ((s, dir) => {
+      TextAnalysis.boilerplateCoverage(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, minDfPct = 60)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- semantic source map: cosine between per-source mean embeddings --
+    "q_source_centroids" -> ((s, dir) => {
+      val joined = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+      Similarity.groupCentroidCosine(joined, "source", "embedding")
+        .orderBy(col("g1"), col("g2"))
+    }),
+
     // ---- retrieval eval: MRR / DCG@5 / nDCG@5 under label relevance ------
     "q_rank_metrics" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -3970,6 +3986,38 @@ object SparkEntry {
         |  SELECT d1, d2, round(dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) AS sim
         |  FROM p JOIN nm na ON p.d1 = na.d JOIN nm nb ON p.d2 = nb.d)
         |WHERE sim >= 0.9 ORDER BY d1, d2""".stripMargin,
+
+    // boilerplate coverage: doc-distinct grams -> df blocklist; the per-doc
+    // occurrence stream left-joins it; integer counts, one final ratio
+    "q_boilerplate" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id,
+        |    unnest([array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks) - 2)]) AS gm
+        |  FROM d WHERE len(toks) >= 3),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE text IS NOT NULL),
+        |bl AS (SELECT gm FROM (SELECT gm, count(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+        |       CROSS JOIN n WHERE df * 100 > n.n * 60)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN bl.gm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  round(sum(CASE WHEN bl.gm IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS boiler_frac
+        |FROM g LEFT JOIN bl ON g.gm = bl.gm
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // source centroids: per-(source, dim) means from aligned unnests, then
+    // a dim-keyed pair join — the semantic face of q_source_similarity
+    "q_source_centroids" ->
+      s"""WITH j AS (SELECT d.source, e.embedding::DOUBLE[] AS v
+         |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+         |  WHERE e.embedding IS NOT NULL),
+         |l AS (SELECT source, unnest(generate_series(1, len(v))) AS i, unnest(v) AS x FROM j),
+         |c AS (SELECT source, i, avg(x) AS c FROM l GROUP BY 1, 2),
+         |nm AS (SELECT source, sqrt(sum(c * c)) AS n FROM c GROUP BY 1),
+         |p AS (SELECT a.source AS g1, b.source AS g2, sum(a.c * b.c) AS dot
+         |      FROM c a JOIN c b ON a.i = b.i AND a.source < b.source GROUP BY 1, 2)
+         |SELECT g1, g2, round(dot / (na.n * nb.n), 6) AS cosine
+         |FROM p JOIN nm na ON p.g1 = na.source JOIN nm nb ON p.g2 = nb.source
+         |ORDER BY g1, g2""".stripMargin,
 
     // rank metrics: DCG discounts injected as driver-computed literals on
     // BOTH sides (libm log2 may differ in the last ulp; a literal cannot)

@@ -158,6 +158,37 @@ object Similarity {
         col("neighbor_label"), col("sim"), col("__rn").cast("long").as("rank"))
   }
 
+  /** Pairwise cosine similarity between per-group mean embeddings — the
+    * semantic twin of [[TextAnalysis.groupVocabCosine]]: where that one
+    * compares what sources SAY (token distributions), this compares where
+    * they LIVE in embedding space — the domain-shift map that decides
+    * whether two crawls can share a sampling budget or need separate
+    * mixture weights.
+    *
+    * Long-format posexplode into one map-side-combinable (group, dim)
+    * mean, then a dim-keyed self-join whose work is groups²·dims —
+    * group-bounded, never corpus-bounded. Sums of float-derived doubles
+    * feed the 6-dp-rounded cosine (ulp noise is 9 orders below the
+    * rounding grain).
+    */
+  def groupCentroidCosine(df: DataFrame, group: String, vec: String): DataFrame = {
+    val long = df.where(col(vec).isNotNull)
+      .select(col(group).as("__g"), posexplode(col(vec).cast("array<double>")))
+      .select(col("__g"), col("pos").as("__i"), col("col").as("__x"))
+    val cent = long.groupBy(col("__g"), col("__i")).agg(avg(col("__x")).as("__c"))
+    val norms = cent.groupBy(col("__g")).agg(sqrt(sum(col("__c") * col("__c"))).as("__n"))
+    val a = cent.select(col("__g").as("g1"), col("__i"), col("__c").as("__c1"))
+    val b = cent.select(col("__g").as("g2"), col("__i"), col("__c").as("__c2"))
+    a.join(b, Seq("__i"))
+      .where(col("g1") < col("g2"))
+      .groupBy(col("g1"), col("g2"))
+      .agg(sum(col("__c1") * col("__c2")).as("__dot"))
+      .join(broadcast(norms.select(col("__g").as("g1"), col("__n").as("__n1"))), Seq("g1"))
+      .join(broadcast(norms.select(col("__g").as("g2"), col("__n").as("__n2"))), Seq("g2"))
+      .select(col("g1"), col("g2"),
+        round(col("__dot") / (col("__n1") * col("__n2")), 6).as("cosine"))
+  }
+
   /** Per-dimension covariance/correlation matrix of the embedding corpus —
     * the input to whitening, PCA-style dimensionality decisions, and
     * product-quantizer subspace design (strongly correlated dims in one

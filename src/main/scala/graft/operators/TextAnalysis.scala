@@ -702,6 +702,44 @@ object TextAnalysis {
         round(col("n_distinct").cast("double") / col("n_grams"), 6).as("ttr"))
   }
 
+  /** Boilerplate n-gram mining + per-document coverage: n-grams present in
+    * more than `minDfPct`% of documents are, by definition, template
+    * chrome (navigation, licence lines, generated scaffolding) — the
+    * blocklist a line/span-level cleaner consumes. The coverage face
+    * scores each document by the fraction of its n-gram OCCURRENCES that
+    * are boilerplate — a template-spam ranking signal that document-level
+    * dedup never fires on.
+    *
+    * Two corpus passes, both combinable: doc-distinct grams → df (the
+    * blocklist is df-bounded); the per-doc occurrence stream joins the
+    * blocklist gram-keyed. Integer counts throughout; the only real is
+    * the final ratio.
+    */
+  def boilerplateCoverage(df: DataFrame, id: String, text: String, n: Int,
+      minDfPct: Int): DataFrame = {
+    require(minDfPct >= 1 && minDfPct <= 100, s"minDfPct in [1,100], got $minDfPct")
+    val toks = filter(tokens(col(text)), t => t =!= "")
+    val base = df.where(col(text).isNotNull && size(toks) >= n)
+      .withColumn("__toks", toks)
+      .select(col(id).as("__d"), explode(expr(
+        s"transform(sequence(0, size(__toks) - $n), i -> array_join(slice(__toks, i + 1, $n), ' '))"))
+        .as("__g"))
+    val nDocs = df.where(col(text).isNotNull).agg(count(lit(1)).as("__n"))
+    val blocklist = base.select(col("__d"), col("__g")).distinct()
+      .groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+      .join(broadcast(nDocs))
+      .where(col("__df") * 100 > col("__n") * minDfPct)
+      .select(col("__g"), lit(1L).as("__boiler"))
+    base
+      .join(blocklist, Seq("__g"), "left_outer")
+      .groupBy(col("__d"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__boiler"), lit(0L))).as("n_boiler"))
+      .select(col("__d").as(id), col("n_grams"), col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_grams"), 6).as("boiler_frac"))
+  }
+
   /** Token co-occurrence lift — the association-mining table behind GloVe
     * co-occurrence matrices and phrase/collocation detection: for every
     * unordered token pair appearing together in at least `minCount`

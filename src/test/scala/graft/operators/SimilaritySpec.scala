@@ -295,6 +295,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq((2L, 1L, 1L), (3L, 1L, 2L))) // 1 and 4 excluded; 2 is hardest
   }
 
+  test("groupCentroidCosine: aligned groups cosine 1, orthogonal groups cosine 0") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      ("A", Array(1.0f, 0.0f)), ("A", Array(3.0f, 0.0f)),   // centroid (2, 0)
+      ("B", Array(0.0f, 2.0f)), ("B", Array(0.0f, 4.0f)),   // centroid (0, 3)
+      ("C", Array(5.0f, 0.0f)),                             // centroid (5, 0) ∥ A
+      ("D", null.asInstanceOf[Array[Float]]))               // null-only group vanishes
+      .toDF("source", "embedding")
+    val got = Similarity.groupCentroidCosine(df, "source", "embedding")
+      .collect().map(r => ((r.getAs[String]("g1"), r.getAs[String]("g2")), r.getAs[Double]("cosine")))
+      .toMap
+    assert(got(("A", "C")) == 1.0)
+    assert(got(("A", "B")) == 0.0)
+    assert(got(("B", "C")) == 0.0)
+    assert(got.size == 3) // D contributed nothing
+  }
+
   test("covarianceMatrix: hand moments — perfect correlation, anti-correlation, diagonal = 1") {
     val sp = spark
     import sp.implicits._

@@ -419,6 +419,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.get((1L, 3L)).forall(_ < got((1L, 2L)))) // boilerplate-ish 'mid' scores lower
   }
 
+  test("boilerplateCoverage: common template grams flagged, unique content not") {
+    val sp = spark
+    import sp.implicits._
+    // 'site nav here' opens 3 of 4 docs (75% > 60%); bodies are unique
+    val df = Seq(
+      (1L, "site nav here alpha beta gamma"),
+      (2L, "site nav here delta epsilon zeta"),
+      (3L, "site nav here eta theta iota"),
+      (4L, "completely different text body now"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateCoverage(df, "doc_id", "text", n = 3, minDfPct = 60)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_boiler"), r.getAs[Double]("boiler_frac"))))
+      .toMap
+    // 6 tokens -> 4 trigrams; only 'site nav here' crosses the df bar
+    assert(got(1L) == ((4L, 1L, 0.25)))
+    assert(got(2L) == ((4L, 1L, 0.25)))
+    assert(got(3L) == ((4L, 1L, 0.25)))
+    assert(got(4L) == ((3L, 0L, 0.0))) // 5 tokens -> 3 trigrams, none common
+  }
+
   test("ngramDiversity: repeated templates crater the ttr; short docs skipped") {
     val sp = spark
     import sp.implicits._
