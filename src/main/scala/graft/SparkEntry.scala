@@ -1535,6 +1535,19 @@ object SparkEntry {
       Retrieval.mmr(cands, "query_id", "neighbor_id", "rel", "embedding",
         k = 8, lambda = 0.7)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- first-order Markov transition matrix over per-user event streams
+    "q_event_transitions" -> ((s, dir) => {
+      EventAnalytics.transitionMatrix(events(s, dir), "user_id", "ts_us",
+        "event_id", "event_type")
+        .orderBy(col("prev_type"), col("next_type"))
+    }),
+
+    // ---- DAU / trailing-7-day rolling WAU / stickiness -------------------
+    "q_active_users" -> ((s, dir) => {
+      EventAnalytics.activeUsers(events(s, dir), "user_id", "ts_us")
+        .orderBy(col("day"))
     })
   )
 
@@ -4244,7 +4257,35 @@ object SparkEntry {
          |  unnest([ids[CAST(string_split(p,'@')[1] AS INT)] FOR p IN picks]) AS doc_id,
          |  unnest([floor(CAST(string_split(p,'@')[2] AS DOUBLE) * 1000000.0) / 1000000.0 FOR p IN picks]) AS score
          |FROM sel ORDER BY query_id, rank""".stripMargin
-    }
+    },
+
+    // Markov transitions: (ts_us, event_id) is unique per user so the lag
+    // pairing is total-order deterministic; prob is a double division of
+    // two exact longs in both engines, floor-quantized
+    "q_event_transitions" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |p AS (SELECT lag(event_type) OVER (PARTITION BY u ORDER BY ts_us, event_id) AS prev_type,
+        |             event_type AS next_type FROM e),
+        |c AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n FROM p
+        |      WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  floor((CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type)) * 1000000.0) / 1000000.0 AS prob
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
+
+    // DAU/WAU: the rolling 7-day distinct is re-expressed as a ×7 coverage
+    // fan-out of the deduped (user, day) activity set — identical row sets
+    // in both engines, stickiness a floor-quantized exact-long ratio
+    "q_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS d
+        |  FROM events WHERE user_id IS NOT NULL),
+        |dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY d),
+        |cov AS (SELECT DISTINCT u, cd FROM
+        |        (SELECT u, unnest(generate_series(d, d + 6)) AS cd FROM ud)),
+        |wau AS (SELECT cd, CAST(count(*) AS BIGINT) AS wau FROM cov GROUP BY cd)
+        |SELECT d AS day, dau, wau,
+        |  floor((CAST(dau AS DOUBLE) / wau) * 1000000.0) / 1000000.0 AS stickiness
+        |FROM dau JOIN wau ON d = cd ORDER BY day""".stripMargin
   )
 
   /** DuckDB fragment mirroring [[Sampling.hashBucket]] over `doc_id` with the

@@ -132,4 +132,69 @@ object EventAnalytics {
         concat_ws(" ", slice(transform(col("__evs"), e => e.getField("__tok")), 1, maxLen))
           .as("seq"))
   }
+
+  /** First-order Markov transition matrix over per-user event streams: for
+    * each consecutive pair of events of one user (time order, `tieBreak`
+    * breaking equal timestamps deterministically), count the
+    * `(prev_type, next_type)` transition and normalize per source state —
+    * the "what do users do next" matrix behind next-event prediction and
+    * behavior-sequence QA.
+    *
+    * Output: `(prev_type, next_type, n, prob)`, `prob = n / Σ_next n`
+    * floor-quantized to 6 places (a ratio of two engine-exact longs).
+    *
+    * Plan shape: ONE user-keyed window (`lag` over the per-user sort — the
+    * shuffle is on the user key, skew bounded by the busiest user, the same
+    * partitioning every per-user operator here uses) feeding ONE map-side
+    * combinable count over `(prev, next)`. The normalizing totals come from
+    * a window over the PAIR table, which is bounded by `|types|²` rows —
+    * control-plane sized at any corpus scale.
+    */
+  def transitionMatrix(df: DataFrame, user: String, ts: String, tieBreak: String,
+      eventType: String): DataFrame = {
+    val w = Window.partitionBy(col("__u")).orderBy(col("__ts"), col("__tb"))
+    val pairs = df.where(col(user).isNotNull && col(ts).isNotNull)
+      .select(col(user).as("__u"), col(ts).as("__ts"), col(tieBreak).as("__tb"),
+        col(eventType).as("next_type"))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    // |types|²-bounded frame: the normalizing window is control-plane sized
+    val wt = Window.partitionBy(col("prev_type"))
+    pairs
+      .withColumn("prob", quantize6(col("n") / sum(col("n")).over(wt)))
+      .select(col("prev_type"), col("next_type"), col("n"), col("prob"))
+  }
+
+  /** Daily active users with a trailing-7-day rolling reach: for every day
+    * with any activity, `dau` = distinct users that day, `wau` = distinct
+    * users over that day and the 6 preceding days, `stickiness` =
+    * `dau / wau` (the DAU/WAU engagement ratio) floor-quantized. Day
+    * buckets are epoch-day integers of the event-time micros.
+    *
+    * Plan shape: rolling DISTINCT does not distribute as a window — instead
+    * each distinct `(user, day)` activity row fans out to the 7 future days
+    * it covers (a map-only `sequence` explode, constant ×7), and one
+    * distinct + count per covered day yields the rolling reach. Every
+    * shuffle is keyed by `(user, day)` or by the day cell; output is
+    * bounded by the day span. This is the scale-safe shape: no
+    * re-aggregation of 7-day windows per day, no driver loop, and the ×7
+    * fan-out happens AFTER the `(user, day)` dedup has already collapsed
+    * the corpus to its per-day user sets.
+    */
+  def activeUsers(df: DataFrame, user: String, ts: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ud = df.where(col(user).isNotNull)
+      .select(col(user).as("__u"), expr(s"$ts DIV ${dayUs}L").as("__day"))
+      .distinct()
+    val dau = ud.groupBy(col("__day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("__u"), explode(sequence(col("__day"), col("__day") + lit(6L))).as("__cover"))
+      .distinct()
+      .groupBy(col("__cover")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, col("__day") === col("__cover"))
+      .select(col("__day").as("day"), col("dau"), col("wau"),
+        quantize6(col("dau") / col("wau")).as("stickiness"))
+  }
 }

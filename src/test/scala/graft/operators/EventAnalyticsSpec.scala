@@ -89,4 +89,50 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got(2L) == ((2L, "x y")))
     assert(!got.contains(3L))
   }
+
+  test("transitionMatrix: per-user consecutive pairs, per-source normalization, tie order") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      // u1: a -> b -> a  (pairs: a->b, b->a)
+      (Some(1L), 10L, 1L, "a"), (Some(1L), 20L, 2L, "b"), (Some(1L), 30L, 3L, "a"),
+      // u2: a -> a at EQUAL ts: event_id breaks the tie (4 before 5), then -> c
+      (Some(2L), 10L, 4L, "a"), (Some(2L), 10L, 5L, "a"), (Some(2L), 40L, 6L, "c"),
+      // u3: single event -> contributes no pair; null user dropped
+      (Some(3L), 1L, 7L, "b"), (Option.empty[Long], 2L, 8L, "a"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventAnalytics.transitionMatrix(rows, "user_id", "ts", "event_id", "event_type")
+      .collect()
+      .map(r => ((r.getAs[String]("prev_type"), r.getAs[String]("next_type")),
+        (r.getAs[Long]("n"), r.getAs[Double]("prob"))))
+      .toMap
+    // from 'a': a->b (u1), a->a (u2 tie pair), a->c (u2) — each 1/3
+    assert(got((("a", "b"))) == ((1L, 0.333333)))
+    assert(got((("a", "a"))) == ((1L, 0.333333)))
+    assert(got((("a", "c"))) == ((1L, 0.333333)))
+    assert(got((("b", "a"))) == ((1L, 1.0)))
+    assert(got.size == 4) // u3's lone event and the null user emit nothing
+  }
+
+  test("activeUsers: rolling 7-day reach counts each user once per window") {
+    val sp = spark
+    import sp.implicits._
+    val day = 86400000000L
+    val rows = Seq(
+      (1L, 0L * day), (1L, 0L * day + 5L), // same user+day twice: one DAU
+      (2L, 0L * day),
+      (1L, 3L * day), // re-activity inside the 7-day window of day 0
+      (3L, 10L * day)) // isolated late user
+      .toDF("user_id", "ts")
+    val got = EventAnalytics.activeUsers(rows, "user_id", "ts")
+      .collect()
+      .map(r => (r.getAs[Long]("day"),
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau"), r.getAs[Double]("stickiness"))))
+      .toMap
+    assert(got(0L) == ((2L, 2L, 1.0)))
+    // day 3: u1 active; window [−3..3] covers u1 (twice — counted once) and u2
+    assert(got(3L) == ((1L, 2L, 0.5)))
+    assert(got(10L) == ((1L, 1L, 1.0))) // day 3's coverage ends at day 9
+    assert(got.size == 3) // only days with activity are reported
+  }
 }
