@@ -1548,6 +1548,21 @@ object SparkEntry {
     "q_active_users" -> ((s, dir) => {
       EventAnalytics.activeUsers(events(s, dir), "user_id", "ts_us")
         .orderBy(col("day"))
+    }),
+
+    // ---- MAD robust outliers (modified z-score, median/MAD fences) -------
+    "q_mad_outliers" -> ((s, dir) => {
+      TimeSeries.madOutliers(
+        events(s, dir).select(col("event_type").as("pvname"), col("ts_us"), col("value")),
+        "pvname", "ts_us", "value", zThresh = 3.5)
+        .orderBy(col("pvname"), col("ts_us"))
+    }),
+
+    // ---- calendar-adjusted anomalies vs the hour x dow seasonal profile --
+    "q_seasonal_residual" -> ((s, dir) => {
+      TimeSeries.seasonalResidual(
+        events(s, dir).select(col("event_type").as("pvname"), col("ts_us"), col("value")),
+        "pvname", "ts_us", "value", topN = 50)
     })
   )
 
@@ -4285,7 +4300,40 @@ object SparkEntry {
         |wau AS (SELECT cd, CAST(count(*) AS BIGINT) AS wau FROM cov GROUP BY cd)
         |SELECT d AS day, dau, wau,
         |  floor((CAST(dau AS DOUBLE) / wau) * 1000000.0) / 1000000.0 AS stickiness
-        |FROM dau JOIN wau ON d = cd ORDER BY day""".stripMargin
+        |FROM dau JOIN wau ON d = cd ORDER BY day""".stripMargin,
+
+    // MAD outliers: quantile_cont == Spark percentile (the q_winsorize
+    // parity); the modified-z cut compares the 6-dp-rounded score on both
+    // sides so the boundary can't flap on ulps
+    "q_mad_outliers" ->
+      """WITH b AS (SELECT event_type AS pvname, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |m AS (SELECT pvname, quantile_cont(v, CAST(0.5 AS DOUBLE)) AS med FROM b GROUP BY 1),
+        |d AS (SELECT b.pvname, ts_us, v, med FROM b JOIN m USING (pvname)),
+        |md AS (SELECT pvname, quantile_cont(abs(v - med), CAST(0.5 AS DOUBLE)) AS mad
+        |       FROM d GROUP BY 1),
+        |z AS (SELECT d.pvname, ts_us, v, med, mad,
+        |        round(0.6745 * (v - med) / mad, 6) AS robust_z
+        |      FROM d JOIN md USING (pvname) WHERE mad > 0)
+        |SELECT pvname, ts_us, v AS value, round(med, 6) AS med, round(mad, 6) AS mad, robust_z
+        |FROM z WHERE abs(robust_z) > 3.5 ORDER BY pvname, ts_us""".stripMargin,
+
+    // seasonal residuals: integer calendar cells, 6-dp cell means (the
+    // q_seasonal parity), residual quantized against the quantized mean;
+    // the top-N sort is a total order (|residual|, key, ts, value)
+    "q_seasonal_residual" ->
+      """WITH b AS (SELECT event_type AS pvname, epoch_us(ts) AS ts_us,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hour,
+        |    ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+        |    CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |c AS (SELECT pvname, hour, dow, CAST(count(*) AS BIGINT) AS cell_n,
+        |             round(avg(v), 6) AS cell_mean
+        |      FROM b GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+        |r AS (SELECT b.pvname, ts_us, v AS value, b.hour, b.dow, cell_n, cell_mean,
+        |             round(v - cell_mean, 6) AS residual
+        |      FROM b JOIN c USING (pvname, hour, dow))
+        |SELECT * FROM r ORDER BY abs(residual) DESC, pvname, ts_us, value LIMIT 50""".stripMargin
   )
 
   /** DuckDB fragment mirroring [[Sampling.hashBucket]] over `doc_id` with the

@@ -1060,4 +1060,81 @@ object TimeSeries {
       }
       .toDF(key, ts, "value", "level", "trend")
   }
+
+  /** Per-key MAD-based robust outliers — the median/MAD companion to
+    * [[trailingStats]]' mean/std z-score: global-per-key exact median,
+    * MAD = median of |v − median|, and the modified z-score
+    * `0.6745 · (v − med) / mad` (Iglewicz–Hoaglin). Spikes can't drag
+    * their own fence the way they inflate a std, so this flags exactly the
+    * glitches a contaminated z-score hides.
+    *
+    * Output: the OUTLIER rows only — `(key, ts, value, med, mad, robust_z)`
+    * with `|robust_z| > zThresh` on the 6-dp-rounded score (both engines
+    * compare the same quantized number, so the cut can't flap on ulps).
+    * Keys whose MAD is zero (over half the samples identical) emit nothing:
+    * the modified z is undefined there — [[flatline]] is the detector for
+    * those.
+    *
+    * Plan shape: two exact-percentile aggregations (median, then MAD over
+    * the residual — `percentile` == `quantile_cont`, the [[winsorize]]
+    * parity), each joined back as a per-key dimension row (broadcast-sized,
+    * AQE picks it up), then one codegen'd filter. No windows, no driver
+    * collect; output bounded by the outlier count.
+    */
+  def madOutliers(df: DataFrame, key: String, ts: String, value: String,
+      zThresh: Double = 3.5): DataFrame = {
+    require(zThresh > 0, s"zThresh must be positive, got $zThresh")
+    val base = df.where(col(value).isNotNull && col(key).isNotNull)
+      .select(col(key), col(ts), col(value).cast("double").as("__v"))
+    val med = base.groupBy(col(key))
+      .agg(expr("percentile(__v, 0.5D)").as("med"))
+    val withMed = base.join(med, Seq(key))
+    val mad = withMed.groupBy(col(key))
+      .agg(expr("percentile(abs(__v - med), 0.5D)").as("mad"))
+    withMed.join(mad, Seq(key))
+      .where(col("mad") > 0)
+      .withColumn("robust_z", round(lit(0.6745) * (col("__v") - col("med")) / col("mad"), 6))
+      .where(abs(col("robust_z")) > zThresh)
+      .select(col(key), col(ts), col("__v").as("value"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+        col("robust_z"))
+  }
+
+  /** Calendar-adjusted anomalies: each observation's residual against its
+    * key's [[seasonalProfile]] cell (hour-of-day × day-of-week mean), top-N
+    * by absolute residual — "unusual FOR 3am on a Sunday", which a global
+    * z-score can't express because the daily cycle dominates its variance.
+    *
+    * The cell means reuse the exact [[seasonalProfile]] integer calendar
+    * arithmetic; the residual is quantized to 6 places against the
+    * 6-dp-rounded cell mean (identical discrete numbers in both engines).
+    * Cells with fewer than `minN` samples are skipped — a 1-sample cell
+    * would declare its own observation perfectly normal.
+    *
+    * Plan shape: ONE combinable aggregation to the 168-cells-per-key
+    * profile, joined back on the (key, hour, dow) cell — a dimension-sized
+    * broadcast at any corpus scale — then a global top-N
+    * (`TakeOrderedAndProject`, no full sort). Deterministic order:
+    * (|residual| desc, key, ts).
+    */
+  def seasonalResidual(df: DataFrame, key: String, ts: String, value: String,
+      topN: Int, minN: Long = 2L): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val base = df.where(col(value).isNotNull && col(key).isNotNull)
+      .select(col(key),
+        col(ts),
+        (expr(s"$ts DIV 3600000000L") % 24).as("hour"),
+        ((expr(s"$ts DIV 86400000000L") + 4) % 7).as("dow"),
+        col(value).cast("double").as("__v"))
+    val cells = base.groupBy(col(key), col("hour"), col("dow"))
+      .agg(count(lit(1)).as("cell_n"), round(avg(col("__v")), 6).as("cell_mean"))
+      .where(col("cell_n") >= minN)
+    base.join(cells, Seq(key, "hour", "dow"))
+      .withColumn("residual", round(col("__v") - col("cell_mean"), 6))
+      .select(col(key), col(ts), col("__v").as("value"), col("hour"), col("dow"),
+        col("cell_n"), col("cell_mean"), col("residual"))
+      // total order: duplicate (key, ts) observations differ in value
+      .orderBy(abs(col("residual")).desc, col(key), col(ts), col("value"))
+      .limit(topN)
+  }
 }

@@ -684,4 +684,48 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(0L) == 6.0) // max of the duplicate instant seeds
     assert(got(1L) == 6.0) // 0.5*6 + 0.5*(6+0)
   }
+
+  test("madOutliers: spikes can't drag the fence; zero-MAD keys emit nothing") {
+    val sp = spark
+    import sp.implicits._
+    // key a: 1..9 plus a huge spike. med = 5.5, MAD = 2.5
+    //   spike z = 0.6745*(1000-5.5)/2.5 ~ 268; inliers |z| <= 1.214
+    val a = (1 to 9).map(i => ("a", i.toLong, i.toDouble)) :+ (("a", 10L, 1000.0))
+    // key b: over half identical -> MAD = 0 -> undefined, excluded entirely
+    val b = Seq(("b", 1L, 7.0), ("b", 2L, 7.0), ("b", 3L, 7.0), ("b", 4L, 99.0))
+    val got = TimeSeries.madOutliers((a ++ b).toDF("k", "ts", "v"), "k", "ts", "v",
+      zThresh = 3.5).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[String]("k") == "a" && r.getAs[Long]("ts") == 10L)
+    assert(r.getAs[Double]("med") == 5.5 && r.getAs[Double]("mad") == 2.5)
+    assert(math.abs(r.getAs[Double]("robust_z") - 0.6745 * (1000.0 - 5.5) / 2.5) < 1e-5)
+  }
+
+  test("seasonalResidual: deviation is measured against the observation's own calendar cell") {
+    val sp = spark
+    import sp.implicits._
+    val hour = 3600000000L
+    val day = 24 * hour
+    // two weeks of a daily cycle — value 10 at hour 0, 100 at hour 12 — so
+    // every (hour, dow) cell has two samples, plus one anomalous hour-0
+    // reading of 40 on day 14 (same dow cell as days 0 and 7). A global
+    // mean (~55) would call the normal 100s anomalous; the cell residual
+    // flags only the 40.
+    val rows =
+      (0 until 14).flatMap { d =>
+        Seq(("a", d * day, 10.0), ("a", d * day + 12 * hour, 100.0))
+      } :+ (("a", 14L * day, 40.0))
+    val got = TimeSeries.seasonalResidual(rows.toDF("k", "ts", "v"), "k", "ts", "v",
+      topN = 3, minN = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("ts"),
+        (r.getAs[Long]("hour"), r.getAs[Double]("cell_mean"), r.getAs[Double]("residual"))))
+    // top anomaly: the 40 (its cell holds 10, 10, 40 -> mean 20, residual 20)
+    assert(got.head._1 == 14L * day)
+    assert(got.head._2 == ((0L, 20.0, 20.0)))
+    // next: that cell's two normal 10s at -10 each (days 0 and 7, ts order)
+    assert(got(1)._1 == 0L && got(1)._2._3 == -10.0)
+    assert(got(2)._1 == 7L * day && got(2)._2._3 == -10.0)
+  }
 }
