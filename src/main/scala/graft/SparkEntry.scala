@@ -1563,6 +1563,19 @@ object SparkEntry {
       TimeSeries.seasonalResidual(
         events(s, dir).select(col("event_type").as("pvname"), col("ts_us"), col("value")),
         "pvname", "ts_us", "value", topN = 50)
+    }),
+
+    // ---- UniMax water-filling token-budget allocation --------------------
+    "q_unimax_budget" -> ((s, dir) => {
+      Sampling.unimaxAllocate(Tables.documents(s, dir), "source", col("n_chars"),
+        budgetTokens = 280000L, maxEpochs = 2L)
+        .orderBy(col("source"))
+    }),
+
+    // ---- Flesch / Flesch-Kincaid readability ------------------------------
+    "q_readability" -> ((s, dir) => {
+      TextAnalysis.readability(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -4333,7 +4346,46 @@ object SparkEntry {
         |r AS (SELECT b.pvname, ts_us, v AS value, b.hour, b.dow, cell_n, cell_mean,
         |             round(v - cell_mean, 6) AS residual
         |      FROM b JOIN c USING (pvname, hour, dow))
-        |SELECT * FROM r ORDER BY abs(residual) DESC, pvname, ts_us, value LIMIT 50""".stripMargin
+        |SELECT * FROM r ORDER BY abs(residual) DESC, pvname, ts_us, value LIMIT 50""".stripMargin,
+
+    // UniMax: the constrained-prefix predicate over the capacity-ascending
+    // window is exact long arithmetic; only the final share is a double
+    // division of two exact longs (identical in both engines)
+    "q_unimax_budget" ->
+      """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_chars) * 2 AS BIGINT) AS cap
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT *,
+        |    row_number() OVER (ORDER BY cap, source) AS i,
+        |    CAST(sum(cap) OVER (ORDER BY cap, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(count(*) OVER () AS BIGINT) AS m
+        |  FROM per),
+        |c AS (SELECT *, cap * (m - i + 1) <= 280000 - (cum - cap) AS con FROM r),
+        |t AS (SELECT CAST(sum(CASE WHEN con THEN cap ELSE 0 END) AS BIGINT) AS ccap,
+        |             CAST(sum(CASE WHEN con THEN 0 ELSE 1 END) AS BIGINT) AS nu FROM c),
+        |a AS (SELECT c.*, CASE WHEN con THEN CAST(cap AS DOUBLE)
+        |        ELSE CAST(280000 - ccap AS DOUBLE) / nu END AS alloc FROM c, t)
+        |SELECT source, n_docs, n_tokens, cap,
+        |  round(alloc, 3) AS alloc_tokens, round(alloc / n_tokens, 6) AS epochs
+        |FROM a ORDER BY source""".stripMargin,
+
+    // readability: both counts are single character-class regexes (Java
+    // regex == RE2 semantics); the formulas are double arithmetic over
+    // exact longs with identically-parsed literal constants
+    "q_readability" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sents,
+        |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS n_syll
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sents, n_syll,
+        |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+        |        - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6) AS flesch,
+        |  round(0.39 * (CAST(n_words AS DOUBLE) / n_sents)
+        |        + 11.8 * (CAST(n_syll AS DOUBLE) / n_words) - 15.59, 6) AS fk_grade
+        |FROM b ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB fragment mirroring [[Sampling.hashBucket]] over `doc_id` with the

@@ -160,6 +160,60 @@ object Sampling {
           .as("target_tokens"))
   }
 
+  /** UniMax-style water-filling budget allocation: spread `budgetTokens`
+    * as uniformly as possible across sources, capping every source at
+    * `maxEpochs` passes over its own data (`cap = n_tokens · maxEpochs`) —
+    * the UniMax recipe (Chung et al., 2023) that replaces temperature
+    * sampling's hand-tuned alpha with an explicit repeat ceiling, so small
+    * sources stop being over-sampled into memorization.
+    *
+    * Closed form instead of the paper's iterative loop: sort sources by
+    * capacity ascending; a source is budget-CONSTRAINED (gets its full
+    * cap) iff its cap is at most the budget remaining when its turn comes,
+    * split over the sources left — `cap_i · (m−i+1) <= B − Σ_{j<i} cap_j`.
+    * That predicate is monotone along the ascending sort (if a source
+    * can't be filled, no larger one can), so the constrained set is a
+    * prefix and one window pass decides every source; the unconstrained
+    * rest share the leftover equally. All of it is exact long arithmetic
+    * until the one final share division.
+    *
+    * Output: `(source, n_docs, n_tokens, cap, alloc_tokens, epochs)` with
+    * `alloc` rounded to 3, `epochs = alloc / n_tokens` to 6.
+    *
+    * Scale shape: ONE map-side-combinable corpus aggregation to a
+    * groups-sized table; the windows and the totals row run over that
+    * control-plane-sized frame (the [[EventAnalytics.funnel]] pattern) —
+    * the corpus itself is never shuffled.
+    */
+  def unimaxAllocate(df: DataFrame, group: String, tokenCount: Column,
+      budgetTokens: Long, maxEpochs: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    val per = df.groupBy(col(group))
+      .agg(count(lit(1)).as("n_docs"), sum(tokenCount).cast("long").as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * maxEpochs)
+    // groups-sized frame: the global windows here are control-plane work
+    val w = Window.orderBy(col("cap"), col(group))
+    val ranked = per
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__cum", sum(col("cap"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("__constrained",
+        col("cap") * (col("__m") - col("__i") + 1) <=
+          lit(budgetTokens) - (col("__cum") - col("cap")))
+    val tot = ranked.agg(
+      sum(when(col("__constrained"), col("cap")).otherwise(0L)).as("__ccap"),
+      sum(when(col("__constrained"), 0L).otherwise(1L)).as("__nu"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("__alloc",
+        when(col("__constrained"), col("cap").cast("double"))
+          .otherwise((lit(budgetTokens) - col("__ccap")).cast("double") / col("__nu")))
+      .select(col(group), col("n_docs"), col("n_tokens"), col("cap"),
+        round(col("__alloc"), 3).as("alloc_tokens"),
+        round(col("__alloc") / col("n_tokens"), 6).as("epochs"))
+  }
+
   /** Weight-proportional Bernoulli sampling — the soft quality filter
     * (DCLM-style) that keeps a document with probability proportional to a
     * per-row weight (quality score, recency, source trust): `P(keep) =

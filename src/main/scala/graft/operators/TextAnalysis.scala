@@ -31,6 +31,32 @@ object TextAnalysis {
         round((col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"), 6))
   }
 
+  /** Flesch reading-ease and Flesch–Kincaid grade per document, with a
+    * vowel-group syllable heuristic (each maximal `[aeiouy]+` run counts
+    * one syllable — the standard dictionary-free approximation) and
+    * `[.!?]+` runs as sentence ends (min 1, so fragments don't divide by
+    * zero). Both counts are single character-class regexes, semantically
+    * identical under Java regex and RE2, so any engine reproduces the
+    * integers; the two score formulas are then double arithmetic over
+    * exact longs, rounded to 6.
+    *
+    * Map-only codegen'd projection — per-row, shuffle-free, linear in
+    * input splits. The scores feed the same gates as [[qualityScore]]: a
+    * corpus whose Flesch collapses is template spam or OCR noise.
+    */
+  def readability(df: DataFrame, id: String, text: String): DataFrame = {
+    val w = size(tokens(col(text))).cast("double")
+    val s = greatest(lit(1), regexp_count(col(text), lit("[.!?]+"))).cast("double")
+    val y = regexp_count(col(text), lit("[aeiouyAEIOUY]+")).cast("double")
+    df.select(
+      col(id),
+      size(tokens(col(text))).cast("long").as("n_words"),
+      greatest(lit(1), regexp_count(col(text), lit("[.!?]+"))).cast("long").as("n_sents"),
+      regexp_count(col(text), lit("[aeiouyAEIOUY]+")).cast("long").as("n_syll"),
+      round(lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (y / w), 6).as("flesch"),
+      round(lit(0.39) * (w / s) + lit(11.8) * (y / w) - lit(15.59), 6).as("fk_grade"))
+  }
+
   /** Quality score: length-normalized token count damped by stopword density —
     * a deterministic heuristic in the spirit of C4/Gopher quality filters
     * (length + stopword signals), chosen to be exactly reproducible in ANSI

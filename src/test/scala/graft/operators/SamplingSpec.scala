@@ -146,4 +146,39 @@ class SamplingSpec extends SparkSpec {
       .map(_.getAs[Long]("doc_id")).toSet
     assert(again == kept)
   }
+
+  test("unimaxAllocate: small sources saturate at maxEpochs, the rest share equally") {
+    val sp = spark
+    import sp.implicits._
+    // tokens per source: a=10, b=100, c=100; caps at 2 epochs: 20, 200, 200.
+    // budget 120: a is constrained (20*3=60 <= 120) -> full 20 (2 epochs);
+    // b: 200*2=400 > 100 remaining -> unconstrained; b,c share (120-20)/2=50
+    val docs = Seq(("a", 10L), ("b", 40L), ("b", 60L), ("c", 100L))
+      .toDF("source", "n_tok")
+    val got = Sampling.unimaxAllocate(docs, "source", col("n_tok"),
+      budgetTokens = 120L, maxEpochs = 2L)
+      .collect()
+      .map(r => (r.getAs[String]("source"),
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("cap"),
+          r.getAs[Double]("alloc_tokens"), r.getAs[Double]("epochs"))))
+      .toMap
+    assert(got("a") == ((10L, 20L, 20.0, 2.0)))
+    assert(got("b") == ((100L, 200L, 50.0, 0.5)))
+    assert(got("c") == ((100L, 200L, 50.0, 0.5)))
+    // the allocation exactly exhausts the budget
+    assert(got.values.map(_._3).sum == 120.0)
+  }
+
+  test("unimaxAllocate: budget beyond total capacity caps everyone at maxEpochs") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(("a", 10L), ("b", 30L)).toDF("source", "n_tok")
+    val got = Sampling.unimaxAllocate(docs, "source", col("n_tok"),
+      budgetTokens = 1000L, maxEpochs = 3L)
+      .collect()
+      .map(r => (r.getAs[String]("source"),
+        (r.getAs[Double]("alloc_tokens"), r.getAs[Double]("epochs")))).toMap
+    assert(got("a") == ((30.0, 3.0)))
+    assert(got("b") == ((90.0, 3.0)))
+  }
 }

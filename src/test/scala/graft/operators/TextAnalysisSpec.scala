@@ -494,4 +494,31 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")))
     assert(all.toSeq == Seq((1L, 2L))) // identical docs only; disjoint pair gated out
   }
+
+  test("readability: vowel-group syllables, sentence runs, fragment floor") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      // 4 words, 2 sentences ('.' and '!' runs), syllables: see/spot/run/go = 4
+      (1L, "see spot run. go!"),
+      // fragment without terminator: sentence count floors at 1;
+      // 'rhythm' has no aeiouy vowel GROUP with y? y counts: rh-y-thm = 1
+      (2L, "rhythm"),
+      // '...' is ONE run, not three sentences
+      (3L, "waiting... done."))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(df, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_sents"), r.getAs[Long]("n_syll"),
+          r.getAs[Double]("flesch"))))
+      .toMap
+    val (w1, s1, y1, f1) = got(1L)
+    assert(w1 == 4L && s1 == 2L && y1 == 4L)
+    assert(math.abs(f1 - (206.835 - 1.015 * 2.0 - 84.6 * 1.0)) < 1e-6)
+    val (w2, s2, y2, _) = got(2L)
+    assert(w2 == 1L && s2 == 1L && y2 == 1L)
+    val (_, s3, y3, _) = got(3L)
+    assert(s3 == 2L) // '...' and '.' -> two runs
+    assert(y3 == 4L) // wai-ti-ng(ai,i) -> 'waiting' ai+i = 2, 'done' o+e = 2
+  }
 }
