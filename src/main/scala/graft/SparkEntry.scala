@@ -1576,6 +1576,26 @@ object SparkEntry {
     "q_readability" -> ((s, dir) => {
       TextAnalysis.readability(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- PCA 2-D semantic map. Oracle-checked via dataDependentOracles:
+    // Verify trains the same deterministic power-iteration components and
+    // embeds them (and the mean offsets) as SQL literals ------------------
+    "q_pca_project" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (means, comps, _) = Similarity.trainPca(emb, "vec_id", "embedding",
+        nComponents = 2)
+      Similarity.pcaProject(emb, "vec_id", "embedding", means, comps)
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- mutual-kNN graph communities (same CC core as the Jaccard and
+    // semantic clusters; the mutuality filter keeps hubs from fusing
+    // everything) ----------------------------------------------------------
+    "q_knn_communities" -> ((s, dir) => {
+      val edges = Similarity.mutualKnnEdges(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 5)
+      Dedup.connectedComponents(edges, "d1", "d2").orderBy(col("doc"))
     })
   )
 
@@ -2284,7 +2304,29 @@ object SparkEntry {
       val cents = Similarity.trainIvfCentroids(
         Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, seed = 42L)
       semanticOutliersSql(cents, topN = 25)
+    },
+    "q_pca_project" -> {
+      val (means, comps, _) = Similarity.trainPca(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", nComponents = 2)
+      pcaSql(means, comps)
     })
+
+  /** PCA-projection oracle around Verify-time components: each score is
+    * `list_dot_product(v, w_c) − (means·w_c)` — the dot in index order on
+    * both sides, the offset a driver-computed Scala-dot literal — so both
+    * engines evaluate identical float expressions, rounded to 6.
+    */
+  private def pcaSql(means: Array[Double], comps: Array[Array[Double]]): String = {
+    val cols = comps.zipWithIndex.map { case (w, c) =>
+      val off = Similarity.dotIdx(means, w)
+      s"round(list_dot_product(v, [${w.mkString(", ")}]) - ($off), 6) AS pc${c + 1}"
+    }
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |       WHERE embedding IS NOT NULL)
+       |SELECT vec_id,
+       |  ${cols.mkString(",\n  ")}
+       |FROM e ORDER BY vec_id""".stripMargin
+  }
 
   /** Semantic-outlier oracle around Verify-time centroids: squared
     * distances in the PQ family's engine-portable `v·v − 2 v·c + c·c`
@@ -4385,7 +4427,29 @@ object SparkEntry {
         |        - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6) AS flesch,
         |  round(0.39 * (CAST(n_words AS DOUBLE) / n_sents)
         |        + 11.8 * (CAST(n_syll AS DOUBLE) / n_words) - 15.59, 6) AS fk_grade
-        |FROM b ORDER BY doc_id""".stripMargin
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // mutual-kNN communities: the kNN ranking CTE is the q_hubness oracle,
+    // the mutuality join keeps only reciprocal pairs, and the closure is
+    // the same recursive CTE as q_semantic_clusters
+    "q_knn_communities" ->
+      s"""WITH RECURSIVE e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |       FROM embeddings WHERE embedding IS NOT NULL),
+         |sc AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |         round(${cosineSql("a.v", "b.v")}, 6) AS sim
+         |       FROM e0 a JOIN e0 b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sc),
+         |g AS (SELECT qid, nid FROM r WHERE rn <= 5),
+         |m AS (SELECT g.qid AS d1, g.nid AS d2 FROM g
+         |      JOIN g g2 ON g.qid = g2.nid AND g.nid = g2.qid WHERE g.qid < g.nid),
+         |e AS (SELECT d1 AS a, d2 AS b FROM m UNION SELECT d2, d1 FROM m),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r2.a, e.b FROM reach r2 JOIN e ON r2.b = e.a),
+         |comp AS (SELECT a AS doc, least(a, min(b)) AS component
+         |         FROM reach GROUP BY a)
+         |SELECT doc, component FROM comp ORDER BY doc""".stripMargin
   )
 
   /** DuckDB fragment mirroring [[Sampling.hashBucket]] over `doc_id` with the

@@ -309,6 +309,160 @@ object Similarity {
       .select(col("vec_id"), coalesce(col("in_degree"), lit(0L)).as("in_degree"))
   }
 
+  /** Mutual-kNN edge list — the symmetric backbone graph under
+    * density-based community detection and UMAP: an undirected edge
+    * `(d1 < d2)` exists iff each endpoint ranks among the OTHER's `k`
+    * nearest ([[knnGraph]] contract). The mutuality filter is what kills
+    * hub edges: a hub appears in everyone's list, but it only keeps the
+    * neighbors IT also ranks — so communities don't all fuse through one
+    * popular point.
+    *
+    * One kNN sweep + a self-join of the k·n-sized edge list on the
+    * reversed key — the join input is the GRAPH (k rows per vector), never
+    * the corpus, so the mutual step costs the same at any corpus scale
+    * that can build the kNN graph at all. Feed the result to
+    * [[Dedup.connectedComponents]] for community labels.
+    */
+  def mutualKnnEdges(df: DataFrame, id: String, vec: String, k: Int): DataFrame = {
+    val g = knnGraph(df, id, vec, k).select(col("query_id"), col("neighbor_id"), col("sim"))
+    val rev = g.select(col("neighbor_id").as("query_id"), col("query_id").as("neighbor_id"))
+    g.join(rev, Seq("query_id", "neighbor_id"))
+      .where(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("d1"), col("neighbor_id").as("d2"), col("sim"))
+  }
+
+  /** Sample-trained PCA via power iteration with deflation — the top
+    * `nComponents` principal axes of the embedding corpus, the projection
+    * behind 2-D semantic maps, variance-based dimension budgeting, and
+    * whitening. Like [[trainIvfCentroids]], training runs on a bounded
+    * id-ordered driver sample (deterministic across runs and cluster
+    * layouts; at 100 TB a sample is the standard estimator — the moment
+    * matrix is dims², not corpus-sized), and the returned arrays are
+    * broadcast into a map-only projection ([[pcaProject]]).
+    *
+    * Deterministic by construction: centering, the covariance moments, the
+    * fixed-iteration power loop and the deflation all run in index order
+    * on the driver; the start vector is the constant `1/√d`; each
+    * component's sign is normalized so its largest-magnitude coordinate is
+    * positive (eigenvectors are sign-ambiguous — without the convention
+    * two runs could disagree by a global flip).
+    *
+    * Returns `(means, components, eigenvalues)` — components are unit
+    * vectors, eigenvalues the explained population variance, descending.
+    */
+  def trainPca(df: DataFrame, id: String, vec: String, nComponents: Int,
+      iters: Int = 100, maxSample: Int = 100000): (Array[Double], Array[Array[Double]], Array[Double]) = {
+    require(nComponents >= 1, s"nComponents must be >= 1, got $nComponents")
+    val sample = df.where(col(vec).isNotNull)
+      .orderBy(col(id)).limit(maxSample).select(col(vec))
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "empty training set")
+    val n = sample.length
+    val d = sample.head.length
+    require(nComponents <= d, s"nComponents $nComponents > dims $d")
+    val means = new Array[Double](d)
+    sample.foreach { v => var i = 0; while (i < d) { means(i) += v(i); i += 1 } }
+    var i = 0; while (i < d) { means(i) /= n; i += 1 }
+    // population covariance, index order
+    val cov = Array.ofDim[Double](d, d)
+    sample.foreach { v =>
+      var a = 0
+      while (a < d) {
+        val xa = v(a) - means(a)
+        var b = a
+        while (b < d) { cov(a)(b) += xa * (v(b) - means(b)); b += 1 }
+        a += 1
+      }
+    }
+    var a = 0
+    while (a < d) {
+      var b = a
+      while (b < d) { cov(a)(b) /= n; if (b != a) cov(b)(a) = cov(a)(b); b += 1 }
+      a += 1
+    }
+    def matVec(m: Array[Array[Double]], v: Array[Double]): Array[Double] = {
+      val out = new Array[Double](d)
+      var r = 0
+      while (r < d) {
+        var s = 0.0; var c = 0
+        while (c < d) { s += m(r)(c) * v(c); c += 1 }
+        out(r) = s; r += 1
+      }
+      out
+    }
+    def norm(v: Array[Double]): Double = math.sqrt(dotIdx(v, v))
+    val comps = new Array[Array[Double]](nComponents)
+    val eigs = new Array[Double](nComponents)
+    var c = 0
+    while (c < nComponents) {
+      var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+      var it = 0
+      while (it < iters) {
+        val w = matVec(cov, v)
+        val nw = norm(w)
+        // a zero iterate (rank-deficient tail) keeps the previous direction
+        if (nw > 0) v = w.map(_ / nw)
+        it += 1
+      }
+      val lambda = dotIdx(v, matVec(cov, v))
+      // sign convention: largest-|coordinate| entry positive
+      var mi = 0; var mv = 0.0
+      var j = 0
+      while (j < d) { if (math.abs(v(j)) > mv) { mv = math.abs(v(j)); mi = j }; j += 1 }
+      if (v(mi) < 0) { var t = 0; while (t < d) { v(t) = -v(t); t += 1 } }
+      comps(c) = v; eigs(c) = lambda
+      // deflate: cov -= lambda v v^T
+      var r = 0
+      while (r < d) {
+        var s = 0
+        while (s < d) { cov(r)(s) -= lambda * v(r) * v(s); s += 1 }
+        r += 1
+      }
+      c += 1
+    }
+    (means, comps, eigs)
+  }
+
+  /** Map-only projection onto [[trainPca]] components: `pc_c = v·w_c −
+    * means·w_c` (the offset is a driver-side constant, so the row-side work
+    * is one index-order dot product per component — the same
+    * engine-portable decomposition as the PQ/IVF distance family). Output
+    * `(vec_id, pc1..pcN)` rounded to 6; null vectors are dropped. JIT
+    * `mapPartitions` over primitive arrays — no boxing, no shuffle, linear
+    * in input splits.
+    */
+  def pcaProject(df: DataFrame, id: String, vec: String,
+      means: Array[Double], comps: Array[Array[Double]]): DataFrame = {
+    require(comps.nonEmpty, "pcaProject needs at least one component")
+    val spark = df.sparkSession
+    import spark.implicits._
+    requireIntegralId(df, id)
+    val offs = comps.map(w => dotIdx(means, w))
+    val bc = spark.sparkContext.broadcast((comps, offs))
+    val projected = df.where(col(vec).isNotNull)
+      .select(col(id).cast("long"), col(vec))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (ws, os) = bc.value
+        it.map { case (vid, v) =>
+          val pcs = new Array[Double](ws.length)
+          var c = 0
+          while (c < ws.length) {
+            val w = ws(c)
+            var s = 0.0; var i = 0; val len = math.min(v.length, w.length)
+            while (i < len) { s += v(i).toDouble * w(i); i += 1 }
+            pcs(c) = round6(s - os(c))
+            c += 1
+          }
+          (vid, pcs)
+        }
+      }
+    val out = projected.toDF("vec_id", "__pcs")
+    comps.indices.foldLeft(out) { (acc, c) =>
+      acc.withColumn(s"pc${c + 1}", col("__pcs").getItem(c))
+    }.drop("__pcs")
+  }
+
   /** Matryoshka-style truncation audit: recall@k of exact cosine KNN run on
     * only the FIRST `d` dimensions, against KNN on the full vector, for each
     * `d` in `dims` — the measurement that licenses the standard cost lever

@@ -363,4 +363,57 @@ class SimilaritySpec extends SparkSpec {
     assert(nExact2 == nExact64)
     assert(rec2 < 1.0 && nHit2 < nExact2) // 2 dims of 64 cannot preserve the top-5
   }
+
+  test("trainPca recovers a planted principal axis; projection centers and orders variance") {
+    val sp = spark
+    import sp.implicits._
+    // points on the line y = 2x (plus a small orthogonal wiggle): the first
+    // component must align with (1,2)/sqrt(5), the second with (-2,1)/sqrt(5)
+    // up to the positive-max-coordinate sign convention
+    val pts = (0 until 40).map { i =>
+      val t = (i - 20).toDouble
+      val w = if (i % 2 == 0) 0.1 else -0.1 // orthogonal wiggle
+      (i.toLong, Array((t + (-2) * w).toFloat, (2 * t + w).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val (means, comps, eigs) = Similarity.trainPca(df, "vec_id", "embedding", nComponents = 2)
+    assert(eigs(0) > eigs(1) && eigs(1) > 0) // variance order
+    val e1 = comps(0)
+    assert(math.abs(math.abs(e1(0) / e1(1)) - 0.5) < 1e-3) // direction (1,2)
+    assert(e1(1) > 0) // sign convention: largest coordinate positive
+    // unit norm, mutual orthogonality
+    assert(math.abs(Similarity.dotIdx(e1, e1) - 1.0) < 1e-9)
+    assert(math.abs(Similarity.dotIdx(e1, comps(1))) < 1e-6)
+    val proj = Similarity.pcaProject(df, "vec_id", "embedding", means, comps)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        (r.getAs[Double]("pc1"), r.getAs[Double]("pc2")))).toMap
+    assert(proj.size == 40)
+    // projections are mean-centered: each pc sums to ~0
+    assert(math.abs(proj.values.map(_._1).sum) < 1e-3)
+    assert(math.abs(proj.values.map(_._2).sum) < 1e-3)
+    // pc1 spans the line's extent (~±45), pc2 only the wiggle (~±0.1·sqrt5)
+    assert(proj.values.map(_._1).max > 20.0)
+    assert(proj.values.map(_._2).map(math.abs).max < 1.0)
+  }
+
+  test("mutualKnnEdges keeps only reciprocal pairs; a far-away hub magnet drops out") {
+    val sp = spark
+    import sp.implicits._
+    // two tight 3-cliques on orthogonal axes and one diagonal point: with
+    // k=2 each clique member ranks its 2 clique-mates first, so edges form
+    // within cliques only; the diagonal point ranks clique members, but no
+    // clique member ranks it back -> it keeps no edge
+    def v(x: Double, y: Double, z: Double) = Array(x.toFloat, y.toFloat, z.toFloat)
+    val rows = Seq(
+      (0L, v(1, 0.00, 0)), (1L, v(1, 0.01, 0)), (2L, v(1, -0.01, 0)),
+      (3L, v(0, 1, 0.00)), (4L, v(0, 1, 0.01)), (5L, v(0, 1, -0.01)),
+      (6L, v(1, 1, 1))).toDF("vec_id", "embedding")
+    val edges = Similarity.mutualKnnEdges(rows, "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(edges == Set((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L)))
+    val comps = graft.operators.Dedup.connectedComponents(
+      Similarity.mutualKnnEdges(rows, "vec_id", "embedding", k = 2), "d1", "d2")
+      .collect().map(r => (r.getAs[Long]("doc"), r.getAs[Long]("component"))).toMap
+    assert(comps == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 3L))
+  }
 }
