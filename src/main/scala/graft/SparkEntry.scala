@@ -1596,6 +1596,23 @@ object SparkEntry {
       val edges = Similarity.mutualKnnEdges(Tables.embeddings(s, dir),
         "vec_id", "embedding", k = 5)
       Dedup.connectedComponents(edges, "d1", "d2").orderBy(col("doc"))
+    }),
+
+    // ---- per-source Pareto front over (n_tokens, quality) ----------------
+    "q_pareto_front" -> ((s, dir) => {
+      val q = TextAnalysis.qualityScore(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"), col("quality"))
+      val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      Sampling.paretoFront(q.join(src, "doc_id"), "source", "n_tokens", "quality")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- event-rate burst detection (6-hour buckets, trailing-8 baseline)
+    "q_bursts" -> ((s, dir) => {
+      TimeSeries.bursts(
+        events(s, dir).select(col("event_type").as("pvname"), col("ts_us")),
+        "pvname", "ts_us", bucketUs = 21600000000L, trailing = 8, zThresh = 2.0)
+        .orderBy(col("pvname"), col("bucket"))
     })
   )
 
@@ -4449,7 +4466,46 @@ object SparkEntry {
          |  SELECT r2.a, e.b FROM reach r2 JOIN e ON r2.b = e.a),
          |comp AS (SELECT a AS doc, least(a, min(b)) AS component
          |         FROM reach GROUP BY a)
-         |SELECT doc, component FROM comp ORDER BY doc""".stripMargin
+         |SELECT doc, component FROM comp ORDER BY doc""".stripMargin,
+
+    // Pareto front: dense_rank on quality desc (ties share a rank), then
+    // the max token count over STRICTLY-higher-quality rows via a
+    // RANGE 1 PRECEDING frame on the rank — dominated iff that max is
+    // strictly greater. quality is the 6-dp q_quality number on both sides
+    "q_pareto_front" ->
+      """WITH q AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    round(ln(1.0 + len(string_split(text, ' '))) *
+        |          (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |                t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |               / len(string_split(text, ' '))), 6) AS quality
+        |  FROM documents),
+        |r AS (SELECT *, dense_rank() OVER (PARTITION BY source ORDER BY quality DESC) AS yr FROM q),
+        |m AS (SELECT *, max(n_tokens) OVER (PARTITION BY source ORDER BY yr
+        |        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx FROM r)
+        |SELECT doc_id, n_tokens, quality, source FROM m
+        |WHERE mx IS NULL OR mx <= n_tokens ORDER BY doc_id""".stripMargin,
+
+    // bursts: counts are exact longs, so the trailing window's moments are
+    // exact integers and the z is a single double expression — identical
+    // in both engines; baseline frame is strictly preceding
+    "q_bursts" ->
+      """WITH c AS (SELECT event_type AS pvname, epoch_us(ts) // 21600000000 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT pvname, bucket, n,
+        |    CAST(count(n) OVER pw AS BIGINT) AS np,
+        |    CAST(sum(n) OVER pw AS BIGINT) AS s,
+        |    CAST(sum(n * n) OVER pw AS BIGINT) AS ss
+        |  FROM c WINDOW pw AS (PARTITION BY pvname ORDER BY bucket
+        |    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
+        |v AS (SELECT *, CAST(s AS DOUBLE) / np AS bm,
+        |    CAST(ss AS DOUBLE) / np - (CAST(s AS DOUBLE) / np) * (CAST(s AS DOUBLE) / np) AS var
+        |  FROM w WHERE np >= 3),
+        |z AS (SELECT pvname, bucket, n, bm, var,
+        |    round((n - bm) / sqrt(var), 6) AS z FROM v WHERE var > 0)
+        |SELECT pvname, bucket, n, round(bm, 6) AS base_mean, round(sqrt(var), 6) AS base_std, z
+        |FROM z WHERE z > 2.0 ORDER BY pvname, bucket""".stripMargin
   )
 
   /** DuckDB fragment mirroring [[Sampling.hashBucket]] over `doc_id` with the

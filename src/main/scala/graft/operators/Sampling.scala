@@ -160,6 +160,33 @@ object Sampling {
           .as("target_tokens"))
   }
 
+  /** Per-group Pareto front (skyline) over two quality axes — the
+    * multi-criteria selection cut ("show me the docs where nothing else is
+    * both longer AND higher-quality"): a row survives iff NO other row of
+    * its group is strictly greater in BOTH `x` and `y`. The front is what
+    * a curation review actually looks at — every point below it is
+    * improved on in both axes by something else in the same source.
+    *
+    * Windowed rewrite of the quadratic EXISTS: rank `y` descending
+    * (`dense_rank`, so ties share a rank), then the running max of `x`
+    * over STRICTLY-higher-`y` rows (a `RANGE … 1 PRECEDING` frame on the
+    * rank) is the only number dominance needs — a row is dominated iff
+    * that max strictly exceeds its own `x`. Two key-partitioned windows,
+    * no self-join, no n² pair frame; both windows sort the same
+    * partitioning, so it's ONE shuffle on the group key.
+    */
+  def paretoFront(df: DataFrame, group: String, x: String, y: String): DataFrame = {
+    val base = df.where(col(x).isNotNull && col(y).isNotNull)
+    val wr = Window.partitionBy(col(group)).orderBy(col(y).desc)
+    val wm = Window.partitionBy(col(group)).orderBy(col("__yr"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("__yr", dense_rank().over(wr))
+      .withColumn("__mx", max(col(x)).over(wm))
+      .where(col("__mx").isNull || col("__mx") <= col(x))
+      .drop("__yr", "__mx")
+  }
+
   /** UniMax-style water-filling budget allocation: spread `budgetTokens`
     * as uniformly as possible across sources, capping every source at
     * `maxEpochs` passes over its own data (`cap = n_tokens · maxEpochs`) —

@@ -1061,6 +1061,49 @@ object TimeSeries {
       .toDF(key, ts, "value", "level", "trend")
   }
 
+  /** Per-key event-rate burst detection — volume anomalies over OBSERVED
+    * time buckets: count events per `(key, bucket)`, then score each
+    * bucket against the mean/std of its own key's `trailing` preceding
+    * buckets (a strictly-preceding ROWS frame — the baseline never
+    * includes the bucket it judges, the [[trailingStats]] contract).
+    * Emitted rows are the bursts only: at least `minPrev` baseline buckets
+    * behind them, positive baseline spread, and a 6-dp z-score above
+    * `zThresh`.
+    *
+    * The z is engine-exact: counts are longs, so the window's sum and
+    * sum-of-squares are exact integers and the score is one double
+    * expression over them — no float accumulation order anywhere.
+    *
+    * Plan shape: ONE map-side-combinable count aggregation collapses the
+    * corpus to buckets-sized data, and the window runs key-partitioned
+    * over THAT — at 100 TB the sort is per-key bucket counts, not events.
+    */
+  def bursts(df: DataFrame, key: String, ts: String, bucketUs: Long,
+      trailing: Int, zThresh: Double, minPrev: Int = 3): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    require(trailing >= minPrev && minPrev >= 2,
+      s"need trailing >= minPrev >= 2, got trailing=$trailing minPrev=$minPrev")
+    val counts = df.where(col(key).isNotNull)
+      .groupBy(col(key), expr(s"$ts DIV ${bucketUs}L").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(key)).orderBy(col("bucket"))
+      .rowsBetween(-trailing, -1)
+    counts
+      .withColumn("__np", count(col("n")).over(w))
+      .withColumn("__s", sum(col("n")).over(w))
+      .withColumn("__ss", sum(col("n") * col("n")).over(w))
+      .where(col("__np") >= minPrev)
+      // exact-integer moments: mean = s/np, var = ss/np - mean²
+      .withColumn("base_mean", col("__s").cast("double") / col("__np"))
+      .withColumn("__var",
+        col("__ss").cast("double") / col("__np") - col("base_mean") * col("base_mean"))
+      .where(col("__var") > 0)
+      .withColumn("z", round((col("n") - col("base_mean")) / sqrt(col("__var")), 6))
+      .where(col("z") > zThresh)
+      .select(col(key), col("bucket"), col("n"), round(col("base_mean"), 6).as("base_mean"),
+        round(sqrt(col("__var")), 6).as("base_std"), col("z"))
+  }
+
   /** Per-key MAD-based robust outliers — the median/MAD companion to
     * [[trailingStats]]' mean/std z-score: global-per-key exact median,
     * MAD = median of |v − median|, and the modified z-score

@@ -169,6 +169,25 @@ class SamplingSpec extends SparkSpec {
     assert(got.values.map(_._3).sum == 120.0)
   }
 
+  test("paretoFront: strictly-dominated rows drop; ties and incomparables survive") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      // group g: (10, 5.0) dominated by (20, 6.0); (30, 4.0) incomparable
+      ("g", 1L, 10L, 5.0), ("g", 2L, 20L, 6.0), ("g", 3L, 30L, 4.0),
+      // equal y, lower x: NOT strictly dominated (needs strict in BOTH)
+      ("g", 4L, 15L, 6.0),
+      // duplicate point: both stay (neither strictly beats the other)
+      ("g", 5L, 30L, 4.0),
+      // other group: its own front; doc 7's y is nulled below and dropped
+      ("h", 6L, 1L, 1.0), ("h", 7L, 2L, 0.0))
+      .toDF("source", "doc_id", "x", "y")
+      .withColumn("y", when(col("doc_id") === 7L, lit(null)).otherwise(col("y")))
+    val kept = Sampling.paretoFront(rows, "source", "x", "y")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(2L, 3L, 4L, 5L, 6L))
+  }
+
   test("unimaxAllocate: budget beyond total capacity caps everyone at maxEpochs") {
     val sp = spark
     import sp.implicits._

@@ -685,6 +685,35 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(1L) == 6.0) // 0.5*6 + 0.5*(6+0)
   }
 
+  test("bursts: a volume spike scores against its trailing baseline only") {
+    val sp = spark
+    import sp.implicits._
+    // key a: buckets 0..7 carry 2,3,2,3,2,3,2,3 events, bucket 8 carries 30.
+    // baseline(8) = trailing 8 buckets: mean 2.5, var 0.25 -> z = 55.0
+    val calm = (0 until 8).flatMap { b =>
+      (0 until (if (b % 2 == 0) 2 else 3)).map(i => ("a", b * 100L + i))
+    }
+    val spike = (0 until 30).map(i => ("a", 800L + i))
+    val got = TimeSeries.bursts((calm ++ spike).toDF("k", "ts"), "k", "ts",
+      bucketUs = 100L, trailing = 8, zThresh = 2.0)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("bucket") == 8L && r.getAs[Long]("n") == 30L)
+    assert(r.getAs[Double]("base_mean") == 2.5 && r.getAs[Double]("base_std") == 0.5)
+    assert(r.getAs[Double]("z") == 55.0)
+  }
+
+  test("bursts: early buckets lack baseline; constant rate never fires") {
+    val sp = spark
+    import sp.implicits._
+    // constant 5 events/bucket: variance 0 everywhere -> no rows, and the
+    // first minPrev buckets are skipped for lack of history anyway
+    val rows = (0 until 12).flatMap(b => (0 until 5).map(i => ("a", b * 10L + i)))
+    assert(TimeSeries.bursts(rows.toDF("k", "ts"), "k", "ts",
+      bucketUs = 10L, trailing = 8, zThresh = 2.0).count() == 0)
+  }
+
   test("madOutliers: spikes can't drag the fence; zero-MAD keys emit nothing") {
     val sp = spark
     import sp.implicits._
