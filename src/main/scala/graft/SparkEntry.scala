@@ -1613,6 +1613,18 @@ object SparkEntry {
         events(s, dir).select(col("event_type").as("pvname"), col("ts_us")),
         "pvname", "ts_us", bucketUs = 21600000000L, trailing = 8, zThresh = 2.0)
         .orderBy(col("pvname"), col("bucket"))
+    }),
+
+    // ---- per-dimension z-score standardization of the embeddings ---------
+    "q_embed_standardize" -> ((s, dir) => {
+      Similarity.standardize(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
+    // ---- per-source Simpson token diversity ------------------------------
+    "q_token_diversity" -> ((s, dir) => {
+      TextAnalysis.tokenDiversity(Tables.documents(s, dir), "source", "text")
+        .orderBy(col("source"))
     })
   )
 
@@ -4505,7 +4517,33 @@ object SparkEntry {
         |z AS (SELECT pvname, bucket, n, bm, var,
         |    round((n - bm) / sqrt(var), 6) AS z FROM v WHERE var > 0)
         |SELECT pvname, bucket, n, round(bm, 6) AS base_mean, round(sqrt(var), 6) AS base_std, z
-        |FROM z WHERE z > 2.0 ORDER BY pvname, bucket""".stripMargin
+        |FROM z WHERE z > 2.0 ORDER BY pvname, bucket""".stripMargin,
+
+    // standardization: the q_embed_cov aligned-unnest long format; z is one
+    // double expression over the per-dim moments, mirrored term for term
+    "q_embed_standardize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |l AS (SELECT vec_id, unnest(generate_series(1, len(e))) - 1 AS dim, unnest(e) AS x FROM v),
+        |s AS (SELECT dim, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx FROM l GROUP BY 1),
+        |m AS (SELECT dim, sx / n AS mean, sxx / n - (sx / n) * (sx / n) AS var FROM s
+        |      WHERE sxx / n - (sx / n) * (sx / n) > 0)
+        |SELECT vec_id, CAST(l.dim AS BIGINT) AS dim, round((x - mean) / sqrt(var), 6) AS z
+        |FROM l JOIN m ON l.dim = m.dim ORDER BY vec_id, dim""".stripMargin,
+
+    // Simpson diversity: every emitted number is a ratio of exact integer
+    // sums — no logs, no float accumulation order anywhere
+    "q_token_diversity" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+        |a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |        CAST(count(*) AS BIGINT) AS n_types,
+        |        CAST(sum(c * (c - 1)) AS BIGINT) AS d FROM c GROUP BY 1)
+        |SELECT source, n_tokens, n_types,
+        |  round(1.0 - CAST(d AS DOUBLE) / (n_tokens * (n_tokens - 1)), 6) AS simpson,
+        |  round(CAST(n_tokens * n_tokens AS DOUBLE) / (d + n_tokens), 6) AS eff_types
+        |FROM a ORDER BY source""".stripMargin
   )
 
   /** DuckDB fragment mirroring [[Sampling.hashBucket]] over `doc_id` with the

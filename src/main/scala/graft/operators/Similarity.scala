@@ -331,6 +331,36 @@ object Similarity {
       .select(col("query_id").as("d1"), col("neighbor_id").as("d2"), col("sim"))
   }
 
+  /** Per-dimension z-score standardization of the embedding corpus — the
+    * whitening-lite preprocessing in front of distance-based ops (kNN,
+    * clustering, PQ) when dimensions carry wildly different scales: each
+    * coordinate becomes `(x − μ_dim) / σ_dim` (population σ). Output is
+    * long format `(vec_id, dim, z)` rounded to 6; constant dimensions
+    * (σ = 0) are dropped — they carry no information and would divide by
+    * zero (the [[quantizeInt8]] convention).
+    *
+    * Plan shape: one `posexplode` into ONE map-side-combinable moment
+    * aggregation (dims-bounded output), the per-dim stats broadcast back
+    * onto the exploded stream — the corpus is never shuffled, matching
+    * [[covarianceMatrix]]'s scale contract.
+    */
+  def standardize(df: DataFrame, id: String, vec: String): DataFrame = {
+    requireIntegralId(df, id)
+    val base = df.where(col(vec).isNotNull)
+      .select(col(id).cast("long").as("vec_id"), posexplode(col(vec)).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("x").cast("double").as("x"))
+    val stats = base.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("mean", col("sx") / col("n"))
+      .withColumn("var", col("sxx") / col("n") - col("mean") * col("mean"))
+      .where(col("var") > 0)
+      .select(col("dim"), col("mean"), col("var"))
+    base.join(broadcast(stats), Seq("dim"))
+      .select(col("vec_id"), col("dim"),
+        round((col("x") - col("mean")) / sqrt(col("var")), 6).as("z"))
+  }
+
   /** Sample-trained PCA via power iteration with deflation — the top
     * `nComponents` principal axes of the embedding corpus, the projection
     * behind 2-D semantic maps, variance-based dimension budgeting, and

@@ -31,6 +31,38 @@ object TextAnalysis {
         round((col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"), 6))
   }
 
+  /** Per-group token diversity via Simpson's index — vocabulary
+    * CONCENTRATION, the signal [[ngramDiversity]]'s type-token ratio can't
+    * give: `simpson = 1 − Σ c(c−1) / (T(T−1))` is the probability two
+    * tokens drawn without replacement differ, and `eff_types = T² / Σc²`
+    * is the equivalent number of equally-frequent types (inverse-Simpson).
+    * A source whose eff_types craters while n_types stays high is a few
+    * templates hiding behind a long tail.
+    *
+    * Every number is a ratio of EXACT integer sums — no logs, no float
+    * accumulation order — so any engine reproduces the 6-dp values
+    * bit-for-bit (the [[cooccurrenceLift]] no-libm principle). The integer
+    * products bound the corpus at ~3·10⁹ tokens per group (T² in a long);
+    * beyond that, promote to double at a last-ulp cost.
+    *
+    * Plan shape: one explode into two stacked map-side-combinable
+    * aggregations — corpus → vocab-sized count table → groups-sized
+    * summary. Nothing corpus-sized shuffles twice.
+    */
+  def tokenDiversity(df: DataFrame, group: String, text: String): DataFrame = {
+    val counts = df.where(col(text).isNotNull)
+      .select(col(group), explode(tokens(col(text))).as("tok"))
+      .groupBy(col(group), col("tok")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col(group))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("c") * (col("c") - 1)).as("__d"))
+      .select(col(group), col("n_tokens"), col("n_types"),
+        round(lit(1.0) - col("__d").cast("double") /
+          (col("n_tokens") * (col("n_tokens") - 1)), 6).as("simpson"),
+        round((col("n_tokens") * col("n_tokens")).cast("double") /
+          (col("__d") + col("n_tokens")), 6).as("eff_types"))
+  }
+
   /** Flesch reading-ease and Flesch–Kincaid grade per document, with a
     * vowel-group syllable heuristic (each maximal `[aeiouy]+` run counts
     * one syllable — the standard dictionary-free approximation) and

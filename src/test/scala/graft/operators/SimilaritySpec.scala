@@ -396,6 +396,17 @@ class SimilaritySpec extends SparkSpec {
     assert(proj.values.map(_._2).map(math.abs).max < 1.0)
   }
 
+  test("standardize: per-dim z-scores center and scale; constant dims drop") {
+    val sp = spark
+    import sp.implicits._
+    // dim0: 1,3 -> mean 2, sigma 1; dim1 constant -> dropped
+    val df = Seq((1L, Array(1f, 7f)), (2L, Array(3f, 7f))).toDF("vec_id", "embedding")
+    val got = Similarity.standardize(df, "vec_id", "embedding").collect()
+      .map(r => ((r.getAs[Long]("vec_id"), r.getAs[Long]("dim")), r.getAs[Double]("z")))
+      .toMap
+    assert(got == Map((1L, 0L) -> -1.0, (2L, 0L) -> 1.0)) // dim1 absent
+  }
+
   test("mutualKnnEdges keeps only reciprocal pairs; a far-away hub magnet drops out") {
     val sp = spark
     import sp.implicits._

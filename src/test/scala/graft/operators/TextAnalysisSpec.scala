@@ -495,6 +495,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(all.toSeq == Seq((1L, 2L))) // identical docs only; disjoint pair gated out
   }
 
+  test("tokenDiversity: template spam craters the effective vocabulary") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      ("varied", "a b c d"), ("varied", "e f g h"),         // 8 tokens, all unique
+      ("spam", "x x x x"), ("spam", "x x x y"))             // 7 of 8 tokens are 'x'
+      .toDF("source", "text")
+    val got = TextAnalysis.tokenDiversity(df, "source", "text").collect()
+      .map(r => (r.getAs[String]("source"),
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+          r.getAs[Double]("simpson"), r.getAs[Double]("eff_types"))))
+      .toMap
+    assert(got("varied") == ((8L, 8L, 1.0, 8.0))) // all distinct: max diversity
+    val (t, ty, simp, eff) = got("spam")
+    assert(t == 8L && ty == 2L)
+    assert(simp == round6(1.0 - 42.0 / 56.0)) // d = 7*6 + 0 = 42
+    assert(eff == round6(64.0 / 50.0))        // sum c^2 = 49 + 1
+  }
+
+  private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
   test("readability: vowel-group syllables, sentence runs, fragment floor") {
     val sp = spark
     import sp.implicits._
