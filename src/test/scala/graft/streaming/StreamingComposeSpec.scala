@@ -229,6 +229,36 @@ class StreamingComposeSpec extends SparkSpec {
     assert(streamed.size == 80 && streamed.values.exists(_._3)) // alarms did fire
   }
 
+  test("transitions: the streaming last-event pairing equals the batch lag matrix, across batch splits") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // 6 users cycling 4 event types; pairs split across micro-batches so
+    // the cross-batch state carries the previous event type
+    val types = Array("view", "click", "purchase", "error")
+    val rows = (0 until 120).map { i =>
+      Transitions.Event((i % 6).toLong, (100L + i * 5L) * S, i.toLong, types(i * 7 % 4))
+    }
+    val input = MemoryStream[Transitions.Event]
+    val q = Transitions.streaming(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("trans_stream")
+      .start()
+    try {
+      rows.sortBy(_.tsUs).grouped(17).foreach { g => input.addData(g); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = sp.table("trans_stream").collect()
+      .map(r => (r.getString(2), r.getString(3)))
+      .groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val batch = graft.operators.EventAnalytics.transitionMatrix(
+      rows.toDF("user_id", "ts", "event_id", "event_type"),
+      "user_id", "ts", "event_id", "event_type")
+      .collect()
+      .map(r => ((r.getAs[String]("prev_type"), r.getAs[String]("next_type")),
+        r.getAs[Long]("n"))).toMap
+    assert(streamed == batch) // same pair multiset, state survives batch cuts
+    assert(streamed.values.sum == 120L - 6L) // one pair per event after each user's first
+  }
+
   test("holt: the streaming level+trend tracker equals the batch fold bit-for-bit") {
     val sp = spark
     import sp.implicits._
