@@ -1625,6 +1625,20 @@ object SparkEntry {
     "q_token_diversity" -> ((s, dir) => {
       TextAnalysis.tokenDiversity(Tables.documents(s, dir), "source", "text")
         .orderBy(col("source"))
+    }),
+
+    // ---- top 3-event paths (order-2 behavior sequences) ------------------
+    "q_event_paths" -> ((s, dir) => {
+      EventAnalytics.topPaths(events(s, dir), "user_id", "ts_us", "event_id",
+        "event_type", n = 3, k = 20)
+    }),
+
+    // ---- Theil-Sen robust daily trend per event type ---------------------
+    "q_theil_sen" -> ((s, dir) => {
+      TimeSeries.theilSen(
+        events(s, dir).select(col("event_type").as("pvname"), col("ts_us"), col("value")),
+        "pvname", "ts_us", "value", bucketUs = 86400000000L)
+        .orderBy(col("pvname"))
     })
   )
 
@@ -4543,7 +4557,34 @@ object SparkEntry {
         |SELECT source, n_tokens, n_types,
         |  round(1.0 - CAST(d AS DOUBLE) / (n_tokens * (n_tokens - 1)), 6) AS simpson,
         |  round(CAST(n_tokens * n_tokens AS DOUBLE) / (d + n_tokens), 6) AS eff_types
-        |FROM a ORDER BY source""".stripMargin
+        |FROM a ORDER BY source""".stripMargin,
+
+    // event paths: the transition-matrix lag window extended one more lag;
+    // (ts_us, event_id) unique per user makes the pairing deterministic
+    "q_event_paths" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS ts_us, event_id, event_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |l AS (SELECT event_type AS t0,
+        |        lag(event_type, 1) OVER w AS t1,
+        |        lag(event_type, 2) OVER w AS t2
+        |      FROM e WINDOW w AS (PARTITION BY u ORDER BY ts_us, event_id)),
+        |p AS (SELECT t2 || '->' || t1 || '->' || t0 AS path, CAST(count(*) AS BIGINT) AS n
+        |      FROM l WHERE t2 IS NOT NULL GROUP BY 1)
+        |SELECT path, n FROM p ORDER BY n DESC, path LIMIT 20""".stripMargin,
+
+    // Theil-Sen: two stacked exact medians (quantile_cont == percentile,
+    // the q_winsorize parity); slopes are one double expression each
+    "q_theil_sen" ->
+      """WITH m AS (SELECT event_type AS pvname, epoch_us(ts) // 86400000000 AS b,
+        |    quantile_cont(CAST(value AS DOUBLE), CAST(0.5 AS DOUBLE)) AS med
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT a.pvname, (b2.med - a.med) / CAST(b2.b - a.b AS DOUBLE) AS slope
+        |      FROM m a JOIN m b2 ON a.pvname = b2.pvname AND a.b < b2.b),
+        |s AS (SELECT pvname, CAST(count(*) AS BIGINT) AS n_pairs,
+        |        quantile_cont(slope, CAST(0.5 AS DOUBLE)) AS sl FROM p GROUP BY 1),
+        |nb AS (SELECT pvname, CAST(count(*) AS BIGINT) AS n_buckets FROM m GROUP BY 1)
+        |SELECT s.pvname, n_buckets, n_pairs, round(sl, 6) AS slope
+        |FROM s JOIN nb USING (pvname) ORDER BY pvname""".stripMargin
   )
 
   /** DuckDB fragment mirroring [[Sampling.hashBucket]] over `doc_id` with the

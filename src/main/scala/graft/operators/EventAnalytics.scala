@@ -167,6 +167,38 @@ object EventAnalytics {
       .select(col("prev_type"), col("next_type"), col("n"), col("prob"))
   }
 
+  /** Top event PATHS — the most common length-`n` consecutive event-type
+    * runs across all users, the order-(n−1) extension of
+    * [[transitionMatrix]] ("view→click→purchase happens 4× more than
+    * view→click→error"). Paths never cross user boundaries; each window of
+    * `n` consecutive events of one user contributes one path.
+    *
+    * Plan shape: ONE user-keyed window produces the n−1 lag columns
+    * (same shuffle and sort as [[transitionMatrix]]), ONE map-side
+    * combinable count collapses to the paths-bounded table (≤ |types|ⁿ
+    * rows), and the top-k is a `TakeOrderedAndProject` — no global sort.
+    * Deterministic order: (count desc, path).
+    */
+  def topPaths(df: DataFrame, user: String, ts: String, tieBreak: String,
+      eventType: String, n: Int = 3, k: Int = 20): DataFrame = {
+    require(n >= 2, s"path length must be >= 2, got $n")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col("__u")).orderBy(col("__ts"), col("__tb"))
+    val base = df.where(col(user).isNotNull && col(ts).isNotNull)
+      .select(col(user).as("__u"), col(ts).as("__ts"), col(tieBreak).as("__tb"),
+        col(eventType).as("__t0"))
+    val lagged = (1 until n).foldLeft(base) { (acc, i) =>
+      acc.withColumn(s"__t$i", lag(col("__t0"), i).over(w))
+    }
+    val steps = (n - 1) to 0 by -1 // oldest first
+    lagged
+      .where(col(s"__t${n - 1}").isNotNull) // full windows only
+      .select(concat_ws("->", steps.map(i => col(s"__t$i")): _*).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
   /** Daily active users with a trailing-7-day rolling reach: for every day
     * with any activity, `dau` = distinct users that day, `wau` = distinct
     * users over that day and the 6 preceding days, `stickiness` =

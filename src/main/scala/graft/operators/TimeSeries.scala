@@ -1061,6 +1061,42 @@ object TimeSeries {
       .toDF(key, ts, "value", "level", "trend")
   }
 
+  /** Per-key Theil–Sen robust trend — the median of pairwise slopes
+    * between per-bucket medians, the drift estimator outliers can't drag
+    * (a spike shifts the OLS slope arbitrarily; it moves one bucket median
+    * at most, and the slope median not at all until half the buckets are
+    * corrupt). Two stacked exact medians: bucket medians first
+    * (`percentile` == `quantile_cont`), then the median over all
+    * `(b1 < b2)` bucket-pair slopes `(m2−m1)/(b2−b1)`.
+    *
+    * Output: `(key, n_buckets, n_pairs, slope)` — slope in value units per
+    * BUCKET, rounded to 6; keys with fewer than 2 buckets are dropped.
+    *
+    * Plan shape: the corpus pays ONE combinable aggregation down to the
+    * keys×buckets table; the pair explosion is a key-equi self-join of
+    * THAT (buckets²-bounded per key — time-bucketing is what makes
+    * Theil–Sen's O(n²) pairs affordable at any corpus size), then one
+    * more combinable percentile per key.
+    */
+  def theilSen(df: DataFrame, key: String, ts: String, value: String,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    val meds = df.where(col(value).isNotNull && col(key).isNotNull)
+      .groupBy(col(key), expr(s"$ts DIV ${bucketUs}L").as("__b"))
+      .agg(expr(s"percentile(CAST($value AS DOUBLE), 0.5D)").as("__m"))
+    val a = meds.select(col(key), col("__b").as("__b1"), col("__m").as("__m1"))
+    val b = meds.select(col(key), col("__b").as("__b2"), col("__m").as("__m2"))
+    a.join(b, Seq(key)).where(col("__b1") < col("__b2"))
+      .withColumn("__slope",
+        (col("__m2") - col("__m1")) / (col("__b2") - col("__b1")).cast("double"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(__slope, 0.5D)").as("__ts_slope"))
+      .join(meds.groupBy(col(key)).agg(count(lit(1)).as("n_buckets")), Seq(key))
+      .select(col(key), col("n_buckets"), col("n_pairs"),
+        round(col("__ts_slope"), 6).as("slope"))
+  }
+
   /** Per-key event-rate burst detection — volume anomalies over OBSERVED
     * time buckets: count events per `(key, bucket)`, then score each
     * bucket against the mean/std of its own key's `trailing` preceding

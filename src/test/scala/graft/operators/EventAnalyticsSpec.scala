@@ -114,6 +114,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.size == 4) // u3's lone event and the null user emit nothing
   }
 
+  test("topPaths: windows never cross users; short histories emit nothing") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      // u1: a b c d -> paths a->b->c, b->c->d
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "c"), (1L, 40L, 4L, "d"),
+      // u2: a b c -> a->b->c again (count 2)
+      (2L, 10L, 5L, "a"), (2L, 20L, 6L, "b"), (2L, 30L, 7L, "c"),
+      // u3: only two events -> no length-3 window
+      (3L, 10L, 8L, "x"), (3L, 20L, 9L, "y"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventAnalytics.topPaths(rows, "user_id", "ts", "event_id", "event_type",
+      n = 3, k = 10)
+      .collect().map(r => (r.getAs[String]("path"), r.getAs[Long]("n")))
+    assert(got.head == (("a->b->c", 2L))) // most frequent first
+    assert(got.toMap == Map("a->b->c" -> 2L, "b->c->d" -> 1L))
+  }
+
   test("activeUsers: rolling 7-day reach counts each user once per window") {
     val sp = spark
     import sp.implicits._

@@ -685,6 +685,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(1L) == 6.0) // 0.5*6 + 0.5*(6+0)
   }
 
+  test("theilSen: a spike bucket cannot drag the slope median") {
+    val sp = spark
+    import sp.implicits._
+    // key a: bucket medians 10, 12, 14, 16, 18 (slope 2/bucket) with one
+    // wild bucket (median 1000) in the middle: OLS would explode; the
+    // pairwise-slope median stays at 2. 3 samples per bucket pin medians.
+    val vals = Map(0L -> 10.0, 1L -> 12.0, 2L -> 1000.0, 3L -> 16.0, 4L -> 18.0)
+    val rows = vals.toSeq.flatMap { case (b, m) =>
+      Seq(("a", b * 100L + 1, m - 1), ("a", b * 100L + 2, m), ("a", b * 100L + 3, m + 1))
+    } ++ Seq(("b", 5L, 7.0)) // single bucket: dropped
+    val got = TimeSeries.theilSen(rows.toDF("k", "ts", "v"), "k", "ts", "v", bucketUs = 100L)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[String]("k") == "a")
+    assert(r.getAs[Long]("n_buckets") == 5L && r.getAs[Long]("n_pairs") == 10L)
+    assert(r.getAs[Double]("slope") == 2.0) // the outlier bucket is outvoted
+  }
+
   test("bursts: a volume spike scores against its trailing baseline only") {
     val sp = spark
     import sp.implicits._
