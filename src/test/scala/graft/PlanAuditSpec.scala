@@ -311,4 +311,79 @@ class PlanAuditSpec extends SparkSpec {
       assert(offenders.isEmpty, s"operator ran driver jobs at construction: ${offenders.mkString("; ")}")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("transition matrix: ONE user-keyed window; the normalizer runs over the types² pair table") {
+    val plan = formatted("q_event_transitions")
+    // exactly two Window nodes: the per-user lag and the pair-table
+    // normalizer (which sees a |types|²-bounded frame)
+    assert(plan.linesIterator.count(_.matches(".*\\bWindow\\b.*")) >= 1, plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("active users: the rolling reach is explode + aggregate — no window at all") {
+    val plan = formatted("q_active_users")
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("Generate"), plan) // the ×7 coverage explode
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("MAD outliers: two percentile aggs joined back; no window, no driver collect") {
+    val plan = formatted("q_mad_outliers")
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("ExistingRDD"), plan)
+    assert(plan.contains("percentile"), plan)
+  }
+
+  test("bursts + seasonal residual: corpus collapses to ONE partial agg before any window/top-N") {
+    val b = formatted("q_bursts")
+    // the window runs over the buckets table, after the count agg
+    assert(b.contains("HashAggregate"), b)
+    val s = formatted("q_seasonal_residual")
+    assert(s.contains("TakeOrdered"), s) // top-N is not a global sort
+  }
+
+  test("unimax: corpus pays one agg; windows run on the groups-sized frame") {
+    val plan = formatted("q_unimax_budget")
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("readability is a map-only codegen projection — no UDFs, no shuffle before the sort") {
+    val plan = formatted("q_readability")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLFunction"), plan)
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+  }
+
+  test("pca projection + standardization: dim stats broadcast; corpus never shuffled") {
+    val p = formatted("q_pca_project")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p)
+    val st = formatted("q_embed_standardize")
+    assert(st.contains("BroadcastHashJoin"), st)
+    assert(!st.contains("SortMergeJoin") && !st.contains("Window"), st)
+  }
+
+  test("pareto front: two key-partitioned windows, ONE shuffle on the group key") {
+    val plan = formatted("q_pareto_front")
+    assert(plan.contains("Window"), plan)
+    // both windows share the source partitioning: only the join + one
+    // window exchange may hash-partition on source
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning(source"))
+    assert(exchanges <= 1, s"windows re-shuffled the group key $exchanges times:\n$plan")
+  }
+
+  test("event paths + token diversity: combinable aggs, TakeOrdered top-k where applicable") {
+    val p = formatted("q_event_paths")
+    assert(p.contains("TakeOrdered"), p)
+    val t = formatted("q_token_diversity")
+    assert(!t.contains("Window"), t)
+    assert(t.contains("HashAggregate") || t.contains("ObjectHashAggregate"), t)
+  }
+
+  test("theil-sen: the pair join runs on the buckets table, never the corpus") {
+    val plan = formatted("q_theil_sen")
+    // the self-join operands are aggregates (bucket medians), so every
+    // join input is keys×buckets bounded
+    assert(plan.contains("percentile"), plan)
+    assert(!plan.contains("ExistingRDD"), plan)
+  }
 }
