@@ -1639,6 +1639,22 @@ object SparkEntry {
         events(s, dir).select(col("event_type").as("pvname"), col("ts_us"), col("value")),
         "pvname", "ts_us", "value", bucketUs = 86400000000L)
         .orderBy(col("pvname"))
+    }),
+
+    // ---- integer-exact PageRank over the exact kNN graph (hub/authority
+    // scores for retrieval-quality audits; all-BIGINT arithmetic) ----------
+    "q_pagerank" -> ((s, dir) => {
+      val edges = Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id", "embedding", k = 5)
+      Graph.pageRank(edges, "query_id", "neighbor_id", iters = 10)
+        .select(col("node").as("vec_id"), col("pagerank"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- funnel time-to-convert distribution per transition --------------
+    "q_funnel_latency" -> ((s, dir) => {
+      EventAnalytics.funnelLatency(events(s, dir), "user_id", "ts_us", "event_type",
+        Seq("view", "click", "purchase"), horizonUs = RUN_WEEK_US)
+        .orderBy(col("stage"))
     })
   )
 
@@ -2004,6 +2020,33 @@ object SparkEntry {
   /** DuckDB fragment mirroring [[Similarity.cosine]] (dot / (‖a‖·‖b‖)). */
   private def cosineSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** DuckDB mirror of [[operators.Graph.pageRank]] over the exact kNN edge
+    * list (the q_hubness ranking CTE): `iters` unrolled iterations, each one
+    * keyed join + keyed sum, with every update in BIGINT integer division —
+    * both engines produce the SAME longs by construction.
+    */
+  private def pageRankSql(iters: Int, k: Int, scale: Long): String = {
+    val tele15 = scale * 15L / 100L // teleport numerator, as the Scala loop
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS (SELECT nd.node, CAST(($tele15 // nn.n) + coalesce(s.m, 0) AS BIGINT) AS pr
+         |  FROM nodes nd CROSS JOIN nn LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(((p.pr * 85) // 100) // e.outdeg) AS BIGINT) AS m
+         |    FROM p${i - 1} p JOIN ed e ON e.src = p.node GROUP BY 1) s ON nd.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings WHERE embedding IS NOT NULL),
+       |sc AS (SELECT a.vec_id AS qid, b.vec_id AS nid, round(${cosineSql("a.ev", "b.ev")}, 6) AS sim
+       |       FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sc),
+       |edges AS (SELECT qid AS src, nid AS dst FROM r WHERE rn <= $k),
+       |outd AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
+       |ed AS (SELECT e.src, e.dst, o.outdeg FROM edges e JOIN outd o USING (src)),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |p0 AS (SELECT node, CAST($scale // nn.n AS BIGINT) AS pr FROM nodes CROSS JOIN nn),
+       |$steps
+       |SELECT node AS vec_id, pr AS pagerank FROM p$iters ORDER BY vec_id""".stripMargin
+  }
 
   /** T2 limbo downsampler as a pure DuckDB fold: per PV, `list_reduce` over
     * the time-ordered events with the WHOLE state in one VARCHAR
@@ -4584,7 +4627,42 @@ object SparkEntry {
         |        quantile_cont(slope, CAST(0.5 AS DOUBLE)) AS sl FROM p GROUP BY 1),
         |nb AS (SELECT pvname, CAST(count(*) AS BIGINT) AS n_buckets FROM m GROUP BY 1)
         |SELECT s.pvname, n_buckets, n_pairs, round(sl, 6) AS slope
-        |FROM s JOIN nb USING (pvname) ORDER BY pvname""".stripMargin
+        |FROM s JOIN nb USING (pvname) ORDER BY pvname""".stripMargin,
+
+    // PageRank: the q_hubness kNN-edge CTE + an unrolled chain of 10
+    // integer-exact iterations — every update is BIGINT `div`, so both
+    // engines produce the SAME longs (no float accumulation order to
+    // diverge); teleport and init use the identical integer divisions the
+    // Scala loop computes on the driver
+    "q_pagerank" -> pageRankSql(iters = 10, k = 5, scale = 1000000000000L),
+
+    // funnel latency: the q_funnel step CTEs, then one latency frame per
+    // transition; exact integer micros min/max, quantile_cont == percentile
+    // (the q_bands parity) rounded to 6 places
+    "q_funnel_latency" ->
+      s"""WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et
+         |  FROM events WHERE user_id IS NOT NULL),
+         |s1 AS (SELECT u, min(t) AS t1 FROM e WHERE et = 'view' GROUP BY u),
+         |s2 AS (SELECT e.u, min(t) AS t2 FROM e JOIN s1 ON e.u = s1.u
+         |       WHERE et = 'click' AND t > t1 AND t <= t1 + $RUN_WEEK_US GROUP BY e.u),
+         |s3 AS (SELECT e.u, min(t) AS t3 FROM e JOIN s2 ON e.u = s2.u
+         |       WHERE et = 'purchase' AND t > t2 AND t <= t2 + $RUN_WEEK_US GROUP BY e.u),
+         |l2 AS (SELECT t2 - t1 AS lat FROM s2 JOIN s1 USING (u)),
+         |l3 AS (SELECT t3 - t2 AS lat FROM s3 JOIN s2 USING (u)),
+         |c AS (SELECT 2 AS stage, 'click' AS step, CAST(count(*) AS BIGINT) AS n_conv,
+         |        min(lat) AS min_us,
+         |        round(quantile_cont(CAST(lat AS DOUBLE), CAST(0.5 AS DOUBLE)), 6) AS p50_us,
+         |        round(quantile_cont(CAST(lat AS DOUBLE), CAST(0.9 AS DOUBLE)), 6) AS p90_us,
+         |        max(lat) AS max_us FROM l2
+         |      UNION ALL
+         |      SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
+         |        min(lat),
+         |        round(quantile_cont(CAST(lat AS DOUBLE), CAST(0.5 AS DOUBLE)), 6),
+         |        round(quantile_cont(CAST(lat AS DOUBLE), CAST(0.9 AS DOUBLE)), 6),
+         |        max(lat) FROM l3)
+         |SELECT CAST(stage AS BIGINT) AS stage, step, n_conv, min_us, p50_us,
+         |  p90_us, max_us
+         |FROM c ORDER BY stage""".stripMargin
   )
 
   /** DuckDB fragment mirroring [[Sampling.hashBucket]] over `doc_id` with the

@@ -35,24 +35,7 @@ object EventAnalytics {
     */
   def funnel(df: DataFrame, user: String, ts: String, eventType: String,
       steps: Seq[String], horizonUs: Long): DataFrame = {
-    require(steps.nonEmpty, "funnel needs at least one step")
-    require(horizonUs > 0, s"horizonUs must be positive, got $horizonUs")
-    val base = df.where(col(user).isNotNull)
-      .select(col(user).as("__u"), col(ts).as("__ts"), col(eventType).as("__et"))
-    // per-user completion time of each successive step
-    val completions = steps.zipWithIndex.foldLeft(List.empty[DataFrame]) {
-      case (acc, (step, i)) =>
-        val hits = base.where(col("__et") === step)
-        val done =
-          if (i == 0) hits.groupBy(col("__u")).agg(min(col("__ts")).as("__t"))
-          else {
-            val prev = acc.head.select(col("__u"), col("__t").as("__tp"))
-            hits.join(prev, Seq("__u"))
-              .where(col("__ts") > col("__tp") && col("__ts") <= col("__tp") + horizonUs)
-              .groupBy(col("__u")).agg(min(col("__ts")).as("__t"))
-          }
-        done :: acc
-    }.reverse
+    val completions = completionFrames(df, user, ts, eventType, steps, horizonUs)
     val counts = completions.zip(steps).zipWithIndex.map { case ((doneDf, step), i) =>
       doneDf.agg(count(lit(1)).as("n_users"))
         .select(lit(i + 1).cast("long").as("stage"), lit(step).as("step"), col("n_users"))
@@ -65,6 +48,71 @@ object EventAnalytics {
         when(col("__prev").isNull, lit(1.0))
           .otherwise(quantize6(col("n_users") / col("__prev"))).as("conv_from_prev"),
         quantize6(col("n_users") / col("__first")).as("conv_overall"))
+  }
+
+  /** Per-user first-touch completion time of each successive funnel step
+    * (the [[funnel]] recurrence): step `i+1` counts only strictly after the
+    * user's step-`i` completion and within `horizonUs` of it. One keyed
+    * min-agg + one keyed join per step; each frame is one row per
+    * converting user.
+    */
+  private def completionFrames(df: DataFrame, user: String, ts: String,
+      eventType: String, steps: Seq[String], horizonUs: Long): List[DataFrame] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(horizonUs > 0, s"horizonUs must be positive, got $horizonUs")
+    val base = df.where(col(user).isNotNull)
+      .select(col(user).as("__u"), col(ts).as("__ts"), col(eventType).as("__et"))
+    steps.zipWithIndex.foldLeft(List.empty[DataFrame]) {
+      case (acc, (step, i)) =>
+        val hits = base.where(col("__et") === step)
+        val done =
+          if (i == 0) hits.groupBy(col("__u")).agg(min(col("__ts")).as("__t"))
+          else {
+            val prev = acc.head.select(col("__u"), col("__t").as("__tp"))
+            hits.join(prev, Seq("__u"))
+              .where(col("__ts") > col("__tp") && col("__ts") <= col("__tp") + horizonUs)
+              .groupBy(col("__u")).agg(min(col("__ts")).as("__t"))
+          }
+        done :: acc
+    }.reverse
+  }
+
+  /** Time-to-convert distribution per funnel transition: over the users who
+    * completed step `i+1`, the latency `t_{i+1} − t_i` from their step-`i`
+    * completion (both first-touch times from the [[funnel]] recurrence, so
+    * every latency is in `(0, horizonUs]` by construction).
+    *
+    * Output: one row per transition —
+    * `(stage, step, n_conv, min_us, p50_us, p90_us, max_us)` — exact
+    * integer micros for min/max, exact interpolated percentiles
+    * (`percentile` == DuckDB `quantile_cont`) rounded to 6 places.
+    *
+    * Plan shape: the step-completion frames are one row per converting user
+    * (the funnel's natural shrink point); each transition is ONE keyed join
+    * of two such frames + one combinable aggregate. Nothing re-scans the
+    * corpus per transition.
+    */
+  def funnelLatency(df: DataFrame, user: String, ts: String, eventType: String,
+      steps: Seq[String], horizonUs: Long): DataFrame = {
+    require(steps.length >= 2, "funnelLatency needs at least two steps")
+    val completions = completionFrames(df, user, ts, eventType, steps, horizonUs)
+    completions.sliding(2).toList.zipWithIndex.map {
+      case (List(prevDf, curDf), i) =>
+        val prev = prevDf.select(col("__u"), col("__t").as("__tp"))
+        curDf.join(prev, Seq("__u"))
+          .select((col("__t") - col("__tp")).as("__lat"))
+          .agg(
+            count(lit(1)).as("n_conv"),
+            min(col("__lat")).as("min_us"),
+            round(expr("percentile(__lat, 0.5)"), 6).as("p50_us"),
+            round(expr("percentile(__lat, 0.9)"), 6).as("p90_us"),
+            max(col("__lat")).as("max_us"))
+          .select(lit(i + 2).cast("long").as("stage"),
+            lit(steps(i + 1)).as("step"),
+            col("n_conv"), col("min_us"), col("p50_us"), col("p90_us"),
+            col("max_us"))
+      case other => sys.error(s"unreachable sliding window: $other")
+    }.reduce(_.unionByName(_))
   }
 
   /** Day-granularity cohort retention: users cohort by their FIRST-ever

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over plain edge-list DataFrames.
+  *
+  * Companion to [[Dedup.connectedComponents]] (hash-min label propagation):
+  * the same "driver steers, cluster computes" shape — a fixed/bounded number
+  * of keyed join+aggregate rounds over an edge frame, with lineage truncated
+  * so the plan stays shallow no matter how many rounds run.
+  */
+object Graph {
+
+  /** Integer-exact PageRank with damping 0.85 and a FIXED iteration count.
+    *
+    * Ranks are carried as BIGINT in units of `1/scale` and every update is
+    * integer arithmetic — `contrib = ((pr * 85) div 100) div outdeg`,
+    * `pr' = teleport + sum(contrib over in-edges)` — so the result is
+    * bit-identical on any engine (no floating-point accumulation order to
+    * diverge between a 1000-executor shuffle and a single-node fold).
+    * Dangling mass is dropped (the classic simplified variant); over a kNN
+    * edge list every node has out-degree k, so no node dangles anyway.
+    *
+    * Plan shape per iteration: one keyed join (ranks × edges on `src`) and
+    * one keyed sum (by `dst`) — both shuffles are on the node key and
+    * map-side combinable; the out-degree-annotated edge frame is computed
+    * once and persisted, and the node-sized rank frame is
+    * `localCheckpoint`ed every 3 rounds so the lineage never deepens past a
+    * few joins. At 100 TB the edge frame dominates and it is touched once
+    * per iteration with no driver collect; the single driver-side action is
+    * the node COUNT (one long).
+    *
+    * Output: `(node BIGINT, pagerank BIGINT)` — scaled ranks; divide by
+    * `scale` for probabilities. Sum over nodes ≈ scale (minus integer-floor
+    * dust, which is exactly reproducible).
+    */
+  def pageRank(edges: DataFrame, src: String, dst: String, iters: Int = 10,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val e = edges
+      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val outd = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ed = e.join(outd, Seq("src")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    try {
+      val n = nodes.count() // the one driver-side action: a single long
+      require(n > 0, "pageRank needs at least one edge")
+      val teleport = (scale * 15L / 100L) / n
+      var pr = nodes.select(col("node"), lit(scale / n).as("pr"))
+      for (i <- 1 to iters) {
+        val contrib = ed
+          .join(pr, ed("src") === pr("node"))
+          .select(col("dst").as("node"),
+            expr("((pr * 85) div 100) div outdeg").as("c"))
+        val sums = contrib.groupBy(col("node")).agg(sum(col("c")).as("m"))
+        pr = nodes.join(sums, Seq("node"), "left_outer")
+          .select(col("node"),
+            (lit(teleport) + coalesce(col("m"), lit(0L))).as("pr"))
+        if (i % 3 == 0 && i < iters) pr = pr.localCheckpoint()
+      }
+      pr.select(col("node"), col("pr").as("pagerank")).localCheckpoint()
+    } finally {
+      ed.unpersist()
+      nodes.unpersist()
+    }
+  }
+}

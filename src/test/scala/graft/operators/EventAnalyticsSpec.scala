@@ -153,4 +153,42 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got(10L) == ((1L, 1L, 1.0))) // day 3's coverage ends at day 9
     assert(got.size == 3) // only days with activity are reported
   }
+
+  test("funnelLatency: first-touch deltas per transition, exact percentiles") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      // u1: view@0, click@2m (and a later click@5m that must NOT count)
+      (1L, 0L * M, "view"), (1L, 2L * M, "click"), (1L, 5L * M, "click"),
+      (1L, 3L * M, "purchase"), // 1m after first click
+      // u2: view@0, click@4m
+      (2L, 0L * M, "view"), (2L, 4L * M, "click"),
+      // u3: view@0, click@6m
+      (3L, 0L * M, "view"), (3L, 6L * M, "click"),
+      // u4: click with no prior view — no transition
+      (4L, 1L * M, "click"))
+      .toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnelLatency(rows, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), horizonUs = 10L * M)
+      .collect()
+      .map(r => r.getAs[Long]("stage") ->
+        ((r.getAs[String]("step"), r.getAs[Long]("n_conv"), r.getAs[Long]("min_us"),
+          r.getAs[Double]("p50_us"), r.getAs[Double]("p90_us"), r.getAs[Long]("max_us"))))
+      .toMap
+    // view->click latencies: 2m, 4m, 6m -> p50 = 4m, p90 interpolates 4m..6m at 0.8
+    assert(got(2L) == (("click", 3L, 2L * M, 4.0 * M, (4.0 + 1.6) * M, 6L * M)))
+    // click->purchase: only u1, 1m
+    assert(got(3L) == (("purchase", 1L, 1L * M, 1.0 * M, 1.0 * M, 1L * M)))
+  }
+
+  test("funnelLatency: an empty transition reports n_conv=0 with null stats") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq((1L, 0L * M, "view")).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnelLatency(rows, "user_id", "ts", "event_type",
+      Seq("view", "click"), horizonUs = 10L * M).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("n_conv") == 0L)
+    assert(got(0).isNullAt(got(0).fieldIndex("p50_us")))
+  }
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+
+  private val SCALE = 1000000000000L
+
+  /** Reference single-threaded fold of the integer PageRank recurrence. */
+  private def prRef(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    val n = nodes.length.toLong
+    val tele = (SCALE * 15L / 100L) / n
+    var pr = nodes.map(_ -> SCALE / n).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => ((pr(s) * 85L) / 100L) / outdeg(s) }.sum
+      }
+      pr = nodes.map(v => v -> (tele + in.getOrElse(v, 0L))).toMap
+    }
+    pr
+  }
+
+  test("pageRank matches a hand fold on a small directed graph") {
+    val sp = spark
+    import sp.implicits._
+    // a 4-node graph with a sink-ish hub: 1->2, 1->3, 2->3, 3->1, 4->3
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L))
+    val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 10)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("pagerank")).toMap
+    assert(got == prRef(edges, 10))
+    // the hub (3) outranks everyone; the unreferenced node (4) holds only teleport mass
+    assert(got(3L) > got(1L) && got(1L) > got(2L))
+    assert(got(4L) == (SCALE * 15L / 100L) / 4L)
+  }
+
+  test("pageRank on a symmetric ring is uniform (symmetry preserved exactly)") {
+    val sp = spark
+    import sp.implicits._
+    val ring = (0L until 6L).flatMap(i => Seq((i, (i + 1) % 6), ((i + 1) % 6, i)))
+    val got = Graph.pageRank(ring.toDF("a", "b"), "a", "b", iters = 7)
+      .collect().map(r => r.getAs[Long]("pagerank")).toSet
+    assert(got.size == 1) // every node identical, bit-for-bit
+  }
+
+  test("pageRank total mass is conserved up to integer-floor dust") {
+    val sp = spark
+    import sp.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (2L, 4L))
+    val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 10)
+      .agg(sum(col("pagerank"))).collect()(0).getLong(0)
+    // each iteration floors away < 1e-9 of the mass; 10 rounds stay within 0.1%
+    assert(got <= SCALE && got > SCALE * 999L / 1000L)
+  }
+
+  test("pageRank iters=0 returns the uniform prior") {
+    val sp = spark
+    import sp.implicits._
+    val got = Graph.pageRank(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
+      "src", "dst", iters = 0)
+      .collect().map(r => r.getAs[Long]("pagerank")).toSet
+    assert(got == Set(SCALE / 2L))
+  }
+
+  test("pageRank drops null endpoints and casts integral id types") {
+    val sp = spark
+    import sp.implicits._
+    val edges = Seq((Some(1), Some(2)), (Some(2), Some(1)), (None, Some(9)), (Some(9), None))
+      .toDF("src", "dst")
+    val got = Graph.pageRank(edges, "src", "dst", iters = 3).collect()
+    assert(got.map(_.getAs[Long]("node")).toSet == Set(1L, 2L))
+  }
+}
