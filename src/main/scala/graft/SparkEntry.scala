@@ -1655,6 +1655,23 @@ object SparkEntry {
       EventAnalytics.funnelLatency(events(s, dir), "user_id", "ts_us", "event_type",
         Seq("view", "click", "purchase"), horizonUs = RUN_WEEK_US)
         .orderBy(col("stage"))
+    }),
+
+    // ---- MinHash estimate-vs-exact calibration over the LSH candidates ----
+    "q_minhash_error" -> ((s, dir) => {
+      Dedup.minhashEstimateAudit(Tables.documents(s, dir), "doc_id", "text",
+        n = 2, numPerm = NUM_PERM, bands = 4)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // ---- lexical (MinHash) vs semantic (embedding-cosine) near-dup
+    // agreement — which dedup pass does this corpus actually need? --------
+    "q_dedup_agreement" -> ((s, dir) => {
+      val lex = Dedup.minhashDedup(Tables.documents(s, dir), "doc_id", "text",
+        n = 2, numPerm = NUM_PERM, bands = 4, threshold = 0.5)
+      val sem = Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.45)
+      Dedup.pairAgreement(lex, sem).orderBy(col("d1"), col("d2"))
     })
   )
 
@@ -1839,6 +1856,43 @@ object SparkEntry {
        |FROM inter JOIN sz a ON d1 = a.doc JOIN sz b ON d2 = b.doc
        |WHERE round(CAST(i AS DOUBLE) / (a.sz + b.sz - i), 6) >= $threshold
        |ORDER BY d1, d2""".stripMargin
+  }
+
+  /** DuckDB mirror of [[Dedup.minhashEstimateAudit]]: the [[minhashLshSql]]
+    * candidate chain, the per-pair signature-agreement count as an integer
+    * CASE sum, and the exact-Jaccard verify with no threshold. The estimate
+    * `n_match / numPerm` is an exact binary fraction (numPerm a power of
+    * two), so the doubles agree bit-for-bit across engines.
+    */
+  private def minhashErrorSql(numPerm: Int, bands: Int, n: Int): String = {
+    val rows = numPerm / bands
+    val bandJoins = (0 until bands).map { b =>
+      val eqs = (b * rows until (b + 1) * rows).map(i => s"a.mh$i = b.mh$i").mkString(" AND ")
+      s"SELECT a.doc AS d1, b.doc AS d2 FROM sig a JOIN sig b ON $eqs AND a.doc < b.doc"
+    }
+    val matches = (0 until numPerm)
+      .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+    val jac = "CAST(coalesce(i.i, 0) AS DOUBLE) / (a.sz + b.sz - coalesce(i.i, 0))"
+    s"""WITH ${shingleCte(n)},
+       |h AS (SELECT doc, $shingleHashSql AS h FROM s),
+       |sig AS (SELECT doc, ${(0 until numPerm).map { i =>
+          val (a, bb) = Dedup.perm(i)
+          s"min((h * $a + $bb) % $MERSENNE) AS mh$i"
+        }.mkString(", ")} FROM h GROUP BY doc),
+       |cand AS (SELECT DISTINCT d1, d2 FROM (${bandJoins.mkString(" UNION ALL ")})),
+       |m AS (SELECT c.d1, c.d2, $matches AS n_match
+       |      FROM cand c JOIN sig a ON c.d1 = a.doc JOIN sig b ON c.d2 = b.doc),
+       |sz AS (SELECT doc, count(*) AS sz FROM s GROUP BY doc),
+       |inter AS (SELECT c.d1, c.d2, count(*) AS i
+       |          FROM cand c JOIN s x ON c.d1 = x.doc JOIN s y ON c.d2 = y.doc AND x.shingle = y.shingle
+       |          GROUP BY c.d1, c.d2)
+       |SELECT m.d1, m.d2, CAST(m.n_match AS BIGINT) AS n_match,
+       |  round(CAST(m.n_match AS DOUBLE) / $numPerm, 6) AS est_jaccard,
+       |  round($jac, 6) AS jaccard,
+       |  round(abs(CAST(m.n_match AS DOUBLE) / $numPerm - round($jac, 6)), 6) AS abs_err
+       |FROM m LEFT JOIN inter i ON m.d1 = i.d1 AND m.d2 = i.d2
+       |  JOIN sz a ON m.d1 = a.doc JOIN sz b ON m.d2 = b.doc
+       |ORDER BY m.d1, m.d2""".stripMargin
   }
 
   /** [[minhashLshSql]]'s candidate chain extended with the Levenshtein
@@ -4662,7 +4716,24 @@ object SparkEntry {
          |        max(lat) FROM l3)
          |SELECT CAST(stage AS BIGINT) AS stage, step, n_conv, min_us, p50_us,
          |  p90_us, max_us
-         |FROM c ORDER BY stage""".stripMargin
+         |FROM c ORDER BY stage""".stripMargin,
+
+    // MinHash calibration: estimate vs exact Jaccard over the band-colliding
+    // candidates (no threshold — the audit wants the misses too)
+    "q_minhash_error" -> minhashErrorSql(NUM_PERM, 4, 2),
+
+    // lexical vs semantic near-dup agreement: the two oracles composed as
+    // subqueries and full-outer joined on the pair key
+    "q_dedup_agreement" ->
+      s"""WITH lex AS (SELECT * FROM (${minhashLshSql(NUM_PERM, 4, 2, 0.5)}) tl),
+         |sem AS (SELECT * FROM ($embedDedupOracleSql) ts)
+         |SELECT coalesce(lex.d1, sem.d1) AS d1, coalesce(lex.d2, sem.d2) AS d2,
+         |  lex.jaccard, sem.sim,
+         |  CASE WHEN lex.jaccard IS NOT NULL AND sem.sim IS NOT NULL THEN 'both'
+         |       WHEN lex.jaccard IS NOT NULL THEN 'lexical_only'
+         |       ELSE 'semantic_only' END AS verdict
+         |FROM lex FULL OUTER JOIN sem ON lex.d1 = sem.d1 AND lex.d2 = sem.d2
+         |ORDER BY d1, d2""".stripMargin
   )
 
   /** DuckDB fragment mirroring [[Sampling.hashBucket]] over `doc_id` with the

@@ -526,6 +526,87 @@ object Dedup {
     ds.groupBy(col("doc")).agg(mins.head, mins.tail: _*)
   }
 
+  /** Band-exploded LSH bucket keys of a [[minhashSignature]] frame: one row
+    * per (doc, band) with the band's literal signature values as the bucket
+    * key (engine-portable, no false candidates from hash collisions). One
+    * explode pass — a union of per-band selects would recompute the
+    * signature aggregation once per band.
+    */
+  private def bandExplode(sig: DataFrame, numPerm: Int, bands: Int, side: String): DataFrame = {
+    val rows = numPerm / bands
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
+      struct(lit(b).as("band"), concat_ws("_", cols: _*).as("bucket"))
+    }
+    sig.select(col("doc").as(side), explode(array(bandStructs: _*)).as("__b"))
+      .select(col(side), col("__b.band").as("band"), col("__b.bucket").as("bucket"))
+  }
+
+  /** MinHash estimation-error audit over the LSH candidate pairs: for every
+    * band-colliding pair, the signature-agreement estimate
+    * `n_match / numPerm` next to the EXACT shingle Jaccard and their
+    * absolute gap — the calibration report that says whether
+    * `numPerm`/`bands` are tuned right BEFORE a 100 TB dedup run trusts the
+    * sketch. With `numPerm` a power of two the estimate is an exactly
+    * representable binary fraction, so both engines emit identical doubles.
+    *
+    * Plan shape: the banded candidate join of [[minhashDedup]] plus ONE
+    * signature join per pair side (pair-frame-sized) and the shared
+    * exact-verify join — nothing touches the corpus beyond the signature
+    * and shingle frames the dedup already builds.
+    */
+  def minhashEstimateAudit(df: DataFrame, id: String, text: String,
+      n: Int = 3, numPerm: Int = 32, bands: Int = 8): DataFrame = {
+    val sig = minhashSignature(df, id, text, n, numPerm)
+    val banded = bandExplode(sig, numPerm, bands, "doc")
+    val cands = banded
+      .join(banded.select(col("doc").as("d2"), col("band"), col("bucket")), Seq("band", "bucket"))
+      .where(col("doc") < col("d2"))
+      .select(col("doc").as("d1"), col("d2"))
+      .distinct()
+    val sigA = sig.select(col("doc").as("d1") +: (0 until numPerm).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val sigB = sig.select(col("doc").as("d2") +: (0 until numPerm).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val nMatch = (0 until numPerm)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cands.join(sigA, Seq("d1")).join(sigB, Seq("d2"))
+      .select(col("d1"), col("d2"), nMatch.as("n_match"))
+    val ds = docShingles(df, id, text, n).distinct()
+    val sizes = ds.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val inter = est.select(col("d1"), col("d2"))
+      .join(ds.select(col("doc").as("d1"), col("shingle")), Seq("d1"))
+      .join(ds.select(col("doc").as("d2"), col("shingle")), Seq("d2", "shingle"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+    val i0 = coalesce(col("inter"), lit(0L))
+    val exact = round(i0.cast("double") / (col("sz1") + col("sz2") - i0), 6)
+    val estJ = col("n_match").cast("double") / numPerm
+    est
+      .join(inter, Seq("d1", "d2"), "left_outer")
+      .join(sizes.select(col("doc").as("d1"), col("sz").as("sz1")), Seq("d1"))
+      .join(sizes.select(col("doc").as("d2"), col("sz").as("sz2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("n_match"),
+        round(estJ, 6).as("est_jaccard"),
+        exact.as("jaccard"),
+        round(abs(estJ - exact), 6).as("abs_err"))
+  }
+
+  /** Lexical-vs-semantic near-dup agreement: full-outer join of a MinHash
+    * pair frame (`d1, d2, jaccard`) and an embedding-cosine pair frame
+    * (`d1, d2, sim`), each pair tagged `both` / `lexical_only` /
+    * `semantic_only`. The disagreement rows are the interesting ones: a
+    * paraphrase cluster only the embeddings see, or boilerplate only the
+    * shingles see — the audit that decides which dedup pass a corpus
+    * actually needs. Work is pair-frame-sized on both sides.
+    */
+  def pairAgreement(lexical: DataFrame, semantic: DataFrame): DataFrame =
+    lexical.select(col("d1"), col("d2"), col("jaccard"))
+      .join(semantic.select(col("d1"), col("d2"), col("sim")), Seq("d1", "d2"), "full_outer")
+      .select(col("d1"), col("d2"), col("jaccard"), col("sim"),
+        when(col("jaccard").isNotNull && col("sim").isNotNull, lit("both"))
+          .when(col("jaccard").isNotNull, lit("lexical_only"))
+          .otherwise(lit("semantic_only")).as("verdict"))
+
   /** MinHash LSH candidate pairs: split the signature into `bands` bands of
     * `rows` hashes; docs colliding on any full band are candidates; verify
     * with exact shingle Jaccard and keep pairs ≥ threshold.
@@ -538,19 +619,8 @@ object Dedup {
       numPerm: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val rows = numPerm / bands
     val sig = minhashSignature(df, id, text, n, numPerm)
-    // bucket key = the band's literal signature values (not an engine-specific
-    // hash): no false candidates from hash collisions, and reproducible by
-    // any SQL engine. One explode pass, not a union of per-band selects —
-    // a union would recompute the signature aggregation once per band.
-    val bandStructs = (0 until bands).map { b =>
-      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
-      struct(lit(b).as("band"), concat_ws("_", cols: _*).as("bucket"))
-    }
-    val banded = sig
-      .select(col("doc"), explode(array(bandStructs: _*)).as("__b"))
-      .select(col("doc"), col("__b.band").as("band"), col("__b.bucket").as("bucket"))
+    val banded = bandExplode(sig, numPerm, bands, "doc")
     val cands = banded
       .join(banded.select(col("doc").as("d2"), col("band"), col("bucket")), Seq("band", "bucket"))
       .where(col("doc") < col("d2"))
@@ -594,16 +664,8 @@ object Dedup {
   def incrementalMinhash(newDocs: DataFrame, existing: DataFrame,
       id: String, text: String, n: Int = 3, numPerm: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val rows = numPerm / bands
-    def banded(df: DataFrame, side: String): DataFrame = {
-      val sig = minhashSignature(df, id, text, n, numPerm)
-      val bandStructs = (0 until bands).map { b =>
-        val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
-        struct(lit(b).as("band"), concat_ws("_", cols: _*).as("bucket"))
-      }
-      sig.select(col("doc").as(side), explode(array(bandStructs: _*)).as("__b"))
-        .select(col(side), col("__b.band").as("band"), col("__b.bucket").as("bucket"))
-    }
+    def banded(df: DataFrame, side: String): DataFrame =
+      bandExplode(minhashSignature(df, id, text, n, numPerm), numPerm, bands, side)
     val cands = banded(newDocs, "dn")
       .join(banded(existing, "dx"), Seq("band", "bucket"))
       .select(col("dn"), col("dx")).distinct()

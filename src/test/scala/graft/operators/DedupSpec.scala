@@ -100,6 +100,33 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(p => p._2 == 4L || p._1 == 4L))
   }
 
+  test("minhashEstimateAudit: exact dups estimate 1.0 with zero error; estimate is n_match/numPerm") {
+    val got = Dedup.minhashEstimateAudit(docs, "doc_id", "text", n = 2, numPerm = 16, bands = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) ->
+        ((r.getAs[Long]("n_match"), r.getAs[Double]("est_jaccard"),
+          r.getAs[Double]("jaccard"), r.getAs[Double]("abs_err"))))
+      .toMap
+    // docs 1 and 2 are identical: all positions agree, exact jaccard 1.0
+    assert(got((1L, 2L)) == ((16L, 1.0, 1.0, 0.0)))
+    // every candidate's estimate is the agreement fraction, err = |est - exact|
+    got.values.foreach { case (m, est, jac, err) =>
+      assert(est == m.toDouble / 16)
+      assert(math.abs(err - math.abs(est - jac)) < 1e-9)
+    }
+  }
+
+  test("pairAgreement: both / lexical_only / semantic_only classification") {
+    val sp = spark
+    import sp.implicits._
+    val lex = Seq((1L, 2L, 0.8), (3L, 4L, 0.6)).toDF("d1", "d2", "jaccard")
+    val sem = Seq((1L, 2L, 0.9), (5L, 6L, 0.5)).toDF("d1", "d2", "sim")
+    val got = Dedup.pairAgreement(lex, sem)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) -> r.getAs[String]("verdict"))
+      .toMap
+    assert(got == Map((1L, 2L) -> "both", (3L, 4L) -> "lexical_only", (5L, 6L) -> "semantic_only"))
+  }
+
   test("incrementalMinhash: new docs near-dup of the existing corpus are dropped") {
     val sp = spark
     import sp.implicits._
