@@ -1672,6 +1672,14 @@ object SparkEntry {
       val sem = Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         threshold = 0.45)
       Dedup.pairAgreement(lex, sem).orderBy(col("d1"), col("d2"))
+    }),
+
+    // ---- LASER-style margin-scored cross-group pair mining (label parity
+    // stands in for the two languages of a bitext-mining run) -------------
+    "q_margin_mining" -> ((s, dir) => {
+      Similarity.marginMining(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("label") % 2, srcGroup = "0", k = 3, threshold = 1.0)
+        .orderBy(col("src_id"))
     })
   )
 
@@ -1856,6 +1864,31 @@ object SparkEntry {
        |FROM inter JOIN sz a ON d1 = a.doc JOIN sz b ON d2 = b.doc
        |WHERE round(CAST(i AS DOUBLE) / (a.sz + b.sz - i), 6) >= $threshold
        |ORDER BY d1, d2""".stripMargin
+  }
+
+  /** DuckDB mirror of [[Similarity.marginMining]] over label-parity groups:
+    * cross-group exact top-k, integer neighborhood sums, one double
+    * division per pair, per-source argmax window with the same tie-break.
+    */
+  private def marginMiningSql(k: Int, threshold: Double): String = {
+    val denomScale = 2.0 * k * 1000000.0
+    s"""WITH emb AS (SELECT vec_id, label % 2 AS g, embedding::DOUBLE[] AS ev
+       |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+       |sc AS (SELECT a.vec_id AS qid, b.vec_id AS nid, a.g AS ga,
+       |         round(${cosineSql("a.ev", "b.ev")}, 6) AS sim
+       |       FROM emb a JOIN emb b ON a.g <> b.g),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sc),
+       |t AS (SELECT * FROM r WHERE rn <= $k),
+       |su AS (SELECT qid, CAST(sum(CAST(round(sim * 1000000.0) AS BIGINT)) AS BIGINT) AS isum
+       |       FROM t GROUP BY qid),
+       |m AS (SELECT c.qid AS src_id, c.nid AS dst_id, c.sim,
+       |        round(c.sim / (CAST(sa.isum + sb.isum AS DOUBLE) / $denomScale), 6) AS margin
+       |      FROM t c JOIN su sa ON c.qid = sa.qid JOIN su sb ON c.nid = sb.qid
+       |      WHERE c.ga = 0),
+       |best AS (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, dst_id) AS rb
+       |         FROM m)
+       |SELECT src_id, dst_id, sim AS cos, margin
+       |FROM best WHERE rb = 1 AND margin >= $threshold ORDER BY src_id""".stripMargin
   }
 
   /** DuckDB mirror of [[Dedup.minhashEstimateAudit]]: the [[minhashLshSql]]
@@ -4733,7 +4766,13 @@ object SparkEntry {
          |       WHEN lex.jaccard IS NOT NULL THEN 'lexical_only'
          |       ELSE 'semantic_only' END AS verdict
          |FROM lex FULL OUTER JOIN sem ON lex.d1 = sem.d1 AND lex.d2 = sem.d2
-         |ORDER BY d1, d2""".stripMargin
+         |ORDER BY d1, d2""".stripMargin,
+
+    // margin mining: cross-group top-k CTE (the q_hubness ranking shape
+    // with a group-inequality join), INTEGER neighborhood sums of
+    // round(sim*1e6) — no float accumulation order — and one mirrored
+    // double division for the margin
+    "q_margin_mining" -> marginMiningSql(k = 3, threshold = 1.0)
   )
 
   /** DuckDB fragment mirroring [[Sampling.hashBucket]] over `doc_id` with the

@@ -292,6 +292,101 @@ object Similarity {
       .toDF("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Margin-scored cross-group pair mining (the bitext-mining scorer of
+    * LASER/CCMatrix, re-expressed): for source-group vector `x` and its
+    * cross-group candidate `y`,
+    * `margin(x,y) = cos(x,y) / ((avgTopK(x→other) + avgTopK(y→other)) / 2)`
+    * — the ratio of the pair's cosine to the mean of the two endpoints'
+    * top-`k` cross-group neighborhoods. Absolute-cosine thresholds break
+    * under hubness; the margin normalizes by local density, which is why
+    * production parallel-corpus mining uses it.
+    *
+    * Engine-exactness: per-endpoint neighborhood sums are INTEGER sums of
+    * `round(sim·1e6)` (each addend exactly integral before the cast), so no
+    * float accumulation order exists; the margin is one double division of
+    * bit-identical quantities, floor-stable under `round(·, 6)`.
+    *
+    * Output: the best candidate per source vector with `margin >=
+    * threshold`: `(src_id, dst_id, cos, margin)`.
+    *
+    * Plan shape: ONE broadcast top-k sweep (the [[knnGraph]] shape,
+    * restricted to cross-group candidates) emits k rows per vector; sums,
+    * the margin join, and the per-source argmax window all run over that
+    * k·n-sized edge frame, never the corpus. At scale, swap the sweep for
+    * the LSH/IVF candidate generators — the margin algebra is unchanged.
+    */
+  def marginMining(df: DataFrame, id: String, vec: String, group: Column,
+      srcGroup: String, k: Int, threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    requireIntegralId(df, id)
+    val data = df.where(col(vec).isNotNull && group.isNotNull)
+      .select(col(id).cast("long"), col(vec), group.cast("string"))
+      .as[(Long, Array[Float], String)].collect().sortBy(_._1)
+    val norms = data.map { case (_, v, _) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    val bc = spark.sparkContext.broadcast((data, norms))
+    val n = data.length
+    val edges = spark.range(n.toLong)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { it =>
+        val (d, nrm) = bc.value
+        val m = d.length
+        it.flatMap { ii =>
+          val i = ii.toInt
+          val (qid, qv, qg) = d(i)
+          val qn = nrm(i)
+          val simArr = new Array[Double](k)
+          val vidArr = new Array[Long](k)
+          var size = 0
+          var j = 0
+          while (j < m) {
+            val (nid, nv, ng) = d(j)
+            if (ng != qg) { // cross-group only
+              var sab = 0.0; var t = 0; val len = math.min(qv.length, nv.length)
+              while (t < len) { sab += qv(t).toDouble * nv(t).toDouble; t += 1 }
+              val sim = round6(sab / (qn * nrm(j)))
+              var pos = size
+              while (pos > 0 && (sim > simArr(pos - 1) ||
+                  (sim == simArr(pos - 1) && nid < vidArr(pos - 1)))) pos -= 1
+              if (pos < k) {
+                var s2 = math.min(size, k - 1)
+                while (s2 > pos) {
+                  simArr(s2) = simArr(s2 - 1); vidArr(s2) = vidArr(s2 - 1)
+                  s2 -= 1
+                }
+                simArr(pos) = sim; vidArr(pos) = nid
+                if (size < k) size += 1
+              }
+            }
+            j += 1
+          }
+          (0 until size).iterator.map(r => (qid, vidArr(r), simArr(r), qg))
+        }
+      }
+      .toDF("qid", "nid", "sim", "grp")
+    // integer neighborhood sums: round(sim·1e6) is exactly integral, the
+    // cast is exact, and BIGINT addition has no order to diverge
+    val sums = edges.groupBy(col("qid"))
+      .agg(sum(round(col("sim") * 1000000.0).cast("long")).as("isum"))
+    val denomScale = 2.0 * k * 1000000.0
+    val scored = edges.where(col("grp") === srcGroup)
+      .join(sums.select(col("qid"), col("isum").as("isuma")), Seq("qid"))
+      .join(sums.select(col("qid").as("nid"), col("isum").as("isumb")), Seq("nid"))
+      .select(col("qid").as("src_id"), col("nid").as("dst_id"), col("sim"),
+        round(col("sim") / ((col("isuma") + col("isumb")).cast("double") / denomScale), 6)
+          .as("margin"))
+    val w = Window.partitionBy(col("src_id")) // k rows per key
+      .orderBy(col("margin").desc, col("dst_id"))
+    scored.withColumn("__rb", row_number().over(w))
+      .where(col("__rb") === 1 && col("margin") >= threshold)
+      .select(col("src_id"), col("dst_id"), col("sim").as("cos"), col("margin"))
+  }
+
   /** Hubness report over the [[knnGraph]]: each vector's in-degree — how
     * many other vectors count it among their `k` nearest. High-dimensional
     * embedding spaces concentrate: a few "hub" points appear in everyone's

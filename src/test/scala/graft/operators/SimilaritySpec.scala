@@ -427,4 +427,63 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("doc"), r.getAs[Long]("component"))).toMap
     assert(comps == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 3L))
   }
+
+  test("marginMining: one best cross-group pair per source, margin normalizes by neighborhood") {
+    val sp = spark
+    import sp.implicits._
+    // group 0: vectors 1, 2; group 1: vectors 11, 12, 13.
+    // vector 1 is nearly parallel to 11 and far from the rest — high margin;
+    // vector 2 is equally mediocre to everything — margin ~1, filtered.
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.5f, 0.5f, 0.7f), 0),
+      (11L, Array(0.99f, 0.1f, 0.0f), 1),
+      (12L, Array(0.0f, 1.0f, 0.0f), 1),
+      (13L, Array(0.0f, 0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.marginMining(rows, "vec_id", "embedding",
+      col("label") % 2, srcGroup = "0", k = 2, threshold = 0.0)
+      .collect().map(r => r.getAs[Long]("src_id") ->
+        ((r.getAs[Long]("dst_id"), r.getAs[Double]("cos"), r.getAs[Double]("margin"))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L)) // one best pair per source vector
+    assert(got(1L)._1 == 11L)
+    // the sharp pair outranks the mediocre source's best pair
+    assert(got(1L)._3 > got(2L)._3)
+    // cos of (1, 11) is the exact round6 cosine
+    val expCos = Similarity.round6(0.99 / math.sqrt(0.99 * 0.99 + 0.1 * 0.1))
+    assert(got(1L)._2 == expCos)
+    // margin replays exactly: integer neighborhood sums over round6 sims
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      Similarity.round6(dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)))
+    }
+    val v = Map(
+      1L -> Array(1.0, 0.0, 0.0), 2L -> Array(0.5, 0.5, 0.7),
+      11L -> Array(0.99f.toDouble, 0.1f.toDouble, 0.0), 12L -> Array(0.0, 1.0, 0.0),
+      13L -> Array(0.0, 0.0, 1.0))
+    val grp = Map(1L -> 0, 2L -> 0, 11L -> 1, 12L -> 1, 13L -> 1)
+    def isum(q: Long): Long = v.keys.filter(o => grp(o) != grp(q)).toSeq
+      .map(o => cos6(v(q), v(o))).sorted(Ordering[Double].reverse).take(2)
+      .map(s => math.round(s * 1000000.0)).sum
+    val expMargin = BigDecimal(cos6(v(1L), v(11L)) / ((isum(1L) + isum(11L)).toDouble / 4000000.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._3 == expMargin)
+  }
+
+  test("marginMining: null vectors and null groups are excluded; ties break on smaller dst") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f), Some(0)),
+      (21L, Array(1.0f, 0.0f), Some(1)), // identical to 22 — tie
+      (22L, Array(1.0f, 0.0f), Some(1)),
+      (30L, null.asInstanceOf[Array[Float]], Some(1)),
+      (31L, Array(0.0f, 1.0f), None))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.marginMining(rows, "vec_id", "embedding",
+      col("label") % 2, srcGroup = "0", k = 2, threshold = 0.0)
+      .collect().map(r => r.getAs[Long]("src_id") -> r.getAs[Long]("dst_id")).toMap
+    assert(got == Map(1L -> 21L)) // equal margins -> smaller dst id wins
+  }
 }
