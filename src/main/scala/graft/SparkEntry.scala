@@ -1680,6 +1680,16 @@ object SparkEntry {
       Similarity.marginMining(Tables.embeddings(s, dir), "vec_id", "embedding",
         col("label") % 2, srcGroup = "0", k = 3, threshold = 1.0)
         .orderBy(col("src_id"))
+    }),
+
+    // ---- Z-order clustering key (write-time layout for 2-D data skipping) --
+    "q_zorder" -> ((s, dir) => {
+      graft.store.Layout.zOrderKey(
+        events(s, dir).select(col("event_id"), col("user_id"), col("ts_us")),
+        "user_id", "ts_us", bits = 16)
+        .select(col("event_id"), col("zkey"))
+        .orderBy(col("zkey"), col("event_id"))
+        .limit(500)
     })
   )
 
@@ -1864,6 +1874,27 @@ object SparkEntry {
        |FROM inter JOIN sz a ON d1 = a.doc JOIN sz b ON d2 = b.doc
        |WHERE round(CAST(i AS DOUBLE) / (a.sz + b.sz - i), 6) >= $threshold
        |ORDER BY d1, d2""".stripMargin
+  }
+
+  /** DuckDB mirror of [[graft.store.Layout.zOrderKey]] over
+    * `(user_id, ts_us)`: same null filter, same integer bucket width, and
+    * the Morton interleave unrolled to the identical BIGINT bit expression.
+    */
+  private def zorderSql(bits: Int): String = {
+    val pow = 1L << bits
+    val inter = (0 until bits).flatMap { i =>
+      Seq(s"(((b1 >> $i) & 1) << ${2 * i})", s"(((b2 >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" | ")
+    s"""WITH src AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+       |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       |mm AS (SELECT min(user_id) AS min1, max(user_id) AS max1,
+       |         min(ts_us) AS min2, max(ts_us) AS max2 FROM src),
+       |b AS (SELECT event_id,
+       |        (user_id - min1) // greatest(CAST(1 AS BIGINT), ((max1 - min1) // $pow) + 1) AS b1,
+       |        (ts_us - min2) // greatest(CAST(1 AS BIGINT), ((max2 - min2) // $pow) + 1) AS b2
+       |      FROM src CROSS JOIN mm)
+       |SELECT event_id, CAST($inter AS BIGINT) AS zkey FROM b
+       |ORDER BY zkey, event_id LIMIT 500""".stripMargin
   }
 
   /** DuckDB mirror of [[Similarity.marginMining]] over label-parity groups:
@@ -4772,7 +4803,11 @@ object SparkEntry {
     // with a group-inequality join), INTEGER neighborhood sums of
     // round(sim*1e6) — no float accumulation order — and one mirrored
     // double division for the margin
-    "q_margin_mining" -> marginMiningSql(k = 3, threshold = 1.0)
+    "q_margin_mining" -> marginMiningSql(k = 3, threshold = 1.0),
+
+    // Z-order: identical integer bucketization (width = range div 2^bits
+    // + 1) and the unrolled Morton bit interleave; pure BIGINT ops
+    "q_zorder" -> zorderSql(bits = 16)
   )
 
   /** DuckDB fragment mirroring [[Sampling.hashBucket]] over `doc_id` with the

@@ -1,0 +1,62 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout helpers: multi-dimensional clustering keys for
+  * write-time data skipping.
+  *
+  * A 100 TB store sorted by time alone answers time-range scans well and
+  * key-range scans terribly: every file spans the whole key domain, so
+  * min/max file statistics prune nothing. Z-ordering (Morton interleave of
+  * bucketized dimensions) bounds EVERY clustered dimension's range within a
+  * file, so parquet row-group stats and partition pruning fire on any of
+  * them — the same trick Delta's OPTIMIZE ZORDER and Hudi clustering apply.
+  * Everything here is pure integer column arithmetic: codegen'd, map-only,
+  * engine-exact.
+  */
+object Layout {
+
+  /** Morton interleave of two bucket indices (`bits` low bits each; dim 1
+    * occupies even output bits, dim 2 odd). Inputs must be in
+    * `[0, 2^bits)` — [[zOrderKey]]'s bucketization guarantees it.
+    */
+  def interleave(b1: Column, b2: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).flatMap { i =>
+      Seq(shiftleft(shiftright(b1, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(b2, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-order clustering key over two integral dimensions: each is
+    * bucketized to `bits` bits with an integer bucket width derived from
+    * the frame's own min/max (`w = ((max - min) div 2^bits) + 1`, so the
+    * index never overflows the bit budget and `(x - min) * k` overflow
+    * can't occur — the subtraction happens BEFORE any scaling), then
+    * Morton-interleaved. Rows with a null in either dimension are dropped —
+    * they have no position in the curve.
+    *
+    * Plan shape: ONE combinable min/max aggregate (a 1-row frame broadcast
+    * by the cross join) + a map-only key projection. Sorting/range-
+    * partitioning by `zkey` before writing is the caller's move:
+    * `df.repartitionByRange(n, col("zkey"))` → files whose min/max bound
+    * BOTH dimensions.
+    *
+    * Output: the input columns plus `zkey`.
+    */
+  def zOrderKey(df: DataFrame, c1: String, c2: String, bits: Int = 16): DataFrame = {
+    val pow = 1L << bits
+    // filter FIRST so the min/max frame sees exactly the rows that get keys
+    val nn = df.where(col(c1).isNotNull && col(c2).isNotNull)
+    val mm = nn.agg(
+      min(col(c1)).cast("long").as("__min1"), max(col(c1)).cast("long").as("__max1"),
+      min(col(c2)).cast("long").as("__min2"), max(col(c2)).cast("long").as("__max2"))
+    val b1 = expr(s"($c1 - __min1) div (greatest(CAST(1 AS BIGINT), ((__max1 - __min1) div $pow) + 1))")
+    val b2 = expr(s"($c2 - __min2) div (greatest(CAST(1 AS BIGINT), ((__max2 - __min2) div $pow) + 1))")
+    nn
+      .crossJoin(broadcast(mm))
+      .withColumn("zkey", interleave(b1.cast("long"), b2.cast("long"), bits))
+      .drop("__min1", "__max1", "__min2", "__max2")
+  }
+}

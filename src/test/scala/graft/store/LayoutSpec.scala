@@ -1,0 +1,65 @@
+package graft.store
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+
+  test("interleave: Morton bits — dim1 even positions, dim2 odd") {
+    val sp = spark
+    import sp.implicits._
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 0L), (0L, 3L), (3L, 3L), (5L, 2L))
+      .toDF("a", "b")
+      .select(Layout.interleave(col("a"), col("b"), 3).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // by hand: z(1,0)=1, z(0,1)=2, z(3,0)=0b0101=5, z(0,3)=0b1010=10,
+    // z(3,3)=15, z(5,2)=0b011001=25 (a bits at 0,2,4; b bits at 1,3,5)
+    assert(got == Seq(0L, 1L, 2L, 5L, 10L, 15L, 25L))
+  }
+
+  test("zOrderKey: buckets stay inside the bit budget at any range") {
+    val sp = spark
+    import sp.implicits._
+    // dimension ranges far beyond 2^4 force non-trivial bucket widths
+    val rows = (0 until 1000).map(i => (i.toLong, i.toLong * 7919L, i.toLong * 104729L))
+      .toDF("id", "x", "y")
+    val keys = Layout.zOrderKey(rows, "x", "y", bits = 4)
+      .select(col("zkey")).collect().map(_.getLong(0))
+    assert(keys.forall(k => k >= 0 && k < (1L << 8))) // 2*4 interleaved bits
+    assert(keys.distinct.length > 1)
+  }
+
+  test("zOrderKey drops rows with a null dimension and keys the rest") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq((1L, Some(1L), Some(2L)), (2L, None, Some(3L)), (3L, Some(4L), None))
+      .toDF("id", "x", "y")
+    val got = Layout.zOrderKey(rows, "x", "y", bits = 8).select(col("id")).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("z-order range partitions bound BOTH dimensions (the data-skipping win)") {
+    val sp = spark
+    import sp.implicits._
+    // 64 users x 64 times — a time-sorted layout leaves every partition
+    // covering the full user range; the z-order layout must not
+    val rows = (for (u <- 0 until 64; t <- 0 until 64) yield (u.toLong, t.toLong))
+      .toDF("user_id", "ts_us")
+    val parts = 16
+    def avgUserSpan(df: org.apache.spark.sql.DataFrame, sortCol: String): Double = {
+      val spans = df.repartitionByRange(parts, col(sortCol))
+        .select(col("user_id"), spark_partition_id().as("p"))
+        .groupBy(col("p")).agg((max(col("user_id")) - min(col("user_id"))).as("span"))
+        .collect().map(_.getAs[Long]("span"))
+      spans.sum.toDouble / spans.length
+    }
+    val zed = Layout.zOrderKey(rows, "user_id", "ts_us", bits = 6)
+    val zSpan = avgUserSpan(zed, "zkey")
+    val tSpan = avgUserSpan(rows.withColumn("zkey", col("ts_us")), "zkey")
+    // time-sorted partitions span ~the full 63-wide user range; z-ordered
+    // partitions a small corner of it
+    assert(tSpan > 60.0)
+    assert(zSpan < tSpan / 2.0)
+  }
+}
