@@ -1690,6 +1690,13 @@ object SparkEntry {
         .select(col("event_id"), col("zkey"))
         .orderBy(col("zkey"), col("event_id"))
         .limit(500)
+    }),
+
+    // ---- cross-document shared-span (plagiarism/quotation) pair matrix ----
+    "q_span_pairs" -> ((s, dir) => {
+      Dedup.spanPairs(Tables.documents(s, dir), "doc_id", "text", k = 8,
+        maxDocsPerSpan = 10, minShared = 2)
+        .orderBy(col("d1"), col("d2"))
     })
   )
 
@@ -4807,7 +4814,27 @@ object SparkEntry {
 
     // Z-order: identical integer bucketization (width = range div 2^bits
     // + 1) and the unrolled Morton bit interleave; pure BIGINT ops
-    "q_zorder" -> zorderSql(bits = 16)
+    "q_zorder" -> zorderSql(bits = 16),
+
+    // span pairs: the q_span_dedup hashing chain, boilerplate degree cap,
+    // bounded pair self-join; containment denominator uses UNCAPPED sizes
+    "q_span_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
+        |sp AS (SELECT DISTINCT doc_id,
+        |    md5(array_to_string(toks[u.pos + 1 : u.pos + 8], ' ')) AS h
+        |  FROM b, unnest(generate_series(0, n - 8)) AS u(pos)),
+        |keep AS (SELECT h FROM sp GROUP BY h HAVING count(*) BETWEEN 2 AND 10),
+        |ds AS (SELECT sp.doc_id, sp.h FROM sp JOIN keep USING (h)),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sp GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS d1, b2.doc_id AS d2, CAST(count(*) AS BIGINT) AS n_shared
+        |      FROM ds a JOIN ds b2 ON a.h = b2.h AND a.doc_id < b2.doc_id
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT d1, d2, n_shared,
+        |  round(CAST(n_shared AS DOUBLE) / least(s1.sz, s2.sz), 6) AS overlap
+        |FROM p JOIN sz s1 ON p.d1 = s1.doc_id JOIN sz s2 ON p.d2 = s2.doc_id
+        |ORDER BY d1, d2""".stripMargin
   )
 
   /** DuckDB fragment mirroring [[Sampling.hashBucket]] over `doc_id` with the

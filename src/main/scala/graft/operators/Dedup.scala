@@ -957,6 +957,51 @@ object Dedup {
         round(coalesce(col("__cov"), lit(0L)) / col("__n"), 6).as("dup_frac"))
   }
 
+  /** Cross-document shared-span pairs — the plagiarism/quotation matrix:
+    * which document PAIRS share at least `minShared` distinct `k`-token
+    * spans, and how much of the smaller document those shared spans cover.
+    * [[repeatedSpans]] answers "how duplicated is each doc"; this answers
+    * "against WHOM" — the report that separates two docs quoting the same
+    * boilerplate from one doc lifting another's body.
+    *
+    * Skew control: spans present in more than `maxDocsPerSpan` documents
+    * are boilerplate (licenses, navigation) and are excluded from pair
+    * generation — they would otherwise contribute O(docs²) pairs per span.
+    * They still count in the containment denominator, so a boilerplate-only
+    * pair can't sneak above the threshold by shrinking its own base. The
+    * span self-join is therefore bounded by `maxDocsPerSpan²`·spans, never
+    * all-pairs; every other step is a keyed aggregate.
+    *
+    * Output: `(d1, d2, n_shared, overlap)` with `overlap = n_shared /
+    * min(total spans of either doc)` rounded to 6 places.
+    */
+  def spanPairs(df: DataFrame, id: String, text: String, k: Int,
+      maxDocsPerSpan: Int = 10, minShared: Int = 2): DataFrame = {
+    require(k >= 2, s"span width must be >= 2 tokens, got $k")
+    require(maxDocsPerSpan >= 2, s"maxDocsPerSpan must be >= 2, got $maxDocsPerSpan")
+    val spans = df.filter(col(text).isNotNull)
+      .select(col(id).as("__doc"), split(col(text), " ").as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col("__doc"), explode(expr(
+        s"transform(sequence(0, size(__toks) - $k), i -> md5(array_join(slice(__toks, i + 1, $k), ' ')))"))
+        .as("__h"))
+      .distinct()
+    val keep = spans.groupBy(col("__h")).agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg").between(2, maxDocsPerSpan))
+      .select(col("__h"))
+    val ds = spans.join(keep, Seq("__h"))
+    val sizes = spans.groupBy(col("__doc")).agg(count(lit(1)).as("__sz"))
+    ds.join(ds.select(col("__h"), col("__doc").as("__d2")), Seq("__h"))
+      .where(col("__doc") < col("__d2"))
+      .groupBy(col("__doc"), col("__d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .join(sizes.select(col("__doc"), col("__sz").as("__sz1")), Seq("__doc"))
+      .join(sizes.select(col("__doc").as("__d2"), col("__sz").as("__sz2")), Seq("__d2"))
+      .select(col("__doc").as("d1"), col("__d2").as("d2"), col("n_shared"),
+        round(col("n_shared").cast("double") / least(col("__sz1"), col("__sz2")), 6).as("overlap"))
+  }
+
   /** Chunk-level ("paragraph") deduplication with document reassembly — the
     * sub-document dedup every C4/Dolma-style curation pipeline runs: split
     * each document into consecutive `chunkTokens`-token chunks (the

@@ -127,6 +127,28 @@ class DedupSpec extends SparkSpec {
     assert(got == Map((1L, 2L) -> "both", (3L, 4L) -> "lexical_only", (5L, 6L) -> "semantic_only"))
   }
 
+  test("spanPairs: shared spans pair the docs; boilerplate above the degree cap mints no pairs") {
+    val sp = spark
+    import sp.implicits._
+    val lifted = "alpha beta gamma delta epsilon zeta" // 6 tokens -> 3 spans of 4
+    val boiler = "one two three four"                  // 4 tokens -> 1 span of 4
+    val rows = (Seq(
+      (1L, lifted + " unique tail of document number one"),
+      (2L, lifted + " completely different continuation here too")) ++
+      // the boilerplate span appears in 5 docs (> maxDocsPerSpan = 4)
+      (10L to 14L).map(i => (i, boiler + s" filler body $i x y z")))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanPairs(rows, "doc_id", "text", k = 4, maxDocsPerSpan = 4, minShared = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) ->
+        ((r.getAs[Long]("n_shared"), r.getAs[Double]("overlap"))))
+      .toMap
+    // docs 1 and 2 share the 3 spans fully inside `lifted`; doc 1 has
+    // 12 tokens -> 9 spans, doc 2 has 11 -> 8, so overlap = 3/8
+    assert(got.keySet == Set((1L, 2L)))
+    assert(got((1L, 2L)) == ((3L, 0.375)))
+  }
+
   test("incrementalMinhash: new docs near-dup of the existing corpus are dropped") {
     val sp = spark
     import sp.implicits._
