@@ -1697,6 +1697,14 @@ object SparkEntry {
       Dedup.spanPairs(Tables.documents(s, dir), "doc_id", "text", k = 8,
         maxDocsPerSpan = 10, minShared = 2)
         .orderBy(col("d1"), col("d2"))
+    }),
+
+    // ---- two-stage ANN: PQ/ADC shortlist -> exact cosine re-rank ---------
+    "q_knn_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqRerankKnn(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
+        topK = 10, shortlist = 30)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -2511,6 +2519,11 @@ object SparkEntry {
         Tables.embeddings(spark, dir), "vec_id", "embedding", m = 4, k = 16, seed = 42L)
       pqSql(books, topK = 10)
     },
+    "q_knn_rerank" -> {
+      val books = Similarity.trainPqCodebooks(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", m = 4, k = 16, seed = 42L)
+      pqRerankSql(books, shortlist = 30, topK = 10)
+    },
     "q_semantic_outliers" -> {
       val cents = Similarity.trainIvfCentroids(
         Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, seed = 42L)
@@ -2572,7 +2585,26 @@ object SparkEntry {
     * and ADC sums subspace lookups in subspace order — so both engines
     * evaluate identical float expressions end to end.
     */
-  private def pqSql(books: Array[Array[Array[Double]]], topK: Int): String = {
+  private def pqSql(books: Array[Array[Array[Double]]], topK: Int): String =
+    s"""${pqCtes(books)}
+       |SELECT query_id, neighbor_id, adc, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= $topK
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Two-stage oracle: the [[pqCtes]] ADC chain cut at `shortlist`, then an
+    * exact-cosine re-rank of just those candidates (same round-6 cosine and
+    * tie-break as the brute-force oracles).
+    */
+  private def pqRerankSql(books: Array[Array[Array[Double]]], shortlist: Int, topK: Int): String =
+    s"""${pqCtes(books)},
+       |short AS (SELECT query_id, neighbor_id FROM r WHERE rn <= $shortlist),
+       |x AS (SELECT s.query_id, s.neighbor_id, round(${cosineSql("q.v", "n.v")}, 6) AS sim
+       |      FROM short s JOIN e q ON s.query_id = q.vec_id JOIN e n ON s.neighbor_id = n.vec_id),
+       |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn2
+       |       FROM x)
+       |SELECT query_id, neighbor_id, sim, CAST(rn2 AS BIGINT) AS rank FROM rr WHERE rn2 <= $topK
+       |ORDER BY query_id, rank""".stripMargin
+
+  private def pqCtes(books: Array[Array[Array[Double]]]): String = {
     val m = books.length
     val k = books(0).length
     val sub = books(0)(0).length
@@ -2610,9 +2642,7 @@ object SparkEntry {
        |sc AS (SELECT query_id, neighbor_id,
        |  round($adc, 6) AS adc
        |  FROM qd, cb WHERE query_id <> neighbor_id),
-       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn FROM sc)
-       |SELECT query_id, neighbor_id, adc, CAST(rn AS BIGINT) AS rank FROM r WHERE rn <= $topK
-       |ORDER BY query_id, rank""".stripMargin
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn FROM sc)""".stripMargin
   }
 
   /** Diversity-sampling oracle: IVF cell assignment (same centroid literals

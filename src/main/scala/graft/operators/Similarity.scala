@@ -1172,6 +1172,40 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("adc"), col("__rn").as("rank"))
   }
 
+  /** Two-stage ANN: PQ/ADC shortlist then EXACT cosine re-rank — the
+    * standard production retrieval architecture. The compressed first pass
+    * ([[pqKnn]]'s broadcast lookup-table scan) touches the WHOLE corpus at
+    * 64× compression and emits `shortlist` candidates per query; exact
+    * arithmetic then runs over candidates only (`shortlist · queries` rows,
+    * never the corpus). Recall comes from the shortlist depth, final
+    * ordering from the exact math — the PQ approximation can reorder the
+    * shortlist interior but not past its boundary.
+    *
+    * Output: `(query_id, neighbor_id, sim, rank)` — exact round-6 cosine,
+    * rank by `(sim DESC, neighbor_id)`.
+    */
+  def pqRerankKnn(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      topK: Int, shortlist: Int, m: Int = 4, kCodes: Int = 16, seed: Long = 42L): DataFrame = {
+    require(shortlist >= topK, s"shortlist ($shortlist) must cover topK ($topK)")
+    val short = pqKnn(corpus, queries, id, vec, shortlist, m, kCodes, seed)
+      .select(col("query_id"), col("neighbor_id"))
+    val vecs = corpus.where(col(vec).isNotNull)
+      .select(col(id).cast("long").as("__vid"), col(vec).as("__v"))
+    val qv = queries.where(col(vec).isNotNull)
+      .select(col(id).cast("long").as("__qid"), col(vec).as("__qv"))
+    val scored = short
+      .join(broadcast(qv), col("query_id") === col("__qid"))
+      .join(vecs, col("neighbor_id") === col("__vid"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineFast(col("__qv"), col("__v")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id")) // shortlist rows per key
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("__rn").cast("long").as("rank"))
+  }
+
   /** Leave-one-out k-NN majority-vote classification over a labeled
     * embedding corpus — the label-consistency audit behind mislabeled-sample
     * detection and nearest-neighbor quality classifiers: predict each

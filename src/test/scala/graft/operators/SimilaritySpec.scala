@@ -428,6 +428,44 @@ class SimilaritySpec extends SparkSpec {
     assert(comps == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 3L))
   }
 
+  test("pqRerankKnn: exact re-rank of a covering shortlist equals brute-force top-k") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 40)
+      .map(i => (i.toLong, Array.fill(8)(rng.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = rows.where(col("vec_id") < 3)
+    // shortlist = whole corpus -> stage 2 sees everything: result MUST equal
+    // the exact brute-force ranking (and prove the exact math, not ADC,
+    // orders the final list)
+    val got = Similarity.pqRerankKnn(rows, queries, "vec_id", "embedding",
+      topK = 5, shortlist = 40, m = 4, kCodes = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim")))).toMap
+    val brute = Similarity.bruteForceKnn(rows, queries, "vec_id", "embedding", k = 5)
+      .selectExpr("query_id", "CAST(rank AS BIGINT) AS rank", "neighbor_id", "sim")
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim")))).toMap
+    assert(got == brute)
+  }
+
+  test("pqRerankKnn: rank never exceeds topK and sims are exact round6 cosines") {
+    val sp = spark
+    import sp.implicits._
+    val rows = (0 until 30)
+      .map(i => (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pqRerankKnn(rows, rows.where(col("vec_id") === 0), "vec_id",
+      "embedding", topK = 3, shortlist = 10, m = 4, kCodes = 8)
+      .collect()
+    assert(got.length == 3)
+    assert(got.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L))
+    // descending exact similarity
+    val sims = got.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("sim"))
+    assert(sims.sorted(Ordering[Double].reverse).toSeq == sims.toSeq)
+  }
+
   test("marginMining: one best cross-group pair per source, margin normalizes by neighborhood") {
     val sp = spark
     import sp.implicits._
