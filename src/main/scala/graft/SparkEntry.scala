@@ -1705,6 +1705,20 @@ object SparkEntry {
       Similarity.pqRerankKnn(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
         topK = 10, shortlist = 30)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- tokenizer fertility per language (subword cost report) ----------
+    "q_fertility" -> ((s, dir) => {
+      TextAnalysis.tokenizerFertility(Tables.documents(s, dir), "text", col("lang"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- packing-efficiency sweep over candidate sequence lengths --------
+    "q_pack_efficiency" -> ((s, dir) => {
+      Sampling.packingEfficiency(
+        Tables.documents(s, dir).where(col("text").isNotNull),
+        size(TextAnalysis.tokens(col("text"))), Seq(128, 256, 512, 1024))
+        .orderBy(col("seq_len"))
     })
   )
 
@@ -1889,6 +1903,30 @@ object SparkEntry {
        |FROM inter JOIN sz a ON d1 = a.doc JOIN sz b ON d2 = b.doc
        |WHERE round(CAST(i AS DOUBLE) / (a.sz + b.sz - i), 6) >= $threshold
        |ORDER BY d1, d2""".stripMargin
+  }
+
+  /** DuckDB mirror of [[Sampling.packingEfficiency]]: one aggregate CTE,
+    * one UNION ALL branch per candidate length with the identical integer
+    * ceiling arithmetic.
+    */
+  private def packEfficiencySql(seqLens: Seq[Int]): String = {
+    val pads = seqLens.map(l => s"CAST(sum((t + ${l - 1}) // $l) AS BIGINT) AS pad$l").mkString(",\n  ")
+    val branches = seqLens.map { l =>
+      val packed = s"(total + ${l - 1}) // $l"
+      s"""SELECT CAST($l AS BIGINT) AS seq_len, n_docs, total AS total_tokens,
+         |  $packed AS packed_seqs, pad$l AS padded_seqs,
+         |  CASE WHEN $packed = 0 THEN NULL
+         |       ELSE round(CAST(total AS DOUBLE) / CAST(($packed) * $l AS DOUBLE), 6) END AS packed_fill,
+         |  CASE WHEN pad$l = 0 THEN NULL
+         |       ELSE round(CAST(total AS DOUBLE) / CAST(pad$l * $l AS DOUBLE), 6) END AS padded_fill
+         |FROM a""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(t) AS BIGINT) AS total,
+       |  $pads FROM d)
+       |$branches
+       |ORDER BY seq_len""".stripMargin
   }
 
   /** DuckDB mirror of [[graft.store.Layout.zOrderKey]] over
@@ -4845,6 +4883,27 @@ object SparkEntry {
     // Z-order: identical integer bucketization (width = range div 2^bits
     // + 1) and the unrolled Morton bit interleave; pure BIGINT ops
     "q_zorder" -> zorderSql(bits = 16),
+
+    // fertility: one agg of exact BIGINT sums per language; the same
+    // split/regex tokenizers as q_text_stats / q_token_count
+    "q_fertility" ->
+      """WITH d AS (SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS b,
+        |    CAST(length(text) AS BIGINT) AS c
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS n_words, CAST(sum(b) AS BIGINT) AS n_tokens,
+        |  CAST(sum(c) AS BIGINT) AS n_chars,
+        |  CASE WHEN sum(w) = 0 THEN NULL
+        |       ELSE round(CAST(sum(b) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6) END AS fertility,
+        |  CASE WHEN sum(b) = 0 THEN NULL
+        |       ELSE round(CAST(sum(c) AS DOUBLE) / CAST(sum(b) AS DOUBLE), 6) END AS chars_per_token
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // packing efficiency: integer ceilings per candidate length from one
+    // aggregate; fills are single divisions of exact longs
+    "q_pack_efficiency" -> packEfficiencySql(Seq(128, 256, 512, 1024)),
 
     // span pairs: the q_span_dedup hashing chain, boilerplate degree cap,
     // bounded pair self-join; containment denominator uses UNCAPPED sizes

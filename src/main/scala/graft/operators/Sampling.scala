@@ -113,6 +113,45 @@ object Sampling {
     * readers consume (shard, bin) in order and get a reproducible,
     * well-mixed epoch without a separate global sort.
     */
+  /** Packing-efficiency sweep: for each candidate `seqLen`, how many
+    * training sequences the corpus yields and what fraction of their token
+    * slots is real text, under the two standard layouts — concat-and-chunk
+    * ([[packSequences]]'s rule: waste only at the tail) and pad-per-document
+    * (every doc rounded up to whole sequences). The gap between the two
+    * `fill` columns is the token budget document-isolation costs at that
+    * length — the table a pretraining config review actually wants.
+    *
+    * ONE map-side-combinable aggregate for ALL lengths (one conditional sum
+    * per candidate); the per-length rows explode from the single result
+    * row. Pure integer ceilings; fills are single divisions of exact longs.
+    */
+  def packingEfficiency(df: DataFrame, tokenCount: Column, seqLens: Seq[Int]): DataFrame = {
+    require(seqLens.nonEmpty, "need at least one candidate seqLen")
+    require(seqLens.forall(_ > 0), s"seqLens must be positive, got $seqLens")
+    val base = df.select(tokenCount.cast("long").as("__t")).where(col("__t").isNotNull)
+    val aggCols =
+      Seq(count(lit(1)).as("n_docs"), sum(col("__t")).as("total_tokens")) ++
+        seqLens.map(l => sum(expr(s"(__t + ${l - 1}) div $l")).as(s"__pad$l"))
+    val one = base.agg(aggCols.head, aggCols.tail: _*)
+    val structs = array(seqLens.map { l =>
+      struct(
+        lit(l).cast("long").as("seq_len"),
+        expr(s"(total_tokens + ${l - 1}) div $l").as("packed_seqs"),
+        col(s"__pad$l").as("padded_seqs"))
+    }: _*)
+    one.select(col("n_docs"), col("total_tokens"), explode(structs).as("__s"))
+      .select(col("__s.seq_len").as("seq_len"), col("n_docs"), col("total_tokens"),
+        col("__s.packed_seqs").as("packed_seqs"), col("__s.padded_seqs").as("padded_seqs"))
+      .select(col("seq_len"), col("n_docs"), col("total_tokens"),
+        col("packed_seqs"), col("padded_seqs"),
+        when(col("packed_seqs") === 0, lit(null))
+          .otherwise(round(col("total_tokens") / (col("packed_seqs") * col("seq_len")), 6))
+          .as("packed_fill"),
+        when(col("padded_seqs") === 0, lit(null))
+          .otherwise(round(col("total_tokens") / (col("padded_seqs") * col("seq_len")), 6))
+          .as("padded_fill"))
+  }
+
   def packSequences(df: DataFrame, id: String, tokenCount: Column,
       seqLen: Int, shards: Int, salt: String = "graft"): DataFrame = {
     require(seqLen > 0 && shards > 0, s"seqLen and shards must be positive")

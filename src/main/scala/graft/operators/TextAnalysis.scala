@@ -31,6 +31,35 @@ object TextAnalysis {
         round((col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"), 6))
   }
 
+  /** Tokenizer fertility per group (usually language): subword tokens per
+    * whitespace word and characters per subword token — the cross-lingual
+    * cost report behind vocabulary-size decisions. A language whose
+    * fertility is 2× pays 2× the sequence length for the same text; UniMax/
+    * mT5-style budget planning reads exactly this table. Uses the BPE-ish
+    * regex tokenizer ([[bpeTokens]]) over the whitespace-word baseline.
+    *
+    * ONE map-side-combinable aggregate; ratios are single divisions of
+    * exact BIGINT sums.
+    */
+  def tokenizerFertility(df: DataFrame, text: String, group: Column): DataFrame = {
+    val base = df.where(col(text).isNotNull && group.isNotNull)
+      .select(group.cast("string").as("lang"),
+        size(tokens(col(text))).cast("long").as("__w"),
+        size(bpeTokens(col(text))).cast("long").as("__b"),
+        length(col(text)).cast("long").as("__c"))
+    base.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("n_words"),
+        sum(col("__b")).as("n_tokens"),
+        sum(col("__c")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"), col("n_chars"),
+        when(col("n_words") === 0, lit(null))
+          .otherwise(round(col("n_tokens") / col("n_words"), 6)).as("fertility"),
+        when(col("n_tokens") === 0, lit(null))
+          .otherwise(round(col("n_chars") / col("n_tokens"), 6)).as("chars_per_token"))
+  }
+
   /** Per-group token diversity via Simpson's index — vocabulary
     * CONCENTRATION, the signal [[ngramDiversity]]'s type-token ratio can't
     * give: `simpson = 1 − Σ c(c−1) / (T(T−1))` is the probability two

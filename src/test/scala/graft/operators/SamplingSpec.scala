@@ -200,4 +200,20 @@ class SamplingSpec extends SparkSpec {
     assert(got("a") == ((30.0, 3.0)))
     assert(got("b") == ((90.0, 3.0)))
   }
+
+  test("packingEfficiency: integer ceilings and fill ratios per candidate length") {
+    val sp = spark
+    import sp.implicits._
+    // token counts 10, 25, 7 -> total 42
+    val rows = Seq(10L, 25L, 7L).toDF("n_tok")
+    val got = Sampling.packingEfficiency(rows, col("n_tok"), Seq(8, 16))
+      .collect().map(r => r.getAs[Long]("seq_len") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("packed_seqs"), r.getAs[Long]("padded_seqs"),
+          r.getAs[Double]("packed_fill"), r.getAs[Double]("padded_fill")))).toMap
+    // L=8: packed ceil(42/8)=6, padded ceil(10/8)+ceil(25/8)+ceil(7/8)=2+4+1=7
+    assert(got(8L) == ((3L, 42L, 6L, 7L, 0.875, 0.75)))
+    // L=16: packed ceil(42/16)=3, padded 1+2+1=4
+    assert(got(16L) == ((3L, 42L, 3L, 4L, 0.875, 0.65625)))
+  }
 }

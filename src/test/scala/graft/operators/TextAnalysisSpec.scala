@@ -542,4 +542,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s3 == 2L) // '...' and '.' -> two runs
     assert(y3 == 4L) // wai-ti-ng(ai,i) -> 'waiting' ai+i = 2, 'done' o+e = 2
   }
+
+  test("tokenizerFertility: subword/word and char/subword ratios per language") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      (1L, "hello world", "en"), // 2 words, 2 bpe, 11 chars
+      (2L, "don't stop", "en"),  // 2 words, 4 bpe (don ' t stop), 10 chars
+      (3L, "abc", "fr"),         // 1 word, 1 bpe, 3 chars
+      (4L, null.asInstanceOf[String], "fr"), // excluded
+      (5L, "x", null.asInstanceOf[String]))  // excluded
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.tokenizerFertility(rows, "text",
+      org.apache.spark.sql.functions.col("lang"))
+      .collect().map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_chars"), r.getAs[Double]("fertility"),
+          r.getAs[Double]("chars_per_token")))).toMap
+    assert(got("en") == ((2L, 4L, 6L, 21L, 1.5, 3.5)))
+    assert(got("fr") == ((1L, 1L, 1L, 3L, 1.0, 3.0)))
+    assert(got.size == 2)
+  }
 }
