@@ -386,4 +386,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("percentile"), plan)
     assert(!plan.contains("ExistingRDD"), plan)
   }
+
+  test("funnel latency: per-transition frames aggregate partially; windows only over steps-sized frames") {
+    val plan = formatted("q_funnel_latency")
+    // completion frames are keyed min-aggs; the only aggregation over the
+    // latency frame is combinable (no corpus-wide window)
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("zorder: ONE min/max aggregate broadcast, map-only key projection, take-ordered cut") {
+    val plan = formatted("q_zorder")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("TakeOrdered"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("span pairs: degree-capped hash joins, no windows, no driver collect at plan time") {
+    val df = SparkEntry.queries("q_span_pairs")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("pack efficiency + fertility: single combinable aggregate plans") {
+    Seq("q_pack_efficiency", "q_fertility").foreach { q =>
+      val plan = formatted(q)
+      assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"), s"$q: $plan")
+      assert(!plan.contains("Window"), s"$q: $plan")
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+    }
+  }
+
+  test("margin mining: every join input is the k-per-vector edge frame, never a corpus shuffle") {
+    val df = SparkEntry.queries("q_margin_mining")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the one window runs per source key over <= k candidate rows
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -524,4 +524,75 @@ class StreamingComposeSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
     assert(batch.head._3 == 200L) // every delivered doc entered stage 1
   }
+
+  test("streaming funnel state fold == batch funnel counts and latencies across a batch split") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val M = 60000000L
+    val steps = Seq("view", "click", "purchase")
+    val horizon = 30L * M
+    // 40 users with varied paths: full conversions, horizon misses,
+    // out-of-order steps, repeat events
+    val events = (0L until 40L).flatMap { u =>
+      val base = u * M
+      u % 4 match {
+        case 0 => Seq( // full conversion
+          FunnelStream.Event(u, base, 1, "view"),
+          FunnelStream.Event(u, base + 2 * M, 2, "click"),
+          FunnelStream.Event(u, base + 3 * M, 3, "click"), // later repeat: ignored
+          FunnelStream.Event(u, base + 5 * M, 4, "purchase"))
+        case 1 => Seq( // click beyond the horizon
+          FunnelStream.Event(u, base, 1, "view"),
+          FunnelStream.Event(u, base + horizon + M, 2, "click"))
+        case 2 => Seq( // purchase before click: stalls at stage 1
+          FunnelStream.Event(u, base, 1, "view"),
+          FunnelStream.Event(u, base + M, 2, "purchase"))
+        case _ => Seq( // click-first: no view, nothing completes
+          FunnelStream.Event(u, base, 1, "click"),
+          FunnelStream.Event(u, base + M, 2, "view"),
+          FunnelStream.Event(u, base + 2 * M, 3, "click"))
+      }
+    }.sortBy(e => (e.tsUs, e.userId)) // event-time order across the stream
+    val input = MemoryStream[FunnelStream.Event]
+    val q = FunnelStream.streaming(input.toDS(), steps, horizon)
+      .writeStream.outputMode("append").format("memory").queryName("funnel_fold")
+      .start()
+    try {
+      val (first, rest) = events.splitAt(events.length / 2)
+      input.addData(first)
+      q.processAllAvailable()
+      input.addData(rest)
+      q.processAllAvailable()
+    } finally q.stop()
+    val comps = sp.table("funnel_fold").as[FunnelStream.Completion].collect()
+    // exactly-once per (user, stage) even across the split
+    assert(comps.groupBy(c => (c.userId, c.stage)).forall(_._2.length == 1))
+    val batchDf = events.toSeq.toDF("user_id", "ts", "tie", "event_type")
+    val batchCounts = graft.operators.EventAnalytics.funnel(
+      batchDf, "user_id", "ts", "event_type", steps, horizon)
+      .collect().map(r => r.getAs[Long]("stage") -> r.getAs[Long]("n_users")).toMap
+    val streamCounts = comps.groupBy(_.stage.toLong).view.mapValues(_.length.toLong).toMap
+    assert(streamCounts == batchCounts.filter(_._2 > 0L))
+    // per-transition latencies derived from the streamed completions match
+    // the batch funnelLatency report exactly
+    val batchLat = graft.operators.EventAnalytics.funnelLatency(
+      batchDf, "user_id", "ts", "event_type", steps, horizon)
+      .collect().map(r => r.getAs[Long]("stage") ->
+        ((r.getAs[Long]("n_conv"), r.getAs[Long]("min_us"), r.getAs[Long]("max_us")))).toMap
+    val byUser = comps.groupBy(_.userId)
+    (2 to steps.length).foreach { stage =>
+      val lats = byUser.values.toSeq
+        .flatMap { cs =>
+          val m = cs.map(c => c.stage -> c.tsUs).toMap
+          for (a <- m.get(stage - 1); b <- m.get(stage)) yield b - a
+        }
+      val (n, lo, hi) = batchLat(stage.toLong)
+      assert(lats.length.toLong == n, s"stage $stage")
+      if (n > 0) {
+        assert(lats.min == lo, s"stage $stage min")
+        assert(lats.max == hi, s"stage $stage max")
+      }
+    }
+  }
 }
