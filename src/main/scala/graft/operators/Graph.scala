@@ -39,9 +39,13 @@ object Graph {
       scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(scale > 0, s"scale must be positive, got $scale")
+    // persist the RAW edge frame first: outdeg, the annotated edge frame
+    // and the node list all derive from it, and without the cache the edge
+    // producer (e.g. a 25M-cosine kNN sweep) would re-run once per branch
     val e = edges
       .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
+      .persist()
     val outd = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val ed = e.join(outd, Seq("src")).persist()
     val nodes = e.select(col("src").as("node"))
@@ -62,10 +66,13 @@ object Graph {
         pr = nodes.join(sums, Seq("node"), "left_outer")
           .select(col("node"),
             (lit(teleport) + coalesce(col("m"), lit(0L))).as("pr"))
-        if (i % 3 == 0 && i < iters) pr = pr.localCheckpoint()
+        // lazy truncation: the cut materializes with the next evaluation
+        // instead of launching its own job per checkpoint
+        if (i % 3 == 0 && i < iters) pr = pr.localCheckpoint(false)
       }
       pr.select(col("node"), col("pr").as("pagerank")).localCheckpoint()
     } finally {
+      e.unpersist()
       ed.unpersist()
       nodes.unpersist()
     }
