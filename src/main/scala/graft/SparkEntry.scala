@@ -1719,6 +1719,18 @@ object SparkEntry {
         Tables.documents(s, dir).where(col("text").isNotNull),
         size(TextAnalysis.tokens(col("text"))), Seq(128, 256, 512, 1024))
         .orderBy(col("seq_len"))
+    }),
+
+    // ---- semi-supervised label propagation over the symmetrized kNN graph
+    // (10% frozen seeds label the rest of the corpus; integer votes) -------
+    "q_label_prop" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val g = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      val sym = g.unionByName(g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      val seeds = emb.where(col("vec_id") % 10 === 0).select(col("vec_id"), col("label"))
+      Graph.labelPropagation(sym, "src", "dst", seeds, "vec_id", "label", iters = 5)
+        .orderBy(col("node"))
     })
   )
 
@@ -1948,6 +1960,38 @@ object SparkEntry {
        |      FROM src CROSS JOIN mm)
        |SELECT event_id, CAST($inter AS BIGINT) AS zkey FROM b
        |ORDER BY zkey, event_id LIMIT 500""".stripMargin
+  }
+
+  /** DuckDB mirror of [[operators.Graph.labelPropagation]] over the
+    * symmetrized kNN graph with `vec_id % 10 == 0` seeds: `iters` unrolled
+    * integer-vote rounds; the per-node argmax is a `(count DESC, label)`
+    * row_number — the exact tie-break `min_by` applies engine-side.
+    */
+  private def labelPropSql(iters: Int, k: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS (SELECT n.node, coalesce(s.seed, w.best, p.label) AS label
+         |  FROM nodes n
+         |  LEFT JOIN p${i - 1} p ON n.node = p.node
+         |  LEFT JOIN seeds s ON n.node = s.node
+         |  LEFT JOIN (SELECT node, best FROM (
+         |      SELECT e.dst AS node, q.label AS best, count(*) AS cnt,
+         |             row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, q.label) AS rn
+         |      FROM p${i - 1} q JOIN ed e ON e.src = q.node WHERE q.label IS NOT NULL
+         |      GROUP BY e.dst, q.label) t WHERE rn = 1) w ON n.node = w.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings WHERE embedding IS NOT NULL),
+       |sc AS (SELECT a.vec_id AS qid, b.vec_id AS nid, round(${cosineSql("a.ev", "b.ev")}, 6) AS sim
+       |       FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sc),
+       |e0 AS (SELECT qid AS src, nid AS dst FROM r WHERE rn <= $k),
+       |ed AS (SELECT DISTINCT src, dst FROM
+       |       (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+       |nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+       |seeds AS (SELECT vec_id AS node, CAST(label AS BIGINT) AS seed FROM embeddings
+       |          WHERE vec_id % 10 = 0 AND label IS NOT NULL),
+       |p0 AS (SELECT n.node, s.seed AS label FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+       |$steps
+       |SELECT node, label FROM p$iters ORDER BY node""".stripMargin
   }
 
   /** DuckDB mirror of [[Similarity.marginMining]] over label-parity groups:
@@ -4883,6 +4927,10 @@ object SparkEntry {
     // Z-order: identical integer bucketization (width = range div 2^bits
     // + 1) and the unrolled Morton bit interleave; pure BIGINT ops
     "q_zorder" -> zorderSql(bits = 16),
+
+    // label propagation: unrolled integer-vote iterations over the
+    // symmetrized kNN edge CTE; argmax = (count DESC, label) row_number
+    "q_label_prop" -> labelPropSql(iters = 5, k = 5),
 
     // fertility: one agg of exact BIGINT sums per language; the same
     // split/regex tokenizers as q_text_stats / q_token_count

@@ -77,4 +77,64 @@ object Graph {
       nodes.unpersist()
     }
   }
+
+  /** Semi-supervised label propagation with frozen seeds and a FIXED
+    * iteration count — spread a small labeled set over an edge list (e.g. a
+    * mutual-kNN graph) to label the rest of a corpus. Entirely integer:
+    * each round, every non-seed node takes the MODE of its in-neighbors'
+    * current labels (most votes, ties to the smaller label), keeps its old
+    * label when no neighbor is labeled, and seeds never change. Determinism
+    * needs no quantization at all — votes are counts.
+    *
+    * Votes flow along edge direction (`src` votes into `dst`); pass a
+    * symmetrized edge list for the undirected classic.
+    *
+    * Plan shape per iteration: one keyed join (labels × edges on `src`),
+    * one `(dst, label)` count, one per-node argmax via `min_by` over a
+    * labels-per-node-sized frame, one left join back to the node list —
+    * every shuffle keyed by node, lineage truncated like [[pageRank]].
+    *
+    * Output: `(node BIGINT, label BIGINT nullable)` — null = unreached.
+    */
+  def labelPropagation(edges: DataFrame, src: String, dst: String,
+      seeds: DataFrame, seedNode: String, seedLabel: String, iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val e = edges
+      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    val sd = seeds
+      .select(col(seedNode).cast("long").as("node"), col(seedLabel).cast("long").as("__seed"))
+      .where(col("node").isNotNull && col("__seed").isNotNull)
+      .persist()
+    try {
+      var st = nodes.join(sd, Seq("node"), "left_outer")
+        .select(col("node"), col("__seed").as("label"))
+        .localCheckpoint() // also materializes e/nodes/sd exactly once
+      for (i <- 1 to iters) {
+        val votes = e
+          .join(st.where(col("label").isNotNull), e("src") === col("node"))
+          .groupBy(col("dst"), col("label"))
+          .agg(count(lit(1)).as("__cnt"))
+        val best = votes.groupBy(col("dst"))
+          .agg(min_by(col("label"), struct((-col("__cnt")).as("c"), col("label").as("l")))
+            .as("__best"))
+          .select(col("dst").as("node"), col("__best"))
+        st = st.join(best, Seq("node"), "left_outer")
+          .join(sd, Seq("node"), "left_outer")
+          .select(col("node"),
+            coalesce(col("__seed"), col("__best"), col("label")).as("label"))
+        if (i % 3 == 0 && i < iters) st = st.localCheckpoint(false)
+      }
+      st.localCheckpoint()
+    } finally {
+      e.unpersist()
+      nodes.unpersist()
+      sd.unpersist()
+    }
+  }
 }

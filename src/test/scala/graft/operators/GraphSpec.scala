@@ -65,6 +65,36 @@ class GraphSpec extends SparkSpec {
     assert(got == Set(SCALE / 2L))
   }
 
+  test("labelPropagation: seeds frozen, majority vote spreads, ties take the smaller label") {
+    val sp = spark
+    import sp.implicits._
+    // path 1-2-3-4-5 (undirected), seeds: 1 -> label 10, 5 -> label 20.
+    // node 3 hears 10 (via 2) and 20 (via 4) equally -> smaller label 10.
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (base ++ base.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq((1L, 10L), (5L, 20L)).toDF("node", "lab")
+    val got = Graph.labelPropagation(edges, "src", "dst", seeds, "node", "lab", iters = 4)
+      .collect().map(r => r.getAs[Long]("node") ->
+        (if (r.isNullAt(1)) -1L else r.getAs[Long]("label"))).toMap
+    assert(got(1L) == 10L && got(5L) == 20L) // seeds unchanged
+    assert(got(2L) == 10L)                   // nearest seed
+    assert(got(3L) == 10L)                   // hears 10 and 20 equally -> smaller label
+    // node 4 then ties between its neighbor 3 (10) and seed 5 (20) every
+    // round -> the deterministic tie-break hands the smaller label the win
+    assert(got(4L) == 10L)
+  }
+
+  test("labelPropagation: unreached components stay null; seed labels dominate re-votes") {
+    val sp = spark
+    import sp.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (8L, 9L), (9L, 8L)).toDF("src", "dst")
+    val seeds = Seq((1L, 7L)).toDF("n", "l")
+    val got = Graph.labelPropagation(edges, "src", "dst", seeds, "n", "l", iters = 3)
+      .collect().map(r => r.getAs[Long]("node") ->
+        (if (r.isNullAt(1)) -1L else r.getAs[Long]("label"))).toMap
+    assert(got == Map(1L -> 7L, 2L -> 7L, 8L -> -1L, 9L -> -1L))
+  }
+
   test("pageRank drops null endpoints and casts integral id types") {
     val sp = spark
     import sp.implicits._
