@@ -1721,6 +1721,22 @@ object SparkEntry {
         .orderBy(col("seq_len"))
     }),
 
+    // ---- perceptual dHash over the decoded image planes (stub decode on
+    // the synthetic corpus; the SAME operator hashes real BMP/PPM decodes
+    // in MultimodalSpec) ---------------------------------------------------
+    "q_media_dhash" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          Multimodal.MediaRow(id, Seq("image", "audio", "video")(id.toInt % 3),
+            text.getBytes("UTF-8"), "stub", 8, 4, 1000L)
+        }
+      Multimodal.dhash(Multimodal.decodeImages(media), hashW = 8, hashH = 8)
+        .orderBy(col("media_id"))
+    }),
+
     // ---- semi-supervised label propagation over the symmetrized kNN graph
     // (10% frozen seeds label the rest of the corpus; integer votes) -------
     "q_label_prop" -> ((s, dir) => {
@@ -1960,6 +1976,29 @@ object SparkEntry {
        |      FROM src CROSS JOIN mm)
        |SELECT event_id, CAST($inter AS BIGINT) AS zkey FROM b
        |ORDER BY zkey, event_id LIMIT 500""".stripMargin
+  }
+
+  /** DuckDB mirror of [[Multimodal.dhash]] over the STUB decode (payload =
+    * the doc's bytes cycled into a `w × h` luma plane): the grid-sample
+    * indices are precomputed with the identical integer geometry, and each
+    * bit is one strict integer comparison — no floats anywhere.
+    */
+  private def mediaDhashSql(hashW: Int, hashH: Int, w: Int, h: Int): String = {
+    val n = w * h
+    val terms = for (y <- 0 until hashH; x <- 0 until hashW) yield {
+      val sy = math.min(h - 1, y * h / hashH)
+      val sx1 = math.min(w - 1, x * w / (hashW + 1))
+      val sx2 = math.min(w - 1, (x + 1) * w / (hashW + 1))
+      val bit = 1L << (y * hashW + x)
+      s"(CASE WHEN pix[${sy * w + sx1 + 1}] > pix[${sy * w + sx2 + 1}] THEN CAST($bit AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }
+    s"""WITH b AS (SELECT doc_id AS media_id,
+       |    list_transform(generate_series(0, ${n - 1}),
+       |      i -> CASE WHEN length(text) = 0 THEN 0
+       |                ELSE unicode(substr(text, (i % length(text)) + 1, 1)) END) AS pix
+       |  FROM documents WHERE doc_id % 3 = 0)
+       |SELECT media_id, CAST(${terms.mkString("\n  + ")} AS BIGINT) AS dhash
+       |FROM b ORDER BY media_id""".stripMargin
   }
 
   /** DuckDB mirror of [[operators.Graph.labelPropagation]] over the
@@ -4931,6 +4970,11 @@ object SparkEntry {
     // label propagation: unrolled integer-vote iterations over the
     // symmetrized kNN edge CTE; argmax = (count DESC, label) row_number
     "q_label_prop" -> labelPropSql(iters = 5, k = 5),
+
+    // dHash: the stub decode's byte-cycled luma plane re-derived as a code
+    // point list; 64 strict integer comparisons at driver-precomputed
+    // sample indices (identical nearest-neighbor geometry)
+    "q_media_dhash" -> mediaDhashSql(hashW = 8, hashH = 8, w = 8, h = 4),
 
     // fertility: one agg of exact BIGINT sums per language; the same
     // split/regex tokenizers as q_text_stats / q_token_count

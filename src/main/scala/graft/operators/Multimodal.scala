@@ -109,6 +109,47 @@ object Multimodal {
     ds.mapPartitions(it => it.map(m => MediaFeature(m.media_id, m.kind, StubCodec.feature(m.payload, bins))))
   }
 
+  /** Perceptual difference hash (dHash) over decoded luma planes: sample a
+    * `(hashW+1) × hashH` grid with the same nearest-neighbor geometry as
+    * [[resize]] and set bit `y·hashW + x` when the left sample is STRICTLY
+    * brighter than its right neighbor. Near-identical images land within a
+    * few Hamming bits of each other regardless of byte-level encoding — the
+    * image-side near-dup key that md5 of the payload can't give. Bucket the
+    * 64-bit signatures exactly like [[Dedup.simhashDedup]] buckets text
+    * simhashes (prefix bits + Hamming verify) for corpus-scale image dedup.
+    *
+    * Map-only per image; only comparisons, so no float-quantization
+    * subtleties — any monotone decode (including [[StubCodec]]'s byte
+    * cycling) yields an engine-reproducible signature.
+    */
+  def dhash(ds: Dataset[DecodedImage], hashW: Int = 8, hashH: Int = 8): DataFrame = {
+    require(hashW >= 1 && hashH >= 1 && hashW.toLong * hashH <= 64,
+      s"dhash grid must fit 64 bits, got ${hashW}x$hashH")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions(it => it.map { img =>
+      val w = img.width
+      val h = img.height
+      val px = img.pixels
+      var sig = 0L
+      if (w > 0 && h > 0 && px.length >= w * h) {
+        var y = 0
+        while (y < hashH) {
+          val sy = math.min(h - 1, y * h / hashH)
+          var x = 0
+          while (x < hashW) {
+            val sx1 = math.min(w - 1, x * w / (hashW + 1))
+            val sx2 = math.min(w - 1, (x + 1) * w / (hashW + 1))
+            if (px(sy * w + sx1) > px(sy * w + sx2)) sig |= 1L << (y * hashW + x)
+            x += 1
+          }
+          y += 1
+        }
+      }
+      (img.media_id, sig)
+    }).toDF("media_id", "dhash")
+  }
+
   /** Resize decoded planes with nearest-neighbor sampling — the real
     * geometry/batching logic; a production codec would swap in a proper
     * filter kernel. Deterministic, mapPartitions-batched like the rest.
