@@ -1721,6 +1721,13 @@ object SparkEntry {
         .orderBy(col("seq_len"))
     }),
 
+    // ---- content-defined chunking dedup (insertion-robust sub-document
+    // dedup: boundaries follow the content, not the offsets) ---------------
+    "q_cdc_dedup" -> ((s, dir) => {
+      Dedup.cdcDedup(Tables.documents(s, dir), "doc_id", "text", window = 4, divisor = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- perceptual dHash over the decoded image planes (stub decode on
     // the synthetic corpus; the SAME operator hashes real BMP/PPM decodes
     // in MultimodalSpec) ---------------------------------------------------
@@ -1977,6 +1984,33 @@ object SparkEntry {
        |SELECT event_id, CAST($inter AS BIGINT) AS zkey FROM b
        |ORDER BY zkey, event_id LIMIT 500""".stripMargin
   }
+
+  /** DuckDB mirror of [[Dedup.cdcDedup]]: identical window hash (8 hex
+    * chars of md5 as BIGINT), cut predicate, cumulative-sum chunk ids and
+    * first-occurrence election.
+    */
+  private def cdcDedupSql(window: Int, divisor: Int): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |  FROM documents WHERE text IS NOT NULL),
+       |b AS (SELECT doc_id, ws, len(ws) AS n FROM t),
+       |cuts AS (SELECT doc_id, u.i + 1 AS sp
+       |         FROM b, unnest(generate_series($window - 1, n - 2)) AS u(i)
+       |         WHERE n >= $window + 1
+       |           AND CAST('0x' || substr(md5(array_to_string(ws[u.i - $window + 2 : u.i + 1], ' ')), 1, 8) AS BIGINT) % $divisor = 0),
+       |toks AS (SELECT doc_id, u.pos, ws[u.pos + 1] AS tok
+       |         FROM b, unnest(generate_series(0, n - 1)) AS u(pos)),
+       |fl AS (SELECT tk.doc_id, tk.pos, tk.tok,
+       |         CASE WHEN c.sp IS NOT NULL THEN 1 ELSE 0 END AS f
+       |       FROM toks tk LEFT JOIN cuts c ON tk.doc_id = c.doc_id AND tk.pos = c.sp),
+       |ch AS (SELECT doc_id, pos, tok, sum(f) OVER (PARTITION BY doc_id ORDER BY pos) AS cidx FROM fl),
+       |cg AS (SELECT doc_id, cidx, string_agg(tok, ' ' ORDER BY pos) AS chunk
+       |       FROM ch GROUP BY doc_id, cidx),
+       |r AS (SELECT doc_id, cidx, chunk,
+       |        row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) AS rn FROM cg)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  coalesce(string_agg(chunk, ' ' ORDER BY cidx) FILTER (WHERE rn = 1), '') AS text_dedup
+       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of [[Multimodal.dhash]] over the STUB decode (payload =
     * the doc's bytes cycled into a `w × h` luma plane): the grid-sample
@@ -4970,6 +5004,10 @@ object SparkEntry {
     // label propagation: unrolled integer-vote iterations over the
     // symmetrized kNN edge CTE; argmax = (count DESC, label) row_number
     "q_label_prop" -> labelPropSql(iters = 5, k = 5),
+
+    // CDC dedup: cut positions from the same 8-hex-char md5 hash, per-doc
+    // cumulative-sum chunk ids, q_chunk_dedup's election + reassembly
+    "q_cdc_dedup" -> cdcDedupSql(window = 4, divisor = 8),
 
     // dHash: the stub decode's byte-cycled luma plane re-derived as a code
     // point list; 64 strict integer comparisons at driver-precomputed

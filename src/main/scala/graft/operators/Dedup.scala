@@ -1057,6 +1057,77 @@ object Dedup {
       .select(col("__doc").as(id), col("n_chunks"), col("n_kept"), col("text_dedup"))
   }
 
+  /** Content-defined chunking: chunk boundaries fall where the rolling
+    * `window`-token hash divides `divisor` (expected chunk length ≈
+    * `divisor` tokens), so an insertion or deletion only moves the
+    * boundaries NEAR the edit — downstream chunks re-align and still
+    * dedupe. Fixed-width chunking ([[chunkDedup]]) loses every chunk after
+    * a one-token insertion; this is the storage-dedup trick (LBFS/restic/
+    * borg) applied to token streams.
+    *
+    * Plan shape: one map-only explode for the cut positions (window hashes
+    * inside an array transform — no shuffle), one token explode, one keyed
+    * left join + per-doc cumulative-sum window (the sessionize shape), one
+    * ordered reassembly agg. Output: `(id, cidx, n_tokens, chunk)`.
+    */
+  def cdcChunks(df: DataFrame, id: String, text: String,
+      window: Int = 4, divisor: Int = 8): DataFrame =
+    cdcChunksInternal(df, id, text, window, divisor)
+      .select(col("__doc").as(id), col("__cidx").cast("long").as("cidx"),
+        col("n_tokens"), col("__chunk").as("chunk"))
+
+  private def cdcChunksInternal(df: DataFrame, id: String, text: String,
+      window: Int, divisor: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2 tokens, got $window")
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    val base = df.filter(col(text).isNotNull)
+      .select(col(id).cast("long").as("__doc"), split(col(text), " ").as("__toks"))
+      .select(col("__doc"), col("__toks"), size(col("__toks")).as("__n"))
+    // cut AFTER window-end token i when the window hash divides; the cut
+    // starts a chunk at i + 1. Guard __n >= window + 1: Spark's sequence()
+    // runs DESCENDING when start > stop, which would mint phantom cuts.
+    val starts = base.filter(col("__n") >= window + 1)
+      .select(col("__doc"),
+        explode(expr(
+          s"""filter(transform(sequence($window - 1, __n - 2),
+             |  i -> struct(i + 1 AS sp,
+             |    CAST(conv(substring(md5(array_join(slice(__toks, i - $window + 2, $window), ' ')), 1, 8), 16, 10) AS BIGINT) AS h)),
+             |  s -> s.h % $divisor = 0)""".stripMargin)).as("__s"))
+      .select(col("__doc"), col("__s.sp").as("__pos"), lit(1).as("__f"))
+    val toks = base.select(col("__doc"), posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+    val w = Window.partitionBy(col("__doc")).orderBy(col("__pos"))
+    toks.join(starts, Seq("__doc", "__pos"), "left_outer")
+      .withColumn("__cidx", sum(coalesce(col("__f"), lit(0))).over(w))
+      .groupBy(col("__doc"), col("__cidx"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        array_join(
+          expr("transform(array_sort(collect_list(struct(__pos, __tok))), x -> x.__tok)"),
+          " ").as("__chunk"))
+  }
+
+  /** Sub-document dedup over [[cdcChunks]] — [[chunkDedup]]'s election and
+    * reassembly on content-defined boundaries, so shifted duplicates still
+    * collapse. Output: `(id, n_chunks, n_kept, text_dedup)`.
+    */
+  def cdcDedup(df: DataFrame, id: String, text: String,
+      window: Int = 4, divisor: Int = 8): DataFrame = {
+    val chunks = cdcChunksInternal(df, id, text, window, divisor)
+    val firsts = chunks.groupBy(col("__chunk"))
+      .agg(min(struct(col("__doc"), col("__cidx"))).as("__first"))
+    chunks.join(firsts, Seq("__chunk"))
+      .withColumn("__keep",
+        col("__doc") === col("__first.__doc") && col("__cidx") === col("__first.__cidx"))
+      .groupBy(col("__doc"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        array_join(
+          expr("transform(array_sort(collect_list(CASE WHEN __keep THEN struct(__cidx, __chunk) END)), x -> x.__chunk)"),
+          " ").as("text_dedup"))
+      .select(col("__doc").as(id), col("n_chunks"), col("n_kept"), col("text_dedup"))
+  }
+
   /** Edit-distance confirmation of MinHash near-duplicate candidates — the
     * final character-level verify stage a production near-dup pipeline runs
     * before destructive removal (shingle Jaccard is token-order-insensitive;

@@ -127,6 +127,38 @@ class DedupSpec extends SparkSpec {
     assert(got == Map((1L, 2L) -> "both", (3L, 4L) -> "lexical_only", (5L, 6L) -> "semantic_only"))
   }
 
+  test("cdcChunks: boundaries follow content; chunks cover the doc in order") {
+    val sp = spark
+    import sp.implicits._
+    val body = (1 to 60).map(i => s"w${i * 7 % 97}").mkString(" ")
+    val rows = Seq((1L, body)).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(rows, "doc_id", "text", window = 4, divisor = 4)
+      .orderBy(col("cidx")).collect()
+    // chunks partition the token stream: concatenation reproduces the doc
+    assert(chunks.map(_.getAs[String]("chunk")).mkString(" ") == body)
+    assert(chunks.map(_.getAs[Long]("n_tokens")).sum == 60L)
+    assert(chunks.length > 1) // divisor 4 over 56 cut candidates must cut somewhere
+  }
+
+  test("cdcDedup realigns after an insertion where fixed chunking loses everything") {
+    val sp = spark
+    import sp.implicits._
+    val body = (1 to 60).map(i => s"w${i * 7 % 97}").mkString(" ")
+    val rows = Seq((1L, body), (2L, "inserted " + body)).toDF("doc_id", "text")
+    val cdc = Dedup.cdcDedup(rows, "doc_id", "text", window = 4, divisor = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept")))).toMap
+    // doc 1 keeps everything; doc 2's post-realignment chunks dedupe away
+    assert(cdc(1L)._1 == cdc(1L)._2)
+    assert(cdc(2L)._2 < cdc(2L)._1, s"CDC failed to realign: ${cdc(2L)}")
+    // fixed-width chunking on the same pair dedupes NOTHING for doc 2 —
+    // every chunk shifted by one token
+    val fixed = Dedup.chunkDedup(rows, "doc_id", "text", chunkTokens = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept")))).toMap
+    assert(fixed(2L)._1 == fixed(2L)._2)
+  }
+
   test("spanPairs: shared spans pair the docs; boilerplate above the degree cap mints no pairs") {
     val sp = spark
     import sp.implicits._
