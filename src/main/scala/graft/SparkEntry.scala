@@ -1728,6 +1728,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- sorted-neighborhood near-dup pairs (sort-merge blocking) --------
+    "q_snm_dedup" -> ((s, dir) => {
+      Dedup.sortedNeighborhood(Tables.documents(s, dir), "doc_id", "text",
+        windowSize = 6, threshold = 0.5)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // ---- perceptual dHash over the decoded image planes (stub decode on
     // the synthetic corpus; the SAME operator hashes real BMP/PPM decodes
     // in MultimodalSpec) ---------------------------------------------------
@@ -5008,6 +5015,24 @@ object SparkEntry {
     // CDC dedup: cut positions from the same 8-hex-char md5 hash, per-doc
     // cumulative-sum chunk ids, q_chunk_dedup's election + reassembly
     "q_cdc_dedup" -> cdcDedupSql(window = 4, divisor = 8),
+
+    // sorted-neighborhood: DuckDB keeps the plain global row_number (the
+    // engine's chunked ranking produces the same total order); window
+    // membership as a rank-difference join, exact distinct-token Jaccard
+    "q_snm_dedup" ->
+      """WITH b AS (SELECT doc_id AS doc,
+        |    list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks,
+        |    substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 20) AS k
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT doc, toks, row_number() OVER (ORDER BY k, doc) AS rank FROM b),
+        |c AS (SELECT a.doc AS da, a.toks AS ta, b2.doc AS db, b2.toks AS tb
+        |      FROM r a JOIN r b2 ON b2.rank - a.rank BETWEEN 1 AND 5),
+        |j AS (SELECT least(da, db) AS d1, greatest(da, db) AS d2,
+        |        len(list_intersect(ta, tb)) AS i, len(ta) + len(tb) - len(list_intersect(ta, tb)) AS u
+        |      FROM c WHERE len(ta) + len(tb) - len(list_intersect(ta, tb)) > 0)
+        |SELECT d1, d2, round(CAST(i AS DOUBLE) / u, 6) AS jaccard
+        |FROM j WHERE round(CAST(i AS DOUBLE) / u, 6) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
 
     // dHash: the stub decode's byte-cycled luma plane re-derived as a code
     // point list; 64 strict integer comparisons at driver-precomputed

@@ -1057,6 +1057,56 @@ object Dedup {
       .select(col("__doc").as(id), col("n_chunks"), col("n_kept"), col("text_dedup"))
   }
 
+  /** Sorted-neighborhood near-dup candidates (the sort-merge record-linkage
+    * classic): sort the corpus by a normalized blocking key, compare each
+    * doc only with the `windowSize − 1` docs that FOLLOW it in sort order,
+    * verify with exact distinct-token Jaccard. Complements LSH: no
+    * signatures, one sort, and candidate count is exactly `(w−1)·n`
+    * regardless of skew — the right plan when near-dups share prefixes
+    * (titles, URLs, names) rather than shingle statistics.
+    *
+    * Scale shape: the global rank is the [[graft.operators.TimeSeries
+    * .rowNumberChunked]] construction over an ordinal first-character chunk
+    * (per-chunk windows + a broadcast control-plane offsets frame — no
+    * single-partition sort); the neighbor "join" is each row EXPLODED into
+    * its `w−1` following rank slots and equi-joined — never a range join,
+    * never all-pairs.
+    *
+    * Output: `(d1, d2, jaccard)` for pairs at or above `threshold`,
+    * `d1 < d2`.
+    */
+  def sortedNeighborhood(df: DataFrame, id: String, text: String,
+      windowSize: Int = 6, threshold: Double = 0.5, keyLen: Int = 20): DataFrame = {
+    require(windowSize >= 2, s"windowSize must be >= 2, got $windowSize")
+    val key = substring(regexp_replace(lower(col(text)), "[^a-z0-9]", ""), 1, keyLen)
+    val base = df.filter(col(text).isNotNull)
+      .select(col(id).cast("long").as("__doc"), col(text).as("__text"), key.as("__key"))
+    // ordinal chunk = the key's first character: chunks are contiguous key
+    // ranges, so per-chunk row_number + prefix offsets IS the global rank
+    val withChunk = base.withColumn("__chunk", coalesce(ascii(substring(col("__key"), 1, 1)), lit(-1)))
+    val counts = withChunk.groupBy(col("__chunk")).agg(count(lit(1)).as("__cnt"))
+    val wOff = Window.orderBy(col("__chunk")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts // one row per chunk — control-plane sized
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .select(col("__chunk").as("__ochunk"), col("__off"))
+    val wIn = Window.partitionBy(col("__chunk")).orderBy(col("__key"), col("__doc"))
+    val toks = array_distinct(filter(split(col("__text"), " "), t => t =!= ""))
+    val ranked = withChunk
+      .join(broadcast(offsets), col("__chunk") === col("__ochunk"))
+      .withColumn("__rank", row_number().over(wIn).cast("long") + col("__off"))
+      .select(col("__doc"), toks.as("__toks"), col("__rank"))
+    val probes = ranked.select(col("__doc").as("__da"), col("__toks").as("__ta"),
+      explode(expr(s"transform(sequence(1, ${windowSize - 1}), j -> __rank + j)")).as("__rank"))
+    val inter = size(array_intersect(col("__ta"), col("__toks")))
+    val uni = size(col("__ta")) + size(col("__toks")) - inter
+    probes.join(ranked, Seq("__rank"))
+      .where(uni > 0)
+      .select(least(col("__da"), col("__doc")).as("d1"),
+        greatest(col("__da"), col("__doc")).as("d2"),
+        round(inter.cast("double") / uni, 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Content-defined chunking: chunk boundaries fall where the rolling
     * `window`-token hash divides `divisor` (expected chunk length ≈
     * `divisor` tokens), so an insertion or deletion only moves the

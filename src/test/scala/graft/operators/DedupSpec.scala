@@ -127,6 +127,29 @@ class DedupSpec extends SparkSpec {
     assert(got == Map((1L, 2L) -> "both", (3L, 4L) -> "lexical_only", (5L, 6L) -> "semantic_only"))
   }
 
+  test("sortedNeighborhood: near-dups adjacent in key order pair; beyond-window docs never compared") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      (1L, "Alpha report on spark shuffles and joins"),
+      (2L, "alpha report on spark shuffles and joins!"), // same key after normalize
+      (3L, "alpha report about completely different things entirely here"),
+      (9L, "zulu text that sorts far away from the alphas"))
+      .toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhood(rows, "doc_id", "text", windowSize = 2, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    // windowSize 2: each doc only meets its immediate successor in key
+    // order; (1,2) are adjacent (identical key, doc tie-break) and identical
+    // token sets modulo punctuation tail
+    assert(got.keySet == Set((1L, 2L)))
+    assert(got((1L, 2L)) < 1.0) // 'joins' vs 'joins!' differ as tokens
+    // a wider window reaches (2,3) but their Jaccard fails the threshold
+    val wide = Dedup.sortedNeighborhood(rows, "doc_id", "text", windowSize = 4, threshold = 0.05)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(wide.contains((2L, 3L)))
+  }
+
   test("cdcChunks: boundaries follow content; chunks cover the doc in order") {
     val sp = spark
     import sp.implicits._
