@@ -1728,6 +1728,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- per-cluster provenance rollup (survivorship audit record) -------
+    "q_cluster_provenance" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardBlocked(docs, "doc_id", "text", n = 2, threshold = 0.5)
+      Dedup.clusterProvenance(Dedup.connectedComponents(pairs, "d1", "d2"),
+        docs, "doc_id", "source", "n_chars")
+        .orderBy(col("component"))
+    }),
+
     // ---- sorted-neighborhood near-dup pairs (sort-merge blocking) --------
     "q_snm_dedup" -> ((s, dir) => {
       Dedup.sortedNeighborhood(Tables.documents(s, dir), "doc_id", "text",
@@ -5015,6 +5024,25 @@ object SparkEntry {
     // CDC dedup: cut positions from the same 8-hex-char md5 hash, per-doc
     // cumulative-sum chunk ids, q_chunk_dedup's election + reassembly
     "q_cdc_dedup" -> cdcDedupSql(window = 4, divisor = 8),
+
+    // cluster provenance: the recursive-CTE clusters joined to metadata,
+    // one grouped rollup; sources as a sorted-distinct comma join
+    "q_cluster_provenance" ->
+      s"""WITH RECURSIVE ${jaccardPairsCtes()},
+         |e AS (SELECT d1 AS a, d2 AS b FROM jp UNION SELECT d2, d1 FROM jp),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         |comp AS (SELECT a AS doc, least(a, min(b)) AS component
+         |         FROM reach GROUP BY a)
+         |SELECT comp.component, CAST(count(*) AS BIGINT) AS n_members,
+         |  min(comp.doc) AS rep_id,
+         |  CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+         |  string_agg(DISTINCT d.source, ',' ORDER BY d.source) AS sources,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+         |FROM comp JOIN documents d ON comp.doc = d.doc_id
+         |GROUP BY comp.component ORDER BY component""".stripMargin,
 
     // sorted-neighborhood: DuckDB keeps the plain global row_number (the
     // engine's chunked ranking produces the same total order); window

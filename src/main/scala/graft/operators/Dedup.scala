@@ -1057,6 +1057,29 @@ object Dedup {
       .select(col("__doc").as(id), col("n_chunks"), col("n_kept"), col("text_dedup"))
   }
 
+  /** Per-cluster provenance rollup over [[connectedComponents]] labels:
+    * which sources fed each near-dup cluster, how big it is, and its
+    * representative — the survivorship record a curation audit keeps when
+    * duplicates are REMOVED (deleting a doc must not silently delete the
+    * knowledge that source X also carried it). ONE combinable aggregate
+    * over the cluster-member frame joined to the metadata columns.
+    *
+    * Output: `(component, n_members, rep_id, n_sources, sources,
+    * total_chars)` with `sources` a sorted-distinct comma join.
+    */
+  def clusterProvenance(components: DataFrame, meta: DataFrame, id: String,
+      group: String, sizeCol: String): DataFrame =
+    components
+      .join(meta.select(col(id).cast("long").as("doc"), col(group).as("__g"),
+        col(sizeCol).cast("long").as("__sz")), Seq("doc"))
+      .groupBy(col("component"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        min(col("doc")).as("rep_id"),
+        count_distinct(col("__g")).as("n_sources"),
+        array_join(array_sort(collect_set(col("__g"))), ",").as("sources"),
+        sum(col("__sz")).as("total_chars"))
+
   /** Sorted-neighborhood near-dup candidates (the sort-merge record-linkage
     * classic): sort the corpus by a normalized blocking key, compare each
     * doc only with the `windowSize − 1` docs that FOLLOW it in sort order,

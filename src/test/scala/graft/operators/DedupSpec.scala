@@ -127,6 +127,24 @@ class DedupSpec extends SparkSpec {
     assert(got == Map((1L, 2L) -> "both", (3L, 4L) -> "lexical_only", (5L, 6L) -> "semantic_only"))
   }
 
+  test("clusterProvenance: sources union, representative, and sizes per component") {
+    val sp = spark
+    import sp.implicits._
+    val comps = Seq((1L, 1L), (2L, 1L), (5L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc", "component")
+    val meta = Seq(
+      (1L, "A", 100L), (2L, "B", 50L), (5L, "A", 25L),
+      (7L, "C", 10L), (8L, "C", 20L), (99L, "Z", 1L)) // 99 not clustered
+      .toDF("doc_id", "source", "n_chars")
+    val got = Dedup.clusterProvenance(comps, meta, "doc_id", "source", "n_chars")
+      .collect().map(r => r.getAs[Long]("component") ->
+        ((r.getAs[Long]("n_members"), r.getAs[Long]("rep_id"), r.getAs[Long]("n_sources"),
+          r.getAs[String]("sources"), r.getAs[Long]("total_chars")))).toMap
+    assert(got(1L) == ((3L, 1L, 2L, "A,B", 175L)))
+    assert(got(7L) == ((2L, 7L, 1L, "C", 30L)))
+    assert(got.size == 2)
+  }
+
   test("sortedNeighborhood: near-dups adjacent in key order pair; beyond-window docs never compared") {
     val sp = spark
     import sp.implicits._
