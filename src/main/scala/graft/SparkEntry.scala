@@ -1728,6 +1728,42 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- incremental rollup maintenance: prior + delta == full (the
+    // oracle recomputes from scratch — implementation-divergent check) -----
+    "q_rollup_merge" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val prior = EventAnalytics.dailyRollup(
+        ev.where(col("ts_us") < TMID), "ts_us", "event_type", "value")
+      val delta = EventAnalytics.dailyRollup(
+        ev.where(col("ts_us") >= TMID), "ts_us", "event_type", "value")
+      EventAnalytics.mergeRollup(prior, delta, Seq("day", "event_type"))
+        .select(col("day"), col("event_type"), col("n"), round(col("sum_value"), 6).as("sum_value"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
+    // ---- per-column statistics profile (table-stats collector) -----------
+    "q_column_profile" -> ((s, dir) => {
+      DataQuality.profile(Tables.orders(s, dir),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey"))
+        .orderBy(col("col_name"))
+    }),
+
+    // ---- parent/child join-cardinality statistics ------------------------
+    "q_join_stats" -> ((s, dir) => {
+      DataQuality.joinStats(Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey")
+    }),
+
+    // ---- weak-supervision labeling-function agreement matrix -------------
+    "q_labeling_matrix" -> ((s, dir) => {
+      TextAnalysis.labelingMatrix(Tables.documents(s, dir), Seq(
+        "len_ok" -> when(col("n_chars") >= 300, 1).otherwise(-1),
+        "is_en" -> when(col("lang").isNull, 0).when(col("lang") === "en", 1).otherwise(-1),
+        "mentions_spark" -> when(col("text").isNull, 0)
+          .when(col("text").contains("spark"), 1).otherwise(0)))
+        .orderBy(col("lf_a"), col("lf_b"))
+    }),
+
     // ---- per-cluster provenance rollup (survivorship audit record) -------
     "q_cluster_provenance" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -1999,6 +2035,58 @@ object SparkEntry {
        |      FROM src CROSS JOIN mm)
        |SELECT event_id, CAST($inter AS BIGINT) AS zkey FROM b
        |ORDER BY zkey, event_id LIMIT 500""".stripMargin
+  }
+
+  /** DuckDB mirror of [[DataQuality.profile]]: one value-counts CTE per
+    * column, the same BIGINT Simpson arithmetic, and the top value as a
+    * `(count DESC, value)` scalar subquery.
+    */
+  private def columnProfileSql(table: String, cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT * FROM (
+         |  WITH vc AS (SELECT CAST($c AS VARCHAR) AS v, count(*) AS cnt FROM $table GROUP BY 1),
+         |  s AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         |          CAST(sum(CASE WHEN v IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS nn,
+         |          CAST(count(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT) AS ndv,
+         |          CAST(sum(CASE WHEN v IS NOT NULL THEN cnt * cnt ELSE 0 END) AS BIGINT) AS sq,
+         |          CAST(max(CASE WHEN v IS NOT NULL THEN cnt END) AS BIGINT) AS topc
+         |        FROM vc)
+         |  SELECT '$c' AS col_name, n AS n_rows, nn AS n_nulls, ndv,
+         |    CASE WHEN sq IS NULL OR sq = 0 THEN NULL
+         |         ELSE round(CAST((n - nn) * (n - nn) AS DOUBLE) / sq, 6) END AS eff_card,
+         |    (SELECT v FROM vc WHERE v IS NOT NULL ORDER BY cnt DESC, v LIMIT 1) AS top_value,
+         |    topc AS top_count
+         |  FROM s)""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
+
+  /** DuckDB mirror of [[TextAnalysis.labelingMatrix]] over the three
+    * q_labeling_matrix functions — identical CASE votes, one aggregate of
+    * conditional sums, pair rows as UNION ALL branches.
+    */
+  private lazy val labelingMatrixSql: String = {
+    val names = Seq("len_ok", "is_en", "mentions_spark")
+    val votes = Seq(
+      "CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END",
+      "CASE WHEN lang IS NULL THEN 0 WHEN lang = 'en' THEN 1 ELSE -1 END",
+      "CASE WHEN text IS NULL THEN 0 WHEN contains(text, 'spark') THEN 1 ELSE 0 END")
+    val pairs = for (i <- names.indices; j <- names.indices if i <= j) yield (i, j)
+    val sums = pairs.flatMap { case (i, j) =>
+      val f = s"l$i <> 0 AND l$j <> 0"
+      Seq(
+        s"CAST(sum(CASE WHEN $f THEN 1 ELSE 0 END) AS BIGINT) AS b${i}_$j",
+        s"CAST(sum(CASE WHEN $f AND l$i = l$j THEN 1 ELSE 0 END) AS BIGINT) AS a${i}_$j",
+        s"CAST(sum(CASE WHEN $f AND l$i <> l$j THEN 1 ELSE 0 END) AS BIGINT) AS c${i}_$j")
+    }.mkString(",\n  ")
+    val branches = pairs.map { case (i, j) =>
+      s"""SELECT '${names(i)}' AS lf_a, '${names(j)}' AS lf_b, n AS n_rows,
+         |  b${i}_$j AS n_both, a${i}_$j AS n_agree, c${i}_$j AS n_conflict FROM agg""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT ${votes.zipWithIndex.map { case (v, i) => s"$v AS l$i" }.mkString(", ")}
+       |  FROM documents),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  $sums FROM v)
+       |$branches
+       |ORDER BY lf_a, lf_b""".stripMargin
   }
 
   /** DuckDB mirror of [[Dedup.cdcDedup]]: identical window hash (8 hex
@@ -5024,6 +5112,44 @@ object SparkEntry {
     // CDC dedup: cut positions from the same 8-hex-char md5 hash, per-doc
     // cumulative-sum chunk ids, q_chunk_dedup's election + reassembly
     "q_cdc_dedup" -> cdcDedupSql(window = 4, divisor = 8),
+
+    // rollup merge: the oracle recomputes the FULL rollup from scratch —
+    // the engine's prior+delta merge must land on the same table
+    "q_rollup_merge" ->
+      """SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(coalesce(value, 0.0)), 6) AS sum_value
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    // column profile: per-column value-counts rollup; top value via a
+    // scalar (count DESC, value) subquery — the engine's min_by tie-break
+    "q_column_profile" -> columnProfileSql("orders",
+      Seq("o_orderstatus", "o_orderpriority", "o_custkey")),
+
+    // join stats: two keyed aggregates + a 1-row stitch
+    "q_join_stats" ->
+      """WITH ck AS (SELECT o_custkey AS k FROM orders),
+        |pk AS (SELECT DISTINCT c_custkey AS k FROM customer),
+        |pp AS (SELECT coalesce(cc.c, 0) AS c FROM pk
+        |       LEFT JOIN (SELECT k, count(*) AS c FROM ck WHERE k IS NOT NULL GROUP BY 1) cc
+        |       USING (k)),
+        |cs AS (SELECT CAST(count(*) AS BIGINT) AS n_children,
+        |         CAST(sum(CASE WHEN p.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+        |       FROM ck LEFT JOIN pk p ON ck.k = p.k),
+        |ps AS (SELECT CAST(count(*) AS BIGINT) AS n_parents,
+        |         CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_childless,
+        |         CAST(min(c) AS BIGINT) AS min_fanout, CAST(max(c) AS BIGINT) AS max_fanout,
+        |         CAST(sum(c) AS BIGINT) AS tot FROM pp)
+        |SELECT n_children, n_matched, n_children - n_matched AS n_orphans,
+        |  floor((CAST(n_matched AS DOUBLE) / n_children) * 1000000.0) / 1000000.0 AS match_rate,
+        |  n_parents, n_childless, min_fanout, max_fanout,
+        |  round(CAST(tot AS DOUBLE) / n_parents, 6) AS avg_fanout
+        |FROM cs CROSS JOIN ps""".stripMargin,
+
+    // labeling matrix: the three LF CASE votes restated, one aggregate of
+    // conditional sums, pair rows as UNION ALL branches
+    "q_labeling_matrix" -> labelingMatrixSql,
 
     // cluster provenance: the recursive-CTE clusters joined to metadata,
     // one grouped rollup; sources as a sorted-distinct comma join

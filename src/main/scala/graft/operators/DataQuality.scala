@@ -21,6 +21,80 @@ object DataQuality {
 
   private def quantize6(c: Column): Column = floor(c * 1000000.0) / 1000000.0
 
+  /** Per-column statistics profile — the table-stats collector behind
+    * optimizer estimates and data-contract drift checks: row/null counts,
+    * exact distinct count, inverse-Simpson effective cardinality (the
+    * log-free concentration measure — `n_nonnull² / Σ c²` is the number of
+    * equally-frequent values that would look like this distribution), and
+    * the most frequent value with a deterministic `(count DESC, value ASC)`
+    * tie-break.
+    *
+    * Per column: one value-counts aggregate + one rollup — both keyed and
+    * map-side combinable; columns union into one report frame. Values are
+    * profiled as strings so any column type fits one schema. Counts are
+    * exact BIGINTs; where a single value's count can pass ~3·10⁹ (so `c²`
+    * would overflow a long), switch the square accumulation to
+    * DECIMAL(38,0) — the plan shape is unchanged.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "no columns to profile")
+    cols.map { c =>
+      val vc = df.select(col(c).cast("string").as("__v"))
+        .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      vc.agg(
+        sum(col("__c")).as("__n"),
+        sum(when(col("__v").isNull, col("__c")).otherwise(lit(0L))).as("__nulls"),
+        count(when(col("__v").isNotNull, lit(1))).as("ndv"),
+        sum(when(col("__v").isNotNull, col("__c") * col("__c")).otherwise(lit(0L))).as("__sq"),
+        min_by(col("__v"), when(col("__v").isNotNull, struct((-col("__c")).as("c"), col("__v").as("v"))))
+          .as("top_value"),
+        max(when(col("__v").isNotNull, col("__c"))).as("top_count"))
+        .select(
+          lit(c).as("col_name"),
+          coalesce(col("__n"), lit(0L)).as("n_rows"),
+          coalesce(col("__nulls"), lit(0L)).as("n_nulls"),
+          col("ndv"),
+          when(col("__sq").isNull || col("__sq") === 0, lit(null)).otherwise(
+            round(((col("__n") - coalesce(col("__nulls"), lit(0L))) *
+              (col("__n") - coalesce(col("__nulls"), lit(0L)))) / col("__sq"), 6))
+            .as("eff_card"),
+          col("top_value"), col("top_count"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Join-cardinality statistics for a parent/child key relationship — the
+    * audit behind broadcast decisions and referential-health dashboards:
+    * child match rate, orphan count, and the parent-side fanout profile
+    * (children per parent: min/avg/max, plus childless parents). Two keyed
+    * aggregates and one broadcast-sized stitch; neither table is scanned
+    * twice.
+    */
+  def joinStats(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val ck = child.select(col(childKey).as("__k"))
+    val pk = parent.select(col(parentKey).as("__k")).distinct()
+    val perParent = ck.where(col("__k").isNotNull)
+      .groupBy(col("__k")).agg(count(lit(1)).as("__c"))
+      .join(pk, Seq("__k"), "right_outer")
+      .select(coalesce(col("__c"), lit(0L)).as("__c"))
+    val childSide = ck
+      .join(pk.select(col("__k"), lit(1).as("__hit")), Seq("__k"), "left_outer")
+      .agg(count(lit(1)).as("n_children"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_matched"))
+    val parentSide = perParent.agg(
+      count(lit(1)).as("n_parents"),
+      sum(when(col("__c") === 0, 1L).otherwise(0L)).as("n_childless"),
+      min(col("__c")).as("min_fanout"),
+      max(col("__c")).as("max_fanout"),
+      sum(col("__c")).as("__tot"))
+    childSide.crossJoin(parentSide).select(
+      col("n_children"), col("n_matched"),
+      (col("n_children") - col("n_matched")).as("n_orphans"),
+      quantize6(col("n_matched") / col("n_children")).as("match_rate"),
+      col("n_parents"), col("n_childless"), col("min_fanout"), col("max_fanout"),
+      round(col("__tot") / col("n_parents"), 6).as("avg_fanout"))
+  }
+
   /** Evaluate all `rules` against `df` in ONE map-side-combinable
     * aggregation pass (a single scan regardless of rule count): returns one
     * row per rule — `(rule, n_rows, n_violations, violation_rate)` with the

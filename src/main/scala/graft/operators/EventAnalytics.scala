@@ -77,6 +77,35 @@ object EventAnalytics {
     }.reverse
   }
 
+  /** Incremental rollup maintenance: merge a PRIOR aggregate table with the
+    * aggregate of a NEW delta — the pattern that keeps a 100 TB daily
+    * rollup current without rescanning history (only the delta is read;
+    * the prior table is itself the output of an earlier run). Counts and
+    * sums are mergeable partials, so `merged(prior, agg(delta)) ==
+    * agg(full)` exactly for counts and to float-roundoff for sums.
+    *
+    * Both inputs carry `(keys..., n, sum_value)`; the merge is ONE
+    * full-outer join on the key columns + coalesced additions — work is
+    * bounded by touched keys, never history size.
+    */
+  def mergeRollup(prior: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "mergeRollup needs at least one key column")
+    val p = prior.select((keys.map(col) :+ col("n").as("__np") :+ col("sum_value").as("__sp")): _*)
+    val d = delta.select((keys.map(col) :+ col("n").as("__nd") :+ col("sum_value").as("__sd")): _*)
+    p.join(d, keys, "full_outer")
+      .select((keys.map(col) :+
+        (coalesce(col("__np"), lit(0L)) + coalesce(col("__nd"), lit(0L))).as("n") :+
+        (coalesce(col("__sp"), lit(0.0)) + coalesce(col("__sd"), lit(0.0))).as("sum_value")): _*)
+  }
+
+  /** The daily rollup [[mergeRollup]] maintains: `(day, event_type, n,
+    * sum_value)` per cell, day = epoch-day of the event-time micros.
+    */
+  def dailyRollup(df: DataFrame, ts: String, eventType: String, value: String): DataFrame =
+    df.where(col(eventType).isNotNull)
+      .groupBy(expr(s"$ts div 86400000000").as("day"), col(eventType).as("event_type"))
+      .agg(count(lit(1)).as("n"), sum(coalesce(col(value), lit(0.0))).as("sum_value"))
+
   /** Time-to-convert distribution per funnel transition: over the users who
     * completed step `i+1`, the latency `t_{i+1} − t_i` from their step-`i`
     * completion (both first-touch times from the [[funnel]] recurrence, so

@@ -31,6 +31,44 @@ object TextAnalysis {
         round((col("n_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"), 6))
   }
 
+  /** Snorkel-style labeling-function agreement matrix: each LF is a Column
+    * emitting an INT vote (`1` positive, `-1` negative, `0` abstain); the
+    * report gives, for every LF pair `(a <= b)`, how often both fired, how
+    * often they agreed, and how often they CONFLICTED — the diagnostics
+    * weak-supervision label models are tuned on (diagonal rows double as
+    * per-LF coverage). Null votes count as abstain.
+    *
+    * ONE map-side-combinable aggregate carries all `3·k(k+1)/2` conditional
+    * sums; the pair rows explode from the single result row (the
+    * filter-funnel pattern) — the corpus is scanned once no matter how many
+    * LFs are compared.
+    */
+  def labelingMatrix(df: DataFrame, fns: Seq[(String, Column)]): DataFrame = {
+    require(fns.nonEmpty, "need at least one labeling function")
+    val votes = fns.zipWithIndex.map { case ((_, c), i) =>
+      coalesce(c.cast("int"), lit(0)).as(s"__l$i")
+    }
+    val base = df.select(votes: _*)
+    val pairs = for (i <- fns.indices; j <- fns.indices if i <= j) yield (i, j)
+    val aggs = count(lit(1)).as("__n") +: pairs.flatMap { case (i, j) =>
+      val fired = col(s"__l$i") =!= 0 && col(s"__l$j") =!= 0
+      Seq(
+        sum(when(fired, 1L).otherwise(0L)).as(s"__b${i}_$j"),
+        sum(when(fired && col(s"__l$i") === col(s"__l$j"), 1L).otherwise(0L)).as(s"__a${i}_$j"),
+        sum(when(fired && col(s"__l$i") =!= col(s"__l$j"), 1L).otherwise(0L)).as(s"__c${i}_$j"))
+    }
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (i, j) =>
+      struct(
+        lit(fns(i)._1).as("lf_a"), lit(fns(j)._1).as("lf_b"),
+        col("__n").as("n_rows"),
+        coalesce(col(s"__b${i}_$j"), lit(0L)).as("n_both"),
+        coalesce(col(s"__a${i}_$j"), lit(0L)).as("n_agree"),
+        coalesce(col(s"__c${i}_$j"), lit(0L)).as("n_conflict"))
+    }
+    one.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
+
   /** Tokenizer fertility per group (usually language): subword tokens per
     * whitespace word and characters per subword token — the cross-lingual
     * cost report behind vocabulary-size decisions. A language whose

@@ -53,4 +53,49 @@ class DataQualitySpec extends SparkSpec {
     assert(r.getAs[Long]("n_violations") == 2L) // 99 and the null
     assert(r.getAs[Double]("violation_rate") == 0.5)
   }
+
+  test("profile: counts, ndv, Simpson effective cardinality, deterministic top value") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      (Some("a"), Some(1)), (Some("a"), Some(1)), (Some("b"), Some(1)),
+      (Some("b"), None), (None, Some(2)))
+      .toDF("s", "x")
+    val got = DataQuality.profile(rows, Seq("s", "x"))
+      .collect().map(r => r.getAs[String]("col_name") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"), r.getAs[Long]("ndv"),
+          r.getAs[Double]("eff_card"), r.getAs[String]("top_value"),
+          r.getAs[Long]("top_count")))).toMap
+    // s: 4 non-null over {a:2, b:2} -> eff 16/8 = 2; tie a vs b -> 'a'
+    assert(got("s") == ((5L, 1L, 2L, 2.0, "a", 2L)))
+    // x: {1:3, 2:1} -> eff 16/10 = 1.6; top '1'
+    assert(got("x") == ((5L, 1L, 2L, 1.6, "1", 3L)))
+  }
+
+  test("profile of an all-null column reports null eff_card and top") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq.fill(3)(null.asInstanceOf[String]).toDF("s")
+    val r = DataQuality.profile(rows, Seq("s")).collect()(0)
+    assert(r.getAs[Long]("n_rows") == 3L && r.getAs[Long]("n_nulls") == 3L)
+    assert(r.getAs[Long]("ndv") == 0L)
+    assert(r.isNullAt(r.fieldIndex("eff_card")))
+    assert(r.isNullAt(r.fieldIndex("top_value")))
+  }
+
+  test("joinStats: match rate, orphans, and the parent fanout profile") {
+    val sp = spark
+    import sp.implicits._
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), None).toDF("ck")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = DataQuality.joinStats(child, "ck", parent, "pk").collect()(0)
+    assert(r.getAs[Long]("n_children") == 5L)
+    assert(r.getAs[Long]("n_matched") == 3L) // 1,1,2 — 9 and null are orphans
+    assert(r.getAs[Long]("n_orphans") == 2L)
+    assert(r.getAs[Double]("match_rate") == 0.6)
+    assert(r.getAs[Long]("n_parents") == 3L)
+    assert(r.getAs[Long]("n_childless") == 1L) // parent 3
+    assert(r.getAs[Long]("min_fanout") == 0L && r.getAs[Long]("max_fanout") == 2L)
+    assert(r.getAs[Double]("avg_fanout") == 1.0) // (2 + 1 + 0) / 3
+  }
 }

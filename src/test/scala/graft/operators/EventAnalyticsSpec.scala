@@ -181,6 +181,26 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got(3L) == (("purchase", 1L, 1L * M, 1.0 * M, 1.0 * M, 1L * M)))
   }
 
+  test("mergeRollup: prior + delta equals the from-scratch rollup") {
+    val sp = spark
+    import sp.implicits._
+    val all = Seq(
+      (1L * M, "a", 1.0), (2L * M, "a", 2.0), (3L * M, "b", 3.0),
+      (100L * M, "a", 4.0), (200L * M, "b", 5.0))
+      .toDF("ts", "event_type", "value")
+    val prior = EventAnalytics.dailyRollup(all.where(col("ts") < 50L * M), "ts", "event_type", "value")
+    val delta = EventAnalytics.dailyRollup(all.where(col("ts") >= 50L * M), "ts", "event_type", "value")
+    val merged = EventAnalytics.mergeRollup(prior, delta, Seq("day", "event_type"))
+      .collect().map(r => (r.getAs[Long]("day"), r.getAs[String]("event_type")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("sum_value")))).toMap
+    val full = EventAnalytics.dailyRollup(all, "ts", "event_type", "value")
+      .collect().map(r => (r.getAs[Long]("day"), r.getAs[String]("event_type")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("sum_value")))).toMap
+    assert(merged == full)
+    // keys present only in one side survive the full-outer merge
+    assert(merged.keySet == full.keySet)
+  }
+
   test("funnelLatency: an empty transition reports n_conv=0 with null stats") {
     val sp = spark
     import sp.implicits._

@@ -543,6 +543,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(y3 == 4L) // wai-ti-ng(ai,i) -> 'waiting' ai+i = 2, 'done' o+e = 2
   }
 
+  test("labelingMatrix: coverage diagonal, agreements and conflicts; abstain excluded") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      (1L, 1, 1),   // both fire, agree
+      (2L, 1, -1),  // both fire, conflict
+      (3L, 0, 1),   // lf1 abstains
+      (4L, -1, 0))  // lf2 abstains
+      .toDF("id", "v1", "v2")
+    val got = TextAnalysis.labelingMatrix(rows,
+      Seq("f1" -> org.apache.spark.sql.functions.col("v1"),
+        "f2" -> org.apache.spark.sql.functions.col("v2")))
+      .collect().map(r => (r.getAs[String]("lf_a"), r.getAs[String]("lf_b")) ->
+        ((r.getAs[Long]("n_both"), r.getAs[Long]("n_agree"), r.getAs[Long]("n_conflict"))))
+      .toMap
+    assert(got(("f1", "f1")) == ((3L, 3L, 0L))) // diagonal = coverage
+    assert(got(("f2", "f2")) == ((3L, 3L, 0L)))
+    assert(got(("f1", "f2")) == ((2L, 1L, 1L)))
+  }
+
   test("tokenizerFertility: subword/word and char/subword ratios per language") {
     val sp = spark
     import sp.implicits._
