@@ -1728,6 +1728,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- range-partition boundary planner (equal-row write splits).
+    // Bounds the `value` domain: percentile interpolation above ~2^53 a
+    // ulp (ts_us micros) is not engine-stable, so plan integer-time splits
+    // on `div`-bucketed days instead ----------------------------------------
+    "q_range_bounds" -> ((s, dir) => {
+      graft.store.Layout.rangeBounds(
+        events(s, dir).where(col("value").isNotNull), "value", parts = 8)
+        .orderBy(col("boundary"))
+    }),
+
+    // ---- crawl page-stitch seams (pagination artifacts) ------------------
+    "q_page_stitch" -> ((s, dir) => {
+      Dedup.stitchCandidates(Tables.documents(s, dir), "doc_id", "text",
+        k = 8, maxPerSeam = 10)
+        .orderBy(col("prev_id"), col("next_id"))
+    }),
+
+    // ---- LSH recall audit vs the exact thresholded pair set --------------
+    "q_lsh_recall" -> ((s, dir) => {
+      Dedup.lshRecallAudit(Tables.documents(s, dir), "doc_id", "text",
+        n = 2, numPerm = NUM_PERM, bands = 4, threshold = 0.5)
+    }),
+
     // ---- incremental rollup maintenance: prior + delta == full (the
     // oracle recomputes from scratch — implementation-divergent check) -----
     "q_rollup_merge" -> ((s, dir) => {
@@ -2036,6 +2059,18 @@ object SparkEntry {
        |SELECT event_id, CAST($inter AS BIGINT) AS zkey FROM b
        |ORDER BY zkey, event_id LIMIT 500""".stripMargin
   }
+
+  /** DuckDB mirror of [[graft.store.Layout.rangeBounds]] over `ts_us`: one
+    * `quantile_cont` branch per split with the identical Scala-computed
+    * fraction literal (the q_bands percentile parity).
+    */
+  private def rangeBoundsSql(parts: Int): String =
+    (1 until parts).map { i =>
+      val f = i.toDouble / parts
+      s"""SELECT CAST($i AS BIGINT) AS boundary,
+         |  round(quantile_cont(CAST(value AS DOUBLE), CAST($f AS DOUBLE)), 6) AS bound
+         |FROM events WHERE value IS NOT NULL""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY boundary"
 
   /** DuckDB mirror of [[DataQuality.profile]]: one value-counts CTE per
     * column, the same BIGINT Simpson arithmetic, and the top value as a
@@ -5112,6 +5147,37 @@ object SparkEntry {
     // CDC dedup: cut positions from the same 8-hex-char md5 hash, per-doc
     // cumulative-sum chunk ids, q_chunk_dedup's election + reassembly
     "q_cdc_dedup" -> cdcDedupSql(window = 4, divisor = 8),
+
+    // range bounds: one quantile_cont branch per split (percentile parity)
+    "q_range_bounds" -> rangeBoundsSql(parts = 8),
+
+    // page stitch: head/tail seam strings, degree caps, one equi-join
+    "q_page_stitch" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) >= 8),
+        |h AS (SELECT doc_id AS next_id, array_to_string(ws[1 : 8], ' ') AS seam FROM b),
+        |tl AS (SELECT doc_id AS prev_id, array_to_string(ws[n - 7 : n], ' ') AS seam FROM b),
+        |hd AS (SELECT seam FROM h GROUP BY seam HAVING count(*) <= 10),
+        |td AS (SELECT seam FROM tl GROUP BY seam HAVING count(*) <= 10)
+        |SELECT tl.prev_id, h.next_id, tl.seam
+        |FROM tl JOIN td ON tl.seam = td.seam
+        |  JOIN h ON tl.seam = h.seam
+        |  JOIN hd ON h.seam = hd.seam
+        |WHERE tl.prev_id <> h.next_id
+        |ORDER BY prev_id, next_id""".stripMargin,
+
+    // LSH recall: the exact jp pair CTE left-joined to the banded result
+    "q_lsh_recall" ->
+      s"""WITH ${jaccardPairsCtes()},
+         |lsh AS (SELECT d1, d2 FROM (${minhashLshSql(NUM_PERM, 4, 2, 0.5)}) tq),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |        CAST(sum(CASE WHEN l.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh
+         |      FROM jp LEFT JOIN lsh l ON jp.d1 = l.d1 AND jp.d2 = l.d2)
+         |SELECT n_exact, n_lsh, n_exact - n_lsh AS n_missed,
+         |  CASE WHEN n_exact = 0 THEN NULL
+         |       ELSE round(CAST(n_lsh AS DOUBLE) / n_exact, 6) END AS recall
+         |FROM a""".stripMargin,
 
     // rollup merge: the oracle recomputes the FULL rollup from scratch —
     // the engine's prior+delta merge must land on the same table

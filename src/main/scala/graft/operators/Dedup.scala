@@ -1057,6 +1057,63 @@ object Dedup {
       .select(col("__doc").as(id), col("n_chunks"), col("n_kept"), col("text_dedup"))
   }
 
+  /** Crawl page-stitch candidates: document pairs where one doc's LAST `k`
+    * tokens equal another's FIRST `k` — the pagination artifact
+    * ("…continued on page 2") that doc-level dedup can't see because the
+    * bodies differ. Reassembling or dropping continuations is a standard
+    * crawl-cleaning pass; this finds the seams.
+    *
+    * Map-only head/tail projections + ONE equi-join on the k-token seam
+    * string; per-seam degree is naturally small, and a `maxPerSeam` cap
+    * guards against a boilerplate opener exploding the join (same rationale
+    * as [[spanPairs]]' degree cap).
+    *
+    * Output: `(prev_id, next_id, seam)` — `prev` ends where `next` begins.
+    */
+  def stitchCandidates(df: DataFrame, id: String, text: String, k: Int = 8,
+      maxPerSeam: Int = 10): DataFrame = {
+    require(k >= 2, s"seam width must be >= 2 tokens, got $k")
+    val base = df.filter(col(text).isNotNull)
+      .select(col(id).cast("long").as("__doc"), split(col(text), " ").as("__toks"))
+      .filter(size(col("__toks")) >= k)
+    val heads = base.select(col("__doc").as("next_id"),
+      array_join(slice(col("__toks"), 1, k), " ").as("seam"))
+    val tails = base.select(col("__doc").as("prev_id"),
+      array_join(slice(col("__toks"), -k, k), " ").as("seam"))
+    val headDeg = heads.groupBy(col("seam")).agg(count(lit(1)).as("__dh"))
+      .filter(col("__dh") <= maxPerSeam).select(col("seam"))
+    val tailDeg = tails.groupBy(col("seam")).agg(count(lit(1)).as("__dt"))
+      .filter(col("__dt") <= maxPerSeam).select(col("seam"))
+    tails.join(tailDeg, Seq("seam"))
+      .join(heads.join(headDeg, Seq("seam")), Seq("seam"))
+      .where(col("prev_id") =!= col("next_id"))
+      .select(col("prev_id"), col("next_id"), col("seam"))
+  }
+
+  /** LSH recall audit: the banded-MinHash pair set measured against the
+    * EXACT thresholded pair set (the blocked all-pairs sweep). Because
+    * [[minhashDedup]] verifies candidates with exact Jaccard, it can only
+    * MISS pairs (band collisions are probabilistic), never invent them — so
+    * the audit reduces to the miss count and recall, the number that
+    * decides whether `numPerm`/`bands` are safe to trust at corpus scale.
+    *
+    * Output: one row `(n_exact, n_lsh, n_missed, recall)`.
+    */
+  def lshRecallAudit(df: DataFrame, id: String, text: String, n: Int,
+      numPerm: Int, bands: Int, threshold: Double): DataFrame = {
+    val exact = ngramJaccardBlocked(df, id, text, n, threshold)
+      .select(col("d1"), col("d2"))
+    val lsh = minhashDedup(df, id, text, n, numPerm, bands, threshold)
+      .select(col("d1"), col("d2"), lit(1).as("__hit"))
+    exact.join(lsh, Seq("d1", "d2"), "left_outer")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_lsh"))
+      .select(col("n_exact"), col("n_lsh"),
+        (col("n_exact") - col("n_lsh")).as("n_missed"),
+        when(col("n_exact") === 0, lit(null))
+          .otherwise(round(col("n_lsh") / col("n_exact"), 6)).as("recall"))
+  }
+
   /** Per-cluster provenance rollup over [[connectedComponents]] labels:
     * which sources fed each near-dup cluster, how big it is, and its
     * representative — the survivorship record a curation audit keeps when

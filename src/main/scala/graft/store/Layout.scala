@@ -29,6 +29,22 @@ object Layout {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** Range-partition boundary planner: the `parts − 1` exact interpolated
+    * percentiles of a column — the split points a writer hands to
+    * `repartitionByRange`/bucketing so output files carry equal row counts
+    * regardless of value skew (fixed-width ranges don't). ONE combinable
+    * aggregate; output is `parts − 1` rows.
+    */
+  def rangeBounds(df: DataFrame, c: String, parts: Int): DataFrame = {
+    require(parts >= 2, s"parts must be >= 2, got $parts")
+    val fracs = (1 until parts).map(i => i.toDouble / parts)
+    df.where(col(c).isNotNull)
+      .agg(expr(s"percentile($c, array(${fracs.mkString(", ")}))").as("__b"))
+      .select(posexplode(col("__b")).as(Seq("__i", "__v")))
+      .select((col("__i") + 1).cast("long").as("boundary"),
+        round(col("__v"), 6).as("bound"))
+  }
+
   /** Z-order clustering key over two integral dimensions: each is
     * bucketized to `bits` bits with an integer bucket width derived from
     * the frame's own min/max (`w = ((max - min) div 2^bits) + 1`, so the

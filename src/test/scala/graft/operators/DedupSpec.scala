@@ -127,6 +127,30 @@ class DedupSpec extends SparkSpec {
     assert(got == Map((1L, 2L) -> "both", (3L, 4L) -> "lexical_only", (5L, 6L) -> "semantic_only"))
   }
 
+  test("stitchCandidates: tail==head seams pair up; self-pairs and hot seams excluded") {
+    val sp = spark
+    import sp.implicits._
+    val seam = "page two continues the story right here"  // 7 tokens... pad to 8
+    val s8 = seam + " now"
+    val rows = Seq(
+      (1L, "first part of the article ends with " + s8),
+      (2L, s8 + " and the continuation carries on afterwards"),
+      (3L, "unrelated document with nothing shared at all beyond length"))
+      .toDF("doc_id", "text")
+    val got = Dedup.stitchCandidates(rows, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getAs[Long]("prev_id"), r.getAs[Long]("next_id")))
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+
+  test("lshRecallAudit: generous banding recovers every exact pair (recall 1)") {
+    val got = Dedup.lshRecallAudit(docs, "doc_id", "text",
+      n = 2, numPerm = 16, bands = 8, threshold = 0.3).collect()(0)
+    assert(got.getAs[Long]("n_exact") >= 1L)
+    assert(got.getAs[Long]("n_missed") == got.getAs[Long]("n_exact") - got.getAs[Long]("n_lsh"))
+    // 8 bands of 2 rows on near-identical docs: nothing slips through
+    assert(got.getAs[Double]("recall") == 1.0)
+  }
+
   test("clusterProvenance: sources union, representative, and sizes per component") {
     val sp = spark
     import sp.implicits._

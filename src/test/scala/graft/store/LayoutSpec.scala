@@ -39,6 +39,15 @@ class LayoutSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("rangeBounds: exact interpolated percentiles as split points") {
+    val sp = spark
+    import sp.implicits._
+    val rows = (1 to 9).map(_.toDouble).toDF("v") // quartiles of 1..9: 3, 5, 7
+    val got = Layout.rangeBounds(rows, "v", parts = 4)
+      .collect().map(r => r.getAs[Long]("boundary") -> r.getAs[Double]("bound")).toMap
+    assert(got == Map(1L -> 3.0, 2L -> 5.0, 3L -> 7.0))
+  }
+
   test("z-order range partitions bound BOTH dimensions (the data-skipping win)") {
     val sp = spark
     import sp.implicits._
