@@ -1728,6 +1728,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- active-learning uncertainty sampling (kNN vote margin) ----------
+    "q_uncertainty" -> ((s, dir) => {
+      Similarity.uncertaintySampling(Tables.embeddings(s, dir), "vec_id", "embedding",
+        "label", k = 5, topN = 50)
+    }),
+
+    // ---- rendezvous-hash shard rebalance matrix (4 -> 5 shards) ----------
+    "q_shard_rebalance" -> ((s, dir) => {
+      val before = Sampling.rendezvousShard(Tables.documents(s, dir), "doc_id",
+        (0 until 4).map("s" + _), "shard_before")
+      Sampling.rendezvousShard(before, "doc_id", (0 until 5).map("s" + _), "shard_after")
+        .groupBy(col("shard_before"), col("shard_after"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("shard_before"), col("shard_after"))
+    }),
+
     // ---- range-partition boundary planner (equal-row write splits).
     // Bounds the `value` domain: percentile interpolation above ~2^53 a
     // ulp (ts_us micros) is not engine-stable, so plan integer-time splits
@@ -2058,6 +2074,44 @@ object SparkEntry {
        |      FROM src CROSS JOIN mm)
        |SELECT event_id, CAST($inter AS BIGINT) AS zkey FROM b
        |ORDER BY zkey, event_id LIMIT 500""".stripMargin
+  }
+
+  /** DuckDB mirror of [[Similarity.uncertaintySampling]]: the hubness kNN
+    * CTE over the labeled vectors, an integer vote table, the same
+    * `(count DESC, best rank, label)` ordering, margin = top − second.
+    */
+  private def uncertaintySql(k: Int, topN: Int): String =
+    s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+       |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+       |sc AS (SELECT a.vec_id AS qid, b.vec_id AS nid, round(${cosineSql("a.ev", "b.ev")}, 6) AS sim
+       |       FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sc),
+       |t AS (SELECT qid, nid, rn FROM r WHERE rn <= $k),
+       |v AS (SELECT t.qid, CAST(e.label AS BIGINT) AS lab, CAST(count(*) AS BIGINT) AS c,
+       |        CAST(min(t.rn) AS BIGINT) AS br
+       |      FROM t JOIN emb e ON t.nid = e.vec_id GROUP BY 1, 2),
+       |o AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY c DESC, br, lab) AS lr FROM v),
+       |f AS (SELECT qid AS vec_id,
+       |        max(CASE WHEN lr = 1 THEN lab END) AS pred_label,
+       |        max(CASE WHEN lr = 1 THEN c END) AS n_top,
+       |        coalesce(max(CASE WHEN lr = 2 THEN c END), 0) AS n_second
+       |      FROM o GROUP BY 1)
+       |SELECT vec_id, pred_label, n_top, CAST(n_second AS BIGINT) AS n_second,
+       |  CAST(n_top - n_second AS BIGINT) AS margin
+       |FROM f ORDER BY margin, vec_id LIMIT $topN""".stripMargin
+
+  /** DuckDB mirror of [[Sampling.rendezvousShard]]'s 4→5 shard movement
+    * matrix.
+    */
+  private lazy val shardRebalanceSql: String = {
+    def pick(shards: Seq[String]): String = {
+      val tagged = shards.map(s => s"md5(CAST(doc_id AS VARCHAR) || ':$s') || '|$s'")
+      s"substr(greatest(${tagged.mkString(", ")}), 34)"
+    }
+    s"""WITH a AS (SELECT ${pick((0 until 4).map("s" + _))} AS shard_before,
+       |  ${pick((0 until 5).map("s" + _))} AS shard_after FROM documents)
+       |SELECT shard_before, shard_after, CAST(count(*) AS BIGINT) AS n
+       |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
   /** DuckDB mirror of [[graft.store.Layout.rangeBounds]] over `ts_us`: one
@@ -5147,6 +5201,14 @@ object SparkEntry {
     // CDC dedup: cut positions from the same 8-hex-char md5 hash, per-doc
     // cumulative-sum chunk ids, q_chunk_dedup's election + reassembly
     "q_cdc_dedup" -> cdcDedupSql(window = 4, divisor = 8),
+
+    // uncertainty sampling: kNN rank CTE -> integer vote table -> ordered
+    // label window -> margin; every quantity an exact BIGINT
+    "q_uncertainty" -> uncertaintySql(k = 5, topN = 50),
+
+    // shard rebalance: the same "md5 || '|' || shard" greatest-string
+    // argmax on both sides (hash first, shard-name tie-break)
+    "q_shard_rebalance" -> shardRebalanceSql,
 
     // range bounds: one quantile_cont branch per split (percentile parity)
     "q_range_bounds" -> rangeBoundsSql(parts = 8),

@@ -113,6 +113,24 @@ object Sampling {
     * readers consume (shard, bin) in order and get a reproducible,
     * well-mixed epoch without a separate global sort.
     */
+  /** Rendezvous (highest-random-weight) shard assignment: each key goes to
+    * the shard whose `md5(key + ":" + shard)` is LARGEST — the consistent-
+    * hashing scheme whose defining property is minimal movement: adding a
+    * shard moves only ~1/(n+1) of the keys (modulo sharding moves almost
+    * all of them). Map-only; the argmax is one `greatest` over
+    * fixed-length `"hash:shard"` strings, so the comparison (hash first,
+    * shard name as tie-break) is pure lexicographic and engine-identical.
+    */
+  def rendezvousShard(df: DataFrame, id: String, shards: Seq[String],
+      outCol: String = "shard"): DataFrame = {
+    require(shards.nonEmpty, "need at least one shard")
+    require(shards.forall(_.nonEmpty), "shard names must be non-empty")
+    val tagged = shards.map(s =>
+      concat(md5(concat(col(id).cast("string"), lit(":" + s))), lit("|" + s)))
+    val top = if (tagged.length == 1) tagged.head else greatest(tagged: _*)
+    df.withColumn(outCol, substring(top, 34, 1000000))
+  }
+
   /** Packing-efficiency sweep: for each candidate `seqLen`, how many
     * training sequences the corpus yields and what fraction of their token
     * slots is real text, under the two standard layouts — concat-and-chunk

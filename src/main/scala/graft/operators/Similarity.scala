@@ -1172,6 +1172,46 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("adc"), col("__rn").as("rank"))
   }
 
+  /** Active-learning uncertainty sampling: rank the labeled corpus by
+    * leave-one-out kNN vote margin — `n_top − n_second` over each vector's
+    * `k` nearest OTHER vectors — and surface the `topN` most contested
+    * points, the ones whose labels are cheapest to audit and most likely
+    * wrong ([[knnClassify]] tells you HOW MUCH label noise; this tells you
+    * WHERE to spend annotation budget). Votes are integer counts; label
+    * order is `(count DESC, best rank ASC, label ASC)` — fully
+    * deterministic, no quantization anywhere.
+    *
+    * Plan shape: one [[knnGraph]] sweep, a keyed join to the label column,
+    * one `(vector, label)` count, one per-vector window over ≤ k label
+    * rows, and a TakeOrdered cut — past the sweep, every frame is
+    * k·n-bounded.
+    *
+    * Output: `(vec_id, pred_label, n_top, n_second, margin)`, most
+    * uncertain first (`margin ASC, vec_id`).
+    */
+  def uncertaintySampling(df: DataFrame, id: String, vec: String, label: String,
+      k: Int, topN: Int): DataFrame = {
+    val labeled = df.where(col(label).isNotNull)
+    val edges = knnGraph(labeled, id, vec, k)
+    val labels = labeled.select(col(id).cast("long").as("neighbor_id"),
+      col(label).cast("long").as("__lab"))
+    val votes = edges.join(labels, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("__lab"))
+      .agg(count(lit(1)).as("__c"), min(col("rank")).as("__br"))
+    val w = Window.partitionBy(col("query_id")) // <= k label rows per key
+      .orderBy(col("__c").desc, col("__br"), col("__lab"))
+    votes.withColumn("__lr", row_number().over(w))
+      .groupBy(col("query_id"))
+      .agg(
+        max(when(col("__lr") === 1, col("__lab"))).as("pred_label"),
+        max(when(col("__lr") === 1, col("__c"))).as("n_top"),
+        coalesce(max(when(col("__lr") === 2, col("__c"))), lit(0L)).as("n_second"))
+      .select(col("query_id").as("vec_id"), col("pred_label"), col("n_top"),
+        col("n_second"), (col("n_top") - col("n_second")).as("margin"))
+      .orderBy(col("margin"), col("vec_id"))
+      .limit(topN)
+  }
+
   /** Two-stage ANN: PQ/ADC shortlist then EXACT cosine re-rank — the
     * standard production retrieval architecture. The compressed first pass
     * ([[pqKnn]]'s broadcast lookup-table scan) touches the WHOLE corpus at

@@ -201,6 +201,21 @@ class SamplingSpec extends SparkSpec {
     assert(got("b") == ((90.0, 3.0)))
   }
 
+  test("rendezvousShard: total assignment; adding a shard only moves keys TO the new shard") {
+    val sp = spark
+    import sp.implicits._
+    val rows = (0L until 500L).toDF("doc_id")
+    val before = Sampling.rendezvousShard(rows, "doc_id", Seq("s0", "s1", "s2"), "b")
+    val both = Sampling.rendezvousShard(before, "doc_id", Seq("s0", "s1", "s2", "s3"), "a")
+      .collect().map(r => (r.getAs[String]("b"), r.getAs[String]("a")))
+    assert(both.forall { case (b, a) => a == b || a == "s3" }) // minimal movement
+    val moved = both.count { case (b, a) => a != b }
+    // ~1/4 of keys move; modulo sharding would move ~3/4
+    assert(moved > 50 && moved < 250, s"moved=$moved")
+    // every shard got traffic
+    assert(both.map(_._2).distinct.length == 4)
+  }
+
   test("packingEfficiency: integer ceilings and fill ratios per candidate length") {
     val sp = spark
     import sp.implicits._

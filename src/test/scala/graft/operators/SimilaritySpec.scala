@@ -428,6 +428,27 @@ class SimilaritySpec extends SparkSpec {
     assert(comps == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 3L))
   }
 
+  test("uncertaintySampling: boundary points rank most uncertain; cluster cores are confident") {
+    val sp = spark
+    import sp.implicits._
+    // two tight clusters around x-axis (label 0) and y-axis (label 1), and
+    // one point on the diagonal with mixed neighbors
+    val rows = (
+      (0 until 4).map(i => (i.toLong, Array(1.0f, 0.01f * i), 0)) ++
+      (0 until 4).map(i => (10L + i, Array(0.01f * i, 1.0f), 1)) :+
+      ((99L, Array(0.75f, 0.75f), 0)))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.uncertaintySampling(rows, "vec_id", "embedding", "label",
+      k = 4, topN = 9).collect()
+    // the diagonal point is the single most uncertain vector
+    assert(got(0).getAs[Long]("vec_id") == 99L)
+    assert(got(0).getAs[Long]("margin") < got.last.getAs[Long]("margin"))
+    // cluster cores: all k neighbors share the label -> margin == k
+    val core = got.find(_.getAs[Long]("vec_id") == 1L).get
+    assert(core.getAs[Long]("n_top") == 4L && core.getAs[Long]("margin") == 4L)
+    assert(core.getAs[Long]("pred_label") == 0L)
+  }
+
   test("pqRerankKnn: exact re-rank of a covering shortlist equals brute-force top-k") {
     val sp = spark
     import sp.implicits._
