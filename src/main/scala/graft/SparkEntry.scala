@@ -1728,6 +1728,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- triangle census + clustering coefficient of the mutual-kNN graph
+    "q_triangles" -> ((s, dir) => {
+      val edges = Similarity.mutualKnnEdges(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 5)
+      Graph.triangleStats(edges, "d1", "d2")
+    }),
+
+    // ---- key-skew Gini report (pre-flight salting decision) --------------
+    "q_skew_gini" -> ((s, dir) => {
+      Skew.giniReport(events(s, dir), "user_id")
+    }),
+
     // ---- active-learning uncertainty sampling (kNN vote margin) ----------
     "q_uncertainty" -> ((s, dir) => {
       Similarity.uncertaintySampling(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -5201,6 +5213,46 @@ object SparkEntry {
     // CDC dedup: cut positions from the same 8-hex-char md5 hash, per-doc
     // cumulative-sum chunk ids, q_chunk_dedup's election + reassembly
     "q_cdc_dedup" -> cdcDedupSql(window = 4, divisor = 8),
+
+    // triangles: the q_knn_communities mutual-edge CTE, two ordered-edge
+    // equi-joins (each a<b<c triple once), integer wedge sum
+    "q_triangles" ->
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |       FROM embeddings WHERE embedding IS NOT NULL),
+         |sc AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |         round(${cosineSql("a.v", "b.v")}, 6) AS sim
+         |       FROM e0 a JOIN e0 b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sc),
+         |g AS (SELECT qid, nid FROM r WHERE rn <= 5),
+         |m AS (SELECT g.qid AS d1, g.nid AS d2 FROM g
+         |      JOIN g g2 ON g.qid = g2.nid AND g.nid = g2.qid WHERE g.qid < g.nid),
+         |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         |        FROM m e1 JOIN m e2 ON e1.d2 = e2.d1
+         |        JOIN m e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2),
+         |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+         |        FROM (SELECT d1 AS n FROM m UNION ALL SELECT d2 FROM m) GROUP BY n),
+         |ds AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |         CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+         |ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM m)
+         |SELECT n_nodes, n_edges, n_triangles, n_wedges,
+         |  CASE WHEN n_wedges = 0 THEN NULL
+         |       ELSE round(CAST(3 * n_triangles AS DOUBLE) / n_wedges, 6) END AS clustering
+         |FROM ds CROSS JOIN ec CROSS JOIN tri""".stripMargin,
+
+    // gini: keyed count, rank window over the KEYS-sized frame, exact
+    // integer sums, one mirrored double expression
+    "q_skew_gini" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events
+        |           WHERE user_id IS NOT NULL GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c, CAST(user_id AS VARCHAR)) AS rk FROM c),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS nk, CAST(sum(c) AS BIGINT) AS nr,
+        |        CAST(max(c) AS BIGINT) AS mx, CAST(sum(rk * c) AS BIGINT) AS rc FROM r)
+        |SELECT nk AS n_keys, nr AS n_rows, mx AS max_count,
+        |  round(CAST(mx AS DOUBLE) / nr, 6) AS top_share,
+        |  CASE WHEN nk <= 1 THEN 0.0 ELSE
+        |    round(CAST(2 * rc AS DOUBLE) / CAST(nk * nr AS DOUBLE)
+        |      - CAST(nk + 1 AS DOUBLE) / CAST(nk AS DOUBLE), 6) END AS gini
+        |FROM a""".stripMargin,
 
     // uncertainty sampling: kNN rank CTE -> integer vote table -> ordered
     // label window -> margin; every quantity an exact BIGINT

@@ -78,6 +78,52 @@ object Graph {
     }
   }
 
+  /** Triangle census + global clustering coefficient of an undirected
+    * graph — the cohesion report that distinguishes a community-structured
+    * kNN graph from hub-and-spoke noise: `clustering = 3·triangles /
+    * wedges`, where wedges = Σ deg·(deg−1)/2 are the open two-paths.
+    * Everything is integer until the one final ratio.
+    *
+    * Plan shape: edges normalize to `a < b` once; triangles enumerate via
+    * TWO keyed equi-joins on the ordered edge list (each `a<b<c` triple
+    * counted once — the node-iterator algorithm's join form); wedges are
+    * one degree aggregate. Edge-frame-sized throughout, never the node
+    * crossproduct. For skewed degree distributions, pre-orient edges by
+    * (degree, id) instead of raw id to bound the join fan-out — the
+    * standard compact-forward refinement; id order suffices for kNN graphs
+    * whose degree is capped by construction.
+    *
+    * Output: one row `(n_nodes, n_edges, n_triangles, n_wedges,
+    * clustering)`.
+    */
+  def triangleStats(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val und = edges
+      .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .persist()
+    try {
+      val tri = und.as("e1")
+        .join(und.as("e2"), col("e1.b") === col("e2.a"))
+        .join(und.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val deg = und.select(col("a").as("n")).unionByName(und.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val degStats = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+      val edgeCount = und.agg(count(lit(1)).as("n_edges"))
+      degStats.crossJoin(edgeCount).crossJoin(tri) // three 1-row frames
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("n_wedges"),
+          when(col("n_wedges") === 0, lit(null))
+            .otherwise(round(lit(3L) * col("n_triangles") / col("n_wedges"), 6))
+            .as("clustering"))
+        .localCheckpoint()
+    } finally und.unpersist()
+  }
+
   /** Semi-supervised label propagation with frozen seeds and a FIXED
     * iteration count — spread a small labeled set over an edge list (e.g. a
     * mutual-kNN graph) to label the rest of a corpus. Entirely integer:

@@ -65,6 +65,33 @@ class GraphSpec extends SparkSpec {
     assert(got == Set(SCALE / 2L))
   }
 
+  test("triangleStats: hand-counted census on a known graph") {
+    val sp = spark
+    import sp.implicits._
+    // K4 on {1..4} (4 triangles) plus a pendant 4-5 (no new triangle);
+    // edges fed unordered/duplicated to prove normalization
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 4L))
+      .toDF("x", "y")
+    val r = Graph.triangleStats(edges, "x", "y").collect()(0)
+    assert(r.getAs[Long]("n_nodes") == 5L)
+    assert(r.getAs[Long]("n_edges") == 7L)
+    assert(r.getAs[Long]("n_triangles") == 4L)
+    // degrees: 3,3,3,4,1 -> wedges 3+3+3+6+0 = 15; clustering = 12/15
+    assert(r.getAs[Long]("n_wedges") == 15L)
+    assert(r.getAs[Double]("clustering") == 0.8)
+  }
+
+  test("triangleStats: a triangle-free star has clustering 0") {
+    val sp = spark
+    import sp.implicits._
+    val edges = (2L to 6L).map(i => (1L, i)).toDF("x", "y")
+    val r = Graph.triangleStats(edges, "x", "y").collect()(0)
+    assert(r.getAs[Long]("n_triangles") == 0L)
+    assert(r.getAs[Double]("clustering") == 0.0)
+  }
+
   test("labelPropagation: seeds frozen, majority vote spreads, ties take the smaller label") {
     val sp = spark
     import sp.implicits._

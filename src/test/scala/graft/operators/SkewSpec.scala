@@ -36,4 +36,21 @@ class SkewSpec extends SparkSpec {
     // count_distinct skips nulls; the row count does not
     assert(got == ((1L, 3L)))
   }
+
+  test("giniReport: uniform keys score 0; a dominant key drives gini and top_share up") {
+    val sp = spark
+    import sp.implicits._
+    val uniform = (0 until 40).map(i => ("k" + (i % 4))).toDF("k")
+    val u = Skew.giniReport(uniform, "k").collect()(0)
+    assert(u.getAs[Long]("n_keys") == 4L && u.getAs[Long]("n_rows") == 40L)
+    assert(u.getAs[Double]("gini") == 0.0)
+    assert(u.getAs[Double]("top_share") == 0.25)
+
+    // counts 1,1,1,17: gini = 2*(1*1+2*1+3*1+4*17)/(4*20) - 5/4 = 148/80 - 1.25 = 0.6
+    val skewed = (Seq.fill(17)("hot") ++ Seq("a", "b", "c")).toDF("k")
+    val s = Skew.giniReport(skewed, "k").collect()(0)
+    assert(s.getAs[Long]("max_count") == 17L)
+    assert(s.getAs[Double]("top_share") == 0.85)
+    assert(s.getAs[Double]("gini") == 0.6)
+  }
 }
