@@ -1728,6 +1728,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- k-anonymity audit over customer quasi-identifiers ---------------
+    "q_k_anonymity" -> ((s, dir) => {
+      DataQuality.kAnonymity(Tables.customer(s, dir),
+        Seq("c_nationkey", "c_mktsegment"), k = 5)
+    }),
+
+    // ---- stratified k-fold CV assignment balance -------------------------
+    "q_cv_folds" -> ((s, dir) => {
+      Sampling.cvFoldReport(Tables.embeddings(s, dir), "vec_id", "label", k = 5)
+        .orderBy(col("fold"), col("label"))
+    }),
+
     // ---- triangle census + clustering coefficient of the mutual-kNN graph
     "q_triangles" -> ((s, dir) => {
       val edges = Similarity.mutualKnnEdges(Tables.embeddings(s, dir),
@@ -5213,6 +5225,26 @@ object SparkEntry {
     // CDC dedup: cut positions from the same 8-hex-char md5 hash, per-doc
     // cumulative-sum chunk ids, q_chunk_dedup's election + reassembly
     "q_cdc_dedup" -> cdcDedupSql(window = 4, divisor = 8),
+
+    // k-anonymity: QI-tuple count + rollup
+    "q_k_anonymity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS c
+        |           FROM customer GROUP BY 1, 2)
+        |SELECT CAST(sum(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+        |  CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  CAST(min(c) AS BIGINT) AS min_group_size
+        |FROM g""".stripMargin,
+
+    // CV folds: the docBucketSql hash over vec_id, per-fold label shares
+    "q_cv_folds" ->
+      """WITH a AS (SELECT CAST('0x' || substr(md5('graft' || CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 5 AS fold,
+        |    CAST(label AS BIGINT) AS label
+        |  FROM embeddings WHERE label IS NOT NULL),
+        |c AS (SELECT fold, label, CAST(count(*) AS BIGINT) AS n FROM a GROUP BY 1, 2),
+        |t AS (SELECT fold, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.fold, c.label, c.n, round(CAST(c.n AS DOUBLE) / t.tot, 6) AS share
+        |FROM c JOIN t ON c.fold = t.fold ORDER BY c.fold, c.label""".stripMargin,
 
     // triangles: the q_knn_communities mutual-edge CTE, two ordered-edge
     // equi-joins (each a<b<c triple once), integer wedge sum

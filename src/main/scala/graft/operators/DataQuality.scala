@@ -62,6 +62,30 @@ object DataQuality {
     }.reduce(_.unionByName(_))
   }
 
+  /** k-anonymity audit over a quasi-identifier column set: every row whose
+    * QI combination is shared by fewer than `k` rows is re-identifiable —
+    * the privacy gate a training-data release runs BEFORE publishing
+    * (redaction ([[graft.operators.TextAnalysis.piiRedact]]) removes direct
+    * identifiers; this catches the indirect ones). ONE keyed count over
+    * the QI tuple + one rollup.
+    *
+    * Output: one row
+    * `(n_rows, n_groups, n_violating_groups, n_rows_at_risk,
+    * min_group_size)`.
+    */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .agg(
+        sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("__c") < k, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(when(col("__c") < k, col("__c")).otherwise(lit(0L))).as("n_rows_at_risk"),
+        min(col("__c")).as("min_group_size"))
+  }
+
   /** Join-cardinality statistics for a parent/child key relationship — the
     * audit behind broadcast decisions and referential-health dashboards:
     * child match rate, orphan count, and the parent-side fanout profile

@@ -113,6 +113,27 @@ object Sampling {
     * readers consume (shard, bin) in order and get a reproducible,
     * well-mixed epoch without a separate global sort.
     */
+  /** Stratified k-fold cross-validation report: deterministic hash-bucket
+    * fold assignment (the [[splitAssign]] stability property — new rows
+    * never move old ones between folds) plus the per-(fold, label) balance
+    * table that says whether the folds are usable as-is or need
+    * class-stratified resampling. Map-only assignment + ONE combinable
+    * aggregate; `share` is each label's fraction WITHIN its fold.
+    */
+  def cvFoldReport(df: DataFrame, id: String, label: String, k: Int,
+      salt: String = "graft"): DataFrame = {
+    require(k >= 2, s"k must be >= 2 folds, got $k")
+    val counts = df.where(col(label).isNotNull)
+      .select(hashBucket(col(id), salt, k.toLong).as("fold"),
+        col(label).cast("long").as("label"))
+      .groupBy(col("fold"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("fold")) // labels-sized frame per fold
+    counts
+      .withColumn("share", round(col("n") / sum(col("n")).over(w), 6))
+      .select(col("fold"), col("label"), col("n"), col("share"))
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment: each key goes to
     * the shard whose `md5(key + ":" + shard)` is LARGEST — the consistent-
     * hashing scheme whose defining property is minimal movement: adding a

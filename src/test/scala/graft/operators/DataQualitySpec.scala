@@ -83,6 +83,22 @@ class DataQualitySpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("top_value")))
   }
 
+  test("kAnonymity: groups under k flag their rows as at-risk") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      ("US", "A"), ("US", "A"), ("US", "A"), // group of 3 — safe at k=3
+      ("DE", "B"), ("DE", "B"),              // group of 2 — at risk
+      ("FR", "C"))                            // group of 1 — at risk
+      .toDF("country", "segment")
+    val r = DataQuality.kAnonymity(rows, Seq("country", "segment"), k = 3).collect()(0)
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("n_groups") == 3L)
+    assert(r.getAs[Long]("n_violating_groups") == 2L)
+    assert(r.getAs[Long]("n_rows_at_risk") == 3L)
+    assert(r.getAs[Long]("min_group_size") == 1L)
+  }
+
   test("joinStats: match rate, orphans, and the parent fanout profile") {
     val sp = spark
     import sp.implicits._

