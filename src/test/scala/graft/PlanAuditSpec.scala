@@ -427,4 +427,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("cdc + snm + stitch dedup plans: keyed joins and keyed windows only, no cartesian") {
+    Seq("q_cdc_dedup", "q_snm_dedup", "q_page_stitch").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q: $plan")
+    }
+  }
+
+  test("profile/k-anonymity/labeling/rollup: pure aggregation plans (no window, no cartesian)") {
+    Seq("q_column_profile", "q_k_anonymity", "q_labeling_matrix", "q_rollup_merge").foreach { q =>
+      val plan = formatted(q)
+      assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"), s"$q: $plan")
+      assert(!plan.contains("Window"), s"$q: $plan")
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+    }
+  }
+
+  test("gini: the rank window's input is the aggregated keys frame, not raw rows") {
+    val plan = formatted("q_skew_gini")
+    // window appears ABOVE an aggregate in the plan (keyed count first)
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
 }

@@ -525,6 +525,49 @@ class StreamingComposeSpec extends SparkSpec {
     assert(batch.head._3 == 200L) // every delivered doc entered stage 1
   }
 
+  test("streaming Misra-Gries heavy hitters honor the n/m frequency contract across batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx0 = sp.sqlContext
+    // zipf-ish stream: 'hot' dominates, a mid tier follows, a long tail of
+    // singletons pressures the m counters
+    val toks = (Seq.fill(120)("hot") ++ Seq.fill(40)("warm") ++ Seq.fill(30)("mild") ++
+      (0 until 110).map(i => s"tail$i"))
+    val shuffled = new scala.util.Random(11).shuffle(toks)
+      .map(t => HeavyHitters.Tok(math.floorMod(t.hashCode, 4), t))
+    val input = MemoryStream[HeavyHitters.Tok]
+    val q = HeavyHitters.streaming(input.toDS(), m = 8)
+      .writeStream.outputMode("update").format("memory").queryName("hh")
+      .start()
+    try {
+      val (a, b) = shuffled.splitAt(shuffled.length / 2)
+      input.addData(a)
+      q.processAllAvailable()
+      input.addData(b)
+      q.processAllAvailable()
+    } finally q.stop()
+    // latest summary per bucket
+    val latest = sp.table("hh").as[HeavyHitters.Summary].collect()
+      .groupBy(_.bucket).map { case (_, ss) => ss.maxBy(_.processed) }
+    val est = latest.flatMap(s => s.tokens.zip(s.counts)).toMap
+    val truth = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    latest.foreach { s =>
+      assert(s.tokens.length <= 8) // bounded state
+      // per-bucket guarantee: count > processed/m  ==> present
+      val bucketTruth = truth.filter { case (t, _) => math.floorMod(t.hashCode, 4) == s.bucket }
+      bucketTruth.foreach { case (t, c) =>
+        if (c > s.processed / 8) assert(s.tokens.contains(t), s"missing heavy hitter $t")
+      }
+      // estimates never exceed the true count and undershoot by <= n/m
+      s.tokens.zip(s.counts).foreach { case (t, e) =>
+        assert(e <= bucketTruth(t))
+        assert(e >= bucketTruth(t) - s.processed / 8)
+      }
+    }
+    // the dominant token survives with a near-exact estimate
+    assert(est.contains("hot") && est("hot") >= 120L - 300L / 8)
+  }
+
   test("streaming funnel state fold == batch funnel counts and latencies across a batch split") {
     val sp = spark
     import sp.implicits._
