@@ -1728,6 +1728,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- multi-probe LSH KNN (single-bit-flip neighbor buckets) ----------
+    "q_knn_multiprobe" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.multiProbeKnn(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, planes = 4, dim = 64)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- k-anonymity audit over customer quasi-identifiers ---------------
     "q_k_anonymity" -> ((s, dir) => {
       DataQuality.kAnonymity(Tables.customer(s, dir),
@@ -2802,6 +2811,24 @@ object SparkEntry {
     }.mkString(" | ")
   }
 
+  /** DuckDB mirror of [[Similarity.multiProbeKnn]]: the bucketed CTE with
+    * an OR-membership join over the query bucket and its single-bit flips.
+    */
+  private def knnMultiProbeSql(k: Int, planes: Int, dim: Int): String = {
+    val bucketExpr = bucketExprSql(planes, dim)
+    val membership = (s"c.bucket = q.bucket" +:
+      (0 until planes).map(p => s"c.bucket = xor(q.bucket, ${1 << p})")).mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM b),
+       |sc AS (SELECT query_id, neighbor_id, round(${cosineSql("qv", "cv")}, 6) AS sim
+       |       FROM q JOIN c ON ($membership) AND query_id <> neighbor_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM sc)
+       |SELECT query_id, neighbor_id, sim, rn AS rank FROM r WHERE rn <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   private def knnBucketedSql(k: Int, planes: Int, dim: Int): String = {
     val bucketExpr = bucketExprSql(planes, dim)
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -3636,6 +3663,9 @@ object SparkEntry {
     "q_heartbeat" -> heartbeatSql(T1, nPvs = 5, maxBeatsPerGap = 80),
 
     "q_knn_bucketed" -> knnBucketedSql(k = 5, planes = 4, dim = 64),
+
+    // multi-probe: the bucketed CTE with single-bit-flip probe membership
+    "q_knn_multiprobe" -> knnMultiProbeSql(k = 5, planes = 4, dim = 64),
 
     // stub-codec byte histogram over ASCII payloads; FLOAT division
     // mirrored so round(.., 6) agrees with the operator's Float math

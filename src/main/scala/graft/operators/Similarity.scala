@@ -100,6 +100,34 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("__rn").as("rank"))
   }
 
+  /** Multi-probe LSH KNN: [[bucketedKnn]] plus the `planes` single-bit-flip
+    * neighbor buckets of each query — the production recall booster (probe
+    * the buckets the query ALMOST fell into instead of multiplying hash
+    * tables). Candidate cost grows ×(planes+1) while recall approaches
+    * exact on near-boundary queries; each (query, corpus) pair can match at
+    * most one probe (probe buckets are distinct), so no dedup pass is
+    * needed. The probe frame is queries×(planes+1) — still broadcast-sized.
+    */
+  def multiProbeKnn(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
+      k: Int, planes: Int, dim: Int): DataFrame = {
+    val qb = randomHyperplaneBuckets(queries, id, vec, planes, dim)
+      .select(col(id).as("query_id"), col(vec).as("__qv"), col("bucket"))
+    val probeArr = array(
+      (col("bucket") +: (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1 << p)))): _*)
+    val probes = qb.select(col("query_id"), col("__qv"), explode(probeArr).as("bucket"))
+    val cb = randomHyperplaneBuckets(corpus, id, vec, planes, dim)
+      .select(col(id).as("neighbor_id"), col(vec).as("__cv"), col("bucket"))
+    val scored = cb
+      .join(broadcast(probes), Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosineFast(col("__qv"), col("__cv")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("__rn").as("rank"))
+  }
+
   /** Recall@k of an approximate KNN result against the exact one — the
     * quality gate every ANN deployment runs before trusting its buckets
     * (here: [[bucketedKnn]] / [[ivfKnn]] / [[pqKnn]] vs [[bruteForceKnn]]

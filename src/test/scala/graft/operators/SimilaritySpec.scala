@@ -428,6 +428,27 @@ class SimilaritySpec extends SparkSpec {
     assert(comps == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 3L))
   }
 
+  test("multiProbeKnn: recall dominates single-probe and never passes exact") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(3)
+    val rows = (0 until 80).map(i => (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = rows.where(col("vec_id") < 8)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = hits(Similarity.bruteForceKnn(rows, queries, "vec_id", "embedding", k = 5)
+      .selectExpr("query_id", "neighbor_id"))
+    val single = hits(Similarity.bucketedKnn(rows, queries, "vec_id", "embedding",
+      k = 5, planes = 4, dim = 16).selectExpr("query_id", "neighbor_id"))
+    val multi = hits(Similarity.multiProbeKnn(rows, queries, "vec_id", "embedding",
+      k = 5, planes = 4, dim = 16).selectExpr("query_id", "neighbor_id"))
+    assert((multi intersect exact).size >= (single intersect exact).size)
+    // multi-probe candidates strictly include the single-probe bucket
+    assert((single intersect exact).subsetOf(multi union single))
+    assert(multi.nonEmpty)
+  }
+
   test("uncertaintySampling: boundary points rank most uncertain; cluster cores are confident") {
     val sp = spark
     import sp.implicits._
