@@ -1728,6 +1728,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- SCD type-2 dimension merge (point-in-time history maintenance) --
+    "q_scd2" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val history = cust.select(col("c_custkey"), col("c_mktsegment"),
+        lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+      // snapshot at T0: every 10th customer switches segment, every 7th churns
+      val snapshot = cust.where(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 10 === 0, concat(lit("NEW-"), col("c_mktsegment")))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      graft.store.Scd2.merge(history, snapshot, "c_custkey", "c_mktsegment", T0)
+        .orderBy(col("c_custkey"), col("valid_from"))
+    }),
+
+    // ---- U-shaped multi-touch attribution over the event stream ----------
+    "q_attribution" -> ((s, dir) => {
+      EventAnalytics.attribution(events(s, dir), "user_id", "ts_us", "event_id",
+        "event_type", conversion = "purchase", touches = Seq("view", "click"),
+        lookbackUs = RUN_WEEK_US)
+        .orderBy(col("channel"))
+    }),
+
     // ---- multi-probe LSH KNN (single-bit-flip neighbor buckets) ----------
     "q_knn_multiprobe" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -5255,6 +5277,47 @@ object SparkEntry {
     // CDC dedup: cut positions from the same 8-hex-char md5 hash, per-doc
     // cumulative-sum chunk ids, q_chunk_dedup's election + reassembly
     "q_cdc_dedup" -> cdcDedupSql(window = 4, divisor = 8),
+
+    // SCD2: full-outer current-vs-snapshot with null-safe attribute
+    // comparison (IS DISTINCT FROM == Spark's <=> negation)
+    "q_scd2" ->
+      s"""WITH hist AS (SELECT c_custkey, c_mktsegment, CAST(0 AS BIGINT) AS valid_from,
+         |              CAST(NULL AS BIGINT) AS valid_to FROM customer),
+         |snap AS (SELECT c_custkey,
+         |           CASE WHEN c_custkey % 10 = 0 THEN 'NEW-' || c_mktsegment
+         |                ELSE c_mktsegment END AS na
+         |         FROM customer WHERE c_custkey % 7 <> 0),
+         |j AS (SELECT coalesce(h.c_custkey, s.c_custkey) AS k, h.c_mktsegment AS a,
+         |        s.na AS na, h.valid_from AS vf,
+         |        CASE WHEN h.c_custkey IS NOT NULL THEN 1 END AS ic,
+         |        CASE WHEN s.c_custkey IS NOT NULL THEN 1 END AS isn
+         |      FROM hist h FULL OUTER JOIN snap s ON h.c_custkey = s.c_custkey)
+         |SELECT k AS c_custkey, a AS c_mktsegment, vf AS valid_from,
+         |  CAST(NULL AS BIGINT) AS valid_to
+         |FROM j WHERE ic = 1 AND isn = 1 AND a IS NOT DISTINCT FROM na
+         |UNION ALL
+         |SELECT k, a, vf, CAST($T0 AS BIGINT)
+         |FROM j WHERE ic = 1 AND (isn IS NULL OR a IS DISTINCT FROM na)
+         |UNION ALL
+         |SELECT k, na, CAST($T0 AS BIGINT), CAST(NULL AS BIGINT)
+         |FROM j WHERE isn = 1 AND (ic IS NULL OR a IS DISTINCT FROM na)
+         |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    // attribution: per-conversion touch windows, the same positional CASE
+    // weights, one channel aggregate (sum rounded)
+    "q_attribution" ->
+      s"""WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_id AS tb, event_type AS et
+         |  FROM events WHERE user_id IS NOT NULL),
+         |c AS (SELECT u, t AS cts, tb AS cid FROM e WHERE et = 'purchase'),
+         |p AS (SELECT e.et, e.u, e.t, e.tb, c.cts, c.cid FROM e JOIN c ON e.u = c.u
+         |      WHERE e.et IN ('view', 'click') AND e.t < c.cts AND e.t >= c.cts - $RUN_WEEK_US),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY u, cts, cid ORDER BY t, tb) AS rn,
+         |        count(*) OVER (PARTITION BY u, cts, cid) AS n FROM p)
+         |SELECT et AS channel, CAST(count(*) AS BIGINT) AS n_touches,
+         |  round(sum(CASE WHEN n = 1 THEN 1.0
+         |                 WHEN rn = 1 OR rn = n THEN (CASE WHEN n = 2 THEN 0.5 ELSE 0.4 END)
+         |                 ELSE 0.2 / (n - 2) END), 6) AS credit
+         |FROM r GROUP BY 1 ORDER BY channel""".stripMargin,
 
     // k-anonymity: QI-tuple count + rollup
     "q_k_anonymity" ->

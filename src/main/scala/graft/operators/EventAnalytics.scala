@@ -77,6 +77,46 @@ object EventAnalytics {
     }.reverse
   }
 
+  /** U-shaped (positional) multi-touch attribution: every conversion event
+    * spreads one unit of credit over the user's touch events in the
+    * `lookbackUs` window strictly before it — 40% to the first touch, 40%
+    * to the last, the middle 20% split evenly (n=1 → 100%, n=2 → 50/50):
+    * the standard position-based model between last-touch and linear.
+    * Summed per channel, total credit equals the attributed-conversion
+    * count exactly (each conversion's weights sum to 1 by construction).
+    *
+    * Plan shape: one keyed join (touches × conversions per user, bounded
+    * by the lookback window), two per-conversion window functions over the
+    * conversion's own touch list, one final channel aggregate. Credits are
+    * exact small rationals; only the final per-channel sum is rounded.
+    */
+  def attribution(df: DataFrame, user: String, ts: String, tieBreak: String,
+      eventType: String, conversion: String, touches: Seq[String],
+      lookbackUs: Long): DataFrame = {
+    require(touches.nonEmpty, "need at least one touch type")
+    require(lookbackUs > 0, s"lookbackUs must be positive, got $lookbackUs")
+    val base = df.where(col(user).isNotNull)
+      .select(col(user).as("__u"), col(ts).as("__ts"), col(tieBreak).as("__tb"),
+        col(eventType).as("__et"))
+    val convs = base.where(col("__et") === conversion)
+      .select(col("__u"), col("__ts").as("__cts"), col("__tb").as("__cid"))
+    val tch = base.where(col("__et").isin(touches.map(_.asInstanceOf[Any]): _*))
+    val paired = tch.join(convs, Seq("__u"))
+      .where(col("__ts") < col("__cts") && col("__ts") >= col("__cts") - lookbackUs)
+    val wAsc = Window.partitionBy(col("__u"), col("__cts"), col("__cid"))
+      .orderBy(col("__ts"), col("__tb"))
+    val wAll = Window.partitionBy(col("__u"), col("__cts"), col("__cid"))
+    val credit = when(col("__n") === 1, lit(1.0))
+      .when(col("__rn") === 1 || col("__rn") === col("__n"),
+        when(col("__n") === 2, lit(0.5)).otherwise(lit(0.4)))
+      .otherwise(lit(0.2) / (col("__n") - 2))
+    paired
+      .withColumn("__rn", row_number().over(wAsc))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .groupBy(col("__et").as("channel"))
+      .agg(count(lit(1)).as("n_touches"), round(sum(credit), 6).as("credit"))
+  }
+
   /** Incremental rollup maintenance: merge a PRIOR aggregate table with the
     * aggregate of a NEW delta — the pattern that keeps a 100 TB daily
     * rollup current without rescanning history (only the delta is read;

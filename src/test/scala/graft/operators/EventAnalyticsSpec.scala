@@ -181,6 +181,32 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got(3L) == (("purchase", 1L, 1L * M, 1.0 * M, 1.0 * M, 1L * M)))
   }
 
+  test("attribution: U-shaped weights — solo touch 1.0, pair 0.5/0.5, middles share 0.2") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      // u1: 4 touches then purchase -> 0.4, 0.1, 0.1, 0.4
+      (1L, 0L * M, 1L, "view"), (1L, 1L * M, 2L, "click"), (1L, 2L * M, 3L, "click"),
+      (1L, 3L * M, 4L, "view"), (1L, 4L * M, 5L, "purchase"),
+      // u2: single view then purchase -> 1.0
+      (2L, 0L * M, 1L, "view"), (2L, 1L * M, 2L, "purchase"),
+      // u3: touch AFTER purchase never credited
+      (3L, 5L * M, 1L, "purchase"), (3L, 6L * M, 2L, "click"),
+      // u4: touch outside the lookback window
+      (4L, 0L * M, 1L, "view"), (4L, 100L * M, 2L, "purchase"))
+      .toDF("user_id", "ts", "tie", "event_type")
+    val got = EventAnalytics.attribution(rows, "user_id", "ts", "tie", "event_type",
+      "purchase", Seq("view", "click"), lookbackUs = 10L * M)
+      .collect().map(r => r.getAs[String]("channel") ->
+        ((r.getAs[Long]("n_touches"), r.getAs[Double]("credit")))).toMap
+    // u1: views get 0.4 (first) + 0.4 (last) = 0.8, clicks 0.1 + 0.1 = 0.2
+    // u2: view 1.0. totals: view 1.8 over 3 touches, click 0.2 over 2
+    assert(got("view") == ((3L, 1.8)))
+    assert(got("click") == ((2L, 0.2)))
+    // credit mass equals attributed conversions (u1 + u2)
+    assert(math.abs(got.values.map(_._2).sum - 2.0) < 1e-9)
+  }
+
   test("mergeRollup: prior + delta equals the from-scratch rollup") {
     val sp = spark
     import sp.implicits._
