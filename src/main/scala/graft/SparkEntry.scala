@@ -1728,6 +1728,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- cluster-label purity scorecard over the semantic clusters -------
+    "q_cluster_purity" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Similarity.cosinePairsBlocked(emb, "vec_id", "embedding", threshold = 0.45)
+      Graph.clusterPurity(Dedup.connectedComponents(pairs, "d1", "d2"),
+        emb, "vec_id", "label")
+        .orderBy(col("component"))
+    }),
+
+    // ---- RFM quintile segmentation over purchase events ------------------
+    "q_rfm" -> ((s, dir) => {
+      EventAnalytics.rfm(events(s, dir), "user_id", "ts_us", "event_type",
+        conversion = "purchase", value = "value", nowUs = T1)
+        .orderBy(col("user_id"))
+    }),
+
     // ---- SCD type-2 dimension merge (point-in-time history maintenance) --
     "q_scd2" -> ((s, dir) => {
       val cust = Tables.customer(s, dir)
@@ -5277,6 +5293,56 @@ object SparkEntry {
     // CDC dedup: cut positions from the same 8-hex-char md5 hash, per-doc
     // cumulative-sum chunk ids, q_chunk_dedup's election + reassembly
     "q_cdc_dedup" -> cdcDedupSql(window = 4, divisor = 8),
+
+    // cluster purity: the q_semantic_clusters closure joined to labels,
+    // one grouped rollup, (count DESC, label) dominant pick
+    "q_cluster_purity" ->
+      s"""WITH RECURSIVE e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+         |        round(${cosineSql("a.v", "b.v")}, 6) AS sim
+         |      FROM e0 a, e0 b WHERE a.vec_id < b.vec_id),
+         |jp AS (SELECT d1, d2 FROM p WHERE sim >= 0.45),
+         |e AS (SELECT d1 AS a, d2 AS b FROM jp UNION SELECT d2, d1 FROM jp),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r2.a, e.b FROM reach r2 JOIN e ON r2.b = e.a),
+         |comp AS (SELECT a AS doc, least(a, min(b)) AS component
+         |         FROM reach GROUP BY a),
+         |cl AS (SELECT comp.component, CAST(e2.label AS BIGINT) AS lab
+         |       FROM comp JOIN embeddings e2 ON comp.doc = e2.vec_id
+         |       WHERE e2.label IS NOT NULL),
+         |g AS (SELECT component, lab, CAST(count(*) AS BIGINT) AS c FROM cl GROUP BY 1, 2),
+         |o AS (SELECT *, row_number() OVER (PARTITION BY component ORDER BY c DESC, lab) AS rn FROM g)
+         |SELECT component, CAST(sum(c) AS BIGINT) AS n_members,
+         |  CAST(count(*) AS BIGINT) AS n_labels,
+         |  max(CASE WHEN rn = 1 THEN lab END) AS top_label,
+         |  CAST(max(c) AS BIGINT) AS top_count,
+         |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS purity,
+         |  round(CAST(sum(c) * sum(c) AS DOUBLE) / sum(c * c), 6) AS eff_labels
+         |FROM o GROUP BY component ORDER BY component""".stripMargin,
+
+    // RFM: per-user conversion aggregate, integer-rank quintiles (no
+    // percentile interpolation), monetary rounded BEFORE ranking
+    "q_rfm" ->
+      s"""WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, value FROM events
+         |  WHERE user_id IS NOT NULL AND event_type = 'purchase'),
+         |per AS (SELECT u AS user_id, ($T1 - max(t)) // 86400000000 AS recency_days,
+         |          CAST(count(*) AS BIGINT) AS frequency,
+         |          round(sum(coalesce(value, 0.0)), 6) AS monetary
+         |        FROM e GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+         |r AS (SELECT *, row_number() OVER (ORDER BY recency_days, user_id) AS rr,
+         |        row_number() OVER (ORDER BY frequency DESC, user_id) AS rf,
+         |        row_number() OVER (ORDER BY monetary DESC, user_id) AS rm
+         |      FROM per)
+         |SELECT user_id, recency_days, frequency, monetary,
+         |  CAST(5 - ((rr - 1) * 5) // n AS BIGINT) AS r_score,
+         |  CAST(5 - ((rf - 1) * 5) // n AS BIGINT) AS f_score,
+         |  CAST(5 - ((rm - 1) * 5) // n AS BIGINT) AS m_score,
+         |  CAST((5 - ((rr - 1) * 5) // n) * 100 + (5 - ((rf - 1) * 5) // n) * 10
+         |    + (5 - ((rm - 1) * 5) // n) AS BIGINT) AS rfm
+         |FROM r CROSS JOIN nn ORDER BY user_id""".stripMargin,
 
     // SCD2: full-outer current-vs-snapshot with null-safe attribute
     // comparison (IS DISTINCT FROM == Spark's <=> negation)

@@ -77,6 +77,50 @@ object EventAnalytics {
     }.reverse
   }
 
+  /** RFM (recency / frequency / monetary) quintile scoring over conversion
+    * events — the segmentation backbone of retention analytics. Scores are
+    * EXACT equi-depth quintiles from integer rank arithmetic:
+    * `score = 5 − ((rank−1)·5) div n` with rank ordered (metric, user), so
+    * both engines bucket identically with no percentile interpolation;
+    * the monetary metric is rounded to 6 places BEFORE ranking (the
+    * q_quality_buckets convention for float sort keys). 5 = best (most
+    * recent / most frequent / highest spend).
+    *
+    * Plan shape: one keyed per-user aggregate, then three rank windows
+    * over the USERS-sized frame (the [[graft.operators.Skew.giniReport]]
+    * scale note applies) and a 1-row count broadcast.
+    *
+    * Output: `(user_id, recency_days, frequency, monetary, r_score,
+    * f_score, m_score, rfm)`.
+    */
+  def rfm(df: DataFrame, user: String, ts: String, eventType: String,
+      conversion: String, value: String, nowUs: Long): DataFrame = {
+    val per = df.where(col(user).isNotNull && col(eventType) === conversion)
+      .groupBy(col(user).as("user_id"))
+      .agg(
+        max(col(ts)).as("__last"),
+        count(lit(1)).as("frequency"),
+        round(sum(coalesce(col(value), lit(0.0))), 6).as("monetary"))
+      .select(col("user_id"),
+        expr(s"(${nowUs}L - __last) div 86400000000").as("recency_days"),
+        col("frequency"), col("monetary"))
+    val n1 = per.agg(count(lit(1)).as("__n"))
+    val wR = Window.orderBy(col("recency_days"), col("user_id"))
+    val wF = Window.orderBy(col("frequency").desc, col("user_id"))
+    val wM = Window.orderBy(col("monetary").desc, col("user_id"))
+    per
+      .withColumn("__rr", row_number().over(wR).cast("long"))
+      .withColumn("__rf", row_number().over(wF).cast("long"))
+      .withColumn("__rm", row_number().over(wM).cast("long"))
+      .crossJoin(broadcast(n1))
+      .select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
+        expr("5 - ((__rr - 1) * 5) div __n").as("r_score"),
+        expr("5 - ((__rf - 1) * 5) div __n").as("f_score"),
+        expr("5 - ((__rm - 1) * 5) div __n").as("m_score"))
+      .withColumn("rfm",
+        col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+  }
+
   /** U-shaped (positional) multi-touch attribution: every conversion event
     * spreads one unit of credit over the user's touch events in the
     * `lookbackUs` window strictly before it — 40% to the first touch, 40%

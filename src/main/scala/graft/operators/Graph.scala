@@ -78,6 +78,39 @@ object Graph {
     }
   }
 
+  /** Cluster-label purity report: for each cluster (e.g. a
+    * [[Dedup.connectedComponents]] output) joined to a label column, the
+    * dominant label, its share, and the cluster's inverse-Simpson effective
+    * label count — the cluster-quality scorecard that says whether a
+    * semantic clustering actually tracks the labels (purity → 1) or mixes
+    * them (eff_labels → #labels). All integer counts; two divisions at the
+    * end. ONE (cluster, label) count + one rollup, plus a deterministic
+    * `min_by (count DESC, label)` dominant pick.
+    *
+    * Output: `(component, n_members, n_labels, top_label, top_count,
+    * purity, eff_labels)`.
+    */
+  def clusterPurity(components: DataFrame, labels: DataFrame, id: String,
+      label: String): DataFrame = {
+    val lab = labels.select(col(id).cast("long").as("doc"),
+      col(label).cast("long").as("__lab"))
+      .where(col("__lab").isNotNull)
+    components.join(lab, Seq("doc"))
+      .groupBy(col("component"), col("__lab"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("component"))
+      .agg(
+        sum(col("__c")).as("n_members"),
+        count(lit(1)).as("n_labels"),
+        min_by(col("__lab"), struct((-col("__c")).as("c"), col("__lab").as("l"))).as("top_label"),
+        max(col("__c")).as("top_count"),
+        sum(col("__c") * col("__c")).as("__sq"))
+      .select(col("component"), col("n_members"), col("n_labels"),
+        col("top_label"), col("top_count"),
+        round(col("top_count") / col("n_members"), 6).as("purity"),
+        round((col("n_members") * col("n_members")) / col("__sq"), 6).as("eff_labels"))
+  }
+
   /** Triangle census + global clustering coefficient of an undirected
     * graph — the cohesion report that distinguishes a community-structured
     * kNN graph from hub-and-spoke noise: `clustering = 3·triangles /

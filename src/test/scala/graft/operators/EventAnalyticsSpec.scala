@@ -181,6 +181,33 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got(3L) == (("purchase", 1L, 1L * M, 1.0 * M, 1.0 * M, 1L * M)))
   }
 
+  test("rfm: integer-rank quintiles, 5 = best on every axis") {
+    val sp = spark
+    import sp.implicits._
+    val D = 86400000000L
+    // five users with strictly ordered recency, frequency, and spend
+    val rows = (1 to 5).flatMap { u =>
+      (0 until u).map(i => (u.toLong, (u.toLong * 10 + i) * D, "purchase", u * 100.0))
+    }.toDF("user_id", "ts", "event_type", "value")
+    val now = 100L * D
+    val got = EventAnalytics.rfm(rows, "user_id", "ts", "event_type",
+      "purchase", "value", nowUs = now)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("recency_days"), r.getAs[Long]("frequency"),
+          r.getAs[Long]("r_score"), r.getAs[Long]("f_score"), r.getAs[Long]("m_score"),
+          r.getAs[Long]("rfm")))).toMap
+    // user 5 is most recent (last event at day 54), most frequent, top spend
+    assert(got(5L)._3 == 5L && got(5L)._4 == 5L && got(5L)._5 == 5L)
+    assert(got(5L)._6 == 555L)
+    // user 1 is the worst on every axis
+    assert(got(1L)._3 == 1L && got(1L)._4 == 1L && got(1L)._5 == 1L)
+    assert(got(1L)._6 == 111L)
+    // recency math: user 1's only purchase at day 10 -> 90 days ago
+    assert(got(1L)._1 == 90L)
+    // frequency: user u purchased u times
+    (1 to 5).foreach(u => assert(got(u.toLong)._2 == u.toLong))
+  }
+
   test("attribution: U-shaped weights — solo touch 1.0, pair 0.5/0.5, middles share 0.2") {
     val sp = spark
     import sp.implicits._

@@ -65,6 +65,24 @@ class GraphSpec extends SparkSpec {
     assert(got == Set(SCALE / 2L))
   }
 
+  test("clusterPurity: dominant label, purity and effective label count per cluster") {
+    val sp = spark
+    import sp.implicits._
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc", "component")
+    val labels = Seq((1L, 7), (2L, 7), (3L, 7), (4L, 8), (10L, 1), (11L, 2), (99L, 3))
+      .toDF("vec_id", "label")
+    val got = Graph.clusterPurity(comps, labels, "vec_id", "label")
+      .collect().map(r => r.getAs[Long]("component") ->
+        ((r.getAs[Long]("n_members"), r.getAs[Long]("n_labels"), r.getAs[Long]("top_label"),
+          r.getAs[Long]("top_count"), r.getAs[Double]("purity"),
+          r.getAs[Double]("eff_labels")))).toMap
+    // cluster 1: labels {7:3, 8:1} -> purity 0.75, eff 16/10 = 1.6
+    assert(got(1L) == ((4L, 2L, 7L, 3L, 0.75, 1.6)))
+    // cluster 10: 1-1 split -> tie goes to smaller label, purity 0.5, eff 2
+    assert(got(10L) == ((2L, 2L, 1L, 1L, 0.5, 2.0)))
+  }
+
   test("triangleStats: hand-counted census on a known graph") {
     val sp = spark
     import sp.implicits._
