@@ -1781,6 +1781,39 @@ object SparkEntry {
         Seq("c_nationkey", "c_mktsegment"), k = 5)
     }),
 
+    // ---- l-diversity over the same release-gate shape: is the sensitive
+    // attribute (length bucket) actually varied inside each QI cell? ------
+    "q_l_diversity" -> ((s, dir) => {
+      DataQuality.lDiversity(
+        Tables.documents(s, dir).select(col("lang"), col("source"),
+          (col("n_chars") / 200L).cast("long").as("len_bucket")),
+        Seq("lang", "source"), "len_bucket", l = 3)
+    }),
+
+    // ---- Benford first-digit forensic audit over the pricing column ------
+    "q_benford" -> ((s, dir) => {
+      DataQuality.benford(Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice")
+        .orderBy(col("l_returnflag"), col("digit"))
+    }),
+
+    // ---- binned two-sample KS drift between the two halves of the month --
+    "q_ks_drift" -> ((s, dir) => {
+      TimeSeries.ksDrift(
+        events(s, dir).select(col("event_type").as("pvname"), col("ts_us"), col("value")),
+        "pvname", "ts_us", "value", tSplit = TMID, lo = 0.0, hi = 500.0, bins = 20)
+        .orderBy(col("pvname"))
+    }),
+
+    // ---- chance-corrected labeling-function agreement (Cohen's kappa) ----
+    "q_lf_kappa" -> ((s, dir) => {
+      TextAnalysis.kappaMatrix(Tables.documents(s, dir), Seq(
+        "len_ok" -> when(col("n_chars") >= 300, 1).otherwise(-1),
+        "is_en" -> when(col("lang").isNull, 0).when(col("lang") === "en", 1).otherwise(-1),
+        "mentions_spark" -> when(col("text").isNull, 0)
+          .when(col("text").contains("spark"), 1).otherwise(0)))
+        .orderBy(col("lf_a"), col("lf_b"))
+    }),
+
     // ---- stratified k-fold CV assignment balance -------------------------
     "q_cv_folds" -> ((s, dir) => {
       Sampling.cvFoldReport(Tables.embeddings(s, dir), "vec_id", "label", k = 5)
@@ -2247,6 +2280,72 @@ object SparkEntry {
        |  $sums FROM v)
        |$branches
        |ORDER BY lf_a, lf_b""".stripMargin
+  }
+
+  /** DuckDB mirror of [[TextAnalysis.kappaMatrix]] over the same three
+    * labeling functions as [[labelingMatrixSql]]: one aggregate of
+    * conditional sums (co-fire count, agreement, both marginals), kappa
+    * assembled per pair as UNION ALL branches with the engine's exact
+    * expression shape (`pe` from the two +1 marginal shares).
+    */
+  private lazy val lfKappaSql: String = {
+    val names = Seq("len_ok", "is_en", "mentions_spark")
+    val votes = Seq(
+      "CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END",
+      "CASE WHEN lang IS NULL THEN 0 WHEN lang = 'en' THEN 1 ELSE -1 END",
+      "CASE WHEN text IS NULL THEN 0 WHEN contains(text, 'spark') THEN 1 ELSE 0 END")
+    val pairs = for (i <- names.indices; j <- names.indices if i < j) yield (i, j)
+    val sums = pairs.flatMap { case (i, j) =>
+      val f = s"l$i <> 0 AND l$j <> 0"
+      Seq(
+        s"CAST(sum(CASE WHEN $f THEN 1 ELSE 0 END) AS BIGINT) AS n${i}_$j",
+        s"CAST(sum(CASE WHEN $f AND l$i = l$j THEN 1 ELSE 0 END) AS BIGINT) AS o${i}_$j",
+        s"CAST(sum(CASE WHEN $f AND l$i = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ap${i}_$j",
+        s"CAST(sum(CASE WHEN $f AND l$j = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bp${i}_$j")
+    }.mkString(",\n  ")
+    val branches = pairs.map { case (i, j) =>
+      val n = s"n${i}_$j"
+      val po = s"(CAST(o${i}_$j AS DOUBLE) / $n)"
+      val ap = s"(CAST(ap${i}_$j AS DOUBLE) / $n)"
+      val bp = s"(CAST(bp${i}_$j AS DOUBLE) / $n)"
+      val pe = s"($ap * $bp + (1.0 - $ap) * (1.0 - $bp))"
+      s"""SELECT '${names(i)}' AS lf_a, '${names(j)}' AS lf_b, $n AS n_both,
+         |  CASE WHEN $n > 0 THEN round($po, 6) END AS po,
+         |  CASE WHEN $n > 0 THEN round($pe, 6) END AS pe,
+         |  CASE WHEN $n > 0 AND $pe < 1.0
+         |       THEN round(($po - $pe) / (1.0 - $pe), 6) END AS kappa
+         |FROM agg""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT ${votes.zipWithIndex.map { case (v, i) => s"$v AS l$i" }.mkString(", ")}
+       |  FROM documents),
+       |agg AS (SELECT $sums FROM v)
+       |$branches
+       |ORDER BY lf_a, lf_b""".stripMargin
+  }
+
+  /** DuckDB mirror of [[DataQuality.benford]]: the Benford probabilities
+    * are interpolated as Scala-computed shortest-roundtrip double literals
+    * (NOT recomputed via the oracle's `log10`, whose last ULP is
+    * libm-dependent), so both engines run the identical constants through
+    * the identical chi-square expression.
+    */
+  private lazy val benfordSql: String = {
+    val pCase = (1 to 9).map(d =>
+      s"WHEN $d THEN CAST(${math.log10(1.0 + 1.0 / d)} AS DOUBLE)")
+      .mkString("CASE digit ", " ", " END")
+    s"""WITH d AS (SELECT l_returnflag,
+       |    CAST(substr(CAST(CAST(floor(abs(CAST(l_extendedprice AS DOUBLE))) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+       |  FROM lineitem
+       |  WHERE l_extendedprice IS NOT NULL AND abs(CAST(l_extendedprice AS DOUBLE)) >= 1.0),
+       |c AS (SELECT l_returnflag, digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2),
+       |t AS (SELECT l_returnflag, sum(n) AS t FROM c GROUP BY 1),
+       |p AS (SELECT c.l_returnflag, digit, n, t, $pCase AS ep
+       |      FROM c JOIN t USING (l_returnflag))
+       |SELECT l_returnflag, digit, n,
+       |  floor((CAST(n AS DOUBLE) / t) * 1000000.0) / 1000000.0 AS obs_p,
+       |  round(ep, 6) AS benford_p,
+       |  round((n - ep * t) * (n - ep * t) / (ep * t), 6) AS chi2_term
+       |FROM p ORDER BY l_returnflag, digit""".stripMargin
   }
 
   /** DuckDB mirror of [[Dedup.cdcDedup]]: identical window hash (8 hex
@@ -5394,6 +5493,49 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
         |  CAST(min(c) AS BIGINT) AS min_group_size
         |FROM g""".stripMargin,
+
+    // l-diversity: distinct sensitive (length-bucket) count per QI cell;
+    // the bucket is the truncated-toward-zero double division the engine
+    // computes (positive values: identical to floor division)
+    "q_l_diversity" ->
+      """WITH g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(count(DISTINCT CAST(floor(CAST(n_chars AS DOUBLE) / 200.0) AS BIGINT)) AS BIGINT) AS d
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT CAST(sum(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+        |  CAST(sum(CASE WHEN d < 3 THEN c ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+        |  CAST(min(d) AS BIGINT) AS min_diversity
+        |FROM g""".stripMargin,
+
+    // Benford audit: literal-interpolated expected shares, string-head
+    // digit extraction (exact integer-to-string in both engines)
+    "q_benford" -> benfordSql,
+
+    // binned two-sample KS: same 20-bin grid as q_psi, cumulative ECDFs
+    // via windows over at most 20 cells per key, max absolute gap
+    "q_ks_drift" ->
+      s"""WITH s AS (SELECT event_type AS pvname, epoch_us(ts) AS ts_us,
+         |    CAST(value AS DOUBLE) AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |b AS (SELECT pvname,
+         |    CAST(least(greatest(floor((v - 0.0) / 25.0), 0), 19) AS BIGINT) AS bin,
+         |    count(*) FILTER (WHERE ts_us < $TMID) AS n1,
+         |    count(*) FILTER (WHERE ts_us >= $TMID) AS n2
+         |  FROM s GROUP BY 1, 2),
+         |c AS (SELECT pvname, bin, n1, n2,
+         |    sum(n1) OVER (PARTITION BY pvname ORDER BY bin) AS c1,
+         |    sum(n2) OVER (PARTITION BY pvname ORDER BY bin) AS c2,
+         |    sum(n1) OVER (PARTITION BY pvname) AS t1,
+         |    sum(n2) OVER (PARTITION BY pvname) AS t2
+         |  FROM b)
+         |SELECT pvname, CAST(max(t1) AS BIGINT) AS n1, CAST(max(t2) AS BIGINT) AS n2,
+         |  round(max(abs(CAST(c1 AS DOUBLE) / t1 - CAST(c2 AS DOUBLE) / t2)), 6) AS ks
+         |FROM c WHERE t1 > 0 AND t2 > 0
+         |GROUP BY pvname ORDER BY pvname""".stripMargin,
+
+    // Cohen's kappa per LF pair: same vote CTE as the labeling matrix,
+    // chance correction from the co-fired marginals
+    "q_lf_kappa" -> lfKappaSql,
 
     // CV folds: the docBucketSql hash over vec_id, per-fold label shares
     "q_cv_folds" ->

@@ -86,6 +86,66 @@ object DataQuality {
         min(col("__c")).as("min_group_size"))
   }
 
+  /** Benford first-digit audit — "were these numbers typed in by hand":
+    * naturally-occurring multiplicative quantities follow
+    * `P(d) = log10(1 + 1/d)`; fabricated or truncated ones don't, which is
+    * why this is the standard forensic screen over financial columns and a
+    * useful synthetic-data smell test over metric columns. Digits are
+    * extracted from the BIGINT floor of the value via string head — exact
+    * integer-to-string in any engine, deliberately NOT `floor(log10(v))`
+    * whose last-ULP behaviour at powers of ten is libm-dependent. Values
+    * below 1 (no leading digit in the integer part) are excluded.
+    *
+    * ONE map-side-combinable count over `(key, digit)` + a per-key total
+    * join (at most 9 cells per key). Output one row per `(key, digit)`:
+    * observed count, observed share, Benford share, and the chi-square
+    * contribution `(obs - exp)² / exp` — sum it per key for the test
+    * statistic (8 degrees of freedom).
+    */
+  def benford(df: DataFrame, key: String, value: String): DataFrame = {
+    val benfordP = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+    val digit = substring(floor(abs(col(value).cast("double"))).cast("long").cast("string"), 1, 1)
+      .cast("int")
+    val counts = df
+      .where(col(value).isNotNull && abs(col(value).cast("double")) >= 1.0)
+      .groupBy(col(key), digit.as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val expP = (1 to 9).foldLeft(lit(null).cast("double")) { (acc, d) =>
+      when(col("digit") === d, lit(benfordP(d - 1))).otherwise(acc)
+    }
+    val tot = counts.groupBy(col(key)).agg(sum(col("n")).as("__t"))
+    val dev = col("n") - expP * col("__t")
+    counts.join(tot, Seq(key))
+      .select(col(key), col("digit"), col("n"),
+        quantize6(col("n") / col("__t")).as("obs_p"),
+        round(expP, 6).as("benford_p"),
+        round(dev * dev / (expP * col("__t")), 6).as("chi2_term"))
+  }
+
+  /** l-diversity audit — the companion gate to [[kAnonymity]]: a group of
+    * rows can be k-anonymous yet still leak if everyone in it shares the
+    * same sensitive value (the "homogeneity attack"). A QI equivalence
+    * class is l-diverse when its sensitive column takes at least `l`
+    * distinct non-null values. One exact distinct-count aggregation over
+    * the QI tuple (two-phase, map-side combinable on `(QI, sensitive)`)
+    * + one rollup row:
+    * `(n_rows, n_groups, n_violating_groups, n_rows_at_risk,
+    * min_diversity)`.
+    */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensitive: String, l: Int): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"),
+        countDistinct(col(sensitive)).as("__d"))
+      .agg(
+        sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("__d") < l, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(when(col("__d") < l, col("__c")).otherwise(lit(0L))).as("n_rows_at_risk"),
+        min(col("__d")).as("min_diversity"))
+  }
+
   /** Join-cardinality statistics for a parent/child key relationship — the
     * audit behind broadcast decisions and referential-health dashboards:
     * child match rate, orphan count, and the parent-side fanout profile

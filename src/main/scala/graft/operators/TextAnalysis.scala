@@ -69,6 +69,53 @@ object TextAnalysis {
     one.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
   }
 
+  /** Cohen's kappa per labeling-function pair — chance-corrected agreement
+    * over the rows where BOTH functions fired (abstains excluded, the
+    * Snorkel convention): `κ = (p_o − p_e) / (1 − p_e)` with `p_e` from the
+    * two functions' marginal vote distributions on that shared support.
+    * Raw agreement ([[labelingMatrix]]) rewards a pair that both vote +1 on
+    * everything; kappa calls that 0 — the signal dataset-weak-supervision
+    * audits actually rank LF pairs by.
+    *
+    * Same single-scan shape as [[labelingMatrix]]: every pair's agreement
+    * AND marginal counts are conditional sums in ONE map-side-combinable
+    * aggregation pass; kappa assembles on the one result row. `kappa` is
+    * null when a pair never co-fires or when `p_e = 1` (both functions
+    * constant — chance agreement saturates and κ is undefined).
+    * Ratios round to 6 places (ratios of engine-exact longs).
+    */
+  def kappaMatrix(df: DataFrame, fns: Seq[(String, Column)]): DataFrame = {
+    require(fns.size >= 2, s"need at least two labeling functions, got ${fns.size}")
+    val votes = fns.zipWithIndex.map { case ((_, c), i) =>
+      coalesce(c.cast("int"), lit(0)).as(s"__l$i")
+    }
+    val base = df.select(votes: _*)
+    val pairs = for (i <- fns.indices; j <- fns.indices if i < j) yield (i, j)
+    val aggs = pairs.flatMap { case (i, j) =>
+      val fired = col(s"__l$i") =!= 0 && col(s"__l$j") =!= 0
+      Seq(
+        sum(when(fired, 1L).otherwise(0L)).as(s"__n${i}_$j"),
+        sum(when(fired && col(s"__l$i") === col(s"__l$j"), 1L).otherwise(0L)).as(s"__o${i}_$j"),
+        sum(when(fired && col(s"__l$i") === 1, 1L).otherwise(0L)).as(s"__ap${i}_$j"),
+        sum(when(fired && col(s"__l$j") === 1, 1L).otherwise(0L)).as(s"__bp${i}_$j"))
+    }
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (i, j) =>
+      val n = coalesce(col(s"__n${i}_$j"), lit(0L))
+      val po = col(s"__o${i}_$j") / n
+      val ap = col(s"__ap${i}_$j") / n // P(A = +1 | both fired)
+      val bp = col(s"__bp${i}_$j") / n
+      val pe = ap * bp + (lit(1.0) - ap) * (lit(1.0) - bp)
+      struct(
+        lit(fns(i)._1).as("lf_a"), lit(fns(j)._1).as("lf_b"),
+        n.as("n_both"),
+        when(n > 0, round(po, 6)).as("po"),
+        when(n > 0, round(pe, 6)).as("pe"),
+        when(n > 0 && pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+    }
+    one.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
+
   /** Tokenizer fertility per group (usually language): subword tokens per
     * whitespace word and characters per subword token — the cross-lingual
     * cost report behind vocabulary-size decisions. A language whose

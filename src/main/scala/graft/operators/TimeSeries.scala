@@ -932,6 +932,46 @@ object TimeSeries {
       .agg(round(sum((col("p1") - col("p2")) * log(col("p1") / col("p2"))), 6).as("psi"))
   }
 
+  /** Per-key two-sample Kolmogorov–Smirnov statistic between the two halves
+    * of a time split — the nonparametric companion to [[psiDrift]] (PSI
+    * reads density ratios, KS reads the worst-case CDF gap; together they
+    * catch both tail-mass and location drift). Both periods histogram onto
+    * the SAME fixed `[lo, hi]` × `bins` grid and the statistic is the max
+    * absolute ECDF difference over bin boundaries — the binned KS every
+    * large-scale drift monitor actually computes (the unbinned statistic
+    * needs a global per-key sort; the binned one needs `bins` cells).
+    *
+    * Plan shape: ONE combinable count aggregation over `(key, bin)` (both
+    * sides via conditional counts in the same pass — the split predicate is
+    * a filter, not a second scan), then a cumulative window over at most
+    * `bins` rows per key — bounded state per key regardless of data size.
+    * Output one row per key: `(key, n1, n2, ks)`.
+    */
+  def ksDrift(df: DataFrame, key: String, ts: String, value: String,
+      tSplit: Long, lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    require(hi > lo, s"empty range: hi $hi <= lo $lo")
+    val w = (hi - lo) / bins
+    val bin = least(greatest(floor((col(value).cast("double") - lo) / w), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+    val counts = df.where(col(value).isNotNull)
+      .groupBy(col(key), bin.as("bin"))
+      .agg(count(when(col(ts) < tSplit, lit(1))).as("n1"),
+        count(when(col(ts) >= tSplit, lit(1))).as("n2"))
+    val cum = Window.partitionBy(col(key)).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col(key))
+    counts
+      .withColumn("__c1", sum(col("n1")).over(cum))
+      .withColumn("__c2", sum(col("n2")).over(cum))
+      .withColumn("__t1", sum(col("n1")).over(tot))
+      .withColumn("__t2", sum(col("n2")).over(tot))
+      .where(col("__t1") > 0 && col("__t2") > 0)
+      .groupBy(col(key))
+      .agg(max(col("__t1")).as("n1"), max(col("__t2")).as("n2"),
+        round(max(abs(col("__c1") / col("__t1") - col("__c2") / col("__t2"))), 6).as("ks"))
+  }
+
   /** Pearson correlation matrix between LOCF-aligned series — "do these PVs
     * move together" over a shared time grid (feed it [[locfAlign]] /
     * [[locfAlignChunked]] output, or any wide frame of numeric columns).

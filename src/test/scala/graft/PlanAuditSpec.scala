@@ -453,4 +453,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
     assert(plan.contains("HashAggregate"), plan)
   }
+
+  test("benford/l-diversity/kappa: pure aggregation plans (no window, no cartesian)") {
+    Seq("q_benford", "q_l_diversity", "q_lf_kappa").foreach { q =>
+      val plan = formatted(q)
+      assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"), s"$q: $plan")
+      assert(!plan.contains("Window"), s"$q: $plan")
+      assert(!plan.contains("CartesianProduct"), s"$q: $plan")
+    }
+  }
+
+  test("ks drift: ONE combinable count agg feeds bins-bounded keyed windows") {
+    val plan = formatted("q_ks_drift")
+    // the windows run over the (key, bin) aggregate (<= bins rows per key),
+    // never the raw event stream: exactly one aggregate below the windows,
+    // and every Window is keyed (no global single-partition window)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

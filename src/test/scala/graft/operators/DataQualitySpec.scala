@@ -99,6 +99,43 @@ class DataQualitySpec extends SparkSpec {
     assert(r.getAs[Long]("min_group_size") == 1L)
   }
 
+  test("lDiversity: homogeneous sensitive values flag a k-anonymous group") {
+    val sp = spark
+    import sp.implicits._
+    val rows = Seq(
+      // group (US,A): 3 rows but only one sensitive value — NOT 2-diverse
+      ("US", "A", "cancer"), ("US", "A", "cancer"), ("US", "A", "cancer"),
+      // group (DE,B): 2 rows, 2 distinct values — 2-diverse
+      ("DE", "B", "flu"), ("DE", "B", "cold"))
+      .toDF("country", "segment", "dx")
+    val r = DataQuality.lDiversity(rows, Seq("country", "segment"), "dx", l = 2).collect()(0)
+    assert(r.getAs[Long]("n_rows") == 5L)
+    assert(r.getAs[Long]("n_groups") == 2L)
+    assert(r.getAs[Long]("n_violating_groups") == 1L)
+    assert(r.getAs[Long]("n_rows_at_risk") == 3L)
+    assert(r.getAs[Long]("min_diversity") == 1L)
+  }
+
+  test("benford: digit shares, expectation, and exact digit extraction") {
+    val sp = spark
+    import sp.implicits._
+    // 10 values, first digits: 1 x6, 2 x2, 9 x2; sub-1 and null excluded
+    val vals = Seq(1.5, 10.0, 123.4, 1999.0, 1.0, 17.3, 2.2, 250.0, 9.9, 900.0,
+      0.5, 0.01).map(Option(_)) :+ Option.empty[Double]
+    val df = vals.map(("k", _)).toDF("g", "v")
+    val got = DataQuality.benford(df, "g", "v").collect()
+      .map(r => r.getAs[Int]("digit") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("obs_p"), r.getAs[Double]("benford_p"))))
+      .toMap
+    assert(got.keySet == Set(1, 2, 9))
+    assert(got(1)._1 == 6L && got(2)._1 == 2L && got(9)._1 == 2L)
+    assert(got(1)._2 == 0.6)
+    assert(got(1)._3 == 0.30103) // log10(2) to 6 places
+    assert(got(9)._3 == 0.045757)
+    // digit of 1999.0 comes from the string head, not a log10 round-trip
+    assert(got(1)._1 > 0)
+  }
+
   test("joinStats: match rate, orphans, and the parent fanout profile") {
     val sp = spark
     import sp.implicits._

@@ -563,6 +563,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(("f1", "f2")) == ((2L, 1L, 1L)))
   }
 
+  test("kappaMatrix: perfect agreement scores 1, constant pair is undefined") {
+    val sp = spark
+    import sp.implicits._
+    val c = org.apache.spark.sql.functions.col _
+    val rows = Seq(
+      (1L, 1, 1, 1, 1), (2L, -1, -1, 1, 1), (3L, 1, 1, 1, 1), (4L, -1, -1, 1, 1))
+      .toDF("id", "v1", "v2", "v3", "v4")
+    val got = TextAnalysis.kappaMatrix(rows,
+      Seq("f1" -> c("v1"), "f2" -> c("v2"), "f3" -> c("v3"), "f4" -> c("v4")))
+      .collect().map(r => (r.getAs[String]("lf_a"), r.getAs[String]("lf_b")) ->
+        ((r.getAs[Long]("n_both"), Option(r.getAs[java.lang.Double]("kappa")))))
+      .toMap
+    // f1 == f2 exactly, balanced marginals -> kappa 1
+    assert(got(("f1", "f2")) == ((4L, Some(java.lang.Double.valueOf(1.0)))))
+    // one constant rater against a split one: pe = 0.5, po = 0.5 -> kappa 0
+    // (a constant vote shows no skill beyond chance, the classic property)
+    assert(got(("f1", "f3")) == ((4L, Some(java.lang.Double.valueOf(0.0)))))
+    // BOTH constant: pe saturates at 1, kappa undefined -> null
+    assert(got(("f3", "f4"))._2.isEmpty)
+  }
+
+  test("kappaMatrix: independent-looking votes are chance-corrected toward 0") {
+    val sp = spark
+    import sp.implicits._
+    val c = org.apache.spark.sql.functions.col _
+    // f1 splits half/half; f2 splits half/half orthogonally: po = 0.5 = pe
+    val rows = Seq(
+      (1L, 1, 1), (2L, 1, -1), (3L, -1, 1), (4L, -1, -1))
+      .toDF("id", "v1", "v2")
+    val got = TextAnalysis.kappaMatrix(rows, Seq("f1" -> c("v1"), "f2" -> c("v2")))
+      .collect()(0)
+    assert(got.getAs[Double]("po") == 0.5)
+    assert(got.getAs[Double]("pe") == 0.5)
+    assert(got.getAs[Double]("kappa") == 0.0)
+  }
+
   test("tokenizerFertility: subword/word and char/subword ratios per language") {
     val sp = spark
     import sp.implicits._

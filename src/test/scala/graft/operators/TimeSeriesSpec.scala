@@ -602,6 +602,43 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got("b") > 1.0, got("b").toString)
   }
 
+  test("ksDrift: identical halves score 0, disjoint supports score 1") {
+    val sp = spark
+    import sp.implicits._
+    // key a: identical distribution both halves -> ks = 0 exactly;
+    // key b: all mass below 50 before the split, all above after -> ks = 1;
+    // key c: one-sided (no rows after the split) -> excluded from output
+    val rows =
+      (0 until 100).map(i => ("a", i.toLong, (i % 10) * 10.0)) ++
+        (100 until 200).map(i => ("a", i.toLong, (i % 10) * 10.0)) ++
+        (0 until 100).map(i => ("b", i.toLong, 10.0)) ++
+        (100 until 200).map(i => ("b", i.toLong, 90.0)) ++
+        (0 until 10).map(i => ("c", i.toLong, 42.0))
+    val got = TimeSeries.ksDrift(rows.toDF("k", "ts", "v"), "k", "ts", "v",
+      tSplit = 100L, lo = 0.0, hi = 100.0, bins = 10)
+      .collect()
+      .map(r => r.getAs[String]("k") ->
+        ((r.getAs[Long]("n1"), r.getAs[Long]("n2"), r.getAs[Double]("ks"))))
+      .toMap
+    assert(got("a") == ((100L, 100L, 0.0)))
+    assert(got("b") == ((100L, 100L, 1.0)))
+    assert(!got.contains("c"))
+  }
+
+  test("ksDrift: a median shift of one bin scores the single-bin mass") {
+    val sp = spark
+    import sp.implicits._
+    // half the mass moves one bin right: ECDF gap peaks at 0.5 at the
+    // boundary bin
+    val rows =
+      (0 until 8).map(i => ("k", i.toLong, if (i < 4) 10.0 else 30.0)) ++
+        (8 until 16).map(i => ("k", i.toLong, if (i < 12) 30.0 else 50.0))
+    val got = TimeSeries.ksDrift(rows.toDF("k", "ts", "v"), "k", "ts", "v",
+      tSplit = 8L, lo = 0.0, hi = 100.0, bins = 10)
+      .collect()(0)
+    assert(got.getAs[Double]("ks") == 0.5)
+  }
+
   test("correlationMatrix: exact +-1 on linear series, null on constant series") {
     val sp = spark
     import sp.implicits._
