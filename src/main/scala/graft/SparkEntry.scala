@@ -223,6 +223,13 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // ---- Rocchio pseudo-relevance feedback: BM25 top-10 as the feedback
+    // set, re-rank the corpus by cosine to their embedding centroid ---------
+    "q_rocchio" -> ((s, dir) => {
+      Retrieval.rocchioExpand(Tables.documents(s, dir), "doc_id", "text", BM25_TERMS,
+        Tables.embeddings(s, dir), "vec_id", "embedding", feedbackK = 10, k = 20)
+    }),
+
     // ---- weight-proportional deterministic Bernoulli sampling (quality-
     // weighted corpus thinning) ---------------------------------------------
     "q_weighted_sample" -> ((s, dir) => {
@@ -1596,6 +1603,14 @@ object SparkEntry {
       val edges = Similarity.mutualKnnEdges(Tables.embeddings(s, dir),
         "vec_id", "embedding", k = 5)
       Dedup.connectedComponents(edges, "d1", "d2").orderBy(col("doc"))
+    }),
+
+    // ---- resource-allocation link prediction over the mutual-kNN graph
+    // ("which neighbors did ANN miss"); integer-exact fixed-point scores --
+    "q_link_predict" -> ((s, dir) => {
+      val edges = Similarity.mutualKnnEdges(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 5)
+      Graph.linkPredict(edges, "d1", "d2", maxDegree = 64, topK = 100)
     }),
 
     // ---- per-source Pareto front over (n_tokens, quality) ----------------
@@ -3367,6 +3382,22 @@ object SparkEntry {
     "q_bm25" -> bm25Sql(BM25_TERMS, k = 20),
 
     "q_search_diverse" -> searchDiverseSql(BM25_TERMS, perGroup = 2, k = 20),
+
+    // Rocchio PRF: the BM25 run as a subquery picks the feedback set; the
+    // 6-dp per-dim centroid reassembles as an ordered list; cosine is the
+    // same sequential list fold as every other embedding oracle
+    "q_rocchio" ->
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |       WHERE embedding IS NOT NULL),
+         |fb AS (SELECT doc_id FROM (${bm25Sql(BM25_TERMS, k = 10)}) r0),
+         |rl AS (SELECT e0.v FROM fb JOIN e0 ON fb.doc_id = e0.vec_id),
+         |x AS (SELECT unnest(list_transform(generate_series(1, len(v)),
+         |    i -> {'dim': i - 1, 'x': v[i]})) AS u FROM rl),
+         |cd AS (SELECT u.dim AS dim, round(avg(u.x), 6) AS c FROM x GROUP BY 1),
+         |cent AS (SELECT list(c ORDER BY dim) AS cv FROM cd)
+         |SELECT vec_id, round(${cosineSql("v", "cv")}, 6) AS sim
+         |FROM e0 CROSS JOIN cent
+         |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin,
 
     // deterministic weighted Bernoulli draw: integer md5 bucket vs the
     // bit-identical double threshold (round-6 quality / exact max)
@@ -5230,6 +5261,32 @@ object SparkEntry {
          |comp AS (SELECT a AS doc, least(a, min(b)) AS component
          |         FROM reach GROUP BY a)
          |SELECT doc, component FROM comp ORDER BY doc""".stripMargin,
+
+    // link prediction: same mutual-kNN m CTE; degree-annotated adjacency,
+    // wedge self-join with the hub cap, integer floor fixed-point RA sum,
+    // anti-join of existing edges, top-100 by (ra DESC, d1, d2)
+    "q_link_predict" ->
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |       FROM embeddings WHERE embedding IS NOT NULL),
+         |sc AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |         round(${cosineSql("a.v", "b.v")}, 6) AS sim
+         |       FROM e0 a JOIN e0 b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sc),
+         |g AS (SELECT qid, nid FROM r WHERE rn <= 5),
+         |m AS (SELECT g.qid AS d1, g.nid AS d2 FROM g
+         |      JOIN g g2 ON g.qid = g2.nid AND g.nid = g2.qid WHERE g.qid < g.nid),
+         |adj AS (SELECT d1 AS z, d2 AS nb FROM m UNION ALL SELECT d2, d1 FROM m),
+         |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY z),
+         |aj AS (SELECT adj.z, adj.nb, deg.d FROM adj JOIN deg USING (z) WHERE d <= 64),
+         |cand AS (SELECT l.nb AS d1, r2.nb AS d2, 1000000000000 // l.d AS c
+         |         FROM aj l JOIN aj r2 ON l.z = r2.z AND l.nb < r2.nb),
+         |scored AS (SELECT d1, d2, CAST(count(*) AS BIGINT) AS cn,
+         |             CAST(sum(c) AS BIGINT) AS ra
+         |           FROM cand GROUP BY 1, 2)
+         |SELECT s2.d1, s2.d2, s2.cn, s2.ra FROM scored s2
+         |LEFT JOIN m ON s2.d1 = m.d1 AND s2.d2 = m.d2
+         |WHERE m.d1 IS NULL
+         |ORDER BY s2.ra DESC, s2.d1, s2.d2 LIMIT 100""".stripMargin,
 
     // Pareto front: dense_rank on quality desc (ties share a rank), then
     // the max token count over STRICTLY-higher-quality rows via a

@@ -157,6 +157,67 @@ object Graph {
     } finally und.unpersist()
   }
 
+  /** Link prediction by the resource-allocation index (Zhou, Lü & Zhang
+    * 2009) — score every NON-edge pair that shares neighbors by
+    * `Σ_z 1/deg(z)` over the shared neighbors `z`, the strongest of the
+    * classic local similarity indices (Adamic–Adar's close cousin with
+    * `deg` in place of `log deg`). Over a kNN graph this is the "these two
+    * documents should probably be neighbors" audit that catches ANN recall
+    * gaps and near-duplicate families one hop apart.
+    *
+    * Scores are integer-exact: each shared neighbor contributes
+    * `scale div deg(z)` as a BIGINT (floor fixed-point), so the sum is
+    * order-independent and bit-identical on any engine — the same
+    * determinism trick as [[pageRank]], and deliberately NOT Adamic–Adar's
+    * `1/ln(deg)` whose libm last-ULP would leak into a float sum.
+    *
+    * Plan shape: degree-annotate the adjacency once (two keyed aggs), then
+    * ONE self-equi-join on the shared-neighbor key enumerates wedges —
+    * fan-out per neighbor is `deg²`, so hubs above `maxDegree` are excluded
+    * from CONTRIBUTING (standard practice: a hub shared by everyone carries
+    * ~no signal and would quadratically dominate the shuffle; the cap is
+    * the skew guard, like [[Dedup.spanPairs]]' `maxDocsPerSpan`). A keyed
+    * left-anti join removes existing edges and a TakeOrdered cut emits the
+    * top-k predictions.
+    *
+    * Output: `(d1, d2, cn, ra)` — common-neighbor count and the scaled RA
+    * score, ordered `(ra DESC, d1, d2)`, at most `topK` rows.
+    */
+  def linkPredict(edges: DataFrame, src: String, dst: String,
+      maxDegree: Int = 64, topK: Int = 100, scale: Long = 1000000000000L,
+      materialize: Boolean = true): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val undRaw = edges
+      .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    // the edge frame feeds three branches (adjacency ×2, anti-join): cache
+    // it and force the result out before releasing. materialize=false
+    // returns the pure lazy plan instead (for plan inspection or when the
+    // caller manages caching of a larger composition).
+    val und = if (materialize) undRaw.persist() else undRaw
+    try {
+      val adj = und.select(col("a").as("z"), col("b").as("nb"))
+        .unionByName(und.select(col("b").as("z"), col("a").as("nb")))
+      val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("d"))
+      val adjd = adj.join(deg, Seq("z")).where(col("d") <= maxDegree)
+      val cand = adjd.as("l")
+        .join(adjd.as("r"), col("l.z") === col("r.z") && col("l.nb") < col("r.nb"))
+        .select(col("l.nb").as("d1"), col("r.nb").as("d2"),
+          expr(s"$scale div l.d").as("__c"))
+      val scored = cand.groupBy(col("d1"), col("d2"))
+        .agg(count(lit(1)).as("cn"), sum(col("__c")).as("ra"))
+      val out = scored
+        .join(und, col("d1") === col("a") && col("d2") === col("b"), "left_anti")
+        .orderBy(col("ra").desc, col("d1"), col("d2"))
+        .limit(topK)
+      if (materialize) out.localCheckpoint() else out
+    } finally if (materialize) und.unpersist()
+  }
+
   /** Semi-supervised label propagation with frozen seeds and a FIXED
     * iteration count — spread a small labeled set over an edge list (e.g. a
     * mutual-kNN graph) to label the rest of a corpus. Entirely integer:

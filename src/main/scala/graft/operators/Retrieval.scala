@@ -253,4 +253,47 @@ object Retrieval {
               .cast("double") / (col("n_shared") * (col("n_shared") - 1) / 2))
             .otherwise(lit(0.0)), 6).as("tau"))
   }
+
+  /** Rocchio-style pseudo-relevance feedback (the α=0, β=1 query-expansion
+    * form): run lexical BM25, take the top `feedbackK` hits as
+    * pseudo-relevant, average their embeddings into an expanded query
+    * vector, and re-rank the WHOLE corpus by cosine to that centroid —
+    * "retrieve by keyword, expand by meaning". Finds on-topic documents
+    * that share none of the query terms, which is exactly what a
+    * keyword-seeded corpus-curation sweep needs.
+    *
+    * Determinism: the centroid's per-dim means are rounded to 6 places
+    * BEFORE the cosine (shuffle-order float noise in the avg dies there —
+    * the [[Similarity.labelCentroids]] convention), and the cosine itself
+    * is [[Similarity.cosine]]'s index-order fold, bit-identical to the
+    * oracle's sequential list fold.
+    *
+    * Plan shape: the BM25 stage is one combinable stats agg + a broadcast
+    * stitch and a TakeOrdered top-`feedbackK`; the feedback join touches
+    * `feedbackK` embedding rows; the centroid is a dims-sized aggregate
+    * assembled into ONE array row (sort_array of a dims-bounded
+    * collect_list — deterministic, control-plane-sized) and broadcast; the
+    * final pass is ONE map-only cosine scan + TakeOrdered top-`k`. The
+    * corpus is scanned twice (BM25, re-rank) and never shuffled.
+    */
+  def rocchioExpand(docs: DataFrame, id: String, text: String, terms: Seq[String],
+      emb: DataFrame, embId: String, vec: String,
+      feedbackK: Int = 10, k: Int = 20): DataFrame = {
+    require(feedbackK > 0, s"feedbackK must be positive, got $feedbackK")
+    require(k > 0, s"k must be positive, got $k")
+    val run = TextAnalysis.bm25(docs, id, text, terms, k = feedbackK)
+    val rel = run.select(col(id).as("__rid"))
+      .join(emb.select(col(embId).as("__rid"), col(vec).as("__v")), Seq("__rid"))
+    val centLong = rel.select(posexplode(col("__v")).as(Seq("dim", "__x")))
+      .groupBy(col("dim")).agg(round(avg(col("__x")), 6).as("__c"))
+    val centroid = centLong
+      .agg(sort_array(collect_list(struct(col("dim"), col("__c")))).as("__s"))
+      .select(transform(col("__s"), s => s.getField("__c")).as("__cent"))
+    emb.where(col(vec).isNotNull)
+      .crossJoin(broadcast(centroid)) // 1-row expanded-query frame
+      .select(col(embId),
+        round(Similarity.cosine(col(vec), col("__cent")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(embId))
+      .limit(k)
+  }
 }

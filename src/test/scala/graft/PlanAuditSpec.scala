@@ -463,6 +463,29 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("link predict: keyed wedge join + anti-join, no cartesian, no window") {
+    // q_link_predict's production path localCheckpoints (opaque plan); the
+    // materialize=false twin exposes the identical lazy dataflow
+    val sp = spark
+    import sp.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val df = operators.Graph.linkPredict(edges, "a", "b", materialize = false)
+    org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("LeftAnti") || plan.contains("anti"), plan)
+  }
+
+  test("rocchio: centroid broadcast to a map-only cosine scan; corpus never shuffled") {
+    val plan = formatted("q_rocchio")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("ks drift: ONE combinable count agg feeds bins-bounded keyed windows") {
     val plan = formatted("q_ks_drift")
     // the windows run over the (key, bin) aggregate (<= bins rows per key),

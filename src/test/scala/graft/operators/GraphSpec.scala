@@ -148,4 +148,34 @@ class GraphSpec extends SparkSpec {
     val got = Graph.pageRank(edges, "src", "dst", iters = 3).collect()
     assert(got.map(_.getAs[Long]("node")).toSet == Set(1L, 2L))
   }
+
+  test("linkPredict: cycle diagonals score both shared neighbors; edges excluded") {
+    val sp = spark
+    import sp.implicits._
+    // square 1-2-3-4-1: non-edges are the diagonals (1,3) and (2,4), each
+    // sharing TWO neighbors of degree 2 -> cn=2, ra = 2 * (scale div 2)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val got = Graph.linkPredict(edges, "a", "b", maxDegree = 64, topK = 10,
+      scale = 1000000L)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) ->
+        ((r.getAs[Long]("cn"), r.getAs[Long]("ra")))).toMap
+    assert(got == Map((1L, 3L) -> ((2L, 1000000L)), (2L, 4L) -> ((2L, 1000000L))))
+  }
+
+  test("linkPredict: hubs above maxDegree contribute nothing; path wedge scores 1/deg") {
+    val sp = spark
+    import sp.implicits._
+    // path 1-2-3 (deg(2)=2) plus a hub 9 connected to 1,3,5,6 (deg 4)
+    val edges = Seq((1L, 2L), (2L, 3L), (9L, 1L), (9L, 3L), (9L, 5L), (9L, 6L))
+      .toDF("a", "b")
+    val got = Graph.linkPredict(edges, "a", "b", maxDegree = 3, topK = 100,
+      scale = 1000000L)
+      .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) ->
+        ((r.getAs[Long]("cn"), r.getAs[Long]("ra")))).toMap
+    // (1,3) shares node 2 (deg 2, contributes 500000) AND hub 9 (deg 4 >
+    // maxDegree 3: no contribution, not even to cn); hub-only wedges like
+    // (1,5) disappear entirely
+    assert(got((1L, 3L)) == ((1L, 500000L)))
+    assert(!got.keySet.exists { case (a, b) => Set(a, b).intersect(Set(5L, 6L)).nonEmpty })
+  }
 }

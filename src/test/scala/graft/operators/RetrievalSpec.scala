@@ -172,4 +172,42 @@ class RetrievalSpec extends SparkSpec {
     assert(got.count(_._1 == 1L) == 2) // capped at k
     assert(got.filter(_._1 == 2L).map(_._2).toSeq == Seq(9L)) // null vec 8 dropped
   }
+
+  test("rocchioExpand: feedback centroid surfaces an on-topic doc with no query term") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "spark spark engine"), // lexical hits
+      (2L, "spark cluster"),
+      (3L, "distributed compute engine"), // no query term, same topic
+      (4L, "cooking recipes"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.2f)),
+      (3L, Array(0.9f, 0.1f)),
+      (4L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Retrieval.rocchioExpand(docs, "doc_id", "text", Seq("spark"),
+      emb, "vec_id", "embedding", feedbackK = 2, k = 3)
+      .collect().map(_.getAs[Long]("vec_id"))
+    // the expanded query (centroid of 1,2) pulls doc 3 into the top 3 even
+    // though BM25 alone would never return it; the off-topic 4 stays out
+    assert(got.toSet == Set(1L, 2L, 3L))
+  }
+
+  test("rocchioExpand: corpus vectors missing embeddings are skipped, k caps output") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "spark a"), (2L, "spark b"), (3L, "c")).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.1f)),
+      (3L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val got = Retrieval.rocchioExpand(docs, "doc_id", "text", Seq("spark"),
+      emb, "vec_id", "embedding", feedbackK = 2, k = 10)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(got.toSet == Set(1L, 2L)) // null-embedding doc 3 can't be ranked
+  }
 }
