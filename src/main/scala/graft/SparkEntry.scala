@@ -1811,6 +1811,18 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("digit"))
     }),
 
+    // ---- Count-Min sketch accuracy audit over the event user stream ------
+    "q_cm_sketch" -> ((s, dir) => {
+      Skew.countMinAudit(events(s, dir), "user_id", width = 64, depth = 4, topN = 20)
+    }),
+
+    // ---- lead-lag cross-correlation: does click volume lead purchases? ---
+    "q_lead_lag" -> ((s, dir) => {
+      TimeSeries.leadLagCorr(events(s, dir), "event_type", "ts_us", "value",
+        k1 = "click", k2 = "purchase", bucketUs = 3600000000L, maxLag = 6)
+        .orderBy(col("lag"))
+    }),
+
     // ---- binned two-sample KS drift between the two halves of the month --
     "q_ks_drift" -> ((s, dir) => {
       TimeSeries.ksDrift(
@@ -2361,6 +2373,32 @@ object SparkEntry {
        |  round(ep, 6) AS benford_p,
        |  round((n - ep * t) * (n - ep * t) / (ep * t), 6) AS chi2_term
        |FROM p ORDER BY l_returnflag, digit""".stripMargin
+  }
+
+  /** DuckDB mirror of [[Skew.countMinAudit]] (width 64, depth 4, top 20
+    * over `events.user_id`): the engine's seeded hash rows interpolated as
+    * struct literals so both engines run identical integer arithmetic.
+    */
+  private lazy val cmSketchSql: String = {
+    val (as, bs) = Skew.cmHashes(4)
+    val structs = (0 until 4).map(i =>
+      s"{'r': $i, 'a': ${as(i)}, 'b': ${bs(i)}}").mkString(", ")
+    s"""WITH r AS (SELECT user_id,
+       |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS x
+       |  FROM events WHERE user_id IS NOT NULL),
+       |h AS (SELECT x, unnest([$structs]) AS u FROM r),
+       |hc AS (SELECT u.r AS rw, ((u.a * x + u.b) % 2147483647) % 64 AS cell FROM h),
+       |counters AS (SELECT rw, cell, CAST(count(*) AS BIGINT) AS cnt
+       |             FROM hc GROUP BY 1, 2),
+       |heavy AS (SELECT user_id, x, CAST(count(*) AS BIGINT) AS exact
+       |          FROM r GROUP BY 1, 2 ORDER BY exact DESC, user_id LIMIT 20),
+       |hp AS (SELECT user_id, exact, x, unnest([$structs]) AS u FROM heavy),
+       |pp AS (SELECT user_id, exact, u.r AS rw,
+       |         ((u.a * x + u.b) % 2147483647) % 64 AS cell FROM hp),
+       |est AS (SELECT user_id, exact, min(cnt) AS estimate
+       |        FROM pp JOIN counters USING (rw, cell) GROUP BY 1, 2)
+       |SELECT user_id, exact, estimate, estimate - exact AS overcount
+       |FROM est ORDER BY exact DESC, user_id""".stripMargin
   }
 
   /** DuckDB mirror of [[Dedup.cdcDedup]]: identical window hash (8 hex
@@ -5567,6 +5605,34 @@ object SparkEntry {
     // Benford audit: literal-interpolated expected shares, string-head
     // digit extraction (exact integer-to-string in both engines)
     "q_benford" -> benfordSql,
+
+    // Count-Min audit: seeded (a,b) rows interpolated as literals; the
+    // md5-prefix key hash, counter build, and min-of-depth estimate are
+    // BIGINT end to end
+    "q_cm_sketch" -> cmSketchSql,
+
+    // lead-lag: hour-bucket 6-dp means, the (2L+1)-way lag explode of the
+    // AGGREGATED series, explicit-sum Pearson per lag
+    "q_lead_lag" ->
+      """WITH s AS (SELECT event_type, epoch_us(ts) AS ts_us,
+        |    CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |a AS (SELECT ts_us // 3600000000 AS bucket, round(avg(v), 6) AS v
+        |      FROM s WHERE event_type = 'click' GROUP BY 1),
+        |b AS (SELECT ts_us // 3600000000 AS bucket, round(avg(v), 6) AS w
+        |      FROM s WHERE event_type = 'purchase' GROUP BY 1),
+        |bx AS (SELECT bucket - u.l AS bucket, u.l AS lag, w
+        |       FROM b, unnest(generate_series(-6, 6)) AS u(l)),
+        |j AS (SELECT lag, a.v, bx.w FROM a JOIN bx USING (bucket)),
+        |g AS (SELECT CAST(lag AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n,
+        |        sum(v) AS sx, sum(w) AS sy, sum(v * v) AS sxx,
+        |        sum(w * w) AS syy, sum(v * w) AS sxy
+        |      FROM j GROUP BY 1)
+        |SELECT lag, n,
+        |  CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+        |       THEN round((n * sxy - sx * sy) /
+        |              sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS corr
+        |FROM g ORDER BY lag""".stripMargin,
 
     // binned two-sample KS: same 20-bin grid as q_psi, cumulative ECDFs
     // via windows over at most 20 cells per key, max absolute gap

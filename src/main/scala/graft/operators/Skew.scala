@@ -68,4 +68,66 @@ object Skew {
       .agg(sum(col("__nd")).cast("long").as("n_distinct"),
         sum(col("__n")).cast("long").as("n"))
   }
+
+  /** Count–Min sketch accuracy audit (Cormode & Muthukrishnan 2005): build
+    * the `depth × width` counter table the streaming/partial-agg world
+    * would keep instead of exact per-key counts, then compare its estimate
+    * against the exact count for the `topN` heaviest keys — the
+    * "how much memory can we drop before the top-k report lies" tuning
+    * table. The sketch is MERGEABLE by construction (counters are plain
+    * sums over `(row, cell)`), so the counter build is ONE map-side-
+    * combinable aggregation whose output is bounded by `depth · width`
+    * cells at ANY input size — the same bounded-state contract as
+    * [[graft.streaming.HeavyHitters]], in batch form.
+    *
+    * Everything is integer-exact and engine-portable: keys hash through the
+    * md5-prefix bucket (the [[graft.operators.Dedup]] convention — works
+    * for any key type via its string form), the `depth` pairwise-
+    * independent hash rows are `((aᵢ·x + bᵢ) mod P) mod width` with
+    * `P = 2³¹−1` and seeded aᵢ, bᵢ (products stay under 2⁶³ because
+    * `x < 2³²`), and estimate = min over the key's `depth` counters —
+    * BIGINTs end to end, no float anywhere. CM guarantees
+    * `estimate ≥ exact`; `overcount` is the audit signal.
+    *
+    * Output: `(key, exact, estimate, overcount)` for the top `topN` keys by
+    * `(exact DESC, key)`.
+    */
+  def countMinAudit(df: DataFrame, key: String, width: Int, depth: Int,
+      topN: Int, seed: Long = 42L): DataFrame = {
+    require(width > 1, s"width must be > 1, got $width")
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    require(topN > 0, s"topN must be positive, got $topN")
+    val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+    val (as, bs) = cmHashes(depth, seed)
+    val rows = df.where(col(key).isNotNull)
+      .select(col(key),
+        conv(substring(md5(col(key).cast("string")), 1, 8), 16, 10)
+          .cast("long").as("__x"))
+    def cells = array((0 until depth).map { i =>
+      pmod(lit(as(i)) * col("__x") + lit(bs(i)), lit(P)) % width
+    }: _*)
+    val counters = rows.select(posexplode(cells).as(Seq("__row", "__cell")))
+      .groupBy(col("__row"), col("__cell")).agg(count(lit(1)).as("__cnt"))
+    val heavy = rows.groupBy(col(key), col("__x"))
+      .agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col(key))
+      .limit(topN)
+    heavy
+      .select(col(key), col("exact"), posexplode(cells).as(Seq("__row", "__cell")))
+      .join(counters, Seq("__row", "__cell"))
+      .groupBy(col(key), col("exact"))
+      .agg(min(col("__cnt")).as("estimate"))
+      .select(col(key), col("exact"), col("estimate"),
+        (col("estimate") - col("exact")).as("overcount"))
+      .orderBy(col("exact").desc, col(key))
+  }
+
+  /** The seeded hash constants [[countMinAudit]] uses, for oracle mirrors. */
+  private[graft] def cmHashes(depth: Int, seed: Long = 42L): (Array[Long], Array[Long]) = {
+    val P = 2147483647L
+    val rnd = new scala.util.Random(seed)
+    val as = Array.fill(depth)(1L + (rnd.nextLong().abs % (P - 1)))
+    val bs = Array.fill(depth)(rnd.nextLong().abs % P)
+    (as, bs)
+  }
 }

@@ -932,6 +932,54 @@ object TimeSeries {
       .agg(round(sum((col("p1") - col("p2")) * log(col("p1") / col("p2"))), 6).as("psi"))
   }
 
+  /** Lead–lag cross-correlation between two series — "does PV A move
+    * BEFORE PV B, and by how much": both series average onto a shared
+    * `bucketUs` grid (6-dp rounded, so shuffle-order float noise dies at
+    * the bucket boundary), then every lag in `[-maxLag, maxLag]` buckets
+    * correlates `x_t` against `y_{t+lag}` over the overlapping buckets —
+    * the argmax row of the output is the transport/causality delay
+    * detectors read (beam current leads vacuum pressure by N seconds, a
+    * click burst leads a purchase burst by one hour).
+    *
+    * Pearson per lag comes from the explicit-sum formula over ONE keyed
+    * aggregation (the [[correlationMatrix]] determinism convention). Plan
+    * shape: two bucket aggregations (map-side combinable, buckets-sized
+    * output), one small explode (×(2·maxLag+1)) of the ALREADY-AGGREGATED
+    * second series, one join on the bucket key, one `(lag)` aggregation —
+    * the raw stream is never joined or exploded; everything past the first
+    * agg is buckets-sized. Output: `(lag, n, corr)` for every lag, `corr`
+    * null when a side is constant (or `n < 2`) at that lag.
+    */
+  def leadLagCorr(df: DataFrame, key: String, ts: String, value: String,
+      k1: String, k2: String, bucketUs: Long, maxLag: Int): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
+    def series(k: String) = df
+      .where(col(key) === k && col(value).isNotNull)
+      .groupBy(expr(s"$ts DIV $bucketUs").as("bucket"))
+      .agg(round(avg(col(value)), 6).as("v"))
+    val a = series(k1)
+    val bExp = series(k2)
+      .select(col("bucket"), col("v").as("w"))
+      .withColumn("lag", explode(sequence(lit(-maxLag), lit(maxLag))))
+      .select((col("bucket") - col("lag")).as("bucket"), col("lag"), col("w"))
+    a.join(bExp, Seq("bucket"))
+      .groupBy(col("lag").cast("long").as("lag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("__sx"), sum(col("w")).as("__sy"),
+        sum(col("v") * col("v")).as("__sxx"), sum(col("w") * col("w")).as("__syy"),
+        sum(col("v") * col("w")).as("__sxy"))
+      .select(col("lag"), col("n"),
+        when(col("n") >= 2 &&
+            (col("n") * col("__sxx") - col("__sx") * col("__sx")) > 0 &&
+            (col("n") * col("__syy") - col("__sy") * col("__sy")) > 0,
+          round((col("n") * col("__sxy") - col("__sx") * col("__sy")) /
+            sqrt((col("n") * col("__sxx") - col("__sx") * col("__sx")) *
+              (col("n") * col("__syy") - col("__sy") * col("__sy"))), 6))
+          .as("corr"))
+  }
+
   /** Per-key two-sample Kolmogorov–Smirnov statistic between the two halves
     * of a time split — the nonparametric companion to [[psiDrift]] (PSI
     * reads density ratios, KS reads the worst-case CDF gap; together they

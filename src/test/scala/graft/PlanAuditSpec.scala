@@ -486,6 +486,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("cm sketch: counter build and probe are aggregations; no window, no cartesian") {
+    val plan = formatted("q_cm_sketch")
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("lead-lag: the explode runs over the AGGREGATED bucket series, not raw events") {
+    val plan = formatted("q_lead_lag")
+    // the lag explode (Generate) consumes the bucket-mean columns the
+    // aggregate produced — its Input list carries the rounded bucket mean,
+    // not the raw event columns
+    val genDetail = plan.linesIterator.dropWhile(!_.startsWith("(")).mkString("\n")
+    assert(plan.contains("Generate"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!genDetail.contains("Generate explode") ||
+      !genDetail.contains("user_id"), plan) // raw columns never reach the explode
+  }
+
   test("ks drift: ONE combinable count agg feeds bins-bounded keyed windows") {
     val plan = formatted("q_ks_drift")
     // the windows run over the (key, bin) aggregate (<= bins rows per key),

@@ -53,4 +53,25 @@ class SkewSpec extends SparkSpec {
     assert(s.getAs[Double]("top_share") == 0.85)
     assert(s.getAs[Double]("gini") == 0.6)
   }
+
+  test("countMinAudit: estimates never undercount; wide sketch is exact; topN caps") {
+    val sp = spark
+    import sp.implicits._
+    val rows = ((Seq.fill(10)(1L) ++ Seq.fill(7)(2L) ++ Seq.fill(3)(3L) ++
+      Seq(4L, 5L)).map(Option(_)) :+ Option.empty[Long]).toDF("k")
+    // 5 keys into a wide sketch: collisions effectively impossible at
+    // width 4096 x depth 4 -> estimate == exact everywhere
+    val wide = Skew.countMinAudit(rows, "k", width = 4096, depth = 4, topN = 3)
+      .collect()
+    assert(wide.length == 3) // topN cap
+    assert(wide.map(r => (r.getAs[Long]("k"), r.getAs[Long]("exact"))).toSeq ==
+      Seq((1L, 10L), (2L, 7L), (3L, 3L)))
+    assert(wide.forall(_.getAs[Long]("overcount") == 0L))
+    // 5 keys into 2 cells MUST collide: the CM one-sided error guarantee
+    // (estimate >= exact) still holds, and at least one key overcounts
+    val tight = Skew.countMinAudit(rows, "k", width = 2, depth = 2, topN = 5)
+      .collect()
+    assert(tight.forall(r => r.getAs[Long]("estimate") >= r.getAs[Long]("exact")))
+    assert(tight.exists(_.getAs[Long]("overcount") > 0L))
+  }
 }

@@ -602,6 +602,39 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got("b") > 1.0, got("b").toString)
   }
 
+  test("leadLagCorr: a shifted copy correlates exactly 1 at its shift") {
+    val sp = spark
+    import sp.implicits._
+    val pattern = Seq(0.0, 1.0, 0.0, 2.0, 0.0, 3.0, 1.0, 0.0, 5.0, 0.0)
+    // series b is a's pattern delayed by 2 buckets (b trails a)
+    val rows =
+      pattern.zipWithIndex.map { case (v, t) => ("a", t * 10L, v) } ++
+        pattern.zipWithIndex.map { case (v, t) => ("b", (t + 2) * 10L, v) }
+    val got = TimeSeries.leadLagCorr(rows.toDF("k", "ts", "v"), "k", "ts", "v",
+      k1 = "a", k2 = "b", bucketUs = 10L, maxLag = 3)
+      .collect()
+      .map(r => r.getAs[Long]("lag") ->
+        ((r.getAs[Long]("n"), Option(r.getAs[java.lang.Double]("corr")))))
+      .toMap
+    // at lag +2: y_{t+2} = x_t for all 10 overlapping buckets -> corr 1
+    assert(got(2L) == ((10L, Some(java.lang.Double.valueOf(1.0)))))
+    // all 7 lags present; no other lag reaches 1
+    assert(got.size == 7)
+    assert(!got.exists { case (l, (_, c)) => l != 2L && c.contains(1.0) })
+  }
+
+  test("leadLagCorr: constant side yields null corr, not NaN or a crash") {
+    val sp = spark
+    import sp.implicits._
+    val rows = (0 until 8).map(t => ("a", t * 10L, t.toDouble)) ++
+      (0 until 8).map(t => ("b", t * 10L, 5.0))
+    val got = TimeSeries.leadLagCorr(rows.toDF("k", "ts", "v"), "k", "ts", "v",
+      k1 = "a", k2 = "b", bucketUs = 10L, maxLag = 1)
+      .collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.isNullAt(2)))
+  }
+
   test("ksDrift: identical halves score 0, disjoint supports score 1") {
     val sp = spark
     import sp.implicits._
