@@ -1811,6 +1811,20 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("digit"))
     }),
 
+    // ---- small-file compaction planner over the per-(type, day) "file"
+    // listing (first-fit contiguous groups of ~2000 rows) ------------------
+    "q_compaction_plan" -> ((s, dir) => {
+      val files = events(s, dir)
+        .groupBy(col("event_type"), expr("ts_us DIV 86400000000L").as("day"))
+        .agg(count(lit(1)).as("rows"))
+        .select(col("event_type"),
+          concat(col("event_type"), lit("/"), lpad(col("day").cast("string"), 6, "0")).as("file"),
+          col("rows"))
+      graft.store.Layout.compactionPlan(files, "event_type", "file", "rows",
+        targetRows = 2000L)
+        .orderBy(col("event_type"), col("file"))
+    }),
+
     // ---- Count-Min sketch accuracy audit over the event user stream ------
     "q_cm_sketch" -> ((s, dir) => {
       Skew.countMinAudit(events(s, dir), "user_id", width = 64, depth = 4, topN = 20)
@@ -5605,6 +5619,23 @@ object SparkEntry {
     // Benford audit: literal-interpolated expected shares, string-head
     // digit extraction (exact integer-to-string in both engines)
     "q_benford" -> benfordSql,
+
+    // compaction planner: per-partition running row count, first-fit
+    // integer group assignment, per-group rollup windows — BIGINT end to end
+    "q_compaction_plan" ->
+      """WITH f AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS r
+        |  FROM events GROUP BY 1, 2),
+        |ff AS (SELECT event_type,
+        |    event_type || '/' || lpad(CAST(day AS VARCHAR), 6, '0') AS file, r
+        |  FROM f),
+        |a AS (SELECT event_type, file, r,
+        |        sum(r) OVER (PARTITION BY event_type ORDER BY file) AS cum FROM ff),
+        |g AS (SELECT event_type, file, r, CAST((cum - r) // 2000 AS BIGINT) AS grp FROM a)
+        |SELECT event_type, file, r AS rows, grp,
+        |  CAST(sum(r) OVER (PARTITION BY event_type, grp) AS BIGINT) AS grp_rows,
+        |  CAST(count(*) OVER (PARTITION BY event_type, grp) AS BIGINT) AS grp_files
+        |FROM g ORDER BY event_type, file""".stripMargin,
 
     // Count-Min audit: seeded (a,b) rows interpolated as literals; the
     // md5-prefix key hash, counter build, and min-of-depth estimate are

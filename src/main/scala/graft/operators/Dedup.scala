@@ -512,6 +512,22 @@ object Dedup {
     (math.abs(rng.nextLong()) % ((1L << 30) - 1) + 1, math.abs(rng.nextLong()) % MersennePrime)
   }
 
+  /** The [[minhashSignature]] columns computed PER ROW with array lambdas —
+    * no explode, no shuffle, so the signature composes onto a streaming
+    * frame (duplicate shingles can't change a min, so the non-distinct
+    * [[TextAnalysis.shingles]] windows give the identical signature to the
+    * exploded aggregation form). A row whose text yields no shingles (null
+    * text) carries null `mh*` columns.
+    */
+  def minhashSignatureCols(text: Column, n: Int, numPerm: Int): Seq[Column] = {
+    val sh = TextAnalysis.shingles(text, n)
+    (0 until numPerm).map { i =>
+      val (a, b) = perm(i)
+      array_min(transform(sh, s => pmod(shingleHash(s) * lit(a) + lit(b), lit(MersennePrime))))
+        .as(s"mh$i")
+    }
+  }
+
   /** MinHash signatures: for each of `numPerm` hash functions, the minimum
     * permuted shingle hash of the document. Map-only per document.
     */
@@ -532,7 +548,7 @@ object Dedup {
     * explode pass — a union of per-band selects would recompute the
     * signature aggregation once per band.
     */
-  private def bandExplode(sig: DataFrame, numPerm: Int, bands: Int, side: String): DataFrame = {
+  private[graft] def bandExplode(sig: DataFrame, numPerm: Int, bands: Int, side: String): DataFrame = {
     val rows = numPerm / bands
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
@@ -607,6 +623,23 @@ object Dedup {
           .when(col("jaccard").isNotNull, lit("lexical_only"))
           .otherwise(lit("semantic_only")).as("verdict"))
 
+  /** The banded LSH candidate-pair set alone (pre-verify): docs colliding
+    * on any full band, normalized `d1 < d2`, distinct. This is the shape
+    * the streaming twin ([[graft.streaming.DocStream.lshCandidatePairs]])
+    * reproduces incrementally; [[minhashDedup]] composes it with the exact
+    * Jaccard verify.
+    */
+  def lshCandidates(df: DataFrame, id: String, text: String,
+      n: Int, numPerm: Int, bands: Int): DataFrame = {
+    val sig = minhashSignature(df, id, text, n, numPerm)
+    val banded = bandExplode(sig, numPerm, bands, "doc")
+    banded
+      .join(banded.select(col("doc").as("d2"), col("band"), col("bucket")), Seq("band", "bucket"))
+      .where(col("doc") < col("d2"))
+      .select(col("doc").as("d1"), col("d2"))
+      .distinct()
+  }
+
   /** MinHash LSH candidate pairs: split the signature into `bands` bands of
     * `rows` hashes; docs colliding on any full band are candidates; verify
     * with exact shingle Jaccard and keep pairs ≥ threshold.
@@ -619,13 +652,7 @@ object Dedup {
       numPerm: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val sig = minhashSignature(df, id, text, n, numPerm)
-    val banded = bandExplode(sig, numPerm, bands, "doc")
-    val cands = banded
-      .join(banded.select(col("doc").as("d2"), col("band"), col("bucket")), Seq("band", "bucket"))
-      .where(col("doc") < col("d2"))
-      .select(col("doc").as("d1"), col("d2"))
-      .distinct()
+    val cands = lshCandidates(df, id, text, n, numPerm, bands)
     // verify candidates with exact Jaccard on distinct shingles — distinct
     // ACROSS rows, not just within one: duplicate-id doc rows must merge
     // into one shingle set or the set sizes double and skew the verdict

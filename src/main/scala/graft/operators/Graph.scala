@@ -195,10 +195,12 @@ object Graph {
       .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
       .distinct()
     // the edge frame feeds three branches (adjacency ×2, anti-join): cache
-    // it and force the result out before releasing. materialize=false
-    // returns the pure lazy plan instead (for plan inspection or when the
-    // caller manages caching of a larger composition).
-    val und = if (materialize) undRaw.persist() else undRaw
+    // it and populate the cache with ONE pass (the count) so an expensive
+    // edge producer — a 25M-cosine kNN sweep — never recomputes per branch
+    // inside the main job. materialize=false returns the pure lazy plan
+    // instead (for plan inspection or when the caller manages caching of a
+    // larger composition).
+    val und = if (materialize) { val u = undRaw.persist(); u.count(); u } else undRaw
     try {
       val adj = und.select(col("a").as("z"), col("b").as("nb"))
         .unionByName(und.select(col("b").as("z"), col("a").as("nb")))

@@ -447,7 +447,13 @@ object Similarity {
     * [[Dedup.connectedComponents]] for community labels.
     */
   def mutualKnnEdges(df: DataFrame, id: String, vec: String, k: Int): DataFrame = {
+    // materialize the k·n-row kNN run ONCE before the self-join: both join
+    // branches (forward and reversed) would otherwise re-run the full
+    // cosine sweep — the dominant cost — twice. knnGraph is already eager
+    // (driver-side collect of the broadcast side), so the checkpoint does
+    // not change the construction contract.
     val g = knnGraph(df, id, vec, k).select(col("query_id"), col("neighbor_id"), col("sim"))
+      .localCheckpoint()
     val rev = g.select(col("neighbor_id").as("query_id"), col("query_id").as("neighbor_id"))
     g.join(rev, Seq("query_id", "neighbor_id"))
       .where(col("query_id") < col("neighbor_id"))

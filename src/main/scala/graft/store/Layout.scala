@@ -75,4 +75,39 @@ object Layout {
       .withColumn("zkey", interleave(b1.cast("long"), b2.cast("long"), bits))
       .drop("__min1", "__max1", "__min2", "__max2")
   }
+
+  /** Small-file compaction planner: assign a partition's files (in file-name
+    * order) to merged output groups of ~`targetRows` rows — the OPTIMIZE/
+    * compaction pass every streaming-ingested store needs once thousands of
+    * micro-batch files accumulate. First-fit in order keeps each group a
+    * CONTIGUOUS run of input files, so a time-ordered layout stays
+    * time-ordered after compaction: `grp = (cum_before) div targetRows`
+    * over the per-partition running row count — pure BIGINT, engine-exact.
+    * A file larger than `targetRows` gets its own group (never split —
+    * rewriting row subsets is what compaction is avoiding).
+    *
+    * Operates on FILE METADATA (one row per file — the run-registry /
+    * listing frame, never the data): per-partition windows over file counts
+    * are control-plane-sized by construction. Output: `(part, file, rows,
+    * grp, grp_rows, grp_files)`.
+    */
+  def compactionPlan(files: DataFrame, part: String, file: String, rows: String,
+      targetRows: Long): DataFrame = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(part)).orderBy(col(file))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val assigned = files
+      .select(col(part), col(file), col(rows).cast("long").as("__r"))
+      .withColumn("__cum", sum(col("__r")).over(wc))
+      .withColumn("grp", expr(s"(__cum - __r) div $targetRows"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(part), col("grp"))
+    assigned
+      .withColumn("grp_rows", sum(col("__r")).over(wg))
+      .withColumn("grp_files", count(lit(1)).over(wg))
+      .select(col(part), col(file), col("__r").as("rows"), col("grp"),
+        col("grp_rows"), col("grp_files"))
+  }
 }

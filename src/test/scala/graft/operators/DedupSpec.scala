@@ -551,4 +551,22 @@ class DedupSpec extends SparkSpec {
       .toMap
     assert(got == Map(("A", "B") -> 2L, ("A", "A") -> 1L)) // B-A folded into A-B; C absent
   }
+
+  test("minhashSignatureCols (per-row, map-only) equals the exploded aggregation signature") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a b a b a b a b"), // duplicate shingles must not change a min
+      (3L, "short"),
+      (4L, "")).toDF("doc_id", "text")
+    val agg = Dedup.minhashSignature(docs, "doc_id", "text", n = 2, numPerm = 8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
+    val perRow = docs
+      .select(org.apache.spark.sql.functions.col("doc_id") +:
+        Dedup.minhashSignatureCols(org.apache.spark.sql.functions.col("text"), 2, 8): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
+    assert(perRow.keySet == agg.keySet)
+    agg.keySet.foreach(k => assert(perRow(k) == agg(k), s"doc $k"))
+  }
 }

@@ -71,4 +71,31 @@ class LayoutSpec extends SparkSpec {
     assert(tSpan > 60.0)
     assert(zSpan < tSpan / 2.0)
   }
+
+  test("compactionPlan: contiguous first-fit groups; oversized file isolated") {
+    val sp = spark
+    import sp.implicits._
+    val files = Seq(
+      ("p1", "f01", 600L), ("p1", "f02", 600L), ("p1", "f03", 600L), // spills into grp 0
+      ("p1", "f04", 600L),  // cum_before 1800 -> grp 1
+      ("p1", "f05", 5000L), // oversized: cum_before 2400 -> grp 2, alone
+      ("p1", "f06", 100L),  // cum_before 7400 -> grp 7 (after the big one)
+      ("p2", "f01", 10L))   // other partition independent
+      .toDF("part", "file", "rows")
+    val got = Layout.compactionPlan(files, "part", "file", "rows", targetRows = 1000L)
+      .collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[String]("file")) ->
+        ((r.getAs[Long]("grp"), r.getAs[Long]("grp_rows"), r.getAs[Long]("grp_files"))))
+      .toMap
+    assert(got(("p1", "f01"))._1 == 0L)
+    assert(got(("p1", "f02"))._1 == 0L)
+    assert(got(("p1", "f03"))._1 == 1L) // cum_before 1200 -> group 1
+    assert(got(("p1", "f04"))._1 == 1L)
+    assert(got(("p1", "f05")) == ((2L, 5000L, 1L))) // big file alone
+    assert(got(("p1", "f06"))._1 == 7L)
+    assert(got(("p2", "f01")) == ((0L, 10L, 1L)))
+    // groups are contiguous runs: files sorted by name have nondecreasing grp
+    val grpsInOrder = got.toSeq.filter(_._1._1 == "p1").sortBy(_._1._2).map(_._2._1)
+    assert(grpsInOrder == grpsInOrder.sorted)
+  }
 }

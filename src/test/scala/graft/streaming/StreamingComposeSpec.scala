@@ -172,6 +172,68 @@ class StreamingComposeSpec extends SparkSpec {
     assert(streamed.size == base.size) // every duplicate dropped, nothing lost
   }
 
+  test("streaming LSH candidates across batches equal the batch band join") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // three doc families: near-dups sharing most shingles, plus singletons
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely different text about spark query plans and shuffles"),
+      (4L, "completely different text about spark query plans and shuffles here"),
+      (5L, "a lone unrelated document with nothing shared at all in it"),
+      (6L, "the quick brown fox jumps over the lazy dog again and again"),
+      (7L, null.asInstanceOf[String]))
+    val input = MemoryStream[(Long, String)]
+    val q = DocStream.lshCandidatePairs(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      n = 2, numPerm = 16, bands = 8)
+      .writeStream.outputMode("append").format("memory").queryName("lsh_stream")
+      .start()
+    try {
+      // the colliding families are split ACROSS batches: 1,3,5 then 2,4,7 then 6
+      input.addData(Seq(docs(0), docs(2), docs(4)))
+      q.processAllAvailable()
+      input.addData(Seq(docs(1), docs(3), docs(6)))
+      q.processAllAvailable()
+      input.addData(Seq(docs(5)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = sp.table("lsh_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Dedup.lshCandidates(
+      docs.toDF("doc_id", "text"), "doc_id", "text", n = 2, numPerm = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.contains((1L, 2L)) && streamed.contains((3L, 4L))) // the families
+    assert(streamed.contains((1L, 6L)) && streamed.contains((2L, 6L))) // exact dup pair
+    assert(!streamed.exists { case (a, b) => a == 5L || b == 5L || a == 7L || b == 7L })
+  }
+
+  test("streaming LSH candidates: a hot bucket stops accumulating at maxBucket") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // 8 identical docs all but guarantee one shared bucket per band; cap 3
+    // means pairs only form among the first 3 arrivals: 3 choose 2 per the
+    // set, not 8 choose 2
+    val docs = (1L to 8L).map(i => (i, "same boilerplate text repeated on every page of the crawl"))
+    val input = MemoryStream[(Long, String)]
+    val q = DocStream.lshCandidatePairs(
+      input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+      n = 2, numPerm = 16, bands = 8, maxBucket = 3)
+      .writeStream.outputMode("append").format("memory").queryName("lsh_capped")
+      .start()
+    try {
+      input.addData(docs.take(4)); q.processAllAvailable()
+      input.addData(docs.drop(4)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = sp.table("lsh_capped").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("ewma: the streaming flatMapGroupsWithState fold equals the batch secondary-sort fold") {
     val sp = spark
     import sp.implicits._
