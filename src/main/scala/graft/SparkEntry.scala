@@ -1039,6 +1039,18 @@ object SparkEntry {
     "q_bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpePairCounts(Tables.documents(s, dir), "text", k = 50)),
 
+    // ---- learned BPE: greedy merge learning on the word-vocabulary frame,
+    // then the deterministic per-word encode fold over the merge list ------
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = TextAnalysis.bpeLearn(docs, "text", nMerges = 20)
+      docs.where(col("text").isNotNull)
+        .select(col("doc_id"), TextAnalysis.bpeEncode(col("text"), merges).as("__t"))
+        .select(col("doc_id"), array_join(col("__t"), " ").as("encoded"),
+          size(col("__t")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- per-source length profile: exact interpolated percentiles ------
     "q_source_profile" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -2389,6 +2401,26 @@ object SparkEntry {
        |FROM p ORDER BY l_returnflag, digit""".stripMargin
   }
 
+  /** DuckDB mirror of [[TextAnalysis.bpeEncode]] around Verify-time learned
+    * merges: the identical wrapped-symbol replace fold, as nested built-in
+    * `replace` calls per word (list_transform keeps word order; no explode).
+    * Merge symbols interpolate as SQL literals with quotes doubled.
+    */
+  private def bpeEncodeSql(merges: Seq[(String, String)]): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val wrapped = "'·' || array_to_string(string_split(w, ''), '··') || '·'"
+    val folded = merges.foldLeft(wrapped) { case (c, (a, b)) =>
+      s"replace($c, '·${esc(a)}··${esc(b)}·', '·${esc(a)}${esc(b)}·')"
+    }
+    s"""WITH e AS (SELECT doc_id,
+       |    flatten(list_transform(string_split(text, ' '),
+       |      w -> string_split(regexp_replace($folded, '^·|·$$', '', 'g'), '··'))) AS toks
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT doc_id, array_to_string(toks, ' ') AS encoded,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB mirror of [[Skew.countMinAudit]] (width 64, depth 4, top 20
     * over `events.user_id`): the engine's seeded hash rows interpolated as
     * struct literals so both engines run identical integer arithmetic.
@@ -3107,6 +3139,10 @@ object SparkEntry {
     * entry. Currently: the IVF coarse quantizer's centroids.
     */
   def dataDependentOracles(spark: SparkSession, dir: String): Map[String, String] = Map(
+    "q_bpe_encode" -> {
+      val merges = TextAnalysis.bpeLearn(Tables.documents(spark, dir), "text", nMerges = 20)
+      bpeEncodeSql(merges)
+    },
     "q_knn_ivf" -> {
       val cents = Similarity.trainIvfCentroids(
         Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, seed = 42L)

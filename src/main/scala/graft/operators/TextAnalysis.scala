@@ -492,6 +492,88 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BPE symbol-string separator: each symbol is wrapped `·sym·`, so a
+    * merge of (a, b) is the plain string replace `·a··b·` → `·ab·` — and
+    * because adjacent wrapped symbols share NO characters, built-in
+    * left-to-right non-overlapping replace IS the greedy BPE application
+    * (`a a a a` merging (a,a) gives `aa aa`, not `aa a a`). U+00B7 cannot
+    * appear in the ASCII corpora this tokenizes.
+    */
+  private val BpeSep = "·"
+
+  private def bpeWrap(w: Column): Column =
+    concat(lit(BpeSep), array_join(split(w, ""), BpeSep + BpeSep), lit(BpeSep))
+
+  /** Greedy BPE merge learning (Sennrich, Haddow & Birch 2016) on the
+    * word-frequency table — the real subword-vocabulary construction the
+    * regex [[bpeTokens]] approximates: start from characters, repeatedly
+    * merge the corpus-wide most frequent adjacent symbol pair (ties to the
+    * lexicographically smaller pair — deterministic), `nMerges` times.
+    *
+    * Plan shape per round ([[graft.operators.Graph.pageRank]]'s
+    * "driver steers, cluster computes" contract): one pair explode + one
+    * combinable count over the WORD-VOCABULARY frame (never the corpus —
+    * the corpus is paid once, in the initial word count), and the single
+    * driver-side action is the 1-row argmax. Lineage is truncated every
+    * few rounds. Stops early when no pair remains.
+    *
+    * Returns the ordered merge list — feed it to [[bpeEncode]].
+    */
+  def bpeLearn(df: DataFrame, text: String, nMerges: Int): Seq[(String, String)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    var vocab = df.filter(col(text).isNotNull)
+      .select(explode(tokens(col(text))).as("__w"))
+      .where(col("__w") =!= "")
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .select(bpeWrap(col("__w")).as("__s"), col("__c"))
+      .localCheckpoint() // vocab-sized; materializes the one corpus pass
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val syms = split(regexp_replace(col("__s"), s"^$BpeSep|$BpeSep$$", ""), BpeSep + BpeSep)
+      val pairs = when(size(syms) >= 2,
+        transform(sequence(lit(0), size(syms) - 2),
+          i => struct(element_at(syms, i + 1).as("a"), element_at(syms, i + 2).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+      val best = vocab
+        .select(explode(pairs).as("__p"), col("__c"))
+        .groupBy(col("__p.a"), col("__p.b"))
+        .agg(sum(col("__c")).as("__n"))
+        .orderBy(col("__n").desc, col("a"), col("b"))
+        .limit(1)
+        .collect() // ONE row: the argmax pair
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += ((a, b))
+        vocab = vocab.withColumn("__s",
+          replace(col("__s"), lit(s"$BpeSep$a$BpeSep$BpeSep$b$BpeSep"),
+            lit(s"$BpeSep$a$b$BpeSep")))
+        round += 1
+        if (round % 5 == 0) vocab = vocab.localCheckpoint()
+      }
+    }
+    merges.result()
+  }
+
+  /** Apply an ordered BPE merge list to a text column — the tokenizer's
+    * ENCODE half: each whitespace word starts as wrapped characters and
+    * folds through the merges in learned order (each application is one
+    * engine-native `replace`, greedy left-to-right by the wrap construction
+    * — see [[bpeWrap]]). Map-only, no UDF, reproducible in any engine with
+    * string replace. Returns the subword token array of the document.
+    */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    val perWord = transform(tokens(text), w => {
+      val folded = merges.foldLeft(bpeWrap(w)) { case (c, (a, b)) =>
+        replace(c, lit(s"$BpeSep$a$BpeSep$BpeSep$b$BpeSep"), lit(s"$BpeSep$a$b$BpeSep"))
+      }
+      split(regexp_replace(folded, s"^$BpeSep|$BpeSep$$", ""), BpeSep + BpeSep)
+    })
+    flatten(perWord)
+  }
+
   /** BM25 lexical retrieval (Robertson/Spärck Jones; the +1 idf form used
     * by Lucene, so idf is always positive): top-k documents for a small
     * fixed term set — the lexical baseline next to the embedding ANN, and

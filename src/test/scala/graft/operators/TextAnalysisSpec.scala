@@ -563,6 +563,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(("f1", "f2")) == ((2L, 1L, 1L)))
   }
 
+  test("bpeLearn: greedy merges in frequency order with lexicographic ties") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    // round 1: (a,a) count 4 beats (a,b) count 3; round 2: (a,b) count 3
+    // beats (aa,a) count 2; round 3: only (aa,ab) remains; then exhausted
+    val merges = TextAnalysis.bpeLearn(docs, "text", nMerges = 10)
+    assert(merges == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+  }
+
+  test("bpeEncode: greedy left-to-right application of the learned merges") {
+    val sp = spark
+    import sp.implicits._
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    val c = org.apache.spark.sql.functions.col _
+    val got = Seq((1L, "aaab ab aaa"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .select(c("doc_id"), TextAnalysis.bpeEncode(c("text"), merges).as("t"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1)).map(_.toList)).toMap
+    // aaab -> aa,a,b -> aa,ab -> aaab; ab -> ab; aaa -> aa,a (greedy: first
+    // pair merges, the lone tail 'a' stays)
+    assert(got(1L) == Some(List("aaab", "ab", "aa", "a")))
+    assert(got(2L).isEmpty) // null text stays null
+  }
+
   test("kappaMatrix: perfect agreement scores 1, constant pair is undefined") {
     val sp = spark
     import sp.implicits._
