@@ -89,7 +89,10 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""queries":$fullQs,"ingest_rows_per_sec":${s3(ingest)},"sf":"$sfDir","total_sec":${s3(total)}}"""
-    try {
+    // only a FULL pass may overwrite the committed full map — a restricted
+    // SPARK_GRAFT_BENCH_ONLY iteration run would otherwise clobber it with
+    // a 2-query fragment (round 6 caught exactly that in the working tree)
+    if (only.isEmpty) try {
       val out = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json"))
       java.nio.file.Files.write(out, (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }

@@ -1842,6 +1842,26 @@ object SparkEntry {
       Skew.countMinAudit(events(s, dir), "user_id", width = 64, depth = 4, topN = 20)
     }),
 
+    // ---- Bloom runtime-filter audit: prune the fact scan pre-shuffle -----
+    "q_bloom_join" -> ((s, dir) => {
+      Sketches.bloomAudit(Tables.lineitem(s, dir),
+        Tables.orders(s, dir).where(col("o_totalprice") > 150000.0),
+        "l_orderkey", "o_orderkey", mBits = 1 << 20, kHashes = 3)
+    }),
+
+    // ---- HyperLogLog distinct-user audit per event type ------------------
+    "q_hll" -> ((s, dir) => {
+      Sketches.hllAudit(events(s, dir), "event_type", "user_id", p = 8)
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- log2-bucket (HDR-style) quantile estimates vs exact ranks -------
+    "q_hdr_quantiles" -> ((s, dir) => {
+      Sketches.hdrQuantiles(events(s, dir), "event_type", "value",
+        Seq(0.5, 0.9, 0.99))
+        .orderBy(col("event_type"), col("q"))
+    }),
+
     // ---- lead-lag cross-correlation: does click volume lead purchases? ---
     "q_lead_lag" -> ((s, dir) => {
       TimeSeries.leadLagCorr(events(s, dir), "event_type", "ts_us", "value",
@@ -2419,6 +2439,103 @@ object SparkEntry {
        |SELECT doc_id, array_to_string(toks, ' ') AS encoded,
        |  CAST(len(toks) AS BIGINT) AS n_tokens
        |FROM e ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB mirror of [[Sketches.bloomAudit]] (2²⁰ bits, 3 hashes, seed 42,
+    * orders over 150k against lineitem): bit membership restated as set
+    * membership over the distinct bit POSITIONS — a key passes iff all 3 of
+    * its hash rows find their position in the build side's position set,
+    * which is exactly the word-array bit test.
+    */
+  private lazy val bloomJoinSql: String = {
+    val (as, bs) = Sketches.hashConsts(3, 42L)
+    val structs = (0 until 3).map(i =>
+      s"{'r': $i, 'a': ${as(i)}, 'b': ${bs(i)}}").mkString(", ")
+    val m = 1 << 20
+    val hash = "CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8) AS BIGINT)"
+    s"""WITH bk AS (SELECT DISTINCT o_orderkey AS k FROM orders
+       |            WHERE o_orderkey IS NOT NULL AND o_totalprice > 150000.0),
+       |bh AS (SELECT $hash AS x, unnest([$structs]) AS u FROM bk),
+       |bpos AS (SELECT DISTINCT ((u.a * x + u.b) % 2147483647) % $m AS pos FROM bh),
+       |pk AS (SELECT DISTINCT l_orderkey AS k FROM lineitem
+       |       WHERE l_orderkey IS NOT NULL),
+       |ph AS (SELECT k, $hash AS x, unnest([$structs]) AS u FROM pk),
+       |ppos AS (SELECT k, u.r AS r, ((u.a * x + u.b) % 2147483647) % $m AS pos FROM ph),
+       |pass AS (SELECT k FROM ppos JOIN bpos USING (pos)
+       |         GROUP BY k HAVING count(DISTINCT r) = 3),
+       |pr AS (SELECT l_orderkey AS k FROM lineitem WHERE l_orderkey IS NOT NULL),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_probe,
+       |          CAST(count(*) FILTER (WHERE k IN (SELECT k FROM pass)) AS BIGINT) AS n_pass,
+       |          CAST(count(*) FILTER (WHERE k IN (SELECT k FROM bk)) AS BIGINT) AS n_match
+       |        FROM pr)
+       |SELECT n_probe, n_pass, n_match, n_pass - n_match AS n_false_pos,
+       |  CASE WHEN n_probe = n_match THEN 0.0
+       |       ELSE round((n_pass - n_match) / CAST(n_probe - n_match AS DOUBLE), 6)
+       |  END AS fp_rate
+       |FROM agg""".stripMargin
+  }
+
+  /** DuckDB mirror of [[Sketches.hllAudit]] (p = 8 over
+    * `events.user_id` by event_type): identical md5-prefix hash, bucket/rank
+    * split via the engines' shared `length(bin(x))` msb, the EXACT
+    * 2^(24−M)-scaled BIGINT harmonic sum, and the same one-expression
+    * bias-corrected estimate with linear-counting fallback.
+    */
+  private lazy val hllSql: String = {
+    s"""WITH b AS (SELECT event_type AS g, user_id AS k,
+       |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS x
+       |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+       |r AS (SELECT g, x // 16777216 AS bk,
+       |        CASE WHEN x % 16777216 = 0 THEN 25
+       |             ELSE 25 - length(bin(x % 16777216)) END AS rk
+       |      FROM b),
+       |regs AS (SELECT g, bk, max(rk) AS m FROM r GROUP BY 1, 2),
+       |pg AS (SELECT g, CAST(sum(1::BIGINT << CAST(24 - m AS INTEGER)) AS BIGINT) AS s,
+       |         CAST(count(*) AS BIGINT) AS nb
+       |       FROM regs GROUP BY 1),
+       |ex AS (SELECT g, CAST(count(DISTINCT k) AS BIGINT) AS n_exact FROM b GROUP BY 1),
+       |est AS (SELECT g,
+       |    0.7213 / (1.0 + 1.079 / 256) * 256.0 * 256.0 * 16777216.0 /
+       |      CAST(s + (256 - nb) * 16777216 AS DOUBLE) AS raw,
+       |    256 - nb AS zeros
+       |  FROM pg),
+       |e2 AS (SELECT g, CASE WHEN raw <= 640.0 AND zeros > 0
+       |                      THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+       |                      ELSE raw END AS est
+       |       FROM est)
+       |SELECT g AS event_type, n_exact, round(est, 4) AS n_est,
+       |  round(abs(est - n_exact) / n_exact, 4) AS rel_err
+       |FROM e2 JOIN ex USING (g) ORDER BY event_type""".stripMargin
+  }
+
+  /** DuckDB mirror of [[Sketches.hdrQuantiles]] (q ∈ {0.5, 0.9, 0.99} over
+    * `events.value` by event_type): same log₂ buckets via `length(bin(v))`,
+    * same cumulative-count bucket election, same ⌈q·n⌉ rank statistic.
+    * Quantiles are DOUBLE on both sides (a DuckDB DECIMAL literal would do
+    * exact `q·n` arithmetic where Spark does IEEE).
+    */
+  private lazy val hdrQuantilesSql: String = {
+    s"""WITH b AS (SELECT event_type AS g, CAST(floor(value) AS BIGINT) AS v
+       |  FROM events
+       |  WHERE event_type IS NOT NULL AND value IS NOT NULL AND value > 0),
+       |b2 AS (SELECT g, v FROM b WHERE v > 0),
+       |h AS (SELECT g, CAST(length(bin(v)) AS BIGINT) AS bk,
+       |        CAST(count(*) AS BIGINT) AS c
+       |      FROM b2 GROUP BY 1, 2),
+       |qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q),
+       |cum AS (SELECT g, bk, sum(c) OVER (PARTITION BY g ORDER BY bk) AS cm,
+       |          sum(c) OVER (PARTITION BY g) AS n
+       |        FROM h),
+       |est AS (SELECT g, q, CAST(n AS BIGINT) AS n,
+       |          (1::BIGINT << CAST(min(bk) AS INTEGER)) - 1 AS est_hi
+       |        FROM cum JOIN qs ON cm >= ceil(q * n) GROUP BY g, q, n),
+       |rk AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+       |       FROM b2),
+       |np AS (SELECT g, CAST(count(*) AS BIGINT) AS nn FROM b2 GROUP BY 1),
+       |want AS (SELECT g, q, CAST(ceil(q * nn) AS INTEGER) AS rn FROM np, qs),
+       |exq AS (SELECT g, q, v AS exact FROM rk JOIN want USING (g, rn))
+       |SELECT g AS event_type, q, n, est_hi, exact
+       |FROM est JOIN exq USING (g, q) ORDER BY event_type, q""".stripMargin
   }
 
   /** DuckDB mirror of [[Skew.countMinAudit]] (width 64, depth 4, top 20
@@ -5677,6 +5794,12 @@ object SparkEntry {
     // md5-prefix key hash, counter build, and min-of-depth estimate are
     // BIGINT end to end
     "q_cm_sketch" -> cmSketchSql,
+
+    "q_bloom_join" -> bloomJoinSql,
+
+    "q_hll" -> hllSql,
+
+    "q_hdr_quantiles" -> hdrQuantilesSql,
 
     // lead-lag: hour-bucket 6-dp means, the (2L+1)-way lag explode of the
     // AGGREGATED series, explicit-sum Pearson per lag

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+
+  test("bloom: no false negatives ever; a small filter admits false positives") {
+    val sp = spark
+    import sp.implicits._
+    val build = (0L until 200L).map(i => i * 7L).toDF("k")
+    val probe = (0L until 2000L).toDF("k")
+    val pruned = Sketches.bloomSemiJoin(probe, build, "k", "k",
+      mBits = 4096, kHashes = 3).as[Long].collect().toSet
+    val truth = (0L until 2000L).filter(i => i % 7 == 0 && i / 7 < 200).toSet
+    assert(truth.subsetOf(pruned), "bloom dropped a true member")
+    // 600 set bits in 4096 → some false positives are expected; all of them
+    // must still be a small minority of the non-members
+    val fp = pruned -- truth
+    assert(fp.size < 400, s"implausible false-positive count ${fp.size}")
+  }
+
+  test("bloom audit reconciles: n_pass - n_match = n_false_pos, fp within bound") {
+    val sp = spark
+    import sp.implicits._
+    val build = (0L until 100L).map(i => i * 3L).toDF("k")
+    val probe = (0L until 1000L).toDF("k")
+    val r = Sketches.bloomAudit(probe, build, "k", "k", mBits = 1 << 16, kHashes = 3)
+      .collect().head
+    val (nProbe, nPass, nMatch, nFp, fpRate) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    assert(nProbe == 1000L)
+    assert(nMatch == 100L) // multiples of 3 below 300
+    assert(nPass >= nMatch)
+    assert(nFp == nPass - nMatch)
+    assert(math.abs(fpRate - nFp.toDouble / (nProbe - nMatch)) < 1e-6)
+    // 300 bits set in 65536: fp rate should be far below 1%
+    assert(fpRate < 0.01, s"fp_rate $fpRate too high for this load factor")
+  }
+
+  test("hll audit: estimate within the expected error band, exact is exact") {
+    val sp = spark
+    import sp.implicits._
+    val df = (0 until 20000).map { i =>
+      ("g" + (i % 2), ((i / 2) % (if (i % 2 == 0) 5000 else 300)).toLong)
+    }.toDF("g", "k")
+    val got = Sketches.hllAudit(df, "g", "k", p = 8).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("g0")._1 == 5000L)
+    assert(got("g1")._1 == 300L)
+    // m=256 → standard error 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    got.values.foreach { case (exact, est, relErr) =>
+      assert(math.abs(est - exact) / exact < 0.20, s"estimate $est vs $exact")
+      assert(relErr == BigDecimal(math.abs(est - exact) / exact)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("hdr quantiles: bucket upper bound brackets the exact rank statistic") {
+    val sp = spark
+    import sp.implicits._
+    val df = (1 to 1000).map(v => ("a", v.toLong)).toDF("g", "v")
+    val got = Sketches.hdrQuantiles(df, "g", "v", Seq(0.5, 0.99)).collect()
+      .map(r => r.getDouble(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (n50, est50, ex50) = got(0.5)
+    val (n99, est99, ex99) = got(0.99)
+    assert(n50 == 1000L && n99 == 1000L)
+    assert(ex50 == 500L && ex99 == 990L)
+    // est is the upper bound of the bucket holding the rank statistic:
+    // 500 lives in [256,511] → 511; 990 in [512,1023] → 1023
+    assert(est50 == 511L)
+    assert(est99 == 1023L)
+    // the defining guarantee: exact ≤ est_hi < 2·exact
+    assert(ex50 <= est50 && est50 < 2 * ex50)
+    assert(ex99 <= est99 && est99 < 2 * ex99)
+  }
+}
