@@ -1855,6 +1855,12 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- time-decayed trending users (bucketed half-life decay) ----------
+    "q_trending" -> ((s, dir) => {
+      EventAnalytics.trendingTopK(events(s, dir), "user_id", "ts_us",
+        halfLifeUs = 172800000000L, k = 20)
+    }),
+
     // ---- log2-bucket (HDR-style) quantile estimates vs exact ranks -------
     "q_hdr_quantiles" -> ((s, dir) => {
       Sketches.hdrQuantiles(events(s, dir), "event_type", "value",
@@ -5800,6 +5806,20 @@ object SparkEntry {
     "q_hll" -> hllSql,
 
     "q_hdr_quantiles" -> hdrQuantilesSql,
+
+    // decayed trending: same integer half-life buckets, exact BIGINT
+    // 2^(40-d) terms, one scale-back division per output row
+    "q_trending" ->
+      """WITH b AS (SELECT user_id AS k, epoch_us(ts) AS t FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |m AS (SELECT max(t) AS tmax FROM b),
+        |d AS (SELECT k, CAST(least(floor((tmax - t) / 172800000000.0), 40.0) AS INTEGER) AS d
+        |      FROM b, m),
+        |g AS (SELECT k AS user_id, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(1::BIGINT << (40 - d)) AS BIGINT) AS s
+        |      FROM d GROUP BY 1)
+        |SELECT user_id, n, round(s / 1099511627776.0, 6) AS score
+        |FROM g ORDER BY score DESC, user_id LIMIT 20""".stripMargin,
 
     // lead-lag: hour-bucket 6-dp means, the (2L+1)-way lag explode of the
     // AGGREGATED series, explicit-sum Pearson per lag

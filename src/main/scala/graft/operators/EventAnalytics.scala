@@ -390,4 +390,39 @@ object EventAnalytics {
       .select(col("__day").as("day"), col("dau"), col("wau"),
         quantize6(col("dau") / col("wau")).as("stickiness"))
   }
+
+  /** Exponentially time-decayed heavy hitters — the "trending now" ranking:
+    * each event contributes `2^(−age/halfLife)` anchored at the stream's
+    * max timestamp, so a key's score halves every `halfLife` with no
+    * windowed re-scan, and a decayed sum is STILL a plain sum of per-event
+    * terms — map-side combinable, mergeable across shards and days.
+    *
+    * Determinism: the decay exponent is the INTEGER halfLife count
+    * `d = min(⌊age/halfLife⌋, 40)` (bucketed decay, the common production
+    * form), each term is the exact BIGINT `2^(40−d)`, and the per-key sum
+    * is integer arithmetic — no floating summation-order hazard anywhere;
+    * the single scale-back division happens once per OUTPUT row. Events
+    * older than 40 half-lives contribute 0 (they'd be below 1e-12 anyway).
+    *
+    * Output: top `k` keys by `(score DESC, key)` as `(key, n, score)`.
+    */
+  def trendingTopK(df: DataFrame, key: String, ts: String, halfLifeUs: Long,
+      k: Int): DataFrame = {
+    require(halfLifeUs > 0, s"halfLifeUs must be positive, got $halfLifeUs")
+    require(k > 0, s"k must be positive, got $k")
+    val base = df.where(col(key).isNotNull && col(ts).isNotNull)
+      .select(col(key).as("__k"), col(ts).cast("long").as("__t"))
+    val tRef = base.agg(max(col("__t")).as("__tmax")) // 1 row
+    base.crossJoin(broadcast(tRef))
+      .select(col("__k"),
+        least(floor((col("__tmax") - col("__t")) / lit(halfLifeUs.toDouble)),
+          lit(40.0)).cast("int").as("__d"))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n"),
+        sum(call_function("shiftleft", lit(1L), lit(40) - col("__d"))).as("__s"))
+      .select(col("__k").as(key), col("n"),
+        round(col("__s") / lit(1099511627776.0), 6).as("score")) // 2^40
+      .orderBy(col("score").desc, col(key))
+      .limit(k)
+  }
 }

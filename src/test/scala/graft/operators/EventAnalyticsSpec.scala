@@ -264,4 +264,19 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got(0).getAs[Long]("n_conv") == 0L)
     assert(got(0).isNullAt(got(0).fieldIndex("p50_us")))
   }
+
+  test("trendingTopK: bucketed half-life decay, exact dyadic scores") {
+    val sp = spark
+    import sp.implicits._
+    val H = 1000000L // half-life: 1 s in micros
+    // anchor t=10s. a: events at ages 0,1,2 half-lives -> 1 + 0.5 + 0.25
+    // b: ages 3,3,~2.999,~2.0 -> 0.125+0.125+0.25+0.25 = 0.75; c: ancient -> 0
+    val rows = Seq(
+      ("a", 10000000L), ("a", 9000000L), ("a", 8000000L),
+      ("b", 7000000L), ("b", 7000000L), ("b", 7000001L), ("b", 7999999L),
+      ("c", 10000000L - 50 * H))
+    val got = EventAnalytics.trendingTopK(rows.toDF("k", "t"), "k", "t", H, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toList == List(("a", 3L, 1.75), ("b", 4L, 0.75), ("c", 1L, 0.0)))
+  }
 }
