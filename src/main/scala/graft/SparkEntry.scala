@@ -1855,6 +1855,12 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- DTW shape distance of each event-type series vs the click trace -
+    "q_dtw" -> ((s, dir) => {
+      TimeSeries.dtwProfile(events(s, dir), "event_type", "ts_us", "value",
+        refKey = "click", bucketUs = 21600000000L)
+    }),
+
     // ---- time-decayed trending users (bucketed half-life decay) ----------
     "q_trending" -> ((s, dir) => {
       EventAnalytics.trendingTopK(events(s, dir), "user_id", "ts_us",
@@ -5806,6 +5812,39 @@ object SparkEntry {
     "q_hll" -> hllSql,
 
     "q_hdr_quantiles" -> hdrQuantilesSql,
+
+    // DTW: same 6-dp bucket means; the DP fold re-expressed as DuckDB's
+    // nested list_reduce with a VARCHAR DP row (1.0 list_reduce has no init
+    // arg — prepend it — and mis-threads struct accumulators; doubles
+    // round-trip VARCHAR exactly). Identical IEEE add/min order → identical
+    // cells.
+    "q_dtw" ->
+      """WITH s AS (SELECT event_type AS k, epoch_us(ts) // 21600000000 AS b,
+        |    round(avg(CAST(value AS DOUBLE)), 6) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |g AS (SELECT k, list(v ORDER BY b) AS arr FROM s GROUP BY 1),
+        |rf AS (SELECT arr AS ref FROM g WHERE k = 'click'),
+        |d AS (SELECT k, arr, ref,
+        |        list_reduce(
+        |          list_concat(['0.0' || repeat(';1e18', len(ref))],
+        |                      [CAST(x AS VARCHAR) FOR x IN arr]),
+        |          (rw, x) -> list_reduce(
+        |            list_concat(['1e18'],
+        |                        [CAST(i AS VARCHAR) FOR i IN generate_series(1, len(ref))]),
+        |            (acc, i) -> acc || ';' || CAST(
+        |              abs(ref[CAST(i AS BIGINT)] - CAST(x AS DOUBLE)) +
+        |              least(CAST(string_split(acc, ';')[len(string_split(acc, ';'))] AS DOUBLE),
+        |                    CAST(string_split(rw, ';')[CAST(i AS BIGINT) + 1] AS DOUBLE),
+        |                    CAST(string_split(rw, ';')[CAST(i AS BIGINT)] AS DOUBLE)) AS VARCHAR)))
+        |        AS st
+        |      FROM g, rf)
+        |SELECT k AS event_type, CAST(len(arr) AS BIGINT) AS n,
+        |  CAST(len(ref) AS BIGINT) AS m,
+        |  round(CAST(string_split(st, ';')[len(ref) + 1] AS DOUBLE), 6) AS dtw,
+        |  round(round(CAST(string_split(st, ';')[len(ref) + 1] AS DOUBLE), 6)
+        |        / (len(arr) + len(ref)), 6) AS dtw_norm
+        |FROM d ORDER BY event_type""".stripMargin,
 
     // decayed trending: same integer half-life buckets, exact BIGINT
     // 2^(40-d) terms, one scale-back division per output row

@@ -1304,4 +1304,55 @@ object TimeSeries {
       .orderBy(abs(col("residual")).desc, col(key), col(ts), col("value"))
       .limit(topN)
   }
+
+  /** Dynamic-time-warping distance from every key's bucket-mean series to a
+    * reference key's series — the shape-similarity ranking that pairs PVs
+    * whose traces move together even when one lags or stretches (where
+    * [[leadLagCorr]] only handles a rigid shift). Classic DTW recurrence
+    * (Sakoe & Chiba 1978): `D[i,j] = |aᵢ − bⱼ| + min(D[i−1,j], D[i,j−1],
+    * D[i−1,j−1])`, anchored both ends.
+    *
+    * Plan shape: one keyed bucket-mean aggregation (map-side combinable,
+    * 6-dp means exactly like [[leadLagCorr]]), one collect_list per key —
+    * the per-key DP then runs INSIDE the engine as a nested
+    * `aggregate(...)` fold over the value array (row-by-row over the key's
+    * series, left-to-right within a row; state = one DP row, never the
+    * matrix), with the reference row broadcast as a one-row cross join. No
+    * UDF, no driver loop; per-key cost is `n·m` over BUCKET counts (a
+    * month at 6 h buckets is ~120 points), not raw rows — the bucket width
+    * IS the scale knob. Arithmetic is a fixed-order chain of IEEE adds on
+    * 6-dp inputs, so any engine folding the same order reproduces it
+    * bit-for-bit.
+    *
+    * Output: `(key, n, m, dtw, dtw_norm)` with `dtw_norm = dtw/(n+m)`
+    * (path-length normalized), ordered by key; the reference key rides
+    * along with distance 0 as a built-in sanity row.
+    */
+  def dtwProfile(df: DataFrame, key: String, ts: String, value: String,
+      refKey: String, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    val series = df.where(col(key).isNotNull && col(value).isNotNull)
+      .groupBy(col(key).as("__k"), expr(s"$ts DIV ${bucketUs}L").as("__b"))
+      .agg(round(avg(col(value)), 6).as("__v"))
+    val arrs = series.groupBy(col("__k"))
+      .agg(array_sort(collect_list(struct(col("__b"), col("__v")))).as("__sv"))
+      .select(col("__k"), expr("transform(__sv, s -> s.__v)").as("__arr"))
+    val ref = arrs.where(col("__k") === refKey).select(col("__arr").as("__ref"))
+    arrs.crossJoin(broadcast(ref)) // 1-row reference
+      .select(col("__k"), size(col("__arr")).cast("long").as("n"),
+        size(col("__ref")).cast("long").as("m"),
+        expr("""round(element_at(
+            aggregate(__arr,
+              concat(array(0.0D), transform(__ref, y -> 1e18)),
+              (r, x) -> aggregate(sequence(1, size(__ref)),
+                array(1e18),
+                (acc, i) -> concat(acc, array(
+                  abs(element_at(__ref, i) - x) +
+                  least(element_at(acc, -1), element_at(r, i + 1),
+                        element_at(r, i)))))),
+            -1), 6)""").as("dtw"))
+      .withColumn("dtw_norm", round(col("dtw") / (col("n") + col("m")), 6))
+      .orderBy(col("__k"))
+      .withColumnRenamed("__k", key)
+  }
 }

@@ -846,4 +846,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(1)._1 == 0L && got(1)._2._3 == -10.0)
     assert(got(2)._1 == 7L * day && got(2)._2._3 == -10.0)
   }
+
+  test("dtwProfile: classic DP against a hand-computed warping distance") {
+    val sp = spark
+    import sp.implicits._
+    // bucket width 10: ref series [1,2,3]; other series [1,3] (buckets 0,1);
+    // DTW([1,2,3],[1,3]) = 1 (2 aligns to either neighbor at cost 1);
+    // self-distance is 0
+    val rows = Seq(
+      ("r", 5L, 1.0), ("r", 15L, 2.0), ("r", 25L, 3.0),
+      ("o", 5L, 1.0), ("o", 15L, 3.0))
+    val got = TimeSeries.dtwProfile(rows.toDF("k", "ts_us", "v"), "k", "ts_us", "v",
+      refKey = "r", bucketUs = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toList
+    assert(got == List(("o", 2L, 3L, 1.0, 0.2), ("r", 3L, 3L, 0.0, 0.0)))
+  }
 }
