@@ -22,6 +22,14 @@ object SparkEntry {
   private final val T0 = 1704672000000000L // 2024-01-08T00:00:00Z (us)
   private final val T1 = 1705881600000000L // 2024-01-22T00:00:00Z (us)
   private final val TMID = 1705276800000000L // 2024-01-15T00:00:00Z (us)
+
+  /** q_iforest feature columns over the derived-`ts_us` events frame:
+    * value, hour-of-day, day-of-week — mirrored verbatim as DuckDB
+    * expressions in [[dataDependentOracles]]. */
+  private def iforestFeatures: Seq[Column] = Seq(
+    col("value"),
+    expr("CAST((ts_us DIV 3600000000L) % 24 AS DOUBLE)"),
+    expr("CAST((ts_us DIV 86400000000L) % 7 AS DOUBLE)"))
   private final val RUN_WEEK_US = 604800000000L // 7 days in micros
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -1855,6 +1863,12 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- isolation-forest anomaly ranking (driver-trained, codegen apply)
+    "q_iforest" -> ((s, dir) => {
+      AnomalyForest.anomalies(events(s, dir), "event_id", iforestFeatures,
+        nTrees = 25, sampleSize = 256, maxDepth = 6, topN = 50)
+    }),
+
     // ---- DTW shape distance of each event-type series vs the click trace -
     "q_dtw" -> ((s, dir) => {
       TimeSeries.dtwProfile(events(s, dir), "event_type", "ts_us", "value",
@@ -3271,6 +3285,20 @@ object SparkEntry {
     "q_bpe_encode" -> {
       val merges = TextAnalysis.bpeLearn(Tables.documents(spark, dir), "text", nMerges = 20)
       bpeEncodeSql(merges)
+    },
+    "q_iforest" -> {
+      // re-train the identical forest (deterministic sample + seeded PRNG)
+      // and emit it as a pure CASE-expression scorer — no libm anywhere
+      val forest = AnomalyForest.train(Tables.events(spark, dir), "event_id",
+        iforestFeatures, nTrees = 25, sampleSize = 256, maxDepth = 6)
+      val sqlFeats = Seq(
+        "CAST(value AS DOUBLE)",
+        "CAST((epoch_us(ts) // 3600000000) % 24 AS DOUBLE)",
+        "CAST((epoch_us(ts) // 86400000000) % 7 AS DOUBLE)")
+      s"""SELECT event_id, ${AnomalyForest.scoreSql(forest, sqlFeats)} AS score
+         |FROM events
+         |WHERE event_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+         |ORDER BY score, event_id LIMIT 50""".stripMargin
     },
     "q_knn_ivf" -> {
       val cents = Similarity.trainIvfCentroids(
