@@ -1863,6 +1863,12 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- JL sparse-projection distortion audit over the embeddings -------
+    "q_jl_audit" -> ((s, dir) => {
+      Similarity.jlDistortionAudit(Tables.embeddings(s, dir), "vec_id",
+        "embedding", inDim = 64, outDim = 16)
+    }),
+
     // ---- isolation-forest anomaly ranking (driver-trained, codegen apply)
     "q_iforest" -> ((s, dir) => {
       AnomalyForest.anomalies(events(s, dir), "event_id", iforestFeatures,
@@ -2465,6 +2471,48 @@ object SparkEntry {
        |SELECT doc_id, array_to_string(toks, ' ') AS encoded,
        |  CAST(len(toks) AS BIGINT) AS n_tokens
        |FROM e ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB mirror of [[Similarity.jlDistortionAudit]] (64 → 16, seed 42):
+    * the identical seeded ±1/0 matrix as a list literal, the same
+    * fixed-order scalar folds (init prepended — DuckDB 1.0 list_reduce has
+    * no init arg), every float CAST to DOUBLE before arithmetic.
+    */
+  private lazy val jlAuditSql: String = {
+    val rl = Similarity.jlMatrix(64, 16, 42L).mkString("[", ",", "]")
+    val scale = s"CAST(${math.sqrt(3.0 / 16)} AS DOUBLE)"
+    s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+       |           WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+       |             AND len(embedding) = 64),
+       |p AS (SELECT a.id AS id_a, b.id AS id_b, a.v AS va, b.v AS vb
+       |      FROM e a JOIN e b ON b.id = a.id + 1 WHERE a.id % 2 = 0),
+       |m AS (SELECT $rl AS rl),
+       |pr AS (SELECT id_a, id_b, va, vb,
+       |         list_transform(generate_series(0, 15), j ->
+       |           list_reduce(list_concat([0.0::DOUBLE],
+       |             list_transform(generate_series(1, 64), i ->
+       |               CAST(va[i] AS DOUBLE) * rl[j * 64 + i])),
+       |             (acc, x) -> acc + x)) AS pa,
+       |         list_transform(generate_series(0, 15), j ->
+       |           list_reduce(list_concat([0.0::DOUBLE],
+       |             list_transform(generate_series(1, 64), i ->
+       |               CAST(vb[i] AS DOUBLE) * rl[j * 64 + i])),
+       |             (acc, x) -> acc + x)) AS pb
+       |       FROM p, m),
+       |c AS (SELECT id_a, id_b,
+       |        sqrt(list_reduce(list_concat([0.0::DOUBLE],
+       |          list_transform(generate_series(1, 64), i ->
+       |            (CAST(va[i] AS DOUBLE) - CAST(vb[i] AS DOUBLE)) *
+       |            (CAST(va[i] AS DOUBLE) - CAST(vb[i] AS DOUBLE)))),
+       |          (acc, x) -> acc + x)) AS dor,
+       |        $scale * sqrt(list_reduce(list_concat([0.0::DOUBLE],
+       |          list_transform(generate_series(1, 16), j ->
+       |            (pa[j] - pb[j]) * (pa[j] - pb[j]))),
+       |          (acc, x) -> acc + x)) AS dpr
+       |      FROM pr)
+       |SELECT id_a, id_b, round(dor, 6) AS d_orig, round(dpr, 6) AS d_proj,
+       |  CASE WHEN dor > 0.0 THEN round(dpr / dor, 6) END AS ratio
+       |FROM c ORDER BY id_a""".stripMargin
   }
 
   /** DuckDB mirror of [[Sketches.bloomAudit]] (2²⁰ bits, 3 hashes, seed 42,
@@ -5836,6 +5884,8 @@ object SparkEntry {
     "q_cm_sketch" -> cmSketchSql,
 
     "q_bloom_join" -> bloomJoinSql,
+
+    "q_jl_audit" -> jlAuditSql,
 
     "q_hll" -> hllSql,
 

@@ -1393,4 +1393,68 @@ object Similarity {
       .groupBy(col("label"), col("pred"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** The seeded Achlioptas sparse projection matrix (2003): entries are
+    * `+1 / −1 / 0` with probability `1/6, 1/6, 2/3`, flattened row-major
+    * `[j·inDim + i]` — shared with the oracle mirror so both engines embed
+    * the identical literal. */
+  private[graft] def jlMatrix(inDim: Int, outDim: Int, seed: Long): Array[Int] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(inDim * outDim) {
+      val u = rnd.nextInt(6)
+      if (u == 0) 1 else if (u == 1) -1 else 0
+    }
+  }
+
+  /** Johnson–Lindenstrauss distortion audit for sparse random projection
+    * (Achlioptas 2003, database-friendly form): project the embeddings to
+    * `outDim` dimensions with a seeded `{+1,−1,0}` matrix and report, for
+    * the deterministic consecutive-id pair sample, the original vs
+    * projected Euclidean distance and their ratio — the "how small can we
+    * make the vectors before ANN quality dies" tuning table next to
+    * [[pqKnn]]'s code-book compression.
+    *
+    * Plan shape: the matrix is CONTROL PLANE (seeded, data-independent,
+    * `inDim·outDim` ints as a plan literal); projection and distances are
+    * engine-native `transform`/`aggregate` folds in fixed index order —
+    * map-only, no UDF, no shuffle beyond the pair join, and the integer
+    * matrix keeps every product exact so both engines walk identical IEEE
+    * sums. `±1` entries scale by `√(3/outDim)` once per distance, not per
+    * component.
+    *
+    * Output: `(id_a, id_b, d_orig, d_proj, ratio)` per pair, 6-dp.
+    */
+  def jlDistortionAudit(df: DataFrame, id: String, vec: String, inDim: Int,
+      outDim: Int, seed: Long = 42L): DataFrame = {
+    require(inDim >= 1 && outDim >= 1, s"bad dims: $inDim -> $outDim")
+    val rl = lit(jlMatrix(inDim, outDim, seed))
+    val scale = math.sqrt(3.0 / outDim)
+    def proj(v: Column): Column =
+      transform(sequence(lit(0), lit(outDim - 1)), j =>
+        aggregate(sequence(lit(0), lit(inDim - 1)), lit(0.0),
+          (acc, i) =>
+            acc + element_at(v, i + 1).cast("double") *
+              element_at(rl, j * inDim + i + 1)))
+    def sumsq(x: Column, y: Column, n: Int): Column =
+      aggregate(sequence(lit(0), lit(n - 1)), lit(0.0), (acc, i) => {
+        val d = element_at(x, i + 1).cast("double") -
+          element_at(y, i + 1).cast("double")
+        acc + d * d
+      })
+    val base = df.where(col(id).isNotNull && col(vec).isNotNull &&
+      size(col(vec)) === inDim)
+    val a = base.select(col(id).cast("long").as("id_a"), col(vec).as("__va"))
+    val b = base.select(col(id).cast("long").as("id_b"), col(vec).as("__vb"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .where(col("id_a") % 2 === 0)
+      .select(col("id_a"), col("id_b"),
+        sqrt(sumsq(col("__va"), col("__vb"), inDim)).as("__do"),
+        (lit(scale) * sqrt(sumsq(proj(col("__va")), proj(col("__vb")), outDim)))
+          .as("__dp"))
+      .select(col("id_a"), col("id_b"),
+        round(col("__do"), 6).as("d_orig"),
+        round(col("__dp"), 6).as("d_proj"),
+        when(col("__do") > 0.0, round(col("__dp") / col("__do"), 6)).as("ratio"))
+      .orderBy(col("id_a"))
+  }
 }

@@ -566,4 +566,26 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("src_id") -> r.getAs[Long]("dst_id")).toMap
     assert(got == Map(1L -> 21L)) // equal margins -> smaller dst id wins
   }
+
+  test("jlDistortionAudit: exact zero for identical pair, plausible ratios else") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val v0 = vec()
+    // pair (0,1): identical vectors; pairs (2,3)...(8,9): random
+    val rows = Seq(0L -> v0, 1L -> v0) ++ (2L to 9L).map(i => i -> vec())
+    val got = Similarity.jlDistortionAudit(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", inDim = 64, outDim = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+    assert(got.length == 5) // even ids 0,2,4,6,8
+    val first = got.find(_._1 == 0L).get
+    assert(first._2 == 0.0 && first._3 == 0.0 && first._4.isNaN) // ratio null
+    got.filter(_._1 != 0L).foreach { case (_, dor, dpr, ratio) =>
+      assert(dor > 0.0 && dpr > 0.0)
+      // JL with k=16: loose 3-sigma-ish band, just a sanity envelope
+      assert(ratio > 0.3 && ratio < 2.5, s"implausible distortion $ratio")
+    }
+  }
 }
