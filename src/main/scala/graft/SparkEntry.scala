@@ -1881,6 +1881,13 @@ object SparkEntry {
         refKey = "click", bucketUs = 21600000000L)
     }),
 
+    // ---- sliding 7-day distinct users via daily HLL register merge -------
+    "q_hll_sliding" -> ((s, dir) => {
+      Sketches.hllSlidingDistinct(events(s, dir), "ts_us", "user_id",
+        windowDays = 7)
+        .orderBy(col("day"))
+    }),
+
     // ---- time-decayed trending users (bucketed half-life decay) ----------
     "q_trending" -> ((s, dir) => {
       EventAnalytics.trendingTopK(events(s, dir), "user_id", "ts_us",
@@ -5888,6 +5895,39 @@ object SparkEntry {
     "q_jl_audit" -> jlAuditSql,
 
     "q_hll" -> hllSql,
+
+    // sliding HLL: daily registers, 7-way coverage explode, max-merge,
+    // then the identical estimate expression as q_hll
+    "q_hll_sliding" ->
+      """WITH b AS (SELECT user_id AS k, epoch_us(ts) // 86400000000 AS day,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS x
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |r AS (SELECT day, x // 16777216 AS bk,
+        |        CASE WHEN x % 16777216 = 0 THEN 25
+        |             ELSE 25 - length(bin(x % 16777216)) END AS rk
+        |      FROM b),
+        |daily AS (SELECT day, bk, max(rk) AS m FROM r GROUP BY 1, 2),
+        |cov AS (SELECT u.w AS w, bk, m
+        |        FROM daily, unnest(generate_series(day, day + 6)) AS u(w)),
+        |merged AS (SELECT w, bk, max(m) AS m FROM cov GROUP BY 1, 2),
+        |pg AS (SELECT w, CAST(sum(1::BIGINT << CAST(24 - m AS INTEGER)) AS BIGINT) AS s,
+        |         CAST(count(*) AS BIGINT) AS nb
+        |       FROM merged GROUP BY 1),
+        |exd AS (SELECT DISTINCT k, day FROM b),
+        |exc AS (SELECT u.w AS w, CAST(count(DISTINCT k) AS BIGINT) AS n_exact
+        |        FROM exd, unnest(generate_series(day, day + 6)) AS u(w) GROUP BY 1),
+        |est AS (SELECT w,
+        |    0.7213 / (1.0 + 1.079 / 256) * 256.0 * 256.0 * 16777216.0 /
+        |      CAST(s + (256 - nb) * 16777216 AS DOUBLE) AS raw,
+        |    256 - nb AS zeros
+        |  FROM pg),
+        |e2 AS (SELECT w, CASE WHEN raw <= 640.0 AND zeros > 0
+        |                      THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+        |                      ELSE raw END AS est
+        |       FROM est)
+        |SELECT w AS day, n_exact, round(est, 4) AS n_est,
+        |  round(abs(est - n_exact) / n_exact, 4) AS rel_err
+        |FROM e2 JOIN exc USING (w) ORDER BY day""".stripMargin,
 
     "q_hdr_quantiles" -> hdrQuantilesSql,
 

@@ -177,6 +177,66 @@ object Sketches {
         round(abs(est - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
   }
 
+  /** Sliding-window distinct counts by MERGING daily HyperLogLog registers
+    * — the operation that justifies keeping sketches at all: a 7-day
+    * distinct-users series needs only `max` over 7 register tables
+    * (register merge IS the sketch union), never a 7-day rescan of raw
+    * rows. At 100 TB the daily register build is the only full pass; every
+    * window after that is arithmetic over `windowDays · m` rows per day.
+    *
+    * Same hash/bucket/rank/estimate contract as [[hllAudit]]; the exact
+    * count rides along for the audit (computed here by the 7-way re-scan
+    * the sketch makes unnecessary). Output:
+    * `(day, n_exact, n_est, rel_err)` for every day with a full or partial
+    * trailing window.
+    */
+  def hllSlidingDistinct(df: DataFrame, ts: String, key: String,
+      windowDays: Int, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val m = 1 << p
+    val restBits = 32 - p
+    val restMod = 1L << restBits
+    val dayUs = 86400000000L
+    val base = df.where(col(key).isNotNull && col(ts).isNotNull)
+      .select(col(key).as("__k"), col(ts).cast("long").as("__t"),
+        keyHash(col(key)).as("__x"))
+      .withColumn("__day", expr(s"__t DIV ${dayUs}L"))
+    val rest = col("__x") % restMod
+    // daily registers: the bounded artifact a production pipeline persists
+    val daily = base
+      .select(col("__day"), (col("__x") / restMod).cast("long").as("__b"),
+        when(rest === 0L, lit(restBits + 1))
+          .otherwise(lit(restBits + 1) - length(bin(rest))).cast("long").as("__r"))
+      .groupBy(col("__day"), col("__b")).agg(max(col("__r")).as("__m"))
+    // window merge: each day's registers cover days day..day+windowDays-1,
+    // union-by-max per (window-end-day, bucket)
+    val merged = daily
+      .select(explode(sequence(col("__day"),
+        col("__day") + lit(windowDays - 1L))).as("__w"), col("__b"), col("__m"))
+      .groupBy(col("__w"), col("__b")).agg(max(col("__m")).as("__m"))
+    val perDay = merged.groupBy(col("__w")).agg(
+      sum(call_function("shiftleft", lit(1L),
+        (lit(restBits) - col("__m")).cast("int"))).as("__s"),
+      count(lit(1)).as("__nb"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / m)
+    val sFull = col("__s") + (lit(m.toLong) - col("__nb")) * restMod
+    val zeros = lit(m.toLong) - col("__nb")
+    val rawEst = alpha * m.toDouble * m.toDouble * restMod.toDouble / sFull.cast("double")
+    val est = when(rawEst <= 2.5 * m && zeros > 0L,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .otherwise(rawEst)
+    // the exact twin: the multi-day distinct re-scan the sketch replaces
+    val exact = base.select(col("__k"), col("__day")).distinct()
+      .select(col("__k"), explode(sequence(col("__day"),
+        col("__day") + lit(windowDays - 1L))).as("__w"))
+      .groupBy(col("__w")).agg(count_distinct(col("__k")).as("n_exact"))
+    perDay.join(exact, Seq("__w"))
+      .select(col("__w").as("day"), col("n_exact"),
+        round(est, 4).as("n_est"),
+        round(abs(est - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
+  }
+
   /** Relative-error quantiles from a log₂-bucket histogram (the
     * HdrHistogram/DDSketch idea with base-2 buckets): per group, count
     * positive integer values into `msb` buckets — a BOUNDED (≤ 64 cells),

@@ -74,4 +74,24 @@ class SketchesSpec extends SparkSpec {
     assert(ex50 <= est50 && est50 < 2 * ex50)
     assert(ex99 <= est99 && est99 < 2 * ex99)
   }
+
+  test("hllSlidingDistinct: merged-register estimate tracks the exact window union") {
+    val sp = spark
+    import sp.implicits._
+    val dayUs = 86400000000L
+    // 10 days; day d has users [100*d, 100*d+400) -> any 7-day window union
+    // is 400 + 600 = overlapping ranges: window [d, d+6] covers users
+    // [100*d, 100*(d+6)+400) = 1000 distinct
+    val rows = for (d <- 0 until 10; u <- 0 until 400)
+      yield (d * dayUs + u, (100 * d + u).toLong)
+    val got = Sketches.hllSlidingDistinct(rows.toDF("t", "u"), "t", "u", 7)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // day 9's trailing window [3..9] is fully populated: exact = 100*3..100*9+400 = 1000
+    assert(got(9L)._1 == 1000L)
+    got.values.foreach { case (exact, est) =>
+      assert(math.abs(est - exact) / exact < 0.20, s"estimate $est vs $exact")
+    }
+    // monotone ramp-up at the head: day 0 window covers only day 0
+    assert(got(0L)._1 == 400L)
+  }
 }
