@@ -1863,6 +1863,12 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- positional phrase search (repeated-term phrase, anchor merge) ---
+    "q_phrase_search" -> ((s, dir) => {
+      Retrieval.phraseSearch(Tables.documents(s, dir), "doc_id", "text",
+        Seq("table", "table"))
+    }),
+
     // ---- JL sparse-projection distortion audit over the embeddings -------
     "q_jl_audit" -> ((s, dir) => {
       Similarity.jlDistortionAudit(Tables.embeddings(s, dir), "vec_id",
@@ -5893,6 +5899,19 @@ object SparkEntry {
     "q_bloom_join" -> bloomJoinSql,
 
     "q_jl_audit" -> jlAuditSql,
+
+    // phrase search: position votes to anchors, all distinct offsets present
+    "q_phrase_search" ->
+      """WITH toks AS (SELECT doc_id, u.p - 1 AS p, string_split(text, ' ')[u.p] AS tok
+        |              FROM documents,
+        |                unnest(generate_series(1, len(string_split(text, ' ')))) AS u(p)
+        |              WHERE text IS NOT NULL),
+        |terms AS (SELECT * FROM (VALUES (0::BIGINT, 'table'), (1::BIGINT, 'table')) t(i, term)),
+        |v AS (SELECT doc_id, p - i AS anchor, i FROM toks JOIN terms ON tok = term),
+        |a AS (SELECT doc_id, anchor, count(DISTINCT i) AS nv FROM v GROUP BY 1, 2),
+        |h AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |      FROM a WHERE nv = 2 GROUP BY 1)
+        |SELECT doc_id, n_hits FROM h ORDER BY doc_id""".stripMargin,
 
     "q_hll" -> hllSql,
 

@@ -296,4 +296,39 @@ object Retrieval {
       .orderBy(col("sim").desc, col(embId))
       .limit(k)
   }
+
+  /** Exact phrase search over the corpus — the positional-inverted-index
+    * merge (Manning/Raghavan/Schütze ch. 2): token `i` of the phrase at
+    * document position `p` votes for anchor `p − i`, and an anchor with all
+    * `len(phrase)` distinct vote indices is a phrase occurrence. One
+    * posexplode + one broadcast join against the (tiny) phrase-term frame +
+    * one keyed count — no per-term self-joins, no per-pair position
+    * intersection, so cost is proportional to the CORPUS FREQUENCY of the
+    * phrase's terms, exactly like a positional index probe. Repeated terms
+    * in the phrase are handled by the distinct-vote-index count (each `i`
+    * must be matched at its own offset).
+    *
+    * Output: `(id, n_hits)` for documents containing the phrase at least
+    * once, ordered by id.
+    */
+  def phraseSearch(df: DataFrame, id: String, text: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val spark = df.sparkSession
+    val k = phrase.size
+    val terms = spark.createDataFrame(
+      phrase.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      .toDF("__i", "__term")
+    df.where(col(text).isNotNull)
+      .select(col(id), posexplode(TextAnalysis.tokens(col(text)))
+        .as(Seq("__p", "__tok")))
+      .join(broadcast(terms), col("__tok") === col("__term"))
+      .select(col(id), (col("__p") - col("__i")).as("__anchor"), col("__i"))
+      .groupBy(col(id), col("__anchor"))
+      .agg(count_distinct(col("__i")).as("__nv"))
+      .where(col("__nv") === k)
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col(id))
+  }
 }

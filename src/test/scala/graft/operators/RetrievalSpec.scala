@@ -210,4 +210,21 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("vec_id"))
     assert(got.toSet == Set(1L, 2L)) // null-embedding doc 3 can't be ranked
   }
+
+  test("phraseSearch: overlapping hits and repeated phrase terms") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"),   // "a b a" at anchors 0 and 2 (overlapping)
+      (2L, "b a b"),       // "a b a"? no: a1 b2 -> anchor 1 has i=0,i=1 but i=2 needs a3
+      (3L, null.asInstanceOf[String]),
+      (4L, "x a b a y")).toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs, "doc_id", "text", Seq("a", "b", "a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 4L -> 1L))
+    // repeated single term: "a a" never occurs in doc 1 (alternating)
+    val got2 = Retrieval.phraseSearch(docs, "doc_id", "text", Seq("a", "a"))
+      .collect()
+    assert(got2.isEmpty)
+  }
 }
