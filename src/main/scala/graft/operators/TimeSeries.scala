@@ -106,10 +106,10 @@ object TimeSeries {
   /** Gap-based sessionization: a new session starts whenever the gap from
     * the previous event on the same key exceeds `gapUs` (the idle-timeout
     * definition Structured Streaming's `session_window` uses — the
-    * streaming twin is spec-checked against this batch form; the one
-    * boundary divergence: an event at EXACTLY prev + gap continues the
-    * session here, while session_window's end-exclusive range opens a new
-    * one). Adds
+    * [[graft.streaming.Sessions]] twin is spec-checked against this batch
+    * form, including the boundary case: session_window merges touching
+    * windows, so an event at EXACTLY prev + gap continues the session in
+    * both forms). Adds
     * `session_idx`, the per-key session ordinal; (key, session_idx) is the
     * session identity. Per-key window — one shuffle by key, no global sort.
     */
