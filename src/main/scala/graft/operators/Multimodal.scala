@@ -223,4 +223,64 @@ object Multimodal {
         count(lit(1)).as("n"),
         sum(length(col("payload"))).as("total_bytes"),
         round(avg(length(col("payload"))), 3).as("avg_bytes"))
+
+  case class AudioStats(media_id: Long, sample_rate: Int, n_samples: Long,
+      rms_db: Double, peak: Double, silence_ratio: Double, clip_ratio: Double)
+
+  /** Waveform-level audio quality row per decoded clip — the audio-side
+    * quality gate next to the text pack's [[TextAnalysis.qualityScore]]:
+    * overall RMS loudness in dBFS, absolute peak, the fraction of
+    * `frameMs`-wide frames whose RMS sits below `silenceDb` (silence ratio
+    * — trims dead air and dead mics from a training corpus), and the
+    * fraction of samples at/over full scale (clipping ratio — flags
+    * distorted takes). Per-row bounded arithmetic in the decode layer
+    * (same [[decodeAudio]] `mapPartitions` contract); everything downstream
+    * is a plain DataFrame.
+    */
+  def audioStats(ds: Dataset[DecodedAudio], frameMs: Int = 20,
+      silenceDb: Double = -40.0): DataFrame = {
+    require(frameMs > 0, s"frameMs must be positive, got $frameMs")
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val silenceAmp = math.pow(10.0, silenceDb / 20.0)
+    ds.mapPartitions { it =>
+      it.map { a =>
+        val s = a.samples
+        val n = s.length
+        var sumSq = 0.0; var peak = 0.0; var clipped = 0L
+        var i = 0
+        while (i < n) {
+          val v = s(i).toDouble
+          sumSq += v * v
+          val av = math.abs(v)
+          if (av > peak) peak = av
+          if (av >= 0.999) clipped += 1
+          i += 1
+        }
+        val frameLen = math.max(1, a.sampleRate * frameMs / 1000)
+        var silent = 0L; var frames = 0L
+        var off = 0
+        while (off < n) {
+          val end = math.min(off + frameLen, n)
+          var fs = 0.0; var j = off
+          while (j < end) { fs += s(j).toDouble * s(j).toDouble; j += 1 }
+          if (math.sqrt(fs / (end - off)) < silenceAmp) silent += 1
+          frames += 1
+          off = end
+        }
+        val rmsDb =
+          if (n == 0 || sumSq == 0.0) -120.0
+          else math.max(-120.0, 20.0 * math.log10(math.sqrt(sumSq / n)))
+        AudioStats(a.media_id, a.sampleRate, n.toLong,
+          BigDecimal(rmsDb).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(peak).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          if (frames == 0) 0.0
+          else BigDecimal(silent.toDouble / frames)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          if (n == 0) 0.0
+          else BigDecimal(clipped.toDouble / n)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.toDF()
+  }
 }

@@ -515,4 +515,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("round-6 sketch/anomaly pack: map-only scoring, no UDFs, bounded shuffles") {
+    // bloom semi-join probe: the pruned frame is a pure Filter over the
+    // scan — no join anywhere (the build side collapsed to driver words)
+    val pruned = graft.operators.Sketches.bloomSemiJoin(
+      graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001"),
+      graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+        .where(org.apache.spark.sql.functions.col("o_totalprice") > 150000.0),
+      "l_orderkey", "o_orderkey", mBits = 1 << 16, kHashes = 3)
+    val prunedPlan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!prunedPlan.contains("Join"), prunedPlan)
+    assert(prunedPlan.contains("Filter"), prunedPlan)
+
+    // isolation forest: codegen'd CASE scoring, global top-N is TakeOrdered
+    val ifPlan = formatted("q_iforest")
+    assert(!ifPlan.contains("ScalaUDF") && !ifPlan.contains("BatchEvalPython"), ifPlan)
+    assert(ifPlan.contains("TakeOrderedAndProject"), ifPlan)
+
+    // HLL audit: aggregation-only (registers + group rollup), no Window
+    val hllPlan = formatted("q_hll")
+    assert(!hllPlan.contains("Window"), hllPlan)
+
+    // decayed trending: aggregation + TakeOrdered, no Window, 1-row
+    // broadcast anchor
+    val trPlan = formatted("q_trending")
+    assert(!trPlan.contains("Window"), trPlan)
+    assert(trPlan.contains("TakeOrderedAndProject"), trPlan)
+
+    // DTW + JL: engine-native folds — no UDFs, no driver-materialized RDD
+    Seq("q_dtw", "q_jl_audit").foreach { q =>
+      val plan = formatted(q)
+      assert(!plan.contains("ScalaUDF") && !plan.contains("ExistingRDD"), s"$q:\n$plan")
+    }
+  }
 }
