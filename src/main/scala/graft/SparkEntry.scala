@@ -1850,6 +1850,19 @@ object SparkEntry {
       Skew.countMinAudit(events(s, dir), "user_id", width = 64, depth = 4, topN = 20)
     }),
 
+    // ---- salted fact-dimension join (skew spread; result == plain join) --
+    "q_salted_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("okey"), col("l_extendedprice"))
+      val os = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus"))
+      Skew.saltedJoin(li, os, "okey", salts = 8, tieBreak = "l_extendedprice")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ---- Bloom runtime-filter audit: prune the fact scan pre-shuffle -----
     "q_bloom_join" -> ((s, dir) => {
       Sketches.bloomAudit(Tables.lineitem(s, dir),
@@ -5897,6 +5910,14 @@ object SparkEntry {
     "q_cm_sketch" -> cmSketchSql,
 
     "q_bloom_join" -> bloomJoinSql,
+
+    // salted join: the oracle is the PLAIN join — salting must be invisible
+    // in the result
+    "q_salted_join" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_jl_audit" -> jlAuditSql,
 

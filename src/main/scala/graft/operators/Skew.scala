@@ -130,4 +130,28 @@ object Skew {
     val bs = Array.fill(depth)(rnd.nextLong().abs % P)
     (as, bs)
   }
+
+  /** Salted shuffle join — the skew cure for a hot fact key: every LEFT row
+    * scatters to one of `salts` sub-keys (deterministically, from a
+    * caller-named tiebreak column so replays agree), the RIGHT side
+    * replicates `salts`× (dimension-sized — the cheap side by
+    * construction), and the join runs on `(key, salt)` so a key that owns
+    * half the fact table spreads across `salts` reducers instead of
+    * funneling through one. Result is EXACTLY the plain inner join (each
+    * left row meets its right match in precisely one salt cell) — the
+    * oracle checks that, not the plan.
+    *
+    * Prefer AQE's runtime skew-join split when sizes are discoverable;
+    * this is the explicit form for when they aren't (streaming joins,
+    * pre-partitioned writes, engines without AQE).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salts: Int,
+      tieBreak: String): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val l = left.withColumn("__salt",
+      pmod(hash(col(key), col(tieBreak)), lit(salts)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -74,4 +74,21 @@ class SkewSpec extends SparkSpec {
     assert(tight.forall(r => r.getAs[Long]("estimate") >= r.getAs[Long]("exact")))
     assert(tight.exists(_.getAs[Long]("overcount") > 0L))
   }
+
+  test("saltedJoin == plain inner join on a hot-key fixture; joins on (key, salt)") {
+    val sp = spark
+    import sp.implicits._
+    // 90% of fact rows share key 1 (the hot key)
+    val fact = (1 to 1000).map(i => (if (i <= 900) 1L else (i % 50).toLong, i.toDouble))
+      .toDF("k", "v")
+    val dim = (0L to 49L).map(k => (k, s"d$k")).toDF("k", "name")
+    val salted = Skew.saltedJoin(fact, dim, "k", salts = 8, tieBreak = "v")
+    val plain = fact.join(dim, Seq("k"))
+    assert(salted.count() == plain.count())
+    assert(salted.select("k", "v", "name").except(plain.select("k", "v", "name")).count() == 0)
+    assert(plain.select("k", "v", "name").except(salted.select("k", "v", "name")).count() == 0)
+    // the physical join condition carries the salt: hot key spreads
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), plan)
+  }
 }
