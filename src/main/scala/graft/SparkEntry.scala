@@ -1900,6 +1900,12 @@ object SparkEntry {
         Seq("table", "table"))
     }),
 
+    // ---- ridge linear probe: label-noise screen by |residual| ------------
+    "q_linear_probe" -> ((s, dir) => {
+      Similarity.linearProbeResiduals(Tables.embeddings(s, dir), "vec_id",
+        "embedding", "label", dim = 64, lambda = 1.0, topN = 20)
+    }),
+
     // ---- JL sparse-projection distortion audit over the embeddings -------
     "q_jl_audit" -> ((s, dir) => {
       Similarity.jlDistortionAudit(Tables.embeddings(s, dir), "vec_id",
@@ -3377,6 +3383,28 @@ object SparkEntry {
     "q_bpe_encode" -> {
       val merges = TextAnalysis.bpeLearn(Tables.documents(spark, dir), "text", nMerges = 20)
       bpeEncodeSql(merges)
+    },
+    "q_linear_probe" -> {
+      // re-derive the identical coefficients (fixed-point moments make the
+      // distributed aggregation shuffle-order-independent, the solve is
+      // deterministic driver arithmetic) and embed them as literals
+      val cf = Similarity.trainRidge(Tables.embeddings(spark, dir),
+        "embedding", "label", dim = 64, lambda = 1.0)
+      val b0 = s"CAST(${cf(0)} AS DOUBLE)"
+      val cfList = cf.drop(1).map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding AS v, CAST(label AS BIGINT) AS label
+         |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+         |    AND len(embedding) = 64),
+         |m AS (SELECT $cfList AS cf),
+         |p AS (SELECT vec_id, label,
+         |        list_reduce(list_concat([$b0],
+         |          list_transform(generate_series(1, 64), i ->
+         |            cf[i] * CAST(v[i] AS DOUBLE))),
+         |          (acc, x) -> acc + x) AS pr
+         |      FROM e, m)
+         |SELECT vec_id, label, round(pr, 6) AS pred,
+         |  round(label - pr, 6) AS residual
+         |FROM p ORDER BY abs(round(label - pr, 6)) DESC, vec_id LIMIT 20""".stripMargin
     },
     "q_iforest" -> {
       // re-train the identical forest (deterministic sample + seeded PRNG)

@@ -1457,4 +1457,92 @@ object Similarity {
         when(col("__do") > 0.0, round(col("__dp") / col("__do"), 6)).as("ratio"))
       .orderBy(col("id_a"))
   }
+
+  /** Ridge "linear probe" over the embedding corpus, MLlib-free: the
+    * normal-equation sufficient statistics `XᵀX` / `Xᵀy` are ONE map-side-
+    * combinable aggregation in FIXED-POINT (every product quantized to
+    * 1e-12 units and summed as BIGINT — shuffle-order-independent, so two
+    * runs of the same data produce bit-identical moments at any
+    * parallelism), the `(dim+1)²` solve is driver control plane (Gaussian
+    * elimination with partial pivoting, deterministic), and scoring is a
+    * codegen'd fold with the coefficients as plan literals — the
+    * train-tiny/apply-everywhere shape shared with
+    * [[trainIvfCentroids]]/[[AnomalyForest]]. The BIGINT accumulators bound
+    * the corpus at ~1e6 rows per aggregation task chain before overflow at
+    * this quantum; shard-and-average (moments are mergeable) past that.
+    *
+    * Returns `[b0, b1..b_dim]` (intercept first; the intercept is not
+    * penalized).
+    */
+  def trainRidge(df: DataFrame, vec: String, label: String, dim: Int,
+      lambda: Double): Array[Double] = {
+    require(dim >= 1 && lambda >= 0.0, s"bad probe params dim=$dim lambda=$lambda")
+    val Q = 1e12
+    val d1 = dim + 1
+    val base = df.where(col(vec).isNotNull && col(label).isNotNull &&
+      size(col(vec)) === dim)
+      .select(col(vec).as("__v"), col(label).cast("double").as("__y"))
+    def x(i: Column): Column =
+      when(i === 0, lit(1.0)).otherwise(element_at(col("__v"), i).cast("double"))
+    val xxTerms = flatten(transform(sequence(lit(0), lit(dim)), i =>
+      transform(sequence(i, lit(dim)), j =>
+        struct((i * d1 + j).as("idx"),
+          round(x(i) * x(j) * Q).cast("long").as("q")))))
+    val xyTerms = transform(sequence(lit(0), lit(dim)), i =>
+      struct((lit(d1 * d1) + i).as("idx"),
+        round(x(i) * col("__y") * Q).cast("long").as("q")))
+    val moments = base
+      .select(explode(concat(xxTerms, xyTerms)).as("__t"))
+      .groupBy(col("__t.idx")).agg(sum(col("__t.q")).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // assemble the symmetric normal matrix + rhs from the quantized sums
+    val a = Array.ofDim[Double](d1, d1 + 1)
+    for (i <- 0 to dim; j <- i to dim) {
+      val v = moments.getOrElse(i * d1 + j, 0L) / Q
+      a(i)(j) = v; a(j)(i) = v
+    }
+    for (i <- 1 to dim) a(i)(i) += lambda // no penalty on the intercept
+    for (i <- 0 to dim) a(i)(d1) = moments.getOrElse(d1 * d1 + i, 0L) / Q
+    // Gaussian elimination, partial pivoting — deterministic index order
+    for (c <- 0 until d1) {
+      var p = c
+      for (r <- c + 1 until d1) if (math.abs(a(r)(c)) > math.abs(a(p)(c))) p = r
+      val tmp = a(c); a(c) = a(p); a(p) = tmp
+      require(math.abs(a(c)(c)) > 1e-12, s"singular normal matrix at $c")
+      for (r <- 0 until d1) if (r != c) {
+        val f = a(r)(c) / a(c)(c)
+        for (k <- c until d1 + 1) a(r)(k) -= f * a(c)(k)
+      }
+    }
+    Array.tabulate(d1)(i => a(i)(d1) / a(i)(i))
+  }
+
+  /** The probe's prediction as one engine-native fold (coefficients are
+    * plan literals; fixed index order — any engine reproduces it
+    * bit-for-bit). */
+  def ridgePredict(vec: Column, coeffs: Array[Double]): Column =
+    aggregate(sequence(lit(1), lit(coeffs.length - 1)), lit(coeffs(0)),
+      (acc, i) => acc + element_at(lit(coeffs.drop(1)), i) *
+        element_at(vec, i).cast("double"))
+
+  /** Mislabel screen: rank the corpus by |label − probe prediction| — rows
+    * a LINEAR model can't explain are label-noise candidates, the cheap
+    * first pass before [[knnClassify]]'s neighborhood vote. Scoring is
+    * map-only; the global cut is a TakeOrdered.
+    *
+    * Output: `(id, label, pred, residual)`, top `topN` by
+    * `(|residual| DESC, id)`.
+    */
+  def linearProbeResiduals(df: DataFrame, id: String, vec: String,
+      label: String, dim: Int, lambda: Double, topN: Int): DataFrame = {
+    val coeffs = trainRidge(df, vec, label, dim, lambda)
+    df.where(col(vec).isNotNull && col(label).isNotNull &&
+      size(col(vec)) === dim)
+      .select(col(id), col(label).cast("long").as("label"),
+        ridgePredict(col(vec), coeffs).as("__p"))
+      .select(col(id), col("label"), round(col("__p"), 6).as("pred"),
+        round(col("label") - col("__p"), 6).as("residual"))
+      .orderBy(abs(col("residual")).desc, col(id))
+      .limit(topN)
+  }
 }

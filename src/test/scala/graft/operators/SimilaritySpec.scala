@@ -588,4 +588,27 @@ class SimilaritySpec extends SparkSpec {
       assert(ratio > 0.3 && ratio < 2.5, s"implausible distortion $ratio")
     }
   }
+
+  test("trainRidge recovers a planted linear relationship; residual screen finds the flip") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    // y = 2 + 3*x1 - x2 exactly; one planted label flip at id 99
+    val rows = (0 until 200).map { i =>
+      val v = Array.fill(4)(rnd.nextFloat())
+      val y = 2.0 + 3.0 * v(0) - v(1)
+      (i.toLong, v, if (i == 99) y + 10.0 else y)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val cf = Similarity.trainRidge(df, "embedding", "label", dim = 4, lambda = 0.0)
+    assert(math.abs(cf(0) - 2.0) < 0.3, cf.toList.toString)  // intercept
+    assert(math.abs(cf(1) - 3.0) < 0.3, cf.toList.toString)
+    assert(math.abs(cf(2) - -1.0) < 0.3, cf.toList.toString)
+    // training twice yields bit-identical coefficients (fixed-point moments)
+    val cf2 = Similarity.trainRidge(df, "embedding", "label", dim = 4, lambda = 0.0)
+    assert(cf.toList == cf2.toList)
+    val top = Similarity.linearProbeResiduals(df, "vec_id", "embedding", "label",
+      dim = 4, lambda = 0.0, topN = 1).collect()
+    assert(top.head.getLong(0) == 99L, top.toList.toString)
+  }
 }
