@@ -1900,6 +1900,11 @@ object SparkEntry {
         Seq("table", "table"))
     }),
 
+    // ---- DP-style noised count release (seeded Laplace, eps = 0.5) -------
+    "q_dp_release" -> ((s, dir) => {
+      DataQuality.dpNoisedCounts(events(s, dir), "event_type", epsilon = 0.5)
+    }),
+
     // ---- ridge linear probe: label-noise screen by |residual| ------------
     "q_linear_probe" -> ((s, dir) => {
       Similarity.linearProbeResiduals(Tables.embeddings(s, dir), "vec_id",
@@ -5907,6 +5912,21 @@ object SparkEntry {
          |FROM r GROUP BY 1 ORDER BY channel""".stripMargin,
 
     // k-anonymity: QI-tuple count + rollup
+    // DP release: identical md5-uniform + inverse-CDF Laplace arithmetic
+    "q_dp_release" ->
+      """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+        |           FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |u AS (SELECT event_type, n_exact,
+        |        (CAST('0x' || substr(md5(event_type || ':42'), 1, 8) AS BIGINT) + 0.5)
+        |          / 4294967296.0 AS uu
+        |      FROM g),
+        |z AS (SELECT event_type, n_exact,
+        |        (-1.0 / 0.5) * sign(uu - 0.5) * ln(1.0 - 2.0 * abs(uu - 0.5)) AS noise
+        |      FROM u)
+        |SELECT event_type, n_exact, round(n_exact + noise, 4) AS n_noised,
+        |  round(abs(noise), 4) AS abs_noise
+        |FROM z ORDER BY event_type""".stripMargin,
+
     "q_k_anonymity" ->
       """WITH g AS (SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS c
         |           FROM customer GROUP BY 1, 2)

@@ -226,4 +226,34 @@ object DataQuality {
         when(col("n_rows") === 0, lit(0.0))
           .otherwise(quantize6(col("n_violations") / col("n_rows"))))
   }
+
+  /** Differential-privacy-style noised count release (Laplace mechanism,
+    * sensitivity 1): per group, `count + Laplace(1/epsilon)` — the noisy
+    * histogram you can hand outside the trust boundary where
+    * [[kAnonymity]]/[[lDiversity]] only AUDIT what stays inside. The
+    * audit row keeps the exact count and noise magnitude next to the
+    * release value for calibration; the release artifact is `n_noised`
+    * alone.
+    *
+    * Noise here is SEEDED (md5-uniform per group, inverse-CDF transform) so
+    * pipelines replay deterministically and the oracle can verify the
+    * arithmetic — a production release under a real privacy budget would
+    * swap in fresh randomness per release and track cumulative epsilon;
+    * the mechanism and its error profile are identical.
+    */
+  def dpNoisedCounts(df: DataFrame, group: String, epsilon: Double,
+      seed: Long = 42L): DataFrame = {
+    require(epsilon > 0.0, s"epsilon must be positive, got $epsilon")
+    val u = (conv(substring(md5(concat(col(group).cast("string"),
+      lit(":" + seed))), 1, 8), 16, 10).cast("long") + 0.5) / 4294967296.0
+    val noise = lit(-1.0 / epsilon) * signum(u - 0.5) *
+      log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    df.where(col(group).isNotNull)
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n_exact"))
+      .select(col(group), col("n_exact"),
+        round(col("n_exact") + noise, 4).as("n_noised"),
+        round(abs(noise), 4).as("abs_noise"))
+      .orderBy(col(group))
+  }
 }

@@ -151,4 +151,23 @@ class DataQualitySpec extends SparkSpec {
     assert(r.getAs[Long]("min_fanout") == 0L && r.getAs[Long]("max_fanout") == 2L)
     assert(r.getAs[Double]("avg_fanout") == 1.0) // (2 + 1 + 0) / 3
   }
+
+  test("dpNoisedCounts: deterministic noise, zero-centered-ish, calibrated scale") {
+    val sp = spark
+    import sp.implicits._
+    val df = (1 to 1000).map(i => ("g" + (i % 10)).toString).toDF("g")
+    val a = DataQuality.dpNoisedCounts(df, "g", epsilon = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val b = DataQuality.dpNoisedCounts(df, "g", epsilon = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(a.toList == b.toList) // seeded: replays identically
+    assert(a.forall(_._2 == 100L))
+    // Laplace(b=2): |noise| has mean 2; all 10 draws inside a generous tail
+    assert(a.forall(t => t._4 >= 0.0 && t._4 < 20.0), a.toList.toString)
+    assert(a.exists(t => t._3 != t._2.toDouble)) // noise actually applied
+    // a different seed moves the noise
+    val c = DataQuality.dpNoisedCounts(df, "g", epsilon = 0.5, seed = 7L)
+      .collect().map(r => r.getDouble(2))
+    assert(c.toList != a.map(_._3).toList)
+  }
 }
