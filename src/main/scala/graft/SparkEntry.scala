@@ -1900,6 +1900,23 @@ object SparkEntry {
         Seq("table", "table"))
     }),
 
+    // ---- backfill planner: missing day-windows per sparse key ------------
+    "q_backfill_plan" -> ((s, dir) => {
+      graft.store.Layout.backfillPlan(
+        events(s, dir).where(col("user_id").isNotNull)
+          .select(pmod(col("user_id"), lit(2000L)).as("pv"), col("ts_us")),
+        "pv", "ts_us", tminUs = T0, tmaxUs = T0 + 14L * 86400000000L,
+        widthUs = 86400000000L)
+    }),
+
+    // ---- clustering-depth audit of the day-file layout's value ranges ----
+    "q_cluster_depth" -> ((s, dir) => {
+      val files = events(s, dir).where(col("value").isNotNull)
+        .groupBy(col("event_type"), expr("ts_us DIV 86400000000L").as("f"))
+        .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      graft.store.Layout.clusteringDepth(files, "event_type", "f", "lo", "hi")
+    }),
+
     // ---- DP-style noised count release (seeded Laplace, eps = 0.5) -------
     "q_dp_release" -> ((s, dir) => {
       DataQuality.dpNoisedCounts(events(s, dir), "event_type", epsilon = 0.5)
@@ -5912,6 +5929,32 @@ object SparkEntry {
          |FROM r GROUP BY 1 ORDER BY channel""".stripMargin,
 
     // k-anonymity: QI-tuple count + rollup
+    // backfill: distinct present windows anti-joined against the fixed grid
+    "q_backfill_plan" ->
+      s"""WITH e AS (SELECT user_id % 2000 AS pv, epoch_us(ts) AS t FROM events
+         |           WHERE user_id IS NOT NULL
+         |             AND epoch_us(ts) >= $T0
+         |             AND epoch_us(ts) < ${T0 + 14L * 86400000000L}),
+         |p AS (SELECT DISTINCT pv, (t - $T0) // 86400000000 AS w FROM e),
+         |k AS (SELECT DISTINCT pv FROM p),
+         |g AS (SELECT pv, u.w AS w FROM k, unnest(generate_series(0, 13)) AS u(w)),
+         |m AS (SELECT g.pv, g.w FROM g ANTI JOIN p USING (pv, w))
+         |SELECT pv, $T0 + w * 86400000000 AS window_start_us,
+         |  least(${T0 + 14L * 86400000000L}, $T0 + (w + 1) * 86400000000) AS window_end_us
+         |FROM m ORDER BY pv, window_start_us""".stripMargin,
+
+    // clustering depth: metadata-frame pairwise overlap, averaged per key
+    "q_cluster_depth" ->
+      """WITH f AS (SELECT event_type AS k, epoch_us(ts) // 86400000000 AS fl,
+        |             min(value) AS lo, max(value) AS hi
+        |           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |d AS (SELECT a.k, a.fl, CAST(count(*) AS BIGINT) AS depth
+        |      FROM f a JOIN f b ON a.k = b.k AND a.lo <= b.hi AND b.lo <= a.hi
+        |      GROUP BY 1, 2)
+        |SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n_files,
+        |  round(avg(depth), 6) AS avg_depth, CAST(max(depth) AS BIGINT) AS max_depth
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // DP release: identical md5-uniform + inverse-CDF Laplace arithmetic
     "q_dp_release" ->
       """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact

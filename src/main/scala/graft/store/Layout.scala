@@ -110,4 +110,67 @@ object Layout {
       .select(col(part), col(file), col("__r").as("rows"), col("grp"),
         col("grp_rows"), col("grp_files"))
   }
+
+  /** Backfill planner: which fixed-width time windows inside
+    * `[tminUs, tmaxUs)` have NO data for a key — the work list a backfill
+    * job consumes after an outage (the complement of
+    * [[graft.operators.TimeSeries.gaps]], computed against an explicit
+    * window grid so empty-from-the-start keys still plan correctly). One
+    * keyed distinct over (key, window) + one anti-join against the
+    * key-grid cross (keys × windows frame — control-plane sized: windows
+    * are a FIXED grid, never data rows).
+    *
+    * Output: `(key, window_start_us, window_end_us)` per missing window.
+    */
+  def backfillPlan(df: DataFrame, key: String, ts: String, tminUs: Long,
+      tmaxUs: Long, widthUs: Long): DataFrame = {
+    require(widthUs > 0 && tmaxUs > tminUs, s"bad grid [$tminUs,$tmaxUs) / $widthUs")
+    val present = df
+      .where(col(key).isNotNull && col(ts) >= tminUs && col(ts) < tmaxUs)
+      .select(col(key).as("__k"),
+        ((col(ts) - tminUs).cast("long") / widthUs).cast("long").as("__w"))
+      .distinct()
+    val nWin = ((tmaxUs - tminUs) + widthUs - 1) / widthUs
+    val keys = present.select(col("__k")).distinct()
+    val grid = keys.select(col("__k"),
+      explode(sequence(lit(0L), lit(nWin - 1))).as("__w"))
+    grid.join(present, Seq("__k", "__w"), "left_anti")
+      .select(col("__k").as(key),
+        (lit(tminUs) + col("__w") * widthUs).as("window_start_us"),
+        least(lit(tmaxUs), lit(tminUs) + (col("__w") + 1) * widthUs)
+          .as("window_end_us"))
+      .orderBy(col(key), col("window_start_us"))
+  }
+
+  /** Clustering-depth audit (the Snowflake "average depth" statistic) for
+    * a file layout: per partition key, how many files' [min,max] ranges a
+    * point query must open on average — 1.0 = perfectly clustered, rising
+    * depth = the sort order has decayed and a re-cluster (e.g. by
+    * [[zOrderKey]]) is due. Depth is measured at file BOUNDARY events (the
+    * exact average over the value axis weighted by span would need value
+    * distribution; boundary sampling is the standard audit): for each
+    * file, count files whose range overlaps it, then average.
+    *
+    * Input is a FILE STATS frame (file, min, max per key) — metadata-sized,
+    * so the pairwise overlap join is bounded by files², not rows.
+    *
+    * Output: `(key, n_files, avg_depth, max_depth)`.
+    */
+  def clusteringDepth(files: DataFrame, key: String, file: String, lo: String,
+      hi: String): DataFrame = {
+    val a = files.select(col(key).as("__k"), col(file).as("__f"),
+      col(lo).as("__alo"), col(hi).as("__ahi"))
+    val b = files.select(col(key).as("__k2"), col(lo).as("__blo"), col(hi).as("__bhi"))
+    a.join(b, col("__k") === col("__k2") &&
+        col("__alo") <= col("__bhi") && col("__blo") <= col("__ahi"))
+      .groupBy(col("__k"), col("__f"))
+      .agg(count(lit(1)).as("__depth"))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_files"),
+        round(avg(col("__depth")), 6).as("avg_depth"),
+        max(col("__depth")).as("max_depth"))
+      .select(col("__k").as(key), col("n_files"), col("avg_depth"),
+        col("max_depth"))
+      .orderBy(col(key))
+  }
 }

@@ -98,4 +98,34 @@ class LayoutSpec extends SparkSpec {
     val grpsInOrder = got.toSeq.filter(_._1._1 == "p1").sortBy(_._1._2).map(_._2._1)
     assert(grpsInOrder == grpsInOrder.sorted)
   }
+
+  test("backfillPlan lists exactly the empty windows of the grid") {
+    val sp = spark
+    import sp.implicits._
+    val W = 100L
+    // key a: data in windows 0 and 2 of [0, 400) -> missing 1, 3
+    // key b: only window 3 -> missing 0, 1, 2
+    val df = Seq(("a", 10L), ("a", 50L), ("a", 250L), ("b", 390L),
+      ("a", 500L) /* outside the grid */).toDF("k", "t")
+    val got = graft.store.Layout.backfillPlan(df, "k", "t", 0L, 400L, W)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List(
+      ("a", 100L, 200L), ("a", 300L, 400L),
+      ("b", 0L, 100L), ("b", 100L, 200L), ("b", 200L, 300L)))
+  }
+
+  test("clusteringDepth: disjoint ranges depth 1, full overlap depth n") {
+    val sp = spark
+    import sp.implicits._
+    val files = Seq(
+      // key a: 3 disjoint files -> avg depth 1
+      ("a", "f1", 0.0, 9.0), ("a", "f2", 10.0, 19.0), ("a", "f3", 20.0, 29.0),
+      // key b: 3 fully overlapping files -> every file overlaps all 3
+      ("b", "f1", 0.0, 100.0), ("b", "f2", 0.0, 100.0), ("b", "f3", 5.0, 50.0))
+      .toDF("k", "f", "lo", "hi")
+    val got = graft.store.Layout.clusteringDepth(files, "k", "f", "lo", "hi")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toList
+    assert(got == List(("a", 3L, 1.0, 1L), ("b", 3L, 3.0, 3L)))
+  }
 }
