@@ -1,0 +1,88 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** Whole-surface plan lint: every registered query's physical plan is
+  * linted; findings must match the reviewed allowlist EXACTLY. The
+  * allowlisted shapes are each benign by construction —
+  * `nested-loop-join` entries are 1-row/bounded broadcast frames
+  * (totals, min/max bounds, percentile fences, trained constants) cross-
+  * joined onto data; `global-window` entries run over control-plane-sized
+  * frames (chunk seeds/offsets, k-series matrices, steps frames) or
+  * documented keys-sized report frames (gini, rfm quintiles);
+  * `driver-materialized-input` entries are the iterative graph loops whose
+  * localCheckpoint() intentionally truncates lineage into an RDD scan.
+  * A NEW finding (or a vanished one) fails this spec: plan-shape changes
+  * must be reviewed, not discovered in production at 1000× the data.
+  */
+class PlanLintSurfaceSpec extends SparkSpec {
+
+  private val allowed: Map[(String, String), Int] = Map(
+    ("q_bm25", "nested-loop-join") -> 1,
+    ("q_boilerplate", "nested-loop-join") -> 1,
+    ("q_containment", "nested-loop-join") -> 1,
+    ("q_cooccur_lift", "nested-loop-join") -> 1,
+    ("q_dataset_card", "nested-loop-join") -> 2,
+    ("q_decimate", "global-window") -> 1,
+    ("q_decimate", "nested-loop-join") -> 1,
+    ("q_dq_checks", "nested-loop-join") -> 1,
+    ("q_dtw", "nested-loop-join") -> 1,
+    ("q_embed_dedup_dist", "nested-loop-join") -> 1,
+    ("q_funnel", "global-window") -> 1,
+    ("q_hard_negatives", "nested-loop-join") -> 1,
+    ("q_hdr_quantiles", "nested-loop-join") -> 2,
+    ("q_hybrid_rrf", "global-window") -> 1,
+    ("q_hybrid_rrf", "nested-loop-join") -> 2,
+    ("q_jaccard_dist", "nested-loop-join") -> 1,
+    ("q_join_stats", "nested-loop-join") -> 1,
+    ("q_knn_brute", "nested-loop-join") -> 1,
+    ("q_knn_recall", "nested-loop-join") -> 1,
+    ("q_label_prop", "driver-materialized-input") -> 1,
+    ("q_link_predict", "driver-materialized-input") -> 1,
+    ("q_lm_xent", "nested-loop-join") -> 1,
+    ("q_locf_align", "global-window") -> 1,
+    ("q_lsh_recall", "nested-loop-join") -> 1,
+    ("q_mixture_weights", "nested-loop-join") -> 1,
+    ("q_mmr_rerank", "nested-loop-join") -> 1,
+    ("q_pagerank", "driver-materialized-input") -> 1,
+    ("q_plot_trace", "global-window") -> 1,
+    ("q_plot_trace", "nested-loop-join") -> 1,
+    ("q_pv_corr", "global-window") -> 1,
+    ("q_quality_buckets", "nested-loop-join") -> 3,
+    ("q_rank_agreement", "nested-loop-join") -> 3,
+    ("q_rank_metrics", "nested-loop-join") -> 1,
+    ("q_rfm", "global-window") -> 3,
+    ("q_rfm", "nested-loop-join") -> 1,
+    ("q_rocchio", "nested-loop-join") -> 2,
+    ("q_run_registry", "nested-loop-join") -> 1,
+    ("q_search_diverse", "global-window") -> 1,
+    ("q_search_diverse", "nested-loop-join") -> 1,
+    ("q_skew_gini", "global-window") -> 1,
+    ("q_snm_dedup", "global-window") -> 2,
+    ("q_spearman", "global-window") -> 4,
+    ("q_tfidf_pairs_inv", "nested-loop-join") -> 4,
+    ("q_trending", "nested-loop-join") -> 1,
+    ("q_triangles", "driver-materialized-input") -> 1,
+    ("q_trunc_recall", "nested-loop-join") -> 6,
+    ("q_unimax_budget", "global-window") -> 4,
+    ("q_unimax_budget", "nested-loop-join") -> 1,
+    ("q_vocab_shift", "nested-loop-join") -> 1,
+    ("q_weighted_sample", "nested-loop-join") -> 1,
+    ("q_zorder", "nested-loop-join") -> 1)
+
+  test("every registered query lints clean modulo the reviewed allowlist") {
+    val dir = "/root/testdata/sf0.001"
+    val got = scala.collection.mutable.Map[(String, String), Int]()
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      PlanLint.lint(fn(spark, dir)).foreach { f =>
+        val k = (name, f.rule)
+        got(k) = got.getOrElse(k, 0) + 1
+      }
+    }
+    val unexpected = got.filter { case (k, n) => allowed.get(k) != Some(n) }
+    val missing = allowed.filter { case (k, n) => got.get(k) != Some(n) }
+    assert(unexpected.isEmpty && missing.isEmpty,
+      s"lint drift:\n  new/changed: ${unexpected.toSeq.sortBy(_._1).mkString(", ")}" +
+        s"\n  vanished/changed: ${missing.toSeq.sortBy(_._1).mkString(", ")}")
+  }
+}
