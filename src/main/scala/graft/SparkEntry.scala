@@ -6128,7 +6128,8 @@ object SparkEntry {
     // cells.
     "q_dtw" ->
       """WITH s AS (SELECT event_type AS k, epoch_us(ts) // 21600000000 AS b,
-        |    round(avg(CAST(value AS DOUBLE)), 6) AS v
+        |    round(CAST(sum(CAST(round(CAST(value AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT)
+        |          / (count(*) * 1000000.0), 6) AS v
         |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
         |  GROUP BY 1, 2),
         |g AS (SELECT k, list(v ORDER BY b) AS arr FROM s GROUP BY 1),
@@ -6174,9 +6175,9 @@ object SparkEntry {
       """WITH s AS (SELECT event_type, epoch_us(ts) AS ts_us,
         |    CAST(value AS DOUBLE) AS v
         |  FROM events WHERE value IS NOT NULL),
-        |a AS (SELECT ts_us // 3600000000 AS bucket, round(avg(v), 6) AS v
+        |a AS (SELECT ts_us // 3600000000 AS bucket, round(CAST(sum(CAST(round(v * 1000000.0) AS BIGINT)) AS BIGINT) / (count(*) * 1000000.0), 6) AS v
         |      FROM s WHERE event_type = 'click' GROUP BY 1),
-        |b AS (SELECT ts_us // 3600000000 AS bucket, round(avg(v), 6) AS w
+        |b AS (SELECT ts_us // 3600000000 AS bucket, round(CAST(sum(CAST(round(v * 1000000.0) AS BIGINT)) AS BIGINT) / (count(*) * 1000000.0), 6) AS w
         |      FROM s WHERE event_type = 'purchase' GROUP BY 1),
         |bx AS (SELECT bucket - u.l AS bucket, u.l AS lag, w
         |       FROM b, unnest(generate_series(-6, 6)) AS u(l)),

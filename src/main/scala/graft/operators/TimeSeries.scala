@@ -950,6 +950,18 @@ object TimeSeries {
     * agg is buckets-sized. Output: `(lag, n, corr)` for every lag, `corr`
     * null when a side is constant (or `n < 2`) at that lag.
     */
+  /** 6-dp bucket mean as ORDER-INDEPENDENT fixed point: quantize each value
+    * to 1e-6 BIGINT units, sum exactly, divide once. A plain
+    * `round(avg(v), 6)` is summation-order-dependent at the ulp level, and
+    * with 6-dp-quantized inputs the DP sums downstream land ON rounding
+    * half-boundaries — sf0.1 q_dtw caught a real 1-unit-at-6dp divergence
+    * between Spark's partial-agg order and DuckDB's sequential order.
+    * Bounded by |v| ≤ ~9e9 · rows per group at this quantum.
+    */
+  private def fixedPointMean6(v: Column): Column =
+    round(sum(round(v * 1000000.0).cast("long")) /
+      (count(lit(1)) * 1000000.0), 6)
+
   def leadLagCorr(df: DataFrame, key: String, ts: String, value: String,
       k1: String, k2: String, bucketUs: Long, maxLag: Int): DataFrame = {
     require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
@@ -957,7 +969,7 @@ object TimeSeries {
     def series(k: String) = df
       .where(col(key) === k && col(value).isNotNull)
       .groupBy(expr(s"$ts DIV $bucketUs").as("bucket"))
-      .agg(round(avg(col(value)), 6).as("v"))
+      .agg(fixedPointMean6(col(value)).as("v"))
     val a = series(k1)
     val bExp = series(k2)
       .select(col("bucket"), col("v").as("w"))
@@ -1333,7 +1345,7 @@ object TimeSeries {
     require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
     val series = df.where(col(key).isNotNull && col(value).isNotNull)
       .groupBy(col(key).as("__k"), expr(s"$ts DIV ${bucketUs}L").as("__b"))
-      .agg(round(avg(col(value)), 6).as("__v"))
+      .agg(fixedPointMean6(col(value)).as("__v"))
     val arrs = series.groupBy(col("__k"))
       .agg(array_sort(collect_list(struct(col("__b"), col("__v")))).as("__sv"))
       .select(col("__k"), expr("transform(__sv, s -> s.__v)").as("__arr"))
