@@ -89,6 +89,24 @@ object Versioned {
     spark.read.parquet(files: _*)
   }
 
+  /** Compact the LATEST version's accumulated small files into
+    * ~`targetRows`-row outputs as a NEW version (overwrite commit) — the
+    * executor for [[Layout.compactionPlan]]'s planning math on this store:
+    * after thousands of micro-batch commits, one compact() restores the
+    * file count, readers of older versions keep their exact snapshots
+    * (immutable files), and [[vacuumPlan]] reaps the fragments once the
+    * retention window passes. Row order within files follows the read
+    * order of the manifest file list (time-ordered ingest stays
+    * time-ordered).
+    */
+  def compact(spark: SparkSession, dir: String, targetRows: Long): Long = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val current = read(spark, dir)
+    val n = current.count()
+    val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
+    commit(current.coalesce(files), dir, mode = "overwrite")
+  }
+
   /** Files no version within the retention window references — safe to
     * delete. Pure manifest set arithmetic (no data scan): files referenced
     * by any of the newest `retainVersions` manifests survive.

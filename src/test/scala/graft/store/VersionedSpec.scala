@@ -35,6 +35,28 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.vacuumPlan(sp, dir, retainVersions = 2).isEmpty)
   }
 
+  test("compact merges micro-commit fragments; snapshots and vacuum cooperate") {
+    val sp = spark
+    import sp.implicits._
+    val dir = tmpDir()
+    // five 2-row micro-commits
+    (0 until 5).foreach { i =>
+      Versioned.commit(Seq((i * 2L, "x"), (i * 2L + 1, "x")).toDF("id", "s"),
+        dir, mode = "append")
+    }
+    val before = Versioned.read(sp, dir)
+    assert(before.count() == 10L)
+    val v = Versioned.compact(sp, dir, targetRows = 10L)
+    val after = Versioned.read(sp, dir)
+    assert(after.count() == 10L)
+    assert(after.collect().map(_.getLong(0)).sorted.toSeq == (0L until 10L))
+    assert(after.inputFiles.length < before.inputFiles.length)
+    // pre-compact snapshot still readable; vacuum to latest reaps fragments
+    assert(Versioned.read(sp, dir, Some(v - 1)).count() == 10L)
+    val reaped = Versioned.vacuumPlan(sp, dir, retainVersions = 1)
+    assert(reaped.nonEmpty && reaped.forall(!_.startsWith(s"data-$v/")))
+  }
+
   test("a torn manifest is invisible: readers only see renamed-in manifests") {
     val sp = spark
     import sp.implicits._
