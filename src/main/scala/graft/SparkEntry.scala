@@ -1922,6 +1922,14 @@ object SparkEntry {
       DataQuality.dpNoisedCounts(events(s, dir), "event_type", epsilon = 0.5)
     }),
 
+    // ---- per-cluster silhouette over the trained IVF cells ---------------
+    "q_silhouette" -> ((s, dir) => {
+      val cents = Similarity.trainIvfCentroids(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, seed = 42L)
+      Similarity.silhouetteByCentroid(Tables.embeddings(s, dir), "vec_id",
+        "embedding", cents)
+    }),
+
     // ---- ridge linear probe: label-noise screen by |residual| ------------
     "q_linear_probe" -> ((s, dir) => {
       Similarity.linearProbeResiduals(Tables.embeddings(s, dir), "vec_id",
@@ -3405,6 +3413,34 @@ object SparkEntry {
     "q_bpe_encode" -> {
       val merges = TextAnalysis.bpeLearn(Tables.documents(spark, dir), "text", nMerges = 20)
       bpeEncodeSql(merges)
+    },
+    "q_silhouette" -> {
+      val cents = Similarity.trainIvfCentroids(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, seed = 42L)
+      val dim = cents.head.length
+      val cf = cents.flatten.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings
+         |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+         |    AND len(embedding) = $dim),
+         |m AS (SELECT $cf AS cf),
+         |d AS (SELECT vec_id,
+         |        list_transform(generate_series(0, ${cents.length - 1}), j ->
+         |          sqrt(list_reduce(list_concat([0.0::DOUBLE],
+         |            list_transform(generate_series(1, $dim), i ->
+         |              (CAST(v[i] AS DOUBLE) - cf[j * $dim + i]) *
+         |              (CAST(v[i] AS DOUBLE) - cf[j * $dim + i]))),
+         |            (acc, x) -> acc + x))) AS ds
+         |      FROM e, m),
+         |ab AS (SELECT vec_id, ds, list_sort(ds)[1] AS a, list_sort(ds)[2] AS b
+         |       FROM d),
+         |sc AS (SELECT CAST(list_position(ds, a) - 1 AS BIGINT) AS cell,
+         |         CASE WHEN greatest(a, b) > 0.0
+         |              THEN (b - a) / greatest(a, b) ELSE 0.0 END AS s
+         |       FROM ab)
+         |SELECT cell, CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(sum(CAST(round(s * 1000000.0) AS BIGINT)) AS BIGINT)
+         |        / (count(*) * 1000000.0), 6) AS mean_s
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "q_linear_probe" -> {
       // re-derive the identical coefficients (fixed-point moments make the

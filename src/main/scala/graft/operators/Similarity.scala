@@ -1545,4 +1545,51 @@ object Similarity {
       .orderBy(abs(col("residual")).desc, col(id))
       .limit(topN)
   }
+
+  /** Simplified (centroid-based) silhouette score per cluster — the
+    * clustering-quality audit for the IVF/semantic-cluster pack: per point,
+    * `a` = distance to its own (nearest) centroid, `b` = distance to the
+    * runner-up, `s = (b − a) / max(a, b)` ∈ [0, 1); cluster rows near 0
+    * mean the cell boundary cuts through a real group (re-train with a
+    * different k), rows near 1 mean tight well-separated cells. The
+    * classic silhouette needs all pairwise distances (O(n²)); the
+    * centroid form is the production-scale stand-in and is fully
+    * engine-portable: centroids ride as plan literals and every distance
+    * is a fixed-order fold, so the oracle replays it bit-for-bit. Per-row
+    * `s` is 1e-6-quantized before the per-cluster mean (the
+    * [[graft.operators.TimeSeries]] fixed-point-mean lesson: averages of
+    * engine-identical doubles must not depend on summation order).
+    *
+    * Output: `(cell, n, mean_s)` ordered by cell.
+    */
+  def silhouetteByCentroid(df: DataFrame, id: String, vec: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    require(centroids.length >= 2, "silhouette needs >= 2 clusters")
+    val k = centroids.length
+    val dim = centroids.head.length
+    val cf = lit(centroids.flatten)
+    val v = col(vec)
+    val dists = transform(sequence(lit(0), lit(k - 1)), j =>
+      sqrt(aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0), (acc, i) => {
+        val d = element_at(v, i + 1).cast("double") -
+          element_at(cf, j * dim + i + 1)
+        acc + d * d
+      })))
+    df.where(col(id).isNotNull && col(vec).isNotNull && size(col(vec)) === dim)
+      .select(col(id), dists.as("__d"))
+      .select(col(id), col("__d"),
+        element_at(array_sort(col("__d")), 1).as("__a"),
+        element_at(array_sort(col("__d")), 2).as("__b"))
+      .select(
+        (array_position(col("__d"), col("__a")) - 1).cast("long").as("cell"),
+        when(greatest(col("__a"), col("__b")) > 0.0,
+          (col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+          .otherwise(lit(0.0)).as("__s"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("__s") * 1000000.0).cast("long")) /
+          (count(lit(1)) * 1000000.0), 6).as("mean_s"))
+      .orderBy(col("cell"))
+  }
 }

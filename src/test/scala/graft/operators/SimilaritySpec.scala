@@ -611,4 +611,19 @@ class SimilaritySpec extends SparkSpec {
       dim = 4, lambda = 0.0, topN = 1).collect()
     assert(top.head.getLong(0) == 99L, top.toList.toString)
   }
+
+  test("silhouetteByCentroid: on-centroid s=1, boundary midpoint s=0") {
+    val sp = spark
+    import sp.implicits._
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 0.0))
+    val rows = Seq(
+      (1L, Array(0f, 0f)),    // exactly on c0: a=0, b=10 -> s=1
+      (2L, Array(5f, 0f)),    // midpoint: a=b=5 -> s=0 (ties pick cell 0)
+      (3L, Array(9f, 0f)))    // near c1: a=1, b=9 -> s=8/9
+    val got = Similarity.silhouetteByCentroid(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    val s89 = BigDecimal((9.0 - 1.0) / 9.0 * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+    assert(got == List((0L, 2L, 0.5), (1L, 1L, s89)), got.toString)
+  }
 }
