@@ -1922,6 +1922,12 @@ object SparkEntry {
       DataQuality.dpNoisedCounts(events(s, dir), "event_type", epsilon = 0.5)
     }),
 
+    // ---- purged temporal split with a 1-day embargo band -----------------
+    "q_purged_split" -> ((s, dir) => {
+      Sampling.purgedTemporalSplit(events(s, dir), "ts_us", tSplit = TMID,
+        embargoUs = 86400000000L)
+    }),
+
     // ---- per-cluster silhouette over the trained IVF cells ---------------
     "q_silhouette" -> ((s, dir) => {
       val cents = Similarity.trainIvfCentroids(
@@ -3413,6 +3419,16 @@ object SparkEntry {
     "q_bpe_encode" -> {
       val merges = TextAnalysis.bpeLearn(Tables.documents(spark, dir), "text", nMerges = 20)
       bpeEncodeSql(merges)
+    },
+    "q_purged_split" -> {
+      val lo = TMID - 86400000000L
+      s"""SELECT CASE WHEN epoch_us(ts) < $lo THEN 'train'
+         |            WHEN epoch_us(ts) >= $TMID THEN 'test'
+         |            ELSE 'embargo' END AS split,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  min(epoch_us(ts)) AS t_min_us, max(epoch_us(ts)) AS t_max_us
+         |FROM events WHERE ts IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "q_silhouette" -> {
       val cents = Similarity.trainIvfCentroids(

@@ -339,4 +339,33 @@ object Sampling {
         col(weight).cast("double") / col("__wmax") * 1000000.0)
       .drop("__wmax")
   }
+
+  /** Purged temporal split (the finance-ML "embargo" split): train on
+    * everything before `tSplit − embargo`, test on everything from
+    * `tSplit` on, and DISCARD the embargo band in between — the band
+    * absorbs leakage from any feature computed over trailing windows
+    * (a rolling 7-day mean at the last train row would otherwise read
+    * test-period rows). A plain hash split ([[splitAssign]]) is the right
+    * tool for i.i.d. documents; time-coupled data needs this one.
+    *
+    * Map-only assignment; the output also carries each split's row count
+    * and time range so the leakage audit (`train_max < embargo window <
+    * test_min`) is one glance.
+    *
+    * Output: `(split, n, t_min_us, t_max_us)` for train/embargo/test.
+    */
+  def purgedTemporalSplit(df: DataFrame, ts: String, tSplit: Long,
+      embargoUs: Long): DataFrame = {
+    require(embargoUs >= 0, s"embargoUs must be >= 0, got $embargoUs")
+    df.where(col(ts).isNotNull)
+      .select(
+        when(col(ts) < tSplit - embargoUs, "train")
+          .when(col(ts) >= tSplit, "test")
+          .otherwise("embargo").as("split"),
+        col(ts).cast("long").as("__t"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n"), min(col("__t")).as("t_min_us"),
+        max(col("__t")).as("t_max_us"))
+      .orderBy(col("split"))
+  }
 }

@@ -255,4 +255,18 @@ class SamplingSpec extends SparkSpec {
     // L=16: packed ceil(42/16)=3, padded 1+2+1=4
     assert(got(16L) == ((3L, 42L, 3L, 4L, 0.875, 0.65625)))
   }
+
+  test("purgedTemporalSplit: embargo band isolates train from test") {
+    val sp = spark
+    import sp.implicits._
+    val df = (0L until 100L).map(t => Tuple1(t * 10L)).toDF("t")
+    val got = Sampling.purgedTemporalSplit(df, "t", tSplit = 600L, embargoUs = 100L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got("train") == ((50L, 0L, 490L)))   // t < 500
+    assert(got("embargo") == ((10L, 500L, 590L)))
+    assert(got("test") == ((40L, 600L, 990L)))
+    // the audit invariant: train ends a full embargo before test begins
+    assert(got("train")._3 < got("test")._2 - 100L + 10L)
+  }
 }
