@@ -1922,6 +1922,13 @@ object SparkEntry {
       DataQuality.dpNoisedCounts(events(s, dir), "event_type", epsilon = 0.5)
     }),
 
+    // ---- A/B experiment readout: two-proportion z on purchase conversion -
+    "q_ab_test" -> ((s, dir) => {
+      EventAnalytics.abTest(events(s, dir), "user_id",
+        when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"),
+        "event_type", "purchase")
+    }),
+
     // ---- purged temporal split with a 1-day embargo band -----------------
     "q_purged_split" -> ((s, dir) => {
       Sampling.purgedTemporalSplit(events(s, dir), "ts_us", tSplit = TMID,
@@ -3420,6 +3427,25 @@ object SparkEntry {
       val merges = TextAnalysis.bpeLearn(Tables.documents(spark, dir), "text", nMerges = 20)
       bpeEncodeSql(merges)
     },
+    "q_ab_test" ->
+      """WITH b AS (SELECT user_id AS u,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v, event_type AS e
+        |  FROM events WHERE user_id IS NOT NULL),
+        |us AS (SELECT DISTINCT u, v FROM b),
+        |cv AS (SELECT DISTINCT u, v FROM b WHERE e = 'purchase'),
+        |per AS (SELECT us.v, CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(CASE WHEN cv.u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |        FROM us LEFT JOIN cv ON us.u = cv.u AND us.v = cv.v
+        |        GROUP BY 1)
+        |SELECT a.v AS variant_a, b2.v AS variant_b, a.n AS users_a, a.k AS conv_a,
+        |  b2.n AS users_b, b2.k AS conv_b,
+        |  round((a.k / a.n - b2.k / b2.n) /
+        |    sqrt(((a.k + b2.k) / (a.n + b2.n)) *
+        |         (1.0 - (a.k + b2.k) / (a.n + b2.n)) *
+        |         (1.0 / a.n + 1.0 / b2.n)), 6) AS z
+        |FROM per a JOIN per b2 ON a.v < b2.v
+        |ORDER BY variant_a, variant_b""".stripMargin,
+
     "q_purged_split" -> {
       val lo = TMID - 86400000000L
       s"""SELECT CASE WHEN epoch_us(ts) < $lo THEN 'train'

@@ -425,4 +425,47 @@ object EventAnalytics {
       .orderBy(col("score").desc, col(key))
       .limit(k)
   }
+
+  /** Two-proportion A/B test on a conversion event: per variant, exposed
+    * users and converters; across variants, the pooled two-proportion
+    * z-statistic — the standard experiment readout (|z| ≥ 1.96 ⇒ p < .05
+    * two-sided). Everything is closed-form arithmetic over four exact
+    * integers, so any engine reproduces it; the z row is emitted per
+    * variant pair (A = lexicographically smaller).
+    *
+    * Plan shape: one distinct user-variant frame, one conversion
+    * semi-aggregation, one variants-sized join — the raw stream is
+    * scanned once.
+    *
+    * Output: `(variant_a, variant_b, users_a, conv_a, users_b, conv_b, z)`.
+    */
+  def abTest(df: DataFrame, user: String, variant: Column, eventType: String,
+      convEvent: String): DataFrame = {
+    val base = df.where(col(user).isNotNull)
+      .select(col(user).as("__u"), variant.cast("string").as("__v"),
+        col(eventType).as("__e"))
+    val users = base.select(col("__u"), col("__v")).distinct()
+    val conv = base.where(col("__e") === convEvent)
+      .select(col("__u"), col("__v")).distinct()
+      .withColumn("__c", lit(1L))
+    val per = users.join(conv, Seq("__u", "__v"), "left")
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("__n"), sum(coalesce(col("__c"), lit(0L))).as("__k"))
+    val a = per.select(col("__v").as("variant_a"), col("__n").as("users_a"),
+      col("__k").as("conv_a"))
+    val b = per.select(col("__v").as("variant_b"), col("__n").as("users_b"),
+      col("__k").as("conv_b"))
+    a.join(b, col("variant_a") < col("variant_b"))
+      .select(col("variant_a"), col("variant_b"), col("users_a"), col("conv_a"),
+        col("users_b"), col("conv_b"),
+        round(
+          (col("conv_a") / col("users_a") - col("conv_b") / col("users_b")) /
+            sqrt(((col("conv_a") + col("conv_b")) /
+                   (col("users_a") + col("users_b"))) *
+                 (lit(1.0) - (col("conv_a") + col("conv_b")) /
+                   (col("users_a") + col("users_b"))) *
+                 (lit(1.0) / col("users_a") + lit(1.0) / col("users_b"))), 6)
+          .as("z"))
+      .orderBy(col("variant_a"), col("variant_b"))
+  }
 }

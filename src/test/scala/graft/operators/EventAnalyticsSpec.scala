@@ -279,4 +279,26 @@ class EventAnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(got.toList == List(("a", 3L, 1.75), ("b", 4L, 0.75), ("c", 1L, 0.0)))
   }
+
+  test("abTest: hand-computed pooled two-proportion z") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{col, when, pmod, lit}
+    // variant A: users 0,2,4,6 (4 users, 2 convert); B: 1,3,5 (3 users, 0)
+    val rows = Seq(
+      (0L, "view"), (0L, "purchase"), (2L, "purchase"), (4L, "view"),
+      (6L, "view"), (1L, "view"), (3L, "click"), (5L, "view"),
+      (2L, "purchase")) // duplicate conversion: counted once
+    val df = rows.toDF("user_id", "event_type")
+    val got = EventAnalytics.abTest(df, "user_id",
+      when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"),
+      "event_type", "purchase").collect().head
+    assert((got.getString(0), got.getString(1)) == (("A", "B")))
+    assert((got.getLong(2), got.getLong(3), got.getLong(4), got.getLong(5)) ==
+      ((4L, 2L, 3L, 0L)))
+    val p = 2.0 / 7.0
+    val z = (0.5 - 0.0) / math.sqrt(p * (1 - p) * (1.0 / 4 + 1.0 / 3))
+    assert(math.abs(got.getDouble(6) - BigDecimal(z).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, got.toString)
+  }
 }
