@@ -1924,9 +1924,14 @@ object SparkEntry {
 
     // ---- A/B experiment readout: two-proportion z on purchase conversion -
     "q_ab_test" -> ((s, dir) => {
-      EventAnalytics.abTest(events(s, dir), "user_id",
+      // plain 'purchase' converts EVERY sampled user — test a high-value
+      // conversion so the proportions are informative
+      val ev = events(s, dir).withColumn("__conv",
+        when(col("event_type") === "purchase" && col("value") >= 300.0,
+          "bigbuy").otherwise(col("event_type")))
+      EventAnalytics.abTest(ev, "user_id",
         when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"),
-        "event_type", "purchase")
+        "__conv", "bigbuy")
     }),
 
     // ---- purged temporal split with a 1-day embargo band -----------------
@@ -3429,22 +3434,26 @@ object SparkEntry {
     },
     "q_ab_test" ->
       """WITH b AS (SELECT user_id AS u,
-        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v, event_type AS e
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+        |    CASE WHEN event_type = 'purchase' AND value >= 300.0
+        |         THEN 'bigbuy' ELSE event_type END AS e
         |  FROM events WHERE user_id IS NOT NULL),
         |us AS (SELECT DISTINCT u, v FROM b),
-        |cv AS (SELECT DISTINCT u, v FROM b WHERE e = 'purchase'),
+        |cv AS (SELECT DISTINCT u, v FROM b WHERE e = 'bigbuy'),
         |per AS (SELECT us.v, CAST(count(*) AS BIGINT) AS n,
         |          CAST(sum(CASE WHEN cv.u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS k
         |        FROM us LEFT JOIN cv ON us.u = cv.u AND us.v = cv.v
-        |        GROUP BY 1)
-        |SELECT a.v AS variant_a, b2.v AS variant_b, a.n AS users_a, a.k AS conv_a,
-        |  b2.n AS users_b, b2.k AS conv_b,
-        |  round((a.k / a.n - b2.k / b2.n) /
-        |    sqrt(((a.k + b2.k) / (a.n + b2.n)) *
-        |         (1.0 - (a.k + b2.k) / (a.n + b2.n)) *
-        |         (1.0 / a.n + 1.0 / b2.n)), 6) AS z
-        |FROM per a JOIN per b2 ON a.v < b2.v
-        |ORDER BY variant_a, variant_b""".stripMargin,
+        |        GROUP BY 1),
+        |j AS (SELECT a.v AS variant_a, b2.v AS variant_b, a.n AS users_a,
+        |        a.k AS conv_a, b2.n AS users_b, b2.k AS conv_b,
+        |        ((a.k + b2.k) / (a.n + b2.n)) *
+        |          (1.0 - (a.k + b2.k) / (a.n + b2.n)) *
+        |          (1.0 / a.n + 1.0 / b2.n) AS vt,
+        |        a.k / a.n - b2.k / b2.n AS pd
+        |      FROM per a JOIN per b2 ON a.v < b2.v)
+        |SELECT variant_a, variant_b, users_a, conv_a, users_b, conv_b,
+        |  CASE WHEN vt > 0.0 THEN round(pd / sqrt(vt), 6) END AS z
+        |FROM j ORDER BY variant_a, variant_b""".stripMargin,
 
     "q_purged_split" -> {
       val lo = TMID - 86400000000L

@@ -455,17 +455,18 @@ object EventAnalytics {
       col("__k").as("conv_a"))
     val b = per.select(col("__v").as("variant_b"), col("__n").as("users_b"),
       col("__k").as("conv_b"))
+    val pPool = (col("conv_a") + col("conv_b")) /
+      (col("users_a") + col("users_b"))
+    val varTerm = pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("users_a") + lit(1.0) / col("users_b"))
     a.join(b, col("variant_a") < col("variant_b"))
       .select(col("variant_a"), col("variant_b"), col("users_a"), col("conv_a"),
         col("users_b"), col("conv_b"),
-        round(
-          (col("conv_a") / col("users_a") - col("conv_b") / col("users_b")) /
-            sqrt(((col("conv_a") + col("conv_b")) /
-                   (col("users_a") + col("users_b"))) *
-                 (lit(1.0) - (col("conv_a") + col("conv_b")) /
-                   (col("users_a") + col("users_b"))) *
-                 (lit(1.0) / col("users_a") + lit(1.0) / col("users_b"))), 6)
-          .as("z"))
+        // degenerate pools (everyone or no one converts) have zero variance
+        // — the test is undefined there, not infinite
+        when(varTerm > 0.0,
+          round((col("conv_a") / col("users_a") -
+            col("conv_b") / col("users_b")) / sqrt(varTerm), 6)).as("z"))
       .orderBy(col("variant_a"), col("variant_b"))
   }
 }

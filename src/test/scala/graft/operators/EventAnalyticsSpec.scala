@@ -301,4 +301,15 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(math.abs(got.getDouble(6) - BigDecimal(z).setScale(6,
       BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, got.toString)
   }
+
+  test("abTest: degenerate pools (all or none convert) yield a null z") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.{col, when, pmod, lit}
+    val all = Seq((0L, "purchase"), (1L, "purchase")).toDF("user_id", "event_type")
+    val r = EventAnalytics.abTest(all, "user_id",
+      when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"),
+      "event_type", "purchase").collect().head
+    assert(r.isNullAt(6), r.toString)
+  }
 }
