@@ -1979,6 +1979,11 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    // ---- audience overlap via HLL register merge (inclusion-exclusion) ---
+    "q_hll_overlap" -> ((s, dir) => {
+      Sketches.hllOverlap(events(s, dir), "event_type", "user_id", p = 8)
+    }),
+
     // ---- time-decayed trending users (bucketed half-life decay) ----------
     "q_trending" -> ((s, dir) => {
       EventAnalytics.trendingTopK(events(s, dir), "user_id", "ts_us",
@@ -2678,6 +2683,61 @@ object SparkEntry {
        |SELECT g AS event_type, n_exact, round(est, 4) AS n_est,
        |  round(abs(est - n_exact) / n_exact, 4) AS rel_err
        |FROM e2 JOIN ex USING (g) ORDER BY event_type""".stripMargin
+  }
+
+  /** The shared DuckDB HLL estimate expression over a scaled harmonic sum
+    * column `s` and present-register count `nb` (p = 8) — mirrors
+    * `Sketches.hllEstimate` term for term. */
+  private def hllEstSql(s: String, nb: String): String =
+    s"""(CASE WHEN (0.7213 / (1.0 + 1.079 / 256) * 256.0 * 256.0 * 16777216.0 /
+       |         CAST($s + (256 - $nb) * 16777216 AS DOUBLE)) <= 640.0
+       |        AND (256 - $nb) > 0
+       |  THEN 256.0 * ln(256.0 / CAST(256 - $nb AS DOUBLE))
+       |  ELSE 0.7213 / (1.0 + 1.079 / 256) * 256.0 * 256.0 * 16777216.0 /
+       |       CAST($s + (256 - $nb) * 16777216 AS DOUBLE) END)""".stripMargin
+
+  /** DuckDB mirror of [[Sketches.hllOverlap]] over
+    * `events.(event_type, user_id)`: identical registers, pair-attached
+    * bucket-max union merge, the same estimate expression three ways, and
+    * the exact intersection from the raw distinct self-join.
+    */
+  private lazy val hllOverlapSql: String = {
+    s"""WITH b AS (SELECT event_type AS g, user_id AS k,
+       |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS x
+       |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+       |r AS (SELECT g, x // 16777216 AS bk,
+       |        CASE WHEN x % 16777216 = 0 THEN 25
+       |             ELSE 25 - length(bin(x % 16777216)) END AS rk
+       |      FROM b),
+       |regs AS (SELECT g, bk, max(rk) AS m FROM r GROUP BY 1, 2),
+       |gs AS (SELECT DISTINCT g FROM regs),
+       |pr AS (SELECT a.g AS ga, b2.g AS gb FROM gs a JOIN gs b2 ON a.g < b2.g),
+       |ur AS (SELECT ga, gb, bk, max(m) AS m
+       |       FROM regs JOIN pr ON regs.g = pr.ga OR regs.g = pr.gb
+       |       GROUP BY 1, 2, 3),
+       |hu AS (SELECT ga, gb,
+       |         CAST(sum(1::BIGINT << CAST(24 - m AS INTEGER)) AS BIGINT) AS s,
+       |         CAST(count(*) AS BIGINT) AS nb
+       |       FROM ur GROUP BY 1, 2),
+       |hg AS (SELECT g,
+       |         CAST(sum(1::BIGINT << CAST(24 - m AS INTEGER)) AS BIGINT) AS s,
+       |         CAST(count(*) AS BIGINT) AS nb
+       |       FROM regs GROUP BY 1),
+       |eu AS (SELECT ga, gb, ${hllEstSql("s", "nb")} AS e FROM hu),
+       |eg AS (SELECT g, ${hllEstSql("s", "nb")} AS e FROM hg),
+       |dk AS (SELECT DISTINCT g, k FROM b),
+       |ex AS (SELECT a.g AS ga, b2.g AS gb,
+       |         CAST(count(DISTINCT a.k) AS BIGINT) AS n_exact
+       |       FROM dk a JOIN dk b2 ON a.k = b2.k AND a.g < b2.g
+       |       GROUP BY 1, 2)
+       |SELECT eu.ga AS group_a, eu.gb AS group_b,
+       |  coalesce(ex.n_exact, 0) AS n_exact,
+       |  round(ea.e + eb.e - eu.e, 4) AS n_est
+       |FROM eu
+       |JOIN eg ea ON ea.g = eu.ga
+       |JOIN eg eb ON eb.g = eu.gb
+       |LEFT JOIN ex ON ex.ga = eu.ga AND ex.gb = eu.gb
+       |ORDER BY group_a, group_b""".stripMargin
   }
 
   /** DuckDB mirror of [[Sketches.hdrQuantiles]] (q ∈ {0.5, 0.9, 0.99} over
@@ -6207,6 +6267,8 @@ object SparkEntry {
         |FROM e2 JOIN exc USING (w) ORDER BY day""".stripMargin,
 
     "q_hdr_quantiles" -> hdrQuantilesSql,
+
+    "q_hll_overlap" -> hllOverlapSql,
 
     // DTW: same 6-dp bucket means; the DP fold re-expressed as DuckDB's
     // nested list_reduce with a VARCHAR DP row (1.0 list_reduce has no init

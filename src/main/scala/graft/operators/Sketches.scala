@@ -125,6 +125,24 @@ object Sketches {
             (col("n_probe") - col("n_match")).cast("double"), 6)).as("fp_rate"))
   }
 
+
+  /** The HLL bias-corrected estimate from a group's scaled harmonic sum
+    * `s` (present-register BIGINT 2^(restBits−M) contributions) and present
+    * register count `nb` — shared by every HLL face so the arithmetic is
+    * ONE expression tree everywhere (audit, sliding merge, overlap).
+    */
+  private def hllEstimate(s: Column, nb: Column, p: Int): Column = {
+    val m = 1 << p
+    val restMod = 1L << (32 - p)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / m)
+    val sFull = s + (lit(m.toLong) - nb) * restMod
+    val zeros = lit(m.toLong) - nb
+    val rawEst = alpha * m.toDouble * m.toDouble * restMod.toDouble / sFull.cast("double")
+    when(rawEst <= 2.5 * m && zeros > 0L,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .otherwise(rawEst)
+  }
+
   /** HyperLogLog distinct-count audit (Flajolet et al. 2007): per group,
     * the `m = 2^p` max-rank registers a mergeable cardinality sketch would
     * keep instead of an exact distinct set, the standard bias-corrected
@@ -163,13 +181,7 @@ object Sketches {
       sum(call_function("shiftleft", lit(1L),
         (lit(restBits) - col("__m")).cast("int"))).as("__s"),
       count(lit(1)).as("__nb"))
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / m)
-    val sFull = col("__s") + (lit(m.toLong) - col("__nb")) * restMod
-    val zeros = lit(m.toLong) - col("__nb")
-    val rawEst = alpha * m.toDouble * m.toDouble * restMod.toDouble / sFull.cast("double")
-    val est = when(rawEst <= 2.5 * m && zeros > 0L,
-      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
-      .otherwise(rawEst)
+    val est = hllEstimate(col("__s"), col("__nb"), p)
     val exact = base.groupBy(col("__g")).agg(count_distinct(col("__k")).as("n_exact"))
     perGroup.join(exact, Seq("__g"))
       .select(col("__g").as(group), col("n_exact"),
@@ -219,13 +231,7 @@ object Sketches {
       sum(call_function("shiftleft", lit(1L),
         (lit(restBits) - col("__m")).cast("int"))).as("__s"),
       count(lit(1)).as("__nb"))
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / m)
-    val sFull = col("__s") + (lit(m.toLong) - col("__nb")) * restMod
-    val zeros = lit(m.toLong) - col("__nb")
-    val rawEst = alpha * m.toDouble * m.toDouble * restMod.toDouble / sFull.cast("double")
-    val est = when(rawEst <= 2.5 * m && zeros > 0L,
-      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
-      .otherwise(rawEst)
+    val est = hllEstimate(col("__s"), col("__nb"), p)
     // the exact twin: the multi-day distinct re-scan the sketch replaces
     val exact = base.select(col("__k"), col("__day")).distinct()
       .select(col("__k"), explode(sequence(col("__day"),
@@ -284,5 +290,62 @@ object Sketches {
       .select(col("__g"), col("q"), col("__v").as("exact"))
     est.join(exactQ, Seq("__g", "q"))
       .select(col("__g").as(group), col("q"), col("n"), col("est_hi"), col("exact"))
+  }
+
+  /** Audience overlap by HLL inclusion–exclusion: for every pair of groups,
+    * `|A ∩ B| ≈ est(A) + est(B) − est(A ∪ B)` where the union estimate
+    * comes from MERGING the two register sets (bucket-wise max — sketch
+    * union is exact on registers). This is the operation that makes
+    * per-segment sketches composable: overlap between any two of `k`
+    * segments from `k` stored register tables, no re-scan, no pairwise
+    * distinct join over raw rows. The exact intersection rides along for
+    * the audit (computed here by the raw self-join the sketch replaces).
+    * Intersection estimates inherit the union's error and can go negative
+    * on tiny overlaps — reported as-is, that's the audit signal.
+    *
+    * Output: `(group_a, group_b, n_exact, n_est)` per pair, ordered.
+    */
+  def hllOverlap(df: DataFrame, group: String, key: String, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val restBits = 32 - p
+    val restMod = 1L << restBits
+    val base = df.where(col(key).isNotNull && col(group).isNotNull)
+      .select(col(group).as("__g"), col(key).as("__k"), keyHash(col(key)).as("__x"))
+    val rest = col("__x") % restMod
+    val regs = base
+      .select(col("__g"), (col("__x") / restMod).cast("long").as("__b"),
+        when(rest === 0L, lit(restBits + 1))
+          .otherwise(lit(restBits + 1) - length(bin(rest))).cast("long").as("__r"))
+      .groupBy(col("__g"), col("__b")).agg(max(col("__r")).as("__m"))
+    def harmonic(r: DataFrame, keys: Seq[String]) =
+      r.groupBy(keys.map(col): _*).agg(
+        sum(call_function("shiftleft", lit(1L),
+          (lit(restBits) - col("__m")).cast("int"))).as("__s"),
+        count(lit(1)).as("__nb"))
+    val groups = regs.select(col("__g")).distinct()
+    val pairs = groups.select(col("__g").as("ga"))
+      .join(groups.select(col("__g").as("gb")), col("ga") < col("gb"))
+    // union registers per pair: every group's registers attach to each pair
+    // they belong to, then bucket-wise max
+    val unionRegs = regs
+      .join(broadcast(pairs), col("__g") === col("ga") || col("__g") === col("gb"))
+      .groupBy(col("ga"), col("gb"), col("__b")).agg(max(col("__m")).as("__m"))
+    val estU = harmonic(unionRegs, Seq("ga", "gb"))
+      .select(col("ga"), col("gb"), hllEstimate(col("__s"), col("__nb"), p).as("__eu"))
+    val perG = harmonic(regs, Seq("__g"))
+      .select(col("__g"), hllEstimate(col("__s"), col("__nb"), p).as("__e"))
+    val exact = base.select(col("__g"), col("__k")).distinct()
+    val exactPair = exact.select(col("__g").as("ga"), col("__k"))
+      .join(exact.select(col("__g").as("gb"), col("__k")), Seq("__k"))
+      .where(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb")).agg(count_distinct(col("__k")).as("n_exact"))
+    estU
+      .join(perG.select(col("__g").as("ga"), col("__e").as("__ea")), Seq("ga"))
+      .join(perG.select(col("__g").as("gb"), col("__e").as("__eb")), Seq("gb"))
+      .join(exactPair, Seq("ga", "gb"), "left")
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        round(col("__ea") + col("__eb") - col("__eu"), 4).as("n_est"))
+      .orderBy(col("group_a"), col("group_b"))
   }
 }

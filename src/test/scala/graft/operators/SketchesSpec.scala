@@ -94,4 +94,22 @@ class SketchesSpec extends SparkSpec {
     // monotone ramp-up at the head: day 0 window covers only day 0
     assert(got(0L)._1 == 400L)
   }
+
+  test("hllOverlap: inclusion-exclusion tracks the exact intersections") {
+    val sp = spark
+    import sp.implicits._
+    // A = 0..999, B = 500..1499 (overlap 500), C = 2000..2099 (disjoint)
+    val rows = (0 until 1000).map(i => ("A", i.toLong)) ++
+      (500 until 1500).map(i => ("B", i.toLong)) ++
+      (2000 until 2100).map(i => ("C", i.toLong))
+    val got = Sketches.hllOverlap(rows.toDF("g", "k"), "g", "k", p = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    assert(got(("A", "B"))._1 == 500L)
+    assert(got(("A", "C"))._1 == 0L && got(("B", "C"))._1 == 0L)
+    // intersection estimates carry union-level error: generous band
+    assert(math.abs(got(("A", "B"))._2 - 500.0) < 250.0, got.toString)
+    assert(math.abs(got(("A", "C"))._2) < 200.0)
+  }
 }
