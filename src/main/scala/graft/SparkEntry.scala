@@ -1940,6 +1940,14 @@ object SparkEntry {
         embargoUs = 86400000000L)
     }),
 
+    // ---- medoid exemplar per IVF cell ------------------------------------
+    "q_cluster_medoids" -> ((s, dir) => {
+      val cents = Similarity.trainIvfCentroids(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, seed = 42L)
+      Similarity.clusterMedoids(Tables.embeddings(s, dir), "vec_id",
+        "embedding", cents)
+    }),
+
     // ---- per-cluster silhouette over the trained IVF cells ---------------
     "q_silhouette" -> ((s, dir) => {
       val cents = Similarity.trainIvfCentroids(
@@ -3524,6 +3532,32 @@ object SparkEntry {
          |  min(epoch_us(ts)) AS t_min_us, max(epoch_us(ts)) AS t_max_us
          |FROM events WHERE ts IS NOT NULL
          |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "q_cluster_medoids" -> {
+      val cents = Similarity.trainIvfCentroids(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", k = 8, seed = 42L)
+      val dim = cents.head.length
+      val cf = cents.flatten.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings
+         |  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+         |    AND len(embedding) = $dim),
+         |m AS (SELECT $cf AS cf),
+         |d AS (SELECT vec_id,
+         |        list_transform(generate_series(0, ${cents.length - 1}), j ->
+         |          sqrt(list_reduce(list_concat([0.0::DOUBLE],
+         |            list_transform(generate_series(1, $dim), i ->
+         |              (CAST(v[i] AS DOUBLE) - cf[j * $dim + i]) *
+         |              (CAST(v[i] AS DOUBLE) - cf[j * $dim + i]))),
+         |            (acc, x) -> acc + x))) AS ds
+         |      FROM e, m),
+         |ab AS (SELECT vec_id, ds, list_sort(ds)[1] AS a FROM d),
+         |sc AS (SELECT CAST(list_position(ds, a) - 1 AS BIGINT) AS cell,
+         |         round(a, 6) AS dd, vec_id
+         |       FROM ab),
+         |mn AS (SELECT cell, min(struct_pack(d := dd, i := vec_id)) AS m
+         |       FROM sc GROUP BY 1)
+         |SELECT cell, m.i AS vec_id, m.d AS dist
+         |FROM mn ORDER BY cell""".stripMargin
     },
     "q_silhouette" -> {
       val cents = Similarity.trainIvfCentroids(

@@ -1618,4 +1618,40 @@ object Similarity {
           (count(lit(1)) * 1000000.0), 6).as("mean_s"))
       .orderBy(col("cell"))
   }
+
+  /** Medoid-style exemplar per IVF cell: the vector CLOSEST to each
+    * centroid — the "show me a representative member" companion to
+    * [[silhouetteByCentroid]] (quality) and [[semanticOutliers]] (tail).
+    * One map-only distance projection (centroids as plan literals, fixed-
+    * order folds) + one `min_by`-shaped struct-min aggregation — no window,
+    * no shuffle beyond the k-row rollup; ties break to the smaller id via
+    * the struct ordering.
+    *
+    * Output: `(cell, id, dist)` per non-empty cell, ordered by cell.
+    */
+  def clusterMedoids(df: DataFrame, id: String, vec: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val k = centroids.length
+    val dim = centroids.head.length
+    val cf = lit(centroids.flatten)
+    val v = col(vec)
+    val dists = transform(sequence(lit(0), lit(k - 1)), j =>
+      sqrt(aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0), (acc, i) => {
+        val d = element_at(v, i + 1).cast("double") -
+          element_at(cf, j * dim + i + 1)
+        acc + d * d
+      })))
+    df.where(col(id).isNotNull && col(vec).isNotNull && size(col(vec)) === dim)
+      .select(col(id).cast("long").as("__id"), dists.as("__d"))
+      .select(col("__id"), col("__d"),
+        element_at(array_sort(col("__d")), 1).as("__a"))
+      .withColumn("cell",
+        (array_position(col("__d"), col("__a")) - 1).cast("long"))
+      .groupBy(col("cell"))
+      .agg(min(struct(round(col("__a"), 6).as("d"), col("__id").as("i"))).as("__m"))
+      .select(col("cell"), col("__m.i").as(id),
+        col("__m.d").as("dist"))
+      .orderBy(col("cell"))
+  }
 }

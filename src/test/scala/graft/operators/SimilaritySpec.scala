@@ -626,4 +626,17 @@ class SimilaritySpec extends SparkSpec {
     val s89 = BigDecimal((9.0 - 1.0) / 9.0 * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
     assert(got == List((0L, 2L, 0.5), (1L, 1L, s89)), got.toString)
   }
+
+  test("clusterMedoids: nearest member per cell, ties to the smaller id") {
+    val sp = spark
+    import sp.implicits._
+    val cents = Array(Array(0.0, 0.0), Array(10.0, 0.0))
+    val rows = Seq(
+      (5L, Array(1f, 0f)), (3L, Array(-1f, 0f)), // both dist 1 from c0 -> id 3
+      (7L, Array(9f, 0f)), (8L, Array(12f, 0f))) // c1: 7 at dist 1 beats 8 at 2
+    val got = Similarity.clusterMedoids(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got == List((0L, 3L, 1.0), (1L, 7L, 1.0)), got.toString)
+  }
 }
