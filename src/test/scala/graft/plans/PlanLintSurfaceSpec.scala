@@ -18,6 +18,8 @@ import graft.SparkSpec
 class PlanLintSurfaceSpec extends SparkSpec {
 
   private val allowed: Map[(String, String), Int] = Map(
+    ("q_ab_test", "nested-loop-join") -> 1,   // variant-pair frame: ≤ variants² rows
+    ("q_hll_overlap", "nested-loop-join") -> 2, // register→pair attach + pair build: sketch-sized
     ("q_bm25", "nested-loop-join") -> 1,
     ("q_boilerplate", "nested-loop-join") -> 1,
     ("q_containment", "nested-loop-join") -> 1,
