@@ -1278,6 +1278,18 @@ object SparkEntry {
         .orderBy(col("pvname"))
     }),
 
+    // ---- one-row-per-key drift panel: PSI and KS side by side ------------
+    "q_drift_panel" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type").as("pvname"),
+        col("ts_us"), col("value"))
+      val psi = TimeSeries.psiDrift(ev, "pvname", "ts_us", "value",
+        tSplit = TMID, lo = 0.0, hi = 500.0, bins = 20)
+      val ks = TimeSeries.ksDrift(ev, "pvname", "ts_us", "value",
+        tSplit = TMID, lo = 0.0, hi = 500.0, bins = 20)
+        .select(col("pvname"), col("ks"))
+      psi.join(ks, Seq("pvname")).orderBy(col("pvname"))
+    }),
+
     // ---- rolling-median despiking filter ----------------------------------
     "q_despike" -> ((s, dir) => {
       val samples = events(s, dir)
@@ -2692,6 +2704,46 @@ object SparkEntry {
        |  round(abs(est - n_exact) / n_exact, 4) AS rel_err
        |FROM e2 JOIN ex USING (g) ORDER BY event_type""".stripMargin
   }
+
+  /** q_psi oracle body (also composed into q_drift_panel). */
+  private lazy val psiOracleSql: String =
+      s"""WITH s AS (SELECT event_type AS pvname, epoch_us(ts) AS ts_us,
+         |    CAST(value AS DOUBLE) AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |b AS (SELECT pvname,
+         |    CAST(least(greatest(floor((v - 0.0) / 25.0), 0), 19) AS BIGINT) AS bin,
+         |    count(*) FILTER (WHERE ts_us < $TMID) AS n1,
+         |    count(*) FILTER (WHERE ts_us >= $TMID) AS n2
+         |  FROM s GROUP BY 1, 2),
+         |t AS (SELECT pvname, sum(n1) AS t1, sum(n2) AS t2, count(*) AS cells
+         |  FROM b GROUP BY pvname),
+         |pr AS (SELECT b.pvname,
+         |    (n1 + CAST(0.5 AS DOUBLE)) / (t1 + CAST(0.5 AS DOUBLE) * cells) AS p1,
+         |    (n2 + CAST(0.5 AS DOUBLE)) / (t2 + CAST(0.5 AS DOUBLE) * cells) AS p2
+         |  FROM b JOIN t ON b.pvname = t.pvname)
+         |SELECT pvname, round(sum((p1 - p2) * ln(p1 / p2)), 6) AS psi
+         |FROM pr GROUP BY pvname ORDER BY pvname""".stripMargin
+
+  /** q_ks_drift oracle body (also composed into q_drift_panel). */
+  private lazy val ksDriftOracleSql: String =
+      s"""WITH s AS (SELECT event_type AS pvname, epoch_us(ts) AS ts_us,
+         |    CAST(value AS DOUBLE) AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |b AS (SELECT pvname,
+         |    CAST(least(greatest(floor((v - 0.0) / 25.0), 0), 19) AS BIGINT) AS bin,
+         |    count(*) FILTER (WHERE ts_us < $TMID) AS n1,
+         |    count(*) FILTER (WHERE ts_us >= $TMID) AS n2
+         |  FROM s GROUP BY 1, 2),
+         |c AS (SELECT pvname, bin, n1, n2,
+         |    sum(n1) OVER (PARTITION BY pvname ORDER BY bin) AS c1,
+         |    sum(n2) OVER (PARTITION BY pvname ORDER BY bin) AS c2,
+         |    sum(n1) OVER (PARTITION BY pvname) AS t1,
+         |    sum(n2) OVER (PARTITION BY pvname) AS t2
+         |  FROM b)
+         |SELECT pvname, CAST(max(t1) AS BIGINT) AS n1, CAST(max(t2) AS BIGINT) AS n2,
+         |  round(max(abs(CAST(c1 AS DOUBLE) / t1 - CAST(c2 AS DOUBLE) / t2)), 6) AS ks
+         |FROM c WHERE t1 > 0 AND t2 > 0
+         |GROUP BY pvname ORDER BY pvname""".stripMargin
 
   /** The shared DuckDB HLL estimate expression over a scaled harmonic sum
     * column `s` and present-register count `nb` (p = 8) — mirrors
@@ -5044,23 +5096,7 @@ object SparkEntry {
 
     // PSI drift: one FILTERed count agg (same bin set as the engine's
     // two-agg full-outer join), half-count Laplace smoothing, natural log
-    "q_psi" ->
-      s"""WITH s AS (SELECT event_type AS pvname, epoch_us(ts) AS ts_us,
-         |    CAST(value AS DOUBLE) AS v
-         |  FROM events WHERE value IS NOT NULL),
-         |b AS (SELECT pvname,
-         |    CAST(least(greatest(floor((v - 0.0) / 25.0), 0), 19) AS BIGINT) AS bin,
-         |    count(*) FILTER (WHERE ts_us < $TMID) AS n1,
-         |    count(*) FILTER (WHERE ts_us >= $TMID) AS n2
-         |  FROM s GROUP BY 1, 2),
-         |t AS (SELECT pvname, sum(n1) AS t1, sum(n2) AS t2, count(*) AS cells
-         |  FROM b GROUP BY pvname),
-         |pr AS (SELECT b.pvname,
-         |    (n1 + CAST(0.5 AS DOUBLE)) / (t1 + CAST(0.5 AS DOUBLE) * cells) AS p1,
-         |    (n2 + CAST(0.5 AS DOUBLE)) / (t2 + CAST(0.5 AS DOUBLE) * cells) AS p2
-         |  FROM b JOIN t ON b.pvname = t.pvname)
-         |SELECT pvname, round(sum((p1 - p2) * ln(p1 / p2)), 6) AS psi
-         |FROM pr GROUP BY pvname ORDER BY pvname""".stripMargin,
+    "q_psi" -> psiOracleSql,
 
     // rolling-median despike: exact interpolated median over a centered
     // ROWS frame (both engines: lower + (upper-lower)*frac on identical
@@ -6377,25 +6413,14 @@ object SparkEntry {
 
     // binned two-sample KS: same 20-bin grid as q_psi, cumulative ECDFs
     // via windows over at most 20 cells per key, max absolute gap
-    "q_ks_drift" ->
-      s"""WITH s AS (SELECT event_type AS pvname, epoch_us(ts) AS ts_us,
-         |    CAST(value AS DOUBLE) AS v
-         |  FROM events WHERE value IS NOT NULL),
-         |b AS (SELECT pvname,
-         |    CAST(least(greatest(floor((v - 0.0) / 25.0), 0), 19) AS BIGINT) AS bin,
-         |    count(*) FILTER (WHERE ts_us < $TMID) AS n1,
-         |    count(*) FILTER (WHERE ts_us >= $TMID) AS n2
-         |  FROM s GROUP BY 1, 2),
-         |c AS (SELECT pvname, bin, n1, n2,
-         |    sum(n1) OVER (PARTITION BY pvname ORDER BY bin) AS c1,
-         |    sum(n2) OVER (PARTITION BY pvname ORDER BY bin) AS c2,
-         |    sum(n1) OVER (PARTITION BY pvname) AS t1,
-         |    sum(n2) OVER (PARTITION BY pvname) AS t2
-         |  FROM b)
-         |SELECT pvname, CAST(max(t1) AS BIGINT) AS n1, CAST(max(t2) AS BIGINT) AS n2,
-         |  round(max(abs(CAST(c1 AS DOUBLE) / t1 - CAST(c2 AS DOUBLE) / t2)), 6) AS ks
-         |FROM c WHERE t1 > 0 AND t2 > 0
-         |GROUP BY pvname ORDER BY pvname""".stripMargin,
+    "q_ks_drift" -> ksDriftOracleSql,
+
+    // drift panel: the two drift oracles composed as subqueries, joined on
+    // the key — same statistics side by side, no restatement
+    "q_drift_panel" ->
+      s"""SELECT p.*, k.ks
+         |FROM ($psiOracleSql) p JOIN ($ksDriftOracleSql) k USING (pvname)
+         |ORDER BY pvname""".stripMargin,
 
     // Cohen's kappa per LF pair: same vote CTE as the labeling matrix,
     // chance correction from the co-fired marginals
