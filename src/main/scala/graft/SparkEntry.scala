@@ -2055,6 +2055,13 @@ object SparkEntry {
       Graph.triangleStats(edges, "d1", "d2")
     }),
 
+    // ---- deterministic negative-edge sampling over the mutual-kNN graph --
+    "q_neg_sample" -> ((s, dir) => {
+      val edges = Similarity.mutualKnnEdges(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 5)
+      Graph.negativeSample(edges, "d1", "d2", perNode = 3)
+    }),
+
     // ---- key-skew Gini report (pre-flight salting decision) --------------
     "q_skew_gini" -> ((s, dir) => {
       Skew.giniReport(events(s, dir), "user_id")
@@ -6460,6 +6467,36 @@ object SparkEntry {
          |  CASE WHEN n_wedges = 0 THEN NULL
          |       ELSE round(CAST(3 * n_triangles AS DOUBLE) / n_wedges, 6) END AS clustering
          |FROM ds CROSS JOIN ec CROSS JOIN tri""".stripMargin,
+
+    // negative sampling: same mutual-kNN edge CTE as q_triangles, ranked
+    // node table, identical seeded hash index arithmetic, canonical
+    // anti-join
+    "q_neg_sample" -> {
+      val (a1, a2) = Graph.negSampleConsts(42L)
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |       FROM embeddings WHERE embedding IS NOT NULL),
+         |sc AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |         round(${cosineSql("a.v", "b.v")}, 6) AS sim
+         |       FROM e0 a JOIN e0 b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sc),
+         |g AS (SELECT qid, nid FROM r WHERE rn <= 5),
+         |m AS (SELECT g.qid AS d1, g.nid AS d2 FROM g
+         |      JOIN g g2 ON g.qid = g2.nid AND g.nid = g2.qid WHERE g.qid < g.nid),
+         |nd AS (SELECT DISTINCT n FROM (SELECT d1 AS n FROM m UNION ALL SELECT d2 FROM m)),
+         |rk AS (SELECT n, CAST(row_number() OVER (ORDER BY n) AS BIGINT) AS r FROM nd),
+         |cn AS (SELECT CAST(max(r) AS BIGINT) AS cnt FROM rk),
+         |cand AS (SELECT n, u.slot AS slot,
+         |           (($a1 * CAST('0x' || substr(md5(CAST(n AS VARCHAR)), 1, 8) AS BIGINT)
+         |             + $a2 * (u.slot + 1)) % 2147483647) % cnt + 1 AS idx
+         |         FROM rk, cn, unnest(generate_series(0, 2)) AS u(slot)),
+         |pt AS (SELECT cand.n, cand.slot, rk.n AS p
+         |       FROM cand JOIN rk ON cand.idx = rk.r
+         |       WHERE rk.n <> cand.n),
+         |neg AS (SELECT pt.n, pt.slot, pt.p FROM pt
+         |        ANTI JOIN m ON least(pt.n, pt.p) = m.d1 AND greatest(pt.n, pt.p) = m.d2)
+         |SELECT n AS node, CAST(slot AS BIGINT) AS slot, p AS neg
+         |FROM neg ORDER BY node, slot""".stripMargin
+    },
 
     // gini: keyed count, rank window over the KEYS-sized frame, exact
     // integer sums, one mirrored double expression

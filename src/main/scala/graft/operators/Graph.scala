@@ -279,4 +279,66 @@ object Graph {
       sd.unpersist()
     }
   }
+
+  /** Deterministic negative-edge sampling for contrastive/link-prediction
+    * training: each node draws `perNode` pseudo-random partners from the
+    * node universe via seeded hash arithmetic (no RNG in the data path —
+    * replays and oracles agree bit-for-bit), then real edges and
+    * self-pairs are anti-joined away. A dropped candidate leaves a slot
+    * gap rather than resampling — the standard fixed-proposal scheme, and
+    * the only one that stays a single declarative plan.
+    *
+    * Plan shape: one distinct-node frame with a global rank (nodes-sized
+    * window — swap in the chunked rank for graphs whose NODE LIST is
+    * data-sized), a keyed join from hashed slot indices back to node ids,
+    * and one keyed anti-join against the canonical (min, max) edge form.
+    *
+    * Output: `(node, slot, neg)` ordered.
+    */
+  /** The seeded multipliers [[negativeSample]] uses, for oracle mirrors. */
+  private[graft] def negSampleConsts(seed: Long): (Long, Long) = {
+    val P = 2147483647L
+    val rnd = new scala.util.Random(seed)
+    (1L + (rnd.nextLong().abs % (P - 1)), 1L + (rnd.nextLong().abs % (P - 1)))
+  }
+
+  def negativeSample(edges: DataFrame, src: String, dst: String,
+      perNode: Int, seed: Long = 42L): DataFrame = {
+    require(perNode >= 1, s"perNode must be >= 1, got $perNode")
+    val P = 2147483647L
+    val (a1, a2) = negSampleConsts(seed)
+    // the input edge plan is referenced from several branches below (node
+    // universe, rank table twice, anti-join) — persist the ONE canonical
+    // projection so the upstream edge computation (often a kNN sweep) runs
+    // once, not once per branch (the pageRank lesson; persist is lazy, so
+    // plan construction still triggers no job)
+    val canon = edges.select(
+      least(col(src).cast("long"), col(dst).cast("long")).as("__e1"),
+      greatest(col(src).cast("long"), col(dst).cast("long")).as("__e2"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = canon.select(explode(array(col("__e1"), col("__e2"))).as("__n"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__n"))
+    val ranked = nodes.withColumn("__r", row_number().over(w).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnt = ranked.agg(max(col("__r")).as("__cnt")) // 1 row
+    val x = conv(substring(md5(col("__n").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val cand = ranked.select(col("__n"))
+      .withColumn("__slot", explode(sequence(lit(0), lit(perNode - 1))))
+      .crossJoin(broadcast(cnt))
+      .withColumn("__idx",
+        pmod(lit(a1) * x + lit(a2) * (col("__slot") + 1L), lit(P)) %
+          col("__cnt") + 1L)
+    val partner = ranked.select(col("__r").as("__idx"), col("__n").as("__p"))
+    cand.join(partner, Seq("__idx"))
+      .where(col("__p") =!= col("__n"))
+      .join(canon,
+        least(col("__n"), col("__p")) === col("__e1") &&
+          greatest(col("__n"), col("__p")) === col("__e2"), "left_anti")
+      .select(col("__n").as("node"), col("__slot").cast("long").as("slot"),
+        col("__p").as("neg"))
+      .orderBy(col("node"), col("slot"))
+  }
 }

@@ -50,10 +50,14 @@ object PlanLint {
       case _ => Nil
     }
     // plain collect() stops at adaptive boundaries: descend through AQE
-    // wrappers and materialized query stages explicitly
+    // wrappers, materialized query stages, AND cached-plan scans (a
+    // persist() must not hide its subplan from the audit — the cached work
+    // still runs, once)
     val kids = plan match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case s: QueryStageExec => Seq(s.plan)
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        Seq(im.relation.cachedPlan)
       case o => o.children
     }
     here ++ kids.flatMap(lintPlan) ++

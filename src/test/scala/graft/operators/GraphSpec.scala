@@ -178,4 +178,27 @@ class GraphSpec extends SparkSpec {
     assert(got((1L, 3L)) == ((1L, 500000L)))
     assert(!got.keySet.exists { case (a, b) => Set(a, b).intersect(Set(5L, 6L)).nonEmpty })
   }
+
+  test("negativeSample: deterministic, excludes self and real edges") {
+    val sp = spark
+    import sp.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("d1", "d2")
+    val g1 = Graph.negativeSample(edges, "d1", "d2", perNode = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val g2 = Graph.negativeSample(edges, "d1", "d2", perNode = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(g1 == g2)                       // seeded: replays identically
+    assert(g1.nonEmpty)
+    val real = Set((1L, 2L), (2L, 3L), (3L, 4L))
+    g1.foreach { case (n, _, p) =>
+      assert(n != p, s"self pair $n")
+      val c = (math.min(n, p), math.max(n, p))
+      assert(!real.contains(c), s"real edge sampled: $c")
+      assert((1L to 4L).contains(p), s"partner outside universe: $p")
+    }
+    // a different seed draws a different proposal set
+    val g3 = Graph.negativeSample(edges, "d1", "d2", perNode = 4, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(g3 != g1)
+  }
 }

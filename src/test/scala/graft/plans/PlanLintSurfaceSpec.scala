@@ -19,6 +19,12 @@ class PlanLintSurfaceSpec extends SparkSpec {
 
   private val allowed: Map[(String, String), Int] = Map(
     ("q_ab_test", "nested-loop-join") -> 1,   // variant-pair frame: ≤ variants² rows
+    // q_neg_sample: the kNN edge sweep sits behind ONE persisted canonical
+    // frame (materializes once); the rank window is over the nodes frame;
+    // the BNLJ carries the 1-row node count
+    ("q_neg_sample", "driver-materialized-input") -> 8,
+    ("q_neg_sample", "global-window") -> 3,
+    ("q_neg_sample", "nested-loop-join") -> 1,
     ("q_hll_overlap", "nested-loop-join") -> 2, // register→pair attach + pair build: sketch-sized
     ("q_bm25", "nested-loop-join") -> 1,
     ("q_boilerplate", "nested-loop-join") -> 1,
