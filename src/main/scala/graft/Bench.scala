@@ -51,9 +51,15 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // a query that throws must NOT read as a fast success (the round-5
+    // schema drift hid 53 broken queries behind instant "timings"):
+    // failures are tracked by name and reported in the output line
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    def time(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).count()
+      catch { case _: Throwable => failed += name }
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -63,7 +69,7 @@ object Bench {
       // heavy queries otherwise shows up as multi-second spikes in later
       // light ones (BENCH_r04 q_join_chain read 5.3 s vs its real ~0.9 s)
       System.gc()
-      val ts = (0 until math.max(runs, 1)).map(_ => time(fn)).sorted
+      val ts = (0 until math.max(runs, 1)).map(_ => time(name, fn)).sorted
       name -> ts(ts.length / 2)
     }
     // a restricted run is local iteration: skip the ~250k-row streaming
@@ -87,7 +93,9 @@ object Bench {
     val total = results.map(_._2).sum
     val fullQs = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
+    val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},""" +
+      s""""n_failed":${failed.size},"failed":$failedJson,""" +
       s""""queries":$fullQs,"ingest_rows_per_sec":${s3(ingest)},"sf":"$sfDir","total_sec":${s3(total)}}"""
     // only a FULL pass may overwrite the committed full map — a restricted
     // SPARK_GRAFT_BENCH_ONLY iteration run would otherwise clobber it with
@@ -105,6 +113,7 @@ object Bench {
     val compactQs = kept.mkString("{", ",", "}")
     println(fullLine)
     println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},""" +
+      s""""n_failed":${failed.size},""" +
       s""""queries":$compactQs,"ingest_rows_per_sec":${s3(ingest)},"sf":"$sfDir","total_sec":${s3(total)}}""")
     spark.stop()
   }
