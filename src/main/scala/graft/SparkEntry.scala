@@ -1934,6 +1934,12 @@ object SparkEntry {
       DataQuality.dpNoisedCounts(events(s, dir), "event_type", epsilon = 0.5)
     }),
 
+    // ---- leakage-safe churn dataset: trailing features, future label -----
+    "q_churn_labels" -> ((s, dir) => {
+      EventAnalytics.churnLabels(events(s, dir), "user_id", "ts_us",
+        cutoffUs = TMID, labelUs = 7L * 86400000000L)
+    }),
+
     // ---- A/B experiment readout: two-proportion z on purchase conversion -
     "q_ab_test" -> ((s, dir) => {
       // plain 'purchase' converts EVERY sampled user — test a high-value
@@ -3559,6 +3565,21 @@ object SparkEntry {
       val merges = TextAnalysis.bpeLearn(Tables.documents(spark, dir), "text", nMerges = 20)
       bpeEncodeSql(merges)
     },
+    "q_churn_labels" ->
+      s"""WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t FROM events
+         |           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |             AND epoch_us(ts) < ${TMID + 7L * 86400000000L}),
+         |g AS (SELECT u AS user_id,
+         |        CAST(sum(CASE WHEN t >= ${TMID - 7L * 86400000000L} AND t < $TMID
+         |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_7d,
+         |        CAST(sum(CASE WHEN t >= ${TMID - 86400000000L} AND t < $TMID
+         |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_1d,
+         |        max(CASE WHEN t < $TMID THEN t END) AS last_t,
+         |        CAST(max(CASE WHEN t >= $TMID THEN 1 ELSE 0 END) AS BIGINT) AS label
+         |      FROM e GROUP BY 1)
+         |SELECT user_id, n_7d, n_1d, $TMID - last_t AS recency_us, label
+         |FROM g WHERE n_7d > 0 ORDER BY user_id""".stripMargin,
+
     "q_ab_test" ->
       """WITH b AS (SELECT user_id AS u,
         |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,

@@ -469,4 +469,38 @@ object EventAnalytics {
             col("conv_b") / col("users_b")) / sqrt(varTerm), 6)).as("z"))
       .orderBy(col("variant_a"), col("variant_b"))
   }
+
+  /** Leakage-safe churn-model dataset builder: for every user active in the
+    * feature window before `cutoffUs`, trailing-activity features computed
+    * STRICTLY before the cutoff and a binary label from the
+    * `[cutoffUs, cutoffUs + labelUs)` future window — the temporal
+    * discipline that makes the dataset trainable (any feature touching the
+    * label window would leak the answer; the split is one predicate, so
+    * the guarantee is auditable in the plan). One conditional-aggregation
+    * pass over the stream; no window functions.
+    *
+    * Output: `(user_id, n_7d, n_1d, recency_us, label)` —
+    * counts in the trailing 7-day / 1-day feature windows, microseconds
+    * since the user's last pre-cutoff event, and 1 if the user appears in
+    * the label window.
+    */
+  def churnLabels(df: DataFrame, user: String, ts: String, cutoffUs: Long,
+      labelUs: Long): DataFrame = {
+    require(labelUs > 0, s"labelUs must be positive, got $labelUs")
+    val day = 86400000000L
+    df.where(col(user).isNotNull && col(ts).isNotNull &&
+        col(ts) < cutoffUs + labelUs)
+      .groupBy(col(user).as("user_id"))
+      .agg(
+        sum(when(col(ts) >= cutoffUs - 7 * day && col(ts) < cutoffUs, 1L)
+          .otherwise(0L)).as("n_7d"),
+        sum(when(col(ts) >= cutoffUs - day && col(ts) < cutoffUs, 1L)
+          .otherwise(0L)).as("n_1d"),
+        max(when(col(ts) < cutoffUs, col(ts))).as("__last"),
+        max(when(col(ts) >= cutoffUs, 1L).otherwise(0L)).as("label"))
+      .where(col("n_7d") > 0L) // population: users active in the feature window
+      .select(col("user_id"), col("n_7d"), col("n_1d"),
+        (lit(cutoffUs) - col("__last")).as("recency_us"), col("label"))
+      .orderBy(col("user_id"))
+  }
 }

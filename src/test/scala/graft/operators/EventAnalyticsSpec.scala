@@ -312,4 +312,25 @@ class EventAnalyticsSpec extends SparkSpec {
       "event_type", "purchase").collect().head
     assert(r.isNullAt(6), r.toString)
   }
+
+  test("churnLabels: strict pre-cutoff features, future-window label, population gate") {
+    val sp = spark
+    import sp.implicits._
+    val D = 86400000000L
+    val cut = 100L * D
+    val rows = Seq(
+      (1L, cut - 2 * D), (1L, cut - D / 2), (1L, cut + D),   // active, returns -> label 1
+      (2L, cut - 3 * D),                                      // active, silent -> label 0
+      (3L, cut - 30 * D),                                     // outside feature window: dropped
+      (4L, cut + 2 * D),                                      // only post-cutoff: dropped (n_7d=0)
+      (5L, cut - D), (5L, cut + 10 * D))                    // return outside label window -> 0
+    val got = EventAnalytics.churnLabels(rows.toDF("u", "t"), "u", "t",
+      cutoffUs = cut, labelUs = 7 * D)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == Set(1L, 2L, 5L), got.toString)
+    assert(got(1L) == ((2L, 1L, D / 2, 1L)))
+    assert(got(2L) == ((1L, 0L, 3 * D, 0L)))
+    assert(got(5L) == ((1L, 1L, D, 0L))) // t = cut+10D is outside the label window
+  }
 }
