@@ -1934,6 +1934,15 @@ object SparkEntry {
       DataQuality.dpNoisedCounts(events(s, dir), "event_type", epsilon = 0.5)
     }),
 
+    // ---- Simpson's-paradox audit: per-segment vs pooled value~hour slope -
+    "q_simpson" -> ((s, dir) => {
+      DataQuality.simpsonAudit(
+        events(s, dir).select(col("event_type"),
+          expr("CAST((ts_us DIV 3600000000L) % 24 AS DOUBLE)").as("hour"),
+          col("value")),
+        "event_type", "hour", "value")
+    }),
+
     // ---- leakage-safe churn dataset: trailing features, future label -----
     "q_churn_labels" -> ((s, dir) => {
       EventAnalytics.churnLabels(events(s, dir), "user_id", "ts_us",
@@ -3565,6 +3574,33 @@ object SparkEntry {
       val merges = TextAnalysis.bpeLearn(Tables.documents(spark, dir), "text", nMerges = 20)
       bpeEncodeSql(merges)
     },
+    "q_simpson" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST((epoch_us(ts) // 3600000000) % 24 AS DOUBLE) AS x,
+        |    CAST(value AS DOUBLE) AS y
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |per AS (SELECT g, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        |          sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+        |        FROM b GROUP BY 1),
+        |pl AS (SELECT CAST(sum(n) AS BIGINT) AS pn, sum(sx) AS psx,
+        |         sum(sy) AS psy, sum(sxx) AS psxx, sum(sxy) AS psxy
+        |       FROM per),
+        |j AS (SELECT g, n,
+        |        CASE WHEN n * sxx - sx * sx > 0.0
+        |             THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+        |        END AS slope,
+        |        CASE WHEN pn * psxx - psx * psx > 0.0
+        |             THEN round((pn * psxy - psx * psy) / (pn * psxx - psx * psx), 6)
+        |        END AS pooled_slope
+        |      FROM per, pl)
+        |SELECT g AS event_type, n, slope, pooled_slope,
+        |  CASE WHEN slope IS NOT NULL AND pooled_slope IS NOT NULL
+        |       THEN sign(slope) <> sign(pooled_slope)
+        |            AND slope <> 0.0 AND pooled_slope <> 0.0
+        |       ELSE false END AS sign_flip
+        |FROM j ORDER BY event_type""".stripMargin,
+
     "q_churn_labels" ->
       s"""WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t FROM events
          |           WHERE user_id IS NOT NULL AND ts IS NOT NULL

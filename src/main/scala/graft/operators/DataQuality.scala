@@ -256,4 +256,45 @@ object DataQuality {
         round(abs(noise), 4).as("abs_noise"))
       .orderBy(col(group))
   }
+
+  /** Simpson's-paradox audit: the pooled OLS slope of `y` on `x` next to
+    * each group's own slope, with a flag where the signs disagree — the
+    * confounding check that catches "conversion is up overall but down in
+    * every segment" before a dashboard ships it. Slopes are the closed-form
+    * `(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` from ONE conditional-sum
+    * aggregation pass; the pooled row is the same sums re-aggregated
+    * (exact: sums of sums), broadcast back as one row.
+    *
+    * Output: `(group, n, slope, pooled_slope, sign_flip)`; slope null for
+    * a degenerate (constant-x) group.
+    */
+  def simpsonAudit(df: DataFrame, group: String, x: String, y: String): DataFrame = {
+    val base = df.where(col(group).isNotNull && col(x).isNotNull && col(y).isNotNull)
+      .select(col(group).as("__g"), col(x).cast("double").as("__x"),
+        col(y).cast("double").as("__y"))
+    val per = base.groupBy(col("__g")).agg(
+      count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
+      sum(col("__y")).as("__sy"), sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__x") * col("__y")).as("__sxy"))
+    def slope(n: Column, sx: Column, sy: Column, sxx: Column, sxy: Column) =
+      when(n * sxx - sx * sx > 0.0,
+        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6))
+    val pooled = per.agg(
+      sum(col("__n")).as("__pn"), sum(col("__sx")).as("__psx"),
+      sum(col("__sy")).as("__psy"), sum(col("__sxx")).as("__psxx"),
+      sum(col("__sxy")).as("__psxy"))
+      .select(slope(col("__pn"), col("__psx"), col("__psy"), col("__psxx"),
+        col("__psxy")).as("pooled_slope"))
+    per.crossJoin(broadcast(pooled))
+      .select(col("__g").as(group), col("__n").as("n"),
+        slope(col("__n"), col("__sx"), col("__sy"), col("__sxx"), col("__sxy"))
+          .as("slope"),
+        col("pooled_slope"))
+      .withColumn("sign_flip",
+        when(col("slope").isNotNull && col("pooled_slope").isNotNull,
+          signum(col("slope")) =!= signum(col("pooled_slope")) &&
+            col("slope") =!= 0.0 && col("pooled_slope") =!= 0.0)
+          .otherwise(lit(false)))
+      .orderBy(col(group))
+  }
 }

@@ -170,4 +170,26 @@ class DataQualitySpec extends SparkSpec {
       .collect().map(r => r.getDouble(2))
     assert(c.toList != a.map(_._3).toList)
   }
+
+  test("simpsonAudit: planted paradox flips the pooled slope sign") {
+    val sp = spark
+    import sp.implicits._
+    // two groups, each with NEGATIVE within-group slope, but group B sits
+    // at higher x AND higher y, so the pooled slope is positive
+    val rows =
+      Seq(("a", 0.0, 10.0), ("a", 1.0, 9.0), ("a", 2.0, 8.0),
+          ("b", 10.0, 30.0), ("b", 11.0, 29.0), ("b", 12.0, 28.0))
+    val got = DataQuality.simpsonAudit(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4))).toList
+    assert(got.map(_._2) == List(-1.0, -1.0), got.toString)   // per-group slopes
+    assert(got.forall(_._3 > 0.0), got.toString)              // pooled positive
+    assert(got.forall(_._4), got.toString)                    // paradox flagged
+    // constant-x group: slope null, no flag
+    val deg = DataQuality.simpsonAudit(
+      Seq(("c", 1.0, 5.0), ("c", 1.0, 7.0), ("d", 0.0, 1.0), ("d", 2.0, 3.0))
+        .toDF("g", "x", "y"), "g", "x", "y").collect()
+      .map(r => r.getString(0) -> r.isNullAt(2)).toMap
+    assert(deg("c") && !deg("d"))
+  }
 }
