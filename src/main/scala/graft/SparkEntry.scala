@@ -340,6 +340,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- declared-vs-detected language confusion matrix ------------------
+    "q_lang_confusion" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.langId(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(coalesce(col("lang"), lit("null")).as("declared"),
+          col("lang_pred").as("detected"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("declared"), col("detected"))
+    }),
+
     // ---- quality score (length + stopword-density heuristic) ---------------
     "q_quality" -> ((s, dir) => {
       TextAnalysis.qualityScore(Tables.documents(s, dir), "doc_id", "text")
@@ -4205,6 +4216,24 @@ object SparkEntry {
         |       ELSE 'de' END AS lang_pred,
         |  greatest(h_en, h_de, h_fr) AS marker_hits
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // language confusion: the q_lang_id detector joined to the declared
+    // column — the mislabeled-language screen before per-language routing
+    "q_lang_confusion" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','and','of','to'))) AS BIGINT) AS h_en,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('der','die','das','und','ist'))) AS BIGINT) AS h_de,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('le','la','les','et','est'))) AS BIGINT) AS h_fr
+        |  FROM documents),
+        |p AS (SELECT coalesce(lang, 'null') AS declared,
+        |        CASE WHEN greatest(h_en, h_de, h_fr) = 0 THEN 'und'
+        |             WHEN h_fr = greatest(h_en, h_de, h_fr) THEN 'fr'
+        |             WHEN h_en = greatest(h_en, h_de, h_fr) THEN 'en'
+        |             ELSE 'de' END AS detected
+        |      FROM h)
+        |SELECT declared, detected, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_quality" ->
       """SELECT doc_id,
