@@ -1945,6 +1945,12 @@ object SparkEntry {
       DataQuality.dpNoisedCounts(events(s, dir), "event_type", epsilon = 0.5)
     }),
 
+    // ---- dwell-time profile per adjacent event-type transition -----------
+    "q_transition_latency" -> ((s, dir) => {
+      EventAnalytics.transitionLatency(events(s, dir), "user_id", "ts_us",
+        "event_id", "event_type")
+    }),
+
     // ---- Simpson's-paradox audit: per-segment vs pooled value~hour slope -
     "q_simpson" -> ((s, dir) => {
       DataQuality.simpsonAudit(
@@ -3585,6 +3591,23 @@ object SparkEntry {
       val merges = TextAnalysis.bpeLearn(Tables.documents(spark, dir), "text", nMerges = 20)
       bpeEncodeSql(merges)
     },
+    "q_transition_latency" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_id AS tb,
+        |    event_type AS et
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |l AS (SELECT u, t, et,
+        |        lag(t) OVER (PARTITION BY u ORDER BY t, tb) AS pt,
+        |        lag(et) OVER (PARTITION BY u ORDER BY t, tb) AS pe
+        |      FROM e),
+        |g AS (SELECT pe AS from_type, et AS to_type,
+        |        CAST(t - pt AS DOUBLE) AS gap
+        |      FROM l WHERE pe IS NOT NULL)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(quantile_cont(gap, CAST(0.5 AS DOUBLE)) / 1000000.0, 3) AS p50_s,
+        |  round(quantile_cont(gap, CAST(0.9 AS DOUBLE)) / 1000000.0, 3) AS p90_s,
+        |  CAST(max(gap) AS BIGINT) AS max_us
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_simpson" ->
       """WITH b AS (SELECT event_type AS g,
         |    CAST((epoch_us(ts) // 3600000000) % 24 AS DOUBLE) AS x,

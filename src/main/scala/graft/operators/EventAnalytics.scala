@@ -503,4 +503,35 @@ object EventAnalytics {
         (lit(cutoffUs) - col("__last")).as("recency_us"), col("label"))
       .orderBy(col("user_id"))
   }
+
+  /** Dwell-time profile of every adjacent event-type transition: for each
+    * (from → to) pair of consecutive events on the same user, the count and
+    * the exact interpolated p50/p90 of the time gap IN SECONDS (3 dp —
+    * micros-magnitude doubles carry ~1e-5 ulps, so a 6-dp micros round
+    * would sit below double precision and engines' interpolation ulps
+    * would show; seconds at 3 dp leaves 8 orders of headroom) — the
+    * latency texture
+    * behind [[transitionMatrix]]'s raw counts (where do users stall?).
+    * One per-user lag window + one combinable aggregate per pair; gaps are
+    * exact integer micros, so only the interpolated percentiles round.
+    *
+    * Output: `(from_type, to_type, n, p50_s, p90_s, max_us)` ordered.
+    */
+  def transitionLatency(df: DataFrame, user: String, ts: String,
+      tieBreak: String, eventType: String): DataFrame = {
+    val w = Window.partitionBy(col("__u")).orderBy(col("__ts"), col("__tb"))
+    df.where(col(user).isNotNull && col(ts).isNotNull)
+      .select(col(user).as("__u"), col(ts).as("__ts"),
+        col(tieBreak).as("__tb"), col(eventType).as("__et"))
+      .withColumn("__pt", lag(col("__ts"), 1).over(w))
+      .withColumn("__pe", lag(col("__et"), 1).over(w))
+      .where(col("__pe").isNotNull)
+      .withColumn("__gap", (col("__ts") - col("__pt")).cast("double"))
+      .groupBy(col("__pe").as("from_type"), col("__et").as("to_type"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(__gap, 0.5)") / 1000000.0, 3).as("p50_s"),
+        round(expr("percentile(__gap, 0.9)") / 1000000.0, 3).as("p90_s"),
+        max(col("__gap")).cast("long").as("max_us"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
 }

@@ -333,4 +333,20 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got(2L) == ((1L, 0L, 3 * D, 0L)))
     assert(got(5L) == ((1L, 1L, D, 0L))) // t = cut+10D is outside the label window
   }
+
+  test("transitionLatency: hand gaps per transition pair") {
+    val sp = spark
+    import sp.implicits._
+    // user 1: a@0 -> b@10 -> a@40; user 2: a@0 -> b@30
+    val rows = Seq((1L, 0L, 1L, "a"), (1L, 10L, 2L, "b"), (1L, 40L, 3L, "a"),
+      (2L, 0L, 4L, "a"), (2L, 30L, 5L, "b"))
+    val got = EventAnalytics.transitionLatency(
+      rows.toDF("u", "t", "id", "et"), "u", "t", "id", "et")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(5))).toList
+    // a->b gaps {10, 30} us: p50 = 20 us = 0.00002 s -> rounds to 0.0 at
+    // 3 dp; check max instead and the count/row shape
+    assert(got == List(("a", "b", 2L, 0.0, 30L), ("b", "a", 1L, 0.0, 30L)),
+      got.toString)
+  }
 }
