@@ -1,73 +1,65 @@
 package graft
 
-import java.nio.file.Files
-
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.operators.Export
-import graft.store.SampleStore
-import graft.streaming.Downsampler
-import graft.streaming.Downsampler.{PvConfig, RawSample}
+import graft.streaming.Downsampler.RawSample
 
-/** SURVEY §5.3 golden path: synthetic CA event log → T2 downsampler →
-  * partitioned store → Archive.getData → ASCII export, each hop checked
-  * against hand-computed expectations.
+/** Whole-system seam test: streaming ingest → partitioned sample store →
+  * archive query → versioned table commit/time-travel → plain SQL with the
+  * native function pack. Each hop's row accounting must reconcile — this is
+  * the "could a user actually wire these pieces together" check the
+  * per-operator specs can't give.
   */
 class EndToEndSpec extends SparkSpec {
 
-  private val S = 1000000L
-  private val runWidth = 3600L * S // 1h runs
-
-  test("ingest -> downsample -> store -> getData -> export") {
+  test("ingest -> store -> query -> versioned commit -> SQL, counts reconcile") {
     val sp = spark
     import sp.implicits._
-    Engine.tune(sp)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_e2e_store").toString
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_e2e_table").toString
+    val runWidth = 30L * 86400000000L
 
-    // one fast double PV (sub-deadtime bursts -> limbo), one slow string PV
-    val events =
-      (0 until 120).map { i => // every 2s for 4min, big moves
-        RawSample("E2E:fast.VAL", i * 2 * S, (i * 10.0).toString, (i * 10.0).toString)
-      } ++ Seq(
-        RawSample("E2E:mode.VAL", 0, "Idle", "Idle"),
-        RawSample("E2E:mode.VAL", 100 * S, "Running", "Running"))
+    // 1) stream 3 PVs, 40 samples each, 10 s apart (past the deadtime so
+    //    every sample lands), through the REAL stateful ingest topology
+    val input = MemoryStream[RawSample]
+    input.addData((0 until 120).map { i =>
+      val v = s"${i % 7}.5"
+      RawSample(s"E2E:pv${i % 3}", 1700000000000000L + (i / 3).toLong * 10000000L, v, v)
+    })
+    val q = streaming.Ingest.archiveTo(input.toDS(), storeDir, runWidth,
+      triggerMs = 100L, limboTimeoutMs = 0L)
+    try q.processAllAvailable() finally q.stop()
 
-    val cfg = Map(
-      "E2E:fast.VAL" -> PvConfig("double", 5 * S, 0.5),
-      "E2E:mode.VAL" -> PvConfig("string", 1 * S, 0.0))
+    // 2) store scan prunes to one PV; the archive facade reads it back
+    val pv0 = store.SampleStore.scanPv(sp, storeDir, "E2E:pv0",
+      1700000000000000L, 1700000000000000L + 400L * 10000000L, runWidth)
+    val nPv0 = pv0.count()
+    assert(nPv0 == 40L, s"expected 40 ingested rows for pv0, got $nPv0")
 
-    // T2 downsampler: fast PV reduced ~3x (emit + limbo per ~6s), mode kept
-    val archived = Downsampler.replayBatch(events.toDS(), cfg).collect().toVector
-    val fast = archived.filter(_.pvname == "E2E:fast.VAL").sortBy(_.tsUs)
-    assert(fast.size < 90 && fast.size > 30, s"got ${fast.size}")
-    assert(archived.count(_.pvname == "E2E:mode.VAL") == 2)
+    // 3) commit the scan to a versioned table, append a second slice,
+    //    then time-travel back
+    val v1 = store.Versioned.commit(
+      pv0.select(col("pvname"), col("tsUs"), col("value")), tableDir)
+    val pv1 = store.SampleStore.scanPv(sp, storeDir, "E2E:pv1",
+      1700000000000000L, 1700000000000000L + 400L * 10000000L, runWidth)
+    val v2 = store.Versioned.commit(
+      pv1.select(col("pvname"), col("tsUs"), col("value")), tableDir)
+    assert(v1 == 1L && v2 == 2L)
+    assert(store.Versioned.read(sp, tableDir, Some(1L)).count() == 40L)
+    assert(store.Versioned.read(sp, tableDir).count() == 80L)
 
-    // store: normalize + partitioned write
-    val dir = Files.createTempDirectory("graft_e2e").toString
-    val raw = archived.toDF()
-      .select(col("pvname"), col("tsUs"), col("value"), col("cvalue"))
-    SampleStore.write(SampleStore.normalize(raw, runWidth), dir)
-
-    // query through the facade with the latest-value cache unioned in
-    val samples = SampleStore.read(sp, dir)
-    val cache = Seq(("E2E:fast.VAL", 300 * S, "9999.0")).toDF("pvname", "tsUs", "value")
-    val archive = new Archive(samples.select(col("pvname"), col("tsUs"), col("value")), Some(cache))
-    val got = archive.getData("E2E:fast.VAL", 60 * S, 301 * S, withCurrent = Some(true), nowUs = 300 * S)
-      .collect().map(r => (r.getAs[Long]("tsUs"), r.getAs[String]("value")))
-    // one point before tmin, all archived in range, then the cache row last
-    assert(got.head._1 < 60 * S)
-    assert(got.last == ((300 * S, "9999.0")))
-    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
-    val inRange = fast.filter(s => s.tsUs >= 60 * S && s.tsUs < 238 * S).map(_.tsUs)
-    assert(inRange.forall(ts => got.exists(_._1 == ts)))
-
-    // export: fixed-width rows parse back to the same timestamps
-    val lines = Export.asciiRows(
-      archive.getData("E2E:fast.VAL", 60 * S, 120 * S)
-        .withColumn("dvalue", col("value").cast("double")),
-      "tsUs", "dvalue").as[String].collect()
-    assert(lines.nonEmpty)
-    lines.foreach { l =>
-      assert(l.matches("""\d+\.\d{6} +[\d.e+-]+ \d{8} \d{6}"""), l)
-    }
+    // 4) plain SQL over the committed snapshot with the native formatter
+    store.Versioned.read(sp, tableDir).createOrReplaceTempView("e2e_samples")
+    Engine.registerFunctions(sp)
+    val rows = sp.sql(
+      """SELECT pvname, count(*) AS n,
+        |  graft_hformat(avg(CAST(value AS DOUBLE)), 4) AS avg_fmt
+        |FROM e2e_samples GROUP BY pvname ORDER BY pvname""".stripMargin)
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("E2E:pv0", "E2E:pv1"))
+    assert(rows.forall(_.getLong(1) == 40L))
+    assert(rows.forall(r => r.getString(2).nonEmpty))
   }
 }
