@@ -1289,6 +1289,15 @@ object SparkEntry {
         .orderBy(col("pvname"))
     }),
 
+    // ---- rolling day-over-day PSI drift series per event type ------------
+    "q_psi_rolling" -> ((s, dir) => {
+      TimeSeries.psiRolling(
+        events(s, dir).select(col("event_type").as("pvname"), col("ts_us"),
+          col("value")),
+        "pvname", "ts_us", "value", lo = 0.0, hi = 500.0, bins = 20,
+        stepUs = 86400000000L)
+    }),
+
     // ---- one-row-per-key drift panel: PSI and KS side by side ------------
     "q_drift_panel" -> ((s, dir) => {
       val ev = events(s, dir).select(col("event_type").as("pvname"),
@@ -6530,6 +6539,39 @@ object SparkEntry {
     // binned two-sample KS: same 20-bin grid as q_psi, cumulative ECDFs
     // via windows over at most 20 cells per key, max absolute gap
     "q_ks_drift" -> ksDriftOracleSql,
+
+    // rolling PSI: same clamp-bin grid and smoothing as q_psi, paired on
+    // consecutive day indices where both sides have data
+    "q_psi_rolling" ->
+      """WITH s AS (SELECT event_type AS pvname, epoch_us(ts) AS ts_us,
+        |    CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT pvname, ts_us // 86400000000 AS p,
+        |        CAST(least(greatest(floor((v - 0.0) / 25.0), 0.0), 19.0) AS BIGINT) AS b,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM s GROUP BY 1, 2, 3),
+        |pd AS (SELECT DISTINCT pvname, p FROM c),
+        |pairs AS (SELECT a.pvname, a.p + 1 AS pair FROM pd a
+        |          JOIN pd b2 ON a.pvname = b2.pvname AND b2.p = a.p + 1),
+        |pv AS (SELECT pvname, p + 1 AS pair, b, n AS n1 FROM c),
+        |cu AS (SELECT pvname, p AS pair, b, n AS n2 FROM c),
+        |j0 AS (SELECT coalesce(pv.pvname, cu.pvname) AS pvname,
+        |         coalesce(pv.pair, cu.pair) AS pair,
+        |         coalesce(pv.b, cu.b) AS b,
+        |         coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2
+        |       FROM pv FULL OUTER JOIN cu
+        |         ON pv.pvname = cu.pvname AND pv.pair = cu.pair AND pv.b = cu.b),
+        |j AS (SELECT j0.* FROM j0 JOIN pairs USING (pvname, pair)),
+        |t AS (SELECT pvname, pair, CAST(sum(n1) AS BIGINT) AS t1,
+        |        CAST(sum(n2) AS BIGINT) AS t2, CAST(count(*) AS BIGINT) AS cells
+        |      FROM j GROUP BY 1, 2),
+        |pp AS (SELECT j.pvname, j.pair,
+        |         (n1 + 0.5) / (t1 + 0.5 * cells) AS p1,
+        |         (n2 + 0.5) / (t2 + 0.5 * cells) AS p2
+        |       FROM j JOIN t USING (pvname, pair))
+        |SELECT pvname, pair AS period,
+        |  round(sum((p1 - p2) * ln(p1 / p2)), 6) AS psi
+        |FROM pp GROUP BY 1, 2 ORDER BY pvname, period""".stripMargin,
 
     // drift panel: the two drift oracles composed as subqueries, joined on
     // the key — same statistics side by side, no restatement

@@ -1367,4 +1367,53 @@ object TimeSeries {
       .orderBy(col("__k"))
       .withColumnRenamed("__k", key)
   }
+
+  /** Rolling drift series: [[psiDrift]]'s statistic between every period
+    * and its predecessor — drift as a TIME SERIES per key, the monitor
+    * form (a single split answers "did it drift?"; the rolling form
+    * answers "when"). Same clamp-bin grid, same half-count smoothing; only
+    * period pairs where BOTH sides have data emit (a first period has no
+    * baseline, a silent period no sample).
+    *
+    * Plan shape: ONE (key, period, bin) count aggregation; every later
+    * frame is bounded by keys × periods × bins cells, never raw rows.
+    *
+    * Output: `(key, period, psi)` — `period` is the later period index.
+    */
+  def psiRolling(df: DataFrame, key: String, ts: String, value: String,
+      lo: Double, hi: Double, bins: Int, stepUs: Long): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    require(hi > lo, s"empty range: hi $hi <= lo $lo")
+    require(stepUs > 0, s"stepUs must be positive, got $stepUs")
+    val w = (hi - lo) / bins
+    val bin = least(greatest(floor((col(value).cast("double") - lo) / w), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+    val counts = df.where(col(value).isNotNull && col(ts).isNotNull)
+      .groupBy(col(key), expr(s"$ts DIV ${stepUs}L").as("__p"), bin.as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val periods = counts.select(col(key), col("__p")).distinct()
+    // pair id = the LATER period; valid only where the predecessor exists
+    val pairs = periods.select(col(key), (col("__p") + 1L).as("__pair"))
+      .join(periods.select(col(key), col("__p").as("__pair")), Seq(key, "__pair"))
+    val prev = counts.select(col(key), (col("__p") + 1L).as("__pair"),
+      col("__b"), col("__n").as("n1"))
+    val cur = counts.select(col(key), col("__p").as("__pair"),
+      col("__b"), col("__n").as("n2"))
+    val joined = prev.join(cur, Seq(key, "__pair", "__b"), "full_outer")
+      .join(pairs, Seq(key, "__pair")) // keep only both-sided pairs
+      .select(col(key), col("__pair"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"))
+    val tot = joined.groupBy(col(key), col("__pair"))
+      .agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"),
+        count(lit(1)).as("cells"))
+    joined.join(tot, Seq(key, "__pair"))
+      .select(col(key), col("__pair"),
+        ((col("n1") + 0.5) / (col("t1") + lit(0.5) * col("cells"))).as("p1"),
+        ((col("n2") + 0.5) / (col("t2") + lit(0.5) * col("cells"))).as("p2"))
+      .groupBy(col(key), col("__pair").as("period"))
+      .agg(round(sum((col("p1") - col("p2")) * log(col("p1") / col("p2"))), 6)
+        .as("psi"))
+      .orderBy(col(key), col("period"))
+  }
 }

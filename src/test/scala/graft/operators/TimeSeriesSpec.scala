@@ -862,4 +862,22 @@ class TimeSeriesSpec extends SparkSpec {
         r.getDouble(3), r.getDouble(4))).toList
     assert(got == List(("o", 2L, 3L, 1.0, 0.2), ("r", 3L, 3L, 0.0, 0.0)))
   }
+
+  test("psiRolling: identical periods drift 0, shifted period spikes, edges gated") {
+    val sp = spark
+    import sp.implicits._
+    val D = 1000L
+    // key a: day0 and day1 identical -> psi ~ 0; day2 mass moved -> psi > 0;
+    // day4 exists but day3 missing -> (4) pair not emitted
+    val rows =
+      (0 until 50).flatMap(i => Seq(("a", 0 * D + i, 10.0), ("a", 1 * D + i, 10.0))) ++
+      (0 until 50).map(i => ("a", 2 * D + i, 400.0)) ++
+      (0 until 50).map(i => ("a", 4 * D + i, 10.0))
+    val got = TimeSeries.psiRolling(rows.toDF("k", "t", "v"), "k", "t", "v",
+      lo = 0.0, hi = 500.0, bins = 20, stepUs = D)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set(1L, 2L), got.toString)
+    assert(math.abs(got(1L)) < 1e-9, got.toString)
+    assert(got(2L) > 1.0, got.toString)
+  }
 }
