@@ -20,6 +20,7 @@ class PlanLintSurfaceSpec extends SparkSpec {
   private val allowed: Map[(String, String), Int] = Map(
     ("q_ab_test", "nested-loop-join") -> 1,   // variant-pair frame: ≤ variants² rows
     ("q_simpson", "nested-loop-join") -> 1,   // 1-row pooled-slope broadcast
+    ("q_int8_recall", "nested-loop-join") -> 2, // two broadcast-query brute sweeps (q_knn_brute shape)
     // q_neg_sample: the kNN edge sweep sits behind ONE persisted canonical
     // frame (materializes once); the rank window is over the nodes frame;
     // the BNLJ carries the 1-row node count
