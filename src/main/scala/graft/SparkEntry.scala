@@ -2109,6 +2109,13 @@ object SparkEntry {
       Graph.triangleStats(edges, "d1", "d2")
     }),
 
+    // ---- k-core backbone of the mutual-kNN graph -------------------------
+    "q_kcore" -> ((s, dir) => {
+      val edges = Similarity.mutualKnnEdges(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 5)
+      Graph.kCore(edges, "d1", "d2", k = 3)
+    }),
+
     // ---- deterministic negative-edge sampling over the mutual-kNN graph --
     "q_neg_sample" -> ((s, dir) => {
       val edges = Similarity.mutualKnnEdges(Tables.embeddings(s, dir),
@@ -6673,6 +6680,35 @@ object SparkEntry {
          |  CASE WHEN n_wedges = 0 THEN NULL
          |       ELSE round(CAST(3 * n_triangles AS DOUBLE) / n_wedges, 6) END AS clustering
          |FROM ds CROSS JOIN ec CROSS JOIN tri""".stripMargin,
+
+    // k-core: the q_triangles edge CTE + 10 unrolled degree-peel rounds
+    // (idempotent past the fixpoint the engine converges to and asserts)
+    "q_kcore" -> {
+      // MATERIALIZED: each round references its predecessor three times —
+      // inlined CTEs would expand 3^10 embedding scans ("too many open
+      // files" long before any result)
+      val rounds = (0 until 10).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS c FROM (
+           |  SELECT a AS n FROM e$i UNION ALL SELECT b FROM e$i) GROUP BY 1),
+           |k$i AS MATERIALIZED (SELECT n FROM d$i WHERE c >= 3),
+           |e${i + 1} AS MATERIALIZED (SELECT e$i.a, e$i.b FROM e$i
+           |  SEMI JOIN k$i ka ON e$i.a = ka.n
+           |  SEMI JOIN k$i kb ON e$i.b = kb.n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0x AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |       FROM embeddings WHERE embedding IS NOT NULL),
+         |sc AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |         round(${cosineSql("a.v", "b.v")}, 6) AS sim
+         |       FROM e0x a JOIN e0x b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sc),
+         |g AS (SELECT qid, nid FROM r WHERE rn <= 5),
+         |e0 AS MATERIALIZED (SELECT g.qid AS a, g.nid AS b FROM g
+         |      JOIN g g2 ON g.qid = g2.nid AND g.nid = g2.qid WHERE g.qid < g.nid),
+         |$rounds
+         |SELECT n AS node, CAST(count(*) AS BIGINT) AS degree FROM (
+         |  SELECT a AS n FROM e10 UNION ALL SELECT b FROM e10)
+         |GROUP BY 1 HAVING count(*) >= 3 ORDER BY node""".stripMargin
+    },
 
     // negative sampling: same mutual-kNN edge CTE as q_triangles, ranked
     // node table, identical seeded hash index arithmetic, canonical

@@ -341,4 +341,56 @@ object Graph {
         col("__p").as("neg"))
       .orderBy(col("node"), col("slot"))
   }
+
+  /** k-core decomposition membership (the densest-backbone filter): peel
+    * nodes with degree < k repeatedly until the survivor set is stable —
+    * what remains is the k-core, the standard noise-robust "community
+    * skeleton" (a node in the 3-core has 3 neighbors that each have 3
+    * neighbors ... inside the core). Driver steers the peel loop (edge
+    * frame iterates, never the corpus), each round ONE degree count + one
+    * semi-join; `maxPeels` bounds the rounds and the operator THROWS if
+    * the fixpoint isn't reached — an unconverged peel must not masquerade
+    * as a core (the [[Dedup.connectedComponents]] convergence contract,
+    * and what keeps the fixed-unroll oracle faithful).
+    *
+    * Output: `(node, degree)` for k-core members, ordered; degree is the
+    * WITHIN-CORE degree.
+    */
+  def kCore(edges: DataFrame, src: String, dst: String, k: Int,
+      maxPeels: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxPeels >= 1, s"maxPeels must be >= 1, got $maxPeels")
+    // canonical undirected edges; localCheckpoint TRUNCATES lineage — each
+    // round references the previous edge frame three times (degree, two
+    // semi-joins), so an uncut logical plan grows 3^rounds and OOMs the
+    // driver during analysis long before any data moves (the
+    // connectedComponents lesson)
+    var e = edges.select(
+      least(col(src).cast("long"), col(dst).cast("long")).as("__a"),
+      greatest(col(src).cast("long"), col(dst).cast("long")).as("__b"))
+      .where(col("__a") =!= col("__b")).distinct()
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxPeels) {
+      val deg = e.select(explode(array(col("__a"), col("__b"))).as("__n"))
+        .groupBy(col("__n")).agg(count(lit(1)).as("__d"))
+      val keep = deg.where(col("__d") >= k).select(col("__n"))
+      val e2 = e
+        .join(keep.select(col("__n").as("__a")), Seq("__a"), "left_semi")
+        .join(keep.select(col("__n").as("__b")), Seq("__b"), "left_semi")
+        .select(col("__a"), col("__b"))
+        .localCheckpoint()
+      val before = e.count()
+      val after = e2.count()
+      e = e2
+      converged = after == before
+      round += 1
+    }
+    require(converged, s"k-core peel did not converge within $maxPeels rounds")
+    e.select(explode(array(col("__a"), col("__b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .where(col("degree") >= k) // empty-core safety; holds by construction
+      .orderBy(col("node"))
+  }
 }

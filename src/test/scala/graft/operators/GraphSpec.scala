@@ -201,4 +201,17 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
     assert(g3 != g1)
   }
+
+  test("kCore: triangle survives the 2-core, pendant chain peels away") {
+    val sp = spark
+    import sp.implicits._
+    // triangle 1-2-3 plus a pendant path 3-4-5: the 2-core is the triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("d1", "d2")
+    val got = Graph.kCore(edges, "d1", "d2", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got == List((1L, 2L), (2L, 2L), (3L, 2L)), got.toString)
+    // 3-core of the same graph is empty
+    assert(Graph.kCore(edges, "d1", "d2", k = 3).collect().isEmpty)
+  }
 }

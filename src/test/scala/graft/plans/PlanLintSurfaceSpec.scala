@@ -47,6 +47,7 @@ class PlanLintSurfaceSpec extends SparkSpec {
     ("q_join_stats", "nested-loop-join") -> 1,
     ("q_knn_brute", "nested-loop-join") -> 1,
     ("q_knn_recall", "nested-loop-join") -> 1,
+    ("q_kcore", "driver-materialized-input") -> 1, // peel-loop localCheckpoint (CC contract)
     ("q_label_prop", "driver-materialized-input") -> 1,
     ("q_link_predict", "driver-materialized-input") -> 1,
     ("q_lm_xent", "nested-loop-join") -> 1,
