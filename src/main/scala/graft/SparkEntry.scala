@@ -6681,13 +6681,14 @@ object SparkEntry {
          |       ELSE round(CAST(3 * n_triangles AS DOUBLE) / n_wedges, 6) END AS clustering
          |FROM ds CROSS JOIN ec CROSS JOIN tri""".stripMargin,
 
-    // k-core: the q_triangles edge CTE + 10 unrolled degree-peel rounds
+    // k-core: the q_triangles edge CTE + 30 unrolled degree-peel rounds
     // (idempotent past the fixpoint the engine converges to and asserts)
     "q_kcore" -> {
       // MATERIALIZED: each round references its predecessor three times —
-      // inlined CTEs would expand 3^10 embedding scans ("too many open
-      // files" long before any result)
-      val rounds = (0 until 10).map { i =>
+      // inlined CTEs would expand 3^rounds embedding scans ("too many open
+      // files" long before any result). 30 rounds covers the sf0.1 graph's
+      // 13-round fixpoint with margin; later rounds are idempotent no-ops
+      val rounds = (0 until 30).map { i =>
         s"""d$i AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS c FROM (
            |  SELECT a AS n FROM e$i UNION ALL SELECT b FROM e$i) GROUP BY 1),
            |k$i AS MATERIALIZED (SELECT n FROM d$i WHERE c >= 3),
@@ -6706,7 +6707,7 @@ object SparkEntry {
          |      JOIN g g2 ON g.qid = g2.nid AND g.nid = g2.qid WHERE g.qid < g.nid),
          |$rounds
          |SELECT n AS node, CAST(count(*) AS BIGINT) AS degree FROM (
-         |  SELECT a AS n FROM e10 UNION ALL SELECT b FROM e10)
+         |  SELECT a AS n FROM e30 UNION ALL SELECT b FROM e30)
          |GROUP BY 1 HAVING count(*) >= 3 ORDER BY node""".stripMargin
     },
 

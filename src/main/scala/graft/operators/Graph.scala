@@ -357,7 +357,7 @@ object Graph {
     * WITHIN-CORE degree.
     */
   def kCore(edges: DataFrame, src: String, dst: String, k: Int,
-      maxPeels: Int = 10): DataFrame = {
+      maxPeels: Int = 30): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxPeels >= 1, s"maxPeels must be >= 1, got $maxPeels")
     // canonical undirected edges; localCheckpoint TRUNCATES lineage — each
