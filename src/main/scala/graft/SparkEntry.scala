@@ -2109,6 +2109,13 @@ object SparkEntry {
       Graph.triangleStats(edges, "d1", "d2")
     }),
 
+    // ---- degree assortativity of the mutual-kNN graph --------------------
+    "q_assortativity" -> ((s, dir) => {
+      val edges = Similarity.mutualKnnEdges(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 5)
+      Graph.assortativity(edges, "d1", "d2")
+    }),
+
     // ---- k-core backbone of the mutual-kNN graph -------------------------
     "q_kcore" -> ((s, dir) => {
       val edges = Similarity.mutualKnnEdges(Tables.embeddings(s, dir),
@@ -6680,6 +6687,34 @@ object SparkEntry {
          |  CASE WHEN n_wedges = 0 THEN NULL
          |       ELSE round(CAST(3 * n_triangles AS DOUBLE) / n_wedges, 6) END AS clustering
          |FROM ds CROSS JOIN ec CROSS JOIN tri""".stripMargin,
+
+    // assortativity: same edge CTE, integer-exact Pearson over both edge
+    // orientations
+    "q_assortativity" ->
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |       FROM embeddings WHERE embedding IS NOT NULL),
+         |sc AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+         |         round(${cosineSql("a.v", "b.v")}, 6) AS sim
+         |       FROM e0 a JOIN e0 b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sc),
+         |g AS (SELECT qid, nid FROM r WHERE rn <= 5),
+         |m AS (SELECT g.qid AS a, g.nid AS b FROM g
+         |      JOIN g g2 ON g.qid = g2.nid AND g.nid = g2.qid WHERE g.qid < g.nid),
+         |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+         |          SELECT a AS n FROM m UNION ALL SELECT b FROM m) GROUP BY 1),
+         |pairs AS (SELECT da.d AS x, db.d AS y FROM m
+         |          JOIN deg da ON m.a = da.n JOIN deg db ON m.b = db.n),
+         |sym AS (SELECT x, y FROM pairs UNION ALL SELECT y, x FROM pairs),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS m2, CAST(sum(x) AS BIGINT) AS sx,
+         |        CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+         |        CAST(sum(y * y) AS BIGINT) AS syy, CAST(sum(x * y) AS BIGINT) AS sxy
+         |      FROM sym)
+         |SELECT m2 // 2 AS n_edges,
+         |  CASE WHEN (m2 * sxx - sx * sx) > 0 AND (m2 * syy - sy * sy) > 0
+         |       THEN round((m2 * sxy - sx * sy) /
+         |              sqrt(CAST((m2 * sxx - sx * sx) * (m2 * syy - sy * sy) AS DOUBLE)), 6)
+         |  END AS r
+         |FROM t""".stripMargin,
 
     // k-core: the q_triangles edge CTE + 30 unrolled degree-peel rounds
     // (idempotent past the fixpoint the engine converges to and asserts)

@@ -393,4 +393,41 @@ object Graph {
       .where(col("degree") >= k) // empty-core safety; holds by construction
       .orderBy(col("node"))
   }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of degrees
+    * across edge endpoints — positive = hubs link hubs (social-style),
+    * negative = hubs link leaves (infrastructure-style); near 0 for a
+    * mutual-kNN graph whose degree is capped by construction. Every edge
+    * contributes both orientations (the standard undirected form), so all
+    * five Pearson sums are sums of exact INTEGER degree products — fully
+    * engine-deterministic; the single final division is the only float.
+    *
+    * One degree count + two keyed joins + one aggregate; edge-frame sized.
+    * Output: one row `(n_edges, r)` — `r` null for a degree-regular graph.
+    */
+  def assortativity(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = edges.select(
+      least(col(src).cast("long"), col(dst).cast("long")).as("__a"),
+      greatest(col(src).cast("long"), col(dst).cast("long")).as("__b"))
+      .where(col("__a") =!= col("__b")).distinct()
+    val deg = e.select(explode(array(col("__a"), col("__b"))).as("__n"))
+      .groupBy(col("__n")).agg(count(lit(1)).as("__d"))
+    val both = e
+      .join(deg.select(col("__n").as("__a"), col("__d").as("__da")), Seq("__a"))
+      .join(deg.select(col("__n").as("__b"), col("__d").as("__db")), Seq("__b"))
+      .select(col("__da").as("x"), col("__db").as("y"))
+    val sym = both.select(col("x"), col("y"))
+      .unionAll(both.select(col("y").as("x"), col("x").as("y")))
+    sym.agg(
+      count(lit(1)).as("__m"), sum(col("x")).as("__sx"), sum(col("y")).as("__sy"),
+      sum(col("x") * col("x")).as("__sxx"), sum(col("y") * col("y")).as("__syy"),
+      sum(col("x") * col("y")).as("__sxy"))
+      .select((col("__m") / 2).cast("long").as("n_edges"),
+        when((col("__m") * col("__sxx") - col("__sx") * col("__sx")) > 0L &&
+            (col("__m") * col("__syy") - col("__sy") * col("__sy")) > 0L,
+          round((col("__m") * col("__sxy") - col("__sx") * col("__sy")) /
+            sqrt(((col("__m") * col("__sxx") - col("__sx") * col("__sx")) *
+              (col("__m") * col("__syy") - col("__sy") * col("__sy")))
+              .cast("double")), 6)).as("r"))
+  }
 }

@@ -214,4 +214,18 @@ class GraphSpec extends SparkSpec {
     // 3-core of the same graph is empty
     assert(Graph.kCore(edges, "d1", "d2", k = 3).collect().isEmpty)
   }
+
+  test("assortativity: star is disassortative, regular ring undefined") {
+    val sp = spark
+    import sp.implicits._
+    // star 0-{1,2,3,4}: every edge pairs deg 4 with deg 1 -> r = -1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("d1", "d2")
+    val rs = Graph.assortativity(star, "d1", "d2").collect().head
+    assert(rs.getLong(0) == 4L)
+    assert(math.abs(rs.getDouble(1) - -1.0) < 1e-9, rs.toString)
+    // 4-ring: all degrees 2 -> zero variance -> r null
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("d1", "d2")
+    val rr = Graph.assortativity(ring, "d1", "d2").collect().head
+    assert(rr.getLong(0) == 4L && rr.isNullAt(1), rr.toString)
+  }
 }
