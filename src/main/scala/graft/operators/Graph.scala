@@ -406,10 +406,14 @@ object Graph {
     * Output: one row `(n_edges, r)` — `r` null for a degree-regular graph.
     */
   def assortativity(edges: DataFrame, src: String, dst: String): DataFrame = {
+    // the edge plan feeds the degree count AND both endpoint joins —
+    // persist the canonical frame once so an expensive upstream (kNN
+    // sweep) materializes once, not per branch (the negativeSample lesson)
     val e = edges.select(
       least(col(src).cast("long"), col(dst).cast("long")).as("__a"),
       greatest(col(src).cast("long"), col(dst).cast("long")).as("__b"))
       .where(col("__a") =!= col("__b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.select(explode(array(col("__a"), col("__b"))).as("__n"))
       .groupBy(col("__n")).agg(count(lit(1)).as("__d"))
     val both = e

@@ -31,7 +31,11 @@ object PlanLint {
 
   final case class Finding(rule: String, node: String, detail: String)
 
-  def lintPlan(plan: SparkPlan): Seq[Finding] = {
+  def lintPlan(plan: SparkPlan): Seq[Finding] =
+    lintPlan(plan, new java.util.IdentityHashMap[AnyRef, AnyRef]())
+
+  private def lintPlan(plan: SparkPlan,
+      seenCaches: java.util.IdentityHashMap[AnyRef, AnyRef]): Seq[Finding] = {
     val here = plan match {
       case c: CartesianProductExec =>
         Seq(Finding("cartesian-product", c.nodeName,
@@ -52,16 +56,23 @@ object PlanLint {
     // plain collect() stops at adaptive boundaries: descend through AQE
     // wrappers, materialized query stages, AND cached-plan scans (a
     // persist() must not hide its subplan from the audit — the cached work
-    // still runs, once)
+    // still runs). Each distinct cached relation is audited ONCE, however
+    // many scans reference it: that matches runtime, where the cache
+    // materializes a single time.
     val kids = plan match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case s: QueryStageExec => Seq(s.plan)
       case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-        Seq(im.relation.cachedPlan)
+        // plan branches get per-branch InMemoryRelation COPIES (fresh attr
+        // ids) that all share one cacheBuilder — the thing that actually
+        // materializes once; dedupe on it
+        val unit: AnyRef = im.relation.cacheBuilder
+        if (seenCaches.containsKey(unit)) Nil
+        else { seenCaches.put(unit, unit); Seq(im.relation.cachedPlan) }
       case o => o.children
     }
-    here ++ kids.flatMap(lintPlan) ++
-      plan.subqueries.flatMap(lintPlan)
+    here ++ kids.flatMap(lintPlan(_, seenCaches)) ++
+      plan.subqueries.flatMap(lintPlan(_, seenCaches))
   }
 
   def lint(df: DataFrame): Seq[Finding] = lintPlan(df.queryExecution.executedPlan)

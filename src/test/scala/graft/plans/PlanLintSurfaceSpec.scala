@@ -21,12 +21,13 @@ class PlanLintSurfaceSpec extends SparkSpec {
     ("q_ab_test", "nested-loop-join") -> 1,   // variant-pair frame: ≤ variants² rows
     ("q_simpson", "nested-loop-join") -> 1,   // 1-row pooled-slope broadcast
     ("q_int8_recall", "nested-loop-join") -> 2, // two broadcast-query brute sweeps (q_knn_brute shape)
-    // q_neg_sample: the kNN edge sweep sits behind ONE persisted canonical
-    // frame (materializes once); the rank window is over the nodes frame;
-    // the BNLJ carries the 1-row node count
-    ("q_neg_sample", "driver-materialized-input") -> 8,
-    ("q_neg_sample", "global-window") -> 3,
+    // q_neg_sample / q_assortativity: the kNN edge sweep sits behind ONE
+    // persisted canonical frame (audited once — cacheBuilder dedupe); the
+    // rank window is over the nodes frame; BNLJs carry 1-row counts
+    ("q_neg_sample", "driver-materialized-input") -> 2,
+    ("q_neg_sample", "global-window") -> 1,
     ("q_neg_sample", "nested-loop-join") -> 1,
+    ("q_assortativity", "driver-materialized-input") -> 2,
     ("q_hll_overlap", "nested-loop-join") -> 2, // register→pair attach + pair build: sketch-sized
     ("q_bm25", "nested-loop-join") -> 1,
     ("q_boilerplate", "nested-loop-join") -> 1,
