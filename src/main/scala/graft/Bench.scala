@@ -76,9 +76,9 @@ object Bench {
     // measurement unless explicitly requested (INGEST=1 overrides)
     val ingestDefault = only.isEmpty
     val ingest = sys.env.get("SPARK_GRAFT_BENCH_INGEST") match {
-      case Some("0") => 0.0
+      case Some("0") => (0.0, 0.0, 0.0)
       case Some(_) => benchIngest(spark)
-      case None => if (ingestDefault) benchIngest(spark) else 0.0
+      case None => if (ingestDefault) benchIngest(spark) else (0.0, 0.0, 0.0)
     }
     // Driver visibility constraints (BENCH_r{1..5} all show "parsed": null):
     // the driver keeps only the last ~2000 chars of stdout, and sbt appends
@@ -94,9 +94,13 @@ object Bench {
     val fullQs = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // ingest_rows_per_sec stays the round-comparable p50 scalar; the p10/p90
+    // band rides along so a swing outside it reads as a real regression
+    val ingestJson = s""""ingest_rows_per_sec":${s3(ingest._2)},""" +
+      s""""ingest_rows_per_sec_p10":${s3(ingest._1)},"ingest_rows_per_sec_p90":${s3(ingest._3)}"""
     val fullLine = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""n_failed":${failed.size},"failed":$failedJson,""" +
-      s""""queries":$fullQs,"ingest_rows_per_sec":${s3(ingest)},"sf":"$sfDir","total_sec":${s3(total)}}"""
+      s""""queries":$fullQs,$ingestJson,"sf":"$sfDir","total_sec":${s3(total)}}"""
     // only a FULL pass may overwrite the committed full map — a restricted
     // SPARK_GRAFT_BENCH_ONLY iteration run would otherwise clobber it with
     // a 2-query fragment (round 6 caught exactly that in the working tree)
@@ -114,7 +118,7 @@ object Bench {
     println(fullLine)
     println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""n_failed":${failed.size},""" +
-      s""""queries":$compactQs,"ingest_rows_per_sec":${s3(ingest)},"sf":"$sfDir","total_sec":${s3(total)}}""")
+      s""""queries":$compactQs,$ingestJson,"sf":"$sfDir","total_sec":${s3(total)}}""")
     spark.stop()
   }
 
@@ -127,7 +131,7 @@ object Bench {
     * Reported as input rows/s so round-over-round ingest regressions are
     * visible in BENCH_r{N}.json.
     */
-  private def benchIngest(spark: SparkSession): Double = {
+  private def benchIngest(spark: SparkSession): (Double, Double, Double) = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.Downsampler.RawSample
     import spark.implicits._
@@ -168,10 +172,14 @@ object Bench {
       n / secs
     }
     run(50000) // warm-up: JIT the stateful path + first parquet commit
-    // median-of-3, the same statistic the query timings use: a single run
-    // is hostage to one badly-timed GC (BENCH_r04 read 9.2k rows/s in a
-    // band that otherwise measures 25-50k), while a max would hide real
-    // intermittent regressions behind one lucky run
-    Seq(run(200000), run(200000), run(200000)).sorted.apply(1)
+    // five timed runs, reported as a (p10, p50, p90) nearest-rank triplet:
+    // the full-durability topology has an admitted 25-50k rows/s noise band
+    // (BENCH_r05 31.2k vs r06 12.2k — a 2.6× swing one median can't
+    // explain), and the spread is what separates a real ingest regression
+    // from one badly-timed GC
+    val rs = Seq.fill(5)(run(200000)).sorted
+    def rank(p: Double) = rs(math.min(rs.length - 1,
+      math.max(0, math.ceil(p * rs.length).toInt - 1)))
+    (rank(0.1), rank(0.5), rank(0.9))
   }
 }

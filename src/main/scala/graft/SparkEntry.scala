@@ -21,6 +21,42 @@ object SparkEntry {
   // Fixed, sf-independent window inside the events table's Jan-2024 span.
   private final val T0 = 1704672000000000L // 2024-01-08T00:00:00Z (us)
   private final val T1 = 1705881600000000L // 2024-01-22T00:00:00Z (us)
+
+  /** The reference-generated hformat fixture (value, length, expected) —
+    * q_hformat reads it through the native expr and its oracle re-emits the
+    * expected column verbatim, so the 500-case parity becomes a hard
+    * CORRECTNESS row. Resolved relative to the repo root whatever the cwd.
+    */
+  private lazy val hformatCasesPath: String = {
+    val rel = java.nio.file.Paths.get("src/test/resources/hformat_cases.tsv")
+    if (java.nio.file.Files.exists(rel)) rel.toAbsolutePath.toString
+    else "/root/repo/src/test/resources/hformat_cases.tsv"
+  }
+
+  /** The exact blocked-Jaccard pair set is the single most expensive frame
+    * two audit queries both need: q_jaccard_dist IS it, and q_lsh_recall
+    * joins the banded-LSH candidates against it. Computed and persisted
+    * once per (session, sf-dir) so a bench/verify pass over the whole
+    * surface pays the block sweep once, not twice — the shared-frame
+    * lesson from the mutual-kNN audit family. Keyed by session so a
+    * restarted session never sees another's stale cached plan.
+    */
+  private val exactPairCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def exactJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    exactPairCache.computeIfAbsent((s, dir), { case (ss, d) =>
+      Dedup.ngramJaccardBlocked(Tables.documents(ss, d), "doc_id", "text",
+        n = 2, threshold = 0.5).persist()
+    })
+
+  /** Drop memoized cross-query frames (JitterSpec calls this between its
+    * two partition-count passes so a cached result can't mask an
+    * order-dependent computation). */
+  def clearSharedFrames(): Unit = {
+    exactPairCache.forEach((_, df) => df.unpersist(blocking = false))
+    exactPairCache.clear()
+  }
   private final val TMID = 1705276800000000L // 2024-01-15T00:00:00Z (us)
 
   /** q_iforest feature columns over the derived-`ts_us` events frame:
@@ -371,8 +407,7 @@ object SparkEntry {
     // alternative; on this dense small-vocab corpus prefixes prune nothing
     // and it degenerates to a slower all-pairs.) ---------------------------
     "q_jaccard_dist" -> ((s, dir) => {
-      Dedup.ngramJaccardBlocked(Tables.documents(s, dir), "doc_id", "text", n = 2, threshold = 0.5)
-        .orderBy(col("d1"), col("d2"))
+      exactJaccardPairs(s, dir).orderBy(col("d1"), col("d2"))
     }),
 
     // ---- MinHash signatures (portable universal-hash family) ---------------
@@ -566,6 +601,16 @@ object SparkEntry {
     // in the reference too (form fields → epoch range); the oracle is an
     // INDEPENDENT SQL restatement of each input's resolution (strptime +
     // epoch arithmetic), so a parse bug on either side hash-mismatches ------
+    // ---- F4 hformat through the native codegen expression, oracled against
+    // the reference-generated fixture table (expected column verbatim) ------
+    "q_hformat" -> ((s, dir) => {
+      s.read.schema("value DOUBLE, fmt_len INT, expected STRING")
+        .option("sep", "\t").csv(hformatCasesPath)
+        .select(col("value"), col("fmt_len"),
+          graft.plans.HFormatExpr.hformat(col("value"), col("fmt_len")).as("got"))
+        .orderBy(col("value"), col("fmt_len"), col("got"))
+    }),
+
     "q_time_parse" -> ((s, dir) => {
       import s.implicits._
       val today = TMID / 1000000L
@@ -2168,10 +2213,12 @@ object SparkEntry {
         .orderBy(col("prev_id"), col("next_id"))
     }),
 
-    // ---- LSH recall audit vs the exact thresholded pair set --------------
+    // ---- LSH recall audit vs the exact thresholded pair set (the exact
+    // side reuses q_jaccard_dist's persisted block sweep) ------------------
     "q_lsh_recall" -> ((s, dir) => {
       Dedup.lshRecallAudit(Tables.documents(s, dir), "doc_id", "text",
-        n = 2, numPerm = NUM_PERM, bands = 4, threshold = 0.5)
+        n = 2, numPerm = NUM_PERM, bands = 4, threshold = 0.5,
+        exactPairs = Some(exactJaccardPairs(s, dir)))
     }),
 
     // ---- incremental rollup maintenance: prior + delta == full (the
@@ -2762,13 +2809,13 @@ object SparkEntry {
        |             ELSE 25 - length(bin(x % 16777216)) END AS rk
        |      FROM b),
        |regs AS (SELECT g, bk, max(rk) AS m FROM r GROUP BY 1, 2),
-       |pg AS (SELECT g, CAST(sum(1::BIGINT << CAST(24 - m AS INTEGER)) AS BIGINT) AS s,
+       |pg AS (SELECT g, CAST(sum(1::BIGINT << CAST(25 - m AS INTEGER)) AS BIGINT) AS s,
        |         CAST(count(*) AS BIGINT) AS nb
        |       FROM regs GROUP BY 1),
        |ex AS (SELECT g, CAST(count(DISTINCT k) AS BIGINT) AS n_exact FROM b GROUP BY 1),
        |est AS (SELECT g,
-       |    0.7213 / (1.0 + 1.079 / 256) * 256.0 * 256.0 * 16777216.0 /
-       |      CAST(s + (256 - nb) * 16777216 AS DOUBLE) AS raw,
+       |    0.7213 / (1.0 + 1.079 / 256) * 256.0 * 256.0 * 33554432.0 /
+       |      CAST(s + (256 - nb) * 33554432 AS DOUBLE) AS raw,
        |    256 - nb AS zeros
        |  FROM pg),
        |e2 AS (SELECT g, CASE WHEN raw <= 640.0 AND zeros > 0
@@ -2824,12 +2871,12 @@ object SparkEntry {
     * column `s` and present-register count `nb` (p = 8) — mirrors
     * `Sketches.hllEstimate` term for term. */
   private def hllEstSql(s: String, nb: String): String =
-    s"""(CASE WHEN (0.7213 / (1.0 + 1.079 / 256) * 256.0 * 256.0 * 16777216.0 /
-       |         CAST($s + (256 - $nb) * 16777216 AS DOUBLE)) <= 640.0
+    s"""(CASE WHEN (0.7213 / (1.0 + 1.079 / 256) * 256.0 * 256.0 * 33554432.0 /
+       |         CAST($s + (256 - $nb) * 33554432 AS DOUBLE)) <= 640.0
        |        AND (256 - $nb) > 0
        |  THEN 256.0 * ln(256.0 / CAST(256 - $nb AS DOUBLE))
-       |  ELSE 0.7213 / (1.0 + 1.079 / 256) * 256.0 * 256.0 * 16777216.0 /
-       |       CAST($s + (256 - $nb) * 16777216 AS DOUBLE) END)""".stripMargin
+       |  ELSE 0.7213 / (1.0 + 1.079 / 256) * 256.0 * 256.0 * 33554432.0 /
+       |       CAST($s + (256 - $nb) * 33554432 AS DOUBLE) END)""".stripMargin
 
   /** DuckDB mirror of [[Sketches.hllOverlap]] over
     * `events.(event_type, user_id)`: identical registers, pair-attached
@@ -2851,11 +2898,11 @@ object SparkEntry {
        |       FROM regs JOIN pr ON regs.g = pr.ga OR regs.g = pr.gb
        |       GROUP BY 1, 2, 3),
        |hu AS (SELECT ga, gb,
-       |         CAST(sum(1::BIGINT << CAST(24 - m AS INTEGER)) AS BIGINT) AS s,
+       |         CAST(sum(1::BIGINT << CAST(25 - m AS INTEGER)) AS BIGINT) AS s,
        |         CAST(count(*) AS BIGINT) AS nb
        |       FROM ur GROUP BY 1, 2),
        |hg AS (SELECT g,
-       |         CAST(sum(1::BIGINT << CAST(24 - m AS INTEGER)) AS BIGINT) AS s,
+       |         CAST(sum(1::BIGINT << CAST(25 - m AS INTEGER)) AS BIGINT) AS s,
        |         CAST(count(*) AS BIGINT) AS nb
        |       FROM regs GROUP BY 1),
        |eu AS (SELECT ga, gb, ${hllEstSql("s", "nb")} AS e FROM hu),
@@ -4202,9 +4249,9 @@ object SparkEntry {
          |                t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
          |               / len(string_split(text, ' '))), 6) AS quality
          |  FROM documents),
-         |m AS (SELECT max(quality) AS wmax FROM q)
+         |m AS (SELECT max(quality) AS wmax FROM q WHERE quality > 0)
          |SELECT doc_id, quality FROM q, m
-         |WHERE ${docBucketSql(1000000)} < quality / wmax * 1000000.0
+         |WHERE quality > 0 AND ${docBucketSql(1000000)} < quality / wmax * 1000000.0
          |ORDER BY doc_id""".stripMargin,
 
     "q_corpus_cube" ->
@@ -4620,6 +4667,15 @@ object SparkEntry {
     "q_jaccard_ppjoin" ->
       s"""WITH ${jaccardPairsCtes(zipfFixtureSql("//", "VARCHAR"))}
          |SELECT d1, d2, jaccard FROM jp ORDER BY d1, d2""".stripMargin,
+
+    // F4 hformat: the oracle is the reference-generated fixture's expected
+    // column verbatim — a hash mismatch means the native expr diverged from
+    // the reference on a concrete case
+    "q_hformat" ->
+      s"""SELECT value, fmt_len, expected AS got
+         |FROM read_csv('$hformatCasesPath', delim='\\t', header=false,
+         |  columns={'value':'DOUBLE','fmt_len':'INTEGER','expected':'VARCHAR'})
+         |ORDER BY value, fmt_len, got""".stripMargin,
 
     "q_format_pack" ->
       """SELECT event_id,
@@ -5075,7 +5131,9 @@ object SparkEntry {
         |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // correlation matrix over the q_locf_align grid: explicit-sum Pearson
-    // (identical formula both engines — not each engine's corr() internals)
+    // (identical formula both engines — not each engine's corr() internals);
+    // values quantized to 1e-3-grid BIGINTs before summation so the moment
+    // sums are exact integers (Pearson is scale-invariant, so no de-scaling)
     "q_pv_corr" ->
       s"""WITH e AS (
          |  SELECT epoch_us(ts) AS ts_us, event_type, value FROM events
@@ -5086,17 +5144,22 @@ object SparkEntry {
          |        max(CASE WHEN event_type = 'view' THEN value END) AS c2
          |      FROM e GROUP BY ts_us),
          |f AS (SELECT ts_us,
-         |        last_value(c0 IGNORE NULLS) OVER w AS a,
-         |        last_value(c1 IGNORE NULLS) OVER w AS b,
-         |        last_value(c2 IGNORE NULLS) OVER w AS c
+         |        last_value(c0 IGNORE NULLS) OVER w AS a0,
+         |        last_value(c1 IGNORE NULLS) OVER w AS b0,
+         |        last_value(c2 IGNORE NULLS) OVER w AS c0
          |      FROM g WINDOW w AS (ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         |al AS (SELECT a, b, c FROM f
-         |       WHERE ts_us >= $T0 AND a IS NOT NULL AND b IS NOT NULL AND c IS NOT NULL),
-         |sums AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-         |    sum(a) AS sxa, sum(a*a) AS sxxa,
-         |    sum(b) AS sxb, sum(b*b) AS sxxb,
-         |    sum(c) AS sxc, sum(c*c) AS sxxc,
-         |    sum(a*b) AS sab, sum(a*c) AS sac, sum(b*c) AS sbc
+         |al0 AS (SELECT a0, b0, c0 FROM f
+         |       WHERE ts_us >= $T0 AND a0 IS NOT NULL AND b0 IS NOT NULL AND c0 IS NOT NULL),
+         |al AS (SELECT CAST(round(CAST(a0 AS DOUBLE) * 1000.0) AS BIGINT) AS a,
+         |              CAST(round(CAST(b0 AS DOUBLE) * 1000.0) AS BIGINT) AS b,
+         |              CAST(round(CAST(c0 AS DOUBLE) * 1000.0) AS BIGINT) AS c
+         |       FROM al0),
+         |sums AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(a) AS BIGINT) AS sxa, CAST(sum(a*a) AS BIGINT) AS sxxa,
+         |    CAST(sum(b) AS BIGINT) AS sxb, CAST(sum(b*b) AS BIGINT) AS sxxb,
+         |    CAST(sum(c) AS BIGINT) AS sxc, CAST(sum(c*c) AS BIGINT) AS sxxc,
+         |    CAST(sum(a*b) AS BIGINT) AS sab, CAST(sum(a*c) AS BIGINT) AS sac,
+         |    CAST(sum(b*c) AS BIGINT) AS sbc
          |  FROM al),
          |p AS (
          |  SELECT 'click' AS k1, 'purchase' AS k2, n, sab AS sxy,
@@ -5106,9 +5169,11 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT 'purchase', 'view', n, sbc, sxb, sxxb, sxc, sxxc FROM sums)
          |SELECT k1, k2, CAST(n AS BIGINT) AS n,
-         |  coalesce(CASE WHEN sqrt(n * sxx1 - sx1 * sx1) * sqrt(n * sxx2 - sx2 * sx2) > 0
-         |      THEN round((n * sxy - sx1 * sx2) /
-         |        (sqrt(n * sxx1 - sx1 * sx1) * sqrt(n * sxx2 - sx2 * sx2)), 6) END,
+         |  coalesce(CASE WHEN sqrt(n::DOUBLE * sxx1::DOUBLE - sx1::DOUBLE * sx1::DOUBLE) *
+         |                sqrt(n::DOUBLE * sxx2::DOUBLE - sx2::DOUBLE * sx2::DOUBLE) > 0
+         |      THEN round((n::DOUBLE * sxy::DOUBLE - sx1::DOUBLE * sx2::DOUBLE) /
+         |        (sqrt(n::DOUBLE * sxx1::DOUBLE - sx1::DOUBLE * sx1::DOUBLE) *
+         |         sqrt(n::DOUBLE * sxx2::DOUBLE - sx2::DOUBLE * sx2::DOUBLE)), 6) END,
          |    'NaN'::DOUBLE) AS corr
          |FROM p ORDER BY k1, k2""".stripMargin,
 
@@ -5252,16 +5317,21 @@ object SparkEntry {
          |      FROM g WINDOW w AS (ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
          |al AS (SELECT a0, b0, c0 FROM f
          |       WHERE ts_us >= $T0 AND a0 IS NOT NULL AND b0 IS NOT NULL AND c0 IS NOT NULL),
-         |r AS (SELECT
+         |r0 AS (SELECT
          |    CAST(rank() OVER (ORDER BY a0) AS DOUBLE) + (count(*) OVER (PARTITION BY a0) - 1) / CAST(2.0 AS DOUBLE) AS a,
          |    CAST(rank() OVER (ORDER BY b0) AS DOUBLE) + (count(*) OVER (PARTITION BY b0) - 1) / CAST(2.0 AS DOUBLE) AS b,
          |    CAST(rank() OVER (ORDER BY c0) AS DOUBLE) + (count(*) OVER (PARTITION BY c0) - 1) / CAST(2.0 AS DOUBLE) AS c
          |  FROM al),
-         |sums AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-         |    sum(a) AS sxa, sum(a*a) AS sxxa,
-         |    sum(b) AS sxb, sum(b*b) AS sxxb,
-         |    sum(c) AS sxc, sum(c*c) AS sxxc,
-         |    sum(a*b) AS sab, sum(a*c) AS sac, sum(b*c) AS sbc
+         |r AS (SELECT CAST(round(CAST(a AS DOUBLE) * 2.0) AS BIGINT) AS a,
+         |             CAST(round(CAST(b AS DOUBLE) * 2.0) AS BIGINT) AS b,
+         |             CAST(round(CAST(c AS DOUBLE) * 2.0) AS BIGINT) AS c
+         |      FROM r0),
+         |sums AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(a) AS BIGINT) AS sxa, CAST(sum(a*a) AS BIGINT) AS sxxa,
+         |    CAST(sum(b) AS BIGINT) AS sxb, CAST(sum(b*b) AS BIGINT) AS sxxb,
+         |    CAST(sum(c) AS BIGINT) AS sxc, CAST(sum(c*c) AS BIGINT) AS sxxc,
+         |    CAST(sum(a*b) AS BIGINT) AS sab, CAST(sum(a*c) AS BIGINT) AS sac,
+         |    CAST(sum(b*c) AS BIGINT) AS sbc
          |  FROM r),
          |p AS (
          |  SELECT 'click' AS k1, 'purchase' AS k2, n, sab AS sxy,
@@ -5271,9 +5341,11 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT 'purchase', 'view', n, sbc, sxb, sxxb, sxc, sxxc FROM sums)
          |SELECT k1, k2, CAST(n AS BIGINT) AS n,
-         |  coalesce(CASE WHEN sqrt(n * sxx1 - sx1 * sx1) * sqrt(n * sxx2 - sx2 * sx2) > 0
-         |      THEN round((n * sxy - sx1 * sx2) /
-         |        (sqrt(n * sxx1 - sx1 * sx1) * sqrt(n * sxx2 - sx2 * sx2)), 6) END,
+         |  coalesce(CASE WHEN sqrt(n::DOUBLE * sxx1::DOUBLE - sx1::DOUBLE * sx1::DOUBLE) *
+         |                sqrt(n::DOUBLE * sxx2::DOUBLE - sx2::DOUBLE * sx2::DOUBLE) > 0
+         |      THEN round((n::DOUBLE * sxy::DOUBLE - sx1::DOUBLE * sx2::DOUBLE) /
+         |        (sqrt(n::DOUBLE * sxx1::DOUBLE - sx1::DOUBLE * sx1::DOUBLE) *
+         |         sqrt(n::DOUBLE * sxx2::DOUBLE - sx2::DOUBLE * sx2::DOUBLE)), 6) END,
          |    'NaN'::DOUBLE) AS corr
          |FROM p ORDER BY k1, k2""".stripMargin,
 
@@ -5851,15 +5923,24 @@ object SparkEntry {
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     // embedding covariance: aligned unnests zip (x, dim) into long format;
-    // population moments; diagonal joined back for the corr normalization
+    // components quantized to 1e-6-grid BIGINTs BEFORE summation (the
+    // engine's order-independent fixed-point moments — sum(double) flips
+    // 6-dp roundings with summation order), population moments as exact
+    // integers, then ONE double expression mirrored from the engine;
+    // diagonal joined back for the corr normalization
     "q_embed_cov" ->
       """WITH v AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS e FROM embeddings
         |  WHERE embedding IS NOT NULL),
-        |l AS (SELECT vec_id, unnest(generate_series(1, len(e))) AS ix, unnest(e) AS x FROM v),
+        |l0 AS (SELECT vec_id, unnest(generate_series(1, len(e))) AS ix, unnest(e) AS x FROM v),
+        |l AS (SELECT vec_id, ix, CAST(round(x * 1000000.0) AS BIGINT) AS q FROM l0),
         |p AS (SELECT a.ix - 1 AS i, b.ix - 1 AS j, count(*) AS n,
-        |        sum(a.x * b.x) AS sp, sum(a.x) AS si, sum(b.x) AS sj
+        |        CAST(sum(a.q * b.q) AS BIGINT) AS sp,
+        |        CAST(sum(a.q) AS BIGINT) AS si, CAST(sum(b.q) AS BIGINT) AS sj
         |      FROM l a JOIN l b ON a.vec_id = b.vec_id AND a.ix <= b.ix GROUP BY 1, 2),
-        |m AS (SELECT i, j, n, sp / n - (si / n) * (sj / n) AS cov FROM p),
+        |m AS (SELECT i, j, n,
+        |        sp::DOUBLE / 1000000000000.0 / n -
+        |          (si::DOUBLE / 1000000.0 / n) * (sj::DOUBLE / 1000000.0 / n) AS cov
+        |      FROM p),
         |d AS (SELECT i, cov AS var FROM m WHERE i = j)
         |SELECT m.i, m.j, CAST(m.n AS BIGINT) AS n, round(m.cov, 6) AS cov,
         |  round(m.cov / sqrt(di.var * dj.var), 6) AS corr
@@ -6511,15 +6592,15 @@ object SparkEntry {
         |cov AS (SELECT u.w AS w, bk, m
         |        FROM daily, unnest(generate_series(day, day + 6)) AS u(w)),
         |merged AS (SELECT w, bk, max(m) AS m FROM cov GROUP BY 1, 2),
-        |pg AS (SELECT w, CAST(sum(1::BIGINT << CAST(24 - m AS INTEGER)) AS BIGINT) AS s,
+        |pg AS (SELECT w, CAST(sum(1::BIGINT << CAST(25 - m AS INTEGER)) AS BIGINT) AS s,
         |         CAST(count(*) AS BIGINT) AS nb
         |       FROM merged GROUP BY 1),
         |exd AS (SELECT DISTINCT k, day FROM b),
         |exc AS (SELECT u.w AS w, CAST(count(DISTINCT k) AS BIGINT) AS n_exact
         |        FROM exd, unnest(generate_series(day, day + 6)) AS u(w) GROUP BY 1),
         |est AS (SELECT w,
-        |    0.7213 / (1.0 + 1.079 / 256) * 256.0 * 256.0 * 16777216.0 /
-        |      CAST(s + (256 - nb) * 16777216 AS DOUBLE) AS raw,
+        |    0.7213 / (1.0 + 1.079 / 256) * 256.0 * 256.0 * 33554432.0 /
+        |      CAST(s + (256 - nb) * 33554432 AS DOUBLE) AS raw,
         |    256 - nb AS zeros
         |  FROM pg),
         |e2 AS (SELECT w, CASE WHEN raw <= 640.0 AND zeros > 0

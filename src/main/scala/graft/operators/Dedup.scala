@@ -995,9 +995,19 @@ object Dedup {
     * are boilerplate (licenses, navigation) and are excluded from pair
     * generation — they would otherwise contribute O(docs²) pairs per span.
     * They still count in the containment denominator, so a boilerplate-only
-    * pair can't sneak above the threshold by shrinking its own base. The
-    * span self-join is therefore bounded by `maxDocsPerSpan²`·spans, never
-    * all-pairs; every other step is a keyed aggregate.
+    * pair can't sneak above the threshold by shrinking its own base.
+    *
+    * Plan shape: ONE `collect_set(doc)` aggregation per span hash replaces
+    * the earlier distinct() + degree-count + span self-join (three shuffles
+    * of the exploded frame → one): the set dedups `(span, doc)` repeats
+    * map-side, its size IS the degree, the sorted set explodes directly
+    * into `d1 < d2` pairs (bounded by `maxDocsPerSpan²` per span), and the
+    * containment denominators come from a distinct-agg on the same
+    * map-only exploded frame. Agg state per span is its distinct-doc
+    * degree — for a corpus whose worst boilerplate degree exceeds executor
+    * memory, reinstate a combinable degree-count pre-pass to drop those
+    * spans before the set agg; every retained state here is ≤ the corpus'
+    * max span degree.
     *
     * Output: `(d1, d2, n_shared, overlap)` with `overlap = n_shared /
     * min(total spans of either doc)` rounded to 6 places.
@@ -1012,14 +1022,20 @@ object Dedup {
       .select(col("__doc"), explode(expr(
         s"transform(sequence(0, size(__toks) - $k), i -> md5(array_join(slice(__toks, i + 1, $k), ' ')))"))
         .as("__h"))
-      .distinct()
-    val keep = spans.groupBy(col("__h")).agg(count(lit(1)).as("__deg"))
-      .filter(col("__deg").between(2, maxDocsPerSpan))
-      .select(col("__h"))
-    val ds = spans.join(keep, Seq("__h"))
-    val sizes = spans.groupBy(col("__doc")).agg(count(lit(1)).as("__sz"))
-    ds.join(ds.select(col("__h"), col("__doc").as("__d2")), Seq("__h"))
-      .where(col("__doc") < col("__d2"))
+    // both branches hang off the MAP-ONLY exploded frame (no shuffle to
+    // recompute): sizes as a distinct-agg per doc, pair mint as the one
+    // collect_set agg per span — no persist, no checkpoint needed
+    val sizes = spans.groupBy(col("__doc"))
+      .agg(count_distinct(col("__h")).as("__sz"))
+    spans.groupBy(col("__h"))
+      .agg(array_sort(collect_set(col("__doc"))).as("__docs"))
+      .where(size(col("__docs")).between(2, maxDocsPerSpan))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(__docs) - 2), i ->
+          |  transform(sequence(i + 1, size(__docs) - 1), j ->
+          |    struct(element_at(__docs, i + 1) AS d1,
+          |           element_at(__docs, j + 1) AS d2))))""".stripMargin)).as("__p"))
+      .select(col("__p.d1").as("__doc"), col("__p.d2").as("__d2"))
       .groupBy(col("__doc"), col("__d2"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
@@ -1127,8 +1143,12 @@ object Dedup {
     * Output: one row `(n_exact, n_lsh, n_missed, recall)`.
     */
   def lshRecallAudit(df: DataFrame, id: String, text: String, n: Int,
-      numPerm: Int, bands: Int, threshold: Double): DataFrame = {
-    val exact = ngramJaccardBlocked(df, id, text, n, threshold)
+      numPerm: Int, bands: Int, threshold: Double,
+      exactPairs: Option[DataFrame] = None): DataFrame = {
+    // `exactPairs`: a precomputed [[ngramJaccardBlocked]] frame (same df/n/
+    // threshold — caller's contract) so a whole-surface pass that already
+    // built the exact sweep doesn't pay the block join twice
+    val exact = exactPairs.getOrElse(ngramJaccardBlocked(df, id, text, n, threshold))
       .select(col("d1"), col("d2"))
     val lsh = minhashDedup(df, id, text, n, numPerm, bands, threshold)
       .select(col("d1"), col("d2"), lit(1).as("__hit"))

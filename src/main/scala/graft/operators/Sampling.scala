@@ -333,10 +333,15 @@ object Sampling {
     */
   def weightedSample(df: DataFrame, id: String, weight: String,
       salt: String = "graft"): DataFrame = {
-    val mx = df.agg(max(col(weight).cast("double")).as("__wmax"))
+    // normalizer over POSITIVE weights only: with an all-negative column the
+    // max is negative too and w/__wmax turns positive (neg/neg), which would
+    // pass every row the contract says must never pass
+    val mx = df.where(col(weight).cast("double") > 0.0)
+      .agg(max(col(weight).cast("double")).as("__wmax"))
     df.crossJoin(broadcast(mx))
-      .where(hashBucket(col(id), salt, 1000000L) <
-        col(weight).cast("double") / col("__wmax") * 1000000.0)
+      .where(col(weight).cast("double") > 0.0 &&
+        hashBucket(col(id), salt, 1000000L) <
+          col(weight).cast("double") / col("__wmax") * 1000000.0)
       .drop("__wmax")
   }
 

@@ -230,22 +230,41 @@ object Similarity {
     * dims²-bounded moment table; the diagonal joins back broadcast-sized
     * for the correlation normalization. At 100 TB the shuffle carries
     * only per-task partial sums of D·(D+1)/2 groups.
+    *
+    * Determinism: components are quantized to the `quantum` grid as BIGINTs
+    * BEFORE summation, so all three moment sums are exact integers — no
+    * float summation-order hazard (a plain `sum(double)` flips 6-dp
+    * roundings with partial-agg scheduling; q_embed_cov caught exactly that
+    * at a half-ulp boundary — the DTW/lead-lag fixed-point technique).
+    * The covariance is then ONE fixed double expression over exact inputs,
+    * identical on any engine that mirrors the tree. Overflow bound:
+    * `n · (max|x| / quantum)² < 2^63` — ~2.5e7 unit-norm-ish rows at the
+    * default 1e-6 grid; coarsen `quantum` for a larger corpus (covariance
+    * resolution degrades with the grid, order-independence does not).
     */
-  def covarianceMatrix(df: DataFrame, vec: String): DataFrame = {
+  def covarianceMatrix(df: DataFrame, vec: String, quantum: Double = 1e-6): DataFrame = {
+    require(quantum > 0, s"quantum must be positive, got $quantum")
+    val invQ = 1.0 / quantum
     val pairs = df.where(col(vec).isNotNull)
+      .select(expr(
+        s"transform(CAST($vec AS ARRAY<DOUBLE>), x -> CAST(round(x * ${invQ}D) AS BIGINT))")
+        .as("__q"))
       .select(explode(expr(
-        s"""flatten(transform(sequence(0, size($vec) - 1), i ->
-           |  transform(sequence(i, size($vec) - 1), j -> struct(
-           |    i AS i, j AS j,
-           |    CAST(element_at($vec, i + 1) AS DOUBLE) * CAST(element_at($vec, j + 1) AS DOUBLE) AS p,
-           |    CAST(element_at($vec, i + 1) AS DOUBLE) AS xi,
-           |    CAST(element_at($vec, j + 1) AS DOUBLE) AS xj))))""".stripMargin)).as("e"))
+        """flatten(transform(sequence(0, size(__q) - 1), i ->
+          |  transform(sequence(i, size(__q) - 1), j -> struct(
+          |    i AS i, j AS j,
+          |    element_at(__q, i + 1) * element_at(__q, j + 1) AS p,
+          |    element_at(__q, i + 1) AS xi,
+          |    element_at(__q, j + 1) AS xj))))""".stripMargin)).as("e"))
       .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"),
         col("e.xi").as("xi"), col("e.xj").as("xj"))
     val moments = pairs.groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"),
         sum(col("xi")).as("si"), sum(col("xj")).as("sj"))
-      .withColumn("cov", col("sp") / col("n") - (col("si") / col("n")) * (col("sj") / col("n")))
+      .withColumn("cov",
+        col("sp").cast("double") / lit(invQ * invQ) / col("n") -
+          (col("si").cast("double") / lit(invQ) / col("n")) *
+          (col("sj").cast("double") / lit(invQ) / col("n")))
     val diag = moments.where(col("i") === col("j"))
       .select(col("i").as("__d"), col("cov").as("__var"))
     moments
@@ -259,18 +278,30 @@ object Similarity {
   /** Full exact kNN graph — EVERY vector as a query, its `k` nearest by
     * cosine, the structure under UMAP/label-propagation/hubness analysis.
     * Same ranking contract as [[bruteForceKnn]] (`round6` sim DESC, id
-    * ASC), but the all-queries workload uses the broadcast-matrix bounded
-    * top-k sweep ([[knnClassify]]'s physical shape): the k-best cut lives
-    * INSIDE the scoring loop, not behind an n²-row window shuffle. The
-    * broadcast side must fit in executor memory; beyond that, run per
-    * LSH/IVF bucket ([[randomHyperplaneBuckets]] / [[ivfKnn]]'s cells).
+    * ASC).
+    *
+    * Size-gated two-path routing (the [[graft.operators.Dedup.connectedComponents]]
+    * pattern): up to `maxBroadcastRows` the corpus is collected and
+    * broadcast, and the k-best cut lives INSIDE the scoring loop
+    * ([[knnClassify]]'s physical shape — no n²-row window shuffle, the
+    * right plan when one executor can hold the matrix). Beyond the gate it
+    * routes to [[knnGraphBlocked]], the exact distributed 2-D block sweep —
+    * identical output by construction (both paths cut on the same
+    * `(round6 sim DESC, id ASC)` total order), so the gate changes the
+    * physical plan only, never the result.
     */
-  def knnGraph(df: DataFrame, id: String, vec: String, k: Int): DataFrame = {
+  def knnGraph(df: DataFrame, id: String, vec: String, k: Int,
+      maxBroadcastRows: Long = 200000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     requireIntegralId(df, id)
-    val data = df.where(col(vec).isNotNull)
-      .select(col(id).cast("long"), col(vec))
+    val base = df.where(col(vec).isNotNull).select(col(id).cast("long"), col(vec))
+    val n0 = base.count()
+    if (n0 > maxBroadcastRows) {
+      val blocks = math.max(2L, (n0 + maxBroadcastRows - 1) / maxBroadcastRows).toInt
+      return knnGraphBlocked(df, id, vec, k, blocks)
+    }
+    val data = base
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val norms = data.map { case (_, v) =>
       var s = 0.0; var i = 0
@@ -318,6 +349,100 @@ object Similarity {
         }
       }
       .toDF("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** The unbounded-corpus path of [[knnGraph]]: EXACT distributed kNN via a
+    * 2-D block sweep. Both sides are hash-split into `blocks` groups; every
+    * `(query, corpus)` pair meets in exactly ONE task — the task keyed
+    * `(qb(query), cb(corpus))` — so each row is replicated `2·blocks` times
+    * (O(n·blocks) communication, the q_jaccard_dist shape), each task holds
+    * only `2n/blocks` vectors, and the k-best cut still lives inside the
+    * scoring loop (a per-task insertion top-k per query). The global merge
+    * then reduces `blocks·k` candidates per query — `n·blocks·k` rows
+    * through the final window, never n².
+    *
+    * Exactness: per-block candidates are cut on the same
+    * `(round6 sim DESC, id ASC)` total order as the broadcast path, and a
+    * query's true top-k within the union of blocks is the top-k of the
+    * per-block top-ks — so output is bit-identical to the broadcast sweep
+    * (spec-pinned). At 1000 executors: `blocks = ⌈n / maxBroadcastRows⌉`
+    * tasks-squared of bounded memory, no driver materialization.
+    */
+  private[graft] def knnGraphBlocked(df: DataFrame, id: String, vec: String,
+      k: Int, blocks: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    requireIntegralId(df, id)
+    require(blocks >= 1, s"blocks must be >= 1, got $blocks")
+    val b = blocks
+    // (taskKey, role, id, vec): role 0 = query only, 1 = corpus only,
+    // 2 = both (the diagonal task, where the row plays query AND corpus)
+    val tagged = df.where(col(vec).isNotNull)
+      .select(col(id).cast("long"), col(vec))
+      .as[(Long, Array[Float])]
+      .flatMap { case (i, v) =>
+        val own = java.lang.Long.remainderUnsigned(i * 0x9E3779B97F4A7C15L, b).toInt
+        Iterator.range(0, b).map { other =>
+          if (other == own) (own * b + own, 2: Byte, i, v)
+          else (own * b + other, 0: Byte, i, v) // query row in task (own, other)
+        } ++ Iterator.range(0, b).filter(_ != own)
+          .map(other => (other * b + own, 1: Byte, i, v)) // corpus row in (other, own)
+      }
+    tagged.groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val queries = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        val corpus = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        it.foreach { case (_, role, i, v) =>
+          if (role != 1) queries += ((i, v))
+          if (role != 0) corpus += ((i, v))
+        }
+        val cn = corpus.length
+        val cNorm = new Array[Double](cn)
+        var ci = 0
+        while (ci < cn) {
+          val cv = corpus(ci)._2; var s = 0.0; var t = 0
+          while (t < cv.length) { s += cv(t).toDouble * cv(t).toDouble; t += 1 }
+          cNorm(ci) = math.sqrt(s); ci += 1
+        }
+        queries.iterator.flatMap { case (qid, qv) =>
+          var qs = 0.0; var qt = 0
+          while (qt < qv.length) { qs += qv(qt).toDouble * qv(qt).toDouble; qt += 1 }
+          val qn = math.sqrt(qs)
+          val simArr = new Array[Double](k)
+          val vidArr = new Array[Long](k)
+          var size = 0
+          var j = 0
+          while (j < cn) {
+            val (nid, nv) = corpus(j)
+            if (nid != qid) {
+              var sab = 0.0; var t = 0; val len = math.min(qv.length, nv.length)
+              while (t < len) { sab += qv(t).toDouble * nv(t).toDouble; t += 1 }
+              val sim = round6(sab / (qn * cNorm(j)))
+              var pos = size
+              while (pos > 0 && (sim > simArr(pos - 1) ||
+                  (sim == simArr(pos - 1) && nid < vidArr(pos - 1)))) pos -= 1
+              if (pos < k) {
+                var s2 = math.min(size, k - 1)
+                while (s2 > pos) {
+                  simArr(s2) = simArr(s2 - 1); vidArr(s2) = vidArr(s2 - 1)
+                  s2 -= 1
+                }
+                simArr(pos) = sim; vidArr(pos) = nid
+                if (size < k) size += 1
+              }
+            }
+            j += 1
+          }
+          (0 until size).iterator.map(r => (qid, vidArr(r), simArr(r)))
+        }
+      }
+      .toDF("query_id", "neighbor_id", "sim")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank").cast("long").as("rank"))
   }
 
   /** Margin-scored cross-group pair mining (the bitext-mining scorer of

@@ -127,17 +127,28 @@ object Sketches {
 
 
   /** The HLL bias-corrected estimate from a group's scaled harmonic sum
-    * `s` (present-register BIGINT 2^(restBits−M) contributions) and present
-    * register count `nb` — shared by every HLL face so the arithmetic is
-    * ONE expression tree everywhere (audit, sliding merge, overlap).
+    * `s` (present-register BIGINT 2^(restBits+1−M) contributions) and
+    * present register count `nb` — shared by every HLL face so the
+    * arithmetic is ONE expression tree everywhere (audit, sliding merge,
+    * overlap).
+    *
+    * The scale is 2^(restBits+1), NOT 2^restBits: register ranks run to
+    * restBits+1 (an all-zero rest field), and at the smaller scale the
+    * saturated register's term would be `shiftleft(1L, -1)` — Java shifts
+    * reduce the distance mod 64, so that is `1L << 63 = Long.MIN_VALUE`, a
+    * sign-flipped harmonic sum. At 2^(restBits+1) the max-rank register
+    * contributes exactly 2^0 = 1 and every term stays a positive BIGINT
+    * power of two. Doubling both the contributions and the numerator
+    * constant is an exact power-of-two rescale, so non-saturated estimates
+    * are bit-identical to the old scale.
     */
   private def hllEstimate(s: Column, nb: Column, p: Int): Column = {
     val m = 1 << p
-    val restMod = 1L << (32 - p)
+    val scale = 1L << (32 - p + 1)
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / m)
-    val sFull = s + (lit(m.toLong) - nb) * restMod
+    val sFull = s + (lit(m.toLong) - nb) * scale
     val zeros = lit(m.toLong) - nb
-    val rawEst = alpha * m.toDouble * m.toDouble * restMod.toDouble / sFull.cast("double")
+    val rawEst = alpha * m.toDouble * m.toDouble * scale.toDouble / sFull.cast("double")
     when(rawEst <= 2.5 * m && zeros > 0L,
       lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
       .otherwise(rawEst)
@@ -153,7 +164,7 @@ object Sketches {
     * (top) and `32 − p` rank bits; `rank = (32 − p) + 1 − msb(rest)` with
     * `msb` via the engines' shared `length(bin(x))`, so registers are
     * identical integers everywhere. The harmonic sum is kept EXACT by
-    * scaling to `2^(32−p−M)` BIGINTs (no float summation-order hazard);
+    * scaling to `2^(32−p+1−M)` BIGINTs (no float summation-order hazard);
     * only the final one-expression estimate is floating point. Linear
     * counting takes over below `2.5·m` when empty registers remain
     * (the standard small-range correction).
@@ -175,11 +186,12 @@ object Sketches {
         when(rest === 0L, lit(restBits + 1))
           .otherwise(lit(restBits + 1) - length(bin(rest))).cast("long").as("__r"))
       .groupBy(col("__g"), col("__b")).agg(max(col("__r")).as("__m"))
-    // exact scaled harmonic sum: present buckets contribute 2^(restBits-M),
-    // absent buckets 2^restBits each — all BIGINT
+    // exact scaled harmonic sum: present buckets contribute 2^(restBits+1-M)
+    // (1 for a saturated register), absent buckets 2^(restBits+1) — all
+    // positive BIGINT powers of two
     val perGroup = regs.groupBy(col("__g")).agg(
       sum(call_function("shiftleft", lit(1L),
-        (lit(restBits) - col("__m")).cast("int"))).as("__s"),
+        (lit(restBits + 1) - col("__m")).cast("int"))).as("__s"),
       count(lit(1)).as("__nb"))
     val est = hllEstimate(col("__s"), col("__nb"), p)
     val exact = base.groupBy(col("__g")).agg(count_distinct(col("__k")).as("n_exact"))
@@ -229,7 +241,7 @@ object Sketches {
       .groupBy(col("__w"), col("__b")).agg(max(col("__m")).as("__m"))
     val perDay = merged.groupBy(col("__w")).agg(
       sum(call_function("shiftleft", lit(1L),
-        (lit(restBits) - col("__m")).cast("int"))).as("__s"),
+        (lit(restBits + 1) - col("__m")).cast("int"))).as("__s"),
       count(lit(1)).as("__nb"))
     val est = hllEstimate(col("__s"), col("__nb"), p)
     // the exact twin: the multi-day distinct re-scan the sketch replaces
@@ -320,7 +332,7 @@ object Sketches {
     def harmonic(r: DataFrame, keys: Seq[String]) =
       r.groupBy(keys.map(col): _*).agg(
         sum(call_function("shiftleft", lit(1L),
-          (lit(restBits) - col("__m")).cast("int"))).as("__s"),
+          (lit(restBits + 1) - col("__m")).cast("int"))).as("__s"),
         count(lit(1)).as("__nb"))
     val groups = regs.select(col("__g")).distinct()
     val pairs = groups.select(col("__g").as("ga"))

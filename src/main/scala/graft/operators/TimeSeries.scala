@@ -884,7 +884,9 @@ object TimeSeries {
       acc.withColumn(k,
         rank().over(wr).cast("double") + (count(lit(1)).over(wt) - 1) / 2.0)
     }
-    correlationMatrix(ranked.select(keys.map(col): _*), keys)
+    // average ranks are exact halves: the 0.5 grid doubles them into exact
+    // integers with the tightest overflow bound (n·(2n)² < 2^63)
+    correlationMatrix(ranked.select(keys.map(col): _*), keys, quantum = 0.5)
   }
 
   /** Per-key hour-of-day × day-of-week seasonal profile — "what does this
@@ -1044,26 +1046,41 @@ object TimeSeries {
     * row — the explicit-sum formula, identical on both engines, rather than
     * each engine's internal `corr` update order. Pair count is k², but k is
     * the aligned series list (plot-sized), never the corpus.
+    *
+    * Determinism: values are quantized to the `quantum` grid as BIGINTs
+    * before summation, so every moment sum is an exact integer — a plain
+    * `sum(double)` varies with partial-agg scheduling and can flip a 6-dp
+    * rounding (the q_embed_cov hazard class; same fix as the DTW/lead-lag
+    * fixed-point bucket means). Pearson is scale-invariant, so quantized
+    * inputs need no de-scaling — the grid only sets resolution. Overflow
+    * bound: `n · (max|v| / quantum)² < 2^63`.
     */
-  def correlationMatrix(aligned: DataFrame, keys: Seq[String]): DataFrame = {
+  def correlationMatrix(aligned: DataFrame, keys: Seq[String],
+      quantum: Double = 1e-3): DataFrame = {
     require(keys.size >= 2, s"need at least 2 series, got ${keys.size}")
+    require(quantum > 0, s"quantum must be positive, got $quantum")
+    val invQ = 1.0 / quantum
+    val quantized = aligned.select(keys.map(k =>
+      expr(s"CAST(round(CAST(`$k` AS DOUBLE) * ${invQ}D) AS BIGINT)").as(k)): _*)
     val pairs = for { i <- keys.indices; j <- i + 1 until keys.size }
       yield (keys(i), keys(j))
-    val n = count(lit(1)).cast("double").as("__n")
+    val n = count(lit(1)).as("__n")
     val perKey = keys.flatMap { k =>
       Seq(sum(col(k)).as(s"__sx_$k"), sum(col(k) * col(k)).as(s"__sxx_$k"))
     }
     val perPair = pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"__sxy_${a}__$b") }
-    val sums = aligned.agg(n, (perKey ++ perPair): _*)
+    val sums = quantized.agg(n, (perKey ++ perPair): _*)
     def varN(k: String) =
-      col("__n") * col(s"__sxx_$k") - col(s"__sx_$k") * col(s"__sx_$k")
+      col("__n").cast("double") * col(s"__sxx_$k").cast("double") -
+        col(s"__sx_$k").cast("double") * col(s"__sx_$k").cast("double")
     val rows = pairs.map { case (a, b) =>
-      val num = col("__n") * col(s"__sxy_${a}__$b") - col(s"__sx_$a") * col(s"__sx_$b")
+      val num = col("__n").cast("double") * col(s"__sxy_${a}__$b").cast("double") -
+        col(s"__sx_$a").cast("double") * col(s"__sx_$b").cast("double")
       val den = sqrt(varN(a)) * sqrt(varN(b))
       struct(lit(a).as("k1"), lit(b).as("k2"),
         when(den > 0, round(num / den, 6)).as("corr"))
     }
-    sums.select(col("__n").cast("long").as("n"), explode(array(rows: _*)).as("p"))
+    sums.select(col("__n").as("n"), explode(array(rows: _*)).as("p"))
       .select(col("p.k1").as("k1"), col("p.k2").as("k2"), col("n"),
         col("p.corr").as("corr"))
   }

@@ -71,7 +71,11 @@ object Versioned {
       else Seq.empty
     val all = carried ++ newFiles
     val tmp = new Path(s"$dir/.manifest-$v.json.tmp")
-    val out = f.create(tmp, false)
+    // overwrite=true: a crash between tmp-create and rename leaves a stale
+    // tmp behind, and version v was never published so the next commit
+    // recomputes the same v — it must be able to reclaim the tmp path
+    // (private to the single writer by contract) instead of failing forever
+    val out = f.create(tmp, true)
     try out.write(all.mkString("[\n\"", "\",\n\"", "\"\n]").getBytes("UTF-8"))
     finally out.close()
     // atomic publish: readers either see the complete manifest or none
@@ -110,13 +114,21 @@ object Versioned {
   /** Files no version within the retention window references — safe to
     * delete. Pure manifest set arithmetic (no data scan): files referenced
     * by any of the newest `retainVersions` manifests survive.
+    *
+    * Expired MANIFESTS are part of the plan too: if only the data files
+    * were reaped, the old manifests would keep their versions listed by
+    * [[versions]] and resolvable by [[read]], which would then fail
+    * mid-scan on missing parquet instead of failing fast. Deleting the
+    * manifest with its data makes a reaped version vanish atomically from
+    * the version list.
     */
   def vacuumPlan(spark: SparkSession, dir: String, retainVersions: Int): Seq[String] = {
     require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
     val vs = versions(spark, dir)
+    val expired = vs.dropRight(retainVersions)
     val retained = vs.takeRight(retainVersions)
       .flatMap(readManifest(spark, dir, _)).toSet
     val all = vs.flatMap(readManifest(spark, dir, _)).toSet
-    (all -- retained).toSeq.sorted
+    ((all -- retained).toSeq ++ expired.map(v => s"manifest-$v.json")).sorted
   }
 }

@@ -44,17 +44,19 @@ object DistinctStream {
   private[graft] def estimate(regs: Array[Byte], p: Int): Double = {
     val m = 1 << p
     val restBits = 32 - p
-    val restMod = 1L << restBits
+    // scale 2^(restBits+1): a saturated register (rank restBits+1) must
+    // contribute exactly 1, not `1L << -1` (shift-mod-64 = Long.MIN_VALUE)
+    val scale = 1L << (restBits + 1)
     var s = 0L; var zeros = 0L
     var i = 0
     while (i < m) {
       val r = regs(i).toInt
-      if (r == 0) { zeros += 1; s += restMod }
-      else s += 1L << (restBits - r)
+      if (r == 0) { zeros += 1; s += scale }
+      else s += 1L << (restBits + 1 - r)
       i += 1
     }
     val alpha = 0.7213 / (1.0 + 1.079 / m)
-    val raw = alpha * m.toDouble * m.toDouble * restMod.toDouble / s.toDouble
+    val raw = alpha * m.toDouble * m.toDouble * scale.toDouble / s.toDouble
     val est =
       if (raw <= 2.5 * m && zeros > 0L) m.toDouble * math.log(m.toDouble / zeros)
       else raw

@@ -1,0 +1,52 @@
+package graft
+
+/** Partition-count jitter gate for the WHOLE query surface.
+  *
+  * The q_embed_cov incident: a `round(sum(double), 6)` is summation-order
+  * dependent at the ulp level, and Spark's partial-agg scheduling changes
+  * with partitioning — a query can hash-match the oracle in three Verify
+  * dumps and flip in the fourth. A correctness gate that only runs at one
+  * partition count cannot see the hazard class at all.
+  *
+  * This spec executes every registered query at
+  * `spark.sql.shuffle.partitions` 1 AND 32 on sf0.001 and demands the two
+  * collected outputs be IDENTICAL as rendered rows (Row.toString carries
+  * full double text — `-0.0` vs `0.0` and one-ulp drifts both fail). Any
+  * operator whose output depends on physical scheduling — float summation
+  * order, un-ordered `limit`, first-without-order — fails here by name
+  * before the driver's single-partitioning CORRECTNESS run can get lucky.
+  */
+class JitterSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every query is bit-stable under shuffle.partitions 1 vs 32") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        try {
+          def run(parts: Int): Seq[String] = {
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            // a memoized cross-query frame computed in pass 1 would make
+            // pass 2 trivially equal — force recomputation
+            SparkEntry.clearSharedFrames()
+            fn(spark, dir).collect().map(_.toString).toSeq.sorted
+          }
+          val a = run(1)
+          val b = run(32)
+          if (a == b) None
+          else {
+            val diff = a.zipAll(b, "<missing>", "<missing>")
+              .filter { case (x, y) => x != y }.take(3)
+            Some(s"$name: ${a.size} vs ${b.size} rows; first diffs: $diff")
+          }
+        } catch {
+          case e: Throwable =>
+            Some(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(160)}")
+        }
+      }
+      assert(failures.isEmpty,
+        s"${failures.size} queries flip with partitioning:\n${failures.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+}

@@ -147,6 +147,15 @@ class SamplingSpec extends SparkSpec {
     assert(again == kept)
   }
 
+  test("weightedSample: an all-negative weight column keeps nothing") {
+    val sp = spark
+    import sp.implicits._
+    // neg/neg made w/__wmax positive before the normalizer was guarded,
+    // passing every row the contract says must never pass
+    val df = (0L until 50L).map(i => (i, -1.0 - (i % 5))).toDF("doc_id", "w")
+    assert(Sampling.weightedSample(df, "doc_id", "w").count() == 0L)
+  }
+
   test("unimaxAllocate: small sources saturate at maxEpochs, the rest share equally") {
     val sp = spark
     import sp.implicits._

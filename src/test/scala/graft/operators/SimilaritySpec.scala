@@ -351,6 +351,23 @@ class SimilaritySpec extends SparkSpec {
     assert(hub.map(_._2).sum == graph.size) // every edge lands on exactly one in-degree
   }
 
+  test("knnGraph size gate: the blocked distributed sweep is bit-identical to broadcast") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("sim"), r.getAs[Long]("rank"))).toSet
+    val broadcast = rows(Similarity.knnGraph(emb, "vec_id", "embedding", k = 4))
+    // direct call at several block counts, including one that doesn't divide n
+    Seq(2, 7).foreach { b =>
+      val blocked = rows(Similarity.knnGraphBlocked(emb, "vec_id", "embedding", 4, b))
+      assert(blocked == broadcast, s"blocked(b=$b) diverged from broadcast")
+    }
+    // and through the gate itself: a tiny maxBroadcastRows must route blocked
+    val gated = rows(Similarity.knnGraph(emb, "vec_id", "embedding", 4,
+      maxBroadcastRows = 100L))
+    assert(gated == broadcast)
+  }
+
   test("truncatedRecall: full-width truncation is perfect recall; tiny prefixes degrade") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val got = Similarity.truncatedRecall(emb, emb.where(col("vec_id") < 5),

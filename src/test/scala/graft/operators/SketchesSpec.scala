@@ -56,6 +56,24 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("hll audit survives a saturated register (all-zero rest bits)") {
+    val sp = spark
+    import sp.implicits._
+    // md5("4147901") = d0000000… — the low 24 rest bits are all zero, so its
+    // register rank saturates at restBits+1 = 25. At the old 2^restBits
+    // harmonic scale that register's term was shiftleft(1L, -1) =
+    // Long.MIN_VALUE (Java shifts reduce mod 64), sign-flipping the sum;
+    // with 5000+ distinct keys every bucket is occupied, so the
+    // linear-counting fallback can't mask it and the estimate went negative.
+    val df = ((0 until 10000).map(i => ("g", i.toLong)) :+ (("g", 4147901L)))
+      .toDF("g", "k")
+    val r = Sketches.hllAudit(df, "g", "k", p = 8).collect().head
+    val (exact, est) = (r.getLong(1), r.getDouble(2))
+    assert(exact == 10001L)
+    assert(est > 0.0, s"saturated register corrupted the harmonic sum: $est")
+    assert(math.abs(est - exact) / exact < 0.25, s"estimate $est vs $exact")
+  }
+
   test("hdr quantiles: bucket upper bound brackets the exact rank statistic") {
     val sp = spark
     import sp.implicits._

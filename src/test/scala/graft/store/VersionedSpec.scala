@@ -28,9 +28,13 @@ class VersionedSpec extends SparkSpec {
     Versioned.commit(Seq((9L, "z")).toDF("id", "s"), dir, mode = "overwrite")
     assert(Versioned.read(sp, dir).collect().map(_.getLong(0)).toSeq == Seq(9L))
     assert(Versioned.read(sp, dir, Some(1L)).collect().map(_.getLong(0)).toSeq == Seq(1L))
-    // retain only the latest version: v1's files become vacuum candidates
+    // retain only the latest version: v1's files AND its manifest become
+    // vacuum candidates (reaping the manifest makes v1 vanish from
+    // versions() instead of resolving to missing parquet)
     val plan = Versioned.vacuumPlan(sp, dir, retainVersions = 1)
-    assert(plan.nonEmpty && plan.forall(_.startsWith("data-1/")), plan.toString)
+    assert(plan.nonEmpty &&
+      plan.forall(n => n.startsWith("data-1/") || n == "manifest-1.json"), plan.toString)
+    assert(plan.contains("manifest-1.json"), plan.toString)
     // retaining both versions reaps nothing
     assert(Versioned.vacuumPlan(sp, dir, retainVersions = 2).isEmpty)
   }
@@ -67,5 +71,34 @@ class VersionedSpec extends SparkSpec {
       java.nio.file.Paths.get(dir, ".manifest-99.json.tmp"), "[\n\"garbage\"\n]")
     assert(Versioned.versions(sp, dir) == Seq(1L))
     assert(Versioned.read(sp, dir).count() == 1L)
+  }
+
+  test("a stale tmp manifest from a crashed commit does not block the next commit") {
+    val sp = spark
+    import sp.implicits._
+    val dir = tmpDir()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "s"), dir)
+    // crash between tmp-create and rename: v2's tmp exists, v2 unpublished.
+    // The next commit recomputes v=2 and must reclaim the tmp path.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, ".manifest-2.json.tmp"), "[\n\"garbage\"\n]")
+    val v2 = Versioned.commit(Seq((2L, "b")).toDF("id", "s"), dir)
+    assert(v2 == 2L)
+    assert(Versioned.read(sp, dir).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("vacuum executed: reaped versions vanish; survivors read cleanly") {
+    val sp = spark
+    import sp.implicits._
+    val dir = tmpDir()
+    Versioned.commit(Seq((1L, "a")).toDF("id", "s"), dir)
+    Versioned.commit(Seq((9L, "z")).toDF("id", "s"), dir, mode = "overwrite")
+    val plan = Versioned.vacuumPlan(sp, dir, retainVersions = 1)
+    plan.foreach(n => java.nio.file.Files.delete(java.nio.file.Paths.get(dir, n)))
+    // v1 is gone from the version list — read(Some(1)) fails FAST on
+    // version resolution, not mid-scan on missing parquet
+    assert(Versioned.versions(sp, dir) == Seq(2L))
+    intercept[IllegalArgumentException](Versioned.read(sp, dir, Some(1L)))
+    assert(Versioned.read(sp, dir).collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
 }

@@ -48,4 +48,21 @@ class DistinctStreamSpec extends SparkSpec {
     assert(one.getDouble(2) == expect)
     assert(DistinctStream.estimate(regs, 8) == expect)
   }
+
+  test("streaming estimate matches batch when a register saturates") {
+    // "4147901" hashes to d0000000…: all 24 rest bits zero, rank 25 — the
+    // saturated-register path must contribute 2^0, not 1L << -1
+    val sp = spark
+    import sp.implicits._
+    val keys = (0 until 10000).map(_.toString) :+ "4147901"
+    val regs = new Array[Byte](256)
+    keys.foreach(k => DistinctStream.update(regs, k, 8))
+    assert(regs.forall(_ > 0), "expected every bucket occupied")
+    assert(regs.max == 25, "expected a saturated register in the fixture")
+    val streamed = DistinctStream.estimate(regs, 8)
+    val batch = Sketches.hllAudit(keys.map(("g", _)).toDF("g", "k"), "g", "k", 8)
+      .collect().head.getDouble(2)
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    assert(streamed > 0.0 && math.abs(streamed - 10001.0) / 10001.0 < 0.25)
+  }
 }
