@@ -33,6 +33,20 @@ object SparkEntry {
     else "/root/repo/src/test/resources/hformat_cases.tsv"
   }
 
+  /** Shared by q_hubness (broadcast kNN path) and q_hubness_blocked (the
+    * distributed 2-D block sweep): hubness in-degrees over the exact kNN
+    * graph (same ranking contract as q_knn_brute); zero-degree vectors
+    * kept by the left join.
+    */
+  private lazy val hubnessSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+       |sc AS (SELECT a.vec_id AS qid, b.vec_id AS nid, round(${cosineSql("a.v", "b.v")}, 6) AS sim
+       |       FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sc),
+       |deg AS (SELECT nid, CAST(count(*) AS BIGINT) AS in_degree FROM r WHERE rn <= 5 GROUP BY 1)
+       |SELECT e.vec_id, coalesce(deg.in_degree, CAST(0 AS BIGINT)) AS in_degree
+       |FROM e LEFT JOIN deg ON e.vec_id = deg.nid ORDER BY vec_id""".stripMargin
+
   /** The exact blocked-Jaccard pair set is the single most expensive frame
     * two audit queries both need: q_jaccard_dist IS it, and q_lsh_recall
     * joins the banded-LSH candidates against it. Computed and persisted
@@ -50,12 +64,28 @@ object SparkEntry {
         n = 2, threshold = 0.5).persist()
     })
 
+  /** The k=5 mutual-kNN edge list is the other multiply-consumed expensive
+    * frame: six graph-audit queries (communities, triangles, assortativity,
+    * k-core, negative sampling, link prediction) all analyze the SAME
+    * graph. mutualKnnEdges localCheckpoints internally, so the memo hands
+    * out one materialized frame — the cosine sweep runs once per
+    * (session, sf-dir), not once per query.
+    */
+  private val mutualEdgesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def mutualKnnEdges5(s: SparkSession, dir: String): DataFrame =
+    mutualEdgesCache.computeIfAbsent((s, dir), { case (ss, d) =>
+      Similarity.mutualKnnEdges(Tables.embeddings(ss, d), "vec_id", "embedding", k = 5)
+    })
+
   /** Drop memoized cross-query frames (JitterSpec calls this between its
     * two partition-count passes so a cached result can't mask an
     * order-dependent computation). */
   def clearSharedFrames(): Unit = {
     exactPairCache.forEach((_, df) => df.unpersist(blocking = false))
     exactPairCache.clear()
+    mutualEdgesCache.clear() // localCheckpoint blocks free once unreferenced
   }
   private final val TMID = 1705276800000000L // 2024-01-15T00:00:00Z (us)
 
@@ -81,9 +111,12 @@ object SparkEntry {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity")).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          sum(col("l_quantity")).as("sum_qty"), // integral-valued: exact
+          // prices/discounts sit on the cent grid, but cents aren't
+          // binary-exact doubles — fixed-point sums make the 2-dp/6-dp
+          // roundings scheduling-independent (FixedPoint scaladoc)
+          operators.FixedPoint.sum(col("l_extendedprice"), 100.0, 2).as("sum_base_price"),
+          operators.FixedPoint.mean(col("l_discount"), 100.0, 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -353,7 +386,11 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n"),
           sum(col("l_quantity")).as("sum_qty"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+          // cents × (100 − discount-cents): both factors exact BIGINTs, so
+          // the 1e-4-grid revenue sum is order-independent
+          round(sum(operators.FixedPoint.q(col("l_extendedprice"), 100.0) *
+            (lit(100L) - operators.FixedPoint.q(col("l_discount"), 100.0))) / 10000.0, 2)
+            .as("revenue"))
         .orderBy(col("p_brand"))
     }),
 
@@ -749,7 +786,8 @@ object SparkEntry {
     "q_topk_users" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("user_id"))
-        .agg(round(sum(col("value")), 3).as("total"), count(lit(1)).as("n"))
+        .agg(operators.FixedPoint.sum(col("value"), 1e6, 3).as("total"),
+          count(lit(1)).as("n"))
         .orderBy(col("total").desc, col("user_id"))
         .limit(10)
     }),
@@ -760,7 +798,8 @@ object SparkEntry {
         .groupBy(
           window(timestamp_micros(col("ts_us")), "1 day").as("w"),
           col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          operators.FixedPoint.sum(col("value"), 1e6, 3).as("sum_value"))
         .select(
           expr("unix_micros(w.start)").as("day_us"),
           col("event_type"), col("n"), col("sum_value"))
@@ -852,8 +891,7 @@ object SparkEntry {
     // components (min-id representative per cluster) — pairs (1,2)+(2,3)
     // are ONE cluster, the decision a dedup pipeline actually needs --------
     "q_dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.ngramJaccardBlocked(
-        Tables.documents(s, dir), "doc_id", "text", n = 2, threshold = 0.5)
+      val pairs = exactJaccardPairs(s, dir)
       Dedup.connectedComponents(pairs, "d1", "d2").orderBy(col("doc"))
     }),
 
@@ -872,7 +910,7 @@ object SparkEntry {
     // above; this proves they COMPOSE. -----------------------------------------
     "q_corpus_manifest" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.ngramJaccardBlocked(docs, "doc_id", "text", n = 2, threshold = 0.5)
+      val pairs = exactJaccardPairs(s, dir)
       val surv = Dedup.clusterSurvivors(
         docs, "doc_id", Dedup.connectedComponents(pairs, "d1", "d2"))
       val lowRep = TextAnalysis.repetition(docs, "doc_id", "text", n = 2)
@@ -1425,7 +1463,8 @@ object SparkEntry {
             .when(col("xent") <= col("__q").getItem(2), 2L)
             .otherwise(3L).as("bucket"))
         .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n_docs"), round(avg(col("xent")), 6).as("avg_xent"),
+        .agg(count(lit(1)).as("n_docs"),
+          operators.FixedPoint.mean6(col("xent")).as("avg_xent"),
           round(min(col("xent")), 6).as("min_xent"), round(max(col("xent")), 6).as("max_xent"))
         .orderBy(col("bucket"))
     }),
@@ -1612,6 +1651,20 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- the SAME hubness oracle through the distributed 2-D block sweep
+    // (knnGraph's beyond-broadcast path, pinned at 4 blocks), so the 100 TB
+    // plan shape gets its own hard CORRECTNESS row against the exact oracle
+    "q_hubness_blocked" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val degrees = Similarity.knnGraphBlocked(emb, "vec_id", "embedding", 5, 4)
+        .groupBy(col("neighbor_id")).agg(count(lit(1)).as("in_degree"))
+      emb.where(col("embedding").isNotNull)
+        .select(col("vec_id").cast("long").as("vec_id"))
+        .join(degrees.withColumnRenamed("neighbor_id", "vec_id"), Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- token co-occurrence lift (exp-PMI association table) ------------
     "q_cooccur_lift" -> ((s, dir) => {
       TextAnalysis.cooccurrenceLift(Tables.documents(s, dir), "doc_id", "text", minCount = 5L)
@@ -1697,16 +1750,14 @@ object SparkEntry {
     // semantic clusters; the mutuality filter keeps hubs from fusing
     // everything) ----------------------------------------------------------
     "q_knn_communities" -> ((s, dir) => {
-      val edges = Similarity.mutualKnnEdges(Tables.embeddings(s, dir),
-        "vec_id", "embedding", k = 5)
+      val edges = mutualKnnEdges5(s, dir)
       Dedup.connectedComponents(edges, "d1", "d2").orderBy(col("doc"))
     }),
 
     // ---- resource-allocation link prediction over the mutual-kNN graph
     // ("which neighbors did ANN miss"); integer-exact fixed-point scores --
     "q_link_predict" -> ((s, dir) => {
-      val edges = Similarity.mutualKnnEdges(Tables.embeddings(s, dir),
-        "vec_id", "embedding", k = 5)
+      val edges = mutualKnnEdges5(s, dir)
       Graph.linkPredict(edges, "d1", "d2", maxDegree = 64, topK = 100)
     }),
 
@@ -1954,7 +2005,7 @@ object SparkEntry {
       Skew.saltedJoin(li, os, "okey", salts = 8, tieBreak = "l_extendedprice")
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("l_extendedprice")), 2).as("revenue"))
+          operators.FixedPoint.sum(col("l_extendedprice"), 100.0, 2).as("revenue"))
         .orderBy(col("o_orderstatus"))
     }),
 
@@ -2149,29 +2200,25 @@ object SparkEntry {
 
     // ---- triangle census + clustering coefficient of the mutual-kNN graph
     "q_triangles" -> ((s, dir) => {
-      val edges = Similarity.mutualKnnEdges(Tables.embeddings(s, dir),
-        "vec_id", "embedding", k = 5)
+      val edges = mutualKnnEdges5(s, dir)
       Graph.triangleStats(edges, "d1", "d2")
     }),
 
     // ---- degree assortativity of the mutual-kNN graph --------------------
     "q_assortativity" -> ((s, dir) => {
-      val edges = Similarity.mutualKnnEdges(Tables.embeddings(s, dir),
-        "vec_id", "embedding", k = 5)
+      val edges = mutualKnnEdges5(s, dir)
       Graph.assortativity(edges, "d1", "d2")
     }),
 
     // ---- k-core backbone of the mutual-kNN graph -------------------------
     "q_kcore" -> ((s, dir) => {
-      val edges = Similarity.mutualKnnEdges(Tables.embeddings(s, dir),
-        "vec_id", "embedding", k = 5)
+      val edges = mutualKnnEdges5(s, dir)
       Graph.kCore(edges, "d1", "d2", k = 3)
     }),
 
     // ---- deterministic negative-edge sampling over the mutual-kNN graph --
     "q_neg_sample" -> ((s, dir) => {
-      val edges = Similarity.mutualKnnEdges(Tables.embeddings(s, dir),
-        "vec_id", "embedding", k = 5)
+      val edges = mutualKnnEdges5(s, dir)
       Graph.negativeSample(edges, "d1", "d2", perNode = 3)
     }),
 
@@ -2230,7 +2277,8 @@ object SparkEntry {
       val delta = EventAnalytics.dailyRollup(
         ev.where(col("ts_us") >= TMID), "ts_us", "event_type", "value")
       EventAnalytics.mergeRollup(prior, delta, Seq("day", "event_type"))
-        .select(col("day"), col("event_type"), col("n"), round(col("sum_value"), 6).as("sum_value"))
+        .select(col("day"), col("event_type"), col("n"),
+          round(col("sum_value").cast("double"), 6).as("sum_value"))
         .orderBy(col("day"), col("event_type"))
     }),
 
@@ -2260,7 +2308,7 @@ object SparkEntry {
     // ---- per-cluster provenance rollup (survivorship audit record) -------
     "q_cluster_provenance" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.ngramJaccardBlocked(docs, "doc_id", "text", n = 2, threshold = 0.5)
+      val pairs = exactJaccardPairs(s, dir)
       Dedup.clusterProvenance(Dedup.connectedComponents(pairs, "d1", "d2"),
         docs, "doc_id", "source", "n_chars")
         .orderBy(col("component"))
@@ -4065,8 +4113,8 @@ object SparkEntry {
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  round(CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_base_price,
+        |  round(CAST(sum(CAST(round(l_discount * 100.0) AS BIGINT)) AS BIGINT) / (count(*) * 100.0), 6) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
@@ -4234,7 +4282,7 @@ object SparkEntry {
          |rl AS (SELECT e0.v FROM fb JOIN e0 ON fb.doc_id = e0.vec_id),
          |x AS (SELECT unnest(list_transform(generate_series(1, len(v)),
          |    i -> {'dim': i - 1, 'x': v[i]})) AS u FROM rl),
-         |cd AS (SELECT u.dim AS dim, round(avg(u.x), 6) AS c FROM x GROUP BY 1),
+         |cd AS (SELECT u.dim AS dim, round(CAST(sum(CAST(round((u.x) * 1000000.0) AS BIGINT)) AS BIGINT) / (count(*) * 1000000.0), 6) AS c FROM x GROUP BY 1),
          |cent AS (SELECT list(c ORDER BY dim) AS cv FROM cd)
          |SELECT vec_id, round(${cosineSql("v", "cv")}, 6) AS sim
          |FROM e0 CROSS JOIN cent
@@ -4335,7 +4383,8 @@ object SparkEntry {
 
     "q_dim_join" ->
       """SELECT p_brand, count(*) AS n, sum(l_quantity) AS sum_qty,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  round(CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT) *
+        |    (100 - CAST(round(l_discount * 100.0) AS BIGINT))) AS BIGINT) / 10000.0, 2) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -4635,7 +4684,7 @@ object SparkEntry {
 
     "q_norm_stats" ->
       """SELECT label, count(*) AS n,
-        |  round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
+        |  round(CAST(sum(CAST(round((sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) * 1000000.0) AS BIGINT)) AS BIGINT) / (count(*) * 1000000.0), 6) AS avg_norm
         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // int8 scalar quantization: per-dim min/max grid, affine codes in
@@ -4654,7 +4703,7 @@ object SparkEntry {
         |  CAST(sum(code) AS BIGINT) AS code_sum,
         |  min(code) AS code_min, max(code) AS code_max,
         |  CAST(count(*) AS BIGINT) AS n_dims,
-        |  round(avg(pow(v - (mn + (code + 128) * ((mx - mn) / 255.0)), 2)), 6) AS mse
+        |  round(CAST(sum(CAST(round(pow(v - (mn + (code + 128) * ((mx - mn) / 255.0)), 2) * 1000000000000.0) AS BIGINT)) AS BIGINT) / (count(*) * 1000000000000.0), 6) AS mse
         |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "q_downsample_stateful" -> downsampleStatefulSql(6L * 3600L * 1000000L, 50.0),
@@ -4741,16 +4790,19 @@ object SparkEntry {
         |x AS (SELECT label, unnest(list_transform(generate_series(1, len(v)),
         |    i -> {'dim': i - 1, 'x': v[i]})) AS u FROM e)
         |SELECT label, CAST(u.dim AS BIGINT) AS dim, count(*) AS n,
-        |  round(avg(u.x), 6) AS mean
+        |  round(CAST(sum(CAST(round((u.x) * 1000000.0) AS BIGINT)) AS BIGINT) / (count(*) * 1000000.0), 6) AS mean
         |FROM x GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
 
     "q_topk_users" ->
-      """SELECT user_id, round(sum(value), 3) AS total, count(*) AS n
+      """SELECT user_id,
+        |  round(CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT) / 1000000.0, 3) AS total,
+        |  count(*) AS n
         |FROM events GROUP BY 1 ORDER BY total DESC, user_id LIMIT 10""".stripMargin,
 
     "q_windowed_counts" ->
       """SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
-        |  count(*) AS n, round(sum(value), 3) AS sum_value
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT) / 1000000.0, 3) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_media_stats" ->
@@ -5024,7 +5076,7 @@ object SparkEntry {
          |SELECT pvname, ts_us // 86400000000 AS bucket,
          |  arg_min(v, ts_us) AS open, max(v) AS high, min(v) AS low,
          |  arg_max(v, ts_us) AS close, CAST(count(*) AS BIGINT) AS n,
-         |  round(avg(v), 6) AS mean
+         |  round(CAST(sum(CAST(round((v) * 1000000.0) AS BIGINT)) AS BIGINT) / (count(*) * 1000000.0), 6) AS mean
          |FROM s GROUP BY 1, 2 ORDER BY pvname, bucket""".stripMargin,
 
     // fixed-range histogram: identical clamp expression on both engines
@@ -5126,8 +5178,11 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
         |  CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
         |  round(min(lo), 6) AS p_lo, round(min(hi), 6) AS p_hi,
-        |  round(avg(w), 6) AS win_mean,
-        |  round(sqrt(greatest(avg(w * w) - avg(w) * avg(w), CAST(0 AS DOUBLE))), 6) AS win_std
+        |  round(CAST(sum(CAST(round(w * 1000.0) AS BIGINT)) AS BIGINT)::DOUBLE / 1000.0 / count(*), 6) AS win_mean,
+        |  round(sqrt(greatest(
+        |    CAST(sum(CAST(round(w * 1000.0) AS BIGINT) * CAST(round(w * 1000.0) AS BIGINT)) AS BIGINT)::DOUBLE / 1000000.0 / count(*) -
+        |    (CAST(sum(CAST(round(w * 1000.0) AS BIGINT)) AS BIGINT)::DOUBLE / 1000.0 / count(*)) *
+        |    (CAST(sum(CAST(round(w * 1000.0) AS BIGINT)) AS BIGINT)::DOUBLE / 1000.0 / count(*)), CAST(0 AS DOUBLE))), 6) AS win_std
         |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // correlation matrix over the q_locf_align grid: explicit-sum Pearson
@@ -5354,7 +5409,8 @@ object SparkEntry {
       s"""SELECT event_type AS pvname,
          |  (epoch_us(ts) // 3600000000) % 24 AS hour,
          |  ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
-         |  CAST(count(*) AS BIGINT) AS n, round(avg(value), 6) AS mean
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(sum(CAST(round((value) * 1000000.0) AS BIGINT)) AS BIGINT) / (count(*) * 1000000.0), 6) AS mean
          |FROM events GROUP BY 1, 2, 3
          |ORDER BY pvname, hour, dow""".stripMargin,
 
@@ -5407,7 +5463,7 @@ object SparkEntry {
          |seg AS (SELECT pvname, v,
          |    coalesce(lead(ts_us) OVER (PARTITION BY pvname ORDER BY ts_us), $TMID) - ts_us AS w
          |  FROM pts)
-         |SELECT pvname, round(sum(v * w) / sum(w), 6) AS twa,
+         |SELECT pvname, round(CAST(sum(CAST(round(v * 1000.0) AS BIGINT) * w) AS BIGINT)::DOUBLE / 1000.0 / CAST(sum(w) AS BIGINT)::DOUBLE, 6) AS twa,
          |  CAST(sum(w) AS BIGINT) AS covered_us, CAST(count(*) AS BIGINT) AS n
          |FROM seg GROUP BY pvname ORDER BY pvname""".stripMargin,
 
@@ -5494,7 +5550,7 @@ object SparkEntry {
          |    CASE WHEN xent <= q1 THEN 0 WHEN xent <= q2 THEN 1
          |         WHEN xent <= q3 THEN 2 ELSE 3 END AS bucket FROM lx, qs)
          |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
-         |  round(avg(xent), 6) AS avg_xent, round(min(xent), 6) AS min_xent,
+         |  round(CAST(sum(CAST(round((xent) * 1000000.0) AS BIGINT)) AS BIGINT) / (count(*) * 1000000.0), 6) AS avg_xent, round(min(xent), 6) AS min_xent,
          |  round(max(xent), 6) AS max_xent
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -5949,14 +6005,11 @@ object SparkEntry {
 
     // hubness: in-degree over the exact kNN graph (same ranking contract as
     // q_knn_brute); zero-degree vectors kept by the left join
-    "q_hubness" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
-         |sc AS (SELECT a.vec_id AS qid, b.vec_id AS nid, round(${cosineSql("a.v", "b.v")}, 6) AS sim
-         |       FROM e a JOIN e b ON a.vec_id <> b.vec_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sc),
-         |deg AS (SELECT nid, CAST(count(*) AS BIGINT) AS in_degree FROM r WHERE rn <= 5 GROUP BY 1)
-         |SELECT e.vec_id, coalesce(deg.in_degree, CAST(0 AS BIGINT)) AS in_degree
-         |FROM e LEFT JOIN deg ON e.vec_id = deg.nid ORDER BY vec_id""".stripMargin,
+    "q_hubness" -> hubnessSql,
+
+    // identical oracle — the engine side runs the distributed block sweep,
+    // so a divergence between the two physical paths is a red row here
+    "q_hubness_blocked" -> hubnessSql,
 
     // co-occurrence lift: document-presence counts are exact integers; lift
     // is one double division of exact integer products (no logs - libm ulps
@@ -6073,7 +6126,7 @@ object SparkEntry {
         |    CAST(value AS DOUBLE) AS v
         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
         |c AS (SELECT pvname, hour, dow, CAST(count(*) AS BIGINT) AS cell_n,
-        |             round(avg(v), 6) AS cell_mean
+        |             round(CAST(sum(CAST(round((v) * 1000000.0) AS BIGINT)) AS BIGINT) / (count(*) * 1000000.0), 6) AS cell_mean
         |      FROM b GROUP BY 1, 2, 3 HAVING count(*) >= 2),
         |r AS (SELECT b.pvname, ts_us, v AS value, b.hour, b.dow, cell_n, cell_mean,
         |             round(v - cell_mean, 6) AS residual
@@ -6364,7 +6417,7 @@ object SparkEntry {
          |  WHERE user_id IS NOT NULL AND event_type = 'purchase'),
          |per AS (SELECT u AS user_id, ($T1 - max(t)) // 86400000000 AS recency_days,
          |          CAST(count(*) AS BIGINT) AS frequency,
-         |          round(sum(coalesce(value, 0.0)), 6) AS monetary
+         |          round(CAST(sum(CAST(round(coalesce(value, 0.0) * 1000000.0) AS BIGINT)) AS BIGINT) / 1000000.0, 6) AS monetary
          |        FROM e GROUP BY 1),
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
          |r AS (SELECT *, row_number() OVER (ORDER BY recency_days, user_id) AS rr,
@@ -6415,9 +6468,9 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (PARTITION BY u, cts, cid ORDER BY t, tb) AS rn,
          |        count(*) OVER (PARTITION BY u, cts, cid) AS n FROM p)
          |SELECT et AS channel, CAST(count(*) AS BIGINT) AS n_touches,
-         |  round(sum(CASE WHEN n = 1 THEN 1.0
+         |  round(CAST(sum(CAST(round((CASE WHEN n = 1 THEN 1.0
          |                 WHEN rn = 1 OR rn = n THEN (CASE WHEN n = 2 THEN 0.5 ELSE 0.4 END)
-         |                 ELSE 0.2 / (n - 2) END), 6) AS credit
+         |                 ELSE 0.2 / (n - 2) END) * 1000000.0) AS BIGINT)) AS BIGINT) / 1000000.0, 6) AS credit
          |FROM r GROUP BY 1 ORDER BY channel""".stripMargin,
 
     // k-anonymity: QI-tuple count + rollup
@@ -6557,7 +6610,7 @@ object SparkEntry {
     // in the result
     "q_salted_join" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-        |  round(sum(l_extendedprice), 2) AS revenue
+        |  round(CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) / 100.0, 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -6916,7 +6969,7 @@ object SparkEntry {
     "q_rollup_merge" ->
       """SELECT epoch_us(ts) // 86400000000 AS day, event_type,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  round(sum(coalesce(value, 0.0)), 6) AS sum_value
+        |  round(CAST(sum(CAST(coalesce(value, 0.0) AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_value
         |FROM events WHERE event_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 

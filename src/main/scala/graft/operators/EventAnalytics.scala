@@ -100,7 +100,7 @@ object EventAnalytics {
       .agg(
         max(col(ts)).as("__last"),
         count(lit(1)).as("frequency"),
-        round(sum(coalesce(col(value), lit(0.0))), 6).as("monetary"))
+        FixedPoint.sum(coalesce(col(value), lit(0.0)), 1e6, 6).as("monetary"))
       .select(col("user_id"),
         expr(s"(${nowUs}L - __last) div 86400000000").as("recency_days"),
         col("frequency"), col("monetary"))
@@ -158,7 +158,9 @@ object EventAnalytics {
       .withColumn("__rn", row_number().over(wAsc))
       .withColumn("__n", count(lit(1)).over(wAll))
       .groupBy(col("__et").as("channel"))
-      .agg(count(lit(1)).as("n_touches"), round(sum(credit), 6).as("credit"))
+      // fractional U-shape shares (0.2/(n−2)) aren't binary-exact: quantize
+      // each touch's credit to the 1e-6 grid before the channel sum
+      .agg(count(lit(1)).as("n_touches"), FixedPoint.sum(credit, 1e6, 6).as("credit"))
   }
 
   /** Incremental rollup maintenance: merge a PRIOR aggregate table with the
@@ -176,19 +178,25 @@ object EventAnalytics {
     require(keys.nonEmpty, "mergeRollup needs at least one key column")
     val p = prior.select((keys.map(col) :+ col("n").as("__np") :+ col("sum_value").as("__sp")): _*)
     val d = delta.select((keys.map(col) :+ col("n").as("__nd") :+ col("sum_value").as("__sd")): _*)
+    val zero = lit(0).cast("decimal(28,6)")
     p.join(d, keys, "full_outer")
       .select((keys.map(col) :+
         (coalesce(col("__np"), lit(0L)) + coalesce(col("__nd"), lit(0L))).as("n") :+
-        (coalesce(col("__sp"), lit(0.0)) + coalesce(col("__sd"), lit(0.0))).as("sum_value")): _*)
+        (coalesce(col("__sp"), zero) + coalesce(col("__sd"), zero)).as("sum_value")): _*)
   }
 
   /** The daily rollup [[mergeRollup]] maintains: `(day, event_type, n,
     * sum_value)` per cell, day = epoch-day of the event-time micros.
+    * `sum_value` is a DECIMAL(38,6): decimal sums are EXACT, so partial-agg
+    * order, the prior/delta split point, and merge associativity all
+    * cannot move the value — the invariant `merge(prior, delta) ==
+    * from-scratch` holds bit-for-bit, not just to float tolerance.
     */
   def dailyRollup(df: DataFrame, ts: String, eventType: String, value: String): DataFrame =
     df.where(col(eventType).isNotNull)
       .groupBy(expr(s"$ts div 86400000000").as("day"), col(eventType).as("event_type"))
-      .agg(count(lit(1)).as("n"), sum(coalesce(col(value), lit(0.0))).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col(value), lit(0.0)).cast("decimal(28,6)")).as("sum_value"))
 
   /** Time-to-convert distribution per funnel transition: over the users who
     * completed step `i+1`, the latency `t_{i+1} − t_i` from their step-`i`

@@ -285,7 +285,7 @@ object Retrieval {
     val rel = run.select(col(id).as("__rid"))
       .join(emb.select(col(embId).as("__rid"), col(vec).as("__v")), Seq("__rid"))
     val centLong = rel.select(posexplode(col("__v")).as(Seq("dim", "__x")))
-      .groupBy(col("dim")).agg(round(avg(col("__x")), 6).as("__c"))
+      .groupBy(col("dim")).agg(FixedPoint.mean6(col("__x")).as("__c"))
     val centroid = centLong
       .agg(sort_array(collect_list(struct(col("dim"), col("__c")))).as("__s"))
       .select(transform(col("__s"), s => s.getField("__c")).as("__cent"))

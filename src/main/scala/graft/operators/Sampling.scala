@@ -286,9 +286,13 @@ object Sampling {
     * `alloc` rounded to 3, `epochs = alloc / n_tokens` to 6.
     *
     * Scale shape: ONE map-side-combinable corpus aggregation to a
-    * groups-sized table; the windows and the totals row run over that
-    * control-plane-sized frame (the [[EventAnalytics.funnel]] pattern) —
-    * the corpus itself is never shuffled.
+    * groups-sized table, which then packs into a SINGLE row — sort, prefix
+    * sums, the constrained-prefix election, and the leftover share all run
+    * as array expressions on that one row (`aggregate`/`transform`/
+    * `zip_with`), then explode back out. No global windows, no totals
+    * cross join: the control-plane math is one projection, and the corpus
+    * itself is never shuffled. The O(m²) prefix-sum slice is over the
+    * SOURCES list (m = distinct sources), never data.
     */
   def unimaxAllocate(df: DataFrame, group: String, tokenCount: Column,
       budgetTokens: Long, maxEpochs: Long): DataFrame = {
@@ -297,26 +301,26 @@ object Sampling {
     val per = df.groupBy(col(group))
       .agg(count(lit(1)).as("n_docs"), sum(tokenCount).cast("long").as("n_tokens"))
       .withColumn("cap", col("n_tokens") * maxEpochs)
-    // groups-sized frame: the global windows here are control-plane work
-    val w = Window.orderBy(col("cap"), col(group))
-    val ranked = per
-      .withColumn("__i", row_number().over(w))
-      .withColumn("__cum", sum(col("cap"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__m", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("__constrained",
-        col("cap") * (col("__m") - col("__i") + 1) <=
-          lit(budgetTokens) - (col("__cum") - col("cap")))
-    val tot = ranked.agg(
-      sum(when(col("__constrained"), col("cap")).otherwise(0L)).as("__ccap"),
-      sum(when(col("__constrained"), 0L).otherwise(1L)).as("__nu"))
-    ranked.crossJoin(broadcast(tot))
+    // struct field order (cap, g) makes array_sort reproduce the
+    // (cap ASC, group ASC) election order of the closed form
+    per
+      .agg(array_sort(collect_list(struct(
+        col("cap"), col(group).as("g"), col("n_docs"), col("n_tokens")))).as("xs"))
+      .withColumn("flags", expr(
+        s"""transform(xs, (x, i) -> x.cap * (size(xs) - i) <=
+           |  ${budgetTokens}L -
+           |  (aggregate(slice(xs, 1, i + 1), 0L, (a, y) -> a + y.cap) - x.cap))""".stripMargin))
+      .withColumn("ccap", expr(
+        "aggregate(zip_with(xs, flags, (x, f) -> IF(f, x.cap, 0L)), 0L, (a, v) -> a + v)"))
+      .withColumn("nu", expr("aggregate(flags, 0L, (a, f) -> a + IF(f, 0L, 1L))"))
+      .select(col("flags"), col("ccap"), col("nu"), posexplode(col("xs")).as(Seq("i", "x")))
       .withColumn("__alloc",
-        when(col("__constrained"), col("cap").cast("double"))
-          .otherwise((lit(budgetTokens) - col("__ccap")).cast("double") / col("__nu")))
-      .select(col(group), col("n_docs"), col("n_tokens"), col("cap"),
+        when(expr("flags[i]"), col("x.cap").cast("double"))
+          .otherwise((lit(budgetTokens) - col("ccap")).cast("double") / col("nu")))
+      .select(col("x.g").as(group), col("x.n_docs").as("n_docs"),
+        col("x.n_tokens").as("n_tokens"), col("x.cap").as("cap"),
         round(col("__alloc"), 3).as("alloc_tokens"),
-        round(col("__alloc") / col("n_tokens"), 6).as("epochs"))
+        round(col("__alloc") / col("x.n_tokens"), 6).as("epochs"))
   }
 
   /** Weight-proportional Bernoulli sampling — the soft quality filter

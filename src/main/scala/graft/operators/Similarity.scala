@@ -547,8 +547,9 @@ object Similarity {
     * never retrieved at all. Zero-degree vectors are kept via the left
     * join — the unreachable tail matters as much as the hubs.
     */
-  def hubness(df: DataFrame, id: String, vec: String, k: Int): DataFrame = {
-    val degrees = knnGraph(df, id, vec, k)
+  def hubness(df: DataFrame, id: String, vec: String, k: Int,
+      maxBroadcastRows: Long = 200000L): DataFrame = {
+    val degrees = knnGraph(df, id, vec, k, maxBroadcastRows)
       .groupBy(col("neighbor_id"))
       .agg(count(lit(1)).as("in_degree"))
     df.where(col(vec).isNotNull)
@@ -757,27 +758,47 @@ object Similarity {
     * and engine-reproducible (a mean of per-query ratios would depend on
     * float summation order).
     *
-    * Cost shape: one [[bruteForceKnn]] sweep per entry of `dims` plus one
-    * for the full-width truth, each the same broadcast-query scan; the
-    * recall joins see only k-sized frames.
+    * Cost shape: ONE broadcast-query sweep for every width at once — the
+    * scored cross product materializes a single time (one bounded
+    * nested-loop join instead of one per width plus one for the truth),
+    * each pair fans out to `dims + 1` width rows map-side (width 0 = the
+    * full-vector truth), one window ranks all widths together, and the
+    * truth top-k replicates per width into one equi-join. Same
+    * `(round6 sim DESC, id ASC)` cut as [[bruteForceKnn]], so results are
+    * identical to running the sweeps separately.
     */
   def truncatedRecall(corpus: DataFrame, queries: DataFrame, id: String, vec: String,
       k: Int, dims: Seq[Int]): DataFrame = {
     require(dims.nonEmpty, "truncatedRecall needs at least one truncation width")
-    val full = bruteForceKnn(corpus, queries, id, vec, k)
-    dims.map { d =>
-      val cT = corpus.withColumn("__tv", slice(col(vec), 1, d))
-      val qT = queries.withColumn("__tv", slice(col(vec), 1, d))
-      val approx = bruteForceKnn(cT, qT, id, "__tv", k)
-      recallAtK(full, approx, k)
-        .agg(
-          count(lit(1)).as("n_queries"),
-          sum(col("n_exact")).as("n_exact"),
-          sum(col("n_hit")).as("n_hit"))
-        .select(lit(d).cast("long").as("dims"), col("n_queries"), col("n_exact"),
-          col("n_hit"),
-          round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
-    }.reduce(_ unionByName _)
+    require(dims.forall(_ > 0), s"truncation widths must be positive, got $dims")
+    val q = queries.select(col(id).as("query_id"), col(vec).as("__qv"))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("__cv"))
+    val widths = array((0 +: dims.toList).map(lit(_)): _*)
+    val ranked = c
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"),
+        explode(widths).as("__d"))
+      .withColumn("__sim", round(cosineFast(
+        when(col("__d") === 0, col("__qv")).otherwise(slice(col("__qv"), lit(1), col("__d"))),
+        when(col("__d") === 0, col("__cv")).otherwise(slice(col("__cv"), lit(1), col("__d")))), 6))
+      .withColumn("__rn", row_number().over(Window
+        .partitionBy(col("__d"), col("query_id"))
+        .orderBy(col("__sim").desc, col("neighbor_id"))))
+      .where(col("__rn") <= k)
+    val truth = ranked.where(col("__d") === 0)
+      .select(col("query_id"), col("neighbor_id"),
+        explode(array(dims.map(lit(_)): _*)).as("__d"))
+    val approx = ranked.where(col("__d") =!= 0)
+      .select(col("__d"), col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    truth.join(approx, Seq("__d", "query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("__d"))
+      .agg(
+        count_distinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("__d").cast("long").as("dims"), col("n_queries"), col("n_exact"),
+        col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
   }
 
   /** Spark `round(_, 6)` semantics (RoundBase: BigDecimal.valueOf + HALF_UP)
@@ -1137,7 +1158,10 @@ object Similarity {
         min(col("code")).as("code_min"),
         max(col("code")).as("code_max"),
         count(lit(1)).as("n_dims"),
-        round(avg(pow(col("v") - col("recon"), 2)), 6).as("mse"))
+        // 1e-12-grid fixed-point mean: squared errors are ≤ grid-step²
+        // sized, so the fine quantum keeps 6-dp fidelity while the sum
+        // stays exact (≤ ~2.7e11 per term · dims)
+        FixedPoint.mean(pow(col("v") - col("recon"), 2), 1e12, 6).as("mse"))
   }
 
   private def toDouble(v: Array[Float]): Array[Double] = {
@@ -1180,7 +1204,7 @@ object Similarity {
     df.filter(col(vec).isNotNull)
       .select(col(label), posexplode(col(vec)).as(Seq("dim", "__x")))
       .groupBy(col(label), col("dim").cast("long").as("dim"))
-      .agg(count(lit(1)).as("n"), round(avg(col("__x")), 6).as("mean"))
+      .agg(count(lit(1)).as("n"), FixedPoint.mean6(col("__x")).as("mean"))
 
   /** Per-label embedding stats (count + mean L2 norm) — a cheap corpus
     * health check used by the oracle suite.
@@ -1188,7 +1212,7 @@ object Similarity {
   def normStats(df: DataFrame, label: String, vec: String): DataFrame =
     df.select(col(label), norm(col(vec)).as("__n"))
       .groupBy(col(label))
-      .agg(count(lit(1)).as("n"), round(avg(col("__n")), 6).as("avg_norm"))
+      .agg(count(lit(1)).as("n"), FixedPoint.mean6(col("__n")).as("avg_norm"))
 
   // ------------------------------------------------------------------ PQ --
 

@@ -508,7 +508,7 @@ object TimeSeries {
         min(col("__v")).as("low"),
         max_by(col("__v"), col(ts)).as("close"),
         count(lit(1)).as("n"),
-        round(avg(col("__v")), 6).as("mean"))
+        fixedPointMean6(col("__v")).as("mean"))
   }
 
   /** Per-key fixed-range value histogram: `bins` equal-width bins over
@@ -678,9 +678,14 @@ object TimeSeries {
     val w = Window.partitionBy(col(key)).orderBy(col(ts))
     val seg = pts.withColumn("__w",
       coalesce(lead(col(ts), 1).over(w), lit(t1)) - col(ts))
+    // order-independent: v on the 1e-3 grid × exact micros weights — the
+    // segment weights PARTITION the window, so Σ qv·w ≤ max|qv| · (t1−t0);
+    // bound: max|v| · 1e3 · windowUs < 2^63 (~9e6 value-units on a 1-day
+    // window). One double division chain at the end, mirrored by the oracle.
     seg.groupBy(col(key))
       .agg(
-        round(sum(col("__v") * col("__w")) / sum(col("__w")), 6).as("twa"),
+        round(sum(FixedPoint.q(col("__v"), 1000.0) * col("__w")).cast("double") /
+          lit(1000.0) / sum(col("__w")).cast("double"), 6).as("twa"),
         sum(col("__w")).as("covered_us"),
         count(lit(1)).as("n"))
   }
@@ -900,7 +905,7 @@ object TimeSeries {
     df.groupBy(col(key),
         (expr(s"$ts DIV 3600000000L") % 24).as("hour"),
         ((expr(s"$ts DIV 86400000000L") + 4) % 7).as("dow"))
-      .agg(count(lit(1)).as("n"), round(avg(col(value)), 6).as("mean"))
+      .agg(count(lit(1)).as("n"), fixedPointMean6(col(value)).as("mean"))
 
   /** Per-key population-stability index (PSI) between the two halves of a
     * time split — the standard "has this distribution drifted" score
@@ -952,17 +957,12 @@ object TimeSeries {
     * agg is buckets-sized. Output: `(lag, n, corr)` for every lag, `corr`
     * null when a side is constant (or `n < 2`) at that lag.
     */
-  /** 6-dp bucket mean as ORDER-INDEPENDENT fixed point: quantize each value
-    * to 1e-6 BIGINT units, sum exactly, divide once. A plain
-    * `round(avg(v), 6)` is summation-order-dependent at the ulp level, and
-    * with 6-dp-quantized inputs the DP sums downstream land ON rounding
-    * half-boundaries — sf0.1 q_dtw caught a real 1-unit-at-6dp divergence
+  /** 6-dp bucket mean as ORDER-INDEPENDENT fixed point (see
+    * [[FixedPoint]]): sf0.1 q_dtw caught a real 1-unit-at-6dp divergence
     * between Spark's partial-agg order and DuckDB's sequential order.
     * Bounded by |v| ≤ ~9e9 · rows per group at this quantum.
     */
-  private def fixedPointMean6(v: Column): Column =
-    round(sum(round(v * 1000000.0).cast("long")) /
-      (count(lit(1)) * 1000000.0), 6)
+  private def fixedPointMean6(v: Column): Column = FixedPoint.mean6(v)
 
   def leadLagCorr(df: DataFrame, key: String, ts: String, value: String,
       k1: String, k2: String, bucketUs: Long, maxLag: Int): DataFrame = {
@@ -1119,11 +1119,21 @@ object TimeSeries {
         sum(when(col("__v") > col("__hi"), 1L).otherwise(0L)).as("n_hi"),
         round(min(col("__lo")), 6).as("p_lo"),
         round(min(col("__hi")), 6).as("p_hi"),
-        round(avg(col("__w")), 6).as("win_mean"),
+        // 1e-3-grid fixed-point moments (the coarser grid keeps the squared
+        // sums in BIGINT: n·(|v|·1e3)² < 2^63 → ~2.9e7 rows/key at |v|≤560);
+        // winsorized values aren't grid-aligned, so the quantization is a
+        // documented 1e-3 resolution — identical on both engines
+        round(sum(FixedPoint.q(col("__w"), 1000.0)).cast("double") /
+          lit(1000.0) / count(lit(1)), 6).as("win_mean"),
         // greatest(_, 0): the moment difference can cancel to a tiny
         // negative on constant keys — sqrt would turn that into NaN
         round(sqrt(greatest(
-          avg(col("__w") * col("__w")) - avg(col("__w")) * avg(col("__w")), lit(0.0))), 6)
+          sum(FixedPoint.q(col("__w"), 1000.0) * FixedPoint.q(col("__w"), 1000.0))
+            .cast("double") / lit(1000000.0) / count(lit(1)) -
+            (sum(FixedPoint.q(col("__w"), 1000.0)).cast("double") /
+              lit(1000.0) / count(lit(1))) *
+            (sum(FixedPoint.q(col("__w"), 1000.0)).cast("double") /
+              lit(1000.0) / count(lit(1))), lit(0.0))), 6)
           .as("win_std"))
   }
 
@@ -1323,7 +1333,7 @@ object TimeSeries {
         ((expr(s"$ts DIV 86400000000L") + 4) % 7).as("dow"),
         col(value).cast("double").as("__v"))
     val cells = base.groupBy(col(key), col("hour"), col("dow"))
-      .agg(count(lit(1)).as("cell_n"), round(avg(col("__v")), 6).as("cell_mean"))
+      .agg(count(lit(1)).as("cell_n"), fixedPointMean6(col("__v")).as("cell_mean"))
       .where(col("cell_n") >= minN)
     base.join(cells, Seq(key, "hour", "dow"))
       .withColumn("residual", round(col("__v") - col("cell_mean"), 6))

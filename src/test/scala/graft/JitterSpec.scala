@@ -18,7 +18,10 @@ package graft
   */
 class JitterSpec extends SparkSpec {
 
-  private val dir = "/root/testdata/sf0.001"
+  // CI runs sf0.001 (cheap, every build); GRAFT_JITTER_DIR=/root/testdata/
+  // sf0.01 is the manual deeper probe — more rows per partial agg means a
+  // float-order hazard that survives tiny data gets another chance to flip
+  private val dir = sys.env.getOrElse("GRAFT_JITTER_DIR", "/root/testdata/sf0.001")
 
   test("every query is bit-stable under shuffle.partitions 1 vs 32") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")

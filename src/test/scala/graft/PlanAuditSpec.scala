@@ -342,10 +342,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("TakeOrdered"), s) // top-N is not a global sort
   }
 
-  test("unimax: corpus pays one agg; windows run on the groups-sized frame") {
+  test("unimax: corpus pays one agg; the allocation is packed-row array math") {
     val plan = formatted("q_unimax_budget")
     assert(plan.contains("HashAggregate"), plan)
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    // the closed form runs as transform/aggregate expressions on ONE packed
+    // row — no windows, no totals join anywhere in the plan
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+    assert(plan.contains("Generate"), plan) // the explode back out
   }
 
   test("readability is a map-only codegen projection — no UDFs, no shuffle before the sort") {

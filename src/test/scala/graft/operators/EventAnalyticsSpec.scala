@@ -243,13 +243,19 @@ class EventAnalyticsSpec extends SparkSpec {
       .toDF("ts", "event_type", "value")
     val prior = EventAnalytics.dailyRollup(all.where(col("ts") < 50L * M), "ts", "event_type", "value")
     val delta = EventAnalytics.dailyRollup(all.where(col("ts") >= 50L * M), "ts", "event_type", "value")
+    // sum_value is DECIMAL now — the merge invariant is exact, so compare
+    // the decimals themselves, not a double projection
     val merged = EventAnalytics.mergeRollup(prior, delta, Seq("day", "event_type"))
       .collect().map(r => (r.getAs[Long]("day"), r.getAs[String]("event_type")) ->
-        ((r.getAs[Long]("n"), r.getAs[Double]("sum_value")))).toMap
+        ((r.getAs[Long]("n"), r.getAs[java.math.BigDecimal]("sum_value")))).toMap
     val full = EventAnalytics.dailyRollup(all, "ts", "event_type", "value")
       .collect().map(r => (r.getAs[Long]("day"), r.getAs[String]("event_type")) ->
-        ((r.getAs[Long]("n"), r.getAs[Double]("sum_value")))).toMap
-    assert(merged == full)
+        ((r.getAs[Long]("n"), r.getAs[java.math.BigDecimal]("sum_value")))).toMap
+    assert(merged.keySet == full.keySet)
+    merged.foreach { case (k, (n, sv)) =>
+      assert(n == full(k)._1)
+      assert(sv.compareTo(full(k)._2) == 0, s"$k: $sv vs ${full(k)._2}")
+    }
     // keys present only in one side survive the full-outer merge
     assert(merged.keySet == full.keySet)
   }

@@ -75,9 +75,11 @@ class PlanLintSurfaceSpec extends SparkSpec {
     ("q_tfidf_pairs_inv", "nested-loop-join") -> 4,
     ("q_trending", "nested-loop-join") -> 1,
     ("q_triangles", "driver-materialized-input") -> 1,
-    ("q_trunc_recall", "nested-loop-join") -> 6,
-    ("q_unimax_budget", "global-window") -> 4,
-    ("q_unimax_budget", "nested-loop-join") -> 1,
+    // single melted sweep: every truncation width scores inside one
+    // broadcast-query cross product, planned twice (truth + approx branch;
+    // was 6 — one per width per pipeline)
+    ("q_trunc_recall", "nested-loop-join") -> 2,
+    // q_unimax_budget: packed-row array math — no windows, no totals join
     ("q_vocab_shift", "nested-loop-join") -> 1,
     ("q_weighted_sample", "nested-loop-join") -> 1,
     ("q_zorder", "nested-loop-join") -> 1)
