@@ -1589,8 +1589,10 @@ object SparkEntry {
     // the highest-quality member (not the lowest id) -----------------------
     "q_cluster_best" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val pairs = Dedup.ngramJaccardBroadcast(d, "doc_id", "text", n = 2, threshold = 0.5)
-      val comps = Dedup.connectedComponents(pairs, "d1", "d2")
+      // same pair set as q_jaccard/q_jaccard_dist (one oracle, three plans);
+      // the broadcast twin keeps its own row via q_jaccard, so the shared
+      // blocked frame serves the cluster queries
+      val comps = Dedup.connectedComponents(exactJaccardPairs(s, dir), "d1", "d2")
       val q = TextAnalysis.qualityScore(d, "doc_id", "text")
         .select(col("doc_id"), col("quality"))
       Dedup.clusterBestSurvivors(comps, q, "doc_id", "quality")
@@ -1624,9 +1626,7 @@ object SparkEntry {
     // ---- cross-source duplication (leakage) matrix over near-dup pairs ---
     "q_source_leakage" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      Dedup.leakageMatrix(
-        Dedup.ngramJaccardBroadcast(d, "doc_id", "text", n = 2, threshold = 0.5),
-        d, "doc_id", "source")
+      Dedup.leakageMatrix(exactJaccardPairs(s, dir), d, "doc_id", "source")
         .orderBy(col("g1"), col("g2"))
     }),
 

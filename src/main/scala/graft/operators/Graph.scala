@@ -355,21 +355,62 @@ object Graph {
     *
     * Output: `(node, degree)` for k-core members, ordered; degree is the
     * WITHIN-CORE degree.
+    *
+    * Size-gated two-path routing (the [[Dedup.connectedComponents]]
+    * pattern): a near-dup/kNN backbone's edge list is control-plane sized,
+    * and the round-based distributed peel pays ~4 scheduler round-trips per
+    * round on a frame of a few thousand rows — pure job-floor overhead
+    * (measured 7× the whole oracle at sf0.1). Under `maxDriverEdges` the
+    * peel runs as the classic O(E) queue algorithm on collected arrays;
+    * the distributed loop remains the unbounded-graph path. The k-core is
+    * a unique fixpoint, so peel order cannot change the result — both
+    * paths produce identical rows (spec-pinned).
     */
   def kCore(edges: DataFrame, src: String, dst: String, k: Int,
-      maxPeels: Int = 30): DataFrame = {
+      maxPeels: Int = 30, maxDriverEdges: Long = 2000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxPeels >= 1, s"maxPeels must be >= 1, got $maxPeels")
-    // canonical undirected edges; localCheckpoint TRUNCATES lineage — each
-    // round references the previous edge frame three times (degree, two
-    // semi-joins), so an uncut logical plan grows 3^rounds and OOMs the
-    // driver during analysis long before any data moves (the
-    // connectedComponents lesson)
-    var e = edges.select(
+    val spark0 = edges.sparkSession
+    import spark0.implicits._
+    val canon = edges.select(
       least(col(src).cast("long"), col(dst).cast("long")).as("__a"),
       greatest(col(src).cast("long"), col(dst).cast("long")).as("__b"))
       .where(col("__a") =!= col("__b")).distinct()
-      .localCheckpoint()
+      .persist()
+    try {
+      if (canon.count() <= maxDriverEdges) {
+        val es = canon.as[(Long, Long)].collect()
+        val adj = new scala.collection.mutable.HashMap[Long, scala.collection.mutable.HashSet[Long]]()
+        es.foreach { case (a, b) =>
+          adj.getOrElseUpdate(a, new scala.collection.mutable.HashSet[Long]()) += b
+          adj.getOrElseUpdate(b, new scala.collection.mutable.HashSet[Long]()) += a
+        }
+        val queue = scala.collection.mutable.Queue.empty[Long]
+        adj.keys.foreach(n => if (adj(n).size < k) queue += n)
+        while (queue.nonEmpty) {
+          val n = queue.dequeue()
+          adj.remove(n).foreach(_.foreach { m =>
+            adj.get(m).foreach { s =>
+              s -= n
+              if (s.size == k - 1) queue += m // crossed below k exactly once
+            }
+          })
+        }
+        return adj.toSeq.map { case (n, s) => (n, s.size.toLong) }
+          .sortBy(_._1).toDF("node", "degree")
+      }
+      kCoreDistributed(canon, k, maxPeels)
+    } finally canon.unpersist(blocking = false)
+  }
+
+  /** The unbounded-graph path of [[kCore]]: round-based distributed peel.
+    * localCheckpoint TRUNCATES lineage — each round references the previous
+    * edge frame three times (degree, two semi-joins), so an uncut logical
+    * plan grows 3^rounds and OOMs the driver during analysis long before
+    * any data moves (the connectedComponents lesson).
+    */
+  private def kCoreDistributed(canon: DataFrame, k: Int, maxPeels: Int): DataFrame = {
+    var e = canon.localCheckpoint()
     var converged = false
     var round = 0
     while (!converged && round < maxPeels) {

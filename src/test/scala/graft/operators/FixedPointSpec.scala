@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FixedPointSpec extends SparkSpec {
+
+  test("sum/mean are exact on their grid and independent of partitioning") {
+    val sp = spark
+    import sp.implicits._
+    // 0.01 is not binary-exact: a plain double sum of 10k cents drifts with
+    // order; the fixed-point sum must be the exact rational every time
+    val df = (1 to 10000).map(i => (i % 7).toDouble * 0.01).toDF("v")
+    def run(parts: Int): (Double, Double) = {
+      val r = df.repartition(parts)
+        .agg(FixedPoint.sum(col("v"), 100.0, 2).as("s"),
+          FixedPoint.mean(col("v"), 100.0, 6).as("m"))
+        .collect().head
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (s1, m1) = run(1)
+    val (s32, m32) = run(32)
+    assert(s1 == s32 && m1 == m32)
+    // exact value: sum of (i % 7)*0.01 over 1..10000
+    val cents = (1 to 10000).map(_ % 7).sum
+    assert(s1 == BigDecimal(cents)./(100).setScale(2).toDouble)
+    assert(m1 == (BigDecimal(cents) / (100.0 * 10000))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("q quantizes half-away-from-zero like both engines' round()") {
+    val sp = spark
+    import sp.implicits._
+    val got = Seq(0.015, -0.015, 0.024999, -0.024999)
+      .toDF("v").select(FixedPoint.q(col("v"), 100.0).as("q"))
+      .collect().map(_.getLong(0)).toSeq
+    // 1.5 → 2, -1.5 → -2 (HALF_UP away from zero); 2.4999 truncates to 2
+    assert(got == Seq(2L, -2L, 2L, -2L))
+  }
+
+  test("mean6 matches the long-standing TimeSeries bucket-mean contract") {
+    val sp = spark
+    import sp.implicits._
+    val vals = Seq(1.0000005, 2.0000004, 3.25)
+    val got = vals.toDF("v").agg(FixedPoint.mean6(col("v")).as("m"))
+      .collect().head.getDouble(0)
+    val q = vals.map(v => math.round(v * 1e6))
+    assert(got == BigDecimal(q.sum)./(BigDecimal(3) * 1000000)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+}

@@ -215,6 +215,22 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(edges, "d1", "d2", k = 3).collect().isEmpty)
   }
 
+  test("kCore size gate: driver queue peel == distributed round peel") {
+    val sp = spark
+    import sp.implicits._
+    // seeded random graph dense enough to have a nontrivial 3-core
+    val rng = new scala.util.Random(11L)
+    val edges = Seq.fill(400)((rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }.toDF("d1", "d2")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    val driver = rows(Graph.kCore(edges, "d1", "d2", k = 3))
+    // maxDriverEdges = 0 forces the distributed loop on the same input
+    val dist = rows(Graph.kCore(edges, "d1", "d2", k = 3, maxDriverEdges = 0L))
+    assert(driver.nonEmpty, "fixture produced an empty 3-core — weak test")
+    assert(driver == dist)
+  }
+
   test("assortativity: star is disassortative, regular ring undefined") {
     val sp = spark
     import sp.implicits._

@@ -48,7 +48,13 @@ class PlanLintSurfaceSpec extends SparkSpec {
     ("q_join_stats", "nested-loop-join") -> 1,
     ("q_knn_brute", "nested-loop-join") -> 1,
     ("q_knn_recall", "nested-loop-join") -> 1,
-    ("q_kcore", "driver-materialized-input") -> 1, // peel-loop localCheckpoint (CC contract)
+    // q_kcore: the size-gated driver peel returns a localRelation — no
+    // checkpoint in-plan; the distributed path (beyond maxDriverEdges)
+    // keeps the CC-contract localCheckpoints but isn't registered
+    // shared blocked-Jaccard frame: the block-pair seed BNLJ (the
+    // q_jaccard_dist shape) is audited inside every plan that embeds the
+    // cached frame
+    ("q_source_leakage", "nested-loop-join") -> 1,
     ("q_label_prop", "driver-materialized-input") -> 1,
     ("q_link_predict", "driver-materialized-input") -> 1,
     ("q_lm_xent", "nested-loop-join") -> 1,
