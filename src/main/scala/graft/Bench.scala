@@ -50,6 +50,11 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    // the warm-up just materialized the memoized cross-query frames — drop
+    // them so their build cost lands INSIDE the timed window (as the
+    // '_shared_*' pseudo-entries below) instead of being laundered into
+    // warm-up while eleven consumer queries time cache reads (r7 verdict)
+    SparkEntry.clearSharedFrames()
 
     // a query that throws must NOT read as a fast success (the round-5
     // schema drift hid 53 broken queries behind instant "timings"):
@@ -63,13 +68,29 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = ordered.map { case (name, fn) =>
+    // shared-frame builds are timed ONCE each (a median over re-runs would
+    // time the memo, not the build) as '_'-prefixed entries that sort ahead
+    // of every consumer; a restricted iteration run skips them unless a
+    // selected query consumes one (its first timed run then rebuilds — the
+    // honest cost lands on the consumer instead)
+    val sharedTimed =
+      if (only.isEmpty)
+        SparkEntry.sharedFrameBuilders.toSeq.sortBy(_._1).map { case (name, fn) =>
+          System.gc()
+          name -> time(name, fn)
+        }
+      else Seq.empty
+    val results = sharedTimed ++ ordered.map { case (name, fn) =>
       // untimed: start each query's runs from a settled heap — in a full
       // 76-query pass the accumulated shuffle/broadcast debris of earlier
       // heavy queries otherwise shows up as multi-second spikes in later
       // light ones (BENCH_r04 q_join_chain read 5.3 s vs its real ~0.9 s)
       System.gc()
       val ts = (0 until math.max(runs, 1)).map(_ => time(name, fn)).sorted
+      // a persisted shared frame is dead weight once its last alphabetical
+      // consumer has run — release it before the ~100 queries that follow
+      // (r7: q_jaccard paid 4.5 s of GC/eviction for frames it never read)
+      SparkEntry.sharedFrameDropAfter.get(name).foreach(SparkEntry.dropSharedFrame)
       name -> ts(ts.length / 2)
     }
     // a restricted run is local iteration: skip the ~250k-row streaming
@@ -153,9 +174,15 @@ object Bench {
         finally s.close()
       }
     }
-    def run(n: Int): Double = {
-      val dir = java.nio.file.Files.createTempDirectory("graft_bench_store")
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_ckpt")
+    // scratch root for store + checkpoint: java.io.tmpdir by default;
+    // SPARK_GRAFT_BENCH_TMPDIR=/dev/shm isolates durable-write (fsync) cost
+    // from compute when bisecting throughput variance
+    val scratch = sys.env.get("SPARK_GRAFT_BENCH_TMPDIR")
+      .map(java.nio.file.Paths.get(_)).getOrElse(
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+    def run(n: Int, tag: String): Double = {
+      val dir = java.nio.file.Files.createTempDirectory(scratch, "graft_bench_store")
+      val ckpt = java.nio.file.Files.createTempDirectory(scratch, "graft_bench_ckpt")
       val input = MemoryStream[RawSample]
       mkEvents(n).grouped(50000).foreach(c => input.addData(c))
       val t0 = System.nanoTime()
@@ -168,16 +195,23 @@ object Bench {
         triggerMs = 100L, limboTimeoutMs = 0L)
       try q.processAllAvailable() finally q.stop()
       val secs = (System.nanoTime() - t0) / 1e9
+      // per-run diagnostic (stderr; the driver parses stdout only): the
+      // r5→r7 throughput band was 8k-60k rows/s on identical work and a
+      // single median can't say which runs were slow or why
+      System.err.println(f"[bench-ingest] $tag: $n rows in $secs%.2f s " +
+        f"(${n / secs}%.0f rows/s) scratch=$scratch")
       Seq(dir, ckpt).foreach(deleteRecursively) // don't leak 250k-row stores per run
       n / secs
     }
-    run(50000) // warm-up: JIT the stateful path + first parquet commit
-    // five timed runs, reported as a (p10, p50, p90) nearest-rank triplet:
-    // the full-durability topology has an admitted 25-50k rows/s noise band
-    // (BENCH_r05 31.2k vs r06 12.2k — a 2.6× swing one median can't
-    // explain), and the spread is what separates a real ingest regression
-    // from one badly-timed GC
-    val rs = Seq.fill(5)(run(200000)).sorted
+    run(50000, "warmup") // warm-up: JIT the stateful path + first parquet commit
+    // timed runs reported as a (p10, p50, p90) nearest-rank triplet: the
+    // full-durability topology has an admitted wide noise band (BENCH_r05
+    // 31.2k vs r06 12.2k — a 2.6× swing one median can't explain), and the
+    // spread separates a real ingest regression from one badly-timed GC.
+    // Ten runs make ranks 1 and 9 INTERIOR order statistics — with the r7
+    // five-run sample p10/p90 were exactly min/max, mislabeled (ADVICE r7)
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_INGEST_RUNS", "10").toInt
+    val rs = (1 to nRuns).map(i => run(200000, s"run $i/$nRuns")).sorted
     def rank(p: Double) = rs(math.min(rs.length - 1,
       math.max(0, math.ceil(p * rs.length).toInt - 1)))
     (rank(0.1), rank(0.5), rank(0.9))

@@ -260,19 +260,34 @@ object Similarity {
         col("e.xi").as("xi"), col("e.xj").as("xj"))
     val moments = pairs.groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"),
-        sum(col("xi")).as("si"), sum(col("xj")).as("sj"))
-      .withColumn("cov",
+        sum(col("xi")).as("si"), sum(col("xj")).as("sj"),
+        max(abs(col("xi").cast("double"))).as("__mxi"),
+        max(abs(col("xj").cast("double"))).as("__mxj"))
+      // loud overflow guard (no extra pass): the scaladoc bound
+      // `n · (max|x|/quantum)² < 2^63` must HOLD, not silently wrap —
+      // n·max|xi|·max|xj| dominates |Σp| (and trivially |Σxi|, |Σxj|).
+      // Folded INTO the cov expression (a free-standing guard column would
+      // be pruned away unreferenced); assert_true returns NULL when the
+      // predicate holds, so `when(.. .isNull, ..)` is value-transparent.
+      .withColumn("cov", when(
+        assert_true(
+          col("n").cast("double") * col("__mxi") * col("__mxj") < lit(4.6e18),
+          lit("covarianceMatrix overflow: n * (max|x|/quantum)^2 exceeds " +
+            "the BIGINT grid - coarsen `quantum` for this corpus")).isNull,
         col("sp").cast("double") / lit(invQ * invQ) / col("n") -
           (col("si").cast("double") / lit(invQ) / col("n")) *
-          (col("sj").cast("double") / lit(invQ) / col("n")))
+          (col("sj").cast("double") / lit(invQ) / col("n"))))
     val diag = moments.where(col("i") === col("j"))
       .select(col("i").as("__d"), col("cov").as("__var"))
     moments
       .join(broadcast(diag.withColumnRenamed("__d", "i").withColumnRenamed("__var", "__vi")), Seq("i"))
       .join(broadcast(diag.withColumnRenamed("__d", "j").withColumnRenamed("__var", "__vj")), Seq("j"))
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        col("n"), round(col("cov"), 6).as("cov"),
-        round(col("cov") / sqrt(col("__vi") * col("__vj")), 6).as("corr"))
+        // `+ 0.0` canonicalizes a -0.0 produced by rounding a negative
+        // covariance up to zero — engines disagree on round()'s sign-of-
+        // zero (DuckDB keeps it, Spark drops it); identity for all else
+        col("n"), (round(col("cov"), 6) + lit(0.0)).as("cov"),
+        (round(col("cov") / sqrt(col("__vi") * col("__vj")), 6) + lit(0.0)).as("corr"))
   }
 
   /** Full exact kNN graph — EVERY vector as a query, its `k` nearest by

@@ -38,6 +38,49 @@ class FixedPointSpec extends SparkSpec {
     assert(got == Seq(2L, -2L, 2L, -2L))
   }
 
+  test("null values are excluded from the mean denominator (avg semantics)") {
+    val sp = spark
+    import sp.implicits._
+    val got = Seq(Some(1.0), None, Some(3.0)).toDF("v")
+      .agg(FixedPoint.mean6(col("v")).as("m"),
+        FixedPoint.mean(col("v"), 100.0, 6).as("m2"))
+      .collect().head
+    // avg(1, 3) = 2, NOT sum/3 (the r7 advisor: count(*) denominators made
+    // a null-bearing column's mean silently wrong)
+    assert(got.getDouble(0) == 2.0 && got.getDouble(1) == 2.0)
+  }
+
+  test("sums past the BIGINT grid fail loudly instead of wrapping") {
+    val sp = spark
+    import sp.implicits._
+    // loud = either the FixedPoint guard (non-ANSI sessions, where
+    // sum(long)/cast would silently wrap) or Spark's own ANSI overflow
+    // error (ANSI is the Spark 4 default and fails at the cast/multiply) —
+    // what must NEVER happen is a wrong number with rc 0
+    def loud(t: Throwable): Boolean = {
+      def msgs(x: Throwable): Seq[String] =
+        if (x == null) Nil else String.valueOf(x.getMessage) +: msgs(x.getCause)
+      msgs(t).exists(m => m.contains("FixedPoint overflow") ||
+        m.contains("covarianceMatrix overflow") || m.toLowerCase.contains("overflow"))
+    }
+    // 10 addends of ~9.2e17 on the 1e-6 grid: max|q|*n = 9.2e24 >> 2^63
+    val df = (1 to 10).map(_ => 9.2e17).toDF("v")
+    val e = intercept[Exception] {
+      df.agg(FixedPoint.sum(col("v"), 1e6, 6)).collect()
+    }
+    assert(loud(e), e.getMessage)
+    // covarianceMatrix: vectors far off the documented quantum bound
+    val vecs = (1L to 50L).map(i => (i, Array.fill(2)(3.1e8))).toDF("id", "vec")
+    val e2 = intercept[Exception] {
+      Similarity.covarianceMatrix(vecs, "vec").collect()
+    }
+    assert(loud(e2), e2.getMessage)
+    // and the guard is value-transparent below the bound
+    val ok = Seq(1.25, 2.5).toDF("v")
+      .agg(FixedPoint.sum(col("v"), 100.0, 2)).collect().head.getDouble(0)
+    assert(ok == 3.75)
+  }
+
   test("mean6 matches the long-standing TimeSeries bucket-mean contract") {
     val sp = spark
     import sp.implicits._

@@ -12,6 +12,7 @@ Run `sbt "runMain graft.Verify <sfdir> <outdir>"` first.
 """
 import json
 import math
+import struct
 import sys
 
 import duckdb
@@ -24,8 +25,10 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0/0.0 and format compactly
-        return repr(v + 0.0)
+        # SIGN-PRESERVING: the driver hashes raw values, so -0.0 != 0.0
+        # there; the r7 judge confirmed this mirror's old `v + 0.0` hid
+        # exactly the q_embed_cov red row. Compare the IEEE bit pattern.
+        return f"f64:{struct.pack('>d', v).hex()}"
     return v
 
 
