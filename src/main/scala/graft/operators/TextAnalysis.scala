@@ -519,7 +519,8 @@ object TextAnalysis {
     *
     * Returns the ordered merge list — feed it to [[bpeEncode]].
     */
-  def bpeLearn(df: DataFrame, text: String, nMerges: Int): Seq[(String, String)] = {
+  def bpeLearn(df: DataFrame, text: String, nMerges: Int,
+      maxDriverVocab: Long = 1000000L): Seq[(String, String)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     var vocab = df.filter(col(text).isNotNull)
       .select(explode(tokens(col(text))).as("__w"))
@@ -527,6 +528,16 @@ object TextAnalysis {
       .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
       .select(bpeWrap(col("__w")).as("__s"), col("__c"))
       .localCheckpoint() // vocab-sized; materializes the one corpus pass
+    // Size-gated two-path routing (the kCore/knnGraph pattern): the merge
+    // loop iterates over the WORD VOCABULARY, which is bounded by the
+    // language (≈10⁵–10⁶ forms) no matter how many petabytes the corpus
+    // is — so past the one distributed corpus pass above, a collected loop
+    // beats nMerges cluster rounds each paying the per-job floor (r7
+    // bench: 20 rounds = 2.6 s of mostly scheduling at sf0.1). The
+    // distributed round loop remains the unbounded path; BpeGateSpec pins
+    // the two paths to identical merge lists.
+    val vocabN = vocab.count()
+    if (vocabN <= maxDriverVocab) return bpeLearnDriver(vocab, nMerges)
     val merges = Seq.newBuilder[(String, String)]
     var round = 0
     var exhausted = false
@@ -552,6 +563,75 @@ object TextAnalysis {
             lit(s"$BpeSep$a$b$BpeSep")))
         round += 1
         if (round % 5 == 0) vocab = vocab.localCheckpoint()
+      }
+    }
+    merges.result()
+  }
+
+  /** Driver half of [[bpeLearn]]'s size gate: the SAME greedy recurrence —
+    * corpus-wide most frequent adjacent pair, ties to the smaller (a, b) —
+    * over the collected word-frequency table. Pair order ties compare
+    * UTF-8 BYTES (java.util.Arrays.compare), exactly Spark's binary string
+    * ordering, so the gate can never change the learned merges, only where
+    * the argmax runs. */
+  private def bpeLearnDriver(vocab: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    val sepSep = BpeSep + BpeSep
+    // unwrap ·a··b··c· → symbols [a, b, c]
+    val words: Array[(Array[String], Long)] = vocab.collect().map { r =>
+      val s = r.getString(0)
+      (s.substring(1, s.length - 1).split(java.util.regex.Pattern.quote(sepSep), -1),
+        r.getLong(1))
+    }
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def byteLt(x: String, y: String): Boolean =
+      java.util.Arrays.compare(x.getBytes(utf8), y.getBytes(utf8)) < 0
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts.merge((syms(i), syms(i + 1)), c, _ + _)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: (String, String) = null
+        var bestN = -1L
+        counts.forEach { (p, n) =>
+          if (n > bestN || (n == bestN && (byteLt(p._1, best._1) ||
+              (p._1 == best._1 && byteLt(p._2, best._2))))) {
+            best = p; bestN = n
+          }
+        }
+        val (a, b) = best
+        merges += ((a, b))
+        // greedy left-to-right non-overlapping, same as the engine-native
+        // replace over the wrapped form
+        var w = 0
+        while (w < words.length) {
+          val (syms, c) = words(w)
+          var hit = false
+          var i = 0
+          while (!hit && i < syms.length - 1) {
+            hit = syms(i) == a && syms(i + 1) == b; i += 1
+          }
+          if (hit) {
+            val out = Array.newBuilder[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+                out += a + b; j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            words(w) = (out.result(), c)
+          }
+          w += 1
+        }
+        round += 1
       }
     }
     merges.result()

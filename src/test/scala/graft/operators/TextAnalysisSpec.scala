@@ -573,6 +573,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(merges == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
   }
 
+  test("bpeLearn size gate: driver and distributed paths learn identical merges") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    // default gate routes to the collected driver loop; gate 0 forces the
+    // distributed round loop — the physical path must never change the
+    // learned vocabulary (count-desc, then UTF-8-byte-ascending ties)
+    val driver = TextAnalysis.bpeLearn(docs, "text", nMerges = 12)
+    val dist = TextAnalysis.bpeLearn(docs, "text", nMerges = 12, maxDriverVocab = 0L)
+    assert(driver == dist, s"gate changed merges:\n driver=$driver\n dist=$dist")
+  }
+
   test("bpeEncode: greedy left-to-right application of the learned merges") {
     val sp = spark
     import sp.implicits._
