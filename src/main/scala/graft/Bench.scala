@@ -93,6 +93,13 @@ object Bench {
       SparkEntry.sharedFrameDropAfter.get(name).foreach(SparkEntry.dropSharedFrame)
       name -> ts(ts.length / 2)
     }
+    // the ingest measurement must measure INGEST, not the leftover memory
+    // pressure of 239 analytics queries: with the base-table cache + resid-
+    // ual shuffle blocks still resident, ingest ran 8-11k rows/s in-suite
+    // vs 44-63k isolated (the r5-r7 "bimodality" — a neighbor effect, not
+    // a streaming bug). Queries are done; release their storage first.
+    spark.sqlContext.clearCache()
+    System.gc()
     // a restricted run is local iteration: skip the ~250k-row streaming
     // measurement unless explicitly requested (INGEST=1 overrides)
     val ingestDefault = only.isEmpty

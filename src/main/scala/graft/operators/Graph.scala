@@ -378,26 +378,69 @@ object Graph {
       .where(col("__a") =!= col("__b")).distinct()
       .persist()
     try {
-      if (canon.count() <= maxDriverEdges) {
-        val es = canon.as[(Long, Long)].collect()
-        val adj = new scala.collection.mutable.HashMap[Long, scala.collection.mutable.HashSet[Long]]()
-        es.foreach { case (a, b) =>
-          adj.getOrElseUpdate(a, new scala.collection.mutable.HashSet[Long]()) += b
-          adj.getOrElseUpdate(b, new scala.collection.mutable.HashSet[Long]()) += a
+      val nEdges = canon.count()
+      // the CSR arrays are int-indexed (2 entries per edge) — a caller-
+      // raised gate beyond that routes to the distributed peel instead
+      if (nEdges <= maxDriverEdges && nEdges <= (Int.MaxValue / 2 - 8).toLong) {
+        // O(E) queue peel over PRIMITIVE CSR arrays (maxPeels does not
+        // apply here — the exact peel needs no round bound). Footprint at
+        // the 2M-edge gate: two long edge arrays (32 MB, streamed in via
+        // toLocalIterator — no Array[Row] spike), sorted node ids + CSR
+        // offsets/adjacency ints (≤64 MB) — ~5× under the boxed
+        // HashMap[Long, HashSet[Long]] this replaces (r7 ADVICE: that
+        // adjacency risked driver OOM at the gate).
+        val m = nEdges.toInt
+        val ea = new Array[Long](m); val eb = new Array[Long](m)
+        val it = canon.toLocalIterator()
+        var i = 0
+        while (it.hasNext) { val r = it.next(); ea(i) = r.getLong(0); eb(i) = r.getLong(1); i += 1 }
+        // dense node index: sorted unique endpoint ids, binary-searched
+        val all = new Array[Long](2 * m)
+        System.arraycopy(ea, 0, all, 0, m); System.arraycopy(eb, 0, all, m, m)
+        java.util.Arrays.sort(all)
+        var nn = 0
+        i = 0
+        while (i < all.length) { // unique in place
+          if (nn == 0 || all(nn - 1) != all(i)) { all(nn) = all(i); nn += 1 }
+          i += 1
         }
-        val queue = scala.collection.mutable.Queue.empty[Long]
-        adj.keys.foreach(n => if (adj(n).size < k) queue += n)
-        while (queue.nonEmpty) {
-          val n = queue.dequeue()
-          adj.remove(n).foreach(_.foreach { m =>
-            adj.get(m).foreach { s =>
-              s -= n
-              if (s.size == k - 1) queue += m // crossed below k exactly once
+        val nodes = java.util.Arrays.copyOf(all, nn)
+        def idx(v: Long): Int = java.util.Arrays.binarySearch(nodes, v)
+        // CSR adjacency: degree count, prefix offsets, fill
+        val deg = new Array[Int](nn)
+        i = 0; while (i < m) { deg(idx(ea(i))) += 1; deg(idx(eb(i))) += 1; i += 1 }
+        val off = new Array[Int](nn + 1)
+        i = 0; while (i < nn) { off(i + 1) = off(i) + deg(i); i += 1 }
+        val adj = new Array[Int](2 * m)
+        val fill = java.util.Arrays.copyOf(off, nn)
+        i = 0
+        while (i < m) {
+          val a = idx(ea(i)); val b = idx(eb(i))
+          adj(fill(a)) = b; fill(a) += 1
+          adj(fill(b)) = a; fill(b) += 1
+          i += 1
+        }
+        // peel: remove below-k nodes; a neighbor crossing k-1 enqueues once
+        val removed = new Array[Boolean](nn)
+        val queue = new Array[Int](nn)
+        var qh = 0; var qt = 0
+        i = 0; while (i < nn) { if (deg(i) < k) { queue(qt) = i; qt += 1; removed(i) = true }; i += 1 }
+        while (qh < qt) {
+          val n = queue(qh); qh += 1
+          var j = off(n)
+          while (j < off(n + 1)) {
+            val nb = adj(j)
+            if (!removed(nb)) {
+              deg(nb) -= 1
+              if (deg(nb) < k) { removed(nb) = true; queue(qt) = nb; qt += 1 }
             }
-          })
+            j += 1
+          }
         }
-        return adj.toSeq.map { case (n, s) => (n, s.size.toLong) }
-          .sortBy(_._1).toDF("node", "degree")
+        // survivors' deg = original minus removed neighbors = in-core degree
+        val out = Seq.newBuilder[(Long, Long)]
+        i = 0; while (i < nn) { if (!removed(i)) out += ((nodes(i), deg(i).toLong)); i += 1 }
+        return out.result().toDF("node", "degree") // already node-ascending
       }
       kCoreDistributed(canon, k, maxPeels)
     } finally canon.unpersist(blocking = false)
