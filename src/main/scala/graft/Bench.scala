@@ -215,9 +215,10 @@ object Bench {
     // full-durability topology has an admitted wide noise band (BENCH_r05
     // 31.2k vs r06 12.2k — a 2.6× swing one median can't explain), and the
     // spread separates a real ingest regression from one badly-timed GC.
-    // Ten runs make ranks 1 and 9 INTERIOR order statistics — with the r7
-    // five-run sample p10/p90 were exactly min/max, mislabeled (ADVICE r7)
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_INGEST_RUNS", "10").toInt
+    // Twelve runs make the nearest-rank p10/p90 INTERIOR order statistics
+    // (ranks 2 and 11) — with the r7 five-run sample they were exactly
+    // min/max, mislabeled (ADVICE r7); n=10 would still pin p10 to the min
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_INGEST_RUNS", "12").toInt
     val rs = (1 to nRuns).map(i => run(200000, s"run $i/$nRuns")).sorted
     def rank(p: Double) = rs(math.min(rs.length - 1,
       math.max(0, math.ceil(p * rs.length).toInt - 1)))
