@@ -36,7 +36,7 @@ object Graph {
     * dust, which is exactly reproducible).
     */
   def pageRank(edges: DataFrame, src: String, dst: String, iters: Int = 10,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L, maxDriverEdges: Long = 2000000L): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(scale > 0, s"scale must be positive, got $scale")
     // persist the RAW edge frame first: outdeg, the annotated edge frame
@@ -46,6 +46,17 @@ object Graph {
       .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .persist()
+    // Size-gated two-path routing (the kCore/bpeLearn pattern): every
+    // update is INTEGER arithmetic, so a collected loop reproduces the
+    // distributed ranks bit-for-bit while skipping `iters` × (join + agg)
+    // cluster rounds of pure job floor on a control-plane-sized graph
+    // (r7 bench: 5.3 s at sf0.1, ~all scheduling). GraphSpec pins the two
+    // paths identical; the distributed loop remains the unbounded path.
+    val nEdges = e.count()
+    if (nEdges <= maxDriverEdges && nEdges <= (Int.MaxValue / 2 - 8).toLong) {
+      try return pageRankDriver(e, iters, scale)
+      finally e.unpersist(blocking = false)
+    }
     val outd = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val ed = e.join(outd, Seq("src")).persist()
     val nodes = e.select(col("src").as("node"))
@@ -76,6 +87,132 @@ object Graph {
       ed.unpersist()
       nodes.unpersist()
     }
+  }
+
+  /** Edge frame → primitive arrays + sorted-unique node index, streamed in
+    * via toLocalIterator (no Array[Row] spike) — the shared first step of
+    * the driver-gated graph loops. Returns (srcIds, dstIds, nodes). */
+  private def collectGraph(e: DataFrame, m: Int): (Array[Long], Array[Long], Array[Long]) = {
+    val ea = new Array[Long](m); val eb = new Array[Long](m)
+    val it = e.toLocalIterator()
+    var i = 0
+    while (it.hasNext) { val r = it.next(); ea(i) = r.getLong(0); eb(i) = r.getLong(1); i += 1 }
+    val all = new Array[Long](2 * m)
+    System.arraycopy(ea, 0, all, 0, m); System.arraycopy(eb, 0, all, m, m)
+    java.util.Arrays.sort(all)
+    var nn = 0
+    i = 0
+    while (i < all.length) {
+      if (nn == 0 || all(nn - 1) != all(i)) { all(nn) = all(i); nn += 1 }
+      i += 1
+    }
+    (ea, eb, java.util.Arrays.copyOf(all, nn))
+  }
+
+  /** Driver half of [[pageRank]]'s size gate: the identical integer
+    * recurrence — `contrib = ((pr * 85) div 100) div outdeg` summed per
+    * target, `pr' = teleport + Σ` — over collected primitive arrays.
+    * Integer addition commutes, so this is bit-identical to the shuffled
+    * sum by construction (GraphSpec pins it). */
+  private def pageRankDriver(e: DataFrame, iters: Int, scale: Long): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val m = e.count().toInt
+    require(m > 0, "pageRank needs at least one edge")
+    val (ea, eb, nodes) = collectGraph(e, m)
+    val nn = nodes.length
+    def idx(v: Long): Int = java.util.Arrays.binarySearch(nodes, v)
+    val si = new Array[Int](m); val di = new Array[Int](m)
+    val outdeg = new Array[Long](nn)
+    var i = 0
+    while (i < m) { si(i) = idx(ea(i)); di(i) = idx(eb(i)); outdeg(si(i)) += 1L; i += 1 }
+    val teleport = (scale * 15L / 100L) / nn
+    var pr = Array.fill(nn)(scale / nn)
+    var it2 = 0
+    while (it2 < iters) {
+      val nxt = Array.fill(nn)(teleport)
+      i = 0
+      while (i < m) {
+        nxt(di(i)) += ((pr(si(i)) * 85L) / 100L) / outdeg(si(i))
+        i += 1
+      }
+      pr = nxt
+      it2 += 1
+    }
+    (0 until nn).map(j => (nodes(j), pr(j))).toDF("node", "pagerank")
+  }
+
+  /** Driver half of [[labelPropagation]]'s size gate: the identical
+    * majority-vote recurrence — per round, each node takes the label most
+    * frequent among its in-edge sources' labels (ties to the SMALLER
+    * label), seeds frozen, unreached nodes keep null — over collected
+    * primitive arrays with a CSR-by-target adjacency. Integer counts and a
+    * total tie order make it bit-identical to the shuffled vote. */
+  private def labelPropagationDriver(e: DataFrame, sd: DataFrame, iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val m = e.count().toInt
+    val (ea, eb, nodes) = collectGraph(e, m)
+    val nn = nodes.length
+    def idx(v: Long): Int = java.util.Arrays.binarySearch(nodes, v)
+    // CSR by DST: in-neighbor source indices per target
+    val indeg = new Array[Int](nn)
+    var i = 0
+    while (i < m) { indeg(idx(eb(i))) += 1; i += 1 }
+    val off = new Array[Int](nn + 1)
+    i = 0; while (i < nn) { off(i + 1) = off(i) + indeg(i); i += 1 }
+    val srcs = new Array[Int](m)
+    val fill = java.util.Arrays.copyOf(off, nn)
+    i = 0
+    while (i < m) {
+      val d = idx(eb(i)); srcs(fill(d)) = idx(ea(i)); fill(d) += 1; i += 1
+    }
+    // seed map over graph nodes only (the distributed join drops seeds for
+    // nodes outside the edge universe)
+    val seed = new Array[Long](nn)
+    val seeded = new Array[Boolean](nn)
+    val sit = sd.toLocalIterator()
+    while (sit.hasNext) {
+      val r = sit.next()
+      val j = idx(r.getLong(0))
+      if (j >= 0) { seed(j) = r.getLong(1); seeded(j) = true }
+    }
+    val lab = new Array[Long](nn)
+    val has = new Array[Boolean](nn)
+    i = 0; while (i < nn) { if (seeded(i)) { lab(i) = seed(i); has(i) = true }; i += 1 }
+    var round = 0
+    while (round < iters) {
+      val nlab = new Array[Long](nn)
+      val nhas = new Array[Boolean](nn)
+      val counts = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+      var d = 0
+      while (d < nn) {
+        if (seeded(d)) { nlab(d) = seed(d); nhas(d) = true }
+        else {
+          counts.clear()
+          var j = off(d)
+          while (j < off(d + 1)) {
+            val s = srcs(j)
+            if (has(s)) counts.merge(lab(s), 1L, _ + _)
+            j += 1
+          }
+          if (counts.isEmpty) { nlab(d) = lab(d); nhas(d) = has(d) }
+          else {
+            var bestL = 0L; var bestC = -1L
+            counts.forEach { (l, c) =>
+              if (c > bestC || (c == bestC && l < bestL)) { bestL = l; bestC = c }
+            }
+            nlab(d) = bestL; nhas(d) = true
+          }
+        }
+        d += 1
+      }
+      System.arraycopy(nlab, 0, lab, 0, nn)
+      System.arraycopy(nhas, 0, has, 0, nn)
+      round += 1
+    }
+    (0 until nn).map(j => (nodes(j), if (has(j)) Some(lab(j)) else None))
+      .toDF("node", "label")
   }
 
   /** Cluster-label purity report: for each cluster (e.g. a
@@ -239,20 +376,31 @@ object Graph {
     * Output: `(node BIGINT, label BIGINT nullable)` — null = unreached.
     */
   def labelPropagation(edges: DataFrame, src: String, dst: String,
-      seeds: DataFrame, seedNode: String, seedLabel: String, iters: Int): DataFrame = {
+      seeds: DataFrame, seedNode: String, seedLabel: String, iters: Int,
+      maxDriverEdges: Long = 2000000L): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val e = edges
       .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .persist()
+    val sd0 = seeds
+      .select(col(seedNode).cast("long").as("node"), col(seedLabel).cast("long").as("__seed"))
+      .where(col("node").isNotNull && col("__seed").isNotNull)
+    // Size-gated two-path routing (the pageRank/kCore pattern): integer
+    // vote counts + a total tie order make the majority-vote recurrence
+    // engine-independent, so the collected loop is bit-identical while
+    // skipping iters × (join + 2 aggs) of cluster job floor (r7 bench:
+    // 4.9 s at sf0.1 on a 6k-node kNN backbone). GraphSpec pins parity.
+    val nEdges = e.count()
+    if (nEdges <= maxDriverEdges && nEdges <= (Int.MaxValue / 2 - 8).toLong) {
+      try return labelPropagationDriver(e, sd0, iters)
+      finally e.unpersist(blocking = false)
+    }
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
       .persist()
-    val sd = seeds
-      .select(col(seedNode).cast("long").as("node"), col(seedLabel).cast("long").as("__seed"))
-      .where(col("node").isNotNull && col("__seed").isNotNull)
-      .persist()
+    val sd = sd0.persist()
     try {
       var st = nodes.join(sd, Seq("node"), "left_outer")
         .select(col("node"), col("__seed").as("label"))

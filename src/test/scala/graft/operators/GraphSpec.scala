@@ -231,6 +231,41 @@ class GraphSpec extends SparkSpec {
     assert(driver == dist)
   }
 
+  test("pageRank size gate: driver integer loop == distributed rounds") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(13L)
+    val edges = Seq.fill(500)((rng.nextInt(80).toLong, rng.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }.toDF("s", "d")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(org.apache.spark.sql.functions.col("node"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    val driver = rows(Graph.pageRank(edges, "s", "d", iters = 10))
+    val dist = rows(Graph.pageRank(edges, "s", "d", iters = 10, maxDriverEdges = 0L))
+    assert(driver == dist) // integer recurrence: bit-identical, not "close"
+  }
+
+  test("labelPropagation size gate: driver vote loop == distributed rounds") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(17L)
+    val e0 = Seq.fill(500)((rng.nextInt(80).toLong, rng.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }.toDF("s", "d")
+    // symmetrize like the q_label_prop caller; seed a third of the nodes
+    val edges = e0.unionByName(e0.select(
+      org.apache.spark.sql.functions.col("d").as("s"),
+      org.apache.spark.sql.functions.col("s").as("d")))
+    val seeds = (0L until 80L by 3L).map(n => (n, n % 4)).toDF("node", "lab")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(org.apache.spark.sql.functions.col("node"))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toList
+    val driver = rows(Graph.labelPropagation(edges, "s", "d", seeds, "node", "lab", iters = 5))
+    val dist = rows(Graph.labelPropagation(edges, "s", "d", seeds, "node", "lab", iters = 5,
+      maxDriverEdges = 0L))
+    assert(driver == dist)
+  }
+
   test("assortativity: star is disassortative, regular ring undefined") {
     val sp = spark
     import sp.implicits._
