@@ -15,11 +15,23 @@ import org.apache.spark.sql.SparkSession
   *  - each query is then timed `RUNS` times and the MEDIAN is reported, so
   *    one GC pause or compilation stall cannot move a per-query number.
   *
+  * Shared-frame convention (r7 verdict "cost laundering" fix): the two
+  * memoized cross-query frames are cleared after warm-up and rebuilt inside
+  * the timed window as `_shared_jaccard_pairs` / `_shared_mutual_knn`
+  * pseudo-entries — timed ONCE each (a median over re-runs would time the
+  * memo), sorted ahead of every consumer, counted in `n_queries` and the
+  * total. Consumer queries therefore honestly time cache READS; the build
+  * cost is its own line. Each frame is dropped right after its last
+  * alphabetical consumer so it never competes for memory with later
+  * queries, and the base-table cache is cleared before the ingest phase so
+  * the streaming number measures ingest, not query-phase debris.
+  *
   * `SPARK_GRAFT_BENCH_RUNS` overrides the run count (default 3);
   * `SPARK_GRAFT_BENCH_ONLY` (comma-separated names) restricts the query set
   * for local iteration; `SPARK_GRAFT_BENCH_INGEST=0` skips the streaming
-  * throughput measurement. The reported total is the sum of per-query
-  * medians; `ingest_rows_per_sec` rides along as an extra key.
+  * throughput measurement (`_RUNS` sets its timed repeats, `_TMPDIR` its
+  * scratch root). The reported total is the sum of per-query medians;
+  * `ingest_rows_per_sec` (p50, with interior-rank p10/p90) rides along.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

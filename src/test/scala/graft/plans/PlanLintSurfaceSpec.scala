@@ -55,14 +55,15 @@ class PlanLintSurfaceSpec extends SparkSpec {
     // q_jaccard_dist shape) is audited inside every plan that embeds the
     // cached frame
     ("q_source_leakage", "nested-loop-join") -> 1,
-    ("q_label_prop", "driver-materialized-input") -> 1,
+    // q_pagerank / q_label_prop: the size-gated driver integer loops
+    // return LocalRelations — the distributed rounds' localCheckpoint RDD
+    // scans left the registered plans with the r8 gates (allowlist SHRANK)
     ("q_link_predict", "driver-materialized-input") -> 1,
     ("q_lm_xent", "nested-loop-join") -> 1,
     ("q_locf_align", "global-window") -> 1,
     ("q_lsh_recall", "nested-loop-join") -> 1,
     ("q_mixture_weights", "nested-loop-join") -> 1,
     ("q_mmr_rerank", "nested-loop-join") -> 1,
-    ("q_pagerank", "driver-materialized-input") -> 1,
     ("q_plot_trace", "global-window") -> 1,
     ("q_plot_trace", "nested-loop-join") -> 1,
     ("q_pv_corr", "global-window") -> 1,
