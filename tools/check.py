@@ -12,6 +12,7 @@ Run `sbt "runMain graft.Verify <sfdir> <outdir>"` first.
 """
 import json
 import math
+import os
 import struct
 import sys
 
@@ -40,8 +41,16 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # GRAFT_CHECK_SKIP: comma-separated query names whose ORACLE is too
+    # slow for the scale being swept (DuckDB's q_label_prop at sf0.1 runs
+    # ~10 min) — list the skips loudly so a partial sweep can't read as full
+    skip = {s for s in os.environ.get("GRAFT_CHECK_SKIP", "").split(",") if s}
+    if skip:
+        print(f"-- skipping {len(skip)} oracles by request: {sorted(skip)}")
     n_ok = 0
     for name, sql in sorted(oracle.items()):
+        if name in skip:
+            continue
         try:
             got = con.sql(
                 f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
@@ -73,7 +82,9 @@ def main():
         else:
             n_ok += 1
             print(f"OK   {name} ({len(got_rows)} rows)")
-    print(f"-- {n_ok}/{len(oracle)} queries match")
+    n_run = len([k for k in oracle if k not in skip])
+    tail = f" ({len(oracle) - n_run} skipped)" if skip else ""
+    print(f"-- {n_ok}/{n_run} queries match{tail}")
 
 
 if __name__ == "__main__":
