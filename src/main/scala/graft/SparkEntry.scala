@@ -64,19 +64,33 @@ object SparkEntry {
         n = 2, threshold = 0.5).persist()
     })
 
+  /** The k=5 exact kNN graph is the single most multiply-consumed sweep:
+    * PageRank, label propagation, hubness AND the mutual-kNN backbone all
+    * analyze the SAME `(query_id, neighbor_id, sim)` frame. Memoized
+    * materialized (localCheckpoint) so the cosine sweep runs once per
+    * (session, sf-dir), not once per analysis. */
+  private val knnGraphCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def knnGraph5(s: SparkSession, dir: String): DataFrame =
+    knnGraphCache.computeIfAbsent((s, dir), { case (ss, d) =>
+      Similarity.knnGraph(Tables.embeddings(ss, d), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("sim"))
+        .localCheckpoint()
+    })
+
   /** The k=5 mutual-kNN edge list is the other multiply-consumed expensive
     * frame: six graph-audit queries (communities, triangles, assortativity,
     * k-core, negative sampling, link prediction) all analyze the SAME
-    * graph. mutualKnnEdges localCheckpoints internally, so the memo hands
-    * out one materialized frame — the cosine sweep runs once per
-    * (session, sf-dir), not once per query.
+    * graph — derived from the shared [[knnGraph5]] frame, so the memo pair
+    * costs ONE cosine sweep total.
     */
   private val mutualEdgesCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private def mutualKnnEdges5(s: SparkSession, dir: String): DataFrame =
     mutualEdgesCache.computeIfAbsent((s, dir), { case (ss, d) =>
-      Similarity.mutualKnnEdges(Tables.embeddings(ss, d), "vec_id", "embedding", k = 5)
+      Similarity.mutualKnnEdgesFromGraph(knnGraph5(ss, d)).localCheckpoint()
     })
 
   /** Drop memoized cross-query frames (JitterSpec calls this between its
@@ -84,6 +98,7 @@ object SparkEntry {
     * order-dependent computation). */
   def clearSharedFrames(): Unit = {
     dropSharedFrame("_shared_jaccard_pairs")
+    dropSharedFrame("_shared_knn_graph")
     dropSharedFrame("_shared_mutual_knn")
   }
 
@@ -95,6 +110,7 @@ object SparkEntry {
     * rebuilt inside the timed window before their first consumer runs. */
   def sharedFrameBuilders: Map[String, (SparkSession, String) => DataFrame] = Map(
     "_shared_jaccard_pairs" -> ((s, d) => exactJaccardPairs(s, d)),
+    "_shared_knn_graph" -> ((s, d) => knnGraph5(s, d)),
     "_shared_mutual_knn" -> ((s, d) => mutualKnnEdges5(s, d)))
 
   /** Last alphabetical consumer of each shared frame → Bench drops the
@@ -104,6 +120,7 @@ object SparkEntry {
     * neighbor effect). */
   def sharedFrameDropAfter: Map[String, String] = Map(
     "q_source_leakage" -> "_shared_jaccard_pairs",
+    "q_pagerank" -> "_shared_knn_graph", // consumers: hubness, label_prop, pagerank (+_shared_mutual_knn)
     "q_triangles" -> "_shared_mutual_knn")
 
   /** Release one memoized frame by pseudo-entry name. */
@@ -111,8 +128,10 @@ object SparkEntry {
     case "_shared_jaccard_pairs" =>
       exactPairCache.forEach((_, df) => df.unpersist(blocking = false))
       exactPairCache.clear()
+    case "_shared_knn_graph" =>
+      knnGraphCache.clear() // localCheckpoint blocks free once unreferenced
     case "_shared_mutual_knn" =>
-      mutualEdgesCache.clear() // localCheckpoint blocks free once unreferenced
+      mutualEdgesCache.clear()
     case other => throw new IllegalArgumentException(s"unknown shared frame: $other")
   }
   private final val TMID = 1705276800000000L // 2024-01-15T00:00:00Z (us)
@@ -1691,7 +1710,13 @@ object SparkEntry {
 
     // ---- embedding hubness: in-degree over the full exact kNN graph ------
     "q_hubness" -> ((s, dir) => {
-      Similarity.hubness(Tables.embeddings(s, dir), "vec_id", "embedding", k = 5)
+      // Similarity.hubness's exact shape, over the shared kNN-graph frame
+      val degrees = knnGraph5(s, dir)
+        .groupBy(col("neighbor_id")).agg(count(lit(1)).as("in_degree"))
+      Tables.embeddings(s, dir).where(col("embedding").isNotNull)
+        .select(col("vec_id").cast("long").as("vec_id"))
+        .join(degrees.withColumnRenamed("neighbor_id", "vec_id"), Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), coalesce(col("in_degree"), lit(0L)).as("in_degree"))
         .orderBy(col("vec_id"))
     }),
 
@@ -1851,8 +1876,7 @@ object SparkEntry {
     // ---- integer-exact PageRank over the exact kNN graph (hub/authority
     // scores for retrieval-quality audits; all-BIGINT arithmetic) ----------
     "q_pagerank" -> ((s, dir) => {
-      val edges = Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id", "embedding", k = 5)
-      Graph.pageRank(edges, "query_id", "neighbor_id", iters = 10)
+      Graph.pageRank(knnGraph5(s, dir), "query_id", "neighbor_id", iters = 10)
         .select(col("node").as("vec_id"), col("pagerank"))
         .orderBy(col("vec_id"))
     }),
@@ -2385,7 +2409,7 @@ object SparkEntry {
     // (10% frozen seeds label the rest of the corpus; integer votes) -------
     "q_label_prop" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val g = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+      val g = knnGraph5(s, dir)
         .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
       val sym = g.unionByName(g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       val seeds = emb.where(col("vec_id") % 10 === 0).select(col("vec_id"), col("label"))

@@ -587,14 +587,22 @@ object Similarity {
     * that can build the kNN graph at all. Feed the result to
     * [[Dedup.connectedComponents]] for community labels.
     */
-  def mutualKnnEdges(df: DataFrame, id: String, vec: String, k: Int): DataFrame = {
+  def mutualKnnEdges(df: DataFrame, id: String, vec: String, k: Int): DataFrame =
     // materialize the k·n-row kNN run ONCE before the self-join: both join
     // branches (forward and reversed) would otherwise re-run the full
     // cosine sweep — the dominant cost — twice. knnGraph is already eager
     // (driver-side collect of the broadcast side), so the checkpoint does
     // not change the construction contract.
-    val g = knnGraph(df, id, vec, k).select(col("query_id"), col("neighbor_id"), col("sim"))
-      .localCheckpoint()
+    mutualKnnEdgesFromGraph(
+      knnGraph(df, id, vec, k).select(col("query_id"), col("neighbor_id"), col("sim"))
+        .localCheckpoint())
+
+  /** The mutuality self-join alone, over an already-materialized kNN graph
+    * `(query_id, neighbor_id, sim)` — for callers that share ONE graph
+    * frame across several analyses (the SparkEntry `_shared_knn_graph`
+    * memo: PageRank, label propagation, hubness and the mutual backbone
+    * all read the same sweep instead of re-running it). */
+  def mutualKnnEdgesFromGraph(g: DataFrame): DataFrame = {
     val rev = g.select(col("neighbor_id").as("query_id"), col("query_id").as("neighbor_id"))
     g.join(rev, Seq("query_id", "neighbor_id"))
       .where(col("query_id") < col("neighbor_id"))

@@ -24,10 +24,14 @@ class PlanLintSurfaceSpec extends SparkSpec {
     // q_neg_sample / q_assortativity: the kNN edge sweep sits behind ONE
     // persisted canonical frame (audited once — cacheBuilder dedupe); the
     // rank window is over the nodes frame; BNLJs carry 1-row counts
-    ("q_neg_sample", "driver-materialized-input") -> 2,
+    ("q_neg_sample", "driver-materialized-input") -> 1,
     ("q_neg_sample", "global-window") -> 1,
     ("q_neg_sample", "nested-loop-join") -> 1,
-    ("q_assortativity", "driver-materialized-input") -> 2,
+    ("q_assortativity", "driver-materialized-input") -> 1,
+    // r8 shared _shared_knn_graph memo: mutual-edge consumers dropped from
+    // two RDD scans (graph + mutual checkpoints) to one; hubness now reads
+    // the shared graph checkpoint directly
+    ("q_hubness", "driver-materialized-input") -> 1,
     ("q_hll_overlap", "nested-loop-join") -> 2, // register→pair attach + pair build: sketch-sized
     ("q_bm25", "nested-loop-join") -> 1,
     ("q_boilerplate", "nested-loop-join") -> 1,
