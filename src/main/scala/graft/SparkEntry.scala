@@ -5172,9 +5172,9 @@ object SparkEntry {
          |d AS (SELECT pvname, ts_us, v,
          |    v - lag(v) OVER w AS dd, ts_us - lag(ts_us) OVER w AS dt_us
          |  FROM s WINDOW w AS (PARTITION BY pvname ORDER BY ts_us))
-         |SELECT pvname, ts_us, v AS value, round(dd, 6) AS delta, dt_us,
+         |SELECT pvname, ts_us, v AS value, round(dd, 6) + 0.0 AS delta, dt_us,
          |  coalesce(CASE WHEN dt_us > 0
-         |      THEN round(dd / (dt_us / 1000000.0), 6) END,
+         |      THEN round(dd / (dt_us / 1000000.0), 6) + 0.0 END,
          |    'NaN'::DOUBLE) AS rate_per_sec
          |FROM d WHERE dd IS NOT NULL ORDER BY pvname, ts_us""".stripMargin,
 
