@@ -2415,6 +2415,60 @@ object SparkEntry {
       val seeds = emb.where(col("vec_id") % 10 === 0).select(col("vec_id"), col("label"))
       Graph.labelPropagation(sym, "src", "dst", seeds, "vec_id", "label", iters = 5)
         .orderBy(col("node"))
+    }),
+
+    // ---- blocked fuzzy entity resolution: re-link deterministically
+    // corrupted customer records (one substituted name char at position
+    // custkey % len; a segment suffix on odd keys). Three "blocking by
+    // omission" passes — each key drops a different third of the name's
+    // digit section — so a single-char corruption can never break every
+    // pass at once; candidate work stays block-bounded, never |L|×|R| ----
+    "q_entity_resolution" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      def blockKeys(name: Column) = Seq(
+        concat(col("c_nationkey").cast("string"), lit(":"),
+          name.substr(lit(13), lit(6))).as("bk_a"),
+        concat(col("c_nationkey").cast("string"), lit(":"),
+          name.substr(lit(10), lit(3)), name.substr(lit(16), lit(3))).as("bk_b"),
+        concat(col("c_nationkey").cast("string"), lit(":"),
+          name.substr(lit(10), lit(6))).as("bk_c"))
+      val left = c.select(col("c_custkey").as("cid") +: col("c_name").as("name") +:
+        col("c_mktsegment").as("segment") +: blockKeys(col("c_name")): _*)
+      val pos = (col("c_custkey") % length(col("c_name"))).cast("int")
+      val corrupted = concat(
+        col("c_name").substr(lit(1), pos), lit("x"),
+        col("c_name").substr(pos + lit(2), length(col("c_name"))))
+      val segNoise = when(col("c_custkey") % 2 === 1,
+        concat(col("c_mktsegment"), lit("x"))).otherwise(col("c_mktsegment"))
+      val right = c
+        .select(col("c_custkey").as("rid"), col("c_nationkey"),
+          corrupted.as("name"), segNoise.as("segment"))
+        .select(col("rid") +: col("name") +: col("segment") +:
+          blockKeys(col("name")): _*)
+      Linkage.bestMatches(left, right, "cid", "rid",
+        Seq("bk_a", "bk_b", "bk_c"), Seq("name", "segment"), minScore = 0.9)
+        .orderBy(col("left_id"))
+    }),
+
+    // ---- curriculum schedule: quartile difficulty stages over the shared
+    // 6-dp quality score, deterministic within-stage shuffle key — stage
+    // thresholds are ONE broadcast percentile row, assignment is map-only -
+    "q_curriculum" -> ((s, dir) => {
+      val q = TextAnalysis.qualityScore(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+      Sampling.curriculumSchedule(q, "doc_id", col("quality"), stages = 4)
+        .orderBy(col("stage"), col("ord"), col("doc_id"))
+    }),
+
+    // ---- split-conformal filter calibration: tau at the alpha-quantile of
+    // a 20% hash-bucket calibration slice; per-source eval coverage -------
+    "q_conformal" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      DataQuality.conformalAudit(q, "doc_id", "source", col("quality"),
+        alpha = 0.1, calPct = 20)
     })
   )
 
@@ -7154,7 +7208,96 @@ object SparkEntry {
         |SELECT d1, d2, n_shared,
         |  round(CAST(n_shared AS DOUBLE) / least(s1.sz, s2.sz), 6) AS overlap
         |FROM p JOIN sz s1 ON p.d1 = s1.doc_id JOIN sz s2 ON p.d2 = s2.doc_id
-        |ORDER BY d1, d2""".stripMargin
+        |ORDER BY d1, d2""".stripMargin,
+
+    // three blocking-by-omission passes (UNION dedupes candidate pairs),
+    // normalized-Levenshtein field sims, best match per left record
+    "q_entity_resolution" ->
+      """WITH l AS (
+        |  SELECT c_custkey AS left_id, c_name AS lname, c_mktsegment AS lseg,
+        |    CAST(c_nationkey AS VARCHAR) || ':' || substr(c_name, 13, 6) AS bk_a,
+        |    CAST(c_nationkey AS VARCHAR) || ':' || substr(c_name, 10, 3) || substr(c_name, 16, 3) AS bk_b,
+        |    CAST(c_nationkey AS VARCHAR) || ':' || substr(c_name, 10, 6) AS bk_c
+        |  FROM customer),
+        |r0 AS (
+        |  SELECT c_custkey AS right_id, c_nationkey,
+        |    substr(c_name, 1, c_custkey % length(c_name)) || 'x' ||
+        |      substr(c_name, c_custkey % length(c_name) + 2, length(c_name)) AS rname,
+        |    CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment || 'x'
+        |         ELSE c_mktsegment END AS rseg
+        |  FROM customer),
+        |r AS (
+        |  SELECT right_id, rname, rseg,
+        |    CAST(c_nationkey AS VARCHAR) || ':' || substr(rname, 13, 6) AS bk_a,
+        |    CAST(c_nationkey AS VARCHAR) || ':' || substr(rname, 10, 3) || substr(rname, 16, 3) AS bk_b,
+        |    CAST(c_nationkey AS VARCHAR) || ':' || substr(rname, 10, 6) AS bk_c
+        |  FROM r0),
+        |cand AS (
+        |  SELECT l.left_id, r.right_id, l.lname, l.lseg, r.rname, r.rseg
+        |  FROM l JOIN r ON l.bk_a = r.bk_a
+        |  UNION
+        |  SELECT l.left_id, r.right_id, l.lname, l.lseg, r.rname, r.rseg
+        |  FROM l JOIN r ON l.bk_b = r.bk_b
+        |  UNION
+        |  SELECT l.left_id, r.right_id, l.lname, l.lseg, r.rname, r.rseg
+        |  FROM l JOIN r ON l.bk_c = r.bk_c),
+        |scored AS (
+        |  SELECT left_id, right_id,
+        |    round(1.0 - CAST(levenshtein(lname, rname) AS DOUBLE) /
+        |      greatest(length(lname), length(rname), 1), 6) AS sim_name,
+        |    round(1.0 - CAST(levenshtein(lseg, rseg) AS DOUBLE) /
+        |      greatest(length(lseg), length(rseg), 1), 6) AS sim_segment
+        |  FROM cand),
+        |s2 AS (SELECT left_id, right_id, sim_name, sim_segment,
+        |    round((sim_name + sim_segment) / 2, 6) AS score FROM scored),
+        |best AS (SELECT *, row_number() OVER (
+        |    PARTITION BY left_id ORDER BY score DESC, right_id) AS rn
+        |  FROM s2 WHERE score >= 0.9)
+        |SELECT left_id, right_id, sim_name, sim_segment, score
+        |FROM best WHERE rn = 1 ORDER BY left_id""".stripMargin,
+
+    // stage thresholds are the interpolated quartiles (quantile_cont ==
+    // Spark's exact percentile, the L35 interop contract); ord is the same
+    // salted md5 as the engine's within-stage shuffle key
+    "q_curriculum" ->
+      """WITH q AS (SELECT doc_id,
+        |    round(ln(1.0 + len(string_split(text, ' '))) *
+        |          (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |                t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |               / len(string_split(text, ' '))), 6) AS difficulty
+        |  FROM documents),
+        |th AS (SELECT quantile_cont(difficulty, 0.25) AS t1,
+        |    quantile_cont(difficulty, 0.5) AS t2,
+        |    quantile_cont(difficulty, 0.75) AS t3 FROM q)
+        |SELECT doc_id, difficulty,
+        |  CAST(1 + (CASE WHEN difficulty > t1 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN difficulty > t2 THEN 1 ELSE 0 END)
+        |         + (CASE WHEN difficulty > t3 THEN 1 ELSE 0 END) AS INTEGER) AS stage,
+        |  md5('graft' || CAST(doc_id AS VARCHAR)) AS ord
+        |FROM q CROSS JOIN th
+        |ORDER BY stage, ord, doc_id""".stripMargin,
+
+    // tau at the 0.1-quantile of the 20% hash-bucket calibration slice,
+    // rounded to the 6-dp grid before the cut; per-source eval coverage
+    "q_conformal" ->
+      """WITH q AS (SELECT doc_id, source,
+        |    round(ln(1.0 + len(string_split(text, ' '))) *
+        |          (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |                t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |               / len(string_split(text, ' '))), 6) AS s,
+        |    CAST('0x' || substr(md5('conformal' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 20 AS is_cal
+        |  FROM documents),
+        |t AS (SELECT round(quantile_cont(s, 0.1), 6) AS tau,
+        |    CAST(count(*) AS BIGINT) AS n_cal FROM q WHERE is_cal),
+        |t2 AS (SELECT tau, n_cal,
+        |    round(ceil(0.1 * (n_cal + 1)) / n_cal, 6) AS corrected_level FROM t)
+        |SELECT source, n_cal, CAST(count(*) AS BIGINT) AS n_eval,
+        |  CAST(sum(CASE WHEN s >= tau THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(CAST(sum(CASE WHEN s >= tau THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS coverage,
+        |  tau, corrected_level
+        |FROM q CROSS JOIN t2 WHERE NOT is_cal
+        |GROUP BY source, n_cal, tau, corrected_level
+        |ORDER BY source""".stripMargin
   )
 
   /** DuckDB fragment mirroring [[Sampling.hashBucket]] over `doc_id` with the

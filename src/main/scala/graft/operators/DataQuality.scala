@@ -297,4 +297,59 @@ object DataQuality {
           .otherwise(lit(false)))
       .orderBy(col(group))
   }
+
+  /** Conformal filter-calibration audit: hold out a deterministic
+    * hash-bucket calibration split, set the acceptance threshold `tau` at
+    * the empirical `alpha`-quantile of the calibration scores, and report —
+    * per group — how much of the remaining corpus a "keep score >= tau"
+    * filter retains. Split-conformal's promise is that the eval rejection
+    * rate concentrates around `alpha` regardless of the score's
+    * distribution; a per-source coverage far from `1 - alpha` is exactly
+    * how score drift between sources shows up.
+    *
+    * Scale shape: the calibration membership is the same salted-hash
+    * bucketing as [[Sampling.splitAssign]] (map-only, stable under corpus
+    * growth), `tau` is ONE exact-`percentile` aggregate over the
+    * calibration slice collapsing to a single broadcast row (`percentile`
+    * == `quantile_cont`, the L35 interop contract), and the audit is one
+    * keyed aggregation — no global window, no driver loop. The
+    * finite-sample-corrected level `ceil(alpha*(n+1))/n` is reported
+    * alongside as plain integer arithmetic; the threshold itself uses the
+    * uncorrected quantile so the whole plan stays data-independent.
+    *
+    * `tau` is rounded to the shared 6-dp grid before the comparison, so
+    * the cut line cannot move with a sub-grid interpolation wobble; pass a
+    * score already emitted on that grid (e.g. the 6-dp quality score).
+    *
+    * Output: `(group, n_cal, n_eval, n_kept, coverage, tau,
+    * corrected_level)` — `coverage`/`tau`/`corrected_level` at 6 dp.
+    */
+  def conformalAudit(df: DataFrame, id: String, group: String, score: Column,
+      alpha: Double, calPct: Int = 20, salt: String = "conformal"): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha in (0,1), got $alpha")
+    require(calPct > 0 && calPct < 100, s"calPct in (1,99), got $calPct")
+    val base = df
+      .select(col(id).as("__id"), col(group).as("__g"), score.as("__s"))
+      .where(col("__s").isNotNull)
+      .withColumn("__cal", Sampling.hashBucket(col("__id"), salt, 100L) < calPct)
+    val cal = base.where(col("__cal"))
+    val tau = cal.agg(
+      round(expr(s"percentile(__s, $alpha)"), 6).as("tau"),
+      count(lit(1)).as("n_cal"))
+      .withColumn("corrected_level",
+        round(ceil(lit(alpha) * (col("n_cal") + 1)) / col("n_cal"), 6))
+    base.where(!col("__cal"))
+      .crossJoin(broadcast(tau))
+      .groupBy(col("__g").as(group))
+      .agg(
+        first(col("n_cal")).as("n_cal"),
+        count(lit(1)).as("n_eval"),
+        sum(when(col("__s") >= col("tau"), 1L).otherwise(0L)).as("n_kept"),
+        first(col("tau")).as("tau"),
+        first(col("corrected_level")).as("corrected_level"))
+      .withColumn("coverage", round(col("n_kept").cast("double") / col("n_eval"), 6))
+      .select(col(group), col("n_cal"), col("n_eval"), col("n_kept"),
+        col("coverage"), col("tau"), col("corrected_level"))
+      .orderBy(col(group))
+  }
 }

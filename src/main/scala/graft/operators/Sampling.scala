@@ -377,4 +377,37 @@ object Sampling {
         max(col("__t")).as("t_max_us"))
       .orderBy(col("split"))
   }
+
+  /** Curriculum schedule: assign every row to one of `stages` difficulty
+    * stages (1 = easiest) and give it a deterministic within-stage order
+    * key, so a trainer can stream the corpus easy→hard with each stage
+    * internally shuffled (the standard curriculum-learning data layout).
+    *
+    * Scale shape — NO global sort at any size: stage boundaries are the
+    * exact interpolated `percentile` thresholds (one map-side-combinable
+    * aggregate collapsing to a single broadcast row), stage assignment is a
+    * map-only comparison against that row, and the shuffle key a consumer
+    * would range-partition on is `(stage, ord)` where `ord` is a salted
+    * md5 — uniformly distributed by construction, so stage files never
+    * skew. Mirrors `quantile_cont` + `md5` verbatim in a SQL oracle.
+    *
+    * Output: `(id, difficulty, stage, ord)`; `difficulty` is passed
+    * through as given (round it upstream if emitting).
+    */
+  def curriculumSchedule(df: DataFrame, id: String, difficulty: Column,
+      stages: Int, salt: String = "graft"): DataFrame = {
+    require(stages >= 2, s"need at least 2 stages, got $stages")
+    val d = df.select(col(id), difficulty.as("difficulty"))
+      .where(col("difficulty").isNotNull)
+    val ps = (1 until stages).map(i => i.toDouble / stages)
+    val th = d.agg(
+      expr(s"percentile(difficulty, array(${ps.mkString(", ")}))").as("__th"))
+    val stage = (0 until stages - 1)
+      .map(i => when(col("difficulty") > col("__th")(i), 1).otherwise(0))
+      .reduce(_ + _) + 1
+    d.crossJoin(broadcast(th))
+      .select(col(id), col("difficulty"),
+        stage.cast("int").as("stage"),
+        md5(concat(lit(salt), col(id).cast("string"))).as("ord"))
+  }
 }

@@ -192,4 +192,35 @@ class DataQualitySpec extends SparkSpec {
       .map(r => r.getString(0) -> r.isNullAt(2)).toMap
     assert(deg("c") && !deg("d"))
   }
+
+  test("conformalAudit: eval coverage concentrates at 1 - alpha; tau is the cal quantile") {
+    val sp = spark
+    import sp.implicits._
+    // score = id as double → tau is a known quantile of the calibration ids
+    val df = (0L until 2000L).map(i => (i, s"g${i % 2}", i.toDouble))
+      .toDF("doc_id", "source", "score")
+    val got = DataQuality.conformalAudit(df, "doc_id", "source", col("score"),
+      alpha = 0.1, calPct = 20).collect()
+    assert(got.map(_.getAs[String]("source")).toSeq == Seq("g0", "g1"))
+    val nCal = got.head.getAs[Long]("n_cal")
+    val nEval = got.map(_.getAs[Long]("n_eval")).sum
+    assert(nCal + nEval == 2000L)
+    assert(nCal > 300L && nCal < 500L, s"n_cal=$nCal of 2000 at calPct=20")
+    // pooled eval coverage within a few points of 1 - alpha = 0.9
+    val kept = got.map(_.getAs[Long]("n_kept")).sum
+    val cov = kept.toDouble / nEval
+    assert(cov > 0.85 && cov < 0.95, s"coverage=$cov")
+    // tau, corrected_level are corpus-level constants shared by all groups
+    assert(got.map(_.getAs[Double]("tau")).distinct.length == 1)
+    val lvl = got.head.getAs[Double]("corrected_level")
+    assert(lvl >= 0.1 && lvl < 0.11, s"corrected_level=$lvl")
+    intercept[IllegalArgumentException] {
+      DataQuality.conformalAudit(df, "doc_id", "source", col("score"),
+        alpha = 0.0, calPct = 20)
+    }
+    intercept[IllegalArgumentException] {
+      DataQuality.conformalAudit(df, "doc_id", "source", col("score"),
+        alpha = 0.1, calPct = 100)
+    }
+  }
 }

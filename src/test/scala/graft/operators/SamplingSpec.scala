@@ -278,4 +278,30 @@ class SamplingSpec extends SparkSpec {
     // the audit invariant: train ends a full embargo before test begins
     assert(got("train")._3 < got("test")._2 - 100L + 10L)
   }
+
+  test("curriculumSchedule: quartile stages partition by difficulty, deterministic ord") {
+    val sp = spark
+    import sp.implicits._
+    val df = (0L until 100L).map(i => (i, i.toDouble)).toDF("doc_id", "d")
+    val got = Sampling.curriculumSchedule(df, "doc_id", col("d"), stages = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("difficulty"),
+        r.getAs[Int]("stage"), r.getAs[String]("ord")))
+    assert(got.length == 100)
+    val byStage = got.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byStage.keySet == Set(1, 2, 3, 4))
+    // stages are difficulty-ordered: every stage-i max <= stage-(i+1) min
+    (1 to 3).foreach { i =>
+      assert(byStage(i).max <= byStage(i + 1).min, s"stage $i overlaps ${i + 1}")
+    }
+    // uniform data → balanced quartiles (interpolated thresholds at 24.75,
+    // 49.5, 74.25: 25 values per stage)
+    assert(byStage.values.forall(_.length == 25), byStage.view.mapValues(_.length).toMap)
+    // ord is the salted md5 — stable across runs
+    val again = Sampling.curriculumSchedule(df, "doc_id", col("d"), stages = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("ord"))).toMap
+    got.foreach { case (id, _, _, ord) => assert(again(id) == ord) }
+    intercept[IllegalArgumentException] {
+      Sampling.curriculumSchedule(df, "doc_id", col("d"), stages = 1)
+    }
+  }
 }

@@ -37,6 +37,8 @@ class PlanLintSurfaceSpec extends SparkSpec {
     ("q_boilerplate", "nested-loop-join") -> 1,
     ("q_containment", "nested-loop-join") -> 1,
     ("q_cooccur_lift", "nested-loop-join") -> 1,
+    ("q_conformal", "nested-loop-join") -> 1,  // 1-row tau/corrected-level broadcast
+    ("q_curriculum", "nested-loop-join") -> 1, // 1-row percentile-thresholds broadcast
     ("q_dataset_card", "nested-loop-join") -> 2,
     ("q_decimate", "global-window") -> 1,
     ("q_decimate", "nested-loop-join") -> 1,
