@@ -1597,6 +1597,14 @@ object SparkEntry {
     // regime (31 terms, dense postings), so the headline entry runs the
     // broadcast JIT sweep; the inverted-index plan — the Zipfian-corpus
     // path — is oracled on a subset below (vs the same oracle shape) ------
+    // ---- per-document TF-IDF keyword extraction (integer-exact weights;
+    // the df-gate IS the stopword list) -----------------------------------
+    "q_keywords" -> ((s, dir) => {
+      TextAnalysis.keywords(Tables.documents(s, dir), "doc_id", "text",
+        k = 5, maxDfPct = 60)
+        .orderBy(col("doc"), col("rank"))
+    }),
+
     "q_tfidf_pairs" -> ((s, dir) => {
       TextAnalysis.tfidfSimilarDense(Tables.documents(s, dir), "doc_id", "text",
         threshold = 0.9, maxDfPct = 78)
@@ -1878,6 +1886,15 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) => {
       Graph.pageRank(knnGraph5(s, dir), "query_id", "neighbor_id", iters = 10)
         .select(col("node").as("vec_id"), col("pagerank"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- integer-exact HITS over the same kNN graph: the auth/hub split
+    // PageRank's single score conflates (authority ≈ eigenvector-weighted
+    // hubness; hub ≈ "do my neighbors matter") ----------------------------
+    "q_hits" -> ((s, dir) => {
+      Graph.hits(knnGraph5(s, dir), "query_id", "neighbor_id", iters = 5)
+        .select(col("node").as("vec_id"), col("auth"), col("hub"))
         .orderBy(col("vec_id"))
     }),
 
@@ -2403,6 +2420,24 @@ object SparkEntry {
         }
       Multimodal.dhash(Multimodal.decodeImages(media), hashW = 8, hashH = 8)
         .orderBy(col("media_id"))
+    }),
+
+    // ---- perceptual near-dup IMAGE pairs: the generic Hamming-LSH bucket
+    // join over the dHash frame — closes the multimodal dedup loop (the
+    // signature query above feeds the same never-all-pairs path text
+    // signatures use) -----------------------------------------------------
+    "q_dhash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          Multimodal.MediaRow(id, Seq("image", "audio", "video")(id.toInt % 3),
+            text.getBytes("UTF-8"), "stub", 8, 4, 1000L)
+        }
+      val sig = Multimodal.dhash(Multimodal.decodeImages(media), hashW = 8, hashH = 8)
+      Dedup.hammingPairs(sig, "media_id", "dhash", prefixBits = 8, maxHamming = 10)
+        .orderBy(col("d1"), col("d2"))
     }),
 
     // ---- semi-supervised label propagation over the symmetrized kNN graph
@@ -3180,7 +3215,12 @@ object SparkEntry {
     * indices are precomputed with the identical integer geometry, and each
     * bit is one strict integer comparison — no floats anywhere.
     */
-  private def mediaDhashSql(hashW: Int, hashH: Int, w: Int, h: Int): String = {
+  /** CTE chain ending in `sig(media_id, dhash)` — the stub-plane dHash
+    * shared by the signature and pair queries (the [[simhashSigCtes]]
+    * pattern). Bit 63 IS populated (an 8×8 grid uses all 64 bits), so the
+    * signed sum reproduces the engine's two's-complement long exactly.
+    */
+  private def mediaDhashCtes(hashW: Int, hashH: Int, w: Int, h: Int): String = {
     val n = w * h
     val terms = for (y <- 0 until hashH; x <- 0 until hashW) yield {
       val sy = math.min(h - 1, y * h / hashH)
@@ -3189,13 +3229,29 @@ object SparkEntry {
       val bit = 1L << (y * hashW + x)
       s"(CASE WHEN pix[${sy * w + sx1 + 1}] > pix[${sy * w + sx2 + 1}] THEN CAST($bit AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }
-    s"""WITH b AS (SELECT doc_id AS media_id,
+    s"""b AS (SELECT doc_id AS media_id,
        |    list_transform(generate_series(0, ${n - 1}),
        |      i -> CASE WHEN length(text) = 0 THEN 0
        |                ELSE unicode(substr(text, (i % length(text)) + 1, 1)) END) AS pix
-       |  FROM documents WHERE doc_id % 3 = 0)
-       |SELECT media_id, CAST(${terms.mkString("\n  + ")} AS BIGINT) AS dhash
-       |FROM b ORDER BY media_id""".stripMargin
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |sig AS (SELECT media_id, CAST(${terms.mkString("\n  + ")} AS BIGINT) AS dhash FROM b)""".stripMargin
+  }
+
+  private def mediaDhashSql(hashW: Int, hashH: Int, w: Int, h: Int): String =
+    s"""WITH ${mediaDhashCtes(hashW, hashH, w, h)}
+       |SELECT media_id, dhash FROM sig ORDER BY media_id""".stripMargin
+
+  /** Mirrors [[Dedup.hammingPairs]] over the media dHash frame: low-bit
+    * mask bucket join, pairs kept at Hamming ≤ cap over all 64 bits. */
+  private def dhashPairsSql(prefixBits: Int, maxHamming: Int): String = {
+    val mask = (1L << prefixBits) - 1L
+    s"""WITH ${mediaDhashCtes(hashW = 8, hashH = 8, w = 8, h = 4)},
+       |m AS (SELECT media_id, dhash, dhash & $mask AS bucket FROM sig)
+       |SELECT a.media_id AS d1, c.media_id AS d2,
+       |       CAST(bit_count(xor(a.dhash, c.dhash)) AS BIGINT) AS hamming
+       |FROM m a JOIN m c ON a.bucket = c.bucket AND a.media_id < c.media_id
+       |WHERE bit_count(xor(a.dhash, c.dhash)) <= $maxHamming
+       |ORDER BY d1, d2""".stripMargin
   }
 
   /** DuckDB mirror of [[operators.Graph.labelPropagation]] over the
@@ -3497,6 +3553,41 @@ object SparkEntry {
        |p0 AS (SELECT node, CAST($scale // nn.n AS BIGINT) AS pr FROM nodes CROSS JOIN nn),
        |$steps
        |SELECT node AS vec_id, pr AS pagerank FROM p$iters ORDER BY vec_id""".stripMargin
+  }
+
+  /** DuckDB mirror of [[operators.Graph.hits]] over the exact kNN edge
+    * list: `iters` unrolled auth/hub half-steps, each a keyed sum plus the
+    * integer L1 normalization `x // greatest(sum // scale, 1)` — all
+    * BIGINT, so both engines produce the SAME longs by construction.
+    */
+  private def hitsSql(iters: Int, k: Int, scale: Long): String = {
+    // MATERIALIZED throughout: edges/nodes are referenced 2× per
+    // iteration and DuckDB inlines plain CTEs — the r8 first cut re-ran
+    // the all-pairs cosine ~20× and died on fd exhaustion before it got
+    // slow enough to notice
+    val steps = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT e.dst AS node, CAST(sum(h.hub) AS BIGINT) AS raw
+         |  FROM h${i - 1} h JOIN edges e ON e.src = h.node GROUP BY 1),
+         |aq$i AS (SELECT greatest(CAST(sum(raw) AS BIGINT) // $scale, 1) AS q FROM ar$i),
+         |a$i AS MATERIALIZED (SELECT n.node, CAST(coalesce(r.raw, 0) // s.q AS BIGINT) AS auth
+         |  FROM nodes n LEFT JOIN ar$i r ON n.node = r.node CROSS JOIN aq$i s),
+         |hr$i AS MATERIALIZED (SELECT e.src AS node, CAST(sum(a.auth) AS BIGINT) AS raw
+         |  FROM a$i a JOIN edges e ON e.dst = a.node GROUP BY 1),
+         |hq$i AS (SELECT greatest(CAST(sum(raw) AS BIGINT) // $scale, 1) AS q FROM hr$i),
+         |h$i AS MATERIALIZED (SELECT n.node, CAST(coalesce(r.raw, 0) // s.q AS BIGINT) AS hub
+         |  FROM nodes n LEFT JOIN hr$i r ON n.node = r.node CROSS JOIN hq$i s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings WHERE embedding IS NOT NULL),
+       |sc AS (SELECT a.vec_id AS qid, b.vec_id AS nid, round(${cosineSql("a.ev", "b.ev")}, 6) AS sim
+       |       FROM emb a JOIN emb b ON a.vec_id <> b.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sc),
+       |edges AS MATERIALIZED (SELECT qid AS src, nid AS dst FROM r WHERE rn <= $k),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |h0 AS (SELECT node, CAST($scale // nn.n AS BIGINT) AS hub FROM nodes CROSS JOIN nn),
+       |$steps
+       |SELECT a.node AS vec_id, a.auth, h.hub
+       |FROM a$iters a JOIN h$iters h ON a.node = h.node ORDER BY vec_id""".stripMargin
   }
 
   /** T2 limbo downsampler as a pure DuckDB fold: per PV, `list_reduce` over
@@ -5900,6 +5991,20 @@ object SparkEntry {
     // The _inv twin is the identical computation over the doc_id%10 subset
     // (N and df re-derived WITHIN the subset, exactly like the operator
     // sees them).
+    // per-doc TF-IDF top-k keywords: the tfidf_pairs integer weighting
+    // (w = tf * ((N*100) // df), df-gated) ranked per doc, ties to the term
+    "q_keywords" ->
+      """WITH t AS (SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc, term, CAST(count(*) AS BIGINT) AS tf FROM t WHERE term <> '' GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE text IS NOT NULL),
+        |w AS (SELECT doc, term, tf, tf * ((n.n * 100) // df.df) AS weight
+        |      FROM tf JOIN df USING (term) CROSS JOIN n WHERE df.df * 100 <= n.n * 60),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc ORDER BY weight DESC, term) AS rank FROM w)
+        |SELECT doc, term, tf, weight, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY doc, rank""".stripMargin,
+
     "q_tfidf_pairs_inv" ->
       """WITH t AS (SELECT doc_id AS d, unnest(string_split(text, ' ')) AS tok
         |  FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0),
@@ -6443,6 +6548,8 @@ object SparkEntry {
     // diverge); teleport and init use the identical integer divisions the
     // Scala loop computes on the driver
     "q_pagerank" -> pageRankSql(iters = 10, k = 5, scale = 1000000000000L),
+
+    "q_hits" -> hitsSql(iters = 5, k = 5, scale = 1000000000L),
 
     // funnel latency: the q_funnel step CTEs, then one latency frame per
     // transition; exact integer micros min/max, quantile_cont == percentile
@@ -7168,6 +7275,8 @@ object SparkEntry {
     // point list; 64 strict integer comparisons at driver-precomputed
     // sample indices (identical nearest-neighbor geometry)
     "q_media_dhash" -> mediaDhashSql(hashW = 8, hashH = 8, w = 8, h = 4),
+
+    "q_dhash_pairs" -> dhashPairsSql(prefixBits = 8, maxHamming = 10),
 
     // fertility: one agg of exact BIGINT sums per language; the same
     // split/regex tokenizers as q_text_stats / q_token_count

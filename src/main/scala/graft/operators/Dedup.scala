@@ -754,6 +754,35 @@ object Dedup {
       .select(col("doc").as("d1"), col("d2"), col("hamming"))
   }
 
+  /** Generic Hamming-LSH pair join over ANY 64-bit signature column — the
+    * machinery of [[simhashDedup]] factored out so non-text signatures
+    * (perceptual image dHash from [[Multimodal.dhash]], audio fingerprints)
+    * get the same never-all-pairs near-dup path. Rows whose signatures
+    * agree on the LOW `prefixBits` bits (a mask, not a shift — sign-safe
+    * when bit 63 is populated, which dHash does and the 60-bit simhash
+    * never did) land in one bucket; only within-bucket pairs pay the
+    * `bit_count(xor)` Hamming check. A true near-dup pair differing in
+    * none of the masked bits is found; the miss probability decays
+    * geometrically in `maxHamming/64` per masked bit, exactly the banding
+    * trade [[minhashDedup]] makes — tune `prefixBits` down (more
+    * candidates) for higher recall.
+    *
+    * Output: `(d1, d2, hamming)` with `d1 < d2`, each unordered pair once
+    * (one bucket per row ⇒ no dedup pass needed).
+    */
+  def hammingPairs(sig: DataFrame, id: String, sigCol: String,
+      prefixBits: Int = 16, maxHamming: Int = 8): DataFrame = {
+    require(prefixBits >= 1 && prefixBits <= 62, s"prefixBits in [1,62], got $prefixBits")
+    val mask = (1L << prefixBits) - 1L
+    val b = sig.select(col(id).as("d1"), col(sigCol).as("s1"),
+      col(sigCol).bitwiseAND(lit(mask)).as("bucket"))
+    b.join(b.select(col("d1").as("d2"), col("s1").as("s2"), col("bucket")), Seq("bucket"))
+      .where(col("d1") < col("d2"))
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+
   /** Connected components over a near-duplicate pair list: every doc that
     * appears in a pair gets labeled with the MINIMUM doc id transitively
     * reachable from it — the canonical cluster representative. This is the

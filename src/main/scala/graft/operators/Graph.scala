@@ -142,6 +142,127 @@ object Graph {
     (0 until nn).map(j => (nodes(j), pr(j))).toDF("node", "pagerank")
   }
 
+  /** Integer-exact HITS (hubs and authorities) with a FIXED iteration
+    * count — [[pageRank]]'s directed complement: a node is a good
+    * AUTHORITY when good hubs point at it and a good HUB when it points at
+    * good authorities. Over a kNN edge list the split is diagnostic:
+    * authority ≈ "how often am I someone's neighbor" (the hubness signal,
+    * eigenvector-weighted) while hub ≈ "do my own neighbors matter" —
+    * a retrieval-quality pair PageRank's single score conflates.
+    *
+    * Scores are BIGINT in units of `1/scale`; each half-iteration is one
+    * keyed join + one keyed sum (auth from in-edge hubs, then hub from
+    * out-edge auths), and the per-round L1 normalization — HITS diverges
+    * without one — is `x div greatest(1, S div scale)` where `S` is the
+    * 1-row total: pure integer arithmetic end to end, so the result is
+    * bit-identical on any engine/shuffle order (the [[pageRank]]
+    * guarantee), and the oracle unrolls the same recurrence. Bound: the
+    * raw per-node sums stay under `indeg · scale`, so keep
+    * `edges · scale < 2^62` (the default 1e9 scale leaves room for ~4e9
+    * edges — far past the driver gate, and the distributed path carries
+    * the same arithmetic).
+    *
+    * Plan shape per iteration: two keyed joins + two map-side-combinable
+    * sums + two 1-row totals (broadcast); the edge frame is persisted
+    * once, score lineage localCheckpoint-truncated every 3 rounds; the
+    * size gate routes control-plane-sized graphs through the identical
+    * collected integer loop (GraphSpec pins the two paths bit-equal).
+    *
+    * Output: `(node, auth, hub)` — scaled BIGINTs, each column summing to
+    * ≈ scale minus integer-floor dust.
+    */
+  def hits(edges: DataFrame, src: String, dst: String, iters: Int = 5,
+      scale: Long = 1000000000L, maxDriverEdges: Long = 2000000L): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val e = edges
+      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .persist()
+    val nEdges = e.count()
+    if (nEdges <= maxDriverEdges && nEdges <= (Int.MaxValue / 2 - 8).toLong) {
+      try return hitsDriver(e, iters, scale)
+      finally e.unpersist(blocking = false)
+    }
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    try {
+      val n = nodes.count()
+      require(n > 0, "hits needs at least one edge")
+      var auth = nodes.select(col("node"), lit(scale / n).as("auth"))
+      var hub = nodes.select(col("node"), lit(scale / n).as("hub"))
+      for (i <- 1 to iters) {
+        val aRaw = e.join(hub, e("src") === hub("node"))
+          .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("raw"))
+        auth = normalizeL1(nodes, aRaw, scale, "auth")
+        val hRaw = e.join(auth, e("dst") === auth("node"))
+          .groupBy(col("src").as("node")).agg(sum(col("auth")).as("raw"))
+        hub = normalizeL1(nodes, hRaw, scale, "hub")
+        if (i % 3 == 0 && i < iters) {
+          auth = auth.localCheckpoint(false)
+          hub = hub.localCheckpoint(false)
+        }
+      }
+      auth.join(hub, Seq("node")).select(col("node"), col("auth"), col("hub"))
+        .localCheckpoint()
+    } finally {
+      e.unpersist()
+      nodes.unpersist()
+    }
+  }
+
+  /** One HITS normalization step: fill missing nodes with 0, divide by
+    * `greatest(1, total div scale)` — integer, 1-row broadcast total. */
+  private def normalizeL1(nodes: DataFrame, raw: DataFrame, scale: Long,
+      out: String): DataFrame = {
+    val total = raw.agg(
+      expr(s"greatest(CAST(sum(raw) AS BIGINT) DIV ${scale}L, 1L)").as("__q"))
+    nodes.join(raw, Seq("node"), "left_outer")
+      .join(broadcast(total))
+      .select(col("node"), expr("coalesce(raw, 0L) DIV __q").as(out))
+  }
+
+  /** Driver half of [[hits]]'s size gate: the identical integer recurrence
+    * over collected primitive arrays — integer sums commute, so the two
+    * paths are bit-equal by construction (GraphSpec pins it). */
+  private def hitsDriver(e: DataFrame, iters: Int, scale: Long): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val m = e.count().toInt
+    require(m > 0, "hits needs at least one edge")
+    val (ea, eb, nodes) = collectGraph(e, m)
+    val nn = nodes.length
+    def idx(v: Long): Int = java.util.Arrays.binarySearch(nodes, v)
+    val si = new Array[Int](m); val di = new Array[Int](m)
+    var i = 0
+    while (i < m) { si(i) = idx(ea(i)); di(i) = idx(eb(i)); i += 1 }
+    var auth = Array.fill(nn)(scale / nn)
+    var hub = Array.fill(nn)(scale / nn)
+    def normalize(raw: Array[Long]): Array[Long] = {
+      var s = 0L; var j = 0
+      while (j < nn) { s += raw(j); j += 1 }
+      val q = math.max(1L, s / scale)
+      j = 0
+      while (j < nn) { raw(j) = raw(j) / q; j += 1 }
+      raw
+    }
+    var it2 = 0
+    while (it2 < iters) {
+      val aRaw = new Array[Long](nn)
+      i = 0
+      while (i < m) { aRaw(di(i)) += hub(si(i)); i += 1 }
+      auth = normalize(aRaw)
+      val hRaw = new Array[Long](nn)
+      i = 0
+      while (i < m) { hRaw(si(i)) += auth(di(i)); i += 1 }
+      hub = normalize(hRaw)
+      it2 += 1
+    }
+    (0 until nn).map(j => (nodes(j), auth(j), hub(j))).toDF("node", "auth", "hub")
+  }
+
   /** Driver half of [[labelPropagation]]'s size gate: the identical
     * majority-vote recurrence — per round, each node takes the label most
     * frequent among its in-edge sources' labels (ties to the SMALLER

@@ -431,6 +431,46 @@ object TextAnalysis {
       .where(col("rank") <= k)
   }
 
+  /** Per-document TF-IDF keyword extraction: the `k` terms that best
+    * characterize each document against the corpus — the tagging /
+    * faceting signal a curation UI or a topic sampler consumes (contrast
+    * [[topTermsPerGroup]], which profiles sources by raw frequency and so
+    * surfaces stopwords unless the corpus is pre-cleaned; IDF does that
+    * demotion here automatically).
+    *
+    * Weighting is the integer-exact scheme shared with [[tfidfSimilar]]:
+    * `w = tf * ((N * 100) div df)` — BIGINT end to end, so rank order is
+    * bit-identical on any engine (no `log` ulps to reorder near-ties), and
+    * terms in more than `maxDfPct`% of documents are dropped outright
+    * (df-gate = the stopword list you don't have to curate). Plan shape:
+    * one corpus-paying explode into a (doc, term)-keyed agg, a vocab-sized
+    * df agg joined back term-keyed, a 1-row broadcast N, then ONE rank
+    * window over the (doc × doc-vocab) weighted frame — partitioned by
+    * document, so the sort is doc-local; no global window at any size.
+    * Rank ties break (weight DESC, term ASC) — deterministic cut at k.
+    */
+  def keywords(df: DataFrame, id: String, text: String, k: Int = 5,
+      maxDfPct: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDfPct >= 1 && maxDfPct <= 100, s"maxDfPct in [1,100], got $maxDfPct")
+    val tf = df.where(col(text).isNotNull)
+      .select(col(id).as("doc"), explode(tokens(col(text))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val nDocs = df.where(col(text).isNotNull).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("doc")).orderBy(col("weight").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .join(broadcast(nDocs))
+      .where(col("__df") * 100 <= col("__n") * maxDfPct)
+      .select(col("doc"), col("term"), col("tf"),
+        (col("tf") * expr("(__n * 100L) DIV __df")).as("weight"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Source-vocabulary similarity: cosine between the token-frequency
     * vectors of every pair of groups — "which sources read alike", the
     * corpus-composition diagnostic behind mixture decisions (a new crawl

@@ -569,4 +569,22 @@ class DedupSpec extends SparkSpec {
     assert(perRow.keySet == agg.keySet)
     agg.keySet.foreach(k => assert(perRow(k) == agg(k), s"doc $k"))
   }
+
+  test("hammingPairs: low-bit bucket gate, Hamming cap, sign-safe on bit 63") {
+    val sp = spark
+    import sp.implicits._
+    // bucket = sig & 0xF (prefixBits = 4). Rows 1/2 share bucket 5 and
+    // differ in 2 high bits (one of them bit 63 -> negative long); row 3
+    // shares the bucket but is 20+ bits away; row 4 is 1 bit from row 1 but
+    // in ANOTHER bucket -> never compared (the documented LSH miss).
+    val sig = Seq(
+      (1L, (0x5L | (1L << 63)) ^ 0L),
+      (2L, (0x5L | (1L << 63)) ^ ((1L << 40) | (1L << 62))),
+      (3L, 0x5L | 0xFFFFF00L),
+      (4L, (0x5L | (1L << 63)) ^ 0x1L))
+      .toDF("id", "sig")
+    val got = Dedup.hammingPairs(sig, "id", "sig", prefixBits = 4, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 2L)))
+  }
 }

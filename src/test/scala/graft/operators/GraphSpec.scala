@@ -266,6 +266,55 @@ class GraphSpec extends SparkSpec {
     assert(driver == dist)
   }
 
+  /** Reference single-threaded fold of the integer HITS recurrence. */
+  private def hitsRef(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long = 1000000000L): Map[Long, (Long, Long)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length
+    var auth = nodes.map(_ -> scale / n).toMap
+    var hub = nodes.map(_ -> scale / n).toMap
+    def norm(raw: Map[Long, Long]): Map[Long, Long] = {
+      val q = math.max(1L, raw.values.sum / scale)
+      nodes.map(v => v -> raw.getOrElse(v, 0L) / q).toMap
+    }
+    for (_ <- 1 to iters) {
+      auth = norm(edges.groupBy(_._2).map { case (d, es) => d -> es.map(e => hub(e._1)).sum })
+      hub = norm(edges.groupBy(_._1).map { case (s, es) => s -> es.map(e => auth(e._2)).sum })
+    }
+    nodes.map(v => v -> (auth(v), hub(v))).toMap
+  }
+
+  test("hits matches a hand fold; star center is all authority, leaves all hub") {
+    val sp = spark
+    import sp.implicits._
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L))
+    val got = Graph.hits(edges.toDF("src", "dst"), "src", "dst", iters = 5)
+      .collect()
+      .map(r => r.getAs[Long]("node") -> (r.getAs[Long]("auth"), r.getAs[Long]("hub")))
+      .toMap
+    assert(got == hitsRef(edges, 5))
+    // the pointed-at center holds ALL authority and no hub mass; the four
+    // symmetric leaves split the hub mass exactly evenly
+    assert(got(0L)._1 > 0L && got(0L)._2 == 0L)
+    val leafHubs = (1L to 4L).map(got(_)._2).toSet
+    assert(leafHubs.size == 1 && leafHubs.head > 0L)
+    assert((1L to 4L).forall(got(_)._1 == 0L))
+  }
+
+  test("hits size gate: driver integer loop == distributed rounds") {
+    val sp = spark
+    import sp.implicits._
+    val edges = (0L until 120L).flatMap(i =>
+      Seq((i, (i * 7 + 3) % 120), (i, (i * 13 + 1) % 120)))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("node")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val driver = rows(Graph.hits(edges, "src", "dst", iters = 5))
+    val dist = rows(Graph.hits(edges, "src", "dst", iters = 5, maxDriverEdges = 0L))
+    assert(driver == dist)
+  }
+
   test("assortativity: star is disassortative, regular ring undefined") {
     val sp = spark
     import sp.implicits._

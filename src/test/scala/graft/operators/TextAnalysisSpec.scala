@@ -301,6 +301,33 @@ class TextAnalysisSpec extends SparkSpec {
       ("web", "a", 3L, 1L), ("web", "b", 3L, 2L)))
   }
 
+  test("keywords: df-gate drops ubiquitous terms, integer weights rank per doc") {
+    val sp = spark
+    import sp.implicits._
+    // "the" appears in all 4 docs -> df-gate (60%) drops it everywhere;
+    // doc 1's "rare" (df=1) outweighs "common" (df=2) despite equal tf
+    val df = Seq(
+      (1L, "the rare common"),
+      (2L, "the common x"),
+      (3L, "the y z"),
+      (4L, "the w v"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.keywords(df, "doc_id", "text", k = 2, maxDfPct = 60)
+      .collect()
+      .map(r => (r.getAs[Long]("doc"), r.getAs[Long]("rank"),
+        r.getAs[String]("term"), r.getAs[Long]("weight")))
+      .sortBy(t => (t._1, t._2))
+    assert(!got.exists(_._3 == "the"))
+    val d1 = got.filter(_._1 == 1L)
+    // rare: tf=1, w = 1 * ((4*100) div 1) = 400; common: 1 * (400 div 2) = 200
+    assert(d1.toSeq == Seq((1L, 1L, "rare", 400L), (1L, 2L, "common", 200L)))
+    // every doc keeps at most k entries, ranks contiguous from 1
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq)
+      assert(rows.length <= 2)
+    }
+  }
+
   test("groupVocabCosine: identical vocab -> 1, disjoint -> no pair, partial overlap in between") {
     val sp = spark
     import sp.implicits._

@@ -47,6 +47,13 @@ def main():
     skip = {s for s in os.environ.get("GRAFT_CHECK_SKIP", "").split(",") if s}
     if skip:
         print(f"-- skipping {len(skip)} oracles by request: {sorted(skip)}")
+    # GRAFT_CHECK_ONLY: restrict to a comma-separated subset for local
+    # iteration (pairs with Verify's SPARK_GRAFT_VERIFY_ONLY); the driver
+    # never sets it, so its runs always compare the full surface
+    only = {s for s in os.environ.get("GRAFT_CHECK_ONLY", "").split(",") if s}
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
+        print(f"-- restricted to {len(oracle)} oracles by request")
     n_ok = 0
     for name, sql in sorted(oracle.items()):
         if name in skip:
