@@ -100,6 +100,7 @@ object SparkEntry {
     dropSharedFrame("_shared_jaccard_pairs")
     dropSharedFrame("_shared_knn_graph")
     dropSharedFrame("_shared_mutual_knn")
+    dropSharedFrame("_shared_itemsets")
   }
 
   /** Bench accounting hooks (the r7 judge flagged "cost laundering": the
@@ -111,7 +112,8 @@ object SparkEntry {
   def sharedFrameBuilders: Map[String, (SparkSession, String) => DataFrame] = Map(
     "_shared_jaccard_pairs" -> ((s, d) => exactJaccardPairs(s, d)),
     "_shared_knn_graph" -> ((s, d) => knnGraph5(s, d)),
-    "_shared_mutual_knn" -> ((s, d) => mutualKnnEdges5(s, d)))
+    "_shared_mutual_knn" -> ((s, d) => mutualKnnEdges5(s, d)),
+    "_shared_itemsets" -> ((s, d) => brandItemsets(s, d)))
 
   /** Last alphabetical consumer of each shared frame → Bench drops the
     * frame the moment nothing later in a sorted pass will read it, so a
@@ -120,8 +122,9 @@ object SparkEntry {
     * neighbor effect). */
   def sharedFrameDropAfter: Map[String, String] = Map(
     "q_source_leakage" -> "_shared_jaccard_pairs",
-    "q_pagerank" -> "_shared_knn_graph", // consumers: hubness, label_prop, pagerank (+_shared_mutual_knn)
-    "q_triangles" -> "_shared_mutual_knn")
+    "q_pagerank" -> "_shared_knn_graph", // consumers: hits, hubness, label_prop, pagerank (+_shared_mutual_knn)
+    "q_triangles" -> "_shared_mutual_knn",
+    "q_itemsets" -> "_shared_itemsets") // consumers: assoc_rules, itemsets
 
   /** Release one memoized frame by pseudo-entry name. */
   def dropSharedFrame(name: String): Unit = name match {
@@ -132,8 +135,35 @@ object SparkEntry {
       knnGraphCache.clear() // localCheckpoint blocks free once unreferenced
     case "_shared_mutual_knn" =>
       mutualEdgesCache.clear()
+    case "_shared_itemsets" =>
+      itemsetsCache.clear() // localCheckpoint blocks free once unreferenced
     case other => throw new IllegalArgumentException(s"unknown shared frame: $other")
   }
+
+  /** Order-level brand baskets for the pattern-mining queries: each order
+    * is one basket, its items the DISTINCT part brands it touches (the
+    * part dim is broadcast — [[operators.Patterns.frequentItemsets]] does
+    * the distinct). */
+  private def brandBaskets(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    val part = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+  }
+
+  /** The full brand-basket Apriori mine (itemsets to size 3, incl. the
+    * size-0 universe row) is consumed by BOTH pattern queries — itemsets
+    * directly, association rules via [[operators.Patterns.associationRulesFrom]]
+    * — so it joins the memoized shared-frame family (bench times the build
+    * as `_shared_itemsets`, consumers honestly time cache reads). */
+  private val itemsetsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def brandItemsets(s: SparkSession, dir: String): DataFrame =
+    itemsetsCache.computeIfAbsent((s, dir), { case (ss, d) =>
+      operators.Patterns.frequentItemsets(brandBaskets(ss, d), "basket", "item",
+        minSupportPpm = 4000L, maxSize = 3)
+    })
   private final val TMID = 1705276800000000L // 2024-01-15T00:00:00Z (us)
 
   /** q_iforest feature columns over the derived-`ts_us` events frame:
@@ -1605,6 +1635,14 @@ object SparkEntry {
         .orderBy(col("doc"), col("rank"))
     }),
 
+    // ---- corpus keyphrases, RAKE-style: maximal runs between stopwords
+    // (df-gate ∪ the closed-class list), integer degree/freq scores -------
+    "q_keyphrases" -> ((s, dir) => {
+      TextAnalysis.keyphrases(Tables.documents(s, dir), "doc_id", "text",
+        k = 20, stopDfPct = 90, maxPhraseLen = 4,
+        extraStops = TextAnalysis.stopwords)
+    }),
+
     "q_tfidf_pairs" -> ((s, dir) => {
       TextAnalysis.tfidfSimilarDense(Tables.documents(s, dir), "doc_id", "text",
         threshold = 0.9, maxDfPct = 78)
@@ -1896,6 +1934,31 @@ object SparkEntry {
       Graph.hits(knnGraph5(s, dir), "query_id", "neighbor_id", iters = 5)
         .select(col("node").as("vec_id"), col("auth"), col("hub"))
         .orderBy(col("vec_id"))
+    }),
+
+    // ---- landmark harmonic centrality over the mutual-kNN backbone:
+    // "which vectors sit closest to the whole corpus" — integer-exact BFS
+    // contributions (scale = lcm(1..16)), seeds a deterministic modulus ----
+    "q_harmonic" -> ((s, dir) => {
+      val m = mutualKnnEdges5(s, dir)
+      val und = m.select(col("d1").as("src"), col("d2").as("dst"))
+        .unionByName(m.select(col("d2").as("src"), col("d1").as("dst")))
+      Graph.harmonicCentrality(und, "src", "dst", seedMod = 5L, maxHops = 4)
+        .select(col("node").as("vec_id"), col("harmonic"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- level-wise Apriori over order baskets at brand granularity:
+    // relative support, transaction trimming, frequent-pair-pruned triples --
+    "q_itemsets" -> ((s, dir) => {
+      brandItemsets(s, dir).orderBy(col("size"), col("items"))
+    }),
+
+    // ---- association rules from the frequent pairs: directional
+    // confidence + lift vs independence, all ppm-integer ------------------
+    "q_assoc_rules" -> ((s, dir) => {
+      Patterns.associationRulesFrom(brandItemsets(s, dir))
+        .orderBy(col("antecedent"), col("consequent"))
     }),
 
     // ---- funnel time-to-convert distribution per transition --------------
@@ -3589,6 +3652,87 @@ object SparkEntry {
        |SELECT a.node AS vec_id, a.auth, h.hub
        |FROM a$iters a JOIN h$iters h ON a.node = h.node ORDER BY vec_id""".stripMargin
   }
+
+  /** DuckDB mirror of [[operators.Graph.harmonicCentrality]] over the
+    * symmetrized mutual-kNN backbone: `maxHops` unrolled BFS frontiers
+    * (per-seed visited sets via NOT EXISTS), each newly-reached `(s, v)`
+    * at hop `h` contributing the exact integer `scale // h`. MATERIALIZED
+    * like [[hitsSql]] — each frontier is referenced by the next hop AND
+    * the contribution sum.
+    */
+  private def harmonicSql(seedMod: Long, maxHops: Int, scale: Long, k: Int): String = {
+    val hops = (1 to maxHops).map { h =>
+      s"""f$h AS MATERIALIZED (SELECT DISTINCT f.s, e.b AS v
+         |  FROM f${h - 1} f JOIN e ON f.v = e.a
+         |  WHERE NOT EXISTS (SELECT 1 FROM vis${h - 1} x WHERE x.s = f.s AND x.v = e.b)),
+         |vis$h AS MATERIALIZED (SELECT s, v FROM vis${h - 1} UNION ALL SELECT s, v FROM f$h)""".stripMargin
+    }.mkString(",\n")
+    val contribs = (1 to maxHops).map(h =>
+      s"SELECT v, CAST(count(*) * ${scale / h} AS BIGINT) AS h FROM f$h GROUP BY v")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings WHERE embedding IS NOT NULL),
+       |sc AS (SELECT a.vec_id AS qid, b.vec_id AS nid, round(${cosineSql("a.ev", "b.ev")}, 6) AS sim
+       |       FROM e0 a JOIN e0 b ON a.vec_id <> b.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM sc),
+       |g AS (SELECT qid, nid FROM r WHERE rn <= $k),
+       |m AS MATERIALIZED (SELECT g.qid AS d1, g.nid AS d2 FROM g
+       |     JOIN g g2 ON g.qid = g2.nid AND g.nid = g2.qid WHERE g.qid < g.nid),
+       |e AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM m UNION ALL SELECT d2, d1 FROM m),
+       |nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM e),
+       |f0 AS MATERIALIZED (SELECT node AS s, node AS v FROM nodes WHERE node % $seedMod = 0),
+       |vis0 AS MATERIALIZED (SELECT s, v FROM f0),
+       |$hops,
+       |contrib AS ($contribs),
+       |hsum AS (SELECT v AS node, CAST(sum(h) AS BIGINT) AS harmonic FROM contrib GROUP BY 1)
+       |SELECT n.node AS vec_id, coalesce(hs.harmonic, CAST(0 AS BIGINT)) AS harmonic
+       |FROM nodes n LEFT JOIN hsum hs USING (node) ORDER BY vec_id""".stripMargin
+  }
+
+  /** Shared CTE chain for the pattern-mining oracles, ending in
+    * `nb(n, m)` (basket count + ceil-ppm threshold), `l1(i, support)` and
+    * `l2(i1, i2, support)` — the level-wise Apriori pipeline of
+    * [[operators.Patterns.frequentItemsets]] over order×brand baskets. */
+  private def itemsetCtes(minSupPpm: Long): String =
+    s"""tx AS MATERIALIZED (SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |  WHERE l.l_orderkey IS NOT NULL AND p.p_brand IS NOT NULL),
+       |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n,
+       |  CAST(greatest((count(DISTINCT b) * $minSupPpm + 999999) // 1000000, 1) AS BIGINT) AS m
+       |  FROM tx),
+       |l1 AS MATERIALIZED (SELECT i, CAST(count(*) AS BIGINT) AS support
+       |  FROM tx GROUP BY 1 HAVING count(*) >= (SELECT m FROM nb)),
+       |tx1 AS MATERIALIZED (SELECT tx.b, tx.i FROM tx JOIN l1 USING (i)),
+       |l2 AS MATERIALIZED (SELECT a.i AS i1, c.i AS i2, CAST(count(*) AS BIGINT) AS support
+       |  FROM tx1 a JOIN tx1 c ON a.b = c.b AND a.i < c.i GROUP BY 1, 2
+       |  HAVING count(*) >= (SELECT m FROM nb))""".stripMargin
+
+  private def itemsetsSql(minSupPpm: Long): String =
+    s"""WITH ${itemsetCtes(minSupPpm)},
+       |p2 AS (SELECT a.b, a.i AS i1, c.i AS i2 FROM tx1 a
+       |  JOIN tx1 c ON a.b = c.b AND a.i < c.i
+       |  JOIN l2 ON l2.i1 = a.i AND l2.i2 = c.i),
+       |l3 AS (SELECT p2.i1, p2.i2, t.i AS i3, CAST(count(*) AS BIGINT) AS support
+       |  FROM p2 JOIN tx1 t ON t.b = p2.b AND t.i > p2.i2
+       |  JOIN l2 x ON x.i1 = p2.i2 AND x.i2 = t.i
+       |  JOIN l2 y ON y.i1 = p2.i1 AND y.i2 = t.i
+       |  GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT m FROM nb)),
+       |u AS (SELECT '' AS items, CAST(0 AS BIGINT) AS size, (SELECT n FROM nb) AS support
+       |  UNION ALL SELECT i, CAST(1 AS BIGINT), support FROM l1
+       |  UNION ALL SELECT i1 || '|' || i2, CAST(2 AS BIGINT), support FROM l2
+       |  UNION ALL SELECT i1 || '|' || i2 || '|' || i3, CAST(3 AS BIGINT), support FROM l3)
+       |SELECT items, size, support,
+       |  CAST(support * 1000000 // (SELECT n FROM nb) AS BIGINT) AS support_ppm
+       |FROM u ORDER BY size, items""".stripMargin
+
+  private def assocRulesSql(minSupPpm: Long): String =
+    s"""WITH ${itemsetCtes(minSupPpm)},
+       |b2 AS (SELECT i1 AS a, i2 AS c, support FROM l2
+       |  UNION ALL SELECT i2, i1, support FROM l2)
+       |SELECT b2.a AS antecedent, b2.c AS consequent, b2.support AS support,
+       |  CAST(b2.support * 1000000 // la.support AS BIGINT) AS confidence_ppm,
+       |  CAST(b2.support * (SELECT n FROM nb) * 1000000 // (la.support * lc.support) AS BIGINT) AS lift_ppm
+       |FROM b2 JOIN l1 la ON la.i = b2.a JOIN l1 lc ON lc.i = b2.c
+       |ORDER BY antecedent, consequent""".stripMargin
 
   /** T2 limbo downsampler as a pure DuckDB fold: per PV, `list_reduce` over
     * the time-ordered events with the WHOLE state in one VARCHAR
@@ -5991,6 +6135,40 @@ object SparkEntry {
     // The _inv twin is the identical computation over the doc_id%10 subset
     // (N and df re-derived WITHIN the subset, exactly like the operator
     // sees them).
+
+    // RAKE keyphrases: islands between stopwords (df-gate at 90% finds
+    // none in this corpus; the closed-class list does the splitting),
+    // integer degree/freq word scores summed per distinct phrase
+    "q_keyphrases" ->
+      """WITH tok AS (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |        unnest(string_split(text, ' ')) AS term
+        |      FROM documents WHERE text IS NOT NULL),
+        |t AS (SELECT * FROM tok WHERE term <> ''),
+        |d AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE text IS NOT NULL),
+        |stop AS (SELECT term FROM d CROSS JOIN n WHERE df * 100 > n * 90
+        |         UNION SELECT unnest(['the','a','an','and','or','of','to','in','is','it'])),
+        |nt AS (SELECT doc_id, pos, term,
+        |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |       FROM t WHERE term NOT IN (SELECT term FROM stop)),
+        |p AS (SELECT doc_id, grp, string_agg(term, ' ' ORDER BY pos) AS phrase,
+        |        CAST(count(*) AS BIGINT) AS n_words
+        |      FROM nt GROUP BY 1, 2),
+        |pf AS (SELECT * FROM p WHERE n_words <= 4),
+        |w AS (SELECT unnest(string_split(phrase, ' ')) AS term, n_words FROM pf),
+        |ws AS (SELECT term, CAST(sum(n_words) * 1000000 // count(*) AS BIGINT) AS wscore
+        |       FROM w GROUP BY 1),
+        |ph AS (SELECT phrase, CAST(min(n_words) AS BIGINT) AS n_words,
+        |         CAST(count(*) AS BIGINT) AS occurrences
+        |       FROM pf GROUP BY 1),
+        |sc AS (SELECT u.phrase, CAST(sum(ws.wscore) AS BIGINT) AS score_ppm
+        |       FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS term FROM ph) u
+        |       JOIN ws USING (term) GROUP BY 1)
+        |SELECT ph.phrase, ph.n_words, ph.occurrences, sc.score_ppm
+        |FROM ph JOIN sc USING (phrase)
+        |ORDER BY score_ppm DESC, occurrences DESC, phrase
+        |LIMIT 20""".stripMargin,
+
     // per-doc TF-IDF top-k keywords: the tfidf_pairs integer weighting
     // (w = tf * ((N*100) // df), df-gated) ranked per doc, ties to the term
     "q_keywords" ->
@@ -6550,6 +6728,17 @@ object SparkEntry {
     "q_pagerank" -> pageRankSql(iters = 10, k = 5, scale = 1000000000000L),
 
     "q_hits" -> hitsSql(iters = 5, k = 5, scale = 1000000000L),
+
+    // landmark harmonic centrality: 4 unrolled BFS frontiers over the
+    // mutual-kNN backbone, integer scale//hop contributions
+    "q_harmonic" -> harmonicSql(seedMod = 5L, maxHops = 4,
+      scale = 720720L, k = 5),
+
+    // level-wise Apriori over order×brand baskets (0.4% relative support):
+    // trimmed transactions, frequent-pair-pruned triples, ppm integers
+    "q_itemsets" -> itemsetsSql(minSupPpm = 4000L),
+
+    "q_assoc_rules" -> assocRulesSql(minSupPpm = 4000L),
 
     // funnel latency: the q_funnel step CTEs, then one latency frame per
     // transition; exact integer micros min/max, quantile_cont == percentile

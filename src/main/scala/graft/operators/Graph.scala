@@ -263,6 +263,151 @@ object Graph {
     (0 until nn).map(j => (nodes(j), auth(j), hub(j))).toDF("node", "auth", "hub")
   }
 
+  /** Harmonic centrality from a deterministic LANDMARK set — "how close is
+    * each node to the rest of the graph", the classic influence/coverage
+    * signal, estimated the only way it scales: BFS from pivots, not from
+    * every node (Eppstein–Wang style sampling; all-pairs BFS is O(V·E) and
+    * dead at 100 TB). Seeds are every node with `id % seedMod == 0` — a
+    * modulus, not a random draw, so the seed set is reproducible on any
+    * engine with no RNG to mirror. `seedMod = 1` gives the exact
+    * centrality.
+    *
+    * Score is integer-exact: a node reached from seed `s` at BFS distance
+    * `d ≤ maxHops` collects `scale div d`, and the default
+    * `scale = 720720 = lcm(1..16)` divides evenly for every `d ≤ 16`, so
+    * the sum is EXACTLY `scale · Σ 1/d` — no float anywhere, bit-identical
+    * across engines and shuffle orders (BFS distance is a unique minimum,
+    * so contributions don't depend on traversal order). A seed's own
+    * `d = 0` is excluded.
+    *
+    * Distributed plan per hop (maxHops-bounded BSP frontier expansion):
+    * frontier ⋈ edges (keyed on the edge source), distinct, anti-join
+    * against the visited set — three shuffles on frames bounded by
+    * |seeds| · |V|, which is why `seedMod` IS the scale knob; lineage is
+    * localCheckpoint-truncated every hop (the visited frame is referenced
+    * by every later hop). The size gate routes control-plane-sized graphs
+    * through the identical primitive-array BFS (GraphSpec pins the two
+    * paths equal).
+    *
+    * Output: `(node, harmonic)` for EVERY endpoint node (0 when no seed
+    * reaches it), node-ascending contract left to the caller.
+    */
+  def harmonicCentrality(edges: DataFrame, src: String, dst: String,
+      seedMod: Long = 1L, maxHops: Int = 6, scale: Long = 720720L,
+      maxDriverEdges: Long = 2000000L): DataFrame = {
+    require(seedMod >= 1, s"seedMod must be >= 1, got $seedMod")
+    require(maxHops >= 1 && maxHops <= 64, s"maxHops in [1,64], got $maxHops")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val e = edges
+      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .persist()
+    val nEdges = e.count()
+    if (nEdges <= maxDriverEdges && nEdges <= (Int.MaxValue / 2 - 8).toLong) {
+      try return harmonicDriver(e, seedMod, maxHops, scale)
+      finally e.unpersist(blocking = false)
+    }
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    try {
+      // pmod: the seed contract is on the VALUE, and ids may be negative
+      var frontier = nodes.where(pmod(col("node"), lit(seedMod)) === 0)
+        .select(col("node").as("s"), col("node").as("v"))
+        .localCheckpoint()
+      var visited = frontier
+      val contribs = Seq.newBuilder[DataFrame]
+      var hop = 1
+      var exhausted = frontier.isEmpty
+      while (hop <= maxHops && !exhausted) {
+        val next = frontier.join(e, frontier("v") === e("src"))
+          .select(col("s"), col("dst").as("v")).distinct()
+          .join(visited, Seq("s", "v"), "left_anti")
+          .localCheckpoint() // truncate: every later hop references visited
+        if (next.isEmpty) exhausted = true
+        else {
+          contribs += next.groupBy(col("v").as("node"))
+            .agg((count(lit(1)) * lit(scale / hop)).as("__h"))
+          visited = visited.unionByName(next).localCheckpoint()
+          frontier = next
+        }
+        hop += 1
+      }
+      val built = contribs.result()
+      val summed =
+        if (built.isEmpty) nodes.select(col("node"), lit(0L).as("__h")).limit(0)
+        else built.reduce(_ unionByName _)
+          .groupBy(col("node")).agg(sum(col("__h")).as("__h"))
+      nodes.join(summed, Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("__h"), lit(0L)).as("harmonic"))
+        .localCheckpoint()
+    } finally {
+      e.unpersist()
+      nodes.unpersist()
+    }
+  }
+
+  /** Driver half of [[harmonicCentrality]]'s size gate: per-seed BFS over
+    * the CSR out-adjacency — distances are unique minima, so this is
+    * equal to the frontier-join path by construction (GraphSpec pins it). */
+  private def harmonicDriver(e: DataFrame, seedMod: Long, maxHops: Int,
+      scale: Long): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val m = e.count().toInt
+    require(m > 0, "harmonicCentrality needs at least one edge")
+    val (ea, eb, nodes) = collectGraph(e, m)
+    val nn = nodes.length
+    def idx(v: Long): Int = java.util.Arrays.binarySearch(nodes, v)
+    // CSR out-adjacency
+    val deg = new Array[Int](nn)
+    var i = 0
+    while (i < m) { deg(idx(ea(i))) += 1; i += 1 }
+    val off = new Array[Int](nn + 1)
+    i = 0; while (i < nn) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val adj = new Array[Int](m)
+    val fill = java.util.Arrays.copyOf(off, nn)
+    i = 0
+    while (i < m) {
+      val a = idx(ea(i)); adj(fill(a)) = idx(eb(i)); fill(a) += 1; i += 1
+    }
+    val harm = new Array[Long](nn)
+    val dist = new Array[Int](nn)
+    val queue = new Array[Int](nn)
+    var s = 0
+    while (s < nn) {
+      // java % keeps the sign of the dividend; mirror pmod for negatives
+      val r = nodes(s) % seedMod
+      if ((if (r < 0) r + seedMod else r) == 0) {
+        java.util.Arrays.fill(dist, -1)
+        dist(s) = 0
+        queue(0) = s
+        var qh = 0; var qt = 1
+        while (qh < qt) {
+          val v = queue(qh); qh += 1
+          val dNext = dist(v) + 1
+          if (dNext <= maxHops) {
+            var j = off(v)
+            while (j < off(v + 1)) {
+              val w = adj(j)
+              if (dist(w) < 0) {
+                dist(w) = dNext
+                harm(w) += scale / dNext
+                queue(qt) = w; qt += 1
+              }
+              j += 1
+            }
+          }
+        }
+      }
+      s += 1
+    }
+    (0 until nn).map(j => (nodes(j), harm(j))).toDF("node", "harmonic")
+  }
+
   /** Driver half of [[labelPropagation]]'s size gate: the identical
     * majority-vote recurrence — per round, each node takes the label most
     * frequent among its in-edge sources' labels (ties to the SMALLER

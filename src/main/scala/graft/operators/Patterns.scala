@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Frequent-pattern mining over basket-shaped data.
+  *
+  * The archiver never needed market-basket analysis, but a training-data
+  * curation pipeline does: "which source/domain/tag combinations co-occur
+  * in the same document above threshold" drives mixture design, leakage
+  * review and dedup blocking keys the same way `{beer, diapers}` drove
+  * shelf layout. The algorithm is level-wise Apriori — the shape that
+  * scales, because the ANTI-MONOTONE support bound (a set's support ≤ its
+  * subsets') lets each level prune the next level's candidates BEFORE the
+  * expensive per-basket count.
+  */
+object Patterns {
+
+  /** Code width for packed itemset keys: frequent items are coded by their
+    * 1-based position in the sorted frequent vocabulary, and a pair/triple
+    * is ONE BIGINT (`c1·2^16 + c2`, `((c1·2^16)+c2)·2^16 + c3`) — shuffle
+    * keys and Apriori-prune membership tests are integer ops instead of
+    * string tuples (measured ~40% off the combo stages). Caps the frequent
+    * vocabulary at 65535 (guarded loudly) — far above any broadcastable
+    * frequent set. */
+  private val W = 65536L
+
+  /** Frequent itemsets up to size `maxSize` (≤ 3) at relative support
+    * `minSupportPpm` parts-per-million of the basket count — relative, not
+    * absolute, so the same call is meaningful at any scale factor.
+    * `minSup = ceil(nBaskets · ppm / 1e6)`, floored at 1; the basket count
+    * is a 1-row broadcast frame, NOT a driver scalar, so the whole mine is
+    * ONE Spark job with no driver action on the control path (an empty
+    * input yields an empty result instead of an error).
+    *
+    * Level-wise Apriori on a VERTICAL layout (the join formulation pays a
+    * basket-keyed self-join per level; this one never joins on the basket):
+    *  - `tx` = per-basket SORTED DISTINCT item array — presence, not
+    *    multiplicity (standard market-basket semantics) — built by ONE
+    *    corpus shuffle, persisted small (arrays, not rows);
+    *  - L1 = one distinct-count aggregate STRAIGHT from the input rows, so
+    *    it runs concurrently with the array build instead of behind it;
+    *  - transaction TRIMMING + CODING in one map-side pass: the frequent
+    *    vocabulary broadcasts back as a 1-row sorted array, every basket
+    *    array becomes the INT positions of its frequent members (infrequent
+    *    items — the Zipf tail, most of the vocabulary — vanish before any
+    *    combo is generated);
+    *  - L2 = per-basket pair combinations as packed BIGINT keys (codegen'd
+    *    array math, no join) into one count;
+    *  - L3 = triple combinations, each kept only when ALL THREE sub-pair
+    *    keys (recovered arithmetically from the packed key) are in the
+    *    broadcast frequent-pair array — the Apriori prune, evaluated
+    *    per-row BEFORE anything shuffles — then one count.
+    *
+    * Scale shape: one corpus shuffle for the arrays plus one for L1, then
+    * one count per level; combos are generated inside the scan and bounded
+    * by basket width (a `B` items/basket corpus explodes ≤ B·(B−1)/2 pair
+    * rows per basket). The broadcast frequent sets are the standard
+    * Apriori assumption: L1 is frequent-vocabulary-sized, L2
+    * threshold-bounded — for a corpus whose frequent-pair set outgrows a
+    * broadcast, raise the threshold or lower `maxSize`. Counts are exact
+    * BIGINTs, codes are positions in the SORTED vocabulary (so packed-key
+    * order = item lexicographic order), and `support_ppm = support · 1e6
+    * div nBaskets` is integer division — bit-identical on any engine.
+    *
+    * Output: `(items, size, support, support_ppm)` — `items` is the
+    * '|'-joined item list in ascending item order (each set once), `size`
+    * in 0..maxSize. Size 0 is the EMPTY itemset (`items = ''`): it occurs
+    * in every basket, so its support IS the basket count — emitted so a
+    * result frame is self-describing (downstream consumers like
+    * [[associationRulesFrom]] read the universe size from the frame
+    * instead of re-scanning the corpus).
+    */
+  def frequentItemsets(df: DataFrame, basket: String, item: String,
+      minSupportPpm: Long = 4000L, maxSize: Int = 3): DataFrame = {
+    require(minSupportPpm >= 1 && minSupportPpm <= 1000000L,
+      s"minSupportPpm in [1, 1e6], got $minSupportPpm")
+    require(maxSize >= 1 && maxSize <= 3, s"maxSize in [1,3], got $maxSize")
+    val rows = df
+      .where(col(basket).isNotNull && col(item).isNotNull)
+      .select(col(basket).as("b"), col(item).cast("string").as("i"))
+    val tx = rows.groupBy(col("b"))
+      .agg(sort_array(collect_set(col("i"))).as("__items"))
+      .persist() // ONE corpus shuffle; the threshold frame, L2 and L3 all read it
+    // 1-row broadcast threshold frame off the cached arrays (tx row count
+    // IS the distinct basket count): __n baskets, __ms = ceil-ppm support
+    val nb = tx.agg(count(lit(1)).as("__n"))
+      .select(col("__n"), greatest(
+        expr(s"(__n * ${minSupportPpm}L + 999999L) DIV 1000000L"),
+        lit(1L)).as("__ms"))
+    val ppm = expr("CAST(support * 1000000L DIV __n AS BIGINT)")
+    // the L1 distinct-count aggregates STRAIGHT from the input rows — its
+    // corpus shuffle runs concurrently with the array build, not behind it
+    val l1 = rows.groupBy(col("i"))
+      .agg(countDistinct(col("b")).as("support"))
+      .join(broadcast(nb))
+      .where(col("support") >= col("__ms"))
+      .persist() // frequent-vocabulary-sized; feeds the output AND the coder
+    val out0 = nb.select(lit("").as("items"), lit(0L).as("size"),
+      col("__n").as("support"), lit(1000000L).as("support_ppm"))
+    val out1 = out0.unionByName(
+      l1.select(col("i").as("items"), lit(1L).as("size"),
+        col("support"), ppm.as("support_ppm")))
+    if (maxSize == 1) {
+      val r = out1.localCheckpoint()
+      l1.unpersist(blocking = false)
+      tx.unpersist(blocking = false)
+      return r
+    }
+    // trim + code in one map-side pass; the width guard rides the coder
+    // (assert_true is NULL when the predicate holds — value-transparent)
+    val freq1 = l1.agg(sort_array(collect_list(col("i"))).as("__f1"))
+    val coded = tx.join(broadcast(freq1)).select(
+      when(assert_true(size(col("__f1")) < lit(W.toInt),
+        lit(s"frequentItemsets: frequent vocabulary exceeds ${W - 1} - " +
+          "raise minSupportPpm")).isNull,
+        expr("filter(transform(__items, x -> CAST(array_position(__f1, x) AS INT)), c -> c > 0)"))
+        .as("cs")) // map-side off the tx cache — recomputed per level, never shuffled
+    // packed pair keys: codes are sorted positions, so i < j already
+    // yields c_i < c_j — ascending item order by construction
+    val l2 = coded.where(size(col("cs")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, size(cs) - 2), i ->
+           |  transform(sequence(i + 1, size(cs) - 1), j ->
+           |    CAST(element_at(cs, i + 1) AS BIGINT) * $W + element_at(cs, j + 1))))""".stripMargin))
+        .as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("support"))
+      .join(broadcast(nb))
+      .where(col("support") >= col("__ms"))
+      .persist() // threshold-bounded; feeds the output AND the Apriori prune
+    val out2 = l2.join(broadcast(freq1)).select(
+      concat_ws("|",
+        element_at(col("__f1"), expr(s"CAST(pk DIV $W AS INT)")),
+        element_at(col("__f1"), expr(s"CAST(pk % $W AS INT)"))).as("items"),
+      lit(2L).as("size"), col("support"), ppm.as("support_ppm"))
+    val out12 = out1.unionByName(out2)
+    def release(): Unit = Seq(l1, tx, l2)
+      .foreach(_.unpersist(blocking = false))
+    if (maxSize == 2) {
+      val r = out12.localCheckpoint()
+      release()
+      return r
+    }
+
+    // Apriori prune per-row before the shuffle: all three sub-pair keys
+    // of a packed triple are pure arithmetic on the key
+    val freq2 = l2.agg(collect_list(col("pk")).as("__f2"))
+    val l3 = coded.where(size(col("cs")) >= 3)
+      .join(broadcast(freq2))
+      .select(explode(expr(
+        s"""flatten(flatten(transform(sequence(0, size(cs) - 3), i ->
+           |  transform(sequence(i + 1, size(cs) - 2), j ->
+           |    transform(sequence(j + 1, size(cs) - 1), k ->
+           |      (CAST(element_at(cs, i + 1) AS BIGINT) * $W + element_at(cs, j + 1)) * $W
+           |        + element_at(cs, k + 1))))))""".stripMargin)).as("tk"),
+        col("__f2"))
+      .where(
+        array_contains(col("__f2"), expr(s"tk DIV $W")) &&
+        array_contains(col("__f2"), expr(s"(tk DIV ${W * W}) * $W + tk % $W")) &&
+        array_contains(col("__f2"), expr(s"tk % ${W * W}")))
+      .groupBy(col("tk")).agg(count(lit(1)).as("support"))
+      .join(broadcast(nb))
+      .where(col("support") >= col("__ms"))
+    val out3 = l3.join(broadcast(freq1)).select(
+      concat_ws("|",
+        element_at(col("__f1"), expr(s"CAST(tk DIV ${W * W} AS INT)")),
+        element_at(col("__f1"), expr(s"CAST((tk DIV $W) % $W AS INT)")),
+        element_at(col("__f1"), expr(s"CAST(tk % $W AS INT)"))).as("items"),
+      lit(3L).as("size"), col("support"), ppm.as("support_ppm"))
+    val r = out12.unionByName(out3).localCheckpoint()
+    release()
+    r
+  }
+
+  /** Association rules from the frequent PAIRS of a [[frequentItemsets]]
+    * result (mined with `maxSize >= 2`; the universe size is read from the
+    * frame's size-0 row, so one mine feeds both surfaces with no extra
+    * corpus pass): for each frequent ordered pair `(a → b)`, integer-exact
+    * `confidence_ppm = sup(ab) · 1e6 div sup(a)` and
+    * `lift_ppm = sup(ab) · nBaskets · 1e6 div (sup(a) · sup(b))` — lift
+    * > 1e6 means co-occurrence above independence. Both orientations are
+    * emitted (confidence is directional). The rule frame is
+    * vocabulary²-bounded, never basket-bounded. Bound (guarded loudly, the
+    * [[FixedPoint]] convention): the lift numerator `sup(ab) · nBaskets ·
+    * 1e6` must stay under 2^63 — pre-aggregate baskets (e.g. count in
+    * thousands) past ~3e6 of them.
+    *
+    * Output: `(antecedent, consequent, support, confidence_ppm, lift_ppm)`.
+    */
+  def associationRulesFrom(sets: DataFrame): DataFrame = {
+    // the universe size rides the frame as the size-0 (empty) itemset
+    val nb = sets.where(col("size") === 0)
+      .select(col("support").as("__n"))
+    val l1 = sets.where(col("size") === 1)
+      .select(col("items").as("i"), col("support").as("sup1"))
+    val pairs = sets.where(col("size") === 2)
+      .select(split(col("items"), "\\|").getItem(0).as("a"),
+        split(col("items"), "\\|").getItem(1).as("c"),
+        col("support"))
+    val both = pairs.unionByName(
+      pairs.select(col("c").as("a"), col("a").as("c"), col("support")))
+    both
+      .join(broadcast(l1.withColumnRenamed("i", "a").withColumnRenamed("sup1", "supA")), Seq("a"))
+      .join(broadcast(l1.withColumnRenamed("i", "c").withColumnRenamed("sup1", "supC")), Seq("c"))
+      .join(broadcast(nb))
+      .select(col("a").as("antecedent"), col("c").as("consequent"),
+        col("support"),
+        expr("CAST(support * 1000000L DIV supA AS BIGINT)").as("confidence_ppm"),
+        when(assert_true(
+          col("support").cast("double") * col("__n").cast("double") * 1e6 < lit(4.6e18),
+          lit("associationRules overflow: support * nBaskets * 1e6 exceeds " +
+            "BIGINT - pre-aggregate baskets before mining")).isNull,
+          expr("CAST(support * __n * 1000000L DIV (supA * supC) AS BIGINT)"))
+          .as("lift_ppm"))
+  }
+
+  /** [[associationRulesFrom]] with its own pair mine — the standalone form. */
+  def associationRules(df: DataFrame, basket: String, item: String,
+      minSupportPpm: Long = 4000L): DataFrame =
+    associationRulesFrom(
+      frequentItemsets(df, basket, item, minSupportPpm, maxSize = 2))
+}

@@ -13,7 +13,9 @@ object TextAnalysis {
   /** Whitespace tokens of a single-spaced document. */
   def tokens(text: Column): Column = split(text, " ")
 
-  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+  /** The closed-class list behind [[isStopword]] — public so callers (the
+    * RAKE keyphrase query) can pass it as [[keyphrases]]' `extraStops`. */
+  val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
   def isStopword(t: Column): Column = t.isin(stopwords.map(_.asInstanceOf[Any]): _*)
 
@@ -469,6 +471,90 @@ object TextAnalysis {
         (col("tf") * expr("(__n * 100L) DIV __df")).as("weight"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
+  }
+
+  /** Corpus-level keyphrase extraction, RAKE-style (Rose et al. 2010):
+    * candidate phrases are the maximal token runs BETWEEN stopwords, and a
+    * phrase scores by the summed degree/frequency ratio of its member
+    * words — multi-word phrases whose members mostly co-occur inside
+    * phrases (high degree, low solo frequency) outrank bare frequent
+    * words. The stopword list is the same df-gate [[keywords]] uses
+    * (terms in more than `stopDfPct`% of documents), so nothing is
+    * hand-curated.
+    *
+    * Integer-exact scoring: `wordScore_ppm = degree · 1e6 div freq` where
+    * `freq` counts a word's occurrences inside candidate phrases and
+    * `degree` sums the lengths of the phrases it occurs in (the classic
+    * RAKE co-occurrence degree, diagonal included); a phrase's score is
+    * the BIGINT sum of its member scores — no floats, bit-identical on
+    * any engine. Deterministic top-k: total order (score DESC,
+    * occurrences DESC, phrase ASC) through a sort-limit, not a global
+    * window.
+    *
+    * Plan shape: one posexplode of the corpus into a (doc, pos, term)
+    * frame; the df-gate is a vocab-sized agg broadcast back as one sorted
+    * array; islands come from ONE doc-keyed window (sort is doc-local);
+    * phrases from one (doc, island)-keyed agg; word stats from one
+    * term-keyed agg joined back term-keyed. Nothing global until the
+    * final k-row sort-limit.
+    *
+    * Output: `(phrase, n_words, occurrences, score_ppm)`, the top `k`.
+    */
+  def keyphrases(df: DataFrame, id: String, text: String, k: Int = 20,
+      stopDfPct: Int = 60, maxPhraseLen: Int = 4,
+      extraStops: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(stopDfPct >= 1 && stopDfPct <= 100, s"stopDfPct in [1,100], got $stopDfPct")
+    require(maxPhraseLen >= 1, s"maxPhraseLen must be >= 1, got $maxPhraseLen")
+    val toks = df.where(col(text).isNotNull)
+      .select(col(id).as("doc"), posexplode(tokens(col(text))).as(Seq("pos", "term")))
+      .where(col("term") =!= "")
+    val dfreq = toks.select(col("doc"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val nDocs = df.where(col(text).isNotNull).agg(count(lit(1)).as("__n"))
+    // the stopword list: ubiquitous terms ∪ the explicit list, broadcast
+    // as ONE sorted array
+    val stops = dfreq.join(broadcast(nDocs))
+      .where(col("__df") * 100 > col("__n") * stopDfPct)
+      .agg(sort_array(array_union(collect_list(col("term")),
+        typedLit(extraStops))).as("__stop"))
+    // gaps-and-islands: consecutive non-stop positions share (pos - rn)
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val members = toks.join(broadcast(stops))
+      .where(not(array_contains(col("__stop"), col("term"))))
+      .select(col("doc"), col("pos"), col("term"),
+        (col("pos") - row_number().over(w)).as("grp"))
+    val phrases = members
+      .groupBy(col("doc"), col("grp"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("term")))).as("__m"))
+      .select(concat_ws(" ", expr("transform(__m, m -> m.term)")).as("phrase"),
+        size(col("__m")).cast("long").as("n_words"))
+      .where(col("n_words") <= maxPhraseLen)
+      .persist() // three consumers (ph, word stats, scoring) — ONE corpus pass
+    // RAKE word stats over phrase members: freq = occurrences, degree =
+    // summed length of containing phrases (diagonal included)
+    val wordStats = phrases
+      .select(explode(split(col("phrase"), " ")).as("term"), col("n_words"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("__freq"), sum(col("n_words")).as("__deg"))
+      .select(col("term"),
+        expr("__deg * 1000000L DIV __freq").as("__wscore"))
+    val ph = phrases.groupBy(col("phrase"))
+      .agg(first(col("n_words")).as("n_words"), count(lit(1)).as("occurrences"))
+    // score each DISTINCT phrase once: explode its members, join the word
+    // scores term-keyed, sum — a repeated word contributes per instance
+    // (the RAKE contract)
+    val scored = ph.select(col("phrase"), explode(split(col("phrase"), " ")).as("term"))
+      .join(wordStats, Seq("term"))
+      .groupBy(col("phrase")).agg(sum(col("__wscore")).as("score_ppm"))
+    val r = ph.join(scored, Seq("phrase"))
+      .select(col("phrase"), col("n_words"), col("occurrences"), col("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("occurrences").desc, col("phrase"))
+      .limit(k)
+      .localCheckpoint() // k rows; materialize so the persist can release
+    phrases.unpersist(blocking = false)
+    r
   }
 
   /** Source-vocabulary similarity: cosine between the token-frequency

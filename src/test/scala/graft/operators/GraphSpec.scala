@@ -315,6 +315,57 @@ class GraphSpec extends SparkSpec {
     assert(driver == dist)
   }
 
+  test("harmonicCentrality: hand-computed path graph, hop cap, seed exclusion") {
+    val sp = spark
+    import sp.implicits._
+    // directed path 0 -> 1 -> 2 -> 3 -> 4, seeds = every node (seedMod 1),
+    // scale 720720. d(s,v) = v - s for s < v, unreachable otherwise.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val S = 720720L
+    def exp(maxHops: Int): Map[Long, Long] =
+      (0L to 4L).map(v => v -> (1L to math.min(v, maxHops.toLong))
+        .map(d => S / d).sum).toMap
+    for (cap <- Seq(1, 2, 6)) {
+      val got = Graph.harmonicCentrality(edges, "src", "dst",
+          seedMod = 1L, maxHops = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == exp(cap), s"maxHops=$cap")
+    }
+  }
+
+  test("harmonicCentrality: seedMod selects landmarks only") {
+    val sp = spark
+    import sp.implicits._
+    // undirected 3-star around node 10 (both orientations); seeds = ids %2==0
+    val half = Seq((10L, 1L), (10L, 2L), (10L, 4L))
+    val edges = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val S = 720720L
+    val got = Graph.harmonicCentrality(edges, "src", "dst",
+        seedMod = 2L, maxHops = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // seeds: 10, 2, 4. center 10: d=1 from 2 and 4 -> 2S. leaf 1: d=1 from
+    // 10, d=2 from 2 and 4 -> S + 2*(S/2) = 2S. leaf 2: d=1 from 10, d=2
+    // from 4 -> S + S/2 (seed 2 itself excluded); leaf 4 symmetric.
+    assert(got == Map(10L -> 2 * S, 1L -> 2 * S,
+      2L -> (S + S / 2), 4L -> (S + S / 2)))
+  }
+
+  test("harmonicCentrality size gate: driver BFS == distributed frontier") {
+    val sp = spark
+    import sp.implicits._
+    val edges = (0L until 150L).flatMap(i =>
+      Seq((i, (i * 11 + 2) % 150), (i, (i * 17 + 5) % 150)))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("node")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toList
+    val driver = rows(Graph.harmonicCentrality(edges, "src", "dst",
+      seedMod = 3L, maxHops = 4))
+    val dist = rows(Graph.harmonicCentrality(edges, "src", "dst",
+      seedMod = 3L, maxHops = 4, maxDriverEdges = 0L))
+    assert(driver == dist)
+  }
+
   test("assortativity: star is disassortative, regular ring undefined") {
     val sp = spark
     import sp.implicits._

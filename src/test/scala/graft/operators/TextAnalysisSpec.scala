@@ -328,6 +328,49 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("keyphrases: RAKE islands between df-gated stopwords, integer degree/freq") {
+    val sp = spark
+    import sp.implicits._
+    // 'the' is in all 4 docs -> the only stopword at the 80% gate; phrases
+    // are the maximal non-stop runs
+    val df = Seq(
+      (1L, "the quick brown fox the lazy dog"),
+      (2L, "the quick brown fox jumps"),
+      (3L, "a the brown fox"),
+      (4L, "the lazy dog"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.keyphrases(df, "doc_id", "text", k = 4, stopDfPct = 80)
+      .collect()
+      .map(r => (r.getAs[String]("phrase"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("occurrences"), r.getAs[Long]("score_ppm")))
+      .toList
+    // word (freq, degree): quick (2,7) 3.5; brown (3,9) 3.0; fox (3,9) 3.0;
+    // jumps (1,4) 4.0; lazy (2,4) 2.0; dog (2,4) 2.0; a (1,1) 1.0
+    assert(got == List(
+      ("quick brown fox jumps", 4L, 1L, 13500000L),
+      ("quick brown fox", 3L, 1L, 9500000L),
+      ("brown fox", 2L, 1L, 6000000L),
+      ("lazy dog", 2L, 2L, 4000000L)))
+  }
+
+  test("keyphrases: maxPhraseLen drops over-long runs; k caps the output") {
+    val sp = spark
+    import sp.implicits._
+    // 4 docs so the 60% df-gate stops only 'the' (df 4); 'short'/'run'
+    // (df 2) stay content words
+    val df = Seq(
+      (1L, "the one two three four five the short run"),
+      (2L, "the short run"),
+      (3L, "the x"),
+      (4L, "the y"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.keyphrases(df, "doc_id", "text", k = 1,
+        stopDfPct = 60, maxPhraseLen = 4)
+      .collect().map(r => r.getAs[String]("phrase")).toList
+    // the 5-token run is dropped entirely; 'short run' (occ 2) remains
+    assert(got == List("short run"))
+  }
+
   test("groupVocabCosine: identical vocab -> 1, disjoint -> no pair, partial overlap in between") {
     val sp = spark
     import sp.implicits._

@@ -95,7 +95,21 @@ class PlanLintSurfaceSpec extends SparkSpec {
     // q_unimax_budget: packed-row array math — no windows, no totals join
     ("q_vocab_shift", "nested-loop-join") -> 1,
     ("q_weighted_sample", "nested-loop-join") -> 1,
-    ("q_zorder", "nested-loop-join") -> 1)
+    ("q_zorder", "nested-loop-join") -> 1,
+    // r8 additions (reviewed):
+    // q_keywords: 1-row corpus-size (N) broadcast into the tf-idf weights
+    ("q_keywords", "nested-loop-join") -> 1,
+    // q_keyphrases: the k-row top-phrase localCheckpoint (the operator
+    // persists the phrase frame for its three consumers and materializes
+    // the k-row result so the persist can release)
+    ("q_keyphrases", "driver-materialized-input") -> 1,
+    // q_itemsets / q_assoc_rules: both read the _shared_itemsets memo —
+    // an itemset-count-sized localCheckpoint (the knnGraph5 pattern);
+    // rules scan it five times (L1 twice, both pair orientations, the
+    // size-0 universe row) and broadcast the 1-row universe into lift
+    ("q_itemsets", "driver-materialized-input") -> 1,
+    ("q_assoc_rules", "driver-materialized-input") -> 5,
+    ("q_assoc_rules", "nested-loop-join") -> 1)
 
   test("every registered query lints clean modulo the reviewed allowlist") {
     val dir = "/root/testdata/sf0.001"
