@@ -1936,6 +1936,14 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- integer-exact Lloyd k-means over the embedding corpus:
+    // deterministic smallest-id init, BIGINT distances, integer means ------
+    "q_kmeans" -> ((s, dir) => {
+      Similarity.kmeans(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 8, iters = 5)
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- landmark harmonic centrality over the mutual-kNN backbone:
     // "which vectors sit closest to the whole corpus" — integer-exact BFS
     // contributions (scale = lcm(1..16)), seeds a deterministic modulus ----
@@ -3686,6 +3694,45 @@ object SparkEntry {
        |hsum AS (SELECT v AS node, CAST(sum(h) AS BIGINT) AS harmonic FROM contrib GROUP BY 1)
        |SELECT n.node AS vec_id, coalesce(hs.harmonic, CAST(0 AS BIGINT)) AS harmonic
        |FROM nodes n LEFT JOIN hsum hs USING (node) ORDER BY vec_id""".stripMargin
+  }
+
+  /** DuckDB mirror of [[operators.Similarity.kmeans]]: `iters` unrolled
+    * Lloyd rounds over the 1e-6-quantized integer coordinates — per round
+    * one k-way cross join scoring exact BIGINT squared distances (ties to
+    * the smaller centroid id) and one flooring `//` mean per (cid, dim) —
+    * plus the final assignment. Init is the `k` smallest-id vectors, so
+    * both engines start identically; empty clusters keep their previous
+    * centroid via the LEFT JOIN coalesce.
+    */
+  private def kmeansSql(k: Int, iters: Int): String = {
+    val rounds = (1 to iters + 1).map { i =>
+      val assign =
+        s"""s$i AS (SELECT q.vid, q.qv, c.cid,
+           |    CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+           |      j -> (q.qv[j] - c.cv[j]) * (q.qv[j] - c.cv[j]))) AS BIGINT) AS d
+           |  FROM q CROSS JOIN c${i - 1} c),
+           |a$i AS MATERIALIZED (SELECT vid, qv, cid, d FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn FROM s$i)
+           |  WHERE rn = 1)""".stripMargin
+      if (i <= iters)
+        assign + ",\n" +
+          s"""m$i AS (SELECT cid, j,
+             |    CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS v
+             |  FROM (SELECT a.cid, generate_subscripts(a.qv, 1) AS j, unnest(a.qv) AS x
+             |        FROM a$i a) GROUP BY 1, 2),
+             |c$i AS MATERIALIZED (SELECT p.cid, coalesce(m.cv, p.cv) AS cv
+             |  FROM c${i - 1} p LEFT JOIN
+             |    (SELECT cid, list(v ORDER BY j) AS cv FROM m$i GROUP BY cid) m USING (cid))""".stripMargin
+      else assign
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (SELECT vec_id AS vid,
+       |    list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000000.0) AS BIGINT)) AS qv
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vid) - 1 AS BIGINT) AS cid, qv AS cv
+       |  FROM (SELECT vid, qv FROM q ORDER BY vid LIMIT $k)),
+       |$rounds
+       |SELECT vid AS vec_id, cid AS cluster, d AS dist2
+       |FROM a${iters + 1} ORDER BY vec_id""".stripMargin
   }
 
   /** Shared CTE chain for the pattern-mining oracles, ending in
@@ -6733,6 +6780,8 @@ object SparkEntry {
     // mutual-kNN backbone, integer scale//hop contributions
     "q_harmonic" -> harmonicSql(seedMod = 5L, maxHops = 4,
       scale = 720720L, k = 5),
+
+    "q_kmeans" -> kmeansSql(k = 8, iters = 5),
 
     // level-wise Apriori over order×brand baskets (0.4% relative support):
     // trimmed transactions, frequent-pair-pruned triples, ppm integers

@@ -1853,4 +1853,88 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("__r")))).as("__sv"))
       .select(col(id), expr("transform(__sv, s -> s.__r)").as("recon"))
   }
+
+  /** Integer-exact Lloyd k-means over the embedding corpus — the
+    * clustering primitive behind IVF index training, diversity sampling
+    * and topic bucketing, surfaced as a first-class operator with a FIXED
+    * iteration count so two engines can replay it bit-for-bit.
+    *
+    * Everything is integers: coordinates quantize to the `quantum` grid as
+    * BIGINTs once up front, an assignment distance is the exact integer
+    * sum of squared coordinate deltas (assert-guarded non-negative — a
+    * wrapped overflow flips the sign and THROWS rather than mis-clusters;
+    * bound `dims · (max|x|/quantum)² < 2^63`), ties break to the SMALLER
+    * centroid id, and a new centroid coordinate is the TRUNCATING integer
+    * mean `Σq / n` (toward zero — what DuckDB's `//` and Spark's `DIV`
+    * both do on integers; a floor-division mirror is off by one on every
+    * negative inexact mean), so every centroid stays on the integer grid.
+    * Init is the `k` smallest-id vectors — a modulus-free deterministic
+    * seed, no RNG to mirror. An emptied cluster keeps
+    * its previous centroid.
+    *
+    * Plan shape per iteration: the k×d centroid table is a LITERAL in the
+    * assignment expression (pure map-side codegen over the persisted
+    * quantized corpus — no join, no shuffle), and the update is ONE
+    * map-side-combinable (cid, dim)-keyed sum whose k·d result rows come
+    * back to the driver (control-plane sized, the [[graft.operators.Graph]]
+    * loop convention). Total: `iters` corpus passes, one shuffle each.
+    *
+    * Output: `(vec_id, cluster, dist2)` — final assignment and its exact
+    * squared distance on the quantum grid.
+    */
+  def kmeans(df: DataFrame, id: String, vec: String, k: Int = 8,
+      iters: Int = 5, quantum: Double = 1e-6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(quantum > 0, s"quantum must be positive, got $quantum")
+    val invQ = 1.0 / quantum
+    val q = df.where(col(vec).isNotNull)
+      .select(col(id).cast("long").as("vid"), expr(
+        s"transform(CAST($vec AS ARRAY<DOUBLE>), x -> CAST(round(x * ${invQ}D) AS BIGINT))")
+        .as("qv"))
+      .persist()
+    try {
+      val init = q.orderBy(col("vid")).limit(k)
+        .select(col("qv")).collect().map(_.getSeq[Long](0).toArray)
+      require(init.nonEmpty, "kmeans needs at least one vector")
+      var cents: Array[Array[Long]] = init
+      def assigned(c: Array[Array[Long]]): DataFrame = {
+        val centsLit = typedlit(c.map(_.toSeq).toSeq)
+        val best = array_min(transform(
+          sequence(lit(0), lit(c.length - 1)),
+          ci => struct(
+            aggregate(
+              zip_with(col("qv"), element_at(centsLit, ci + lit(1)),
+                (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x).as("d"),
+            ci.cast("long").as("cid"))))
+        q.select(col("vid"), col("qv"),
+          when(assert_true(best.getField("d") >= 0,
+            lit("kmeans overflow: dims * (max|x|/quantum)^2 exceeds BIGINT " +
+              "- coarsen `quantum`")).isNull, best.getField("cid")).as("cid"),
+          best.getField("d").as("dist2"))
+      }
+      for (_ <- 1 to iters) {
+        val stats = assigned(cents)
+          .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
+          .groupBy(col("cid"), col("dim"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = cents.map(_.clone())
+        stats.groupBy(_.getLong(0)).foreach { case (cid, rows) =>
+          rows.foreach { r =>
+            // plain long division truncates toward zero — DuckDB's `//`
+            // semantics on integers (floorDiv would drift one low on
+            // negative inexact means; caught by the r8 oracle bisect)
+            next(cid.toInt)(r.getInt(1)) = r.getLong(2) / r.getLong(3)
+          }
+        }
+        cents = next
+      }
+      assigned(cents)
+        .select(col("vid").as("vec_id"), col("cid").as("cluster"),
+          col("dist2"))
+        .localCheckpoint()
+    } finally q.unpersist(blocking = false)
+  }
 }

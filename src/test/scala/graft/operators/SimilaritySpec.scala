@@ -680,4 +680,43 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("kmeans: 1-D two-cluster fixture converges to the hand-computed split") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (0L, Seq(0.0f)), (1L, Seq(0.001f)), (2L, Seq(1.0f)), (3L, Seq(1.001f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeans(df, "vec_id", "embedding", k = 2, iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // stable split {0,1} vs {2,3}; final centroids 500 / 1000500 on the
+    // 1e-6 grid -> every point sits 500 quanta (250000 squared) away
+    assert(got == Set(
+      (0L, 0L, 250000L), (1L, 0L, 250000L),
+      (2L, 1L, 250000L), (3L, 1L, 250000L)))
+  }
+
+  test("kmeans: equidistant point breaks ties to the smaller centroid id") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((0L, Seq(0.0f)), (1L, Seq(2.0f)), (2L, Seq(1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeans(df, "vec_id", "embedding", k = 2, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // init c0=[0], c1=[2e6]; the tie at [1e6] goes to cid 0, so the one
+    // update moves c0 to floor((0 + 1e6)/2) = 500000
+    assert(got == Set(
+      (0L, 0L, 250000000000L), (1L, 1L, 0L), (2L, 0L, 250000000000L)))
+  }
+
+  test("kmeans: negative coordinate means stay exact on the grid") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((0L, Seq(-1.0f)), (1L, Seq(-1.001f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeans(df, "vec_id", "embedding", k = 1, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // mean of (-1000000, -1001000) divides exactly to -1000500
+    assert(got == Set((0L, 0L, 250000L), (1L, 0L, 250000L)))
+  }
 }

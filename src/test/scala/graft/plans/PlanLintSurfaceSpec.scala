@@ -109,7 +109,11 @@ class PlanLintSurfaceSpec extends SparkSpec {
     // size-0 universe row) and broadcast the 1-row universe into lift
     ("q_itemsets", "driver-materialized-input") -> 1,
     ("q_assoc_rules", "driver-materialized-input") -> 5,
-    ("q_assoc_rules", "nested-loop-join") -> 1)
+    ("q_assoc_rules", "nested-loop-join") -> 1,
+    // q_kmeans: the corpus-sized final-assignment localCheckpoint — the
+    // iterative-loop convention (centroids are literals in the assignment
+    // expression, so the registered plan has no joins at all)
+    ("q_kmeans", "driver-materialized-input") -> 1)
 
   test("every registered query lints clean modulo the reviewed allowlist") {
     val dir = "/root/testdata/sf0.001"
