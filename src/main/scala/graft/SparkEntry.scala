@@ -1936,6 +1936,14 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- deterministic DBSCAN over cosine similarity: density family
+    // (kmeans is the centroid family); min-label border attachment --------
+    "q_dbscan" -> ((s, dir) => {
+      Similarity.dbscan(Tables.embeddings(s, dir), "vec_id", "embedding",
+        simEps = 0.35, minPts = 4)
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- integer-exact Lloyd k-means over the embedding corpus:
     // deterministic smallest-id init, BIGINT distances, integer means ------
     "q_kmeans" -> ((s, dir) => {
@@ -6782,6 +6790,38 @@ object SparkEntry {
       scale = 720720L, k = 5),
 
     "q_kmeans" -> kmeansSql(k = 8, iters = 5),
+
+    // DBSCAN: round6-cosine eps-pairs, degree+1 core test, recursive-CTE
+    // components over core-core edges (min reachable id), min-label border
+    "q_dbscan" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings WHERE embedding IS NOT NULL),
+         |p AS MATERIALIZED (SELECT a.vec_id AS d1, b.vec_id AS d2
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE round(${cosineSql("a.ev", "b.ev")}, 6) >= 0.35),
+         |deg AS (SELECT n AS vid, CAST(count(*) AS BIGINT) AS dg
+         |        FROM (SELECT d1 AS n FROM p UNION ALL SELECT d2 FROM p) GROUP BY 1),
+         |core AS MATERIALIZED (SELECT vid FROM deg WHERE dg + 1 >= 4),
+         |ce AS MATERIALIZED (SELECT p.d1, p.d2 FROM p
+         |  JOIN core c1 ON p.d1 = c1.vid JOIN core c2 ON p.d2 = c2.vid),
+         |eu AS (SELECT d1 AS a, d2 AS b FROM ce UNION SELECT d2, d1 FROM ce),
+         |reach(a, b) AS (SELECT a, b FROM eu
+         |  UNION SELECT r.a, e2.b FROM reach r JOIN eu e2 ON r.b = e2.a),
+         |comp AS (SELECT a AS vid, least(a, min(b)) AS component FROM reach GROUP BY a),
+         |cl AS MATERIALIZED (SELECT c.vid, coalesce(comp.component, c.vid) AS cluster
+         |      FROM core c LEFT JOIN comp ON c.vid = comp.vid),
+         |adj AS (SELECT d1 AS vid, d2 AS nb FROM p UNION ALL SELECT d2, d1 FROM p),
+         |bord AS (SELECT adj.vid, CAST(min(cl.cluster) AS BIGINT) AS cluster
+         |         FROM adj JOIN cl ON adj.nb = cl.vid
+         |         WHERE adj.vid NOT IN (SELECT vid FROM cl)
+         |         GROUP BY 1)
+         |SELECT e.vec_id,
+         |  CASE WHEN cl.vid IS NOT NULL THEN 'core'
+         |       WHEN bord.vid IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
+         |  CAST(coalesce(cl.cluster, bord.cluster, -1) AS BIGINT) AS cluster
+         |FROM e LEFT JOIN cl ON e.vec_id = cl.vid LEFT JOIN bord ON e.vec_id = bord.vid
+         |ORDER BY vec_id""".stripMargin,
+
+
 
     // level-wise Apriori over order×brand baskets (0.4% relative support):
     // trimmed transactions, frequent-pair-pruned triples, ppm integers

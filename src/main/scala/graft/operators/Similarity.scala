@@ -1937,4 +1937,75 @@ object Similarity {
         .localCheckpoint()
     } finally q.unpersist(blocking = false)
   }
+
+  /** Deterministic DBSCAN over cosine similarity — the DENSITY clustering
+    * family ([[kmeans]] is the centroid family): a vector is CORE when at
+    * least `minPts` vectors (itself included) sit at `round6` cosine ≥
+    * `simEps`; clusters are the connected components of the core-core
+    * eps-graph; a non-core vector with a core neighbor is a BORDER point
+    * of that cluster; everything else is NOISE. Classic DBSCAN leaves a
+    * border point's cluster scan-order-dependent — here it joins the
+    * MINIMUM-labeled core neighbor, and a cluster's label is the minimum
+    * core id it contains (the [[graft.operators.Dedup.connectedComponents]]
+    * contract), so the result is a pure function of the data.
+    *
+    * Scale shape: the eps-pair list comes from [[cosinePairs]] under
+    * `maxBroadcastRows` and the block-partitioned [[cosinePairsBlocked]]
+    * sweep beyond it (identical output, spec-pinned); degrees and the
+    * border attachment are one keyed agg + one keyed join over the
+    * thresholded pair list — which density clustering keeps SPARSE by
+    * construction; components run through the size-gated union-find.
+    *
+    * Output: `(vec_id, role, cluster)` — role in {core, border, noise},
+    * cluster = -1 for noise.
+    */
+  def dbscan(df: DataFrame, id: String, vec: String, simEps: Double,
+      minPts: Int, maxBroadcastRows: Long = 200000L): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val pts = df.where(col(vec).isNotNull)
+      .select(col(id).cast("long").as("vid"))
+    val nRows = pts.count()
+    val pairs = (if (nRows <= maxBroadcastRows)
+        cosinePairs(df, id, vec, simEps)
+      else cosinePairsBlocked(df, id, vec, simEps))
+      .select(col("d1"), col("d2"))
+      .persist()
+    try {
+      val deg = pairs.select(col("d1").as("vid"))
+        .unionByName(pairs.select(col("d2").as("vid")))
+        .groupBy(col("vid")).agg(count(lit(1)).as("__deg"))
+      val core = deg.where(col("__deg") + 1 >= minPts).select(col("vid"))
+        .persist()
+      val coreEdges = pairs
+        .join(core.select(col("vid").as("d1")), Seq("d1"), "left_semi")
+        .join(core.select(col("vid").as("d2")), Seq("d2"), "left_semi")
+      // component label = min reachable core id; an edgeless core point is
+      // its own singleton cluster
+      val comp = Dedup.connectedComponents(coreEdges.select(col("d1"), col("d2")), "d1", "d2")
+        .select(col("doc").as("vid"), col("component"))
+      val coreLabeled = core.join(comp, Seq("vid"), "left_outer")
+        .select(col("vid"), coalesce(col("component"), col("vid")).as("cluster"))
+        .persist()
+      // border: non-core touching a core neighbor -> that neighbor's
+      // minimum cluster label
+      val adj = pairs.select(col("d1").as("vid"), col("d2").as("nb"))
+        .unionByName(pairs.select(col("d2").as("vid"), col("d1").as("nb")))
+      val border = adj
+        .join(coreLabeled.select(col("vid")), Seq("vid"), "left_anti")
+        .join(coreLabeled.select(col("vid").as("nb"), col("cluster")), Seq("nb"))
+        .groupBy(col("vid")).agg(min(col("cluster")).as("cluster"))
+      val out = pts
+        .join(coreLabeled.withColumnRenamed("cluster", "__cc"), Seq("vid"), "left_outer")
+        .join(border.withColumnRenamed("cluster", "__bc"), Seq("vid"), "left_outer")
+        .select(col("vid").as("vec_id"),
+          when(col("__cc").isNotNull, lit("core"))
+            .when(col("__bc").isNotNull, lit("border"))
+            .otherwise(lit("noise")).as("role"),
+          coalesce(col("__cc"), col("__bc"), lit(-1L)).as("cluster"))
+        .localCheckpoint()
+      coreLabeled.unpersist(blocking = false)
+      core.unpersist(blocking = false)
+      out
+    } finally pairs.unpersist(blocking = false)
+  }
 }

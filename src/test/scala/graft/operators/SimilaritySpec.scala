@@ -719,4 +719,43 @@ class SimilaritySpec extends SparkSpec {
     // mean of (-1000000, -1001000) divides exactly to -1000500
     assert(got == Set((0L, 0L, 250000L), (1L, 0L, 250000L)))
   }
+
+  test("dbscan: core/border/noise on an angular fixture; min-label determinism") {
+    val sp = spark
+    import sp.implicits._
+    def at(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // simEps 0.9 ~= 25.8 degrees. 0/10/20 deg: mutually dense -> all core
+    // (cluster = min id 0). 40 deg: only neighbor is 20 deg -> border of
+    // cluster 0. 90/100 deg: a lone pair (2 < minPts) with no core
+    // neighbor -> noise. 180 deg: isolated noise.
+    val df = Seq(
+      (0L, at(0)), (1L, at(10)), (2L, at(20)), (5L, at(40)),
+      (3L, at(90)), (4L, at(100)), (6L, at(180)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.dbscan(df, "vec_id", "embedding",
+        simEps = 0.9, minPts = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (0L, "core", 0L), (1L, "core", 0L), (2L, "core", 0L),
+      (5L, "border", 0L),
+      (3L, "noise", -1L), (4L, "noise", -1L), (6L, "noise", -1L)))
+  }
+
+  test("dbscan: broadcast and blocked pair paths agree") {
+    val sp = spark
+    import sp.implicits._
+    val df = (0L until 60L).map { i =>
+      (i, Seq(math.cos(i * 0.1).toFloat, math.sin(i * 0.1).toFloat,
+        (i % 7).toFloat / 7f))
+    }.toDF("vec_id", "embedding")
+    def rows(maxRows: Long) =
+      Similarity.dbscan(df, "vec_id", "embedding", simEps = 0.95,
+          minPts = 4, maxBroadcastRows = maxRows)
+        .orderBy(col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
+    assert(rows(200000L) == rows(0L))
+  }
 }

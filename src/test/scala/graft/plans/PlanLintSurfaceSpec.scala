@@ -113,7 +113,10 @@ class PlanLintSurfaceSpec extends SparkSpec {
     // q_kmeans: the corpus-sized final-assignment localCheckpoint — the
     // iterative-loop convention (centroids are literals in the assignment
     // expression, so the registered plan has no joins at all)
-    ("q_kmeans", "driver-materialized-input") -> 1)
+    ("q_kmeans", "driver-materialized-input") -> 1,
+    // q_dbscan: the corpus-sized role/cluster localCheckpoint (the same
+    // convention; the component loop's union-find gate sits inside it)
+    ("q_dbscan", "driver-materialized-input") -> 1)
 
   test("every registered query lints clean modulo the reviewed allowlist") {
     val dir = "/root/testdata/sf0.001"
