@@ -1936,6 +1936,14 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- offline change-point detection: binary segmentation with the
+    // integer CUSUM mean-shift statistic (depth 2, earliest-tie splits) ---
+    "q_cpd" -> ((s, dir) => {
+      TimeSeries.changePoints(events(s, dir), "event_type", "ts_us", "value",
+        minSeg = 100, depth = 2, quantum = 1e-3)
+        .orderBy(col("key"), col("level"), col("split_rn"))
+    }),
+
     // ---- deterministic DBSCAN over cosine similarity: density family
     // (kmeans is the centroid family); min-label border attachment --------
     "q_dbscan" -> ((s, dir) => {
@@ -3741,6 +3749,51 @@ object SparkEntry {
        |$rounds
        |SELECT vid AS vec_id, cid AS cluster, d AS dist2
        |FROM a${iters + 1} ORDER BY vec_id""".stripMargin
+  }
+
+
+  /** DuckDB mirror of [[operators.TimeSeries.changePoints]]: `depth`
+    * unrolled binary-segmentation levels over one (rank, prefix-sum)
+    * window frame — per level a segment-bound lookup, the integer CUSUM
+    * gain `|Sl·nr − Sr·nl|`, an argmax with (gain DESC, rn) ties, and the
+    * ≥ 2·minSeg halves carried to the next level. All BIGINT.
+    */
+  private def cpdSql(minSeg: Int, depth: Int, scale: Long): String = {
+    val levels = (0 until depth).map { l =>
+      val segDef =
+        if (l == 0)
+          s"""seg0 AS (SELECT k, CAST(1 AS BIGINT) AS a, CAST(count(*) AS BIGINT) AS b
+             |  FROM base GROUP BY 1)""".stripMargin
+        else
+          s"""seg$l AS (SELECT k, a, rn AS b FROM sp${l - 1} WHERE rn - a + 1 >= ${2 * minSeg}
+             |  UNION ALL SELECT k, rn + 1, b FROM sp${l - 1} WHERE b - rn >= ${2 * minSeg})""".stripMargin
+      segDef + ",\n" +
+        s"""w$l AS (SELECT s.k, s.a, s.b, coalesce(x.P, 0) AS Pa, y.P AS Pb
+           |  FROM seg$l s LEFT JOIN base x ON x.k = s.k AND x.rn = s.a - 1
+           |  JOIN base y ON y.k = s.k AND y.rn = s.b),
+           |c$l AS (SELECT w.k, w.a, w.b, b.rn, b.t,
+           |    abs((b.P - w.Pa) * (w.b - b.rn) - (w.Pb - b.P) * (b.rn - w.a + 1)) AS gain
+           |  FROM w$l w JOIN base b ON b.k = w.k
+           |    AND b.rn >= w.a + ${minSeg - 1} AND b.rn <= w.b - $minSeg),
+           |sp$l AS MATERIALIZED (SELECT k, a, b, rn, t, gain FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY k, a, b ORDER BY gain DESC, rn) AS r
+           |    FROM c$l) WHERE r = 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (0 until depth).map(l =>
+      s"SELECT k AS key, CAST($l AS BIGINT) AS level, rn AS split_rn, t AS split_ts, CAST(gain AS BIGINT) AS gain FROM sp$l")
+      .mkString("\n  UNION ALL ")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT k, t, q,
+       |    CAST(row_number() OVER (PARTITION BY k ORDER BY t, q) AS BIGINT) AS rn,
+       |    CAST(sum(q) OVER (PARTITION BY k ORDER BY t, q ROWS UNBOUNDED PRECEDING) AS BIGINT) AS P
+       |  FROM (SELECT event_type AS k, epoch_us(ts) AS t,
+       |          CAST(round(CAST(value AS DOUBLE) * ${scale}.0) AS BIGINT) AS q
+       |        FROM events
+       |        WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL)),
+       |$levels,
+       |u AS ($out)
+       |SELECT key, level, split_rn, split_ts, gain FROM u
+       |ORDER BY key, level, split_rn""".stripMargin
   }
 
   /** Shared CTE chain for the pattern-mining oracles, ending in
@@ -6790,6 +6843,9 @@ object SparkEntry {
       scale = 720720L, k = 5),
 
     "q_kmeans" -> kmeansSql(k = 8, iters = 5),
+
+    // change-point detection: the cpdSql unrolled binary segmentation
+    "q_cpd" -> cpdSql(minSeg = 100, depth = 2, scale = 1000L),
 
     // DBSCAN: round6-cosine eps-pairs, degree+1 core test, recursive-CTE
     // components over core-core edges (min reachable id), min-label border

@@ -1443,4 +1443,90 @@ object TimeSeries {
         .as("psi"))
       .orderBy(col(key), col("period"))
   }
+
+  /** Offline change-point detection: binary segmentation with the
+    * integer-exact CUSUM mean-shift statistic. Per key, the series is
+    * split where `gain = |Sl·nr − Sr·nl|` peaks (that is
+    * `nl·nr·|meanL − meanR|` scaled to stay integral — the classic
+    * max-mean-shift criterion with no division), then each half recurses
+    * to `depth` levels. Everything is BIGINT on the `quantum` grid
+    * (prefix sums of quantized values), ties break to the EARLIEST
+    * split, and the total order inside a key is `(ts, q)` — so the
+    * result is bit-identical on any engine and shuffle order. `minSeg`
+    * keeps both sides of every split at a minimum length (a 1-point
+    * "segment" always wins raw CUSUM on noise).
+    *
+    * Overflow bound (guarded loudly, the [[FixedPoint]] convention):
+    * `max|prefix sum| · n < 2^63` per key — coarsen `quantum` for very
+    * long or large-valued series.
+    *
+    * Plan shape: ONE key-local window pass builds (rank, prefix sum);
+    * each level is a segment-frame join (segments ≤ 2^level per key —
+    * control-plane sized) + one (key, segment)-keyed argmax window over
+    * the candidate rows. No global windows, no driver collects; depth is
+    * a small constant.
+    *
+    * Output: `(key, level, split_rn, split_ts, gain)` — one row per
+    * accepted split, `split_rn` the 1-based in-key rank of the LAST row
+    * of the left segment.
+    */
+  def changePoints(df: DataFrame, key: String, ts: String, value: String,
+      minSeg: Int = 5, depth: Int = 2, quantum: Double = 1e-6): DataFrame = {
+    require(minSeg >= 1, s"minSeg must be >= 1, got $minSeg")
+    require(depth >= 1 && depth <= 6, s"depth in [1,6], got $depth")
+    require(quantum > 0, s"quantum must be positive, got $quantum")
+    val invQ = 1.0 / quantum
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("q"))
+    val base = df
+      .where(col(key).isNotNull && col(ts).isNotNull && col(value).isNotNull)
+      .select(col(key).as("k"), col(ts).cast("long").as("t"),
+        expr(s"CAST(round(CAST($value AS DOUBLE) * ${invQ}D) AS BIGINT)").as("q"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("P", sum(col("q")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .persist()
+    try {
+      var segments = base.groupBy(col("k"))
+        .agg(count(lit(1)).as("b")).select(col("k"), lit(1L).as("a"), col("b"))
+      val splits = Seq.newBuilder[DataFrame]
+      val aw = Window.partitionBy(col("k"), col("a"), col("b"))
+        .orderBy(col("gain").desc, col("rn"))
+      for (level <- 0 until depth) {
+        // segment bounds -> boundary prefix sums (Pa at a-1, Pb at b)
+        val withPa = segments
+          .join(base.select(col("k"), (col("rn") + 1).as("a"), col("P").as("Pa")),
+            Seq("k", "a"), "left_outer")
+          .join(base.select(col("k"), col("rn").as("b"), col("P").as("Pb")),
+            Seq("k", "b"))
+          .select(col("k"), col("a"), col("b"),
+            coalesce(col("Pa"), lit(0L)).as("Pa"), col("Pb"))
+        val cand = base.join(withPa, Seq("k"))
+          .where(col("rn") >= col("a") + (minSeg - 1) &&
+            col("rn") <= col("b") - minSeg)
+          .select(col("k"), col("a"), col("b"), col("rn"), col("t"),
+            // loud overflow guard: |P|·n dominates every product below
+            when(assert_true(
+              abs(col("Pb")).cast("double") * col("b").cast("double") < lit(4.6e18),
+              lit("changePoints overflow: |prefix sum| * n exceeds BIGINT " +
+                "- coarsen `quantum`")).isNull,
+              abs((col("P") - col("Pa")) * (col("b") - col("rn")) -
+                (col("Pb") - col("P")) * (col("rn") - col("a") + 1)))
+              .as("gain"))
+        val best = cand
+          .withColumn("__r", row_number().over(aw))
+          .where(col("__r") === 1)
+          .select(col("k"), col("a"), col("b"), col("rn"), col("t"),
+            col("gain"), lit(level.toLong).as("level"))
+          .localCheckpoint() // feeds BOTH the output and the next level
+        splits += best
+        segments = best.select(col("k"), col("a"), col("rn").as("b"))
+          .where(col("b") - col("a") + 1 >= 2L * minSeg)
+          .unionByName(best.select(col("k"), (col("rn") + 1).as("a"), col("b"))
+            .where(col("b") - col("rn") >= 2L * minSeg))
+      }
+      splits.result().reduce(_ unionByName _)
+        .select(col("k").as("key"), col("level"), col("rn").as("split_rn"),
+          col("t").as("split_ts"), col("gain"))
+    } finally base.unpersist(blocking = false)
+  }
 }

@@ -880,4 +880,37 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(got(1L)) < 1e-9, got.toString)
     assert(got(2L) > 1.0, got.toString)
   }
+
+  test("changePoints: mean shift found exactly; flat halves tie to earliest, zero gain") {
+    val sp = spark
+    import sp.implicits._
+    // key a: 6 x 1.0 then 6 x 5.0 -> level-0 split exactly at rn 6 with
+    // gain |6e6*6 - 30e6*6| = 1.44e8; both halves are flat, so level 1
+    // ties every candidate at gain 0 and picks the earliest (rn 2 / 8).
+    // key b: 1,1,9,9,9 -> split after rn 2; both halves too short for
+    // level 1 (2*minSeg = 4).
+    val rows =
+      (1 to 6).map(i => ("a", i.toLong, 1.0)) ++
+      (7 to 12).map(i => ("a", i.toLong, 5.0)) ++
+      Seq(("b", 1L, 1.0), ("b", 2L, 1.0), ("b", 3L, 9.0), ("b", 4L, 9.0), ("b", 5L, 9.0))
+    val df = rows.toDF("k", "t", "v")
+    val got = TimeSeries.changePoints(df, "k", "t", "v", minSeg = 2, depth = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == Set(
+      ("a", 0L, 6L, 6L, 144000000L),
+      ("a", 1L, 2L, 2L, 0L),
+      ("a", 1L, 8L, 8L, 0L),
+      ("b", 0L, 2L, 2L, 48000000L)))
+  }
+
+  test("changePoints: minSeg excludes boundary splits entirely") {
+    val sp = spark
+    import sp.implicits._
+    // 4 points with minSeg 3: no candidate satisfies nl >= 3 and nr >= 3
+    val df = (1 to 4).map(i => ("a", i.toLong, i.toDouble)).toDF("k", "t", "v")
+    val got = TimeSeries.changePoints(df, "k", "t", "v", minSeg = 3, depth = 1)
+    assert(got.count() == 0L)
+  }
 }

@@ -116,7 +116,11 @@ class PlanLintSurfaceSpec extends SparkSpec {
     ("q_kmeans", "driver-materialized-input") -> 1,
     // q_dbscan: the corpus-sized role/cluster localCheckpoint (the same
     // convention; the component loop's union-find gate sits inside it)
-    ("q_dbscan", "driver-materialized-input") -> 1)
+    ("q_dbscan", "driver-materialized-input") -> 1,
+    // q_cpd: one splits-per-level localCheckpoint per binary-segmentation
+    // level (depth 2) — each is ≤ 2^level rows per key, and the next
+    // level's segment frame reads it
+    ("q_cpd", "driver-materialized-input") -> 2)
 
   test("every registered query lints clean modulo the reviewed allowlist") {
     val dir = "/root/testdata/sf0.001"
