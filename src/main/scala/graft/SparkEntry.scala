@@ -1936,6 +1936,22 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- functional-dependency discovery over the customer geography
+    // profile: minimal-repair violation counts per ordered attribute pair -
+    "q_fd_audit" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .select(col("c_mktsegment"), col("c_nationkey"))
+      val nat = Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val reg = Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
+      val j = cust
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      DataQuality.functionalDependencies(j,
+        Seq("c_mktsegment", "c_nationkey", "n_name", "n_regionkey", "r_name"))
+        .orderBy(col("determinant"), col("dependent"))
+    }),
+
     // ---- offline change-point detection: binary segmentation with the
     // integer CUSUM mean-shift statistic (depth 2, earliest-tie splits) ---
     "q_cpd" -> ((s, dir) => {
@@ -3794,6 +3810,33 @@ object SparkEntry {
        |u AS ($out)
        |SELECT key, level, split_rn, split_ts, gain FROM u
        |ORDER BY key, level, split_rn""".stripMargin
+  }
+
+
+  /** DuckDB mirror of [[operators.DataQuality.functionalDependencies]]
+    * over the customer⋈nation⋈region profile frame: one per-pair minimal-
+    * repair aggregate per ordered attribute pair, unioned. */
+  private def fdSql(cols: Seq[String]): String = {
+    val pairs = (for (a <- cols; b <- cols if a != b) yield
+      s"""SELECT '$a' AS determinant, '$b' AS dependent,
+         |  CAST(sum(nv) AS BIGINT) AS n_rows,
+         |  CAST(sum(nv) - sum(mx) AS BIGINT) AS violations,
+         |  (sum(nv) = sum(mx)) AS holds
+         |FROM (SELECT dv, sum(cnt) AS nv, max(cnt) AS mx FROM
+         |  (SELECT $a AS dv, $b AS bv, count(*) AS cnt FROM j
+         |   WHERE $a IS NOT NULL AND $b IS NOT NULL GROUP BY 1, 2)
+         |  GROUP BY 1)""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH j AS MATERIALIZED (SELECT
+       |    c.c_mktsegment::VARCHAR AS c_mktsegment,
+       |    c.c_nationkey::VARCHAR AS c_nationkey,
+       |    n.n_name::VARCHAR AS n_name,
+       |    n.n_regionkey::VARCHAR AS n_regionkey,
+       |    r.r_name::VARCHAR AS r_name
+       |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |  JOIN region r ON n.n_regionkey = r.r_regionkey)
+       |SELECT * FROM ($pairs)
+       |ORDER BY determinant, dependent""".stripMargin
   }
 
   /** Shared CTE chain for the pattern-mining oracles, ending in
@@ -6846,6 +6889,9 @@ object SparkEntry {
 
     // change-point detection: the cpdSql unrolled binary segmentation
     "q_cpd" -> cpdSql(minSeg = 100, depth = 2, scale = 1000L),
+
+    "q_fd_audit" -> fdSql(
+      Seq("c_mktsegment", "c_nationkey", "n_name", "n_regionkey", "r_name")),
 
     // DBSCAN: round6-cosine eps-pairs, degree+1 core test, recursive-CTE
     // components over core-core edges (min reachable id), min-label border

@@ -352,4 +352,50 @@ object DataQuality {
         col("coverage"), col("tau"), col("corrected_level"))
       .orderBy(col(group))
   }
+
+  /** Functional-dependency discovery over a chosen attribute set — the
+    * Metanome-style profiling primitive behind schema understanding,
+    * denormalization checks and key inference: for every ORDERED pair
+    * `(determinant, dependent)`, how many rows would have to change for
+    * `determinant -> dependent` to hold exactly? `violations = 0` means
+    * the FD holds on this data.
+    *
+    * `violations = n_rows - keep` where `keep` sums, per determinant
+    * value, the count of its MOST FREQUENT dependent value — the minimal
+    * repair count (counts only, so the result is integer-exact and
+    * engine-independent; no tie-break is ever exposed). Null-bearing rows
+    * are excluded per pair (an FD says nothing about nulls).
+    *
+    * Scale shape: ONE corpus pass regardless of attribute count — every
+    * row melts into its p x (p-1) ordered attribute pairs (values cast to
+    * string) and everything after is map-side-combinable keyed aggs whose
+    * cardinality is the pairwise-distinct count, not the corpus. Choose
+    * profiling attributes accordingly: a unique-key determinant makes the
+    * intermediate as big as the table (and its FDs trivially hold).
+    *
+    * Output: `(determinant, dependent, n_rows, violations, holds)`.
+    */
+  def functionalDependencies(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    val attrs = array(cols.map(c =>
+      struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)
+    val melted = df.select(attrs.as("__as"))
+      .select(explode(col("__as")).as("A"), col("__as"))
+      .select(col("A"), explode(col("__as")).as("B"))
+      .where(col("A.c") =!= col("B.c") &&
+        col("A.v").isNotNull && col("B.v").isNotNull)
+    val counts = melted
+      .groupBy(col("A.c").as("determinant"), col("B.c").as("dependent"),
+        col("A.v").as("dv"), col("B.v").as("bv"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .groupBy(col("determinant"), col("dependent"), col("dv"))
+      .agg(sum(col("n")).as("nv"), max(col("n")).as("mx"))
+      .groupBy(col("determinant"), col("dependent"))
+      .agg(sum(col("nv")).as("n_rows"),
+        (sum(col("nv")) - sum(col("mx"))).as("violations"))
+      .select(col("determinant"), col("dependent"), col("n_rows"),
+        col("violations"), (col("violations") === 0).as("holds"))
+  }
 }

@@ -223,4 +223,31 @@ class DataQualitySpec extends SparkSpec {
         alpha = 0.1, calPct = 100)
     }
   }
+
+  test("functionalDependencies: holds iff zero repairs; nulls excluded per pair") {
+    val sp = spark
+    import sp.implicits._
+    // city -> country holds (4 rows, 0 repairs); country -> city does not
+    // (fr maps to paris x2 and lyon x1 -> 1 repair); zip is null on the
+    // berlin row, so every pair touching zip sees only 3 rows
+    val df = Seq(
+      ("paris", "fr", Option("75")),
+      ("paris", "fr", Option("75")),
+      ("lyon", "fr", Option("69")),
+      ("berlin", "de", Option.empty[String]))
+      .toDF("city", "country", "zip")
+    val got = DataQuality.functionalDependencies(df, Seq("city", "country", "zip"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got(("city", "country")) == ((4L, 0L, true)))
+    assert(got(("country", "city")) == ((4L, 1L, false)))
+    assert(got(("city", "zip")) == ((3L, 0L, true)))
+    assert(got(("zip", "city")) == ((3L, 0L, true)))
+    // country -> zip: fr maps to 75 x2 and 69 x1 over the non-null rows
+    assert(got(("country", "zip")) == ((3L, 1L, false)))
+    assert(got(("zip", "country")) == ((3L, 0L, true)))
+    assert(got.size == 6)
+  }
 }
