@@ -1936,6 +1936,19 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- inclusion-dependency discovery across the star schema's key
+    // columns: foreign-key inference (from ⊆ to iff violations = 0) -------
+    "q_ind_audit" -> ((s, dir) => {
+      DataQuality.inclusionDependencies(Seq(
+        ("o_custkey", Tables.orders(s, dir), "o_custkey"),
+        ("c_custkey", Tables.customer(s, dir), "c_custkey"),
+        ("c_nationkey", Tables.customer(s, dir), "c_nationkey"),
+        ("n_nationkey", Tables.nation(s, dir), "n_nationkey"),
+        ("n_regionkey", Tables.nation(s, dir), "n_regionkey"),
+        ("r_regionkey", Tables.region(s, dir), "r_regionkey")))
+        .orderBy(col("from_col"), col("to_col"))
+    }),
+
     // ---- functional-dependency discovery over the customer geography
     // profile: minimal-repair violation counts per ordered attribute pair -
     "q_fd_audit" -> ((s, dir) => {
@@ -3837,6 +3850,27 @@ object SparkEntry {
        |  JOIN region r ON n.n_regionkey = r.r_regionkey)
        |SELECT * FROM ($pairs)
        |ORDER BY determinant, dependent""".stripMargin
+  }
+
+
+  /** DuckDB mirror of [[operators.DataQuality.inclusionDependencies]]:
+    * one MATERIALIZED distinct-value set per labeled column, then a
+    * subset/overlap aggregate per ordered pair. */
+  private def indSql(cols: Seq[(String, String, String)]): String = {
+    val sets = cols.map { case (label, table, c) =>
+      s"""d_$label AS MATERIALIZED (SELECT DISTINCT $c::VARCHAR AS v
+         |  FROM $table WHERE $c IS NOT NULL)""".stripMargin
+    }.mkString(",\n")
+    val pairs = (for ((a, _, _) <- cols; (b, _, _) <- cols if a != b) yield
+      s"""SELECT '$a' AS from_col, '$b' AS to_col,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM d_$a) AS n_distinct,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM d_$a WHERE v IN (SELECT v FROM d_$b)) AS matched,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM d_$a WHERE v NOT IN (SELECT v FROM d_$b)) AS violations,
+         |  (SELECT count(*) FROM d_$a WHERE v NOT IN (SELECT v FROM d_$b)) = 0 AS holds""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH $sets
+       |SELECT * FROM ($pairs)
+       |ORDER BY from_col, to_col""".stripMargin
   }
 
   /** Shared CTE chain for the pattern-mining oracles, ending in
@@ -6892,6 +6926,14 @@ object SparkEntry {
 
     "q_fd_audit" -> fdSql(
       Seq("c_mktsegment", "c_nationkey", "n_name", "n_regionkey", "r_name")),
+
+    "q_ind_audit" -> indSql(Seq(
+      ("o_custkey", "orders", "o_custkey"),
+      ("c_custkey", "customer", "c_custkey"),
+      ("c_nationkey", "customer", "c_nationkey"),
+      ("n_nationkey", "nation", "n_nationkey"),
+      ("n_regionkey", "nation", "n_regionkey"),
+      ("r_regionkey", "region", "r_regionkey"))),
 
     // DBSCAN: round6-cosine eps-pairs, degree+1 core test, recursive-CTE
     // components over core-core edges (min reachable id), min-label border

@@ -398,4 +398,55 @@ object DataQuality {
       .select(col("determinant"), col("dependent"), col("n_rows"),
         col("violations"), (col("violations") === 0).as("holds"))
   }
+
+  /** Inclusion-dependency discovery — [[functionalDependencies]]'
+    * cross-table complement and the basis of FOREIGN-KEY inference: for
+    * every ordered pair of profiled columns, how many DISTINCT values of
+    * the left column do not appear in the right one? `violations = 0`
+    * means `from ⊆ to` holds (a referential-integrity candidate).
+    *
+    * Input is a labeled column set (label, frame, column) so the pairs can
+    * span tables. Values compare as strings; nulls are ignored (an IND
+    * says nothing about nulls).
+    *
+    * Scale shape: ONE distinct per column (map-side combinable, emitted
+    * into a single union frame keyed by value), then ONE value-keyed
+    * self-join counts every pair's overlap simultaneously — the classic
+    * value-position-list IND algorithm, never a per-pair scan. The
+    * intermediate is bounded by Σ distinct values, and the overlap frame
+    * by matches — both vocabulary-scaled, not corpus-scaled.
+    *
+    * Output: `(from_col, to_col, n_distinct, matched, violations, holds)`
+    * for every ordered pair of labels.
+    */
+  def inclusionDependencies(cols: Seq[(String, DataFrame, String)]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
+    require(cols.map(_._1).distinct.size == cols.size,
+      s"duplicate labels in ${cols.map(_._1)}")
+    val d = cols.map { case (label, df, c) =>
+      df.where(col(c).isNotNull)
+        .select(lit(label).as("c"), col(c).cast("string").as("v"))
+        .distinct()
+    }.reduce(_ unionByName _)
+      .persist()
+    try {
+      val sizes = d.groupBy(col("c")).agg(count(lit(1)).as("n_distinct"))
+      val overlap = d.join(d.select(col("c").as("c2"), col("v")), Seq("v"))
+        .where(col("c") =!= col("c2"))
+        .groupBy(col("c"), col("c2")).agg(count(lit(1)).as("matched"))
+      // every ordered label pair, zero-filled when the overlap is empty
+      val labels = sizes.select(col("c"))
+      val allPairs = labels
+        .join(labels.select(col("c").as("c2")))
+        .where(col("c") =!= col("c2"))
+      allPairs
+        .join(overlap, Seq("c", "c2"), "left_outer")
+        .join(sizes, Seq("c"))
+        .select(col("c").as("from_col"), col("c2").as("to_col"),
+          col("n_distinct"), coalesce(col("matched"), lit(0L)).as("matched"),
+          (col("n_distinct") - coalesce(col("matched"), lit(0L))).as("violations"),
+          (col("n_distinct") === coalesce(col("matched"), lit(0L))).as("holds"))
+        .localCheckpoint() // label²-sized; lets the distinct frame release
+    } finally d.unpersist(blocking = false)
+  }
 }

@@ -250,4 +250,25 @@ class DataQualitySpec extends SparkSpec {
     assert(got(("zip", "country")) == ((3L, 0L, true)))
     assert(got.size == 6)
   }
+
+  test("inclusionDependencies: subset holds, overlaps counted, nulls ignored") {
+    val sp = spark
+    import sp.implicits._
+    val a = Seq(1, 2, 3, 3).toDF("x") // duplicates collapse
+    val b = Seq(Option(2), Option(3), Option.empty[Int]).toDF("y")
+    val c = Seq(3, 4).toDF("z")
+    val got = DataQuality.inclusionDependencies(Seq(
+        ("a", a, "x"), ("b", b, "y"), ("c", c, "z")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(got(("b", "a")) == ((2L, 2L, 0L, true)))  // {2,3} subset of {1,2,3}
+    assert(got(("a", "b")) == ((3L, 2L, 1L, false)))
+    assert(got(("a", "c")) == ((3L, 1L, 2L, false)))
+    assert(got(("c", "a")) == ((2L, 1L, 1L, false)))
+    assert(got(("b", "c")) == ((2L, 1L, 1L, false)))
+    assert(got(("c", "b")) == ((2L, 1L, 1L, false)))
+    assert(got.size == 6)
+  }
 }

@@ -120,7 +120,10 @@ class PlanLintSurfaceSpec extends SparkSpec {
     // q_cpd: one splits-per-level localCheckpoint per binary-segmentation
     // level (depth 2) — each is ≤ 2^level rows per key, and the next
     // level's segment frame reads it
-    ("q_cpd", "driver-materialized-input") -> 2)
+    ("q_cpd", "driver-materialized-input") -> 2,
+    // q_ind_audit: the label²-sized result localCheckpoint (releases the
+    // persisted distinct-value union)
+    ("q_ind_audit", "driver-materialized-input") -> 1)
 
   test("every registered query lints clean modulo the reviewed allowlist") {
     val dir = "/root/testdata/sf0.001"
