@@ -1936,6 +1936,14 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- unique-column-combination discovery (candidate keys) over the
+    // orders profile columns: the third Metanome-trio primitive ----------
+    "q_ucc_audit" -> ((s, dir) => {
+      DataQuality.uniqueCombinations(Tables.orders(s, dir),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy(col("size"), col("columns"))
+    }),
+
     // ---- inclusion-dependency discovery across the star schema's key
     // columns: foreign-key inference (from ⊆ to iff violations = 0) -------
     "q_ind_audit" -> ((s, dir) => {
@@ -3871,6 +3879,29 @@ object SparkEntry {
     s"""WITH $sets
        |SELECT * FROM ($pairs)
        |ORDER BY from_col, to_col""".stripMargin
+  }
+
+
+  /** DuckDB mirror of [[operators.DataQuality.uniqueCombinations]] over
+    * the orders profile columns: per combination one pass counting rows
+    * (members non-null) and distinct member tuples. */
+  private def uccSql(table: String, cols: Seq[String]): String = {
+    val combos: Seq[Seq[String]] =
+      cols.map(Seq(_)) ++
+        (for (i <- cols.indices; j <- i + 1 until cols.size)
+          yield Seq(cols(i), cols(j)))
+    val parts = combos.map { m =>
+      val nn = m.map(c => s"$c IS NOT NULL").mkString(" AND ")
+      val tup = if (m.size == 1) m.head else s"(${m.mkString(", ")})"
+      s"""SELECT '${m.mkString("|")}' AS columns, CAST(${m.size} AS BIGINT) AS size,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT $tup) AS BIGINT) AS n_distinct,
+         |  CAST(count(*) - count(DISTINCT $tup) AS BIGINT) AS duplicates,
+         |  count(*) = count(DISTINCT $tup) AS is_key
+         |FROM $table WHERE $nn""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT * FROM ($parts)
+       |ORDER BY size, columns""".stripMargin
   }
 
   /** Shared CTE chain for the pattern-mining oracles, ending in
@@ -6926,6 +6957,9 @@ object SparkEntry {
 
     "q_fd_audit" -> fdSql(
       Seq("c_mktsegment", "c_nationkey", "n_name", "n_regionkey", "r_name")),
+
+    "q_ucc_audit" -> uccSql("orders",
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
 
     "q_ind_audit" -> indSql(Seq(
       ("o_custkey", "orders", "o_custkey"),

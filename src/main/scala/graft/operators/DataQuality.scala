@@ -449,4 +449,45 @@ object DataQuality {
         .localCheckpoint() // label²-sized; lets the distinct frame release
     } finally d.unpersist(blocking = false)
   }
+
+  /** Unique-column-combination discovery — the third of the classic
+    * profiling trio ([[functionalDependencies]], [[inclusionDependencies]],
+    * and this): which single columns and unordered column PAIRS take a
+    * distinct value on every row, i.e. are candidate keys?
+    * `duplicates = n_rows − n_distinct` is the exact repair distance to
+    * uniqueness (0 = candidate key). Rows with a null in any member are
+    * excluded from that combination (SQL keys are null-free), and the
+    * reported `n_rows` is per-combination for exactly that reason.
+    *
+    * Scale shape: like the FD melt — each row expands into its singles
+    * and `p·(p−1)/2` pairs once, and everything downstream is a
+    * combinable count keyed by (combination, value) whose cardinality is
+    * the distinct-combination count. Values compare as strings.
+    *
+    * Output: `(columns, size, n_rows, n_distinct, duplicates, is_key)` —
+    * `columns` is the '|'-joined member list in input order.
+    */
+  def uniqueCombinations(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    val combos: Seq[Seq[String]] =
+      cols.map(Seq(_)) ++
+        (for (i <- cols.indices; j <- i + 1 until cols.size)
+          yield Seq(cols(i), cols(j)))
+    val attrs = array(combos.map { m =>
+      struct(lit(m.mkString("|")).as("c"), lit(m.size.toLong).as("sz"),
+        when(m.map(col(_).isNotNull).reduce(_ && _),
+          concat_ws("\u0001", m.map(col(_).cast("string")): _*)).as("v"))
+    }: _*)
+    df.select(explode(attrs).as("A"))
+      .where(col("A.v").isNotNull)
+      .groupBy(col("A.c").as("columns"), col("A.sz").as("size"),
+        col("A.v").as("v"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("columns"), col("size"))
+      .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_distinct"))
+      .select(col("columns"), col("size"), col("n_rows"), col("n_distinct"),
+        (col("n_rows") - col("n_distinct")).as("duplicates"),
+        (col("n_rows") === col("n_distinct")).as("is_key"))
+  }
 }

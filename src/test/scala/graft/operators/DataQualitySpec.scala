@@ -271,4 +271,27 @@ class DataQualitySpec extends SparkSpec {
     assert(got(("c", "b")) == ((2L, 1L, 1L, false)))
     assert(got.size == 6)
   }
+
+  test("uniqueCombinations: key discovery over singles and pairs; nulls excluded") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, Option("a"), Option("x")),
+      (2L, Option("a"), Option("y")),
+      (3L, Option("b"), Option("x")),
+      (4L, Option("b"), Option.empty[String]))
+      .toDF("id", "g", "h")
+    val got = DataQuality.uniqueCombinations(df, Seq("id", "g", "h"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(got("id") == ((1L, 4L, 4L, 0L, true)))
+    assert(got("g") == ((1L, 4L, 2L, 2L, false)))
+    assert(got("h") == ((1L, 3L, 2L, 1L, false))) // null row excluded
+    assert(got("id|g") == ((2L, 4L, 4L, 0L, true)))
+    assert(got("id|h") == ((2L, 3L, 3L, 0L, true)))
+    assert(got("g|h") == ((2L, 3L, 3L, 0L, true))) // (a,x),(a,y),(b,x)
+    assert(got.size == 6)
+  }
 }
