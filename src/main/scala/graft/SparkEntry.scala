@@ -126,6 +126,59 @@ object SparkEntry {
     "q_triangles" -> "_shared_mutual_knn",
     "q_itemsets" -> "_shared_itemsets") // consumers: assoc_rules, itemsets
 
+  /** Forced-DISTRIBUTED twins of the size-gated operators (r8 verdict: the
+    * sf0.1 bench times only the driver-loop paths once the gates landed, so
+    * a wall-time regression in the plans that actually run at 100× would be
+    * invisible). Bench times each ONCE per full pass as a `_dist_*` entry —
+    * correctness is already spec-pinned bit-identical by the gate specs
+    * (and q_hubness_blocked / q_jaccard_dist carry oracle rows), these keep
+    * the 100×-scale plans performance-visible round over round. Inputs are
+    * the same memoized frames the gated queries read (rebuilt untimed by
+    * Bench if dropped), so each entry times the distributed OPERATOR, not
+    * an input rebuild. */
+  def distTwinQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "_dist_pagerank" -> ((s, dir) =>
+      operators.Graph.pageRank(knnGraph5(s, dir), "query_id", "neighbor_id",
+        iters = 10, maxDriverEdges = 0L)),
+    "_dist_hits" -> ((s, dir) =>
+      operators.Graph.hits(knnGraph5(s, dir), "query_id", "neighbor_id",
+        iters = 5, maxDriverEdges = 0L)),
+    "_dist_label_prop" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val g = knnGraph5(s, dir)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+      val sym = g.unionByName(g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      val seeds = emb.where(col("vec_id") % 10 === 0).select(col("vec_id"), col("label"))
+      operators.Graph.labelPropagation(sym, "src", "dst", seeds, "vec_id", "label",
+        iters = 5, maxDriverEdges = 0L)
+    }),
+    "_dist_harmonic" -> ((s, dir) => {
+      val m = mutualKnnEdges5(s, dir)
+      val und = m.select(col("d1").as("src"), col("d2").as("dst"))
+        .unionByName(m.select(col("d2").as("src"), col("d1").as("dst")))
+      operators.Graph.harmonicCentrality(und, "src", "dst", seedMod = 5L,
+        maxHops = 4, maxDriverEdges = 0L)
+    }),
+    "_dist_kcore" -> ((s, dir) =>
+      operators.Graph.kCore(mutualKnnEdges5(s, dir), "d1", "d2", k = 3,
+        maxDriverEdges = 0L)),
+    "_dist_components" -> ((s, dir) =>
+      operators.Dedup.connectedComponents(exactJaccardPairs(s, dir), "d1", "d2",
+        maxDriverPairs = 0L)),
+    "_dist_kmeans" -> ((s, dir) =>
+      operators.Similarity.kmeans(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 8, iters = 5, maxDriverRows = 0L)),
+    "_dist_bpe_learn" -> ((s, dir) => {
+      import s.implicits._
+      operators.TextAnalysis.bpeLearn(Tables.documents(s, dir), "text",
+        nMerges = 20, maxDriverVocab = 0L).toDF("a", "b")
+    }),
+    // knnGraph's beyond-broadcast 2-D block sweep at the 4-block pin the
+    // oracled q_hubness_blocked uses — timed standalone here
+    "_dist_knn_graph" -> ((s, dir) =>
+      operators.Similarity.knnGraphBlocked(Tables.embeddings(s, dir),
+        "vec_id", "embedding", 5, 4)))
+
   /** Release one memoized frame by pseudo-entry name. */
   def dropSharedFrame(name: String): Unit = name match {
     case "_shared_jaccard_pairs" =>
@@ -1474,16 +1527,15 @@ object SparkEntry {
         stepUs = 86400000000L)
     }),
 
-    // ---- one-row-per-key drift panel: PSI and KS side by side ------------
+    // ---- one-row-per-key drift panel: PSI and KS side by side, from ONE
+    // fused histogram pass (joining the two operators scans events 3×) ----
     "q_drift_panel" -> ((s, dir) => {
       val ev = events(s, dir).select(col("event_type").as("pvname"),
         col("ts_us"), col("value"))
-      val psi = TimeSeries.psiDrift(ev, "pvname", "ts_us", "value",
+      TimeSeries.driftPanel(ev, "pvname", "ts_us", "value",
         tSplit = TMID, lo = 0.0, hi = 500.0, bins = 20)
-      val ks = TimeSeries.ksDrift(ev, "pvname", "ts_us", "value",
-        tSplit = TMID, lo = 0.0, hi = 500.0, bins = 20)
-        .select(col("pvname"), col("ks"))
-      psi.join(ks, Seq("pvname")).orderBy(col("pvname"))
+        .select(col("pvname"), col("psi"), col("ks"))
+        .orderBy(col("pvname"))
     }),
 
     // ---- rolling-median despiking filter ----------------------------------
@@ -1942,6 +1994,19 @@ object SparkEntry {
       DataQuality.uniqueCombinations(Tables.orders(s, dir),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
         .orderBy(col("size"), col("columns"))
+    }),
+
+    // ---- order-dependency discovery over the events time profile: does
+    // sorting by one column sort the other (lexicographic OD)? hour ~> day
+    // and day ~> hour hold (nested time grids); every value pair doesn't —
+    // completes the Metanome profiling quartet (FD/IND/UCC/OD) ------------
+    "q_od_audit" -> ((s, dir) => {
+      val ev = events(s, dir).select(
+        expr("ts_us DIV 3600000000L").as("hour_b"),
+        expr("ts_us DIV 86400000000L").as("day_b"),
+        col("value"))
+      DataQuality.orderDependencies(ev, Seq("hour_b", "day_b", "value"))
+        .orderBy(col("lhs"), col("rhs"))
     }),
 
     // ---- inclusion-dependency discovery across the star schema's key
@@ -3881,6 +3946,32 @@ object SparkEntry {
        |ORDER BY from_col, to_col""".stripMargin
   }
 
+
+  /** DuckDB mirror of [[operators.DataQuality.orderDependencies]] over the
+    * events time-profile frame: the same melt → distinct-(pair, a, b)
+    * counts → running max over strictly smaller lhs (ROWS ... 1 PRECEDING
+    * over one row per distinct value) → row-weighted violation sum. */
+  private def odSql(cols: Seq[String]): String = {
+    val melt = (for (a <- cols; b <- cols if a != b) yield
+      s"""SELECT '$a' AS lhs, '$b' AS rhs, $a::DOUBLE AS a, $b::DOUBLE AS b
+         |  FROM t WHERE $a IS NOT NULL AND $b IS NOT NULL""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH t AS (SELECT epoch_us(ts) // 3600000000 AS hour_b,
+       |    epoch_us(ts) // 86400000000 AS day_b, value
+       |  FROM events),
+       |m AS ($melt),
+       |c AS (SELECT lhs, rhs, a, b, CAST(count(*) AS BIGINT) AS n
+       |  FROM m GROUP BY 1, 2, 3, 4),
+       |g AS (SELECT lhs, rhs, a, max(b) AS mxb FROM c GROUP BY 1, 2, 3),
+       |w AS (SELECT lhs, rhs, a, max(mxb) OVER (PARTITION BY lhs, rhs
+       |    ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS M
+       |  FROM g)
+       |SELECT c.lhs, c.rhs, CAST(sum(n) AS BIGINT) AS n_rows,
+       |  CAST(sum(CASE WHEN w.M IS NOT NULL AND c.b < w.M THEN n ELSE 0 END) AS BIGINT) AS violations,
+       |  sum(CASE WHEN w.M IS NOT NULL AND c.b < w.M THEN n ELSE 0 END) = 0 AS holds
+       |FROM c JOIN w USING (lhs, rhs, a)
+       |GROUP BY 1, 2 ORDER BY lhs, rhs""".stripMargin
+  }
 
   /** DuckDB mirror of [[operators.DataQuality.uniqueCombinations]] over
     * the orders profile columns: per combination one pass counting rows
@@ -6961,6 +7052,9 @@ object SparkEntry {
     "q_ucc_audit" -> uccSql("orders",
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
 
+    // order dependencies over the events time profile (the OD melt)
+    "q_od_audit" -> odSql(Seq("hour_b", "day_b", "value")),
+
     "q_ind_audit" -> indSql(Seq(
       ("o_custkey", "orders", "o_custkey"),
       ("c_custkey", "customer", "c_custkey"),
@@ -6978,7 +7072,8 @@ object SparkEntry {
          |  WHERE round(${cosineSql("a.ev", "b.ev")}, 6) >= 0.35),
          |deg AS (SELECT n AS vid, CAST(count(*) AS BIGINT) AS dg
          |        FROM (SELECT d1 AS n FROM p UNION ALL SELECT d2 FROM p) GROUP BY 1),
-         |core AS MATERIALIZED (SELECT vid FROM deg WHERE dg + 1 >= 4),
+         |core AS MATERIALIZED (SELECT e.vec_id AS vid FROM e
+         |  LEFT JOIN deg ON e.vec_id = deg.vid WHERE coalesce(dg, 0) + 1 >= 4),
          |ce AS MATERIALIZED (SELECT p.d1, p.d2 FROM p
          |  JOIN core c1 ON p.d1 = c1.vid JOIN core c2 ON p.d2 = c2.vid),
          |eu AS (SELECT d1 AS a, d2 AS b FROM ce UNION SELECT d2, d1 FROM ce),
@@ -7830,7 +7925,7 @@ object SparkEntry {
         |          (1.0 - CAST(len(list_filter(string_split(text, ' '),
         |                t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
         |               / len(string_split(text, ' '))), 6) AS difficulty
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |th AS (SELECT quantile_cont(difficulty, 0.25) AS t1,
         |    quantile_cont(difficulty, 0.5) AS t2,
         |    quantile_cont(difficulty, 0.75) AS t3 FROM q)
@@ -7851,7 +7946,7 @@ object SparkEntry {
         |                t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
         |               / len(string_split(text, ' '))), 6) AS s,
         |    CAST('0x' || substr(md5('conformal' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 20 AS is_cal
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |t AS (SELECT round(quantile_cont(s, 0.1), 6) AS tau,
         |    CAST(count(*) AS BIGINT) AS n_cal FROM q WHERE is_cal),
         |t2 AS (SELECT tau, n_cal,

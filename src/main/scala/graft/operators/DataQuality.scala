@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality expectations over arbitrary frames — the
@@ -409,12 +410,17 @@ object DataQuality {
     * span tables. Values compare as strings; nulls are ignored (an IND
     * says nothing about nulls).
     *
-    * Scale shape: ONE distinct per column (map-side combinable, emitted
-    * into a single union frame keyed by value), then ONE value-keyed
-    * self-join counts every pair's overlap simultaneously — the classic
-    * value-position-list IND algorithm, never a per-pair scan. The
-    * intermediate is bounded by Σ distinct values, and the overlap frame
-    * by matches — both vocabulary-scaled, not corpus-scaled.
+    * Scale shape: the raw labeled value rows union into ONE frame and a
+    * single `groupBy(value)` pass (map-side combinable — per-partition the
+    * combine IS the per-column distinct) collapses each value to the SET
+    * of labels containing it; pair overlaps explode from those label sets
+    * (bounded by labels², never a self-join) and sizes fall out of the
+    * same rows — one shuffle total, one materialization, the classic
+    * value-position-list IND algorithm fused into a single aggregation
+    * tree (the r8 plan paid a distinct per column + a value-keyed
+    * self-join + a localCheckpoint: 2.5 s of sequential job floor at
+    * sf0.1 for the same answer). The intermediate is bounded by
+    * Σ distinct values — vocabulary-scaled, not corpus-scaled.
     *
     * Output: `(from_col, to_col, n_distinct, matched, violations, holds)`
     * for every ordered pair of labels.
@@ -423,31 +429,88 @@ object DataQuality {
     require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
     require(cols.map(_._1).distinct.size == cols.size,
       s"duplicate labels in ${cols.map(_._1)}")
-    val d = cols.map { case (label, df, c) =>
+    val labels = cols.map(_._1)
+    // value -> set of labels containing it (collect_set dedups per value,
+    // so the per-column distinct is implicit in the ONE shuffle)
+    val labelSets = cols.map { case (label, df, c) =>
       df.where(col(c).isNotNull)
         .select(lit(label).as("c"), col(c).cast("string").as("v"))
-        .distinct()
     }.reduce(_ unionByName _)
-      .persist()
-    try {
-      val sizes = d.groupBy(col("c")).agg(count(lit(1)).as("n_distinct"))
-      val overlap = d.join(d.select(col("c").as("c2"), col("v")), Seq("v"))
-        .where(col("c") =!= col("c2"))
-        .groupBy(col("c"), col("c2")).agg(count(lit(1)).as("matched"))
-      // every ordered label pair, zero-filled when the overlap is empty
-      val labels = sizes.select(col("c"))
-      val allPairs = labels
-        .join(labels.select(col("c").as("c2")))
-        .where(col("c") =!= col("c2"))
-      allPairs
-        .join(overlap, Seq("c", "c2"), "left_outer")
-        .join(sizes, Seq("c"))
-        .select(col("c").as("from_col"), col("c2").as("to_col"),
-          col("n_distinct"), coalesce(col("matched"), lit(0L)).as("matched"),
-          (col("n_distinct") - coalesce(col("matched"), lit(0L))).as("violations"),
-          (col("n_distinct") === coalesce(col("matched"), lit(0L))).as("holds"))
-        .localCheckpoint() // label²-sized; lets the distinct frame release
-    } finally d.unpersist(blocking = false)
+      .groupBy(col("v")).agg(collect_set(col("c")).as("cs"))
+    // per ordered pair present in a value's label set: one (c, c2) row;
+    // per label: one (c, c) row — sizes and overlaps in the same agg
+    val pairRows = labelSets.select(explode(expr(
+      """flatten(transform(cs, a -> transform(cs, b -> struct(a AS c, b AS c2))))"""))
+      .as("p"))
+      .groupBy(col("p.c").as("c"), col("p.c2").as("c2"))
+      .agg(count(lit(1)).as("n"))
+    // the aggregate is ≤ labels² rows — control-plane sized by definition
+    // (a bounded collect, the size-gate convention): assemble the ordered
+    // pair table on the driver in the SAME single Spark job instead of
+    // paying two more joins + a localCheckpoint over a ≤36-row frame. A
+    // label with zero non-null values reports n_distinct 0 and holds
+    // (∅ ⊆ anything) — exactly the oracle's semantics.
+    val m = pairRows.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val spark0 = pairRows.sparkSession
+    import spark0.implicits._
+    (for (a <- labels; b <- labels if a != b) yield {
+      val nd = m.getOrElse((a, a), 0L)
+      val mt = m.getOrElse((a, b), 0L)
+      (a, b, nd, mt, nd - mt, nd == mt)
+    }).toDF("from_col", "to_col", "n_distinct", "matched", "violations", "holds")
+  }
+
+  /** Order-dependency discovery — the fourth profiling primitive
+    * ([[functionalDependencies]], [[inclusionDependencies]],
+    * [[uniqueCombinations]], and this): for every ordered pair of numeric
+    * columns, does sorting by the left column sort the right one?
+    * `lhs ~> rhs` holds iff for all rows `r, s`:
+    * `r.lhs < s.lhs ⇒ r.rhs <= s.rhs` (rows tied on `lhs` don't constrain
+    * each other — the lexicographic OD convention). `violations` counts
+    * the ROWS whose `rhs` value is below the running maximum of `rhs`
+    * over strictly smaller `lhs` values — 0 = the OD holds exactly.
+    * Null-bearing rows are excluded per pair (an OD says nothing about
+    * nulls); values compare as DOUBLEs (exact for integral magnitudes
+    * < 2^53 — the engine-portable numeric order).
+    *
+    * Scale shape: the FD melt — ONE corpus pass expands each row into its
+    * p·(p−1) ordered pairs, a combinable `(pair, lhs, rhs)` count
+    * collapses to distinct-value cardinality, the running max is a
+    * window over DISTINCT `lhs` per pair (one row per distinct value —
+    * `ROWS ... 1 PRECEDING` is exactly "strictly smaller" there), and
+    * one `(pair, lhs)`-keyed join scores the counted rows. Everything
+    * past the melt is distinct-value-scaled, not corpus-scaled.
+    *
+    * Output: `(lhs, rhs, n_rows, violations, holds)` per ordered pair.
+    */
+  def orderDependencies(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    val attrs = array(cols.map(c =>
+      struct(lit(c).as("c"), col(c).cast("double").as("v"))): _*)
+    val counts = df.select(attrs.as("__as"))
+      .select(explode(col("__as")).as("A"), col("__as"))
+      .select(col("A"), explode(col("__as")).as("B"))
+      .where(col("A.c") =!= col("B.c") &&
+        col("A.v").isNotNull && col("B.v").isNotNull)
+      .groupBy(col("A.c").as("lhs"), col("B.c").as("rhs"),
+        col("A.v").as("a"), col("B.v").as("b"))
+      .agg(count(lit(1)).as("n"))
+    // one row per (pair, distinct lhs): its max rhs, then the running max
+    // over strictly smaller lhs (rows-frame; each row IS a distinct value)
+    val runw = Window.partitionBy(col("lhs"), col("rhs")).orderBy(col("a"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val g = counts.groupBy(col("lhs"), col("rhs"), col("a"))
+      .agg(max(col("b")).as("mxb"))
+      .select(col("lhs"), col("rhs"), col("a"), max(col("mxb")).over(runw).as("M"))
+    counts.join(g, Seq("lhs", "rhs", "a"))
+      .groupBy(col("lhs"), col("rhs"))
+      .agg(sum(col("n")).as("n_rows"),
+        sum(when(col("M").isNotNull && col("b") < col("M"), col("n"))
+          .otherwise(lit(0L))).as("violations"))
+      .select(col("lhs"), col("rhs"), col("n_rows"), col("violations"),
+        (col("violations") === 0).as("holds"))
   }
 
   /** Unique-column-combination discovery — the third of the classic

@@ -29,10 +29,14 @@ object FixedPoint {
     * from aggregates already in flight and THROWS with a remediation hint.
     * The bound is conservative (max·n ≥ |Σ|), adds no extra pass, and the
     * `when(assert_true(..).isNull, ..)` wrapper is value-transparent —
-    * assert_true returns NULL when the predicate holds. */
+    * assert_true returns NULL when the predicate holds. The predicate is
+    * coalesced to TRUE for groups with zero non-null addends: there
+    * `max(abs(q))` is NULL, the comparison is NULL, and assert_true THROWS
+    * on NULL — an all-null group must return a NULL sum, not crash (r8
+    * ADVICE). */
   private def guardedSum(q: Column): Column = {
     val bound = max(abs(q.cast("double"))) * count(q).cast("double")
-    when(assert_true(bound < lit(4.6e18),
+    when(assert_true(coalesce(bound < lit(4.6e18), lit(true)),
       lit("FixedPoint overflow: max|addend| * n exceeds the BIGINT grid " +
         "- coarsen the quantum (scale) for this data")).isNull,
       org.apache.spark.sql.functions.sum(q))

@@ -91,10 +91,15 @@ object Graph {
 
   /** Edge frame → primitive arrays + sorted-unique node index, streamed in
     * via toLocalIterator (no Array[Row] spike) — the shared first step of
-    * the driver-gated graph loops. Returns (srcIds, dstIds, nodes). */
+    * the driver-gated graph loops. The coalesce(1) matters: toLocalIterator
+    * runs ONE JOB PER PARTITION, and over a 32-partition cached frame that
+    * is 32 sequential scheduler round-trips for a control-plane-sized edge
+    * list (the r8 q_kcore regression, 0.69 → 1.22 s); a single coalesced
+    * partition streams it in one job, still row-at-a-time (no Row array
+    * spike). Returns (srcIds, dstIds, nodes). */
   private def collectGraph(e: DataFrame, m: Int): (Array[Long], Array[Long], Array[Long]) = {
     val ea = new Array[Long](m); val eb = new Array[Long](m)
-    val it = e.toLocalIterator()
+    val it = e.coalesce(1).toLocalIterator()
     var i = 0
     while (it.hasNext) { val r = it.next(); ea(i) = r.getLong(0); eb(i) = r.getLong(1); i += 1 }
     val all = new Array[Long](2 * m)
@@ -437,7 +442,7 @@ object Graph {
     // nodes outside the edge universe)
     val seed = new Array[Long](nn)
     val seeded = new Array[Boolean](nn)
-    val sit = sd.toLocalIterator()
+    val sit = sd.coalesce(1).toLocalIterator()
     while (sit.hasNext) {
       val r = sit.next()
       val j = idx(r.getLong(0))
@@ -805,7 +810,9 @@ object Graph {
         // adjacency risked driver OOM at the gate).
         val m = nEdges.toInt
         val ea = new Array[Long](m); val eb = new Array[Long](m)
-        val it = canon.toLocalIterator()
+        // coalesce(1): toLocalIterator is one job PER PARTITION — see
+        // [[collectGraph]] (the r8 q_kcore regression)
+        val it = canon.coalesce(1).toLocalIterator()
         var i = 0
         while (it.hasNext) { val r = it.next(); ea(i) = r.getLong(0); eb(i) = r.getLong(1); i += 1 }
         // dense node index: sorted unique endpoint ids, binary-searched

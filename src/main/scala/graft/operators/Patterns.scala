@@ -69,7 +69,8 @@ object Patterns {
     * in every basket, so its support IS the basket count — emitted so a
     * result frame is self-describing (downstream consumers like
     * [[associationRulesFrom]] read the universe size from the frame
-    * instead of re-scanning the corpus).
+    * instead of re-scanning the corpus). An empty input yields an EMPTY
+    * frame — no size-0 row with support 0.
     */
   def frequentItemsets(df: DataFrame, basket: String, item: String,
       minSupportPpm: Long = 4000L, maxSize: Int = 3): DataFrame = {
@@ -96,8 +97,12 @@ object Patterns {
       .join(broadcast(nb))
       .where(col("support") >= col("__ms"))
       .persist() // frequent-vocabulary-sized; feeds the output AND the coder
-    val out0 = nb.select(lit("").as("items"), lit(0L).as("size"),
-      col("__n").as("support"), lit(1000000L).as("support_ppm"))
+    // an EMPTY corpus yields an empty result (not a support=0 row whose
+    // support_ppm would read 100% and feed associationRulesFrom a universe
+    // of 0 — r8 ADVICE); the filter rides the existing 1-row frame
+    val out0 = nb.where(col("__n") > 0)
+      .select(lit("").as("items"), lit(0L).as("size"),
+        col("__n").as("support"), lit(1000000L).as("support_ppm"))
     val out1 = out0.unionByName(
       l1.select(col("i").as("items"), lit(1L).as("size"),
         col("support"), ppm.as("support_ppm")))

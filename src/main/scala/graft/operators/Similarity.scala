@@ -1879,11 +1879,23 @@ object Similarity {
     * back to the driver (control-plane sized, the [[graft.operators.Graph]]
     * loop convention). Total: `iters` corpus passes, one shuffle each.
     *
+    * Size-gated two-path routing (the [[graft.operators.Graph.pageRank]]
+    * convention): under `maxDriverRows` the centroid EVOLUTION runs as the
+    * classic in-memory Lloyd loop over the collected quantized vectors —
+    * same integer distances, same smallest-cid ties, same truncating
+    * means, bit-identical by construction (spec-pinned) — because `iters`
+    * sequential Spark jobs over a fits-one-task corpus are pure job-floor
+    * overhead (r8 bench: 6 rounds = 2.1 s at sf0.1 for 2k vectors). The
+    * FINAL assignment is distributed on both paths (the output is
+    * corpus-sized); the distributed loop remains the unbounded-corpus
+    * path.
+    *
     * Output: `(vec_id, cluster, dist2)` — final assignment and its exact
     * squared distance on the quantum grid.
     */
   def kmeans(df: DataFrame, id: String, vec: String, k: Int = 8,
-      iters: Int = 5, quantum: Double = 1e-6): DataFrame = {
+      iters: Int = 5, quantum: Double = 1e-6,
+      maxDriverRows: Long = 200000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(quantum > 0, s"quantum must be positive, got $quantum")
@@ -1914,7 +1926,43 @@ object Similarity {
               "- coarsen `quantum`")).isNull, best.getField("cid")).as("cid"),
           best.getField("d").as("dist2"))
       }
-      for (_ <- 1 to iters) {
+      val nRows = q.count()
+      if (nRows <= maxDriverRows) {
+        // driver Lloyd loop: ONE bounded collect of the quantized vectors
+        // (coalesce(1) reads the cache in a single job — toLocalIterator
+        // over 32 cached partitions costs a scheduler round-trip each),
+        // then pure integer arithmetic. Identical to the distributed
+        // recurrence: exact integer distances, smallest-cid ties (strict <
+        // keeps the earliest), truncating `/` means, emptied cluster keeps
+        // its centroid, wrapped overflow flips the sign and throws.
+        val vecs = q.select(col("qv")).coalesce(1).collect()
+          .map(_.getSeq[Long](0).toArray)
+        val d = cents(0).length
+        for (_ <- 1 to iters) {
+          val sums = Array.fill(cents.length)(new Array[Long](d))
+          val ns = new Array[Long](cents.length)
+          vecs.foreach { v =>
+            var best = 0; var bd = Long.MaxValue; var ci = 0
+            while (ci < cents.length) {
+              val c = cents(ci); var dist = 0L; var j = 0
+              while (j < d) { val t = v(j) - c(j); dist += t * t; j += 1 }
+              if (dist < bd) { bd = dist; best = ci }
+              ci += 1
+            }
+            require(bd >= 0, "kmeans overflow: dims * (max|x|/quantum)^2 " +
+              "exceeds BIGINT - coarsen `quantum`")
+            ns(best) += 1
+            var j = 0; while (j < d) { sums(best)(j) += v(j); j += 1 }
+          }
+          cents = cents.zipWithIndex.map { case (c, ci) =>
+            if (ns(ci) == 0L) c
+            // plain long division truncates toward zero — DuckDB's `//`
+            // semantics on integers (floorDiv would drift one low on
+            // negative inexact means; caught by the r8 oracle bisect)
+            else Array.tabulate(d)(j => sums(ci)(j) / ns(ci))
+          }
+        }
+      } else for (_ <- 1 to iters) {
         val stats = assigned(cents)
           .select(col("cid"), posexplode(col("qv")).as(Seq("dim", "v")))
           .groupBy(col("cid"), col("dim"))
@@ -1923,9 +1971,7 @@ object Similarity {
         val next = cents.map(_.clone())
         stats.groupBy(_.getLong(0)).foreach { case (cid, rows) =>
           rows.foreach { r =>
-            // plain long division truncates toward zero — DuckDB's `//`
-            // semantics on integers (floorDiv would drift one low on
-            // negative inexact means; caught by the r8 oracle bisect)
+            // truncating division (see the driver path note above)
             next(cid.toInt)(r.getInt(1)) = r.getLong(2) / r.getLong(3)
           }
         }
@@ -1974,7 +2020,12 @@ object Similarity {
       val deg = pairs.select(col("d1").as("vid"))
         .unionByName(pairs.select(col("d2").as("vid")))
         .groupBy(col("vid")).agg(count(lit(1)).as("__deg"))
-      val core = deg.where(col("__deg") + 1 >= minPts).select(col("vid"))
+      // core status tests EVERY point (left join, degree 0 when absent from
+      // the pair list): with minPts = 1 the documented "itself included"
+      // rule makes a zero-neighbor vector a core singleton, not noise — the
+      // deg frame alone can't see it (r8 ADVICE)
+      val core = pts.join(deg, Seq("vid"), "left_outer")
+        .where(coalesce(col("__deg"), lit(0L)) + 1 >= minPts).select(col("vid"))
         .persist()
       val coreEdges = pairs
         .join(core.select(col("vid").as("d1")), Seq("d1"), "left_semi")

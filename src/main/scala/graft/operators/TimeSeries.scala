@@ -1034,6 +1034,56 @@ object TimeSeries {
         round(max(abs(col("__c1") / col("__t1") - col("__c2") / col("__t2"))), 6).as("ks"))
   }
 
+  /** [[psiDrift]] and [[ksDrift]] side by side from ONE histogram pass —
+    * the drift-panel composition. Joining the two operators scans the
+    * input three times (PSI sides twice, KS once) for aggregations over
+    * the IDENTICAL `(key, bin)` grid; here one conditional-count
+    * aggregation feeds both statistics (the cell set is the same by
+    * construction: bins with at least one sided non-null row), so the
+    * output matches `psiDrift ⋈ ksDrift` exactly while the corpus moves
+    * once. Output one row per key present on both sides:
+    * `(key, psi, n1, n2, ks)`.
+    */
+  def driftPanel(df: DataFrame, key: String, ts: String, value: String,
+      tSplit: Long, lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    require(hi > lo, s"empty range: hi $hi <= lo $lo")
+    val w = (hi - lo) / bins
+    val bin = least(greatest(floor((col(value).cast("double") - lo) / w), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+    val counts = df
+      .where(col(value).isNotNull &&
+        (col(ts) < tSplit || col(ts) >= tSplit)) // ts non-null: PSI cell set
+      .groupBy(col(key), bin.as("bin"))
+      .agg(count(when(col(ts) < tSplit, lit(1))).as("n1"),
+        count(when(col(ts) >= tSplit, lit(1))).as("n2"))
+      .persist()
+    try {
+      val tot = counts.groupBy(col(key))
+        .agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"),
+          count(lit(1)).as("cells"))
+      val psi = counts.join(tot, Seq(key))
+        .select(col(key),
+          ((col("n1") + 0.5) / (col("t1") + lit(0.5) * col("cells"))).as("p1"),
+          ((col("n2") + 0.5) / (col("t2") + lit(0.5) * col("cells"))).as("p2"))
+        .groupBy(col(key))
+        .agg(round(sum((col("p1") - col("p2")) * log(col("p1") / col("p2"))), 6).as("psi"))
+      val cum = Window.partitionBy(col(key)).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totW = Window.partitionBy(col(key))
+      val ks = counts
+        .withColumn("__c1", sum(col("n1")).over(cum))
+        .withColumn("__c2", sum(col("n2")).over(cum))
+        .withColumn("__t1", sum(col("n1")).over(totW))
+        .withColumn("__t2", sum(col("n2")).over(totW))
+        .where(col("__t1") > 0 && col("__t2") > 0)
+        .groupBy(col(key))
+        .agg(max(col("__t1")).as("n1"), max(col("__t2")).as("n2"),
+          round(max(abs(col("__c1") / col("__t1") - col("__c2") / col("__t2"))), 6).as("ks"))
+      psi.join(ks, Seq(key)).localCheckpoint() // lets the counts cache go
+    } finally counts.unpersist(blocking = false)
+  }
+
   /** Pearson correlation matrix between LOCF-aligned series — "do these PVs
     * move together" over a shared time grid (feed it [[locfAlign]] /
     * [[locfAlignChunked]] output, or any wide frame of numeric columns).
@@ -1457,8 +1507,12 @@ object TimeSeries {
     * "segment" always wins raw CUSUM on noise).
     *
     * Overflow bound (guarded loudly, the [[FixedPoint]] convention):
-    * `max|prefix sum| · n < 2^63` per key — coarsen `quantum` for very
-    * long or large-valued series.
+    * `4 · max|prefix sum| · n < 2^63` per key — coarsen `quantum` for
+    * very long or large-valued series. The guard reads the per-key
+    * `max(abs(P))` over ALL rows, not just the segment-boundary prefix
+    * sum: with mixed-sign values a mid-segment P can far exceed |Pb|,
+    * and a guard on the boundary alone would let the BIGINT gain wrap
+    * silently (r8 ADVICE).
     *
     * Plan shape: ONE key-local window pass builds (rank, prefix sum);
     * each level is a segment-frame join (segments ≤ 2^level per key —
@@ -1486,8 +1540,14 @@ object TimeSeries {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .persist()
     try {
+      // per-key max|prefix sum| rides the initial segment aggregate and is
+      // CARRIED through the loop as a segment column (recomputing it per
+      // level would re-aggregate the cached base three times): each gain
+      // term |segment sum| · length is ≤ 2·max|P|·n and the difference of
+      // two such ≤ 4·max|P|·n — bound the MID-SEGMENT P, not just Pb
       var segments = base.groupBy(col("k"))
-        .agg(count(lit(1)).as("b")).select(col("k"), lit(1L).as("a"), col("b"))
+        .agg(count(lit(1)).as("b"), max(abs(col("P"))).as("__mP"))
+        .select(col("k"), lit(1L).as("a"), col("b"), col("__mP"))
       val splits = Seq.newBuilder[DataFrame]
       val aw = Window.partitionBy(col("k"), col("a"), col("b"))
         .orderBy(col("gain").desc, col("rn"))
@@ -1498,16 +1558,18 @@ object TimeSeries {
             Seq("k", "a"), "left_outer")
           .join(base.select(col("k"), col("rn").as("b"), col("P").as("Pb")),
             Seq("k", "b"))
-          .select(col("k"), col("a"), col("b"),
+          .select(col("k"), col("a"), col("b"), col("__mP"),
             coalesce(col("Pa"), lit(0L)).as("Pa"), col("Pb"))
         val cand = base.join(withPa, Seq("k"))
           .where(col("rn") >= col("a") + (minSeg - 1) &&
             col("rn") <= col("b") - minSeg)
-          .select(col("k"), col("a"), col("b"), col("rn"), col("t"),
-            // loud overflow guard: |P|·n dominates every product below
+          .select(col("k"), col("a"), col("b"), col("__mP"), col("rn"), col("t"),
+            // loud overflow guard on the per-key max|P|: each gain term is
+            // a segment sum (≤ 2·max|P|) times a length (≤ b), and the
+            // difference of two such ≤ 4·max|P|·b — so 4·mP·b < 2^63/2
             when(assert_true(
-              abs(col("Pb")).cast("double") * col("b").cast("double") < lit(4.6e18),
-              lit("changePoints overflow: |prefix sum| * n exceeds BIGINT " +
+              col("__mP").cast("double") * col("b").cast("double") < lit(1.1e18),
+              lit("changePoints overflow: max|prefix sum| * n exceeds BIGINT " +
                 "- coarsen `quantum`")).isNull,
               abs((col("P") - col("Pa")) * (col("b") - col("rn")) -
                 (col("Pb") - col("P")) * (col("rn") - col("a") + 1)))
@@ -1515,13 +1577,14 @@ object TimeSeries {
         val best = cand
           .withColumn("__r", row_number().over(aw))
           .where(col("__r") === 1)
-          .select(col("k"), col("a"), col("b"), col("rn"), col("t"),
+          .select(col("k"), col("a"), col("b"), col("__mP"), col("rn"), col("t"),
             col("gain"), lit(level.toLong).as("level"))
           .localCheckpoint() // feeds BOTH the output and the next level
         splits += best
-        segments = best.select(col("k"), col("a"), col("rn").as("b"))
+        segments = best.select(col("k"), col("a"), col("rn").as("b"), col("__mP"))
           .where(col("b") - col("a") + 1 >= 2L * minSeg)
-          .unionByName(best.select(col("k"), (col("rn") + 1).as("a"), col("b"))
+          .unionByName(best.select(col("k"), (col("rn") + 1).as("a"), col("b"),
+            col("__mP"))
             .where(col("b") - col("rn") >= 2L * minSeg))
       }
       splits.result().reduce(_ unionByName _)

@@ -272,6 +272,32 @@ class DataQualitySpec extends SparkSpec {
     assert(got.size == 6)
   }
 
+  test("orderDependencies: row-weighted violations vs the running max over " +
+      "strictly smaller lhs; ties unconstrained; nulls excluded") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (Some(1.0), Some(10.0)), (Some(2.0), Some(20.0)), (Some(2.0), Some(20.0)),
+      (Some(3.0), Some(15.0)), (Some(3.0), Some(5.0)), (Some(4.0), Some(20.0)),
+      (None: Option[Double], Some(7.0)), (Some(5.0), None: Option[Double]))
+      .toDF("x", "y")
+    val got = DataQuality.orderDependencies(df, Seq("x", "y"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    // x~>y: running max at x=3 is 20 -> rows (3,15) and (3,5) violate (2);
+    // the tie at x=2 never constrains itself. y~>x: M(y=10)=3 -> (10,1)
+    // violates; M(y=20)=3 -> the DUPLICATED (20,2) row violates twice.
+    assert(got == Set(
+      ("x", "y", 6L, 2L, false),
+      ("y", "x", 6L, 3L, false)))
+    // a monotone pair holds in both directions
+    val mono = (1 to 20).map(i => (i.toDouble, (2 * i).toDouble)).toDF("x", "y")
+    val holds = DataQuality.orderDependencies(mono, Seq("x", "y"))
+      .collect().map(r => (r.getString(0), r.getBoolean(4))).toSet
+    assert(holds == Set(("x", true), ("y", true)))
+  }
+
   test("uniqueCombinations: key discovery over singles and pairs; nulls excluded") {
     val sp = spark
     import sp.implicits._

@@ -38,6 +38,27 @@ class FixedPointSpec extends SparkSpec {
     assert(got == Seq(2L, -2L, 2L, -2L))
   }
 
+  test("all-null groups and empty frames return NULL sums/means, not a crash") {
+    val sp = spark
+    import sp.implicits._
+    // the overflow guard's bound is NULL over zero non-null addends
+    // (max over empty = NULL) and assert_true throws on NULL — the guard
+    // must be vacuously true there so the agg returns SQL's NULL (r8
+    // ADVICE, medium)
+    val rows = Seq((1, None: Option[Double]), (1, None), (2, Some(2.0)))
+      .toDF("k", "v")
+      .groupBy(col("k"))
+      .agg(FixedPoint.sum(col("v"), 100.0, 2).as("s"),
+        FixedPoint.mean6(col("v")).as("m"))
+      .orderBy(col("k")).collect()
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2))
+    assert(rows(1).getDouble(1) == 2.0 && rows(1).getDouble(2) == 2.0)
+    val empty = Seq.empty[Double].toDF("v")
+      .agg(FixedPoint.sum(col("v"), 100.0, 2).as("s"),
+        FixedPoint.mean(col("v"), 100.0, 6).as("m")).collect()
+    assert(empty.length == 1 && empty(0).isNullAt(0) && empty(0).isNullAt(1))
+  }
+
   test("null values are excluded from the mean denominator (avg semantics)") {
     val sp = spark
     import sp.implicits._

@@ -23,6 +23,20 @@ class PatternsSpec extends SparkSpec {
     ).toDF("b", "i")
   }
 
+  test("frequentItemsets: empty input yields an EMPTY frame, and the rule " +
+      "miner reads it as no rules") {
+    val sp = spark
+    import sp.implicits._
+    // the size-0 universe row must NOT appear with support 0 / ppm 100%
+    // (r8 ADVICE) — an empty corpus has no itemsets, and a downstream
+    // associationRulesFrom must not read a universe of 0 from it
+    val empty = Seq.empty[(Long, String)].toDF("b", "i")
+    val sets = Patterns.frequentItemsets(empty, "b", "i",
+      minSupportPpm = 300000L, maxSize = 3)
+    assert(sets.count() == 0L)
+    assert(Patterns.associationRulesFrom(sets).count() == 0L)
+  }
+
   test("frequentItemsets: level counts at 30% support; presence semantics") {
     // minSup = ceil(10 * 0.3) = 3
     val got = Patterns.frequentItemsets(baskets, "b", "i",

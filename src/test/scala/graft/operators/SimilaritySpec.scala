@@ -744,6 +744,39 @@ class SimilaritySpec extends SparkSpec {
       (3L, "noise", -1L), (4L, "noise", -1L), (6L, "noise", -1L)))
   }
 
+  test("kmeans: driver-loop and distributed Lloyd paths are bit-identical") {
+    val sp = spark
+    import sp.implicits._
+    // 3-D mixed-sign fixture with inexact means, ties and an emptied-
+    // cluster candidate — everything the integer recurrence must replay
+    val df = (0L until 40L).map { i =>
+      (i, Seq((math.sin(i * 0.7) * 3).toFloat, (i % 5).toFloat - 2f,
+        (math.cos(i * 0.3) * -2).toFloat))
+    }.toDF("vec_id", "embedding")
+    def rows(gate: Long) =
+      Similarity.kmeans(df, "vec_id", "embedding", k = 4, iters = 4,
+          maxDriverRows = gate)
+        .orderBy(col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(rows(200000L) == rows(0L))
+  }
+
+  test("dbscan: minPts=1 makes a zero-neighbor vector a core singleton") {
+    val sp = spark
+    import sp.implicits._
+    // vec 5 is orthogonal to the dense pair 0/1 — no eps-neighbor at all.
+    // With minPts=1 the 'itself included' rule makes it a CORE singleton
+    // cluster (its own id), never noise (r8 ADVICE boundary).
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.999f, 0.01f)), (5L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.dbscan(df, "vec_id", "embedding",
+        simEps = 0.9, minPts = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (0L, "core", 0L), (1L, "core", 0L), (5L, "core", 5L)))
+  }
+
   test("dbscan: broadcast and blocked pair paths agree") {
     val sp = spark
     import sp.implicits._

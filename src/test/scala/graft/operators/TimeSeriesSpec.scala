@@ -913,4 +913,52 @@ class TimeSeriesSpec extends SparkSpec {
     val got = TimeSeries.changePoints(df, "k", "t", "v", minSeg = 3, depth = 1)
     assert(got.count() == 0L)
   }
+
+  test("changePoints: the overflow guard reads the MID-SEGMENT max|P|, " +
+      "not the near-zero boundary prefix sum") {
+    val sp = spark
+    import sp.implicits._
+    // alternating ±3e9 over 400 rows: every even-rank prefix sum (incl.
+    // Pb) is 0, but max|P| = 3e15 on the 1e-6 grid, so 4·max|P|·n ≈ 4.8e18
+    // wraps a BIGINT gain — the r8 guard on |Pb|·b saw 0 and passed it
+    // silently; the fixed guard must throw
+    val df = (1 to 400).map(i =>
+      ("a", i.toLong, if (i % 2 == 1) 3.0e9 else -3.0e9)).toDF("k", "t", "v")
+    val ex = intercept[Exception] {
+      TimeSeries.changePoints(df, "k", "t", "v", minSeg = 5, depth = 1).count()
+    }
+    assert(ex.getMessage.contains("changePoints overflow") ||
+      Option(ex.getCause).exists(_.getMessage.contains("changePoints overflow")))
+    // the same series on a coarser grid stays inside the bound and runs
+    val ok = TimeSeries.changePoints(df, "k", "t", "v", minSeg = 5, depth = 1,
+      quantum = 1.0)
+    assert(ok.count() >= 0L)
+  }
+
+  test("driftPanel equals psiDrift ⋈ ksDrift on a mixed-drift fixture") {
+    val sp = spark
+    import sp.implicits._
+    val rows =
+      (0 until 100).map(i => ("a", i.toLong, (i % 10) * 10.0)) ++
+        (100 until 200).map(i => ("a", i.toLong, (i % 10) * 10.0)) ++
+        (0 until 100).map(i => ("b", i.toLong, 10.0)) ++
+        (100 until 200).map(i => ("b", i.toLong, 90.0)) ++
+        (0 until 50).map(i => ("c", i.toLong, (i % 7) * 13.0)) ++
+        (100 until 130).map(i => ("c", i.toLong, (i % 5) * 21.0))
+    val df = rows.toDF("k", "ts", "v")
+    val fused = TimeSeries.driftPanel(df, "k", "ts", "v",
+        tSplit = 100L, lo = 0.0, hi = 100.0, bins = 10)
+      .orderBy(col("k")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toList
+    val psi = TimeSeries.psiDrift(df, "k", "ts", "v", 100L, 0.0, 100.0, 10)
+    val ks = TimeSeries.ksDrift(df, "k", "ts", "v", 100L, 0.0, 100.0, 10)
+    val joined = psi.join(ks, Seq("k"))
+      .select(col("k"), col("psi"), col("n1"), col("n2"), col("ks"))
+      .orderBy(col("k")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toList
+    assert(fused == joined)
+    assert(fused.map(_._1) == List("a", "b", "c"))
+  }
 }

@@ -121,9 +121,11 @@ class PlanLintSurfaceSpec extends SparkSpec {
     // level (depth 2) — each is ≤ 2^level rows per key, and the next
     // level's segment frame reads it
     ("q_cpd", "driver-materialized-input") -> 2,
-    // q_ind_audit: the label²-sized result localCheckpoint (releases the
-    // persisted distinct-value union)
-    ("q_ind_audit", "driver-materialized-input") -> 1)
+    // r9 (reviewed): q_ind_audit's fused single-agg rewrite assembles the
+    // labels²-sized result on the driver (LocalRelation — allowlist
+    // SHRANK); q_drift_panel's fused one-pass PSI+KS materializes the
+    // keys-sized panel so the (key, bin) counts cache can release
+    ("q_drift_panel", "driver-materialized-input") -> 1)
 
   test("every registered query lints clean modulo the reviewed allowlist") {
     val dir = "/root/testdata/sf0.001"
