@@ -25,14 +25,20 @@ import org.apache.spark.sql.SparkSession
   * alphabetical consumer so it never competes for memory with later
   * queries.
   *
-  * INGEST RUNS FIRST (r8 verdict: the shipped artifact's p10 collapsed to
-  * 4.9k rows/s while the previous run of identical code read 35.4k — the
-  * clearCache()-before-ingest mitigation was fragile against the memory
-  * debris of 259 queries). Running the streaming measurement before any
-  * table is cached or query executed removes the neighbor effect by
-  * CONSTRUCTION: ingest now always measures a quiet JVM, identically every
-  * round. The full per-run series is emitted as `ingest_runs` so any
-  * residual spread is in the artifact, not reconstructed from stderr.
+  * INGEST RUNS FIRST, ON ITS OWN SparkContext (r8 verdict: the shipped
+  * artifact's p10 collapsed to 4.9k rows/s while the previous run of
+  * identical code read 35.4k — the clearCache()-before-ingest mitigation
+  * was fragile against the memory debris of 259 queries). Running the
+  * streaming measurement before any table is cached or query executed
+  * removes the query→ingest neighbor effect by CONSTRUCTION — and
+  * STOPPING that context before the query session starts kills the
+  * reverse direction too: the 13 streaming runs leave an async
+  * ContextCleaner backlog plus state-store maintenance threads that
+  * otherwise drain INTO the timed query phase (the first r9 pass measured
+  * a +0.5–2.5 s bulge across the alphabetically-mid queries that decayed
+  * as the backlog emptied). The full per-run series is emitted as
+  * `ingest_runs` so any residual spread is in the artifact, not
+  * reconstructed from stderr.
   *
   * Forced-distributed twins (`_dist_*`): after the query phase, each
   * size-gated operator's DISTRIBUTED path is timed ONCE over the same
@@ -54,23 +60,41 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    Engine.tune(spark)
-
-    // ---- ingest phase FIRST: a quiet JVM, no cached tables, no query
-    // debris — the measurement is structurally isolated (see scaladoc)
-    val ingestDefault = only.isEmpty
-    val ingestRuns: Seq[Double] = sys.env.get("SPARK_GRAFT_BENCH_INGEST") match {
-      case Some("0") => Seq.empty
-      case Some(_) => benchIngest(spark)
-      case None => if (ingestDefault) benchIngest(spark) else Seq.empty
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      Engine.tune(s)
+      s
     }
+
+    // ---- ingest phase FIRST, on a THROWAWAY context: no cached tables,
+    // no query debris in the measurement — and stopping the context takes
+    // its cleaner backlog and state-store threads with it, so the query
+    // phase starts quiet too (see scaladoc)
+    // INGEST=0 skips; INGEST=<anything else> forces; unset → full runs only
+    val runIngest = sys.env.get("SPARK_GRAFT_BENCH_INGEST") match {
+      case Some("0") => false
+      case Some(_) => true
+      case None => only.isEmpty
+    }
+    val ingestRuns: Seq[Double] =
+      if (!runIngest) Seq.empty
+      else {
+        val ingestSpark = newSession()
+        try benchIngest(ingestSpark) finally {
+          ingestSpark.stop()
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+          System.gc()
+        }
+      }
+
+    val spark = newSession()
 
     sources.Tables.all.foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").cache().count()
@@ -253,6 +277,22 @@ object Bench {
       System.err.println(f"[bench-ingest] $tag: $n rows in $secs%.2f s " +
         f"(${n / secs}%.0f rows/s) scratch=$scratch")
       Seq(dir, ckpt).foreach(deleteRecursively) // don't leak 250k-row stores per run
+      // inter-run hygiene, OUTSIDE the timed window — without it the runs
+      // degrade PROGRESSIVELY (the r9 tmpfs probe: 50-60k for nine runs,
+      // then 40k/28k/8k), because each stopped query leaves its
+      // HDFSBackedStateStoreProvider maps registered in the JVM-global
+      // StateStore registry (the provider unload path is coordinator-
+      // driven and never fires for these short-lived queries) and 200k
+      // queued MemoryStream rows awaiting GC. unloadAll() is private[sql]
+      // in source but public in bytecode — reflection keeps this
+      // bench-only hygiene out of the engine's compile surface.
+      try {
+        val m = Class.forName(
+          "org.apache.spark.sql.execution.streaming.state.StateStore$")
+        val mod = m.getField("MODULE$").get(null)
+        mod.getClass.getMethod("unloadAll").invoke(mod)
+      } catch { case _: Throwable => () }
+      System.gc()
       n / secs
     }
     run(50000, "warmup") // warm-up: JIT the stateful path + first parquet commit

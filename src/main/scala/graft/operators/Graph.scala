@@ -169,7 +169,12 @@ object Graph {
     *
     * Plan shape per iteration: two keyed joins + two map-side-combinable
     * sums + two 1-row totals (broadcast); the edge frame is persisted
-    * once, score lineage localCheckpoint-truncated every 3 rounds; the
+    * once and each half-round's score frame is localCheckpoint-ed EAGERLY
+    * — unlike [[pageRank]]'s linear chain, HITS reads the previous frame
+    * TWICE per half-round (the L1 total and the fill join), so an uncut
+    * lineage doubles per half-round and the every-3-rounds lazy cut left
+    * 4^3 plan copies to recompute between cuts (the r9 `_dist_hits` probe
+    * measured 87 s at sf0.1 for work that takes 4 s cut per round); the
     * size gate routes control-plane-sized graphs through the identical
     * collected integer loop (GraphSpec pins the two paths bit-equal).
     *
@@ -198,17 +203,13 @@ object Graph {
       require(n > 0, "hits needs at least one edge")
       var auth = nodes.select(col("node"), lit(scale / n).as("auth"))
       var hub = nodes.select(col("node"), lit(scale / n).as("hub"))
-      for (i <- 1 to iters) {
+      for (_ <- 1 to iters) {
         val aRaw = e.join(hub, e("src") === hub("node"))
           .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("raw"))
-        auth = normalizeL1(nodes, aRaw, scale, "auth")
+        auth = normalizeL1(nodes, aRaw, scale, "auth").localCheckpoint()
         val hRaw = e.join(auth, e("dst") === auth("node"))
           .groupBy(col("src").as("node")).agg(sum(col("auth")).as("raw"))
-        hub = normalizeL1(nodes, hRaw, scale, "hub")
-        if (i % 3 == 0 && i < iters) {
-          auth = auth.localCheckpoint(false)
-          hub = hub.localCheckpoint(false)
-        }
+        hub = normalizeL1(nodes, hRaw, scale, "hub").localCheckpoint()
       }
       auth.join(hub, Seq("node")).select(col("node"), col("auth"), col("hub"))
         .localCheckpoint()
