@@ -177,7 +177,11 @@ object SparkEntry {
     // oracled q_hubness_blocked uses — timed standalone here
     "_dist_knn_graph" -> ((s, dir) =>
       operators.Similarity.knnGraphBlocked(Tables.embeddings(s, dir),
-        "vec_id", "embedding", 5, 4)))
+        "vec_id", "embedding", 5, 4)),
+    "_dist_textrank" -> ((s, dir) =>
+      operators.TextAnalysis.textRank(Tables.documents(s, dir), "doc_id",
+        "text", chunkTokens = 64, overlap = 16, iters = 5, topK = 3,
+        maxDriverEdges = 0L)))
 
   /** Release one memoized frame by pseudo-entry name. */
   def dropSharedFrame(name: String): Unit = name match {
@@ -1122,6 +1126,15 @@ object SparkEntry {
       TextAnalysis.chunkDocs(Tables.documents(s, dir), "doc_id", "text",
         chunkTokens = 64, overlap = 16)
         .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // ---- TextRank centrality over each document's chunks: which windows
+    // are most representative (RAG extractive selection)? Doc-local
+    // overlap graph + weighted integer PageRank, vectorized across docs --
+    "q_textrank" -> ((s, dir) => {
+      TextAnalysis.textRank(Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 64, overlap = 16, iters = 5, topK = 3)
+        .orderBy(col("doc_id"), col("rank"))
     }),
 
     // ---- bigram-LM cross-entropy (perplexity-proxy quality score),
@@ -3946,6 +3959,52 @@ object SparkEntry {
        |ORDER BY from_col, to_col""".stripMargin
   }
 
+
+  /** DuckDB mirror of [[operators.TextAnalysis.textRank]]: the q_chunk_docs
+    * slice math builds distinct-token chunk sets, a doc-local inequality
+    * join weights edges by intersect size, and `iters` rounds of the
+    * weighted integer PageRank recurrence are UNROLLED (the pageRankSql
+    * convention) — all BIGINT, `//` truncation == Spark's DIV. */
+  private def textRankSql(chunkTokens: Int, overlap: Int, iters: Int,
+      topK: Int, scale: Long): String = {
+    val step = chunkTokens - overlap
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "p0" else s"p${i - 1}"
+      s"""c$i AS (SELECT e.doc_id, e.v AS cid,
+         |    CAST(sum(((a.pr * 85) // 100) * e.w // ow.W) AS BIGINT) AS m
+         |  FROM e JOIN $prev a ON e.doc_id = a.doc_id AND e.u = a.cid
+         |         JOIN ow ON ow.doc_id = e.doc_id AND ow.u = e.u
+         |  GROUP BY 1, 2),
+         |p$i AS (SELECT p.doc_id, p.cid, p.tp,
+         |    p.tp + coalesce(c$i.m, CAST(0 AS BIGINT)) AS pr
+         |  FROM $prev p LEFT JOIN c$i ON p.doc_id = c$i.doc_id AND p.cid = c$i.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |c AS (SELECT doc_id, toks,
+       |    ((greatest(len(toks) - $chunkTokens, 0) + ${step - 1}) // $step) + 1 AS nc FROM t),
+       |ch AS (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS cid FROM c),
+       |cs AS (SELECT doc_id, CAST(cid AS BIGINT) AS cid,
+       |    list_distinct(toks[cid * $step + 1 : cid * $step + $chunkTokens]) AS ts FROM ch),
+       |e0 AS (SELECT a.doc_id, a.cid AS u, b.cid AS v,
+       |    CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS w
+       |  FROM cs a JOIN cs b ON a.doc_id = b.doc_id AND a.cid < b.cid
+       |  WHERE len(list_intersect(a.ts, b.ts)) > 0),
+       |e AS (SELECT doc_id, u, v, w FROM e0
+       |  UNION ALL SELECT doc_id, v, u, w FROM e0),
+       |ow AS (SELECT doc_id, u, CAST(sum(w) AS BIGINT) AS W FROM e GROUP BY 1, 2),
+       |nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM cs GROUP BY 1),
+       |p0 AS (SELECT cs.doc_id, cs.cid,
+       |    CAST($scale AS BIGINT) // n AS pr,
+       |    (CAST($scale AS BIGINT) * 15 // 100) // n AS tp
+       |  FROM cs JOIN nd ON cs.doc_id = nd.doc_id),
+       |$rounds
+       |SELECT doc_id, cid AS chunk_id, CAST(rank AS BIGINT) AS rank,
+       |  CAST(pr AS BIGINT) AS score
+       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY pr DESC, cid) AS rank FROM p$iters)
+       |WHERE rank <= $topK ORDER BY doc_id, rank""".stripMargin
+  }
 
   /** DuckDB mirror of [[operators.DataQuality.orderDependencies]] over the
     * events time-profile frame: the same melt → distinct-(pair, a, b)
@@ -7054,6 +7113,10 @@ object SparkEntry {
 
     // order dependencies over the events time profile (the OD melt)
     "q_od_audit" -> odSql(Seq("hour_b", "day_b", "value")),
+
+    // TextRank over chunks: unrolled weighted integer PageRank per doc
+    "q_textrank" -> textRankSql(chunkTokens = 64, overlap = 16, iters = 5,
+      topK = 3, scale = 1000000000L),
 
     "q_ind_audit" -> indSql(Seq(
       ("o_custkey", "orders", "o_custkey"),

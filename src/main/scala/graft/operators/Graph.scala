@@ -876,6 +876,9 @@ object Graph {
     */
   private def kCoreDistributed(canon: DataFrame, k: Int, maxPeels: Int): DataFrame = {
     var e = canon.localCheckpoint()
+    // carry the edge count forward — the previous round's `after` IS this
+    // round's `before`, so each round pays ONE count job, not two
+    var before = e.count()
     var converged = false
     var round = 0
     while (!converged && round < maxPeels) {
@@ -887,10 +890,10 @@ object Graph {
         .join(keep.select(col("__n").as("__b")), Seq("__b"), "left_semi")
         .select(col("__a"), col("__b"))
         .localCheckpoint()
-      val before = e.count()
       val after = e2.count()
       e = e2
       converged = after == before
+      before = after
       round += 1
     }
     require(converged, s"k-core peel did not converge within $maxPeels rounds")

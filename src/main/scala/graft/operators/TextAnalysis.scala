@@ -1318,4 +1318,176 @@ object TextAnalysis {
       }
       .toDF("d1", "d2", "sim")
   }
+
+  /** TextRank-style centrality over a document's CHUNKS — the extractive
+    * selection a RAG/summarization pipeline runs after [[chunkDocs]]:
+    * which windows of a long document are most representative? Each doc's
+    * chunks form a doc-local graph whose edge weight is the DISTINCT-token
+    * overlap count (an integer — the classic sentence-overlap TextRank
+    * weight without the log-length damping, kept integral so two engines
+    * replay it bit-for-bit), and the score is `iters` rounds of the
+    * weighted integer PageRank recurrence
+    * `pr' = teleport + Σ ((pr·85) div 100)·w div W` (`W` = the node's
+    * total incident weight; teleport and the uniform init are per-doc).
+    * Ties rank by ascending chunk id. An isolated chunk keeps only its
+    * teleport mass — scores are for RANKING inside a doc, they don't sum
+    * to `scale`.
+    *
+    * Overflow bound (loud require, the [[graft.operators.FixedPoint]]
+    * convention): `scale · 85 · chunkTokens < 2^63` — contributions are
+    * `(pr·85 div 100)·w` with `w ≤ chunkTokens` and `pr ≤ ~2·scale`.
+    *
+    * Scale shape: chunking and token sets are map-only; the pair join is
+    * keyed by doc id with a chunk-index inequality, so pair work is
+    * doc-local (bounded by the longest document, never cross-doc); every
+    * PageRank round is ONE keyed join + one map-side-combinable sum over
+    * the edge frame, vectorized across ALL docs at once — no per-doc
+    * driver loop; edges/nodes persist once with eager per-round lineage
+    * cuts (the distributed-HITS double-reference lesson). Size-gated
+    * two-path routing (the [[graft.operators.Graph.pageRank]] convention):
+    * under `maxDriverEdges` nodes+edges the integer recurrence runs over
+    * collected rows — bit-identical by construction (spec-pinned), and
+    * `iters` sequential cluster rounds of job floor are skipped; the
+    * distributed loop remains the unbounded-corpus path.
+    *
+    * Output: `(doc_id, chunk_id, rank, score)` — the `topK` most central
+    * chunks per document.
+    */
+  def textRank(df: DataFrame, id: String, text: String,
+      chunkTokens: Int = 64, overlap: Int = 16, iters: Int = 5,
+      topK: Int = 3, scale: Long = 1000000000L,
+      maxDriverEdges: Long = 2000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(scale > 0 && scale * 85L < Long.MaxValue / chunkTokens,
+      s"scale * 85 * chunkTokens must stay under 2^63, got $scale")
+    val step = chunkTokens - overlap
+    val toks = tokens(col(text))
+    val extra = greatest(size(toks) - lit(chunkTokens), lit(0))
+    val nChunks = floor((extra + lit(step - 1)).cast("double") / lit(step.toDouble))
+      .cast("int") + lit(1)
+    // (doc, chunk_id, distinct-token set) — the chunkDocs slice math
+    val sets = df.where(col(text).isNotNull)
+      .select(col(id).as("doc"), toks.as("__toks"),
+        explode(sequence(lit(0), nChunks - lit(1))).as("__ci"))
+      .select(col("doc"), col("__ci").cast("long").as("cid"),
+        array_distinct(slice(col("__toks"), col("__ci") * lit(step) + lit(1),
+          lit(chunkTokens))).as("ts"))
+      .persist()
+    try {
+      val half = sets.as("a").join(sets.as("b"),
+          col("a.doc") === col("b.doc") && col("a.cid") < col("b.cid"))
+        .select(col("a.doc").as("doc"), col("a.cid").as("u"),
+          col("b.cid").as("v"),
+          size(array_intersect(col("a.ts"), col("b.ts"))).cast("long").as("w"))
+        .where(col("w") > 0)
+      val e = half.unionByName(half.select(col("doc"), col("v").as("u"),
+        col("u").as("v"), col("w"))).persist()
+      val nNodes = sets.count()
+      val nE = e.count()
+      if (nNodes + nE <= maxDriverEdges) {
+        val out = textRankDriver(
+          sets.select(col("doc"), col("cid")), e, iters, topK, scale)
+        e.unpersist(blocking = false)
+        return out
+      }
+      // "wt" not "W": Spark resolves case-insensitively, so w/W collide
+      val outW = e.groupBy(col("doc"), col("u")).agg(sum(col("w")).as("wt"))
+      val ew = e.join(outW, Seq("doc", "u")).persist()
+      val nd = sets.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+      var pr = sets.join(nd, Seq("doc"))
+        .select(col("doc"), col("cid"),
+          expr(s"${scale}L DIV n").as("pr"),
+          expr(s"(${scale}L * 15 DIV 100) DIV n").as("tp"))
+      for (_ <- 1 to iters) {
+        val contrib = ew.join(pr.select(col("doc"), col("cid").as("u"), col("pr")),
+            Seq("doc", "u"))
+          .groupBy(col("doc"), col("v").as("cid"))
+          .agg(sum(expr("((pr * 85) DIV 100) * w DIV wt")).as("m"))
+        // EAGER cut each round: the score frame feeds BOTH the contrib agg
+        // and the fill join, so an uncut lineage doubles per round — the
+        // distributed-HITS lesson (87 s of recompute at sf0.1), not the
+        // linear pageRank chain a lazy every-3-rounds cut suffices for
+        pr = pr.join(contrib, Seq("doc", "cid"), "left_outer")
+          .select(col("doc"), col("cid"),
+            (col("tp") + coalesce(col("m"), lit(0L))).as("pr"), col("tp"))
+          .localCheckpoint()
+      }
+      val rw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc")).orderBy(col("pr").desc, col("cid"))
+      val out = pr
+        .withColumn("rank", row_number().over(rw).cast("long"))
+        .where(col("rank") <= topK)
+        .select(col("doc").as("doc_id"), col("cid").as("chunk_id"),
+          col("rank"), col("pr").as("score"))
+        .localCheckpoint()
+      ew.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+      out
+    } finally sets.unpersist(blocking = false)
+  }
+
+  /** Driver half of [[textRank]]'s size gate: the identical weighted
+    * integer recurrence over collected rows — integer sums commute and
+    * every division is on non-negative operands (Java `/` == SQL DIV
+    * there), so the two paths are bit-equal by construction (spec-pinned).
+    * Keys are (doc, chunk) pairs (doc ids keep their input type), so the
+    * index is a boxed map rather than the graph loops' primitive CSR —
+    * fine under the node+edge gate. */
+  private def textRankDriver(nodes: DataFrame, edges: DataFrame, iters: Int,
+      topK: Int, scale: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = nodes.sparkSession
+    val docType = nodes.schema("doc").dataType
+    val nrows = nodes.coalesce(1).collect()
+    val erows = edges.coalesce(1).collect()
+    val n = nrows.length
+    val idx = new java.util.HashMap[(Any, Long), Int](2 * n)
+    var i = 0
+    while (i < n) { idx.put((nrows(i).get(0), nrows(i).getLong(1)), i); i += 1 }
+    val docN = new java.util.HashMap[Any, Long]()
+    nrows.foreach(r => docN.merge(r.get(0), 1L, (a, b) => a + b))
+    val tp = new Array[Long](n); val pr = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      val dn = docN.get(nrows(i).get(0))
+      pr(i) = scale / dn
+      tp(i) = (scale * 15L / 100L) / dn
+      i += 1
+    }
+    val m = erows.length
+    val eu = new Array[Int](m); val ev = new Array[Int](m)
+    val ww = new Array[Long](m); val wt = new Array[Long](n)
+    i = 0
+    while (i < m) {
+      val r = erows(i)
+      eu(i) = idx.get((r.get(0), r.getLong(1)))
+      ev(i) = idx.get((r.get(0), r.getLong(2)))
+      ww(i) = r.getLong(3)
+      wt(eu(i)) += ww(i)
+      i += 1
+    }
+    for (_ <- 1 to iters) {
+      val nx = tp.clone()
+      var j = 0
+      while (j < m) {
+        nx(ev(j)) += ((pr(eu(j)) * 85L) / 100L) * ww(j) / wt(eu(j))
+        j += 1
+      }
+      System.arraycopy(nx, 0, pr, 0, n)
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Row]()
+    nrows.indices.groupBy(j => nrows(j).get(0)).foreach { case (doc, is) =>
+      val sorted = is.sortBy(j => (-pr(j), nrows(j).getLong(1)))
+      sorted.take(topK).zipWithIndex.foreach { case (j, rk) =>
+        out += Row(doc, nrows(j).getLong(1), (rk + 1).toLong, pr(j))
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", docType), StructField("chunk_id", LongType),
+      StructField("rank", LongType), StructField("score", LongType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(out.toArray: _*), schema)
+  }
 }

@@ -724,4 +724,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("fr") == ((1L, 1L, 1L, 3L, 1.0, 3.0)))
     assert(got.size == 2)
   }
+
+  test("textRank: hand-computed chunk graph — overlap edges, isolated chunk " +
+      "keeps teleport mass, ties rank by chunk id") {
+    val sp = spark
+    import sp.implicits._
+    // doc 1 at chunkTokens=4/overlap=0: chunks {a,b,c,d} {a,b,x,y} {p,q,r,s}
+    // -> edge 0-1 (w=2), chunk 2 isolated. pr0 = 1e9 div 3 = 333333333,
+    // tp = (1.5e8) div 3 = 50000000. Round: contrib over the w=2 edge is
+    // ((333333333*85) div 100)*2 div 2 = 283333333 -> pr = 333333333
+    // again (fixed point); the isolated chunk decays to tp.
+    // doc 2: a single chunk -> pr = tp = 150000000.
+    val df = Seq(
+      (1L, "a b c d a b x y p q r s"),
+      (2L, "z z z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.textRank(df, "doc_id", "text",
+        chunkTokens = 4, overlap = 0, iters = 5, topK = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 0L, 1L, 333333333L),
+      (1L, 1L, 2L, 333333333L),
+      (1L, 2L, 3L, 50000000L),
+      (2L, 0L, 1L, 150000000L)))
+  }
+
+  test("textRank size gate: driver recurrence == distributed rounds") {
+    val sp = spark
+    import sp.implicits._
+    // irregular overlap structure across three docs of different sizes
+    val words = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+    val df = (1L to 3L).map { d =>
+      val text = (0 until (8 * d).toInt)
+        .map(i => words(((i * d) % 8).toInt)).mkString(" ")
+      (d, text)
+    }.toDF("doc_id", "text")
+    def rows(gate: Long) =
+      TextAnalysis.textRank(df, "doc_id", "text", chunkTokens = 4,
+          overlap = 1, iters = 4, topK = 3, maxDriverEdges = gate)
+        .orderBy("doc_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toList
+    assert(rows(2000000L) == rows(0L))
+  }
 }

@@ -125,6 +125,9 @@ class PlanLintSurfaceSpec extends SparkSpec {
     // labels²-sized result on the driver (LocalRelation — allowlist
     // SHRANK); q_drift_panel's fused one-pass PSI+KS materializes the
     // keys-sized panel so the (key, bin) counts cache can release
+    // (q_textrank's size-gated driver twin returns a LocalRelation, so
+    // the registered plan lints clean; the distributed loop's eager
+    // per-round cuts sit beyond the gate)
     ("q_drift_panel", "driver-materialized-input") -> 1)
 
   test("every registered query lints clean modulo the reviewed allowlist") {
