@@ -51,7 +51,11 @@ import org.apache.spark.sql.SparkSession
   * for local iteration; `SPARK_GRAFT_BENCH_INGEST=0` skips the streaming
   * throughput measurement (`_RUNS` sets its timed repeats, `_TMPDIR` its
   * scratch root). The reported total is the sum of per-query medians;
-  * `ingest_rows_per_sec` (p50, with interior-rank p10/p90) rides along.
+  * `ingest_rows_per_sec` (p50, with interior-rank p10/p90) rides along,
+  * plus `ingest_diag` (per-run GC/provider//tmp/writeback columns) and a
+  * `_sentinel_post_ingest` entry — q_latest_per_key timed once right
+  * after ingest teardown, whose divergence from its in-suite median
+  * exposes unclean teardown (r9 verdict asks #1/#4).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -82,8 +86,8 @@ object Bench {
       case Some(_) => true
       case None => only.isEmpty
     }
-    val ingestRuns: Seq[Double] =
-      if (!runIngest) Seq.empty
+    val (ingestRuns: Seq[Double], ingestDiag: Seq[String]) =
+      if (!runIngest) (Seq.empty[Double], Seq.empty[String])
       else {
         val ingestSpark = newSession()
         try benchIngest(ingestSpark) finally {
@@ -100,6 +104,23 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").cache().count()
       catch { case _: Throwable => () }
     }
+
+    // ingest-teardown interference probe (r9 verdict ask #4): time one
+    // fixed sentinel query right after the ingest phase + table caching
+    // (one untimed pass first, so JIT/codegen cost doesn't masquerade as
+    // interference), and compare against the same query's in-suite median
+    // later in the artifact — a >1.5× divergence means the throwaway
+    // ingest context's teardown is NOT clean and whatever it leaves behind
+    // (cleaner backlog, page-cache writeback) taxes the query phase
+    val sentinel: Seq[(String, Double)] =
+      if (runIngest)
+        SparkEntry.queries.get("q_latest_per_key").map { fn =>
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+          "_sentinel_post_ingest" -> (System.nanoTime() - t0) / 1e9
+        }.toSeq
+      else Seq.empty
 
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -159,7 +180,12 @@ object Bench {
     val distTimed =
       if (only.isEmpty) {
         SparkEntry.sharedFrameBuilders.toSeq.sortBy(_._1).foreach { case (n, fn) =>
-          try fn(spark, sfDir).count() catch { case _: Throwable => failed += n }
+          // a failed REBUILD must not re-flag the `_shared_*` name — that
+          // name already carries a successful timed entry from the query
+          // phase; tag the rebuild distinctly so the artifact can't report
+          // one name as both timed-ok and failed (r9 ADVICE)
+          try fn(spark, sfDir).count()
+          catch { case _: Throwable => failed += s"_rebuild$n" }
         }
         SparkEntry.distTwinQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
           System.gc()
@@ -167,7 +193,7 @@ object Bench {
         }
       } else Seq.empty
     if (only.isEmpty) SparkEntry.clearSharedFrames()
-    val results = queryTimed ++ distTimed
+    val results = sentinel ++ queryTimed ++ distTimed
     val ingest = {
       val rs = ingestRuns.sorted
       def rank(p: Double) = if (rs.isEmpty) 0.0 else rs(math.min(rs.length - 1,
@@ -195,9 +221,13 @@ object Bench {
     val ingestJson = s""""ingest_rows_per_sec":${s3(ingest._2)},""" +
       s""""ingest_rows_per_sec_p10":${s3(ingest._1)},"ingest_rows_per_sec_p90":${s3(ingest._3)},""" +
       s""""ingest_runs":$ingestRunsJson"""
+    // per-run environment columns (full artifact only — 12 objects would
+    // blow the compact line's tail-window budget)
+    val ingestDiagJson = ingestDiag.mkString("[", ",", "]")
     val fullLine = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""n_failed":${failed.size},"failed":$failedJson,""" +
-      s""""queries":$fullQs,$ingestJson,"sf":"$sfDir","total_sec":${s3(total)}}"""
+      s""""queries":$fullQs,$ingestJson,"ingest_diag":$ingestDiagJson,""" +
+      s""""sf":"$sfDir","total_sec":${s3(total)}}"""
     // only a FULL pass may overwrite the committed full map — a restricted
     // SPARK_GRAFT_BENCH_ONLY iteration run would otherwise clobber it with
     // a 2-query fragment (round 6 caught exactly that in the working tree)
@@ -226,9 +256,46 @@ object Bench {
     * input is pre-queued so the number measures processing, not feed
     * cadence; a smaller untimed run warms the streaming codepaths first.
     * Returns the full per-run rows/s series (in run order) — the caller
-    * derives p10/p50/p90 and emits the series itself as `ingest_runs`.
+    * derives p10/p50/p90 and emits the series itself as `ingest_runs` —
+    * plus one pre-rendered JSON diagnostic object per run (`ingest_diag`):
+    * GC-ms delta, state-store provider count after stop, scratch free
+    * space and /proc/meminfo dirty/writeback at run start. BENCH_r09's
+    * final-two-run collapse (50k → 4.2k/8.7k rows/s) reproduces only in
+    * the driver environment; these columns make the artifact NAME the
+    * environmental bound (heap churn vs provider leak vs disk fill vs
+    * writeback stall) instead of leaving it to reconstruction (r9 verdict
+    * ask #1).
     */
-  private def benchIngest(spark: SparkSession): Seq[Double] = {
+  private def totalGcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
+  /** Loaded state-store provider count via the same reflective door as
+    * unloadAll (−1 when unreadable). */
+  private def providerCount(): Int = try {
+    val m = Class.forName(
+      "org.apache.spark.sql.execution.streaming.state.StateStore$")
+    val mod = m.getField("MODULE$").get(null)
+    val f = mod.getClass.getDeclaredField("loadedProviders")
+    f.setAccessible(true)
+    f.get(mod) match {
+      case mm: scala.collection.Map[_, _] => mm.size
+      case mm: java.util.Map[_, _] => mm.size
+      case _ => -1
+    }
+  } catch { case _: Throwable => -1 }
+
+  private def meminfoKb(key: String): Long = try {
+    val src = scala.io.Source.fromFile("/proc/meminfo")
+    try src.getLines().collectFirst {
+      case l if l.startsWith(key + ":") => l.trim.split("\\s+")(1).toLong
+    }.getOrElse(-1L)
+    finally src.close()
+  } catch { case _: Throwable => -1L }
+
+  private def benchIngest(spark: SparkSession): (Seq[Double], Seq[String]) = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.Downsampler.RawSample
     import spark.implicits._
@@ -256,7 +323,13 @@ object Bench {
     val scratch = sys.env.get("SPARK_GRAFT_BENCH_TMPDIR")
       .map(java.nio.file.Paths.get(_)).getOrElse(
         java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+    val diag = scala.collection.mutable.ArrayBuffer[String]()
+    var lastGcMs = totalGcMs()
     def run(n: Int, tag: String): Double = {
+      // environment the run FACES (pre-conditions), sampled before timing
+      val dirtyKb = meminfoKb("Dirty")
+      val writebackKb = meminfoKb("Writeback")
+      val tmpFreeMb = scratch.toFile.getUsableSpace / (1024L * 1024L)
       val dir = java.nio.file.Files.createTempDirectory(scratch, "graft_bench_store")
       val ckpt = java.nio.file.Files.createTempDirectory(scratch, "graft_bench_ckpt")
       val input = MemoryStream[RawSample]
@@ -276,6 +349,8 @@ object Bench {
       // single median can't say which runs were slow or why
       System.err.println(f"[bench-ingest] $tag: $n rows in $secs%.2f s " +
         f"(${n / secs}%.0f rows/s) scratch=$scratch")
+      // provider accumulation signal: sampled after stop, BEFORE unloadAll
+      val providers = providerCount()
       Seq(dir, ckpt).foreach(deleteRecursively) // don't leak 250k-row stores per run
       // inter-run hygiene, OUTSIDE the timed window — without it the runs
       // degrade PROGRESSIVELY (the r9 tmpfs probe: 50-60k for nine runs,
@@ -291,8 +366,27 @@ object Bench {
           "org.apache.spark.sql.execution.streaming.state.StateStore$")
         val mod = m.getField("MODULE$").get(null)
         mod.getClass.getMethod("unloadAll").invoke(mod)
-      } catch { case _: Throwable => () }
+      } catch {
+        // a silent no-op here would bring back the progressive ingest
+        // degradation with no signal anywhere (r9 ADVICE): if Spark ever
+        // renames the method, the artifact anomaly must be traceable
+        case t: Throwable => System.err.println(
+          s"[bench-ingest] WARN StateStore.unloadAll reflection failed: $t")
+      }
+      // flush dirty pages OUTSIDE the timed window: each run writes a
+      // ~200k-row parquet store + checkpoint; accumulated writeback
+      // otherwise stalls later runs' fsyncs (one candidate for the
+      // driver-environment tail decay BENCH_r09 ingest_runs showed)
+      try Runtime.getRuntime.exec(Array("sync")).waitFor()
+      catch { case _: Throwable => () }
       System.gc()
+      val gcNow = totalGcMs()
+      def s3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      diag += s"""{"tag":"$tag","rows_per_sec":${s3(n / secs)},"secs":${s3(secs)},""" +
+        s""""gc_ms":${gcNow - lastGcMs},"providers_after_stop":$providers,""" +
+        s""""tmp_free_mb_pre":$tmpFreeMb,"dirty_kb_pre":$dirtyKb,""" +
+        s""""writeback_kb_pre":$writebackKb}"""
+      lastGcMs = gcNow
       n / secs
     }
     run(50000, "warmup") // warm-up: JIT the stateful path + first parquet commit
@@ -304,6 +398,7 @@ object Bench {
     // (ranks 2 and 11) — with the r7 five-run sample they were exactly
     // min/max, mislabeled (ADVICE r7); n=10 would still pin p10 to the min
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_INGEST_RUNS", "12").toInt
-    (1 to nRuns).map(i => run(200000, s"run $i/$nRuns"))
+    val series = (1 to nRuns).map(i => run(200000, s"run $i/$nRuns"))
+    (series, diag.toSeq)
   }
 }

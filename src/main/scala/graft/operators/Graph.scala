@@ -708,10 +708,13 @@ object Graph {
     * gap rather than resampling — the standard fixed-proposal scheme, and
     * the only one that stays a single declarative plan.
     *
-    * Plan shape: one distinct-node frame with a global rank (nodes-sized
-    * window — swap in the chunked rank for graphs whose NODE LIST is
-    * data-sized), a keyed join from hashed slot indices back to node ids,
-    * and one keyed anti-join against the canonical (min, max) edge form.
+    * Plan shape: one distinct-node frame ranked DISTRIBUTED via
+    * [[graft.operators.TimeSeries.rowNumberRanged]] (range-partitioned
+    * per-partition windows + explode/groupBy prefix offsets — no global
+    * window; for kNN-derived graphs the node list IS the corpus, r9
+    * verdict ask #3), a keyed join from hashed slot indices back to node
+    * ids, and one keyed anti-join against the canonical (min, max) edge
+    * form.
     *
     * Output: `(node, slot, neg)` ordered.
     */
@@ -739,8 +742,11 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = canon.select(explode(array(col("__e1"), col("__e2"))).as("__n"))
       .distinct()
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__n"))
-    val ranked = nodes.withColumn("__r", row_number().over(w).cast("long"))
+    val nParts = edges.sparkSession.sessionState.conf.numShufflePartitions
+    // rowNumberRanged persists its range-parted frame internally (boundary
+    // consistency); this outer persist memoizes the joined rank for the
+    // three consumers below (cand, partner, cnt)
+    val ranked = TimeSeries.rowNumberRanged(nodes, "__r", nParts, col("__n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = ranked.agg(max(col("__r")).as("__cnt")) // 1 row
     val x = conv(substring(md5(col("__n").cast("string")), 1, 8), 16, 10)

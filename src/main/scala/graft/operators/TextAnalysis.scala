@@ -1359,7 +1359,10 @@ object TextAnalysis {
       maxDriverEdges: Long = 2000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(topK >= 1, s"topK must be >= 1, got $topK")
-    require(scale > 0 && scale * 85L < Long.MaxValue / chunkTokens,
+    // compare WITHOUT multiplying the untrusted operand: `scale * 85` can
+    // itself wrap for scale > ~1.08e17, passing the old guard while the
+    // recurrence then wraps silently (r9 ADVICE)
+    require(scale > 0 && scale < Long.MaxValue / 85L / chunkTokens,
       s"scale * 85 * chunkTokens must stay under 2^63, got $scale")
     val step = chunkTokens - overlap
     val toks = tokens(col(text))

@@ -374,6 +374,68 @@ object TimeSeries {
       .drop("__chunk", "__ochunk", "__off")
   }
 
+  /** Distributed global row number over an ARBITRARY sort key — identical
+    * output to `row_number().over(Window.orderBy(sortCols))` with ZERO
+    * empty-partition windows in the plan (the r9 verdict ask: [[rfm]]'s and
+    * `negativeSample`'s rank windows were the last data-sized global sorts
+    * on the surface). [[rowNumberChunked]] needs a wide-range monotone long
+    * key (timestamps); this variant ranks on any orderable key, including
+    * low-cardinality metrics where value-derived chunking degenerates to
+    * one chunk.
+    *
+    * Three-step plan, all distributed:
+    *  1. `repartitionByRange(nParts, sortCols)` — partition boundaries are
+    *     ordered by the sort key, so global order = (partition id asc,
+    *     within-partition order). Equal metric values split across
+    *     partitions by the tiebreak column, so skewed metrics (a Zipfian
+    *     frequency column) still parallelize — the property no
+    *     value-keyed chunking can give.
+    *  2. per-partition `row_number()` windowed BY `spark_partition_id()`
+    *     (never empty-partition), plus
+    *  3. partition offsets = prefix sums of per-partition counts, computed
+    *     by exploding each count row to every LATER partition id and
+    *     summing — a map + one tiny groupBy over ≤ nParts² control rows,
+    *     no window, no nested-loop join; attached back via broadcast hash
+    *     join.
+    *
+    * The range-parted frame is persisted: the counts branch and the join
+    * branch MUST observe identical partition boundaries (range sampling is
+    * seeded per RDD instance — two independent executions may split
+    * differently, which would misalign offsets). The persist is lazy, so
+    * plan construction still runs no job (PlanAuditSpec contract). Ranks
+    * themselves are boundary-independent — any consistent split yields the
+    * same global numbering when the full sort key is unique (callers pass
+    * a tiebreak column, same contract as [[rowNumberChunked]]).
+    *
+    * Nulls: range partitioning and window ordering both place nulls first
+    * ascending — consistent with a plain global window's default.
+    */
+  def rowNumberRanged(
+      df: DataFrame,
+      outCol: String,
+      nParts: Int,
+      sortCols: Column*): DataFrame = {
+    require(nParts >= 1, s"nParts must be >= 1, got $nParts")
+    val parted = df.repartitionByRange(nParts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    // prefix sum without a window: each partition's count contributes to
+    // every LATER partition's offset (sequence() reverses when start > stop,
+    // so last-partition rows are filtered BEFORE the explode)
+    val offsets = counts
+      .where(col("__pid") < nParts - 1)
+      .select(explode(sequence(col("__pid") + 1, lit(nParts - 1))).as("__pid"),
+        col("__cnt"))
+      .groupBy(col("__pid")).agg(sum(col("__cnt")).as("__off"))
+    val wIn = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+    parted
+      .join(broadcast(offsets), Seq("__pid"), "left_outer")
+      .withColumn(outCol,
+        row_number().over(wIn).cast("long") + coalesce(col("__off"), lit(0L)))
+      .drop("__pid", "__off")
+  }
+
   /** Q1 `cull_data` (web_utils.py:131-161): plot decimation that keeps every
     * `sample`-th point plus every point outside the `[percent, 100-percent]`
     * value-percentile band, preserving extremes. One pass computes the exact

@@ -961,4 +961,47 @@ class TimeSeriesSpec extends SparkSpec {
     assert(fused == joined)
     assert(fused.map(_._1) == List("a", "b", "c"))
   }
+
+  test("rowNumberRanged equals a plain global rank window (asc, desc, ties)") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // Zipf-skewed metric: most rows share value 1 (the case value-keyed
+    // chunking can't parallelize), ties broken by unique id
+    val rows = (0 until 500).map { i =>
+      val v = if (i % 5 != 0) 1L else (i % 37).toLong
+      (v, s"id${499 - i}", i.toDouble / 3.0)
+    }
+    val df = rows.toDF("m", "id", "d")
+    def expect(sort: Seq[org.apache.spark.sql.Column]) =
+      df.withColumn("__rn",
+          row_number().over(Window.orderBy(sort: _*)).cast("long"))
+        .select(col("id"), col("__rn")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+    for ((sort, nParts) <- Seq(
+        (Seq(col("m"), col("id")), 7),
+        (Seq(col("m").desc, col("id")), 32),
+        (Seq(col("d").desc, col("id")), 3),
+        (Seq(col("m"), col("id")), 1))) {
+      val got = TimeSeries.rowNumberRanged(df, "__rn", nParts, sort: _*)
+        .select(col("id"), col("__rn")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == expect(sort), s"mismatch at nParts=$nParts sort=$sort")
+    }
+  }
+
+  test("rowNumberRanged plan: no empty-partition window, offsets broadcast") {
+    val sp = spark
+    import sp.implicits._
+    val df = (0 until 100).map(i => (i.toLong % 3, s"i$i")).toDF("m", "id")
+    val ranked = TimeSeries.rowNumberRanged(df, "__rn", 8, col("m"), col("id"))
+    val findings = graft.plans.PlanLint.lint(ranked)
+    assert(!findings.exists(_.rule == "global-window"),
+      s"rowNumberRanged must not plan a global window: $findings")
+    assert(!findings.exists(_.rule == "nested-loop-join"),
+      s"offsets must attach via broadcast HASH join: $findings")
+    // ranks are a permutation of 1..n
+    val rns = ranked.select(col("__rn")).collect().map(_.getLong(0)).sorted
+    assert(rns.toSeq == (1L to 100L))
+  }
 }

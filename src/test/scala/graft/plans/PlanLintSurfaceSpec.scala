@@ -9,7 +9,7 @@ import graft.SparkSpec
   * (totals, min/max bounds, percentile fences, trained constants) cross-
   * joined onto data; `global-window` entries run over control-plane-sized
   * frames (chunk seeds/offsets, k-series matrices, steps frames) or
-  * documented keys-sized report frames (gini, rfm quintiles);
+  * documented keys-sized report frames (gini);
   * `driver-materialized-input` entries are the iterative graph loops whose
   * localCheckpoint() intentionally truncates lineage into an RDD scan.
   * A NEW finding (or a vanished one) fails this spec: plan-shape changes
@@ -22,10 +22,10 @@ class PlanLintSurfaceSpec extends SparkSpec {
     ("q_simpson", "nested-loop-join") -> 1,   // 1-row pooled-slope broadcast
     ("q_int8_recall", "nested-loop-join") -> 2, // two broadcast-query brute sweeps (q_knn_brute shape)
     // q_neg_sample / q_assortativity: the kNN edge sweep sits behind ONE
-    // persisted canonical frame (audited once — cacheBuilder dedupe); the
-    // rank window is over the nodes frame; BNLJs carry 1-row counts
+    // persisted canonical frame (audited once — cacheBuilder dedupe);
+    // BNLJs carry 1-row counts. r10: the nodes-frame rank moved to
+    // rowNumberRanged — its global-window entry is GONE (allowlist shrank)
     ("q_neg_sample", "driver-materialized-input") -> 1,
-    ("q_neg_sample", "global-window") -> 1,
     ("q_neg_sample", "nested-loop-join") -> 1,
     ("q_assortativity", "driver-materialized-input") -> 1,
     // r8 shared _shared_knn_graph memo: mutual-edge consumers dropped from
@@ -76,7 +76,8 @@ class PlanLintSurfaceSpec extends SparkSpec {
     ("q_quality_buckets", "nested-loop-join") -> 3,
     ("q_rank_agreement", "nested-loop-join") -> 3,
     ("q_rank_metrics", "nested-loop-join") -> 1,
-    ("q_rfm", "global-window") -> 3,
+    // q_rfm r10: the three users-sized rank windows moved to
+    // rowNumberRanged (allowlist shrank); only the 1-row n broadcast stays
     ("q_rfm", "nested-loop-join") -> 1,
     ("q_rocchio", "nested-loop-join") -> 2,
     ("q_run_registry", "nested-loop-join") -> 1,
