@@ -989,6 +989,45 @@ object SparkEntry {
         .orderBy(col("ts_us"), col("event_id"))
     }),
 
+    // ---- reference cache-dump importer: the ACTUAL production pvlist
+    // dump (3,671 records with embedded newlines, \' escapes, an id gap)
+    // parsed by the engine's character-level scanner, hash-matched against
+    // DuckDB's INDEPENDENT csv parse of the same file (quote=''',
+    // escape=\) — two parsers agreeing field-exactly on the reference's
+    // own data-at-rest is the migration-path correctness gate ---------------
+    "q_cache_import" -> ((s, _) => {
+      graft.sources.CacheDump.load(s, "/root/reference/sql/pvlist.txt")
+        .orderBy(col("id"))
+    }),
+
+    // ---- S5/S6 zarr round trip: export a samples frame as a zarr v2
+    // DirectoryStore (distributed writer), re-read it DISTRIBUTED via
+    // binaryFile scans, and window with the reference's argsort +
+    // one-before-tmin slice quirks (archiver.py:152-175). Runs the export
+    // job when the fn is invoked, by documented design (the
+    // ngramJaccardBroadcast convention) — the oracle applies the identical
+    // selection to the parquet directly, so a hash match proves the store
+    // round-trips bit-exactly (ts = tsUs/1e6 and value doubles survive
+    // unchanged through f8 chunks) -------------------------------------------
+    "q_zarr_scan" -> ((s, dir) => {
+      val samples = events(s, dir)
+        .where(col("value").isNotNull)
+        .select(concat(lit("EV:"), col("event_type")).as("pvname"),
+          col("ts_us").as("tsUs"), col("value"))
+        .groupBy(col("pvname"), col("tsUs")) // unique ts per PV: argsort tie-free
+        .agg(max(col("value")).cast("string").as("value"))
+      val store = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_zarr_scan_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      graft.store.ZarrExport.exportDirectoryStore(samples, store)
+      // T0+4d / T0+9d in float seconds — exact integers, embedded as the
+      // same literals in the oracle
+      graft.store.ZarrExport.sliceWindow(
+        graft.store.ZarrExport.readDirectoryStore(s, store),
+        tmin = 1705017600.0, tmax = 1705449600.0)
+        .select(col("pvname"), col("ts"), col("dvalue"))
+        .orderBy(col("pvname"), col("ts"))
+    }),
+
     // ---- deterministic train/val/test split: pure map, no shuffle, stable
     // under corpus growth -----------------------------------------------------
     "q_split_assign" -> ((s, dir) => {
@@ -5574,6 +5613,57 @@ object SparkEntry {
          |FROM events
          |WHERE event_type = 'signup' AND epoch_us(ts) >= $T0 AND epoch_us(ts) < $T1
          |ORDER BY ts_us, event_id""".stripMargin,
+
+    // cache-dump import: DuckDB parses the reference's production dump
+    // INDEPENDENTLY (read_csv with quote=''' escape=\ handles the
+    // embedded newlines and \' escapes; '(' and ');' shells stripped in
+    // SQL) — a hash match means both parsers recover identical fields
+    "q_cache_import" ->
+      s"""SELECT CAST(replace(column0, '(', '') AS BIGINT) AS id,
+         |       column1 AS pvname, column2 AS type, column3 AS value,
+         |       column4 AS cvalue,
+         |       CAST(rtrim(column5, ');') AS BIGINT) AS ts
+         |FROM read_csv('/root/reference/sql/pvlist.txt', delim=',',
+         |              quote='''', escape='\\', header=false,
+         |              allow_quoted_nulls=false,
+         |              columns={'column0': 'VARCHAR', 'column1': 'VARCHAR',
+         |                       'column2': 'VARCHAR', 'column3': 'VARCHAR',
+         |                       'column4': 'VARCHAR', 'column5': 'VARCHAR'})
+         |ORDER BY id""".stripMargin,
+
+    // zarr export→re-read round trip: the oracle applies the SAME
+    // selection directly to the parquet — a hash match proves the zarr v2
+    // store preserved (pvname, ts, value) bit-exactly AND the windowing
+    // reproduces the reference's slice quirks (archiver.py:152-175):
+    // i0 steps one EXTRA row back when a pre-tmin row exists at a positive
+    // index, and is literally 1 (skipping row 0) when nothing precedes
+    // tmin; i1 falls back to n when nothing precedes tmax
+    "q_zarr_scan" ->
+      s"""WITH e AS (
+         |  SELECT 'EV:' || event_type AS pvname, epoch_us(ts) AS tus,
+         |         max(value) AS dvalue
+         |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |s AS (
+         |  SELECT pvname, tus / 1000000.0 AS ts, dvalue,
+         |         row_number() OVER (PARTITION BY pvname ORDER BY tus) - 1 AS idx
+         |  FROM e),
+         |b AS (
+         |  SELECT pvname,
+         |         max(CASE WHEN ts < 1705017600.0 THEN idx END) AS lt0,
+         |         max(CASE WHEN ts < 1705449600.0 THEN idx END) AS lt1,
+         |         count(*) AS n
+         |  FROM s GROUP BY pvname),
+         |r AS (
+         |  SELECT pvname,
+         |         CASE WHEN lt0 IS NULL THEN 1
+         |              WHEN lt0 > 0 THEN lt0 - 1
+         |              ELSE lt0 END AS i0,
+         |         coalesce(lt1, n) AS i1
+         |  FROM b)
+         |SELECT s.pvname, s.ts, s.dvalue
+         |FROM s JOIN r USING (pvname)
+         |WHERE s.idx BETWEEN r.i0 AND r.i1
+         |ORDER BY pvname, ts""".stripMargin,
 
     "q_split_assign" ->
       s"""SELECT doc_id,

@@ -169,14 +169,18 @@ object Graph {
     *
     * Plan shape per iteration: two keyed joins + two map-side-combinable
     * sums + two 1-row totals (broadcast); the edge frame is persisted
-    * once and each half-round's score frame is localCheckpoint-ed EAGERLY
-    * — unlike [[pageRank]]'s linear chain, HITS reads the previous frame
-    * TWICE per half-round (the L1 total and the fill join), so an uncut
-    * lineage doubles per half-round and the every-3-rounds lazy cut left
-    * 4^3 plan copies to recompute between cuts (the r9 `_dist_hits` probe
-    * measured 87 s at sf0.1 for work that takes 4 s cut per round); the
-    * size gate routes control-plane-sized graphs through the identical
-    * collected integer loop (GraphSpec pins the two paths bit-equal).
+    * once and each half-round's RAW sum frame is localCheckpoint-ed
+    * EAGERLY — unlike [[pageRank]]'s linear chain, HITS reads each
+    * half-round's frame TWICE (the L1 total and the fill join), so an
+    * uncut lineage doubles per half-round and the every-3-rounds lazy cut
+    * left 4^3 plan copies to recompute between cuts (the r9 `_dist_hits`
+    * probe measured 87 s at sf0.1 for work that takes 4 s cut per round);
+    * cutting at RAW rather than after normalization halves the join work
+    * again — the expensive edge join executes once per half-round and
+    * both normalization reads scan the nodes-sized checkpoint (r9 verdict
+    * ask #8). The size gate routes control-plane-sized graphs through the
+    * identical collected integer loop (GraphSpec pins the two paths
+    * bit-equal).
     *
     * Output: `(node, auth, hub)` — scaled BIGINTs, each column summing to
     * ≈ scale minus integer-floor dust.
@@ -204,12 +208,22 @@ object Graph {
       var auth = nodes.select(col("node"), lit(scale / n).as("auth"))
       var hub = nodes.select(col("node"), lit(scale / n).as("hub"))
       for (_ <- 1 to iters) {
+        // the EAGER cut sits on the RAW frame, not the normalized one
+        // (r9 verdict ask #8): normalizeL1 reads its input twice (the
+        // 1-row L1 total and the fill join), so checkpointing AFTER it
+        // executed the expensive edge-join+agg twice per half-round;
+        // materializing raw first runs the join ONCE and both reads scan
+        // the nodes-sized checkpoint. The normalized frames stay lazy —
+        // every path to them is depth-1 over a materialized cut, so the
+        // doubling that motivated the old placement cannot re-compound.
         val aRaw = e.join(hub, e("src") === hub("node"))
           .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("raw"))
-        auth = normalizeL1(nodes, aRaw, scale, "auth").localCheckpoint()
+          .localCheckpoint()
+        auth = normalizeL1(nodes, aRaw, scale, "auth")
         val hRaw = e.join(auth, e("dst") === auth("node"))
           .groupBy(col("src").as("node")).agg(sum(col("auth")).as("raw"))
-        hub = normalizeL1(nodes, hRaw, scale, "hub").localCheckpoint()
+          .localCheckpoint()
+        hub = normalizeL1(nodes, hRaw, scale, "hub")
       }
       auth.join(hub, Seq("node")).select(col("node"), col("auth"), col("hub"))
         .localCheckpoint()

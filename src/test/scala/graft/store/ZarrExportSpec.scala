@@ -190,6 +190,62 @@ class ZarrExportSpec extends SparkSpec {
     assert(data(0) == 9.0, data.toSeq)
   }
 
+  test("readDirectoryStore round-trips the exported store distributed") {
+    val dir = Files.createTempDirectory("graft_zarr_read").toString
+    ZarrExport.exportDirectoryStore(samples, dir, Some(meta), chunkElems = 4)
+    val got = ZarrExport.readDirectoryStore(spark, dir)
+      .orderBy("pvname", "idx").collect()
+      .map(r => (r.getAs[String]("pvname"), r.getAs[Long]("idx"),
+        r.getAs[Double]("ts"), Option(r.getAs[java.lang.Double]("dvalue")),
+        Option(r.getAs[String]("value"))))
+    val numeric = got.filter(_._1 == "XX:m1.VAL")
+    assert(numeric.length == 10)
+    assert(numeric.map(_._3).toSeq == (1 to 10).map(_.toDouble))
+    assert(numeric.map(_._4.get).toSeq ==
+      Seq(1.5, 2.5, 3.0, 4.25, 5.0, 6.0, 7.0, 8.0, 9.0, 10.5))
+    assert(numeric.forall(_._5.isEmpty)) // f8 data -> dvalue only
+    val str = got.filter(_._1 == "XX:status")
+    assert(str.map(_._5.get).toSeq == Seq("OK", "3.5", "FAULT"))
+    assert(str.forall(_._4.isEmpty)) // |S data -> value only
+    // no RDD scans, no global windows: the read plan is file-scan based
+    val lint = graft.plans.PlanLint.lint(ZarrExport.readDirectoryStore(spark, dir))
+    assert(!lint.exists(f => f.rule == "driver-materialized-input" ||
+      f.rule == "global-window"), lint.toString)
+  }
+
+  test("readZipStore equals readDirectoryStore on the same samples") {
+    val zip = Files.createTempDirectory("graft_zarr_zip_rt").resolve("s.zip").toString
+    val dir = Files.createTempDirectory("graft_zarr_dir_rt").toString
+    ZarrExport.exportZipStore(samples, zip, Some(meta), chunkElems = 4)
+    ZarrExport.exportDirectoryStore(samples, dir, Some(meta), chunkElems = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("pvname", "idx").collect().map(_.toSeq).toSeq
+    assert(rows(ZarrExport.readZipStore(spark, zip)) ==
+      rows(ZarrExport.readDirectoryStore(spark, dir)))
+  }
+
+  test("sliceWindow reproduces the reference's i0/i1 quirks") {
+    val sp = spark
+    import sp.implicits._
+    // pv 'a': rows before tmin exist at idx 3 -> i0 = 2 (one EXTRA back);
+    // pv 'b': nothing before tmin -> i0 = 1 (the reference's bare except
+    //         skips row 0);
+    // pv 'c': nothing before tmax either -> i1 = n (everything from i0)
+    val df = Seq(
+      ("a", 0L, 10.0), ("a", 1L, 20.0), ("a", 2L, 30.0), ("a", 3L, 40.0),
+      ("a", 4L, 50.0), ("a", 5L, 60.0), ("a", 6L, 70.0),
+      ("b", 0L, 45.0), ("b", 1L, 55.0), ("b", 2L, 58.0),
+      ("c", 0L, 90.0), ("c", 1L, 95.0)
+    ).toDF("pvname", "idx", "ts")
+    val got = ZarrExport.sliceWindow(df, tmin = 45.0, tmax = 60.0)
+      .orderBy("pvname", "ts").collect()
+      .map(r => (r.getAs[String]("pvname"), r.getAs[Double]("ts"))).toSeq
+    assert(got == Seq(
+      ("a", 30.0), ("a", 40.0), ("a", 50.0),      // i0=2 (3-1), i1=4
+      ("b", 55.0), ("b", 58.0),                   // i0=1, i1=2
+      ("c", 95.0)))                               // i0=1, i1=n=2
+  }
+
   /** Immediate file names under dir/parts, with the Files.list stream
     * closed (its javadoc requires it).
     */

@@ -630,6 +630,51 @@ class StreamingComposeSpec extends SparkSpec {
     assert(est.contains("hot") && est("hot") >= 120L - 300L / 8)
   }
 
+  test("alert delivery: one mail per debounced ok->alarm edge, across a 3-batch split") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val hour = 3600L * S
+    val configs = Map(
+      1L -> Alerts.AlertConfig(1L, "A:vac.VAL", "Vacuum hi", "gt", "10",
+        timeoutUs = hour / 2, active = true),
+      2L -> Alerts.AlertConfig(2L, "B:idle.VAL", "Inactive", "gt", "0",
+        timeoutUs = 0L, active = false),       // inactive: no events at all
+      3L -> Alerts.AlertConfig(3L, "C:nomail.VAL", "No recipient", "gt", "0",
+        timeoutUs = 0L, active = true))        // fires, but mailto is empty
+    val mails = scala.collection.mutable.ArrayBuffer[Alerts.Mail]()
+    val input = MemoryStream[Alerts.Observation]
+    val q = Alerts.deliverStream(
+      input.toDS(), configs,
+      mailTo = Map(1L -> "ops@example.org\r\n", 3L -> ""),
+      templates = Map(1L -> "%PV% is %VALUE% (%COMP% %TRIP%), ref=%PV(OTHER:ref)%"),
+      lookup = Map("OTHER:ref" -> "42").get,
+      send = m => mails.synchronized { mails += m },
+      plotBaseUrl = "http://arch", triggerMs = 50L)
+    try {
+      def o(id: Long, tSec: Long, v: String) = Alerts.Observation(id, tSec * S, v)
+      // batch 1: ok, then the first ok->alarm edge -> mail #1 at t=60
+      input.addData(Seq(o(1, 0, "5"), o(1, 60, "15"), o(3, 10, "7")))
+      q.processAllAvailable()
+      // batch 2: stay-alarm (no mail), alarm->ok (no mail), then a second
+      // edge INSIDE the debounce window (no mail; doc/alerts.rst:42-48)
+      input.addData(Seq(o(1, 120, "20"), o(1, 180, "5"), o(1, 240, "15")))
+      q.processAllAvailable()
+      // batch 3: ok again, then an edge past the timeout -> mail #2
+      input.addData(Seq(o(1, 2000, "5"), o(1, 2100, "30"), o(3, 2100, "9")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // exactly the two debounced edges delivered, none for the inactive or
+    // recipient-less alerts, state carried across the batch cuts
+    assert(mails.map(m => (m.alertId, m.tsUs / S)).toSeq == Seq((1L, 60L), (1L, 2100L)))
+    val m1 = mails.head
+    assert(m1.mailTo == "ops@example.org") // CR/LF stripped (cache.py:646)
+    assert(m1.subject == "[Epics Alert] Vacuum hi")
+    assert(m1.body.contains("A:vac.VAL is 15 (greater than 10), ref=42"))
+    assert(m1.body.endsWith("See http://arch/plot/1days/now/A:vac.VAL"))
+  }
+
   test("streaming funnel state fold == batch funnel counts and latencies across a batch split") {
     val sp = spark
     import sp.implicits._
