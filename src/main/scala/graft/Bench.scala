@@ -70,6 +70,18 @@ object Bench {
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        // the AppStatusListener tracks jobs/stages/tasks even with the UI
+        // off, retaining 1000 jobs / 1000 stages by default: a full bench
+        // launches thousands of jobs, so the status store fills to its
+        // caps and every further job pays listener-side eviction churn —
+        // a monotone drag that matches the late-run gc_ms creep in
+        // ingest_diag and is a candidate for the r9 driver-environment
+        // slowdown of everything after the ingest phase. Tight caps keep
+        // the listener O(recent), changing nothing about execution.
+        .config("spark.ui.retainedJobs", "50")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "5000")
+        .config("spark.sql.ui.retainedExecutions", "50")
         .getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       Engine.tune(s)

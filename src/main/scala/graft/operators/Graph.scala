@@ -902,9 +902,15 @@ object Graph {
     var converged = false
     var round = 0
     while (!converged && round < maxPeels) {
+      // keep is NODES-sized; materialize it once per round — the two
+      // endpoint semi-joins below are separate plan branches and Spark
+      // has no common-subplan reuse across DataFrame references, so an
+      // unmaterialized keep re-runs the edge-degree SHUFFLE twice per
+      // round (the hits raw-frame lesson, r10)
       val deg = e.select(explode(array(col("__a"), col("__b"))).as("__n"))
         .groupBy(col("__n")).agg(count(lit(1)).as("__d"))
       val keep = deg.where(col("__d") >= k).select(col("__n"))
+        .localCheckpoint()
       val e2 = e
         .join(keep.select(col("__n").as("__a")), Seq("__a"), "left_semi")
         .join(keep.select(col("__n").as("__b")), Seq("__b"), "left_semi")

@@ -104,30 +104,96 @@ object CacheDump {
     val header = ("(?i)INSERT\\s+INTO\\s+`?" +
       java.util.regex.Pattern.quote(table) +
       "(?![A-Za-z0-9_])`?[^;(]*VALUES\\s*").r // boundary: pv must not match pvextra
-    header.findAllMatchIn(sql).flatMap { m =>
-      // statement body: scan from the end of the header to the ';' that
-      // sits OUTSIDE quotes and parens (values may contain both)
-      var i = m.end
-      var depth = 0
-      var inQ = false
-      val n = sql.length
-      var end = -1
-      while (i < n && end < 0) {
-        val c = sql.charAt(i)
-        if (inQ) {
-          if (c == '\\') i += 1
-          else if (c == '\'') inQ = false
-        } else c match {
-          case '\'' => inQ = true
-          case '(' => depth += 1
-          case ')' => depth -= 1
-          case ';' if depth == 0 => end = i
-          case _ => ()
-        }
-        i += 1
+    header.findAllMatchIn(sql)
+      .flatMap(m => parseTuples(statementBody(sql, m.end))).toVector
+  }
+
+  /** Statement body from `from` to the ';' that sits OUTSIDE quotes and
+    * parens (values may contain both), or end of input.
+    */
+  private def statementBody(sql: String, from: Int): String = {
+    var i = from
+    var depth = 0
+    var inQ = false
+    val n = sql.length
+    var end = -1
+    while (i < n && end < 0) {
+      val c = sql.charAt(i)
+      if (inQ) {
+        if (c == '\\') i += 1
+        else if (c == '\'') inQ = false
+      } else c match {
+        case '\'' => inQ = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ';' if depth == 0 => end = i
+        case _ => ()
       }
-      parseTuples(sql.substring(m.end, if (end < 0) n else end))
+      i += 1
+    }
+    sql.substring(from, if (end < 0) n else end)
+  }
+
+  private val AnyInsertRe =
+    "(?i)INSERT\\s+INTO\\s+`?([A-Za-z0-9_]+)`?[^;(]*VALUES\\s*".r
+
+  /** Every `(table, tuple)` of every INSERT statement in `sql` — the
+    * multi-table face of [[parseInsertTuples]] for dump lines whose table
+    * name is data (the run DB's 128 `pvdatNNN` shards).
+    */
+  def parseAllInsertTuples(sql: String): Vector[(String, Vector[String])] =
+    AnyInsertRe.findAllMatchIn(sql).flatMap { m =>
+      parseTuples(statementBody(sql, m.end)).map(m.group(1) -> _)
     }.toVector
+
+  /** DISTRIBUTED run-DB dump reader — the corpus-sized half of the
+    * migration path (`pvarch save` emits one mysqldump per run database;
+    * years of archives are many such files). mysqldump escapes newlines
+    * as `\n` INSIDE strings — unlike the cache dump's literal newlines —
+    * so every INSERT statement is one text LINE and `spark.read.textFile`
+    * distributes per statement: tuple parsing runs on executors,
+    * partition-parallel, nothing corpus-sized touches the driver.
+    *
+    * Returns the engine's samples frame `(pvname, tsUs, value)`: the
+    * `pvdatNNN` shard rows `(time, pv_id, value)` joined to the
+    * dimension-sized `pv` table (broadcast) with float-second times
+    * quantized to the engine's micros grid.
+    */
+  def loadRunDump(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val lines = spark.read.textFile(path)
+    val pv = lines.flatMap { l =>
+      parseInsertTuples(l, "pv").map(f => (f(0).toLong, f(1)))
+    }.toDF("pv_id", "pvname")
+    val dat = lines.flatMap { l =>
+      parseAllInsertTuples(l).collect {
+        case (t, f) if t.startsWith("pvdat") && f.length >= 3 =>
+          (math.round(f(0).toDouble * 1e6), f(1).toLong, f(2))
+      }
+    }.toDF("tsUs", "pv_id", "value")
+    dat.join(org.apache.spark.sql.functions.broadcast(pv), Seq("pv_id"))
+      .select(org.apache.spark.sql.functions.col("pvname"),
+        org.apache.spark.sql.functions.col("tsUs"),
+        org.apache.spark.sql.functions.col("value"))
+  }
+
+  /** The run dump's `pv` dimension with the archiving config a migrating
+    * deployment needs downstream (deadtime/deadband feed the T2
+    * downsampler's PvConfig; data_table pins shard provenance).
+    */
+  def loadRunDumpPvMeta(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(path).flatMap { l =>
+      // run-DB pv columns (schema.py:6-18): id, name, description,
+      // data_table, deadtime, deadband, graph_hi, graph_lo, graph_type,
+      // type, active
+      parseInsertTuples(l, "pv").map { f =>
+        (f(0).toLong, f(1), f(2), f(3),
+          Option(f(4)).map(_.toDouble), Option(f(5)).map(_.toDouble),
+          f(9), f(10))
+      }
+    }.toDF("id", "pvname", "description", "data_table",
+      "deadtime", "deadband", "type", "active")
   }
 
   /** Load a cache dump file into a DataFrame

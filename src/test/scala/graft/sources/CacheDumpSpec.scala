@@ -68,6 +68,55 @@ class CacheDumpSpec extends SparkSpec {
     assert(CacheDump.parseInsertTuples(dump, "missing").isEmpty)
   }
 
+  test("loadRunDump: distributed mysqldump replay joins pvdat shards to the pv dimension") {
+    val dump =
+      """-- MySQL dump (pvarch save shape, schema.py:6-23)
+        |CREATE TABLE `pv` (`id` int(10), `name` varchar(64));
+        |INSERT INTO `pv` VALUES (1,'RD:a.VAL','motor a','pvdat001',10,1e-08,NULL,NULL,'normal','double','yes'),(2,'RD:b.DESC','desc b','pvdat002',30.5,0.25,'12','0','log','string','no');
+        |CREATE TABLE `pvdat001` (time double, pv_id int, value varchar(4096));
+        |INSERT INTO `pvdat001` VALUES (1169524073.25,1,'1.5'),(1169524083.5,1,'2.5');
+        |INSERT INTO `pvdat001` VALUES (1169524093,1,'3.5');
+        |INSERT INTO `pvdat002` VALUES (1169524073,2,'mo\'tor'),(1169524074,2,NULL);
+        |INSERT INTO `other` VALUES (1169524073,1,'nope');
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempDirectory("graft_rundump").resolve("run.sql")
+    java.nio.file.Files.write(f, dump.getBytes("UTF-8"))
+    val got = CacheDump.loadRunDump(spark, f.toString)
+      .orderBy("pvname", "tsUs").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      ("RD:a.VAL", 1169524073250000L, "1.5"),
+      ("RD:a.VAL", 1169524083500000L, "2.5"),
+      ("RD:a.VAL", 1169524093000000L, "3.5"),
+      ("RD:b.DESC", 1169524073000000L, "mo'tor"),
+      ("RD:b.DESC", 1169524074000000L, null)))
+    val meta = CacheDump.loadRunDumpPvMeta(spark, f.toString)
+      .orderBy("id").collect()
+    assert(meta.length == 2)
+    assert(meta(0).getAs[String]("pvname") == "RD:a.VAL" &&
+      meta(0).getAs[String]("data_table") == "pvdat001" &&
+      meta(0).getAs[Double]("deadtime") == 10.0 &&
+      meta(0).getAs[String]("type") == "double" &&
+      meta(0).getAs[String]("active") == "yes")
+    assert(meta(1).getAs[Double]("deadband") == 0.25 &&
+      meta(1).getAs[String]("active") == "no")
+    // the samples plan is distributed text + broadcast dimension join —
+    // no global windows, no driver materialization of the data side
+    val lint = graft.plans.PlanLint.lint(CacheDump.loadRunDump(spark, f.toString))
+    assert(!lint.exists(f0 => f0.rule == "global-window" ||
+      f0.rule == "driver-materialized-input"), lint.toString)
+  }
+
+  test("parseAllInsertTuples: per-statement bodies, duplicate tuples preserved") {
+    val sql = "INSERT INTO `t1` VALUES (1,'a');INSERT INTO `t2` VALUES (2,'b'),(2,'b');" +
+      "INSERT INTO `t1` VALUES (3,'c; not a terminator');"
+    val got = CacheDump.parseAllInsertTuples(sql)
+    assert(got == Vector(
+      ("t1", Vector("1", "a")),
+      ("t2", Vector("2", "b")), ("t2", Vector("2", "b")), // dup KEPT
+      ("t1", Vector("3", "c; not a terminator"))))
+  }
+
   test("scanner edge cases: escapes, NULL vs empty, unterminated input") {
     val t = CacheDump.parseTuples(
       "(1,'a\\nb','c\\\\d',NULL,'NULL','')")
