@@ -50,12 +50,16 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_BENCH_ONLY` (comma-separated names) restricts the query set
   * for local iteration; `SPARK_GRAFT_BENCH_INGEST=0` skips the streaming
   * throughput measurement (`_RUNS` sets its timed repeats, `_TMPDIR` its
-  * scratch root). The reported total is the sum of per-query medians;
-  * `ingest_rows_per_sec` (p50, with interior-rank p10/p90) rides along,
-  * plus `ingest_diag` (per-run GC/provider//tmp/writeback columns) and a
-  * `_sentinel_post_ingest` entry — q_latest_per_key timed once right
-  * after ingest teardown, whose divergence from its in-suite median
-  * exposes unclean teardown (r9 verdict asks #1/#4).
+  * scratch root). The reported total is the sum of per-query medians over
+  * the timed queries and dist twins ONLY; `ingest_rows_per_sec` (p50, with
+  * interior-rank p10/p90) rides along, plus `ingest_diag` (per-run
+  * GC/provider//tmp/writeback columns) and a dedicated `sentinels` field —
+  * q_latest_per_key re-timed once right after ingest teardown
+  * (`_sentinel_post_ingest`, r9 asks #1/#4) and once again right before the
+  * dist-twin phase (`_sentinel_pre_dist`, r10 ask #4), so driver-box
+  * contention is attributable per phase. Sentinels are kept OUT of
+  * `total`/`n_queries`/`queries`: they re-time a query that already carries
+  * its own median entry (r10 ADVICE double-count fix).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -124,15 +128,15 @@ object Bench {
     // later in the artifact — a >1.5× divergence means the throwaway
     // ingest context's teardown is NOT clean and whatever it leaves behind
     // (cleaner backlog, page-cache writeback) taxes the query phase
-    val sentinel: Seq[(String, Double)] =
-      if (runIngest)
-        SparkEntry.queries.get("q_latest_per_key").map { fn =>
-          try fn(spark, sfDir).count() catch { case _: Throwable => () }
-          val t0 = System.nanoTime()
-          try fn(spark, sfDir).count() catch { case _: Throwable => () }
-          "_sentinel_post_ingest" -> (System.nanoTime() - t0) / 1e9
-        }.toSeq
-      else Seq.empty
+    def timeSentinel(name: String): Seq[(String, Double)] =
+      SparkEntry.queries.get("q_latest_per_key").map { fn =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toSeq
+    val sentinelPost: Seq[(String, Double)] =
+      if (runIngest) timeSentinel("_sentinel_post_ingest") else Seq.empty
 
     val ordered = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -189,6 +193,15 @@ object Bench {
     // rebuild the memoized input frames untimed first — their builds are
     // already timed as `_shared_*` entries, and a twin must time the
     // distributed OPERATOR, not an input rebuild
+    // phase-boundary sentinel #2 (r10 verdict ask #4): the same fixed query
+    // timed once BEFORE the dist-twin phase, so driver-environment
+    // contention is attributable per phase — a divergence between
+    // `_sentinel_pre_dist` and the in-suite q_latest_per_key median brackets
+    // whether dist-probe slowdowns (r10: q_triangles 3×, q_uncertainty 3.5×
+    // driver-only) arrive with the query phase's debris or are born in the
+    // dist phase itself
+    val sentinelPre: Seq[(String, Double)] =
+      if (only.isEmpty) timeSentinel("_sentinel_pre_dist") else Seq.empty
     val distTimed =
       if (only.isEmpty) {
         SparkEntry.sharedFrameBuilders.toSeq.sortBy(_._1).foreach { case (n, fn) =>
@@ -205,7 +218,13 @@ object Bench {
         }
       } else Seq.empty
     if (only.isEmpty) SparkEntry.clearSharedFrames()
-    val results = sentinel ++ queryTimed ++ distTimed
+    // sentinels are DIAGNOSTICS: they re-time a query that already carries
+    // its own median entry, so they ride in a dedicated `sentinels` field —
+    // summing them into `total`/`n_queries` would double-count
+    // q_latest_per_key and make the headline depend on whether the ingest
+    // phase ran (r10 ADVICE)
+    val sentinels = sentinelPost ++ sentinelPre
+    val results = queryTimed ++ distTimed
     val ingest = {
       val rs = ingestRuns.sorted
       def rank(p: Double) = if (rs.isEmpty) 0.0 else rs(math.min(rs.length - 1,
@@ -236,9 +255,11 @@ object Bench {
     // per-run environment columns (full artifact only — 12 objects would
     // blow the compact line's tail-window budget)
     val ingestDiagJson = ingestDiag.mkString("[", ",", "]")
+    val sentinelsJson = sentinels.map { case (k, v) => "\"" + k + "\":" + s3(v) }
+      .mkString("{", ",", "}")
     val fullLine = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""n_failed":${failed.size},"failed":$failedJson,""" +
-      s""""queries":$fullQs,$ingestJson,"ingest_diag":$ingestDiagJson,""" +
+      s""""queries":$fullQs,"sentinels":$sentinelsJson,$ingestJson,"ingest_diag":$ingestDiagJson,""" +
       s""""sf":"$sfDir","total_sec":${s3(total)}}"""
     // only a FULL pass may overwrite the committed full map — a restricted
     // SPARK_GRAFT_BENCH_ONLY iteration run would otherwise clobber it with
@@ -257,7 +278,7 @@ object Bench {
     println(fullLine)
     println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""n_failed":${failed.size},""" +
-      s""""queries":$compactQs,$ingestJson,"sf":"$sfDir","total_sec":${s3(total)}}""")
+      s""""queries":$compactQs,"sentinels":$sentinelsJson,$ingestJson,"sf":"$sfDir","total_sec":${s3(total)}}""")
     spark.stop()
   }
 

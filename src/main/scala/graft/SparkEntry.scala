@@ -1023,8 +1023,14 @@ object SparkEntry {
           col("ts_us").as("tsUs"), col("value"))
         .groupBy(col("pvname"), col("tsUs")) // unique ts per PV: argsort tie-free
         .agg(max(col("value")).cast("string").as("value"))
+      // collision-free store key (r10 ADVICE): a full SHA-1 of the sfDir
+      // path — 32-bit hashCode collisions between two scales would reuse
+      // the first scale's export and scan the wrong data
+      val dirSha = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
       val store = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_zarr_scan_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+        s"graft_zarr_scan_$dirSha").getAbsolutePath
       // export ONCE per (sfDir, JVM): the query under test is the S5 SCAN
       // (re-read + slice); re-exporting identical deterministic bytes on
       // every bench repeat would time the writer instead. Verify invokes
@@ -5652,8 +5658,11 @@ object SparkEntry {
     // store preserved (pvname, ts, value) bit-exactly AND the windowing
     // reproduces the reference's slice quirks (archiver.py:152-175):
     // i0 steps one EXTRA row back when a pre-tmin row exists at a positive
-    // index, and is literally 1 (skipping row 0) when nothing precedes
-    // tmin; i1 falls back to n when nothing precedes tmax
+    // index; when nothing precedes tmin, the `except: i0 = 1` fallback is
+    // itself decremented by the `if i0 > 0: i0 -= 1` that runs AFTER the
+    // except, so the reference ends at i0 = 0 and KEEPS row 0 (r10 ADVICE
+    // fix — both sides previously pinned 1); i1 falls back to n when
+    // nothing precedes tmax
     "q_zarr_scan" ->
       s"""WITH e AS (
          |  SELECT 'EV:' || event_type AS pvname, epoch_us(ts) AS tus,
@@ -5671,7 +5680,7 @@ object SparkEntry {
          |  FROM s GROUP BY pvname),
          |r AS (
          |  SELECT pvname,
-         |         CASE WHEN lt0 IS NULL THEN 1
+         |         CASE WHEN lt0 IS NULL THEN 0
          |              WHEN lt0 > 0 THEN lt0 - 1
          |              ELSE lt0 END AS i0,
          |         coalesce(lt1, n) AS i1

@@ -415,6 +415,137 @@ object ZarrExport {
     }
   }
 
+  /** Minimal flat-JSON-object scanner for `.zattrs` (the writer emits one
+    * flat object — [[zattrsJson]]; the reference's `grp.attrs.update`
+    * produces the same shape, archiver.py:576-582). String values are
+    * unescaped (the inverse of [[jsonEscape]], plus `\u` and `\/`); number
+    * tokens parse as doubles; a bare `null` (a NULL description column in
+    * the reference's pv table) drops the key, matching the writer's
+    * empty-string default.
+    */
+  private[store] def parseZattrs(json: String): Map[String, Either[String, Double]] = {
+    val out = Map.newBuilder[String, Either[String, Double]]
+    var i = 0
+    val n = json.length
+    def ws(): Unit = while (i < n && json.charAt(i).isWhitespace) i += 1
+    def str(): String = { // at the opening quote
+      i += 1
+      val sb = new StringBuilder
+      while (i < n && json.charAt(i) != '"') {
+        val c = json.charAt(i)
+        if (c == '\\' && i + 1 < n) {
+          json.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'u' if i + 5 < n =>
+              sb.append(Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case other => sb.append(other); i += 2
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      require(i < n, s"unterminated string in .zattrs: $json")
+      i += 1
+      sb.toString
+    }
+    ws()
+    require(i < n && json.charAt(i) == '{', s".zattrs is not a JSON object: $json")
+    i += 1
+    var done = false
+    while (!done) {
+      ws()
+      require(i < n, s"unterminated .zattrs object: $json")
+      json.charAt(i) match {
+        case '}' => done = true
+        case ',' => i += 1
+        case '"' =>
+          val k = str()
+          ws()
+          require(i < n && json.charAt(i) == ':', s"missing ':' after key '$k'")
+          i += 1
+          ws()
+          if (i < n && json.charAt(i) == '"') out += k -> Left(str())
+          else {
+            val start = i
+            while (i < n && json.charAt(i) != ',' && json.charAt(i) != '}' &&
+              !json.charAt(i).isWhitespace) i += 1
+            val tok = json.substring(start, i)
+            tok.toDoubleOption.foreach(d => out += k -> Right(d))
+            // non-numeric bare token: JSON null → key dropped
+          }
+        case other =>
+          throw new IllegalArgumentException(s"unexpected '$other' in .zattrs")
+      }
+    }
+    out.result()
+  }
+
+  /** One attrs frame row from a group's `.zattrs` JSON: the reference's
+    * seven keys (archiver.py:576-582), typed — `graph_hi`/`graph_lo` null
+    * when the reference coerced an unparseable blob to `''`.
+    */
+  private def attrsRow(pv: String, json: String): (String, Double, Double,
+      String, Option[Double], Option[Double], String, String) = {
+    val m = parseZattrs(json)
+    def s(k: String) = m.get(k).collect { case Left(v) => v }.getOrElse("")
+    def d(k: String) = m.get(k).collect { case Right(v) => v }.getOrElse(0.0)
+    def od(k: String) = m.get(k).collect { case Right(v) => v }
+    (pv, d("deadband"), d("deadtime"), s("description"),
+      od("graph_hi"), od("graph_lo"), s("graph_type"), s("type"))
+  }
+
+  private val AttrsCols = Seq("pvname", "deadband", "deadtime", "description",
+    "graph_hi", "graph_lo", "graph_type", "type")
+
+  /** Per-PV metadata from a DirectoryStore's `.zattrs` files (r10 verdict
+    * "What's missing" #1 — the writer emits them but nothing read them
+    * back, so a migrated archive lost exactly the metadata Q4 plot
+    * assembly and F10 enum decode need downstream). Same driver-side
+    * dimension pass as [[readDirectoryStore]]'s `.zarray` scan: Spark's
+    * file listing hides dot-files, and the set is one tiny JSON per PV.
+    * Returns `(pvname, deadband, deadtime, description, graph_hi,
+    * graph_lo, graph_type, type)` — the writer's metaMap columns back out.
+    */
+  def readDirectoryStoreAttrs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rootP = new org.apache.hadoop.fs.Path(dir)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pvarchP = new org.apache.hadoop.fs.Path(rootP, "pvarch")
+    val rows = fs.listStatus(pvarchP).toSeq.filter(_.isDirectory).flatMap { pvDir =>
+      val za = new org.apache.hadoop.fs.Path(pvDir.getPath, ".zattrs")
+      if (!fs.exists(za)) None
+      else {
+        val in = fs.open(za)
+        val json = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+          finally in.close()
+        Some(attrsRow(pctDecode(pvDir.getPath.getName), json))
+      }
+    }
+    rows.toDF(AttrsCols: _*)
+  }
+
+  /** [[readDirectoryStoreAttrs]] for the single-file ZipStore flavor. */
+  def readZipStoreAttrs(spark: SparkSession, file: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val zf = new ZipFile(file)
+    val rows = try {
+      zf.entries().asScala.toVector.flatMap { e =>
+        // group-level attrs only: pvarch/<pv>/.zattrs (array-level .zattrs
+        // don't exist in this store layout)
+        e.getName.split('/') match {
+          case Array("pvarch", pv, ".zattrs") =>
+            val json = new String(zf.getInputStream(e).readAllBytes(),
+              StandardCharsets.UTF_8)
+            Some(attrsRow(pctDecode(pv), json))
+          case _ => None
+        }
+      }
+    } finally zf.close()
+    rows.toDF(AttrsCols: _*)
+  }
+
   /** Read a zarr v2 DirectoryStore back into the samples frame —
     * DISTRIBUTED, the mirror of [[exportDirectoryStore]] and the r9
     * verdict's missing query path (a user with years of epicsarchiver zarr
@@ -542,8 +673,11 @@ object ZarrExport {
     * deterministic tiebreak is the only oracle-able choice), then the
     * kept slice is `[i0, i1]` where
     *  - `i0` = index of the last row with `ts < tmin`, MINUS ONE when
-    *    positive (the reference steps one extra row back), or literally
-    *    `1` when no row precedes tmin (its bare `except: i0 = 1`);
+    *    positive (the reference steps one extra row back). When no row
+    *    precedes tmin, the bare `except: i0 = 1` fires and the SAME
+    *    decrement then applies (`if i0 > 0: i0 -= 1` runs after the
+    *    except), so the reference ends at `i0 = 0` and keeps row 0 —
+    *    the null branch here is therefore 0, not 1 (r10 ADVICE);
     *  - `i1` = index of the last row with `ts < tmax`, or `n` when none.
     *
     * Fully keyed: one per-PV rank window + one per-PV aggregate joined
@@ -557,7 +691,7 @@ object ZarrExport {
       max(when(col("ts") < tmax, col("__ridx"))).as("__lt1"),
       count(lit(1)).as("__n"))
       .select(col("pvname"),
-        when(col("__lt0").isNull, lit(1L))
+        when(col("__lt0").isNull, lit(0L))
           .when(col("__lt0") > 0, col("__lt0") - 1)
           .otherwise(col("__lt0")).as("__i0"),
         coalesce(col("__lt1"), col("__n")).as("__i1"))

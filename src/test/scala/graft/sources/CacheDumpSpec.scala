@@ -107,6 +107,110 @@ class CacheDumpSpec extends SparkSpec {
       f0.rule == "driver-materialized-input"), lint.toString)
   }
 
+  test("column-list INSERT variants parse; unsupported forms fail loudly") {
+    // mysqldump --complete-insert / --skip-extended-insert emit a
+    // parenthesized column list before VALUES (r10 ADVICE: these silently
+    // yielded ZERO rows)
+    val dump =
+      """INSERT INTO `pairs` (`id`, `pv1`, `pv2`, `score`) VALUES (1,'X:a','X:b',4);
+        |INSERT INTO pairs (id, pv1, pv2, score) VALUES (2,'X:a','X:c',7);
+        |INSERT INTO `pairs` VALUES (3,'X:b','X:c',1);
+        |""".stripMargin
+    assert(CacheDump.parseInsertTuples(dump, "pairs").map(_.head) ==
+      Vector("1", "2", "3"))
+    // a mention the header regex cannot parse must throw, not import 0 rows
+    val bad = "INSERT INTO `pairs` SELECT * FROM other;"
+    val e = intercept[IllegalArgumentException] {
+      CacheDump.parseInsertTuples(bad, "pairs")
+    }
+    assert(e.getMessage.contains("unsupported dump variant"))
+  }
+
+  /** A synthetic `pvarch save` cache-DB dump carrying all three config
+    * tables (schemas: alerts schema.py:29-41, pairs schema.py:71-78,
+    * pvextra schema.py:80-86; enum legends per cache.py:196-206).
+    */
+  private def configDump: java.nio.file.Path = {
+    val dump =
+      """-- MySQL dump of the cache database (pvarch save, pvarch.py:253-271)
+        |CREATE TABLE `alerts` (`id` int(10));
+        |INSERT INTO `alerts` VALUES (1,'A:vac.VAL','Vacuum hi','ops@example.org\r\n','%PV% is %VALUE% (%COMP% %TRIP%)','10',1800,'gt','ok','yes'),(2,'B:idle.VAL','Inactive','b@x','m','0',NULL,'gt','ok','no');
+        |INSERT INTO `pairs` (`id`, `pv1`, `pv2`, `score`) VALUES (1,'X:a.VAL','X:b.VAL',4),(2,'X:a.VAL','X:c.VAL',7);
+        |INSERT INTO `pairs` VALUES (3,'X:b.VAL','X:c.VAL',1);
+        |INSERT INTO `pvextra` VALUES (1,'X:m6.SPMG','enum_strs','["Stop","Pause","Move","Go"]'),(2,'X:other','notes','free text');
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempDirectory("graft_cfgdump")
+      .resolve("cache.sql")
+    java.nio.file.Files.write(f, dump.getBytes("UTF-8"))
+    f
+  }
+
+  test("config loaders: pairs, enum legends, typed alerts out of a cache-DB dump") {
+    val f = configDump
+    val pairs = CacheDump.loadDumpPairs(spark, f.toString)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(pairs == Seq((1L, "X:a.VAL", "X:b.VAL", 4L),
+      (2L, "X:a.VAL", "X:c.VAL", 7L), (3L, "X:b.VAL", "X:c.VAL", 1L)))
+    // the frame IS the A4 edge shape: mergeScores consumes it directly
+    val merged = graft.operators.Pairs.mergeScores(
+      CacheDump.loadDumpPairs(spark, f.toString), "pv1", "pv2", "score")
+    assert(merged.count() == 3L)
+
+    val enums = CacheDump.loadDumpEnumLabels(spark, f.toString).collect()
+    assert(enums.length == 1) // non-enum_strs pvextra rows filtered out
+    assert(enums(0).getAs[String]("pvname") == "X:m6.SPMG")
+    assert(enums(0).getAs[scala.collection.Seq[String]]("labels").toSeq ==
+      Seq("Stop", "Pause", "Move", "Go"))
+    // the legend drives F10 enum decode end to end (cache.py:171-178)
+    import org.apache.spark.sql.functions._
+    val labelMap = CacheDump.loadDumpEnumLabels(spark, f.toString)
+      .agg(map_from_entries(collect_list(struct(col("pvname"), col("labels"))))
+        .as("m"))
+    val decoded = labelMap.select(graft.functions.PvFunctions.enumLabel(
+      col("m"), lit("X:m6.SPMG"), lit("3")).as("label")).collect()
+    assert(decoded(0).getString(0) == "Go")
+
+    val alerts = CacheDump.loadDumpAlertRows(spark, f.toString)
+    assert(alerts.length == 2)
+    assert(alerts(0) == CacheDump.DumpAlert(1L, "A:vac.VAL", "Vacuum hi",
+      "ops@example.org\r\n", "%PV% is %VALUE% (%COMP% %TRIP%)", "10",
+      1800.0, "gt", "ok", "yes"))
+    assert(alerts(1).timeout == 30.0) // NULL timeout -> the schema default
+    assert(CacheDump.loadDumpAlerts(spark, f.toString).count() == 2L)
+  }
+
+  test("migrated alert config drives a deliverStream round trip") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Alerts
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val (configs, mailTo, templates) =
+      CacheDump.dumpAlertWiring(CacheDump.loadDumpAlertRows(spark, configDump.toString))
+    assert(configs(1L).timeoutUs == 1800000000L && configs(1L).active)
+    assert(!configs(2L).active)
+    val mails = scala.collection.mutable.ArrayBuffer[Alerts.Mail]()
+    val input = MemoryStream[Alerts.Observation]
+    val q = Alerts.deliverStream(input.toDS(), configs, mailTo, templates,
+      lookup = _ => None, send = m => mails.synchronized { mails += m },
+      triggerMs = 50L)
+    val S = 1000000L
+    try {
+      // alert 1: ok -> alarm edge fires one mail; a second edge inside the
+      // migrated 1800 s debounce stays quiet; alert 2 is inactive
+      input.addData(Seq(
+        Alerts.Observation(1L, 0L, "5"), Alerts.Observation(1L, 60L * S, "15"),
+        Alerts.Observation(1L, 120L * S, "5"), Alerts.Observation(1L, 180L * S, "20"),
+        Alerts.Observation(2L, 60L * S, "1")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(mails.map(m => (m.alertId, m.tsUs / S)).toSeq == Seq((1L, 60L)))
+    assert(mails.head.mailTo == "ops@example.org") // CR/LF from the dump stripped
+    assert(mails.head.subject == "[Epics Alert] Vacuum hi")
+    assert(mails.head.body.contains("A:vac.VAL is 15 (greater than 10)"))
+  }
+
   test("parseAllInsertTuples: per-statement bodies, duplicate tuples preserved") {
     val sql = "INSERT INTO `t1` VALUES (1,'a');INSERT INTO `t2` VALUES (2,'b'),(2,'b');" +
       "INSERT INTO `t1` VALUES (3,'c; not a terminator');"

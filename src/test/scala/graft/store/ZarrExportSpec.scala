@@ -224,12 +224,48 @@ class ZarrExportSpec extends SparkSpec {
       rows(ZarrExport.readDirectoryStore(spark, dir)))
   }
 
+  test(".zattrs round-trip: reader attrs == writer metaMap, both store layouts") {
+    val sp = spark
+    import sp.implicits._
+    // descriptions exercise the JSON escapes both directions (quote,
+    // backslash, newline, a control char); graph_hi/lo exercise the
+    // float-or-'' coercion (archiver.py:566-574) surfacing as null
+    val trickyMeta = Seq(
+      ("XX:m1.VAL", "he said \"go\"\nline2\\end", "double",
+        5.0, 0.1, "12.5", "-1.5", "normal"),
+      ("XX:status", "status word", "string", 10.0, 0.0,
+        "not-a-number", "", "discrete")
+    ).toDF("pvname", "description", "type", "deadtime", "deadband",
+      "graph_hi", "graph_lo", "graph_type")
+    val base = Files.createTempDirectory("graft_zarr_attrs")
+    val dir = base.resolve("store").toString
+    val zip = base.resolve("run.zip").toString
+    ZarrExport.exportDirectoryStore(samples, dir, Some(trickyMeta), chunkElems = 4)
+    ZarrExport.exportZipStore(samples, zip, Some(trickyMeta), chunkElems = 4)
+    val expected = Seq(
+      ("XX:m1.VAL", 0.1, 5.0, "he said \"go\"\nline2\\end",
+        Option(12.5), Option(-1.5), "normal", "double"),
+      ("XX:status", 0.0, 10.0, "status word",
+        Option.empty[Double], Option.empty[Double], "discrete", "string"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("pvname").collect().map(r => (
+        r.getAs[String]("pvname"), r.getAs[Double]("deadband"),
+        r.getAs[Double]("deadtime"), r.getAs[String]("description"),
+        Option(r.getAs[java.lang.Double]("graph_hi")).map(_.doubleValue),
+        Option(r.getAs[java.lang.Double]("graph_lo")).map(_.doubleValue),
+        r.getAs[String]("graph_type"), r.getAs[String]("type"))).toSeq
+    assert(rows(ZarrExport.readDirectoryStoreAttrs(spark, dir)) == expected)
+    assert(rows(ZarrExport.readZipStoreAttrs(spark, zip)) == expected)
+  }
+
   test("sliceWindow reproduces the reference's i0/i1 quirks") {
     val sp = spark
     import sp.implicits._
     // pv 'a': rows before tmin exist at idx 3 -> i0 = 2 (one EXTRA back);
-    // pv 'b': nothing before tmin -> i0 = 1 (the reference's bare except
-    //         skips row 0);
+    // pv 'b': nothing before tmin -> the reference's bare `except: i0 = 1`
+    //         is itself decremented by the `if i0 > 0: i0 -= 1` that runs
+    //         AFTER the except (archiver.py:160-165), so i0 = 0 and row 0
+    //         is KEPT (r10 ADVICE fix);
     // pv 'c': nothing before tmax either -> i1 = n (everything from i0)
     val df = Seq(
       ("a", 0L, 10.0), ("a", 1L, 20.0), ("a", 2L, 30.0), ("a", 3L, 40.0),
@@ -242,8 +278,8 @@ class ZarrExportSpec extends SparkSpec {
       .map(r => (r.getAs[String]("pvname"), r.getAs[Double]("ts"))).toSeq
     assert(got == Seq(
       ("a", 30.0), ("a", 40.0), ("a", 50.0),      // i0=2 (3-1), i1=4
-      ("b", 55.0), ("b", 58.0),                   // i0=1, i1=2
-      ("c", 95.0)))                               // i0=1, i1=n=2
+      ("b", 45.0), ("b", 55.0), ("b", 58.0),      // i0=0 (1-1), i1=2
+      ("c", 90.0), ("c", 95.0)))                  // i0=0, i1=n=2
   }
 
   /** Immediate file names under dir/parts, with the Files.list stream
