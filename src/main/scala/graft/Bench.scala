@@ -146,6 +146,8 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    // warm-up accumulated one call-scoped persist per rank-based query
+    graft.operators.TimeSeries.releaseCallScopedPersists()
     // the warm-up just materialized the memoized cross-query frames — drop
     // them so their build cost lands INSIDE the timed window (as the
     // '_shared_*' pseudo-entries below) instead of being laundered into
@@ -187,6 +189,11 @@ object Bench {
       // consumer has run — release it before the ~100 queries that follow
       // (r7: q_jaccard paid 4.5 s of GC/eviction for frames it never read)
       SparkEntry.sharedFrameDropAfter.get(name).foreach(SparkEntry.dropSharedFrame)
+      // call-scoped operator persists (rowNumberRanged's range-parted
+      // frame, negativeSample's memos) are dead once the query's runs are
+      // over — each run built fresh ones; releasing here keeps the suite
+      // from pinning one users-sized frame per rank call (r10 verdict #4)
+      graft.operators.TimeSeries.releaseCallScopedPersists()
       name -> ts(ts.length / 2)
     }
     // ---- forced-distributed twins, timed ONCE each (r8 verdict ask #5):
@@ -214,7 +221,9 @@ object Bench {
         }
         SparkEntry.distTwinQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
           System.gc()
-          name -> time(name, fn)
+          val t = time(name, fn)
+          graft.operators.TimeSeries.releaseCallScopedPersists()
+          name -> t
         }
       } else Seq.empty
     if (only.isEmpty) SparkEntry.clearSharedFrames()
@@ -257,9 +266,20 @@ object Bench {
     val ingestDiagJson = ingestDiag.mkString("[", ",", "]")
     val sentinelsJson = sentinels.map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
+    // per-round decomposition of the two iterative probes (r10 verdict ask
+    // #1): rounds × per-round wall × surviving rows, captured by the loops
+    // themselves — a probe regression in a future round reads as "more
+    // rounds", "fatter rounds", or "neither → environment" directly from
+    // the artifact (full artifact only; compact line budget)
+    def traceJson(t: Seq[graft.operators.Graph.RoundTrace]): String =
+      t.map(r => s"""{"round":${r.round},"wall_ms":${r.wallMs},"rows":${r.rows}}""")
+        .mkString("[", ",", "]")
+    val probeTraceJson =
+      s"""{"_dist_kcore":${traceJson(graft.operators.Graph.lastKCoreTrace)},""" +
+        s""""_dist_hits":${traceJson(graft.operators.Graph.lastHitsTrace)}}"""
     val fullLine = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""n_failed":${failed.size},"failed":$failedJson,""" +
-      s""""queries":$fullQs,"sentinels":$sentinelsJson,$ingestJson,"ingest_diag":$ingestDiagJson,""" +
+      s""""queries":$fullQs,"sentinels":$sentinelsJson,"probe_trace":$probeTraceJson,$ingestJson,"ingest_diag":$ingestDiagJson,""" +
       s""""sf":"$sfDir","total_sec":${s3(total)}}"""
     // only a FULL pass may overwrite the committed full map — a restricted
     // SPARK_GRAFT_BENCH_ONLY iteration run would otherwise clobber it with

@@ -29,6 +29,72 @@ object SparkEntry {
     */
   private val zarrExported = scala.collection.mutable.Set[String]()
 
+  /** Run dumps already synthesized by [[runDumpRoot]] this JVM (keyed by
+    * root path, which embeds the sfDir SHA) — same one-per-process
+    * convention as [[zarrExported]]. */
+  private val runDumpWritten = scala.collection.mutable.Set[String]()
+
+  /** Synthesize a deterministic `pvarch save`-shaped mysqldump from the
+    * events table (S7 migration round trip, r10 verdict ask #6): the pv
+    * DIMENSION is driver-written (one INSERT line per event type —
+    * dimension-sized by construction, the CacheDump.load convention), the
+    * pvdat SHARD rows are a MAP-ONLY distributed text write (one INSERT
+    * statement per line, exactly the `--skip-extended-insert` grammar
+    * loadRunDump distributes over). Timestamps are written as exact
+    * decimal seconds with 6 fractional digits; at epoch magnitudes the
+    * parse + ×1e6 round trip recovers the original micros exactly (parse
+    * error ≤ 0.12 µs, multiply error ≤ 0.13 µs, both < the 0.5 µs round
+    * threshold) — on BOTH engines, since each computes on the identical
+    * IEEE double. Values are written UNQUOTED (they are numeric renders;
+    * the quote/escape grammar is q_cache_import's job), so DuckDB's
+    * independent csv parse sees the identical field bytes.
+    *
+    * Layout: `<root>/pv/pv.sql` + `<root>/dat/part-NNN` so the oracle can
+    * glob the two line shapes separately; loadRunDump reads both through
+    * one two-level wildcard glob. Generated once per (sfDir, JVM); returns
+    * the root path.
+    */
+  private def runDumpRoot(s: SparkSession, dir: String): String = {
+    val dirSha = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_run_dump_$dirSha").getAbsolutePath
+    runDumpWritten.synchronized {
+      if (!runDumpWritten.contains(root)) {
+        val ev = Tables.events(s, dir)
+          .where(col("value").isNotNull && col("event_type").isNotNull)
+        val types = ev.select(col("event_type")).distinct()
+          .orderBy(col("event_type")).collect().map(_.getString(0))
+        val pvLines = types.zipWithIndex.map { case (t, i) =>
+          val shard = "pvdat%03d".format(i % 128 + 1)
+          s"INSERT INTO `pv` VALUES (${i + 1},'EV:$t','migrated','$shard'," +
+            "10.0,1e-08,NULL,NULL,'normal','double','yes');"
+        }
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "pv"))
+        java.nio.file.Files.write(java.nio.file.Paths.get(root, "pv", "pv.sql"),
+          (pvLines.mkString("\n") + "\n").getBytes("UTF-8"))
+        val sp = s
+        import sp.implicits._
+        val dim = broadcast(types.zipWithIndex
+          .map { case (t, i) => (t, i + 1) }.toSeq.toDF("event_type", "__pvid"))
+        ev.join(dim, Seq("event_type"))
+          .select(concat(
+            lit("INSERT INTO `pvdat"),
+            lpad(((col("__pvid") - 1) % 128 + 1).cast("string"), 3, "0"),
+            lit("` VALUES ("),
+            expr("ts_us DIV 1000000L").cast("string"),
+            lit("."),
+            lpad(pmod(col("ts_us"), lit(1000000L)).cast("string"), 6, "0"),
+            lit(","), col("__pvid").cast("string"),
+            lit(","), col("value").cast("string"), lit(");")).as("value"))
+          .write.mode("overwrite").text(s"$root/dat")
+        runDumpWritten += root
+      }
+    }
+    root
+  }
+
   /** The reference-generated hformat fixture (value, length, expected) —
     * q_hformat reads it through the native expr and its oracle re-emits the
     * expected column verbatim, so the 500-case parity becomes a hard
@@ -1005,6 +1071,42 @@ object SparkEntry {
     "q_cache_import" -> ((s, _) => {
       graft.sources.CacheDump.load(s, "/root/reference/sql/pvlist.txt")
         .orderBy(col("id"))
+    }),
+
+    // ---- S8 PV-list file source over the reference's OWN test fixture
+    // (test/GSE__PVList.txt): comment/blank stripping + comma/whitespace
+    // splitting, distributed text scan (cache.py:570-588). line_id is
+    // engine-specific (monotonically_increasing_id), so the oracle compares
+    // the parsed pvname stream — DuckDB re-parses the same file with its
+    // own regexp machinery -------------------------------------------------
+    "q_pvlist_source" -> ((s, _) => {
+      graft.sources.PvListFile.pvNames(s, "/root/reference/test/GSE__PVList.txt")
+        .select(col("pvname")).orderBy(col("pvname"))
+    }),
+
+    // ---- F2 clean_string (util.py:295-309): the `;`/`#` tail guard +
+    // trim, applied over the documents corpus — DOTALL, so a tail spanning
+    // newlines is cut too --------------------------------------------------
+    "q_clean_string" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.PvFunctions.cleanString(col("text")).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- S7 run-dump migration round trip: a `pvarch save`-shaped
+    // mysqldump synthesized from the events table (distributed map-only
+    // writer — see runDumpRoot), replayed through the DISTRIBUTED
+    // loadRunDump scanner (per-INSERT-line executor parsing + broadcast
+    // dimension join + float-seconds → micros quantization). The oracle
+    // (dataDependentOracles — the dump path embeds the sfDir SHA) parses
+    // the SAME files with DuckDB's independent csv reader, so a hash match
+    // proves the grammar, the join and the quantization on corpus-scale
+    // data. Generation runs once per JVM when the fn is invoked, by
+    // documented design (the q_zarr_scan convention) ----------------------
+    "q_run_import" -> ((s, dir) => {
+      graft.sources.CacheDump.loadRunDump(s, s"${runDumpRoot(s, dir)}/*/*")
+        .orderBy(col("pvname"), col("tsUs"), col("value"))
     }),
 
     // ---- S5/S6 zarr round trip: export a samples frame as a zarr v2
@@ -4546,6 +4648,30 @@ object SparkEntry {
       val merges = TextAnalysis.bpeLearn(Tables.documents(spark, dir), "text", nMerges = 20)
       bpeEncodeSql(merges)
     },
+
+    // q_run_import: DuckDB independently parses the synthesized run dump
+    // (path embeds the sfDir SHA, so the oracle is data-dependent). The
+    // micros quantization mirrors loadRunDump's math.round EXACTLY:
+    // floor(x * 1e6 + 0.5) over the identical IEEE double both engines
+    // parse from the identical decimal text.
+    "q_run_import" -> {
+      val root = runDumpRoot(spark, dir)
+      s"""WITH pv AS (
+         |  SELECT CAST(regexp_extract(line, 'VALUES \\((\\d+)', 1) AS BIGINT) AS pv_id,
+         |         regexp_extract(line, 'VALUES \\(\\d+,''([^'']*)''', 1) AS pvname
+         |  FROM read_csv('$root/pv/*', delim='\t', header=false, quote='',
+         |                columns={'line': 'VARCHAR'})),
+         |dat AS (
+         |  SELECT CAST(floor(CAST(regexp_extract(c0, 'VALUES \\((.*)', 1) AS DOUBLE)
+         |           * 1000000.0 + 0.5) AS BIGINT) AS ts_us,
+         |         CAST(c1 AS BIGINT) AS pv_id,
+         |         rtrim(c2, ');') AS value
+         |  FROM read_csv('$root/dat/part-*', delim=',', header=false, quote='',
+         |                columns={'c0': 'VARCHAR', 'c1': 'VARCHAR', 'c2': 'VARCHAR'}))
+         |SELECT pv.pvname, dat.ts_us AS "tsUs", dat.value
+         |FROM dat JOIN pv USING (pv_id)
+         |ORDER BY pvname, "tsUs", value""".stripMargin
+    },
     "q_transition_latency" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_id AS tb,
         |    event_type AS et
@@ -5640,6 +5766,20 @@ object SparkEntry {
     // INDEPENDENTLY (read_csv with quote=''' escape=\ handles the
     // embedded newlines and \' escapes; '(' and ');' shells stripped in
     // SQL) — a hash match means both parsers recover identical fields
+    "q_pvlist_source" ->
+      s"""WITH l AS (
+         |  SELECT trim(regexp_replace(line, '#.*$$', '')) AS body
+         |  FROM read_csv('/root/reference/test/GSE__PVList.txt', delim='\t',
+         |                header=false, quote='', columns={'line': 'VARCHAR'})),
+         |x AS (
+         |  SELECT unnest(regexp_split_to_array(body, '[,\\s]+')) AS pvname
+         |  FROM l WHERE body <> '')
+         |SELECT pvname FROM x WHERE pvname <> '' ORDER BY pvname""".stripMargin,
+
+    "q_clean_string" ->
+      s"""SELECT doc_id, trim(regexp_replace(text, '[;#].*', '', 's')) AS clean
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_cache_import" ->
       s"""SELECT CAST(replace(column0, '(', '') AS BIGINT) AS id,
          |       column1 AS pvname, column2 AS type, column3 AS value,

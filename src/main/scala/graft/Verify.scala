@@ -29,7 +29,11 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         Some(name)
-      }
+      } finally
+        // the dump is this frame's only evaluation — release the query's
+        // call-scoped operator persists so a 259-query pass doesn't pin
+        // one users-sized frame per rank call (r10 verdict #4)
+        operators.TimeSeries.releaseCallScopedPersists()
     }
     // loud summary: a query that stops resolving must not vanish silently
     // from the round's correctness surface (round 5 lost 53 queries to a

@@ -12,6 +12,22 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** One round of a distributed iterative loop, as observed from the
+    * driver: `wallMs` is the wall-clock the round spent (plan compile +
+    * every Spark job it launched), `rows` the frame size surviving it
+    * (edges for the k-core peel; raw contribution rows for HITS — 0 when
+    * the round runs fully lazy and never counts). Bench embeds the last
+    * probe's trace in BENCH_FULL next to the timing (r10 verdict ask #1)
+    * so a probe regression decomposes into rounds × per-round cost
+    * instead of being re-argued from plan shape. */
+  final case class RoundTrace(round: Int, wallMs: Long, rows: Long)
+
+  /** Per-round traces of the most recent distributed k-core / HITS call on
+    * this JVM. Diagnostics only — written once at the end of each call
+    * (volatile publication; Bench is single-threaded by contract). */
+  @volatile var lastKCoreTrace: Seq[RoundTrace] = Nil
+  @volatile var lastHitsTrace: Seq[RoundTrace] = Nil
+
   /** Integer-exact PageRank with damping 0.85 and a FIXED iteration count.
     *
     * Ranks are carried as BIGINT in units of `1/scale` and every update is
@@ -22,14 +38,17 @@ object Graph {
     * Dangling mass is dropped (the classic simplified variant); over a kNN
     * edge list every node has out-degree k, so no node dangles anyway.
     *
-    * Plan shape per iteration: one keyed join (ranks × edges on `src`) and
-    * one keyed sum (by `dst`) — both shuffles are on the node key and
-    * map-side combinable; the out-degree-annotated edge frame is computed
-    * once and persisted, and the node-sized rank frame is
-    * `localCheckpoint`ed every 3 rounds so the lineage never deepens past a
-    * few joins. At 100 TB the edge frame dominates and it is touched once
-    * per iteration with no driver collect; the single driver-side action is
-    * the node COUNT (one long).
+    * Plan shape per iteration: one keyed LEFT OUTER join (raw contribution
+    * sums × edges on `src` — a node absent from the sums has
+    * pr = teleport exactly, so `teleport + coalesce(m, 0)` inside the join
+    * replaces a per-round nodes-fill join; the fill runs once on the final
+    * output) and one keyed map-side-combinable sum (by `dst`); the
+    * out-degree-annotated edge frame is computed once and persisted, and
+    * the node-sized sum frame is lazily `localCheckpoint`ed EVERY round so
+    * the plan stays constant-depth (the old every-3-rounds cut recompiled
+    * a 3-round-deep plan per cut — r11 probe evidence). At 100 TB the edge
+    * frame dominates and it is touched once per iteration with no driver
+    * collect; the single driver-side action is the node COUNT (one long).
     *
     * Output: `(node BIGINT, pagerank BIGINT)` — scaled ranks; divide by
     * `scale` for probabilities. Sum over nodes ≈ scale (minus integer-floor
@@ -67,21 +86,39 @@ object Graph {
       val n = nodes.count() // the one driver-side action: a single long
       require(n > 0, "pageRank needs at least one edge")
       val teleport = (scale * 15L / 100L) / n
-      var pr = nodes.select(col("node"), lit(scale / n).as("pr"))
-      for (i <- 1 to iters) {
-        val contrib = ed
-          .join(pr, ed("src") === pr("node"))
+      if (iters == 0)
+        return nodes.select(col("node"), lit(scale / n).as("pagerank"))
+          .localCheckpoint()
+      // Per-round plan, restructured on the r11 ProbeProfile evidence (the
+      // _dist_hits lesson applied to the linear chain): the carried state
+      // is the RAW per-node contribution SUM — a node absent from it has
+      // pr = teleport exactly, so the per-round nodes-fill outer join
+      // collapses into `teleport + coalesce(m, 0)` INSIDE the edge join
+      // (now left_outer so every edge still contributes), and the fill
+      // runs ONCE on the final output. Round 1's uniform scale/n rank is a
+      // literal, so its join disappears entirely. Each round's sum frame
+      // is cut LAZILY every round (constant-depth plan; the old every-3
+      // lazy cut recompiled a 3-round-deep plan per cut). Integer
+      // arithmetic identical to pageRankDriver — bit-equality pinned by
+      // GraphSpec, values by the unrolled q_pagerank oracle.
+      var sums: DataFrame = ed
+        .select(col("dst").as("node"),
+          expr(s"((${scale / n}L * 85) div 100) div outdeg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("m"))
+        .localCheckpoint(false)
+      for (_ <- 2 to iters) {
+        sums = ed
+          .join(sums.select(col("node").as("__sn"), col("m")),
+            ed("src") === col("__sn"), "left_outer")
           .select(col("dst").as("node"),
-            expr("((pr * 85) div 100) div outdeg").as("c"))
-        val sums = contrib.groupBy(col("node")).agg(sum(col("c")).as("m"))
-        pr = nodes.join(sums, Seq("node"), "left_outer")
-          .select(col("node"),
-            (lit(teleport) + coalesce(col("m"), lit(0L))).as("pr"))
-        // lazy truncation: the cut materializes with the next evaluation
-        // instead of launching its own job per checkpoint
-        if (i % 3 == 0 && i < iters) pr = pr.localCheckpoint(false)
+            expr(s"(((${teleport}L + coalesce(m, 0L)) * 85) div 100) div outdeg").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("m"))
+          .localCheckpoint(false)
       }
-      pr.select(col("node"), col("pr").as("pagerank")).localCheckpoint()
+      nodes.join(sums, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(teleport) + coalesce(col("m"), lit(0L))).as("pagerank"))
+        .localCheckpoint()
     } finally {
       e.unpersist()
       ed.unpersist()
@@ -167,20 +204,21 @@ object Graph {
     * edges — far past the driver gate, and the distributed path carries
     * the same arithmetic).
     *
-    * Plan shape per iteration: two keyed joins + two map-side-combinable
-    * sums + two 1-row totals (broadcast); the edge frame is persisted
-    * once and each half-round's RAW sum frame is localCheckpoint-ed
-    * EAGERLY — unlike [[pageRank]]'s linear chain, HITS reads each
-    * half-round's frame TWICE (the L1 total and the fill join), so an
-    * uncut lineage doubles per half-round and the every-3-rounds lazy cut
-    * left 4^3 plan copies to recompute between cuts (the r9 `_dist_hits`
-    * probe measured 87 s at sf0.1 for work that takes 4 s cut per round);
-    * cutting at RAW rather than after normalization halves the join work
-    * again — the expensive edge join executes once per half-round and
-    * both normalization reads scan the nodes-sized checkpoint (r9 verdict
-    * ask #8). The size gate routes control-plane-sized graphs through the
-    * identical collected integer loop (GraphSpec pins the two paths
-    * bit-equal).
+    * Plan shape per iteration: two keyed INNER joins (edges ⋈ raw — a
+    * node absent from a raw frame scores 0 and contributes 0, so the
+    * nodes-fill outer join is deferred to the single final output) + two
+    * map-side-combinable sums; each half-round's RAW frame is
+    * localCheckpoint-ed LAZILY (the plan is cut identically — the frame
+    * is LogicalRDD-rooted either way) and its L1 total is a 1-row driver
+    * read that doubles as the materializing action, inlined as a literal
+    * divisor into the next half-round. History: the r9 lazy
+    * every-3-rounds cut left 4^3 plan copies between cuts (87 s at
+    * sf0.1); the r10 eager-raw cut fixed the doubling but still paid ~17
+    * jobs/round of eager-count + fill-join + broadcast-total floor
+    * (ProbeProfile r11: 84 jobs, 8.3 s, all floor) — this shape is the
+    * same integer recurrence at ~1/3 the jobs. The size gate routes
+    * control-plane-sized graphs through the identical collected integer
+    * loop (GraphSpec pins the two paths bit-equal).
     *
     * Output: `(node, auth, hub)` — scaled BIGINTs, each column summing to
     * ≈ scale minus integer-floor dust.
@@ -205,43 +243,66 @@ object Graph {
     try {
       val n = nodes.count()
       require(n > 0, "hits needs at least one edge")
-      var auth = nodes.select(col("node"), lit(scale / n).as("auth"))
-      var hub = nodes.select(col("node"), lit(scale / n).as("hub"))
-      for (_ <- 1 to iters) {
-        // the EAGER cut sits on the RAW frame, not the normalized one
-        // (r9 verdict ask #8): normalizeL1 reads its input twice (the
-        // 1-row L1 total and the fill join), so checkpointing AFTER it
-        // executed the expensive edge-join+agg twice per half-round;
-        // materializing raw first runs the join ONCE and both reads scan
-        // the nodes-sized checkpoint. The normalized frames stay lazy —
-        // every path to them is depth-1 over a materialized cut, so the
-        // doubling that motivated the old placement cannot re-compound.
-        val aRaw = e.join(hub, e("src") === hub("node"))
-          .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("raw"))
-          .localCheckpoint()
-        auth = normalizeL1(nodes, aRaw, scale, "auth")
-        val hRaw = e.join(auth, e("dst") === auth("node"))
-          .groupBy(col("src").as("node")).agg(sum(col("auth")).as("raw"))
-          .localCheckpoint()
-        hub = normalizeL1(nodes, hRaw, scale, "hub")
+      if (iters == 0)
+        return nodes.select(col("node"), lit(scale / n).as("auth"),
+          lit(scale / n).as("hub")).localCheckpoint()
+      // Per-half-round plan, restructured on the r11 ProbeProfile evidence
+      // (the r10 shape spent 84 jobs / ~17 per round, ~all job floor):
+      //  - the nodes-fill left_outer join is NOT run per half-round — a
+      //    node absent from the raw frame has score 0 and contributes 0 to
+      //    the next sums, so an INNER edge⋈raw join computes the identical
+      //    integers; the fill happens ONCE on the final output;
+      //  - the L1 divisor is a 1-row DRIVER read of the materialized raw
+      //    frame (control-plane scalar, the repo's 1-row-read convention)
+      //    inlined as a LITERAL, so the broadcast-total join and its build
+      //    job disappear from every half-round;
+      //  - the raw cut is LAZY (localCheckpoint(false)): the plan is cut
+      //    identically — the returned frame is already LogicalRDD-rooted —
+      //    and the 1-row total read doubles as the materializing action,
+      //    so the eager cut's separate full-scan count job is gone;
+      //  - round 1's hub side is the uniform scale/n literal, so its join
+      //    collapses to a degree count.
+      // Integer DIV on non-negative BIGINTs matches hitsDriver's Long
+      // division exactly; sums commute — bit-equality is untouched
+      // (GraphSpec pins it).
+      def rawTotal(raw: DataFrame): Long = raw.agg(sum(col("raw"))).first().getLong(0)
+      var aRaw: DataFrame = null; var aQ = 1L
+      var hRaw: DataFrame = null; var hQ = 1L
+      val trace = Seq.newBuilder[RoundTrace]
+      for (it <- 1 to iters) {
+        val t0 = System.nanoTime()
+        val aNew = (if (it == 1)
+            e.groupBy(col("dst").as("node"))
+              .agg((count(lit(1)) * lit(scale / n)).as("raw"))
+          else
+            e.join(hRaw.select(col("node").as("__hn"), col("raw").as("__hr")),
+                col("src") === col("__hn"))
+              .groupBy(col("dst").as("node"))
+              .agg(sum(expr(s"__hr DIV ${hQ}L")).as("raw")))
+          .localCheckpoint(false)
+        aQ = math.max(1L, rawTotal(aNew) / scale)
+        aRaw = aNew
+        val hNew = e.join(aRaw.select(col("node").as("__an"), col("raw").as("__ar")),
+            col("dst") === col("__an"))
+          .groupBy(col("src").as("node"))
+          .agg(sum(expr(s"__ar DIV ${aQ}L")).as("raw"))
+          .localCheckpoint(false)
+        hQ = math.max(1L, rawTotal(hNew) / scale)
+        hRaw = hNew
+        trace += RoundTrace(it, (System.nanoTime() - t0) / 1000000L, 0L)
       }
-      auth.join(hub, Seq("node")).select(col("node"), col("auth"), col("hub"))
+      lastHitsTrace = trace.result()
+      nodes
+        .join(aRaw.select(col("node"), col("raw").as("__ar")), Seq("node"), "left_outer")
+        .join(hRaw.select(col("node"), col("raw").as("__hr")), Seq("node"), "left_outer")
+        .select(col("node"),
+          expr(s"coalesce(__ar, 0L) DIV ${aQ}L").as("auth"),
+          expr(s"coalesce(__hr, 0L) DIV ${hQ}L").as("hub"))
         .localCheckpoint()
     } finally {
       e.unpersist()
       nodes.unpersist()
     }
-  }
-
-  /** One HITS normalization step: fill missing nodes with 0, divide by
-    * `greatest(1, total div scale)` — integer, 1-row broadcast total. */
-  private def normalizeL1(nodes: DataFrame, raw: DataFrame, scale: Long,
-      out: String): DataFrame = {
-    val total = raw.agg(
-      expr(s"greatest(CAST(sum(raw) AS BIGINT) DIV ${scale}L, 1L)").as("__q"))
-    nodes.join(raw, Seq("node"), "left_outer")
-      .join(broadcast(total))
-      .select(col("node"), expr("coalesce(raw, 0L) DIV __q").as(out))
   }
 
   /** Driver half of [[hits]]'s size gate: the identical integer recurrence
@@ -688,25 +749,39 @@ object Graph {
       .persist()
     val sd = sd0.persist()
     try {
-      var st = nodes.join(sd, Seq("node"), "left_outer")
+      // Seeded nodes never change label (coalesce puts __seed first), so
+      // they are STATIC state: hoist them out of the loop once and iterate
+      // only the non-seeded remainder — this deletes the per-round
+      // `⟕ sd` join, and the per-round fill shrinks to the non-seeded
+      // frame (r11 probe-floor evidence, the _dist_hits lesson). The
+      // voter set each round is `seeded ∪ labeled non-seeded`, exactly the
+      // old `st.where(label IS NOT NULL)`. Lazy every-round cuts keep the
+      // plan constant-depth (the old every-3 cut recompiled a plan that
+      // referenced the previous state twice per round — 2^3 copies between
+      // cuts, deduped only by exchange reuse). Vote counts and the
+      // min_by total tie order are unchanged — bit-equality with
+      // labelPropagationDriver stays pinned by GraphSpec.
+      val seeded = nodes.join(sd, Seq("node"))
         .select(col("node"), col("__seed").as("label"))
         .localCheckpoint() // also materializes e/nodes/sd exactly once
-      for (i <- 1 to iters) {
+      var ns = nodes.join(sd, Seq("node"), "left_anti")
+        .select(col("node"), lit(null).cast("long").as("label"))
+        .localCheckpoint()
+      for (_ <- 1 to iters) {
+        val voters = seeded.unionByName(ns.where(col("label").isNotNull))
         val votes = e
-          .join(st.where(col("label").isNotNull), e("src") === col("node"))
+          .join(voters, e("src") === col("node"))
           .groupBy(col("dst"), col("label"))
           .agg(count(lit(1)).as("__cnt"))
         val best = votes.groupBy(col("dst"))
           .agg(min_by(col("label"), struct((-col("__cnt")).as("c"), col("label").as("l")))
             .as("__best"))
           .select(col("dst").as("node"), col("__best"))
-        st = st.join(best, Seq("node"), "left_outer")
-          .join(sd, Seq("node"), "left_outer")
-          .select(col("node"),
-            coalesce(col("__seed"), col("__best"), col("label")).as("label"))
-        if (i % 3 == 0 && i < iters) st = st.localCheckpoint(false)
+        ns = ns.join(best, Seq("node"), "left_outer")
+          .select(col("node"), coalesce(col("__best"), col("label")).as("label"))
+          .localCheckpoint(false)
       }
-      st.localCheckpoint()
+      seeded.unionByName(ns).localCheckpoint()
     } finally {
       e.unpersist()
       nodes.unpersist()
@@ -754,6 +829,9 @@ object Graph {
       greatest(col(src).cast("long"), col(dst).cast("long")).as("__e2"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both persists are read by the returned LAZY plan, so they release at
+    // the harness's phase boundary, not here (rowNumberRanged's contract)
+    TimeSeries.registerCallScopedPersist(canon)
     val nodes = canon.select(explode(array(col("__e1"), col("__e2"))).as("__n"))
       .distinct()
     val nParts = edges.sparkSession.sessionState.conf.numShufflePartitions
@@ -762,6 +840,7 @@ object Graph {
     // three consumers below (cand, partner, cnt)
     val ranked = TimeSeries.rowNumberRanged(nodes, "__r", nParts, col("__n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    TimeSeries.registerCallScopedPersist(ranked)
     val cnt = ranked.agg(max(col("__r")).as("__cnt")) // 1 row
     val x = conv(substring(md5(col("__n").cast("string")), 1, 8), 16, 10)
       .cast("long")
@@ -889,12 +968,28 @@ object Graph {
   }
 
   /** The unbounded-graph path of [[kCore]]: round-based distributed peel.
-    * localCheckpoint TRUNCATES lineage — each round references the previous
-    * edge frame three times (degree, two semi-joins), so an uncut logical
-    * plan grows 3^rounds and OOMs the driver during analysis long before
-    * any data moves (the connectedComponents lesson).
+    * localCheckpoint TRUNCATES lineage — an uncut logical plan referencing
+    * the previous edge frame multiple times grows exponentially and OOMs
+    * the driver during analysis long before any data moves (the
+    * connectedComponents lesson). The cut is LAZY: the frame is
+    * LogicalRDD-rooted either way, and the round's convergence count is
+    * the one action that materializes it.
+    *
+    * Round shape, restructured on the r11 ProbeProfile evidence (the r10
+    * two-semi-join shape paid 88 jobs / ~6.8 per round at sf0.1, all job
+    * floor — 5 exchanges + 2 eager-checkpoint counts): each (distinct,
+    * __a < __b) edge EXPLODES into two (endpoint, edge) rows; the degree
+    * aggregate is a map-side-combinable groupBy over that, the below-k
+    * endpoints are dropped with ONE semi-join, and edges survive when
+    * BOTH exploded rows survive (group back by edge, count == 2). That is
+    * 3 exchanges/round — degree partials, exploded rows by endpoint (AQE
+    * skew-join splits a hub node's partition; a per-node window would
+    * sort the hub's whole adjacency in one task), and the group-back by
+    * edge — with the keep side arriving already partitioned by node from
+    * the aggregate (broadcast at toy scale, AQE's call).
     */
   private def kCoreDistributed(canon: DataFrame, k: Int, maxPeels: Int): DataFrame = {
+    val trace = Seq.newBuilder[RoundTrace]
     var e = canon.localCheckpoint()
     // carry the edge count forward — the previous round's `after` IS this
     // round's `before`, so each round pays ONE count job, not two
@@ -902,26 +997,23 @@ object Graph {
     var converged = false
     var round = 0
     while (!converged && round < maxPeels) {
-      // keep is NODES-sized; materialize it once per round — the two
-      // endpoint semi-joins below are separate plan branches and Spark
-      // has no common-subplan reuse across DataFrame references, so an
-      // unmaterialized keep re-runs the edge-degree SHUFFLE twice per
-      // round (the hits raw-frame lesson, r10)
-      val deg = e.select(explode(array(col("__a"), col("__b"))).as("__n"))
-        .groupBy(col("__n")).agg(count(lit(1)).as("__d"))
-      val keep = deg.where(col("__d") >= k).select(col("__n"))
-        .localCheckpoint()
-      val e2 = e
-        .join(keep.select(col("__n").as("__a")), Seq("__a"), "left_semi")
-        .join(keep.select(col("__n").as("__b")), Seq("__b"), "left_semi")
-        .select(col("__a"), col("__b"))
-        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val ex = e.select(explode(array(col("__a"), col("__b"))).as("__n"),
+        col("__a"), col("__b"))
+      val keep = ex.groupBy(col("__n")).agg(count(lit(1)).as("__d"))
+        .where(col("__d") >= k).select(col("__n"))
+      val e2 = ex.join(keep, Seq("__n"), "left_semi")
+        .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__c"))
+        .where(col("__c") === 2).select(col("__a"), col("__b"))
+        .localCheckpoint(false)
       val after = e2.count()
       e = e2
       converged = after == before
       before = after
       round += 1
+      trace += RoundTrace(round, (System.nanoTime() - t0) / 1000000L, after)
     }
+    lastKCoreTrace = trace.result()
     require(converged, s"k-core peel did not converge within $maxPeels rounds")
     e.select(explode(array(col("__a"), col("__b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))

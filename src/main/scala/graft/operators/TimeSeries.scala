@@ -20,6 +20,36 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Persisted frames whose lifetime is "until the query that built them is
+    * done" but which CANNOT be unpersisted inside the operator that made
+    * them (the operator returns a lazy frame that still needs the persist
+    * at evaluation time — see [[rowNumberRanged]]'s boundary-consistency
+    * note). Operators register here; harnesses release at phase boundaries.
+    */
+  private val callScopedPersists =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Register a persisted frame for deferred release — used by operators
+    * whose returned plan reads the persist at evaluation time (so a
+    * `finally unpersist` inside the call would break it). */
+  private[graft] def registerCallScopedPersist(df: DataFrame): Unit =
+    callScopedPersists.add(df)
+
+  /** Unpersist every frame registered since the last release. Call ONLY at
+    * points where all frames built by prior calls are dead (Bench: after a
+    * query's timed runs; Verify: after a query's dump): re-evaluating a
+    * frame whose internal persist was released recomputes its branches
+    * independently, which for [[rowNumberRanged]] risks misaligned rank
+    * offsets — wrongness, not slowness. Same risk class and convention as
+    * SparkEntry.clearSharedFrames. */
+  def releaseCallScopedPersists(): Unit = {
+    var df = callScopedPersists.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = callScopedPersists.poll()
+    }
+  }
+
   /** S4/P1/O1 — time-range scan of one series, ordered by time
     * (archiver.py:185-190). Partition+predicate pruning eliminates everything
     * but the one key's bucket and the time range.
@@ -407,6 +437,17 @@ object TimeSeries {
     * same global numbering when the full sort key is unique (callers pass
     * a tiebreak column, same contract as [[rowNumberChunked]]).
     *
+    * The persist must NOT be unpersisted inside this call: the returned
+    * frame is lazy, and unpersisting before (or between) its evaluations
+    * would let the two branches recompute the range shuffle independently
+    * — silently misaligned offsets, a correctness break, not a perf one.
+    * It therefore registers in [[registerCallScopedPersist]]'s queue;
+    * harnesses call [[releaseCallScopedPersists]] at points where every
+    * frame built since the last release is dead (Bench after each query's
+    * timed runs, Verify after each query's parquet dump) so a long-lived
+    * session does not pin one users-sized frame per call forever (r10
+    * verdict "What's wrong" #4).
+    *
     * Nulls: range partitioning and window ordering both place nulls first
     * ascending — consistent with a plain global window's default.
     */
@@ -419,6 +460,7 @@ object TimeSeries {
     val parted = df.repartitionByRange(nParts, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerCallScopedPersist(parted)
     val counts = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
     // prefix sum without a window: each partition's count contributes to
     // every LATER partition's offset (sequence() reverses when start > stop,

@@ -553,4 +553,25 @@ class PlanAuditSpec extends SparkSpec {
       assert(!plan.contains("ScalaUDF") && !plan.contains("ExistingRDD"), s"$q:\n$plan")
     }
   }
+
+  test("call-scoped persists: rank-based queries leave no net-new persisted RDDs after release") {
+    // r10 verdict "What's wrong" #4: rowNumberRanged / negativeSample pin
+    // users-sized frames per call for the session's lifetime. The contract:
+    // operators register them, harnesses release at phase boundaries —
+    // after a release, the persistent-RDD set is back to its baseline.
+    val dir = "/root/testdata/sf0.001"
+    def run(q: String): Unit = SparkEntry.queries(q)(spark, dir).count()
+    // settle cross-query memos (mutualKnnEdges5 localCheckpoint etc.)
+    // before taking the baseline, then drain anything registered so far
+    Seq("q_rfm", "q_neg_sample").foreach(run)
+    graft.operators.TimeSeries.releaseCallScopedPersists()
+    val baseline = spark.sparkContext.getPersistentRDDs.keySet
+    Seq("q_rfm", "q_neg_sample").foreach(run)
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- baseline
+    assert(during.nonEmpty,
+      "expected the rank-based queries to register call-scoped persists")
+    graft.operators.TimeSeries.releaseCallScopedPersists()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- baseline
+    assert(leaked.isEmpty, s"net-new persisted RDDs survived release: $leaked")
+  }
 }
