@@ -1084,6 +1084,45 @@ object SparkEntry {
         .select(col("pvname")).orderBy(col("pvname"))
     }),
 
+    // ---- S9 template page source over the reference's OWN production
+    // template (templates/GSE_page1.txt): line classification (section /
+    // hr / space / row) + `PV1,PV2 | description | format` splitting
+    // (web_utils.py:269-322). line_id is engine-specific and row order is
+    // content-determined instead; pvnames joins to one string (the
+    // driver's row hash needs scalar columns); nullable fields coalesce
+    // to '' on BOTH sides (Spark sorts nulls first, DuckDB last). Java's
+    // split drops trailing empty parts where DuckDB keeps them — the
+    // difference is only ever a missing-vs-empty third field, identical
+    // after the coalesce ---------------------------------------------------
+    "q_template_parse" -> ((s, _) => {
+      graft.sources.PvListFile.template(s, "/root/reference/templates/GSE_page1.txt")
+        .select(col("kind"),
+          coalesce(col("section"), lit("")).as("section"),
+          concat_ws(",", col("pvnames")).as("pvs"),
+          coalesce(col("description"), lit("")).as("description"),
+          coalesce(col("format"), lit("")).as("format"))
+        .orderBy(col("kind"), col("section"), col("pvs"),
+          col("description"), col("format"))
+    }),
+
+    // ---- F3 clean_value (archiver.py:34-44): the stored-string → double
+    // parse incl. the mangled b'..' byte-literal recovery, over a
+    // deterministic rendering of the events values (floor(value*100) as
+    // BIGINT — integer strings render identically on both engines; a
+    // double cast would not). Every third row is b'..'-wrapped, every
+    // third is bare numeric, the rest are non-numeric junk → null --------
+    "q_clean_value" -> ((s, dir) => {
+      val raw = events(s, dir).select(col("event_id"),
+        expr("""coalesce(CASE WHEN event_id % 3 = 0
+                |  THEN concat('b\'', CAST(CAST(floor(value * 100) AS BIGINT) AS STRING), '\'')
+                |WHEN event_id % 3 = 1
+                |  THEN CAST(CAST(floor(value * 100) AS BIGINT) AS STRING)
+                |ELSE concat('x', event_type) END, '')""".stripMargin).as("stored"))
+      raw.select(col("event_id"), col("stored"),
+          graft.functions.PvFunctions.cleanValue(col("stored")).as("parsed"))
+        .orderBy(col("event_id"), col("stored"))
+    }),
+
     // ---- F2 clean_string (util.py:295-309): the `;`/`#` tail guard +
     // trim, applied over the documents corpus — DOTALL, so a tail spanning
     // newlines is cut too --------------------------------------------------
@@ -5766,6 +5805,42 @@ object SparkEntry {
     // INDEPENDENTLY (read_csv with quote=''' escape=\ handles the
     // embedded newlines and \' escapes; '(' and ');' shells stripped in
     // SQL) — a hash match means both parsers recover identical fields
+    "q_template_parse" ->
+      s"""WITH l AS (
+         |  SELECT trim(line) AS body
+         |  FROM read_csv('/root/reference/templates/GSE_page1.txt', delim='\t',
+         |                header=false, quote='', columns={'line': 'VARCHAR'})
+         |  WHERE length(trim(line)) >= 2 AND trim(line) NOT LIKE '#%'),
+         |p AS (
+         |  SELECT body,
+         |         CASE WHEN body LIKE '[%' THEN 'section'
+         |              WHEN body LIKE '--%' THEN 'hr'
+         |              WHEN body LIKE '<>%' THEN 'space'
+         |              ELSE 'row' END AS kind,
+         |         CASE WHEN body LIKE '[%'
+         |              THEN regexp_extract(body, '^\\[([^\\]]*)', 1) END AS section,
+         |         string_split(body, '|') AS parts
+         |  FROM l)
+         |SELECT kind, coalesce(section, '') AS section,
+         |  array_to_string(regexp_split_to_array(trim(parts[1]), '[,\\s]+'), ',') AS pvs,
+         |  coalesce(trim(parts[2]), '') AS description,
+         |  coalesce(trim(parts[3]), '') AS format
+         |FROM p
+         |ORDER BY kind, section, pvs, description, format""".stripMargin,
+
+    "q_clean_value" ->
+      s"""WITH r AS (
+         |  SELECT event_id,
+         |         coalesce(CASE WHEN event_id % 3 = 0
+         |                THEN 'b''' || CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR) || ''''
+         |              WHEN event_id % 3 = 1
+         |                THEN CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR)
+         |              ELSE 'x' || event_type END, '') AS stored
+         |  FROM events)
+         |SELECT event_id, stored,
+         |  TRY_CAST(regexp_replace(stored, '^b''(.*)''$$', '\\1') AS DOUBLE) AS parsed
+         |FROM r ORDER BY event_id, stored""".stripMargin,
+
     "q_pvlist_source" ->
       s"""WITH l AS (
          |  SELECT trim(regexp_replace(line, '#.*$$', '')) AS body
