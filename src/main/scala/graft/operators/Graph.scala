@@ -77,7 +77,13 @@ object Graph {
       finally e.unpersist(blocking = false)
     }
     val outd = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val ed = e.join(outd, Seq("src")).persist()
+    // pin the cached edge frame's partitioning to the loop's join key: a
+    // hash(src) layout satisfies every round's join distribution, so the
+    // EDGE-sized side is shuffled once here instead of once per iteration
+    // when the rank side is too big to broadcast (at toy scale AQE
+    // broadcasts the nodes-sized side and the point is moot; at 100× the
+    // per-round edge exchange IS the job — GraphPlanSpec pins the shape)
+    val ed = e.join(outd, Seq("src")).repartition(col("src")).persist()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
@@ -240,6 +246,13 @@ object Graph {
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
       .persist()
+    // HITS alternates join keys (src for the hub read, dst for the auth
+    // read), so ONE cached layout can't serve both halves — cache a copy
+    // pre-partitioned per key (the pageRank `ed` convention doubled): 2×
+    // edge storage buys away one EDGE-sized exchange per half-round when
+    // the raw side outgrows broadcast (GraphPlanSpec pins the shape)
+    val eBySrc = e.repartition(col("src")).persist()
+    val eByDst = e.repartition(col("dst")).persist()
     try {
       val n = nodes.count()
       require(n > 0, "hits needs at least one edge")
@@ -272,17 +285,17 @@ object Graph {
       for (it <- 1 to iters) {
         val t0 = System.nanoTime()
         val aNew = (if (it == 1)
-            e.groupBy(col("dst").as("node"))
+            eByDst.groupBy(col("dst").as("node"))
               .agg((count(lit(1)) * lit(scale / n)).as("raw"))
           else
-            e.join(hRaw.select(col("node").as("__hn"), col("raw").as("__hr")),
+            eBySrc.join(hRaw.select(col("node").as("__hn"), col("raw").as("__hr")),
                 col("src") === col("__hn"))
               .groupBy(col("dst").as("node"))
               .agg(sum(expr(s"__hr DIV ${hQ}L")).as("raw")))
           .localCheckpoint(false)
         aQ = math.max(1L, rawTotal(aNew) / scale)
         aRaw = aNew
-        val hNew = e.join(aRaw.select(col("node").as("__an"), col("raw").as("__ar")),
+        val hNew = eByDst.join(aRaw.select(col("node").as("__an"), col("raw").as("__ar")),
             col("dst") === col("__an"))
           .groupBy(col("src").as("node"))
           .agg(sum(expr(s"__ar DIV ${aQ}L")).as("raw"))
@@ -301,6 +314,8 @@ object Graph {
         .localCheckpoint()
     } finally {
       e.unpersist()
+      eBySrc.unpersist()
+      eByDst.unpersist()
       nodes.unpersist()
     }
   }
@@ -748,6 +763,9 @@ object Graph {
       .distinct()
       .persist()
     val sd = sd0.persist()
+    // every round's vote join keys on src — pin the cached layout to it
+    // (the pageRank `ed` convention), one edge shuffle for all rounds
+    val eBySrc = e.repartition(col("src")).persist()
     try {
       // Seeded nodes never change label (coalesce puts __seed first), so
       // they are STATIC state: hoist them out of the loop once and iterate
@@ -769,8 +787,8 @@ object Graph {
         .localCheckpoint()
       for (_ <- 1 to iters) {
         val voters = seeded.unionByName(ns.where(col("label").isNotNull))
-        val votes = e
-          .join(voters, e("src") === col("node"))
+        val votes = eBySrc
+          .join(voters, eBySrc("src") === col("node"))
           .groupBy(col("dst"), col("label"))
           .agg(count(lit(1)).as("__cnt"))
         val best = votes.groupBy(col("dst"))
@@ -784,6 +802,7 @@ object Graph {
       seeded.unionByName(ns).localCheckpoint()
     } finally {
       e.unpersist()
+      eBySrc.unpersist()
       nodes.unpersist()
       sd.unpersist()
     }

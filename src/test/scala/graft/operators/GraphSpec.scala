@@ -366,6 +366,36 @@ class GraphSpec extends SparkSpec {
     assert(driver == dist)
   }
 
+  test("distributed loops are bit-stable under shuffle.partitions 1 vs 32") {
+    // JitterSpec jitters the QUERY surface, which routes these operators
+    // through their driver gates at sf0.001 — the DISTRIBUTED loops (the
+    // plans that actually run at 100×) need their own partitioning jitter
+    // now that the r11 restructures lean on lazy checkpoints, literal
+    // divisors and AQE join-strategy choices. Integer arithmetic is the
+    // invariance argument; this pins it.
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(29L)
+    val edges = Seq.fill(500)((rng.nextInt(70).toLong, rng.nextInt(70).toLong))
+      .filter { case (a, b) => a != b }.toDF("s", "d")
+    val seeds = (0L until 70L by 7L).map(i => (i, i % 3)).toDF("n", "l")
+    def runAll(): Seq[Seq[String]] = Seq(
+      Graph.kCore(edges, "s", "d", k = 3, maxDriverEdges = 0L),
+      Graph.hits(edges, "s", "d", iters = 4, maxDriverEdges = 0L),
+      Graph.pageRank(edges, "s", "d", iters = 6, maxDriverEdges = 0L),
+      Graph.labelPropagation(edges, "s", "d", seeds, "n", "l", iters = 4,
+        maxDriverEdges = 0L)
+    ).map(_.collect().map(_.toString).toSeq.sorted)
+    val before = sp.conf.get("spark.sql.shuffle.partitions")
+    try {
+      sp.conf.set("spark.sql.shuffle.partitions", 1)
+      val one = runAll()
+      sp.conf.set("spark.sql.shuffle.partitions", 32)
+      val many = runAll()
+      assert(one == many, "distributed graph loop output flips with partitioning")
+    } finally sp.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("assortativity: star is disassortative, regular ring undefined") {
     val sp = spark
     import sp.implicits._
