@@ -24,9 +24,6 @@ object ProbeProfile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.ui.retainedJobs", "50")
-      .config("spark.ui.retainedStages", "100")
-      .config("spark.ui.retainedTasks", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -45,6 +42,9 @@ object ProbeProfile {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
+      // listener dispatch is async — give the bus a moment to drain so the
+      // job count isn't read short (diagnostic-grade, not exact)
+      Thread.sleep(500)
       val nj = jobs.get() - j0
       println(f"PROBE $name wall=$wall%.2fs jobs=$nj rows=$n")
       val trace = name match {

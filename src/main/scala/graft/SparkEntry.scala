@@ -78,14 +78,19 @@ object SparkEntry {
         import sp.implicits._
         val dim = broadcast(types.zipWithIndex
           .map { case (t, i) => (t, i + 1) }.toSeq.toDF("event_type", "__pvid"))
+        // sign-magnitude rendering: a truncating DIV plus always-positive
+        // pmod would write ts_us = -400000 as "0.600000" — wrong by 1 s,
+        // and invisible to the oracle because both engines would parse the
+        // same wrong bytes (r11 self-review finding)
         ev.join(dim, Seq("event_type"))
           .select(concat(
             lit("INSERT INTO `pvdat"),
             lpad(((col("__pvid") - 1) % 128 + 1).cast("string"), 3, "0"),
             lit("` VALUES ("),
-            expr("ts_us DIV 1000000L").cast("string"),
+            when(col("ts_us") < 0, lit("-")).otherwise(lit("")),
+            expr("abs(ts_us) DIV 1000000L").cast("string"),
             lit("."),
-            lpad(pmod(col("ts_us"), lit(1000000L)).cast("string"), 6, "0"),
+            lpad(expr("pmod(abs(ts_us), 1000000L)").cast("string"), 6, "0"),
             lit(","), col("__pvid").cast("string"),
             lit(","), col("value").cast("string"), lit(");")).as("value"))
           .write.mode("overwrite").text(s"$root/dat")

@@ -14,12 +14,11 @@ object Graph {
 
   /** One round of a distributed iterative loop, as observed from the
     * driver: `wallMs` is the wall-clock the round spent (plan compile +
-    * every Spark job it launched), `rows` the frame size surviving it
-    * (edges for the k-core peel; raw contribution rows for HITS — 0 when
-    * the round runs fully lazy and never counts). Bench embeds the last
-    * probe's trace in BENCH_FULL next to the timing (r10 verdict ask #1)
-    * so a probe regression decomposes into rounds × per-round cost
-    * instead of being re-argued from plan shape. */
+    * every Spark job it launched), `rows` a per-round mass figure —
+    * surviving edges for the k-core peel, the hub-side raw L1 total for
+    * HITS. Bench embeds the last probe's trace in BENCH_FULL next to the
+    * timing (r10 verdict ask #1) so a probe regression decomposes into
+    * rounds × per-round cost instead of being re-argued from plan shape. */
   final case class RoundTrace(round: Int, wallMs: Long, rows: Long)
 
   /** Per-round traces of the most recent distributed k-core / HITS call on
@@ -281,6 +280,7 @@ object Graph {
       def rawTotal(raw: DataFrame): Long = raw.agg(sum(col("raw"))).first().getLong(0)
       var aRaw: DataFrame = null; var aQ = 1L
       var hRaw: DataFrame = null; var hQ = 1L
+      lastHitsTrace = Nil // a throwing run must not leave a stale trace
       val trace = Seq.newBuilder[RoundTrace]
       for (it <- 1 to iters) {
         val t0 = System.nanoTime()
@@ -300,9 +300,13 @@ object Graph {
           .groupBy(col("src").as("node"))
           .agg(sum(expr(s"__ar DIV ${aQ}L")).as("raw"))
           .localCheckpoint(false)
-        hQ = math.max(1L, rawTotal(hNew) / scale)
+        // the round's hub-side raw L1 mass doubles as the trace's `rows`
+        // column — already a 1-row driver read here, and it gives a future
+        // regression a per-round mass decomposition, not just wall
+        val hTot = rawTotal(hNew)
+        hQ = math.max(1L, hTot / scale)
         hRaw = hNew
-        trace += RoundTrace(it, (System.nanoTime() - t0) / 1000000L, 0L)
+        trace += RoundTrace(it, (System.nanoTime() - t0) / 1000000L, hTot)
       }
       lastHitsTrace = trace.result()
       nodes
@@ -1008,6 +1012,7 @@ object Graph {
     * the aggregate (broadcast at toy scale, AQE's call).
     */
   private def kCoreDistributed(canon: DataFrame, k: Int, maxPeels: Int): DataFrame = {
+    lastKCoreTrace = Nil // a throwing run must not leave a stale trace
     val trace = Seq.newBuilder[RoundTrace]
     var e = canon.localCheckpoint()
     // carry the edge count forward — the previous round's `after` IS this
