@@ -276,10 +276,42 @@ object Bench {
         .mkString("[", ",", "]")
     val probeTraceJson =
       s"""{"_dist_kcore":${traceJson(graft.operators.Graph.lastKCoreTrace)},""" +
-        s""""_dist_hits":${traceJson(graft.operators.Graph.lastHitsTrace)}}"""
+        s""""_dist_hits":${traceJson(graft.operators.Graph.lastHitsTrace)},""" +
+        // pageRank rows are -1 by design: its rounds run zero driver
+        // actions, so the trace is wall-only (see Graph.lastPageRankTrace)
+        s""""_dist_pagerank":${traceJson(graft.operators.Graph.lastPageRankTrace)},""" +
+        // Apriori per-level decomposition (level 0 = basket arrays, 1..3 =
+        // mine levels, 10x = final assembly) from the traced shared build
+        s""""_shared_itemsets":${traceJson(graft.operators.Patterns.lastMineTrace)}}"""
+    // sentinel-normalized view (r11 verdict ask #5): each entry ÷ its
+    // phase's sentinel seconds expresses every timing in box-load-free
+    // "sentinel units" — two artifacts of the same code compare normalized
+    // values directly, and driver-box contention divides out (the sentinel
+    // and the queries around it breathe with the load together). Phases:
+    // `_dist_*` → `_sentinel_pre_dist`; everything else →
+    // `_sentinel_post_ingest` (pre_dist when the ingest phase was skipped).
+    // `jitter_factor` = sentinel ÷ the in-suite q_latest_per_key median —
+    // the intra-run contention signal at each phase boundary (≈1 on a
+    // quiet box; r11's driver run read 2× at post_ingest).
+    val latestMed = queryTimed.collectFirst { case ("q_latest_per_key", v) => v }
+    val sentMap = sentinels.toMap
+    val postS = sentMap.get("_sentinel_post_ingest")
+    val preS = sentMap.get("_sentinel_pre_dist")
+    val jitterJson = Seq(
+      (postS, "post_ingest"), (preS, "pre_dist")).flatMap { case (o, tag) =>
+        (o, latestMed) match {
+          case (Some(s), Some(m)) if m > 0 => Some(s""""$tag":${s3(s / m)}""")
+          case _ => None
+        }
+      }.mkString("{", ",", "}")
+    val normJson = results.flatMap { case (k, v) =>
+      val s = if (k.startsWith("_dist_")) preS.orElse(postS) else postS.orElse(preS)
+      s.filter(_ > 0).map(sv => "\"" + k + "\":" + s3(v / sv))
+    }.mkString("{", ",", "}")
     val fullLine = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""n_failed":${failed.size},"failed":$failedJson,""" +
-      s""""queries":$fullQs,"sentinels":$sentinelsJson,"probe_trace":$probeTraceJson,$ingestJson,"ingest_diag":$ingestDiagJson,""" +
+      s""""queries":$fullQs,"sentinels":$sentinelsJson,"jitter_factor":$jitterJson,""" +
+      s""""queries_normalized":$normJson,"probe_trace":$probeTraceJson,$ingestJson,"ingest_diag":$ingestDiagJson,""" +
       s""""sf":"$sfDir","total_sec":${s3(total)}}"""
     // only a FULL pass may overwrite the committed full map — a restricted
     // SPARK_GRAFT_BENCH_ONLY iteration run would otherwise clobber it with

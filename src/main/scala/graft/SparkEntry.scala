@@ -62,8 +62,13 @@ object SparkEntry {
       s"graft_run_dump_$dirSha").getAbsolutePath
     runDumpWritten.synchronized {
       if (!runDumpWritten.contains(root)) {
+        // ts_us joins value/event_type in the not-null guard: a null ts_us
+        // reaching the concat would null the whole text row (text-writer
+        // error), and silently dropping it here is the honest contract —
+        // the oracle parses the same files (r11 ADVICE)
         val ev = Tables.events(s, dir)
-          .where(col("value").isNotNull && col("event_type").isNotNull)
+          .where(col("value").isNotNull && col("event_type").isNotNull &&
+            col("ts_us").isNotNull)
         val types = ev.select(col("event_type")).distinct()
           .orderBy(col("event_type")).collect().map(_.getString(0))
         val pvLines = types.zipWithIndex.map { case (t, i) =>
@@ -92,7 +97,16 @@ object SparkEntry {
             lit("."),
             lpad(expr("pmod(abs(ts_us), 1000000L)").cast("string"), 6, "0"),
             lit(","), col("__pvid").cast("string"),
-            lit(","), col("value").cast("string"), lit(");")).as("value"))
+            lit(","),
+            // the rendered value field must never contain the dump's
+            // delimiter — a future value rendering with a ','/')' would
+            // silently shift the oracle's read_csv columns, so fail loudly
+            // instead (r11 ADVICE)
+            when(col("value").cast("string").rlike("[,)(']"),
+              raise_error(concat(lit("runDumpRoot: value renders a dump delimiter: "),
+                col("value").cast("string"))))
+              .otherwise(col("value").cast("string")),
+            lit(");")).as("value"))
           .write.mode("overwrite").text(s"$root/dat")
         runDumpWritten += root
       }
@@ -296,8 +310,11 @@ object SparkEntry {
 
   private def brandItemsets(s: SparkSession, dir: String): DataFrame =
     itemsetsCache.computeIfAbsent((s, dir), { case (ss, d) =>
+      // traced: the per-level (wall, rows) decomposition rides BENCH_FULL's
+      // probe_trace next to `_shared_itemsets`' timing (r11 verdict ask #4);
+      // overhead is three cached-frame counts at the local job floor
       operators.Patterns.frequentItemsets(brandBaskets(ss, d), "basket", "item",
-        minSupportPpm = 4000L, maxSize = 3)
+        minSupportPpm = 4000L, maxSize = 3, traced = true)
     })
   private final val TMID = 1705276800000000L // 2024-01-15T00:00:00Z (us)
 
@@ -562,6 +579,26 @@ object SparkEntry {
     "q_locf_align" -> ((s, dir) => {
       TimeSeries.locfAlignChunked(events(s, dir), "event_type", "ts_us", "value",
         Seq("click", "purchase", "view"), T0, T1, chunkUs = 86400000000L)
+    }),
+
+    // ---- S11 multi-PV aligned EXPORT (scripts/get_pvarch:138-223): the
+    // full aligned-rows line assembly — `%.6f` seconds + one fixed-width
+    // hformat field per series — over the oracled LOCF core. hformat is
+    // value-shape-dependent, so the values are first mapped to a uniform
+    // 6-digit integral grid (100000 + floor(value*100) mod 10000), where
+    // hformat(v, 12) is exactly ' DDDDDD.0000' → trailing-000 trim →
+    // ' DDDDDD.0' — lettting DuckDB mirror the whole line byte-for-byte
+    // (the general hformat surface has its own 500-case fixture oracle,
+    // q_hformat). The `%.6f` ts is safe cross-engine: integral micros
+    // ≤ 2^53 divide to within 1.2e-7 of the true 6-decimal value, so both
+    // formatters round to the same string ---------------------------------
+    "q_export_multi" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_type"), col("ts_us"),
+        (lit(100000L) + pmod(floor(col("value") * 100).cast("long"), lit(10000L)))
+          .cast("double").as("value"))
+      val aligned = TimeSeries.locfAlignChunked(ev, "event_type", "ts_us", "value",
+        Seq("click", "purchase", "view"), T0, T1, chunkUs = 86400000000L)
+      Export.alignedRows(aligned, "ts_us", Seq("click", "purchase", "view"))
     }),
 
     // ---- Q1 cull_data percentile-preserving decimation ---------------------
@@ -1089,25 +1126,30 @@ object SparkEntry {
         .select(col("pvname")).orderBy(col("pvname"))
     }),
 
-    // ---- S9 template page source over the reference's OWN production
-    // template (templates/GSE_page1.txt): line classification (section /
-    // hr / space / row) + `PV1,PV2 | description | format` splitting
-    // (web_utils.py:269-322). line_id is engine-specific and row order is
-    // content-determined instead; pvnames joins to one string (the
-    // driver's row hash needs scalar columns); nullable fields coalesce
-    // to '' on BOTH sides (Spark sorts nulls first, DuckDB last). Java's
-    // split drops trailing empty parts where DuckDB keeps them — the
-    // difference is only ever a missing-vs-empty third field, identical
-    // after the coalesce ---------------------------------------------------
+    // ---- S9 template page RENDER over the reference's OWN production
+    // template (templates/GSE_page1.txt): line classification PLUS the
+    // tmpl2jinja row semantics (web_utils.py:283-322) — every row carries
+    // the section opened by the last preceding `[Section]` header
+    // (last-ignoreNulls carry-forward over line order), PV names are
+    // normalize_pvname'd, a missing description defaults to the
+    // comma-joined normalized names, and `yes/no` format marks each PV
+    // yesno. line_id is engine-specific so row order is content-determined;
+    // the pvs struct array renders to `name=0/1` scalars (the driver's row
+    // hash needs scalar columns); nullable fields coalesce to '' on BOTH
+    // sides (Spark sorts nulls first, DuckDB last). The oracle re-derives
+    // line order with row_number() over a parallel=false csv scan (DuckDB
+    // preserves insertion order) and mirrors the fill with
+    // last_value IGNORE NULLS --------------------------------------------
     "q_template_parse" -> ((s, _) => {
-      graft.sources.PvListFile.template(s, "/root/reference/templates/GSE_page1.txt")
+      graft.sources.PvListFile.render(s, "/root/reference/templates/GSE_page1.txt")
         .select(col("kind"),
           coalesce(col("section"), lit("")).as("section"),
-          concat_ws(",", col("pvnames")).as("pvs"),
-          coalesce(col("description"), lit("")).as("description"),
-          coalesce(col("format"), lit("")).as("format"))
-        .orderBy(col("kind"), col("section"), col("pvs"),
-          col("description"), col("format"))
+          coalesce(concat_ws(",", transform(col("pvs"),
+            x => concat(x.getField("pvname"), lit("="),
+              when(x.getField("yesno"), lit("1")).otherwise(lit("0"))))),
+            lit("")).as("pvs"),
+          coalesce(col("description"), lit("")).as("description"))
+        .orderBy(col("kind"), col("section"), col("pvs"), col("description"))
     }),
 
     // ---- F3 clean_value (archiver.py:34-44): the stored-string → double
@@ -5294,6 +5336,34 @@ object SparkEntry {
          |WHERE ts_us >= $T0 AND click IS NOT NULL AND purchase IS NOT NULL AND "view" IS NOT NULL
          |ORDER BY ts_us""".stripMargin,
 
+    // S11 aligned export: the q_locf_align CTE over the 6-digit integral
+    // value grid, then the line rendered byte-for-byte — two spaces
+    // between fields because each hformat field keeps its one leading
+    // space (the ' ' sign flag) after the trailing-000 trim
+    "q_export_multi" ->
+      s"""WITH e AS (
+         |  SELECT epoch_us(ts) AS ts_us, event_type,
+         |         100000 + ((CAST(floor(value * 100) AS BIGINT) % 10000) + 10000) % 10000 AS vi
+         |  FROM events
+         |  WHERE event_type IN ('click', 'purchase', 'view') AND epoch_us(ts) < $T1),
+         |g AS (SELECT ts_us,
+         |        max(CASE WHEN event_type = 'click' THEN vi END) AS c0,
+         |        max(CASE WHEN event_type = 'purchase' THEN vi END) AS c1,
+         |        max(CASE WHEN event_type = 'view' THEN vi END) AS c2
+         |      FROM e GROUP BY ts_us),
+         |f AS (SELECT ts_us,
+         |        last_value(c0 IGNORE NULLS) OVER w AS v0,
+         |        last_value(c1 IGNORE NULLS) OVER w AS v1,
+         |        last_value(c2 IGNORE NULLS) OVER w AS v2
+         |      FROM g WINDOW w AS (ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT printf('%.6f', ts_us / 1000000.0)
+         |       || '  ' || CAST(v0 AS VARCHAR) || '.0'
+         |       || '  ' || CAST(v1 AS VARCHAR) || '.0'
+         |       || '  ' || CAST(v2 AS VARCHAR) || '.0' AS line
+         |FROM f
+         |WHERE ts_us >= $T0 AND v0 IS NOT NULL AND v1 IS NOT NULL AND v2 IS NOT NULL
+         |ORDER BY ts_us""".stripMargin,
+
     "q_decimate" ->
       s"""WITH e AS (
          |  SELECT epoch_us(ts) AS ts_us, event_id, value FROM events
@@ -5811,13 +5881,16 @@ object SparkEntry {
     // embedded newlines and \' escapes; '(' and ');' shells stripped in
     // SQL) — a hash match means both parsers recover identical fields
     "q_template_parse" ->
-      s"""WITH l AS (
-         |  SELECT trim(line) AS body
+      s"""WITH raw AS (
+         |  SELECT row_number() OVER () AS rid, trim(line) AS body
          |  FROM read_csv('/root/reference/templates/GSE_page1.txt', delim='\t',
-         |                header=false, quote='', columns={'line': 'VARCHAR'})
-         |  WHERE length(trim(line)) >= 2 AND trim(line) NOT LIKE '#%'),
+         |                header=false, quote='', parallel=false,
+         |                columns={'line': 'VARCHAR'})),
+         |l AS (
+         |  SELECT rid, body FROM raw
+         |  WHERE length(body) >= 2 AND body NOT LIKE '#%'),
          |p AS (
-         |  SELECT body,
+         |  SELECT rid, body,
          |         CASE WHEN body LIKE '[%' THEN 'section'
          |              WHEN body LIKE '--%' THEN 'hr'
          |              WHEN body LIKE '<>%' THEN 'space'
@@ -5825,13 +5898,31 @@ object SparkEntry {
          |         CASE WHEN body LIKE '[%'
          |              THEN regexp_extract(body, '^\\[([^\\]]*)', 1) END AS section,
          |         string_split(body, '|') AS parts
-         |  FROM l)
-         |SELECT kind, coalesce(section, '') AS section,
-         |  array_to_string(regexp_split_to_array(trim(parts[1]), '[,\\s]+'), ',') AS pvs,
-         |  coalesce(trim(parts[2]), '') AS description,
-         |  coalesce(trim(parts[3]), '') AS format
-         |FROM p
-         |ORDER BY kind, section, pvs, description, format""".stripMargin,
+         |  FROM l),
+         |f AS (
+         |  SELECT rid, kind, parts,
+         |         last_value(section IGNORE NULLS) OVER (
+         |           ORDER BY rid
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sectionf
+         |  FROM p),
+         |n AS (
+         |  SELECT rid, kind, sectionf,
+         |         CASE WHEN kind = 'row' THEN list_transform(
+         |           regexp_split_to_array(trim(parts[1]), '[,\\s]+'),
+         |           x -> CASE WHEN contains(trim(regexp_replace(x, '[;#].*', '', 's')), '.')
+         |                THEN trim(regexp_replace(x, '[;#].*', '', 's'))
+         |                ELSE trim(regexp_replace(x, '[;#].*', '', 's')) || '.VAL' END) END AS names,
+         |         CASE WHEN kind = 'row' THEN coalesce(trim(parts[2]), '') END AS rawdesc,
+         |         CASE WHEN trim(coalesce(parts[3], '')) = 'yes/no' THEN 1 ELSE 0 END AS yn
+         |  FROM f)
+         |SELECT kind, coalesce(sectionf, '') AS section,
+         |  coalesce(CASE WHEN kind = 'row' THEN array_to_string(
+         |    list_transform(names, x -> x || '=' || yn), ',') END, '') AS pvs,
+         |  coalesce(CASE WHEN kind = 'row' THEN
+         |    CASE WHEN length(rawdesc) > 0 THEN rawdesc
+         |         ELSE array_to_string(names, ', ') END END, '') AS description
+         |FROM n
+         |ORDER BY kind, section, pvs, description""".stripMargin,
 
     "q_clean_value" ->
       s"""WITH r AS (

@@ -21,11 +21,16 @@ object Graph {
     * rounds × per-round cost instead of being re-argued from plan shape. */
   final case class RoundTrace(round: Int, wallMs: Long, rows: Long)
 
-  /** Per-round traces of the most recent distributed k-core / HITS call on
-    * this JVM. Diagnostics only — written once at the end of each call
-    * (volatile publication; Bench is single-threaded by contract). */
+  /** Per-round traces of the most recent distributed k-core / HITS /
+    * pageRank call on this JVM. Diagnostics only — written once at the end
+    * of each call (volatile publication; Bench is single-threaded by
+    * contract). pageRank's rows column is -1: its rounds deliberately run
+    * ZERO driver actions (the lazy cut executes the round's stages without
+    * a separate count job — r11 job-floor lesson), and adding a count to
+    * feed the trace would change the very plan being measured. */
   @volatile var lastKCoreTrace: Seq[RoundTrace] = Nil
   @volatile var lastHitsTrace: Seq[RoundTrace] = Nil
+  @volatile var lastPageRankTrace: Seq[RoundTrace] = Nil
 
   /** Integer-exact PageRank with damping 0.85 and a FIXED iteration count.
     *
@@ -76,13 +81,17 @@ object Graph {
       finally e.unpersist(blocking = false)
     }
     val outd = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // pin the cached edge frame's partitioning to the loop's join key: a
-    // hash(src) layout satisfies every round's join distribution, so the
-    // EDGE-sized side is shuffled once here instead of once per iteration
-    // when the rank side is too big to broadcast (at toy scale AQE
-    // broadcasts the nodes-sized side and the point is moot; at 100× the
-    // per-round edge exchange IS the job — GraphPlanSpec pins the shape)
-    val ed = e.join(outd, Seq("src")).repartition(col("src")).persist()
+    // pin the cached edge frame's partitioning AND ordering to the loop's
+    // join key: a hash(src) layout satisfies every round's join
+    // distribution and the within-partition sort satisfies the merge
+    // join's ordering requirement, so the EDGE-sized side is shuffled and
+    // sorted once here instead of once per iteration when the rank side is
+    // too big to broadcast (at toy scale AQE broadcasts the nodes-sized
+    // side and the point is moot; at 100× the per-round edge exchange+sort
+    // IS the job — GraphPlanSpec pins the shape: bare InMemoryTableScan,
+    // no Exchange, no Sort)
+    val ed = e.join(outd, Seq("src")).repartition(col("src"))
+      .sortWithinPartitions(col("src")).persist()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
@@ -106,12 +115,17 @@ object Graph {
       // lazy cut recompiled a 3-round-deep plan per cut). Integer
       // arithmetic identical to pageRankDriver — bit-equality pinned by
       // GraphSpec, values by the unrolled q_pagerank oracle.
+      lastPageRankTrace = Nil // a throwing run must not leave a stale trace
+      val trace = Seq.newBuilder[RoundTrace]
+      var t0 = System.nanoTime()
       var sums: DataFrame = ed
         .select(col("dst").as("node"),
           expr(s"((${scale / n}L * 85) div 100) div outdeg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("m"))
         .localCheckpoint(false)
-      for (_ <- 2 to iters) {
+      trace += RoundTrace(1, (System.nanoTime() - t0) / 1000000L, -1L)
+      for (it <- 2 to iters) {
+        t0 = System.nanoTime()
         sums = ed
           .join(sums.select(col("node").as("__sn"), col("m")),
             ed("src") === col("__sn"), "left_outer")
@@ -119,7 +133,9 @@ object Graph {
             expr(s"(((${teleport}L + coalesce(m, 0L)) * 85) div 100) div outdeg").as("c"))
           .groupBy(col("node")).agg(sum(col("c")).as("m"))
           .localCheckpoint(false)
+        trace += RoundTrace(it, (System.nanoTime() - t0) / 1000000L, -1L)
       }
+      lastPageRankTrace = trace.result()
       nodes.join(sums, Seq("node"), "left_outer")
         .select(col("node"),
           (lit(teleport) + coalesce(col("m"), lit(0L))).as("pagerank"))
@@ -247,11 +263,12 @@ object Graph {
       .persist()
     // HITS alternates join keys (src for the hub read, dst for the auth
     // read), so ONE cached layout can't serve both halves — cache a copy
-    // pre-partitioned per key (the pageRank `ed` convention doubled): 2×
-    // edge storage buys away one EDGE-sized exchange per half-round when
-    // the raw side outgrows broadcast (GraphPlanSpec pins the shape)
-    val eBySrc = e.repartition(col("src")).persist()
-    val eByDst = e.repartition(col("dst")).persist()
+    // pre-partitioned AND pre-sorted per key (the pageRank `ed` convention
+    // doubled): 2× edge storage buys away one EDGE-sized exchange + sort
+    // per half-round when the raw side outgrows broadcast (GraphPlanSpec
+    // pins both halves: bare InMemoryTableScan, no Exchange, no Sort)
+    val eBySrc = e.repartition(col("src")).sortWithinPartitions(col("src")).persist()
+    val eByDst = e.repartition(col("dst")).sortWithinPartitions(col("dst")).persist()
     try {
       val n = nodes.count()
       require(n > 0, "hits needs at least one edge")
@@ -767,9 +784,10 @@ object Graph {
       .distinct()
       .persist()
     val sd = sd0.persist()
-    // every round's vote join keys on src — pin the cached layout to it
-    // (the pageRank `ed` convention), one edge shuffle for all rounds
-    val eBySrc = e.repartition(col("src")).persist()
+    // every round's vote join keys on src — pin the cached layout AND
+    // ordering to it (the pageRank `ed` convention): one edge shuffle +
+    // sort for all rounds (GraphPlanSpec pins the vote join reads it bare)
+    val eBySrc = e.repartition(col("src")).sortWithinPartitions(col("src")).persist()
     try {
       // Seeded nodes never change label (coalesce puts __seed first), so
       // they are STATIC state: hoist them out of the loop once and iterate

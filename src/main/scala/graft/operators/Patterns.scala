@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object Patterns {
 
+  /** Per-level trace of the most recent TRACED [[frequentItemsets]] mine on
+    * this JVM (the graph-loop RoundTrace convention, r11 verdict ask #4):
+    * level 0 = the basket-array build, 1..3 = each Apriori level, `rows` =
+    * the level's surviving row count. Tracing materializes each persisted
+    * level with an explicit count — three cached-frame count jobs at the
+    * local job floor, and the L1 aggregate no longer overlaps the array
+    * build — so it is opt-in (`traced = true`); Bench opts in so the trace
+    * rides BENCH_FULL's `probe_trace`. Diagnostics only; single-threaded
+    * harness contract as with Graph's traces. */
+  @volatile var lastMineTrace: Seq[Graph.RoundTrace] = Nil
+
   /** Code width for packed itemset keys: frequent items are coded by their
     * 1-based position in the sorted frequent vocabulary, and a pair/triple
     * is ONE BIGINT (`c1·2^16 + c2`, `((c1·2^16)+c2)·2^16 + c3`) — shuffle
@@ -73,16 +84,28 @@ object Patterns {
     * frame — no size-0 row with support 0.
     */
   def frequentItemsets(df: DataFrame, basket: String, item: String,
-      minSupportPpm: Long = 4000L, maxSize: Int = 3): DataFrame = {
+      minSupportPpm: Long = 4000L, maxSize: Int = 3,
+      traced: Boolean = false): DataFrame = {
     require(minSupportPpm >= 1 && minSupportPpm <= 1000000L,
       s"minSupportPpm in [1, 1e6], got $minSupportPpm")
     require(maxSize >= 1 && maxSize <= 3, s"maxSize in [1,3], got $maxSize")
+    if (traced) lastMineTrace = Nil // a throwing run must not leave a stale trace
+    val trace = Seq.newBuilder[Graph.RoundTrace]
+    var tLevel = System.nanoTime()
+    // traced mode: materialize a persisted level frame NOW with a count and
+    // record (level, wall, surviving rows); the later readers hit cache
+    def mark(level: Int, frame: DataFrame): Unit = if (traced) {
+      val n = frame.count()
+      trace += Graph.RoundTrace(level, (System.nanoTime() - tLevel) / 1000000L, n)
+      tLevel = System.nanoTime()
+    }
     val rows = df
       .where(col(basket).isNotNull && col(item).isNotNull)
       .select(col(basket).as("b"), col(item).cast("string").as("i"))
     val tx = rows.groupBy(col("b"))
       .agg(sort_array(collect_set(col("i"))).as("__items"))
       .persist() // ONE corpus shuffle; the threshold frame, L2 and L3 all read it
+    mark(0, tx)
     // 1-row broadcast threshold frame off the cached arrays (tx row count
     // IS the distinct basket count): __n baskets, __ms = ceil-ppm support
     val nb = tx.agg(count(lit(1)).as("__n"))
@@ -97,6 +120,7 @@ object Patterns {
       .join(broadcast(nb))
       .where(col("support") >= col("__ms"))
       .persist() // frequent-vocabulary-sized; feeds the output AND the coder
+    mark(1, l1)
     // an EMPTY corpus yields an empty result (not a support=0 row whose
     // support_ppm would read 100% and feed associationRulesFrom a universe
     // of 0 — r8 ADVICE); the filter rides the existing 1-row frame
@@ -108,6 +132,8 @@ object Patterns {
         col("support"), ppm.as("support_ppm")))
     if (maxSize == 1) {
       val r = out1.localCheckpoint()
+      mark(1 + 100, r) // final assembly, level tag 101
+      if (traced) lastMineTrace = trace.result()
       l1.unpersist(blocking = false)
       tx.unpersist(blocking = false)
       return r
@@ -133,6 +159,7 @@ object Patterns {
       .join(broadcast(nb))
       .where(col("support") >= col("__ms"))
       .persist() // threshold-bounded; feeds the output AND the Apriori prune
+    mark(2, l2)
     val out2 = l2.join(broadcast(freq1)).select(
       concat_ws("|",
         element_at(col("__f1"), expr(s"CAST(pk DIV $W AS INT)")),
@@ -143,6 +170,8 @@ object Patterns {
       .foreach(_.unpersist(blocking = false))
     if (maxSize == 2) {
       val r = out12.localCheckpoint()
+      mark(2 + 100, r) // final assembly, level tag 102
+      if (traced) lastMineTrace = trace.result()
       release()
       return r
     }
@@ -172,7 +201,11 @@ object Patterns {
         element_at(col("__f1"), expr(s"CAST((tk DIV $W) % $W AS INT)")),
         element_at(col("__f1"), expr(s"CAST(tk % $W AS INT)"))).as("items"),
       lit(3L).as("size"), col("support"), ppm.as("support_ppm"))
+    // level 3 (the L3 mine + final union) materializes inside this
+    // checkpoint; its trace row doubles as the final-assembly mark
     val r = out12.unionByName(out3).localCheckpoint()
+    mark(3, r)
+    if (traced) lastMineTrace = trace.result()
     release()
     r
   }

@@ -31,7 +31,16 @@ object TimeSeries {
 
   /** Register a persisted frame for deferred release — used by operators
     * whose returned plan reads the persist at evaluation time (so a
-    * `finally unpersist` inside the call would break it). */
+    * `finally unpersist` inside the call would break it).
+    *
+    * SINGLE-THREADED CONTRACT: the queue is process-global, so a
+    * [[releaseCallScopedPersists]] from one thread would unpersist frames a
+    * CONCURRENT caller registered mid-evaluation — the exact silent
+    * rank-offset misalignment [[releaseCallScopedPersists]] warns about.
+    * Register/release must run from one harness thread at a time (Bench,
+    * Verify and the sbt test runner are single-threaded by convention);
+    * a concurrent driver needs per-phase scoping before it may call
+    * release. */
   private[graft] def registerCallScopedPersist(df: DataFrame): Unit =
     callScopedPersists.add(df)
 

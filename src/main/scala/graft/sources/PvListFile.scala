@@ -55,21 +55,32 @@ object PvListFile {
   /** S9 rendering semantics (tmpl2jinja row emission, web_utils.py:283-322):
     * the LOGICAL row stream of the generated status page, with the
     * reference's defaulting rules applied —
+    *  - every row lands UNDER the section opened by the last preceding
+    *    `[Section]` line (web_utils.py:283-322: rows accumulate into the
+    *    currently-open section) — a `last(ignoreNulls)` carry-forward over
+    *    `line_id`; rows before any section header keep a null section, like
+    *    the reference's pre-section preamble;
     *  - every PV name is `normalize_pvname`'d (web_utils.py:297);
     *  - a missing/empty description falls back to the comma-joined
     *    normalized names (web_utils.py:300-303);
     *  - the `yes/no` format marks every PV in the row `yesno = true`
     *    (the `form="yesno"` showpv argument, web_utils.py:304-310).
-    * The jinja/HTML table wrapper stays out of scope (presentation, not
-    * analytics) — golden-file parity in PvListFileSpec covers this content.
+    * The single-partition `line_id` window is fine at any scale: a template
+    * is a human-written control-plane file (hundreds of lines), never a
+    * corpus. The jinja/HTML table wrapper stays out of scope (presentation,
+    * not analytics) — golden-file parity in PvListFileSpec covers this
+    * content; the `q_template_parse` oracle checks the filled section.
     */
   def render(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val norm = transform(col("pvnames"),
       p => graft.functions.PvFunctions.normalizePvName(p))
+    val carried = last(col("section"), ignoreNulls = true)
+      .over(Window.orderBy(col("line_id")))
     template(spark, path).select(
       col("line_id"),
       col("kind"),
-      col("section"),
+      carried.as("section"),
       when(col("kind") === "row",
         coalesce(when(length(col("description")) > 0, col("description")),
           concat_ws(", ", norm))).as("description"),

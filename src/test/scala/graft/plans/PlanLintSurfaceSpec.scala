@@ -66,6 +66,9 @@ class PlanLintSurfaceSpec extends SparkSpec {
     // scans left the registered plans with the r8 gates (allowlist SHRANK)
     ("q_link_predict", "driver-materialized-input") -> 1,
     ("q_lm_xent", "nested-loop-join") -> 1,
+    // q_export_multi rides the q_locf_align plan (same reviewed bounded
+    // plot-window global ordering) into the aligned-line projection
+    ("q_export_multi", "global-window") -> 1,
     ("q_locf_align", "global-window") -> 1,
     ("q_lsh_recall", "nested-loop-join") -> 1,
     ("q_mixture_weights", "nested-loop-join") -> 1,
@@ -86,6 +89,10 @@ class PlanLintSurfaceSpec extends SparkSpec {
     ("q_skew_gini", "global-window") -> 1,
     ("q_snm_dedup", "global-window") -> 2,
     ("q_spearman", "global-window") -> 4,
+    // template render: the section carry-forward is one last(ignoreNulls)
+    // window over line order — a human-written control-plane file
+    // (hundreds of lines), never a corpus (PvListFile.render scaladoc)
+    ("q_template_parse", "global-window") -> 1,
     ("q_tfidf_pairs_inv", "nested-loop-join") -> 4,
     ("q_trending", "nested-loop-join") -> 1,
     ("q_triangles", "driver-materialized-input") -> 1,

@@ -82,5 +82,23 @@ class PvListFileSpec extends SparkSpec {
     assert(rows(5).getAs[String]("description") == "XX:temp.VAL")
     // non-row kinds carry no pv payload
     assert(rows(3).isNullAt(rows(3).fieldIndex("pvs")) && rows(4).isNullAt(rows(4).fieldIndex("description")))
+    // every row lands under the section opened by the last [header]
+    // (web_utils.py:283-322 — rows accumulate into the open section)
+    assert(rows.drop(1).forall(_.getAs[String]("section") == "Beamline Status"))
+  }
+
+  test("render: section carry-forward tracks header changes; preamble rows stay null") {
+    val path = write(
+      "PRE:pv1 | before any section",
+      "[First]",
+      "A:m1 | in first",
+      "--",
+      "[Second]",
+      "B:m1 | in second",
+      "B:m2 | also second")
+    val rows = PvListFile.render(spark, path).collect().sortBy(_.getAs[Long]("line_id"))
+    assert(rows.map(r => Option(r.getAs[String]("section"))).toSeq == Seq(
+      None, Some("First"), Some("First"), Some("First"),
+      Some("Second"), Some("Second"), Some("Second")))
   }
 }
