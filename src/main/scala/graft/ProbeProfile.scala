@@ -1,23 +1,28 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
-/** Diagnostic main for the `_dist_*` probe pair (r10 verdict ask #1):
-  * rebuilds the same memoized inputs Bench uses, runs the selected probes
-  * once each, and prints wall, SPARK JOB COUNT, and the per-round trace
-  * ([[graft.operators.Graph.RoundTrace]]) — the decomposition that tells a
-  * plan defect (few rounds, fat per-round cost) apart from irreducible
-  * iteration work (many cheap rounds at the job floor).
+/** Diagnostic main for per-query profiling (r10 verdict ask #1, widened in
+  * r12): rebuilds the same memoized inputs Bench uses, runs the selected
+  * probes (any `_dist_*` twin OR any registered query) once each, and
+  * prints wall, SPARK JOB COUNT, the slowest STAGES (name, wall, tasks),
+  * and any per-round trace ([[graft.operators.Graph.RoundTrace]]) — the
+  * decomposition that tells a plan defect (few rounds/stages, fat each)
+  * apart from irreducible work (many cheap ones at the job floor).
   *
   * Not part of the bench contract; run via
-  * `sbt "runMain graft.ProbeProfile _dist_kcore _dist_hits"` with
+  * `sbt "runMain graft.ProbeProfile _dist_kcore q_embed_dedup_dist"` with
   * `SPARK_GRAFT_SF_DIR` pointing at a testdata scale dir.
+  * `SPARK_GRAFT_PROBE_SHARED=0` skips the shared-frame rebuild for probes
+  * that don't read them; `SPARK_GRAFT_PROBE_RUNS` re-runs each probe
+  * (warm JIT) and reports the LAST run.
   */
 object ProbeProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = if (args.nonEmpty) args.toSeq else Seq("_dist_kcore", "_dist_hits")
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "1").toInt
     val cpus = Runtime.getRuntime.availableProcessors()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,33 +31,59 @@ object ProbeProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Engine.tune(spark)
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Int)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(jobStart: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
-    })
-    // inputs untimed, exactly like Bench's dist-twin phase
-    SparkEntry.sharedFrameBuilders.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      fn(spark, sfDir).count()
-    }
-    for (name <- names) {
-      val fn = SparkEntry.distTwinQueries(name)
-      System.gc()
-      val j0 = jobs.get()
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      val wall = (System.nanoTime() - t0) / 1e9
-      // listener dispatch is async — give the bus a moment to drain so the
-      // job count isn't read short (diagnostic-grade, not exact)
-      Thread.sleep(500)
-      val nj = jobs.get() - j0
-      println(f"PROBE $name wall=$wall%.2fs jobs=$nj rows=$n")
-      val trace = name match {
-        case "_dist_kcore" => operators.Graph.lastKCoreTrace
-        case "_dist_hits" => operators.Graph.lastHitsTrace
-        case _ => Nil
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val ms = (for (a <- i.completionTime; b <- i.submissionTime) yield a - b).getOrElse(-1L)
+        stages.add((i.name.linesIterator.next(), ms, i.numTasks))
       }
-      trace.foreach(r => println(s"  round=${r.round} wallMs=${r.wallMs} rows=${r.rows}"))
+    })
+    if (sys.env.get("SPARK_GRAFT_PROBE_SHARED").forall(_ != "0"))
+      // inputs untimed, exactly like Bench's dist-twin phase
+      SparkEntry.sharedFrameBuilders.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        fn(spark, sfDir).count()
+      }
+    else if (names.exists(_.startsWith("_dist_")))
+      System.err.println("[probe] WARN: shared rebuild skipped; _dist_ probes will rebuild inputs timed")
+    for (name <- names) {
+      val fn = SparkEntry.distTwinQueries.getOrElse(name,
+        SparkEntry.sharedFrameBuilders.getOrElse(name, SparkEntry.queries(name)))
+      for (run <- 1 to nRuns) {
+        if (name.startsWith("_shared_")) SparkEntry.dropSharedFrame(name)
+        System.gc()
+        stages.clear()
+        val j0 = jobs.get()
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        operators.TimeSeries.releaseCallScopedPersists()
+        // listener dispatch is async — give the bus a moment to drain so the
+        // job count isn't read short (diagnostic-grade, not exact)
+        Thread.sleep(500)
+        val nj = jobs.get() - j0
+        if (run < nRuns) ()
+        else {
+          println(f"PROBE $name wall=$wall%.2fs jobs=$nj rows=$n")
+          import scala.jdk.CollectionConverters._
+          val byStage = stages.asScala.toSeq.sortBy(-_._2).take(12)
+          byStage.foreach { case (nm, ms, tasks) =>
+            println(f"  stage ${ms}%6d ms tasks=$tasks%-4d $nm")
+          }
+          val trace = name match {
+            case "_dist_kcore" => operators.Graph.lastKCoreTrace
+            case "_dist_hits" => operators.Graph.lastHitsTrace
+            case "_dist_pagerank" => operators.Graph.lastPageRankTrace
+            case "_shared_itemsets" => operators.Patterns.lastMineTrace
+            case _ => Nil
+          }
+          trace.foreach(r => println(s"  round=${r.round} wallMs=${r.wallMs} rows=${r.rows}"))
+        }
+      }
     }
     spark.stop()
   }

@@ -130,6 +130,10 @@ object Dedup {
     val rhs = grouped.select(col("b").as("b2"), col("docs").as("d2s"))
     lhs.join(rhs, col("b1") <= col("b2"))
       .select(col("b1"), col("b2"), col("d1s"), col("d2s"))
+      // pair-key repartition before the sweep — without it AQE coalesces
+      // the tiny-row-count join output to ~1 partition and the whole
+      // quadratic sweep runs on one core (see cosinePairsBlocked)
+      .repartition(col("b1"), col("b2"))
       .as[(Int, Int, Array[(Long, Array[Long])], Array[(Long, Array[Long])])]
       .mapPartitions { it =>
         it.flatMap { case (bi, bj, as, bs) =>
@@ -471,6 +475,10 @@ object Dedup {
     val rhs = grouped.select(col("b").as("b2"), col("docs").as("d2s"))
     lhs.join(rhs, col("b1") <= col("b2"))
       .select(col("b1"), col("b2"), col("d1s"), col("d2s"))
+      // pair-key repartition before the sweep — without it AQE coalesces
+      // the tiny-row-count join output to ~1 partition and the whole
+      // quadratic sweep runs on one core (see cosinePairsBlocked)
+      .repartition(col("b1"), col("b2"))
       .as[(Int, Int, Array[(Long, Array[Long])], Array[(Long, Array[Long])])]
       .mapPartitions { it =>
         it.flatMap { case (bi, bj, as, bs) =>

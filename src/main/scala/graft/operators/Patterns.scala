@@ -49,8 +49,9 @@ object Patterns {
     *  - `tx` = per-basket SORTED DISTINCT item array — presence, not
     *    multiplicity (standard market-basket semantics) — built by ONE
     *    corpus shuffle, persisted small (arrays, not rows);
-    *  - L1 = one distinct-count aggregate STRAIGHT from the input rows, so
-    *    it runs concurrently with the array build instead of behind it;
+    *  - L1 = one explode+count over the cached arrays (each array IS the
+    *    basket's distinct item set) — the corpus producer runs exactly
+    *    once, for the array build;
     *  - transaction TRIMMING + CODING in one map-side pass: the frequent
     *    vocabulary broadcasts back as a 1-row sorted array, every basket
     *    array becomes the INT positions of its frequent members (infrequent
@@ -102,8 +103,17 @@ object Patterns {
     val rows = df
       .where(col(basket).isNotNull && col(item).isNotNull)
       .select(col(basket).as("b"), col(item).cast("string").as("i"))
+    // the cached arrays fan out into the coder + combo EXPLODES — heavy
+    // compute per byte — so the cache's partition count is pinned with one
+    // extra exchange at build time: AQE coalesces the agg's tiny-BYTES
+    // shuffle output to ~3 partitions and every downstream map-side pass
+    // (coding, pair/triple generation) would run on 3 cores (r12 probe:
+    // two ~750 ms 3-task stages in a 6.3 s mine). Bytes-based coalescing
+    // is the wrong heuristic when downstream cost is combinatorial.
+    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val tx = rows.groupBy(col("b"))
       .agg(sort_array(collect_set(col("i"))).as("__items"))
+      .repartition(nPart)
       .persist() // ONE corpus shuffle; the threshold frame, L2 and L3 all read it
     mark(0, tx)
     // 1-row broadcast threshold frame off the cached arrays (tx row count
@@ -113,10 +123,15 @@ object Patterns {
         expr(s"(__n * ${minSupportPpm}L + 999999L) DIV 1000000L"),
         lit(1L)).as("__ms"))
     val ppm = expr("CAST(support * 1000000L DIV __n AS BIGINT)")
-    // the L1 distinct-count aggregates STRAIGHT from the input rows — its
-    // corpus shuffle runs concurrently with the array build, not behind it
-    val l1 = rows.groupBy(col("i"))
-      .agg(countDistinct(col("b")).as("support"))
+    // L1 reads the CACHED basket arrays, not the input rows: each array is
+    // already the basket's distinct item set, so exploding it and counting
+    // is the per-item basket support with ONE pass over the compact cache —
+    // the old `rows.groupBy(i).agg(countDistinct(b))` re-ran the whole
+    // corpus producer (for brand baskets, a 600k-row join) a second time
+    // and paid countDistinct's two-shuffle expansion (r12 probe: 1.8 s of
+    // the 6.3 s mine)
+    val l1 = tx.select(explode(col("__items")).as("i"))
+      .groupBy(col("i")).agg(count(lit(1)).as("support"))
       .join(broadcast(nb))
       .where(col("support") >= col("__ms"))
       .persist() // frequent-vocabulary-sized; feeds the output AND the coder

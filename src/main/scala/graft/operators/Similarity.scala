@@ -917,6 +917,15 @@ object Similarity {
     val rhs = grouped.select(col("b").as("b2"), col("vs").as("v2s"))
     lhs.join(rhs, col("b1") <= col("b2"))
       .select(col("b1"), col("b2"), col("v1s"), col("v2s"))
+      // spread the block-pair rows across the cluster BEFORE the sweep: the
+      // broadcast join emits nb(nb+1)/2 fat rows through the streamed
+      // side's partitioning, and AQE coalesces that tiny-ROW-COUNT stage to
+      // ~1 partition — serializing the whole O(n²) sweep on one core (r12
+      // probe: 1.48 s in ONE task at sf0.1). Hashing the pair key restores
+      // ≥shuffle.partitions-way parallelism at one extra pass over the
+      // block payloads (~nb× corpus bytes), which the quadratic sweep
+      // dwarfs at any scale where it matters.
+      .repartition(col("b1"), col("b2"))
       .as[(Int, Int, Array[(Long, Array[Float])], Array[(Long, Array[Float])])]
       .mapPartitions { it =>
         def norms(vs: Array[(Long, Array[Float])]): Array[Double] = vs.map { case (_, v) =>
