@@ -581,6 +581,31 @@ object SparkEntry {
         Seq("click", "purchase", "view"), T0, T1, chunkUs = 86400000000L)
     }),
 
+    // ---- F15 mail-template interpolation (cache.py:662-686) over the real
+    // cache snapshot: %PV%/%VALUE%/%LABEL%/%COMP%/%TRIP% plus a nested
+    // %PV(name)% lookup that RESOLVES (EV:click, from the same snapshot)
+    // and one that FAILS (→ the literal `unknown`). The per-alert expansion
+    // is driver-side like the reference's mail path; the snapshot collect
+    // is keys-sized. The oracle rebuilds every body with string concat +
+    // a scalar subquery for the nested lookup ----------------------------
+    "q_mail_template" -> ((s, dir) => {
+      import s.implicits._
+      val latest = TimeSeries.latestPerKey(
+          events(s, dir).where(col("value").isNotNull),
+          "event_type", "ts_us", "event_id", Seq("value"))
+        .select(concat(lit("EV:"), col("event_type")).as("pv"),
+          floor(col("value") * 1000).cast("string").as("v"))
+        .orderBy(col("pv"))
+      val snap = latest.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      val lookup = snap.toMap
+      val tmpl = "Alert for %PV%\nvalue=%VALUE% label=%LABEL%\n" +
+        "condition: %COMP% %TRIP%\nclick=%PV(EV:click)% missing=%PV(EV:nope)%"
+      snap.map { case (pv, v) =>
+        (pv, graft.functions.PvFunctions.mailTemplate(
+          tmpl, pv, v, "lbl:" + pv, "ge", "100", n => lookup.get(n)))
+      }.toDF("pv", "body").orderBy(col("pv"))
+    }),
+
     // ---- S11 multi-PV aligned EXPORT (scripts/get_pvarch:138-223): the
     // full aligned-rows line assembly — `%.6f` seconds + one fixed-width
     // hformat field per series — over the oracled LOCF core. hformat is
@@ -599,6 +624,29 @@ object SparkEntry {
       val aligned = TimeSeries.locfAlignChunked(ev, "event_type", "ts_us", "value",
         Seq("click", "purchase", "view"), T0, T1, chunkUs = 86400000000L)
       Export.alignedRows(aligned, "ts_us", Seq("click", "purchase", "view"))
+    }),
+
+    // ---- S12 save/restore writer (util.py:391-424): the cache snapshot —
+    // latest non-null value per series — rendered through ALL THREE flavor
+    // writers (plain / idl / python), line-exact: flavor headers, the
+    // cmt-prefixed extra header line, per-flavor caput quoting. Values on
+    // an integral grid (floor(value*1000)) so both engines render the same
+    // digits. The collect is keys-sized by construction — a save file has
+    // one line per PV (control-plane artifact, like the reference's) -----
+    "q_save_restore" -> ((s, dir) => {
+      import s.implicits._
+      val latest = TimeSeries.latestPerKey(
+          events(s, dir).where(col("value").isNotNull),
+          "event_type", "ts_us", "event_id", Seq("value"))
+        .select(concat(lit("EV:"), col("event_type")).as("pv"),
+          floor(col("value") * 1000).cast("string").as("v"))
+        .orderBy(col("pv"))
+      val pvvals = latest.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      Seq("plain", "idl", "python").flatMap { f =>
+        Export.saveRestore(pvvals, f, header = Seq("graft snapshot")).zipWithIndex
+          .map { case (l, i) => (f, i.toLong, l) }
+      }.toDF("flavor", "line_no", "line")
+        .orderBy(col("flavor"), col("line_no"))
     }),
 
     // ---- Q1 cull_data percentile-preserving decimation ---------------------
@@ -5335,6 +5383,65 @@ object SparkEntry {
          |SELECT ts_us, click, purchase, "view" FROM f
          |WHERE ts_us >= $T0 AND click IS NOT NULL AND purchase IS NOT NULL AND "view" IS NOT NULL
          |ORDER BY ts_us""".stripMargin,
+
+    // F15 mail template: every alert body reassembled with concat + chr(10)
+    // newlines; the nested %PV(EV:click)% lookup is a scalar subquery over
+    // the same snapshot, the failed lookup the literal 'unknown'
+    "q_mail_template" ->
+      """WITH src AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us, event_id, value
+        |  FROM events WHERE value IS NOT NULL),
+        |latest AS (
+        |  SELECT 'EV:' || event_type AS pv,
+        |         CAST(CAST(floor(value * 1000) AS BIGINT) AS VARCHAR) AS v
+        |  FROM (SELECT event_type, value,
+        |          row_number() OVER (PARTITION BY event_type
+        |                             ORDER BY ts_us DESC, event_id DESC) AS rn
+        |        FROM src) WHERE rn = 1)
+        |SELECT pv,
+        |  'Alert for ' || pv || chr(10) ||
+        |  'value=' || v || ' label=lbl:' || pv || chr(10) ||
+        |  'condition: ge 100' || chr(10) ||
+        |  'click=' || coalesce((SELECT v FROM latest WHERE pv = 'EV:click'), 'unknown') ||
+        |  ' missing=unknown' AS body
+        |FROM latest ORDER BY pv""".stripMargin,
+
+    // S12 save/restore: the latest-non-null-per-series snapshot rendered
+    // through the three flavor writers, every line mirrored verbatim —
+    // header blocks as literal rows, value lines assembled with the same
+    // quoting per flavor
+    "q_save_restore" ->
+      """WITH src AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us, event_id, value
+        |  FROM events WHERE value IS NOT NULL),
+        |latest AS (
+        |  SELECT 'EV:' || event_type AS pv,
+        |         CAST(CAST(floor(value * 1000) AS BIGINT) AS VARCHAR) AS v
+        |  FROM (SELECT event_type, value,
+        |          row_number() OVER (PARTITION BY event_type
+        |                             ORDER BY ts_us DESC, event_id DESC) AS rn
+        |        FROM src) WHERE rn = 1),
+        |ord AS (SELECT pv, v, row_number() OVER (ORDER BY pv) - 1 AS rn FROM latest),
+        |heads(flavor, line_no, line) AS (VALUES
+        |  ('plain', 0, '# Plain Save/Restore script'),
+        |  ('plain', 1, '# graft snapshot'),
+        |  ('idl', 0, '; IDL save restore script'),
+        |  ('idl', 1, '; graft snapshot'),
+        |  ('python', 0, '#!/usr/bin/env python'),
+        |  ('python', 1, '#  Python save restore script'),
+        |  ('python', 2, 'from epics import caput'),
+        |  ('python', 3, '# graft snapshot')),
+        |nhead(flavor, n) AS (VALUES ('plain', 2), ('idl', 2), ('python', 4)),
+        |vals AS (
+        |  SELECT nh.flavor, nh.n + o.rn AS line_no,
+        |         CASE nh.flavor
+        |           WHEN 'idl' THEN 's = caput(''' || o.pv || ''', ' || o.v || ')'
+        |           WHEN 'python' THEN 'caput(''' || o.pv || ''', ' || o.v || ')'
+        |           ELSE o.pv || '  ' || o.v END AS line
+        |  FROM ord o CROSS JOIN nhead nh)
+        |SELECT flavor, CAST(line_no AS BIGINT) AS line_no, line
+        |FROM (SELECT * FROM heads UNION ALL SELECT * FROM vals)
+        |ORDER BY flavor, line_no""".stripMargin,
 
     // S11 aligned export: the q_locf_align CTE over the 6-digit integral
     // value grid, then the line rendered byte-for-byte — two spaces
