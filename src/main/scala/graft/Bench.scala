@@ -178,6 +178,11 @@ object Bench {
           name -> time(name, fn)
         }
       else Seq.empty
+    // snapshot the TIMED mine's per-level trace now: the dist-twin phase
+    // re-runs the traced builder untimed (the memo is dropped after
+    // q_itemsets) and would overwrite it, leaving the artifact decomposing
+    // a DIFFERENT build than the one whose timing it rides next to
+    val mineTrace = graft.operators.Patterns.lastMineTrace
     val queryTimed = sharedTimed ++ ordered.map { case (name, fn) =>
       // untimed: start each query's runs from a settled heap — in a full
       // 76-query pass the accumulated shuffle/broadcast debris of earlier
@@ -249,7 +254,7 @@ object Bench {
     // round end), and print a compact line — headline totals plus only the
     // slowest queries, budgeted to fit the tail window with room for the
     // sbt suffix — as the LAST thing on stdout.
-    def s3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def s3(v: Double): String = Engine.fmt3(v)
     val total = results.map(_._2).sum
     val fullQs = results.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
@@ -280,9 +285,10 @@ object Bench {
         // pageRank rows are -1 by design: its rounds run zero driver
         // actions, so the trace is wall-only (see Graph.lastPageRankTrace)
         s""""_dist_pagerank":${traceJson(graft.operators.Graph.lastPageRankTrace)},""" +
-        // Apriori per-level decomposition (level 0 = basket arrays, 1..3 =
-        // mine levels, 10x = final assembly) from the traced shared build
-        s""""_shared_itemsets":${traceJson(graft.operators.Patterns.lastMineTrace)}}"""
+        // Apriori per-level decomposition from the TIMED shared build
+        // (level 0 = basket arrays, 1..3 = mine levels; at the registered
+        // maxSize=3 the final union/checkpoint rides inside level 3)
+        s""""_shared_itemsets":${traceJson(mineTrace)}}"""
     // sentinel-normalized view (r11 verdict ask #5): each entry ÷ its
     // phase's sentinel seconds expresses every timing in box-load-free
     // "sentinel units" — two artifacts of the same code compare normalized
@@ -466,7 +472,7 @@ object Bench {
       catch { case _: Throwable => () }
       System.gc()
       val gcNow = totalGcMs()
-      def s3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      def s3(v: Double) = Engine.fmt3(v)
       diag += s"""{"tag":"$tag","rows_per_sec":${s3(n / secs)},"secs":${s3(secs)},""" +
         s""""gc_ms":${gcNow - lastGcMs},"providers_after_stop":$providers,""" +
         s""""tmp_free_mb_pre":$tmpFreeMb,"dirty_kb_pre":$dirtyKb,""" +

@@ -11,6 +11,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Engine {
 
+  /** 3-decimal HALF_UP formatter for artifact JSON — the one copy
+    * (Bench/Scale both emit with it, so the artifacts can never drift on
+    * rounding). Non-finite doubles render as JSON null: BigDecimal throws
+    * on NaN/Infinity, and a crashed artifact writer is worse than a null
+    * cell. */
+  private[graft] def fmt3(v: Double): String =
+    if (v.isNaN || v.isInfinite) "null"
+    else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
   /** Confs every session needs, applicable to an existing session too (all are
     * runtime SQL confs). `nanosAsLong` lets Spark read the parquet
     * TIMESTAMP(NANOS) columns the reference-style event feeds carry; we expose

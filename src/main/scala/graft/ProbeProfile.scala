@@ -44,12 +44,19 @@ object ProbeProfile {
       }
     })
     if (sys.env.get("SPARK_GRAFT_PROBE_SHARED").forall(_ != "0"))
-      // inputs untimed, exactly like Bench's dist-twin phase
-      SparkEntry.sharedFrameBuilders.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        fn(spark, sfDir).count()
-      }
-    else if (names.exists(_.startsWith("_dist_")))
-      System.err.println("[probe] WARN: shared rebuild skipped; _dist_ probes will rebuild inputs timed")
+      // inputs untimed, exactly like Bench's dist-twin phase — but never
+      // pre-build a frame that is itself being probed (the probe loop
+      // drops and rebuilds it timed; a pre-build would just double the run)
+      SparkEntry.sharedFrameBuilders.toSeq.sortBy(_._1)
+        .filterNot { case (n, _) => names.contains(n) }
+        .foreach { case (_, fn) => fn(spark, sfDir).count() }
+    else
+      // any probe may read a memoized shared frame (the _dist_ twins by
+      // construction, several q_* via the memo caches) — with the rebuild
+      // skipped, its first run times an input rebuild Bench never charges
+      // to that entry, so the number is not comparable to BENCH_FULL
+      System.err.println("[probe] WARN: shared rebuild skipped; probes that " +
+        "read memoized frames will time an input rebuild (not BENCH-comparable)")
     for (name <- names) {
       val fn = SparkEntry.distTwinQueries.getOrElse(name,
         SparkEntry.sharedFrameBuilders.getOrElse(name, SparkEntry.queries(name)))

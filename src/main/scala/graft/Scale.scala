@@ -37,8 +37,7 @@ import org.apache.spark.sql.types.LongType
   */
 object Scale {
 
-  private def s3(v: Double): String =
-    BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+  private def s3(v: Double): String = Engine.fmt3(v)
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -66,6 +65,15 @@ object Scale {
 
     // results: name -> (rows1, t1, rowsN, tN)
     val results = scala.collection.mutable.LinkedHashMap[String, (Long, Double, Long, Double)]()
+    // per-entry failure isolation (the Bench convention): one throwing
+    // query must not lose every other measurement of a multi-minute drill —
+    // the failure is flagged in the artifact instead
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    def guarded(tag: String, name: String)(body: => Unit): Unit =
+      try body catch { case t: Throwable =>
+        failed += s"$tag:$name"
+        System.err.println(s"[scale] FAILED $tag $name: ${t.getMessage}")
+      }
 
     // ---- dir-based queries: the BASELINE.md headline surface + the RAKE
     // window query (slowest non-probe suite entry) + the Apriori mine
@@ -96,7 +104,7 @@ object Scale {
         tableRows((tag, t)) = df.count()
         df
       }
-      for (name <- headline) {
+      for (name <- headline) guarded(tag, name) {
         val fn = SparkEntry.queries(name)
         fn(spark, dir).count() // warm-up
         operators.TimeSeries.releaseCallScopedPersists()
@@ -108,17 +116,22 @@ object Scale {
         System.err.println(f"[scale] $tag $name ${t}%.2fs")
       }
       // the Apriori mine: timed once (build semantics, the Bench convention)
-      SparkEntry.clearSharedFrames()
-      val tMine = medianTimed(
-        SparkEntry.sharedFrameBuilders("_shared_itemsets")(spark, dir).count(), 1)
-      record(results, "_shared_itemsets", tag, tableRows((tag, "lineitem")), tMine)
-      System.err.println(f"[scale] $tag _shared_itemsets ${tMine}%.2fs")
+      guarded(tag, "_shared_itemsets") {
+        SparkEntry.clearSharedFrames()
+        val tMine = medianTimed(
+          SparkEntry.sharedFrameBuilders("_shared_itemsets")(spark, dir).count(), 1)
+        record(results, "_shared_itemsets", tag, tableRows((tag, "lineitem")), tMine)
+        System.err.println(f"[scale] $tag _shared_itemsets ${tMine}%.2fs")
+      }
       SparkEntry.clearSharedFrames()
       cached.foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
     }
 
-    // ---- iterative graph loops over 1× and factor× EDGE corpora
+    // ---- iterative graph loops over 1× and factor× EDGE corpora; the
+    // shared input builds ride the same guard so a kNN-build failure flags
+    // the loop entries instead of aborting the drill with results unsaved
+    try {
     val g1 = SparkEntry.sharedFrameBuilders("_shared_knn_graph")(spark, base)
       .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
       .localCheckpoint()
@@ -141,21 +154,27 @@ object Scale {
       "_dist_hits" -> ((e: DataFrame) =>
         operators.Graph.hits(e, "query_id", "neighbor_id",
           iters = 5, maxDriverEdges = 0L).count()))
-    for ((name, fn) <- loops; (tag, e, rows) <- Seq(("1x", g1, eg1), (s"${factor}x", gN, egN))) {
-      System.gc()
-      val t0 = System.nanoTime()
-      fn(e)
-      val t = (System.nanoTime() - t0) / 1e9
-      record(results, name, tag, rows, t)
-      System.err.println(f"[scale] $tag $name ${t}%.2fs")
-    }
-    for ((tag, e, rows) <- Seq(("1x", m1, em1), (s"${factor}x", mN, emN))) {
-      System.gc()
-      val t0 = System.nanoTime()
-      operators.Graph.kCore(e, "d1", "d2", k = 3, maxDriverEdges = 0L).count()
-      val t = (System.nanoTime() - t0) / 1e9
-      record(results, "_dist_kcore", tag, rows, t)
-      System.err.println(f"[scale] $tag _dist_kcore ${t}%.2fs")
+    for ((name, fn) <- loops; (tag, e, rows) <- Seq(("1x", g1, eg1), (s"${factor}x", gN, egN)))
+      guarded(tag, name) {
+        System.gc()
+        val t0 = System.nanoTime()
+        fn(e)
+        val t = (System.nanoTime() - t0) / 1e9
+        record(results, name, tag, rows, t)
+        System.err.println(f"[scale] $tag $name ${t}%.2fs")
+      }
+    for ((tag, e, rows) <- Seq(("1x", m1, em1), (s"${factor}x", mN, emN)))
+      guarded(tag, "_dist_kcore") {
+        System.gc()
+        val t0 = System.nanoTime()
+        operators.Graph.kCore(e, "d1", "d2", k = 3, maxDriverEdges = 0L).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        record(results, "_dist_kcore", tag, rows, t)
+        System.err.println(f"[scale] $tag _dist_kcore ${t}%.2fs")
+      }
+    } catch { case t: Throwable =>
+      failed += s"input:knn_edges"
+      System.err.println(s"[scale] FAILED graph-loop input build: ${t.getMessage}")
     }
 
     // ---- emit
@@ -168,9 +187,10 @@ object Scale {
       s""""$name":{"rows_1x":$r1,"secs_1x":${s3(t1)},"rows_${factor}x":$rN,""" +
         s""""secs_${factor}x":${s3(tN)},"t_ratio":${s3(tN / t1)},"exponent":$expS}"""
     }.mkString("{", ",", "}")
+    val failedJson = failed.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"factor":$factor,"base":"$base","inflated":"$work","runs":$runs,""" +
-        s""""queries":$qJson,""" +
+        s""""failed":$failedJson,"queries":$qJson,""" +
         """"notes":"exponent = ln(tN/t1)/ln(rowsN/rows1); ~1 linear, <1 """ +
         """sublinear (fixed job floor amortizing), >1 super-linear. """ +
         """Dir queries scale the input TABLE (deterministic row """ +

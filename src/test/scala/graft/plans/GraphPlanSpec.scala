@@ -67,8 +67,10 @@ class GraphPlanSpec extends graft.SparkSpec {
     forcedNonBroadcast(sp) {
       val e = edges200(sp)
       val outd = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      // the pageRank `ed` build, layout pinned to the join key
-      val ed = e.join(outd, Seq("src")).repartition(col("src")).persist()
+      // the pageRank `ed` build, partitioning AND ordering pinned to the
+      // join key — the exact production shape (Graph.pageRank's cache)
+      val ed = e.join(outd, Seq("src")).repartition(col("src"))
+        .sortWithinPartitions(col("src")).persist()
       ed.count() // materialize so the cached layout is the one planned against
       try {
         val sums = ed.select(col("dst").as("node"), lit(1L).as("m"))
