@@ -16,6 +16,23 @@ class ExportSpec extends SparkSpec {
     assert(lines(1) == "1704672065.250000  1.10000e-09 20240108 000105")
   }
 
+  test("alignedRows: hand-derived golden line (S11, scripts/get_pvarch:138-223)") {
+    val sp = spark
+    import sp.implicits._
+    // hand derivation for hformat(100123.0, 12): exponent 5 -> 'f' form,
+    // prec (12-7)+4-5 = 4 -> ' 100123.0000' (exactly 12 wide), trailing
+    // '000' trim -> ' 100123.0'; each field keeps its one leading space,
+    // so concat_ws(" ") yields TWO spaces between fields. This pins the
+    // rendering independently of the DuckDB oracle (the one defect class
+    // a two-sided hash match cannot see is a shared mis-derivation)
+    val df = Seq((1705017600000000L, 100123.0, 100456.0, 107890.0))
+      .toDF("tsUs", "click", "purchase", "view")
+    val lines = Export.alignedRows(df, "tsUs", Seq("click", "purchase", "view"))
+      .as[String].collect()
+    assert(lines.toSeq == Seq(
+      "1705017600.000000  100123.0  100456.0  107890.0"))
+  }
+
   test("asciiHeader carries pv metadata + enum legend (webapp.py:293-311)") {
     val h = Export.asciiHeader("XX:shutter.VAL", "Shutter state", "enum",
       1704672000000000L, 1705881600000000L, 42L, Seq("Closed", "Open"))
