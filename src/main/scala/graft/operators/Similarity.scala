@@ -841,6 +841,23 @@ object Similarity {
   private[operators] def autoBlocks(spark: org.apache.spark.sql.SparkSession): Int =
     math.max(8, math.round(math.sqrt(32.0 * spark.sparkContext.defaultParallelism)).toInt)
 
+  /** [[autoBlocks]] with a CORPUS-SIZE floor: each block materializes as
+    * ONE `collect_list` row that a single task must hold, so the block
+    * count must also grow with the row count or a big corpus OOMs the
+    * block build regardless of cluster size (the parallelism-only sizing
+    * was a real 100×-scale hole: 32 blocks over 10⁹ embeddings is ~30 GB
+    * a block). `maxRowsPerBlock` callers pick per payload weight —
+    * ~100k embedding vectors or ~25k shingle-set docs ≈ tens of MB a
+    * block. Costs one COUNT of the input (nothing next to the O(n²/b)
+    * sweep it sizes); task count grows as (n/maxRows)²/2 past the floor,
+    * which is the honest price of exact all-pairs at scale.
+    */
+  private[operators] def autoBlocksSized(df: DataFrame, maxRowsPerBlock: Long): Int = {
+    val par = autoBlocks(df.sparkSession)
+    val n = df.count()
+    math.max(par, ((n + maxRowsPerBlock - 1) / maxRowsPerBlock).toInt)
+  }
+
   private[operators] def round6(x: Double): Double =
     if (x.isNaN || x.isInfinite) x
     else java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
@@ -908,7 +925,9 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     requireIntegralId(df, id)
-    val nb = if (blocks > 0) blocks else autoBlocks(spark)
+    // corpus-size floor: a block is one collect_list row in one task —
+    // ~100k vectors a block keeps it tens of MB at typical dims
+    val nb = if (blocks > 0) blocks else autoBlocksSized(df, 100000L)
     val sets = df.select(
       pmod(col(id), lit(nb)).cast("int").as("b"),
       struct(col(id).cast("long").as("_1"), col(vec).as("_2")).as("dv"))
