@@ -118,9 +118,9 @@ object Dedup {
     import spark.implicits._
     Similarity.requireIntegralId(df, id)
     // corpus-size floor: a block is one collect_list row in one task —
-    // ~25k shingle-set docs a block keeps it tens of MB (row count stands
-    // in for the distinct-doc count; the overestimate only adds blocks)
-    val nb = if (blocks > 0) blocks else Similarity.autoBlocksSized(df, 25000L)
+    // ~64 MB of input text a block (statistics-sized, no job at
+    // construction; shingle sets weigh about what the text does)
+    val nb = if (blocks > 0) blocks else Similarity.autoBlocksSized(df)
     val sets = df
       .select(col(id).cast("long").as("doc"), shingleHashSetUdf(col(text), lit(n)).as("hs"))
       .groupBy(col("doc"))
@@ -462,7 +462,7 @@ object Dedup {
     import spark.implicits._
     Similarity.requireIntegralId(df, id)
     // corpus-size floor — see ngramContainment's sizing note
-    val nb = if (blocks > 0) blocks else Similarity.autoBlocksSized(df, 25000L)
+    val nb = if (blocks > 0) blocks else Similarity.autoBlocksSized(df)
     // per-doc union BEFORE blocking: rows sharing an id merge into one set
     // (matching the string variants' collect_set semantics); the shuffled
     // payload is the compact 16-bytes-per-shingle hash arrays, still no

@@ -843,19 +843,25 @@ object Similarity {
 
   /** [[autoBlocks]] with a CORPUS-SIZE floor: each block materializes as
     * ONE `collect_list` row that a single task must hold, so the block
-    * count must also grow with the row count or a big corpus OOMs the
-    * block build regardless of cluster size (the parallelism-only sizing
-    * was a real 100×-scale hole: 32 blocks over 10⁹ embeddings is ~30 GB
-    * a block). `maxRowsPerBlock` callers pick per payload weight —
-    * ~100k embedding vectors or ~25k shingle-set docs ≈ tens of MB a
-    * block. Costs one COUNT of the input (nothing next to the O(n²/b)
-    * sweep it sizes); task count grows as (n/maxRows)²/2 past the floor,
-    * which is the honest price of exact all-pairs at scale.
+    * count must also grow with the corpus or a big one OOMs the block
+    * build regardless of cluster size (the parallelism-only sizing was a
+    * real 100×-scale hole: 32 blocks over 10⁹ embeddings is ~30 GB a
+    * block). Sized from CATALYST STATISTICS (file-size-backed for scans,
+    * propagated through projections) so constructing the plan launches NO
+    * driver job — the PlanAuditSpec lazy-construction contract. Targets
+    * ~64 MB of input per block, capped at 4096 blocks (8.4M pair tasks —
+    * past that, pass `blocks` explicitly or pre-bucket with LSH); when
+    * statistics are absent Spark substitutes defaultSizeInBytes ≈ 2⁶³,
+    * which would nonsense-size the grid, so implausible (≥ 2⁵³) or
+    * non-positive estimates fall back to the parallelism sizing.
     */
-  private[operators] def autoBlocksSized(df: DataFrame, maxRowsPerBlock: Long): Int = {
+  private[operators] def autoBlocksSized(df: DataFrame): Int = {
     val par = autoBlocks(df.sparkSession)
-    val n = df.count()
-    math.max(par, ((n + maxRowsPerBlock - 1) / maxRowsPerBlock).toInt)
+    val stats = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val floor =
+      if (stats <= 0 || stats >= BigInt(1L << 53)) 1
+      else (((stats - 1) / (64L << 20)).toInt + 1).min(4096)
+    math.max(par, floor)
   }
 
   private[operators] def round6(x: Double): Double =
@@ -926,8 +932,8 @@ object Similarity {
     import spark.implicits._
     requireIntegralId(df, id)
     // corpus-size floor: a block is one collect_list row in one task —
-    // ~100k vectors a block keeps it tens of MB at typical dims
-    val nb = if (blocks > 0) blocks else autoBlocksSized(df, 100000L)
+    // ~64 MB of input a block (statistics-sized, no job at construction)
+    val nb = if (blocks > 0) blocks else autoBlocksSized(df)
     val sets = df.select(
       pmod(col(id), lit(nb)).cast("int").as("b"),
       struct(col(id).cast("long").as("_1"), col(vec).as("_2")).as("dv"))
