@@ -102,8 +102,8 @@ object Bench {
       case Some(_) => true
       case None => only.isEmpty
     }
-    val (ingestRuns: Seq[Double], ingestDiag: Seq[String]) =
-      if (!runIngest) (Seq.empty[Double], Seq.empty[String])
+    val (ingestRuns: Seq[Double], ingestDiag: Seq[String], ingestScale: Seq[String]) =
+      if (!runIngest) (Seq.empty[Double], Seq.empty[String], Seq.empty[String])
       else {
         val ingestSpark = newSession()
         try benchIngest(ingestSpark) finally {
@@ -263,12 +263,27 @@ object Bench {
     // band AND the full per-run series ride along (r8 verdict ask #1: the
     // distribution itself belongs in the artifact, not in lost stderr)
     val ingestRunsJson = ingestRuns.map(s3).mkString("[", ",", "]")
-    val ingestJson = s""""ingest_rows_per_sec":${s3(ingest._2)},""" +
+    // THE INGEST BAR (written policy, r12 verdict ask #3): the gate is
+    // p10 ≥ 30 000 rows/s — an INTERIOR order statistic (rank 2 of 12)
+    // that a single environment-vetoed run (external GC thrash, writeback
+    // stall — see ingest_diag) cannot move, unlike the min, which has
+    // dipped on box noise in three separate rounds on identical code. The
+    // min stays REPORTED alongside (first element of sorted ingest_runs,
+    // plus the full series) so a genuine degradation trend is still
+    // visible; it is no longer the gate. The artifact self-reports the
+    // verdict as `ingest_bar` — no prose mitigation required or allowed.
+    val ingestBarJson = if (ingestRuns.nonEmpty) {
+      val pass = ingest._1 >= 30000.0
+      s""""ingest_bar":{"stat":"p10","threshold":30000,"value":${s3(ingest._1)},""" +
+        s""""min":${s3(ingestRuns.min)},"pass":$pass},"""
+    } else ""
+    val ingestJson = ingestBarJson + s""""ingest_rows_per_sec":${s3(ingest._2)},""" +
       s""""ingest_rows_per_sec_p10":${s3(ingest._1)},"ingest_rows_per_sec_p90":${s3(ingest._3)},""" +
       s""""ingest_runs":$ingestRunsJson"""
     // per-run environment columns (full artifact only — 12 objects would
     // blow the compact line's tail-window budget)
     val ingestDiagJson = ingestDiag.mkString("[", ",", "]")
+    val ingestScaleJson = ingestScale.mkString("[", ",", "]")
     val sentinelsJson = sentinels.map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     // per-round decomposition of the two iterative probes (r10 verdict ask
@@ -318,6 +333,7 @@ object Bench {
       s""""n_failed":${failed.size},"failed":$failedJson,""" +
       s""""queries":$fullQs,"sentinels":$sentinelsJson,"jitter_factor":$jitterJson,""" +
       s""""queries_normalized":$normJson,"probe_trace":$probeTraceJson,$ingestJson,"ingest_diag":$ingestDiagJson,""" +
+      s""""ingest_scale":$ingestScaleJson,""" +
       s""""sf":"$sfDir","total_sec":${s3(total)}}"""
     // only a FULL pass may overwrite the committed full map — a restricted
     // SPARK_GRAFT_BENCH_ONLY iteration run would otherwise clobber it with
@@ -355,7 +371,9 @@ object Bench {
     * the driver environment; these columns make the artifact NAME the
     * environmental bound (heap churn vs provider leak vs disk fill vs
     * writeback stall) instead of leaving it to reconstruction (r9 verdict
-    * ask #1).
+    * ask #1). The third element is the `ingest_scale` key-cardinality
+    * sweep (r12 ask #7): one run each at 500/5k/50k PVs, same total rows,
+    * each carrying rows/s + state rows/memory + the batch-duration curve.
     */
   private def totalGcMs(): Long = {
     import scala.jdk.CollectionConverters._
@@ -386,15 +404,14 @@ object Bench {
     finally src.close()
   } catch { case _: Throwable => -1L }
 
-  private def benchIngest(spark: SparkSession): (Seq[Double], Seq[String]) = {
+  private def benchIngest(spark: SparkSession): (Seq[Double], Seq[String], Seq[String]) = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.Downsampler.RawSample
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val nPvs = 500
     // 10 s spacing per PV > the 5 s default deadtime, values step > the
     // deadband: every input row emits, so the store append cost is real
-    def mkEvents(n: Int): Seq[RawSample] = (0 until n).map { i =>
+    def mkEvents(n: Int, nPvs: Int): Seq[RawSample] = (0 until n).map { i =>
       val v = s"${i % 997}.25"
       RawSample(s"B:pv${i % nPvs}.VAL", (i / nPvs).toLong * 10000000L, v, v)
     }
@@ -416,7 +433,10 @@ object Bench {
         java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
     val diag = scala.collection.mutable.ArrayBuffer[String]()
     var lastGcMs = totalGcMs()
-    def run(n: Int, tag: String): Double = {
+    // per-run streaming-progress capture for the state-scale sweep: batch
+    // durations + final state-operator rows/memory from recentProgress
+    var lastProgressJson = ""
+    def run(n: Int, tag: String, nPvs: Int = 500): Double = {
       // environment the run FACES (pre-conditions), sampled before timing
       val dirtyKb = meminfoKb("Dirty")
       val writebackKb = meminfoKb("Writeback")
@@ -424,7 +444,7 @@ object Bench {
       val dir = java.nio.file.Files.createTempDirectory(scratch, "graft_bench_store")
       val ckpt = java.nio.file.Files.createTempDirectory(scratch, "graft_bench_ckpt")
       val input = MemoryStream[RawSample]
-      mkEvents(n).grouped(50000).foreach(c => input.addData(c))
+      mkEvents(n, nPvs).grouped(50000).foreach(c => input.addData(c))
       val t0 = System.nanoTime()
       // limboTimeoutMs = 0 → NoTimeout: a registered processing-time
       // timeout busy-loops no-data batches under processAllAvailable (see
@@ -433,7 +453,19 @@ object Bench {
       val q = graft.streaming.Ingest.archiveTo(input.toDS(), dir.toString,
         runWidthUs = 30L * 86400000000L, checkpoint = Some(ckpt.toString),
         triggerMs = 100L, limboTimeoutMs = 0L)
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable()
+        val prog = q.recentProgress
+        lastProgressJson = if (prog.isEmpty) "" else {
+          val durs = prog.map(_.batchDuration)
+          val so = prog.last.stateOperators
+          val (sRows, sMem) =
+            if (so.nonEmpty) (so(0).numRowsTotal, so(0).memoryUsedBytes)
+            else (-1L, -1L)
+          s""""batches":${durs.length},"batch_ms_mean":${durs.sum / math.max(1, durs.length)},""" +
+            s""""batch_ms_max":${durs.max},"state_rows":$sRows,"state_mem_kb":${sMem / 1024}"""
+        }
+      } finally q.stop()
       val secs = (System.nanoTime() - t0) / 1e9
       // per-run diagnostic (stderr; the driver parses stdout only): the
       // r5→r7 throughput band was 8k-60k rows/s on identical work and a
@@ -490,6 +522,19 @@ object Bench {
     // min/max, mislabeled (ADVICE r7); n=10 would still pin p10 to the min
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_INGEST_RUNS", "12").toInt
     val series = (1 to nRuns).map(i => run(200000, s"run $i/$nRuns"))
-    (series, diag.toSeq)
+    // T2 state-scale sweep (r12 verdict ask #7): the 12-run series fixes
+    // key cardinality at 500 PVs, but a 100 TB archiver holds 10⁵–10⁶ PVs
+    // of flatMapGroupsWithState state — the axis the bench never measured.
+    // One run each at 1×/10×/100× keys, SAME total rows, reporting rows/s
+    // plus the state-store row count, memory and batch-duration curve from
+    // StreamingQueryProgress. Super-linear batch-duration growth here means
+    // per-key state overhead dominates and would bound a real deployment.
+    val scale = scala.collection.mutable.ArrayBuffer[String]()
+    for (keys <- Seq(500, 5000, 50000)) {
+      val rps = run(200000, s"scale keys=$keys", nPvs = keys)
+      val prog = if (lastProgressJson.isEmpty) "" else "," + lastProgressJson
+      scale += s"""{"keys":$keys,"rows":200000,"rows_per_sec":${Engine.fmt3(rps)}$prog}"""
+    }
+    (series, diag.toSeq, scale.toSeq)
   }
 }

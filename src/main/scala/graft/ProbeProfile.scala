@@ -40,9 +40,27 @@ object ProbeProfile {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val i = sc.stageInfo
         val ms = (for (a <- i.completionTime; b <- i.submissionTime) yield a - b).getOrElse(-1L)
-        stages.add((i.name.linesIterator.next(), ms, i.numTasks))
+        val m = i.taskMetrics
+        // run/gc/spill decompose a slow stage into plan work vs memory
+        // pressure — a wall≫run stage is scheduler/GC-starved, run≈wall
+        // with fat gc is heap churn, spill>0 is execution-memory pressure
+        stages.add((f"${i.name.linesIterator.next()}%s [run=${m.executorRunTime}ms " +
+          f"gc=${m.jvmGCTime}ms spill=${m.memoryBytesSpilled / 1024}kB " +
+          f"in=${(m.inputMetrics.bytesRead + m.shuffleReadMetrics.totalBytesRead) / 1024}kB]",
+          ms, i.numTasks))
       }
     })
+    // bench position also means CACHED BASE TABLES: Bench caches every
+    // parquet table up front, so in-suite plans read InMemoryRelations
+    // (whose partition count is frozen at cache-build time) instead of
+    // fresh parquet scans — a map-heavy query can serialize on a 1-file
+    // table's 1-partition cache while its standalone probe parallelizes
+    // across a 32-way scan. Opt in to reproduce that context.
+    if (sys.env.get("SPARK_GRAFT_PROBE_CACHE_TABLES").exists(_ == "1"))
+      sources.Tables.all.foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").cache().count()
+        catch { case _: Throwable => () }
+      }
     if (sys.env.get("SPARK_GRAFT_PROBE_SHARED").forall(_ != "0"))
       // inputs untimed, exactly like Bench's dist-twin phase — but never
       // pre-build a frame that is itself being probed (the probe loop
@@ -59,7 +77,10 @@ object ProbeProfile {
         "read memoized frames will time an input rebuild (not BENCH-comparable)")
     for (name <- names) {
       val fn = SparkEntry.distTwinQueries.getOrElse(name,
-        SparkEntry.sharedFrameBuilders.getOrElse(name, SparkEntry.queries(name)))
+        SparkEntry.sharedFrameBuilders.getOrElse(name,
+          SparkEntry.queries.getOrElse(name, sys.error(
+            s"unknown probe '$name' — expected a _dist_* twin, a _shared_* builder, " +
+              "or a registered q_* query name"))))
       for (run <- 1 to nRuns) {
         if (name.startsWith("_shared_")) SparkEntry.dropSharedFrame(name)
         System.gc()
@@ -76,6 +97,11 @@ object ProbeProfile {
         if (run < nRuns) ()
         else {
           println(f"PROBE $name wall=$wall%.2fs jobs=$nj rows=$n")
+          // the physical plan AS EXECUTED in this context (cache state and
+          // AQE included) — the standalone/in-suite divergences this tool
+          // exists for are usually plan-shape divergences
+          if (sys.env.get("SPARK_GRAFT_PROBE_EXPLAIN").exists(_ == "1"))
+            println(fn(spark, sfDir).queryExecution.executedPlan.toString)
           import scala.jdk.CollectionConverters._
           val byStage = stages.asScala.toSeq.sortBy(-_._2).take(12)
           byStage.foreach { case (nm, ms, tasks) =>

@@ -43,7 +43,7 @@ object Scale {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "3").toInt
-    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r12.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r13.json")
     require(factor >= 2, s"factor must be >= 2, got $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -58,6 +58,17 @@ object Scale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Engine.tune(spark)
+    // slowest-stage tracker for the all-pairs tier: the sweep stage's task
+    // count is the serialization guard (1 task = the r11 AQE-coalesce bug)
+    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val ms = (for (a <- i.completionTime; b <- i.submissionTime) yield a - b).getOrElse(-1L)
+        stageLog.add((ms, i.numTasks))
+      }
+    })
 
     val work = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_scale_${factor}x").getAbsolutePath
@@ -77,9 +88,40 @@ object Scale {
 
     // ---- dir-based queries: the BASELINE.md headline surface + the RAKE
     // window query (slowest non-probe suite entry) + the Apriori mine
-    val headline = Seq("q_get_data", "q_locf_align", "q_decimate",
+    val headlineFixed = Seq("q_get_data", "q_locf_align", "q_decimate",
       "q_latest_per_key", "q_windowed_counts", "q_downsample",
       "q_downsample_stateful", "q_keyphrases")
+    // ---- STANDING SELECTION RULE (r12 verdict ask #8): every round the
+    // drill runs the fixed headline set above PLUS any registered query
+    // whose sentinel-normalized bench entry moved >1.5× in either
+    // direction between the previous round's committed bench and this
+    // round's BENCH_FULL (paths via SPARK_GRAFT_SCALE_PREV_BENCH /
+    // SPARK_GRAFT_SCALE_CUR_BENCH; rule inert when either is absent).
+    // Entries whose fitted exponent exceeds 0.9 are auto-flagged in the
+    // artifact's `flagged` list. STATUS.md quotes the rule per round.
+    def normMap(path: String): Map[String, Double] = try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      val body = """"queries_normalized":\{([^}]*)\}""".r
+        .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+      """"([^"]+)":([0-9.eE+\-]+)""".r.findAllMatchIn(body)
+        .map(x => x.group(1) -> x.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+    val prevNorm = sys.env.get("SPARK_GRAFT_SCALE_PREV_BENCH").map(normMap).getOrElse(Map.empty)
+    val curNorm = sys.env.get("SPARK_GRAFT_SCALE_CUR_BENCH").map(normMap).getOrElse(Map.empty)
+    val movers = (for {
+      (name, cur) <- curNorm.toSeq
+      prev <- prevNorm.get(name)
+      if prev > 0 && cur > 0 && (cur / prev > 1.5 || prev / cur > 1.5)
+      if SparkEntry.queries.contains(name) && !headlineFixed.contains(name)
+    } yield name).sorted
+    if (movers.nonEmpty)
+      System.err.println(s"[scale] selection rule adds movers: ${movers.mkString(", ")}")
+    val headline = headlineFixed ++ movers
+    // rows denominator for the exponent: every FACT table inflates by the
+    // same factor, so a mover attributed to the default (events) still
+    // gets the right row RATIO even if its absolute rows are another
+    // fact table's
     val inputTable = Map(
       "q_keyphrases" -> "documents", "_shared_itemsets" -> "lineitem"
     ).withDefaultValue("events")
@@ -177,6 +219,59 @@ object Scale {
       System.err.println(s"[scale] FAILED graph-loop input build: ${t.getMessage}")
     }
 
+    // ---- blocked all-pairs tier (r12 verdict ask #2): the O(n²/b) sweeps
+    // the headline drill never touched — cosinePairsBlocked over the
+    // embeddings corpus at full factor, the two n-gram sweeps over a
+    // pairsFactor-replica document subset (quadratic work makes factor×
+    // docs factor²× pair verifies; 3× ≈ 9× work keeps the drill bounded).
+    // The block grid is FIXED across scales (blocks=16) so the measured
+    // exponent tests the quadratic model itself (expected →2 in rows once
+    // past the job floor, per t = a + b·n²); the run's slowest stage —
+    // the sweep, at scale — has its task count recorded and asserted
+    // against the pinned repartition width: tasks = 1 would mean AQE
+    // re-serialized the sweep (the r11 q_embed_dedup_dist defect).
+    val pairsFactor = math.min(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS_FACTOR", "3").toInt, factor)
+    val sweepBlocks = 16
+    val nShuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sweepTasks = scala.collection.mutable.LinkedHashMap[(String, String), (Long, Int)]()
+    def timedSweep(tag: String, name: String, rows: Long)(body: => Unit): Unit =
+      guarded(tag, name) {
+        System.gc()
+        stageLog.clear()
+        val t0 = System.nanoTime()
+        body
+        val t = (System.nanoTime() - t0) / 1e9
+        import scala.jdk.CollectionConverters._
+        val slowest = stageLog.asScala.toSeq.sortBy(-_._1).headOption.getOrElse((-1L, -1))
+        sweepTasks((name, tag)) = slowest
+        record(results, name, tag, rows, t)
+        System.err.println(f"[scale] $tag $name ${t}%.2fs slowest_stage=${slowest._1}ms tasks=${slowest._2}")
+      }
+    guarded("pairs", "inputs") {
+      val emb1 = sources.Tables.embeddings(spark, base)
+      val embN = sources.Tables.embeddings(spark, work)
+      val doc1 = sources.Tables.documents(spark, base)
+      // pairsFactor replicas per original doc out of the factor-inflated
+      // table: doc_id was remapped id·factor + k, so `% factor` recovers k
+      val docN = sources.Tables.documents(spark, work)
+        .where(col("doc_id") % factor < pairsFactor)
+      val re1 = emb1.count(); val reN = embN.count()
+      val rd1 = doc1.count(); val rdN = docN.count()
+      for ((tag, emb, rows) <- Seq(("1x", emb1, re1), (s"${factor}x", embN, reN)))
+        timedSweep(tag, "_pairs_cosine_blocked", rows)(
+          operators.Similarity.cosinePairsBlocked(emb, "vec_id", "embedding",
+            threshold = 0.45, blocks = sweepBlocks).count())
+      for ((tag, doc, rows) <- Seq(("1x", doc1, rd1), (s"${pairsFactor}x", docN, rdN))) {
+        timedSweep(tag, "_pairs_ngram_jaccard", rows)(
+          operators.Dedup.ngramJaccardBlocked(doc, "doc_id", "text",
+            n = 2, threshold = 0.5, blocks = sweepBlocks).count())
+        timedSweep(tag, "_pairs_ngram_containment", rows)(
+          operators.Dedup.ngramContainment(doc, "doc_id", "text",
+            n = 2, threshold = 0.8, blocks = sweepBlocks).count())
+      }
+    }
+
     // ---- emit
     val qJson = results.map { case (name, (r1, t1, rN, tN)) =>
       val exp =
@@ -188,16 +283,43 @@ object Scale {
         s""""secs_${factor}x":${s3(tN)},"t_ratio":${s3(tN / t1)},"exponent":$expS}"""
     }.mkString("{", ",", "}")
     val failedJson = failed.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // auto-flag (standing rule): any entry whose fitted exponent exceeds
+    // 0.9 — super-linear or near-linear growth that the sublinear claims
+    // in STATUS.md cannot cover — is named in the artifact
+    val flagged = results.collect { case (name, (r1, t1, rN, tN))
+      if r1 > 0 && rN > r1 && t1 > 0 && tN > 0 &&
+        math.log(tN / t1) / math.log(rN.toDouble / r1) > 0.9 => name }.toSeq
+    val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val moversJson = movers.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-sweep slowest-stage task counts + the serialization verdict:
+    // tasks must reach the pinned repartition width at the scaled point
+    val sweepJson = sweepTasks.groupBy(_._1._1).toSeq.sortBy(_._1).map {
+      case (name, entries) =>
+        val cols = entries.toSeq.map { case ((_, tag), (ms, tasks)) =>
+          s""""tasks_$tag":$tasks,"slowest_stage_ms_$tag":$ms"""
+        }.mkString(",")
+        val scaledTasks = entries.collect {
+          case ((_, tag), (_, tasks)) if tag != "1x" => tasks }
+        val pass = scaledTasks.nonEmpty && scaledTasks.forall(_ >= nShuffle)
+        s""""$name":{$cols,"tasks_pass":$pass}"""
+    }.mkString("{", ",", "}")
     val line =
       s"""{"factor":$factor,"base":"$base","inflated":"$work","runs":$runs,""" +
-        s""""failed":$failedJson,"queries":$qJson,""" +
+        s""""failed":$failedJson,"flagged":$flaggedJson,"movers":$moversJson,""" +
+        s""""pairs_factor":$pairsFactor,"pair_sweeps":$sweepJson,"queries":$qJson,""" +
         """"notes":"exponent = ln(tN/t1)/ln(rowsN/rows1); ~1 linear, <1 """ +
         """sublinear (fixed job floor amortizing), >1 super-linear. """ +
         """Dir queries scale the input TABLE (deterministic row """ +
         """multiplication, keys remapped id*factor+k, event ts stepped +k """ +
         """us); graph loops scale the EDGE corpus (factor disjoint copies """ +
         """of the kNN graph) so the loop slope is isolated from the """ +
-        """O(n^2) kNN build measured separately as _dist_knn_graph."}"""
+        """O(n^2) kNN build measured separately as _dist_knn_graph. """ +
+        """_pairs_* entries drill the blocked all-pairs sweeps at a FIXED """ +
+        """16-block grid (expected exponent ~2 = the O(n^2/b) model; """ +
+        """the n-gram pair is drilled at pairs_factor, so its rows_Nx """ +
+        """column holds pairs_factor-times rows); tasks_pass asserts the """ +
+        """scaled sweep stage kept >= shuffle.partitions tasks (1 task = """ +
+        """the r11 AQE re-serialization defect)."}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
     println(line)
@@ -215,13 +337,14 @@ object Scale {
   /** Writes the inflated twin of `base` into `work` (idempotent: a marker
     * file carrying base+factor skips the rebuild). Key-remapped tables:
     * events (event_id, ts), documents (doc_id), lineitem (l_orderkey),
-    * orders (o_orderkey — kept consistent with lineitem). Every other
+    * orders (o_orderkey — kept consistent with lineitem), embeddings
+    * (vec_id). Every other
     * table is copied through unchanged (dimension tables stay 1×, like
     * real dims under fact growth). */
   private def inflate(spark: SparkSession, base: String, work: String,
       factor: Int): Unit = {
     val marker = java.nio.file.Paths.get(work, s"_GRAFT_SCALE_DONE")
-    val stamp = s"$base|$factor"
+    val stamp = s"$base|$factor|v2" // v2: embeddings vec_id remapped
     if (java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == stamp)
       return
@@ -245,6 +368,13 @@ object Scale {
         case "documents" =>
           write(df.withColumn("__k", k)
             .withColumn("doc_id", col("doc_id") * factor + col("__k"))
+            .drop("__k"), t)
+        case "embeddings" =>
+          // remapped ids keep the block sweeps' id-based same-block halving
+          // honest on the inflated corpus (duplicate ids would silently
+          // drop replica pairs before the dot product)
+          write(df.withColumn("__k", k)
+            .withColumn("vec_id", col("vec_id") * factor + col("__k"))
             .drop("__k"), t)
         case "lineitem" =>
           write(df.withColumn("__k", k)

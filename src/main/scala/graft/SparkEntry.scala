@@ -5403,7 +5403,7 @@ object SparkEntry {
         |  'value=' || v || ' label=lbl:' || pv || chr(10) ||
         |  'condition: ge 100' || chr(10) ||
         |  'click=' || coalesce((SELECT v FROM latest WHERE pv = 'EV:click'), 'unknown') ||
-        |  ' missing=unknown' AS body
+        |  ' missing=' || coalesce((SELECT v FROM latest WHERE pv = 'EV:nope'), 'unknown') AS body
         |FROM latest ORDER BY pv""".stripMargin,
 
     // S12 save/restore: the latest-non-null-per-series snapshot rendered

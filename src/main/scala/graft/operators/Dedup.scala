@@ -135,8 +135,10 @@ object Dedup {
       .select(col("b1"), col("b2"), col("d1s"), col("d2s"))
       // pair-key repartition before the sweep — without it AQE coalesces
       // the tiny-row-count join output to ~1 partition and the whole
-      // quadratic sweep runs on one core (see cosinePairsBlocked)
-      .repartition(col("b1"), col("b2"))
+      // quadratic sweep runs on one core; count pinned = not AQE-coalescible
+      // (see cosinePairsBlocked)
+      .repartition(lhs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("b1"), col("b2"))
       .as[(Int, Int, Array[(Long, Array[Long])], Array[(Long, Array[Long])])]
       .mapPartitions { it =>
         it.flatMap { case (bi, bj, as, bs) =>
@@ -481,8 +483,10 @@ object Dedup {
       .select(col("b1"), col("b2"), col("d1s"), col("d2s"))
       // pair-key repartition before the sweep — without it AQE coalesces
       // the tiny-row-count join output to ~1 partition and the whole
-      // quadratic sweep runs on one core (see cosinePairsBlocked)
-      .repartition(col("b1"), col("b2"))
+      // quadratic sweep runs on one core; count pinned = not AQE-coalescible
+      // (see cosinePairsBlocked)
+      .repartition(lhs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("b1"), col("b2"))
       .as[(Int, Int, Array[(Long, Array[Long])], Array[(Long, Array[Long])])]
       .mapPartitions { it =>
         it.flatMap { case (bi, bj, as, bs) =>
@@ -839,7 +843,12 @@ object Dedup {
       .where(col(a).isNotNull && col(b).isNotNull)
       .persist()
     try {
-      if (edges0.count() <= maxDriverPairs) {
+      // stats-first gate ([[SizeGates]] convention): a pair list Catalyst
+      // statistics already prove too big for the driver union-find routes
+      // to label propagation with NO count job (64 B/row over-estimates a
+      // two-long row); otherwise the exact count confirms driver admission
+      if (!SizeGates.definitelyExceeds(edges0, maxDriverPairs, 64L) &&
+          edges0.count() <= maxDriverPairs) {
         val es = edges0.as[(Long, Long)].collect()
         val parent = new scala.collection.mutable.HashMap[Long, Long]()
         def find(x: Long): Long = {

@@ -62,6 +62,9 @@ object Graph {
       scale: Long = 1000000000000L, maxDriverEdges: Long = 2000000L): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(scale > 0, s"scale must be positive, got $scale")
+    // reset BEFORE the driver/distributed branch: a driver-path call after
+    // a distributed one must not leave the previous run's trace published
+    lastPageRankTrace = Nil
     // persist the RAW edge frame first: outdeg, the annotated edge frame
     // and the node list all derive from it, and without the cache the edge
     // producer (e.g. a 25M-cosine kNN sweep) would re-run once per branch
@@ -938,7 +941,14 @@ object Graph {
       .where(col("__a") =!= col("__b")).distinct()
       .persist()
     try {
-      val nEdges = canon.count()
+      // stats-first gate ([[graft.operators.SizeGates]] convention): an
+      // edge frame statistics already prove too big for the driver CSR
+      // build routes to the distributed peel with NO count job; 64 B/row
+      // over-estimates a (long, long) row in any Catalyst estimate
+      val nEdges =
+        if (SizeGates.definitelyExceeds(canon, maxDriverEdges, 64L))
+          Long.MaxValue
+        else canon.count()
       // the CSR arrays are int-indexed (2 entries per edge) — a caller-
       // raised gate beyond that routes to the distributed peel instead
       if (nEdges <= maxDriverEdges && nEdges <= (Int.MaxValue / 2 - 8).toLong) {

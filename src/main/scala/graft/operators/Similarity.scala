@@ -311,6 +311,12 @@ object Similarity {
     import spark.implicits._
     requireIntegralId(df, id)
     val base = df.where(col(vec).isNotNull).select(col(id).cast("long"), col(vec))
+    // stats-first gate ([[SizeGates]] convention): a frame that Catalyst
+    // statistics already prove too big for the driver routes to the block
+    // sweep with NO count job; only candidates for the driver path pay the
+    // exact count that admission to driver memory requires
+    if (SizeGates.definitelyExceeds(base, maxBroadcastRows))
+      return knnGraphBlocked(df, id, vec, k, math.max(2, autoBlocksSized(base)))
     val n0 = base.count()
     if (n0 > maxBroadcastRows) {
       val blocks = math.max(2L, (n0 + maxBroadcastRows - 1) / maxBroadcastRows).toInt
@@ -947,10 +953,14 @@ object Similarity {
       // side's partitioning, and AQE coalesces that tiny-ROW-COUNT stage to
       // ~1 partition — serializing the whole O(n²) sweep on one core (r12
       // probe: 1.48 s in ONE task at sf0.1). Hashing the pair key restores
-      // ≥shuffle.partitions-way parallelism at one extra pass over the
-      // block payloads (~nb× corpus bytes), which the quadratic sweep
-      // dwarfs at any scale where it matters.
-      .repartition(col("b1"), col("b2"))
+      // parallelism at one extra pass over the block payloads (~nb× corpus
+      // bytes), which the quadratic sweep dwarfs at any scale where it
+      // matters. The count is PINNED (REPARTITION_BY_NUM): a bare
+      // repartition(cols) is REPARTITION_BY_COL, which AQE's
+      // CoalesceShufflePartitions may re-collapse on a byte-small payload —
+      // silently reintroducing the single-core sweep this exchange fixes.
+      .repartition(lhs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("b1"), col("b2"))
       .as[(Int, Int, Array[(Long, Array[Float])], Array[(Long, Array[Float])])]
       .mapPartitions { it =>
         def norms(vs: Array[(Long, Array[Float])]): Array[Double] = vs.map { case (_, v) =>
@@ -2044,8 +2054,17 @@ object Similarity {
     require(minPts >= 1, s"minPts must be >= 1, got $minPts")
     val pts = df.where(col(vec).isNotNull)
       .select(col(id).cast("long").as("vid"))
-    val nRows = pts.count()
-    val pairs = (if (nRows <= maxBroadcastRows)
+    // stats-first gate ([[SizeGates]] convention): only frames statistics
+    // cannot already prove too big for the broadcast path pay the exact
+    // count (the gate is a pure physical-plan choice — both pair paths are
+    // spec-pinned identical — but the broadcast path's internal collect
+    // needs the exact confirmation); stats are read off the (id, vec)
+    // frame the broadcast path would actually collect, not the thin id
+    // projection, so the bytes estimate reflects the real driver load
+    val vecFrame = df.where(col(vec).isNotNull)
+      .select(col(id).cast("long"), col(vec))
+    val pairs = (if (!SizeGates.definitelyExceeds(vecFrame, maxBroadcastRows) &&
+          pts.count() <= maxBroadcastRows)
         cosinePairs(df, id, vec, simEps)
       else cosinePairsBlocked(df, id, vec, simEps))
       .select(col("d1"), col("d2"))

@@ -507,9 +507,14 @@ object TextAnalysis {
     require(k >= 1, s"k must be >= 1, got $k")
     require(stopDfPct >= 1 && stopDfPct <= 100, s"stopDfPct in [1,100], got $stopDfPct")
     require(maxPhraseLen >= 1, s"maxPhraseLen must be >= 1, got $maxPhraseLen")
+    // persisted: the token frame feeds BOTH the df-gate (stops) and the
+    // island pass (members) — without the cache the corpus is tokenized
+    // twice per call, and on a cached 1-file table both passes serialize
+    // on its frozen partition layout (r12 in-suite probe)
     val toks = df.where(col(text).isNotNull)
       .select(col(id).as("doc"), posexplode(tokens(col(text))).as(Seq("pos", "term")))
       .where(col("term") =!= "")
+      .persist()
     val dfreq = toks.select(col("doc"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("__df"))
     val nDocs = df.where(col(text).isNotNull).agg(count(lit(1)).as("__n"))
@@ -552,8 +557,9 @@ object TextAnalysis {
       .select(col("phrase"), col("n_words"), col("occurrences"), col("score_ppm"))
       .orderBy(col("score_ppm").desc, col("occurrences").desc, col("phrase"))
       .limit(k)
-      .localCheckpoint() // k rows; materialize so the persist can release
+      .localCheckpoint() // k rows; materialize so the persists can release
     phrases.unpersist(blocking = false)
+    toks.unpersist(blocking = false)
     r
   }
 

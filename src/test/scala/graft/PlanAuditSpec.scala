@@ -92,6 +92,66 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("stats-first size gates: no count job when statistics prove the frame huge") {
+    import org.apache.spark.sql.functions._
+    // a frame whose Catalyst statistics are enormous (range carries exact
+    // size estimates) but which is never executed here — the SizeGates
+    // convention (r12 verdict #3): statistics may route DISTRIBUTED early
+    // with zero driver jobs; only driver-path admission pays a count
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.add(js.stageInfos.map(_.name).mkString("/"))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val hugeVecs = spark.range(1000000000L)
+        .select(col("id").as("vec_id"),
+          array(lit(1.0f), lit(2.0f), lit(3.0f), lit(4.0f)).as("embedding"))
+      assert(operators.SizeGates.definitelyExceeds(hugeVecs, 200000L))
+      // gate check itself is job-free, and so is constructing the routed
+      // blocked plan (previously this path ran an unconditional count)
+      operators.Similarity.knnGraph(hugeVecs, "vec_id", "embedding", k = 5)
+        .queryExecution.executedPlan
+      org.apache.spark.GraftSparkTestHooks.waitListenerBus(spark.sparkContext)
+      val offenders = java.util.List.copyOf(jobs).toArray.map(_.toString)
+      assert(offenders.isEmpty,
+        s"stats-gated knnGraph ran driver jobs at construction: ${offenders.mkString("; ")}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // absent/implausible statistics (localCheckpoint → LogicalRDD reports
+    // defaultSizeInBytes ≈ 2⁶³) must fall back to the exact count, never
+    // fire the stats route
+    val tiny = spark.range(10).select(col("id").as("a"), (col("id") + 1).as("b"))
+      .localCheckpoint()
+    assert(!operators.SizeGates.definitelyExceeds(tiny, 2000000L, 64L))
+  }
+
+  test("stats route and exact-count route produce identical rows (kCore + components)") {
+    import org.apache.spark.sql.functions._
+    // physically 50 edges, statistically huge (Filter keeps range's exact
+    // child estimate without CBO): the stats route must pick the
+    // distributed path and match the driver path bit-for-bit. The twin
+    // input's localCheckpoint resets stats to implausible, forcing the
+    // exact-count → driver route on the same 50 rows.
+    // star graph (diameter 2) so the distributed label-prop path converges
+    // in a couple of rounds — a chain would need diameter rounds
+    val statsBig = spark.range(1000000000L)
+      .where(col("id") % 20000000L === 0L)
+      .select((col("id") + 20000000L).as("a"), lit(0L).as("b"))
+    assert(operators.SizeGates.definitelyExceeds(statsBig, 2000000L, 64L))
+    val honest = statsBig.localCheckpoint()
+    val viaStats = operators.Graph.kCore(statsBig, "a", "b", k = 1)
+      .orderBy("node").collect().toSeq
+    val viaCount = operators.Graph.kCore(honest, "a", "b", k = 1)
+      .orderBy("node").collect().toSeq
+    assert(viaStats == viaCount)
+    val ccStats = operators.Dedup.connectedComponents(statsBig, "a", "b")
+      .orderBy("doc").collect().toSeq
+    val ccCount = operators.Dedup.connectedComponents(honest, "a", "b")
+      .orderBy("doc").collect().toSeq
+    assert(ccStats == ccCount)
+  }
+
   test("oov coverage broadcasts the vocab; activity is a partial agg without windows") {
     val oov = formatted("q_oov")
     assert(oov.contains("BroadcastHashJoin"), oov)
