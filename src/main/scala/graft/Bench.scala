@@ -102,8 +102,10 @@ object Bench {
       case Some(_) => true
       case None => only.isEmpty
     }
-    val (ingestRuns: Seq[Double], ingestDiag: Seq[String], ingestScale: Seq[String]) =
-      if (!runIngest) (Seq.empty[Double], Seq.empty[String], Seq.empty[String])
+    val (ingestRuns: Seq[Double], ingestRunsRaw: Seq[Double],
+        ingestDiag: Seq[String], ingestScale: Seq[String]) =
+      if (!runIngest)
+        (Seq.empty[Double], Seq.empty[Double], Seq.empty[String], Seq.empty[String])
       else {
         val ingestSpark = newSession()
         try benchIngest(ingestSpark) finally {
@@ -270,12 +272,17 @@ object Bench {
     // dipped on box noise in three separate rounds on identical code. The
     // min stays REPORTED alongside (first element of sorted ingest_runs,
     // plus the full series) so a genuine degradation trend is still
-    // visible; it is no longer the gate. The artifact self-reports the
-    // verdict as `ingest_bar` — no prose mitigation required or allowed.
+    // visible; it is no longer the gate. Under it sits the bounded re-run
+    // rule (see benchIngest): one retry per sub-bar run, retry value gated,
+    // first attempts preserved as `ingest_runs_raw`, retry count in the
+    // bar object. The artifact self-reports the verdict as `ingest_bar` —
+    // no prose mitigation required or allowed.
     val ingestBarJson = if (ingestRuns.nonEmpty) {
       val pass = ingest._1 >= 30000.0
       s""""ingest_bar":{"stat":"p10","threshold":30000,"value":${s3(ingest._1)},""" +
-        s""""min":${s3(ingestRuns.min)},"pass":$pass},"""
+        s""""min":${s3(ingestRuns.min)},"pass":$pass,""" +
+        s""""retried":${ingestRuns.zip(ingestRunsRaw).count(p => p._1 != p._2)}},""" +
+        s""""ingest_runs_raw":${ingestRunsRaw.map(s3).mkString("[", ",", "]")},"""
     } else ""
     val ingestJson = ingestBarJson + s""""ingest_rows_per_sec":${s3(ingest._2)},""" +
       s""""ingest_rows_per_sec_p10":${s3(ingest._1)},"ingest_rows_per_sec_p90":${s3(ingest._3)},""" +
@@ -404,7 +411,8 @@ object Bench {
     finally src.close()
   } catch { case _: Throwable => -1L }
 
-  private def benchIngest(spark: SparkSession): (Seq[Double], Seq[String], Seq[String]) = {
+  private def benchIngest(
+      spark: SparkSession): (Seq[Double], Seq[Double], Seq[String], Seq[String]) = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.Downsampler.RawSample
     import spark.implicits._
@@ -436,7 +444,12 @@ object Bench {
     // per-run streaming-progress capture for the state-scale sweep: batch
     // durations + final state-operator rows/memory from recentProgress
     var lastProgressJson = ""
-    def run(n: Int, tag: String, nPvs: Int = 500): Double = {
+    def run(n: Int, tag: String, nPvs: Int = 500,
+        events0: Seq[RawSample] = null): Double = {
+      // identical input every run: reusing one prebuilt sequence removes
+      // 200k case-object allocations per run — churn that fed the very GC
+      // episodes the bar exists to see past
+      val events = if (events0 != null) events0 else mkEvents(n, nPvs)
       // environment the run FACES (pre-conditions), sampled before timing
       val dirtyKb = meminfoKb("Dirty")
       val writebackKb = meminfoKb("Writeback")
@@ -444,7 +457,7 @@ object Bench {
       val dir = java.nio.file.Files.createTempDirectory(scratch, "graft_bench_store")
       val ckpt = java.nio.file.Files.createTempDirectory(scratch, "graft_bench_ckpt")
       val input = MemoryStream[RawSample]
-      mkEvents(n, nPvs).grouped(50000).foreach(c => input.addData(c))
+      events.grouped(50000).foreach(c => input.addData(c))
       val t0 = System.nanoTime()
       // limboTimeoutMs = 0 → NoTimeout: a registered processing-time
       // timeout busy-loops no-data batches under processAllAvailable (see
@@ -521,7 +534,24 @@ object Bench {
     // (ranks 2 and 11) — with the r7 five-run sample they were exactly
     // min/max, mislabeled (ADVICE r7); n=10 would still pin p10 to the min
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_INGEST_RUNS", "12").toInt
-    val series = (1 to nRuns).map(i => run(200000, s"run $i/$nRuns"))
+    val runEvents = mkEvents(200000, 500) // one allocation for all 12 runs
+    // BOUNDED RE-RUN RULE (r12 ask #3 option b, layered under the p10 bar):
+    // a run that lands under the 30k bar gets EXACTLY ONE retry — a GC
+    // episode that happens to span several runs (r13 first pass: 4
+    // consecutive dips, gc_ms 1.1–1.3 s vs ~0.5 s healthy) would otherwise
+    // veto even the interior p10 — and BOTH numbers stay in the artifact:
+    // the gated series uses the retry value (dipped or not — one retry,
+    // never more), the raw first attempts ride as `ingest_runs_raw`, and
+    // per-attempt environment rows remain in ingest_diag. A real
+    // regression dips run AND retry twelve times over and still fails.
+    val attempts = (1 to nRuns).map { i =>
+      val first = run(200000, s"run $i/$nRuns", events0 = runEvents)
+      if (first < 30000.0)
+        (first, run(200000, s"run $i/$nRuns retry", events0 = runEvents))
+      else (first, first)
+    }
+    val rawSeries = attempts.map(_._1)
+    val series = attempts.map(_._2)
     // T2 state-scale sweep (r12 verdict ask #7): the 12-run series fixes
     // key cardinality at 500 PVs, but a 100 TB archiver holds 10⁵–10⁶ PVs
     // of flatMapGroupsWithState state — the axis the bench never measured.
@@ -535,6 +565,6 @@ object Bench {
       val prog = if (lastProgressJson.isEmpty) "" else "," + lastProgressJson
       scale += s"""{"keys":$keys,"rows":200000,"rows_per_sec":${Engine.fmt3(rps)}$prog}"""
     }
-    (series, diag.toSeq, scale.toSeq)
+    (series, rawSeries, diag.toSeq, scale.toSeq)
   }
 }

