@@ -911,8 +911,16 @@ object Similarity {
             val (id2, vj) = d(j)
             var sab = 0.0; var k = 0; val len = math.min(vi.length, vj.length)
             while (k < len) { sab += vi(k).toDouble * vj(k).toDouble; k += 1 }
-            val sim = round6(sab / (ni * nrm(j)))
-            if (sim >= threshold) Iterator.single((id1, id2, sim)) else Iterator.empty
+            val raw = sab / (ni * nrm(j))
+            // round6 moves a value by < 5e-7, so anything below
+            // threshold − 1e-6 can never round up across it: the quick
+            // reject skips the per-pair BigDecimal allocation for the
+            // overwhelming non-match majority (semantics unchanged)
+            if (raw < threshold - 1e-6) Iterator.empty
+            else {
+              val sim = round6(raw)
+              if (sim >= threshold) Iterator.single((id1, id2, sim)) else Iterator.empty
+            }
           }
         }
       }
@@ -982,10 +990,15 @@ object Similarity {
               else {
                 var sab = 0.0; var k = 0; val len = math.min(vi.length, vj.length)
                 while (k < len) { sab += vi(k).toDouble * vj(k).toDouble; k += 1 }
-                val sim = round6(sab / (ni * nb(j)))
-                if (sim >= threshold)
-                  Iterator.single((math.min(id1, id2), math.max(id1, id2), sim))
-                else Iterator.empty
+                val raw = sab / (ni * nb(j))
+                // quick reject before the BigDecimal round — see cosinePairs
+                if (raw < threshold - 1e-6) Iterator.empty
+                else {
+                  val sim = round6(raw)
+                  if (sim >= threshold)
+                    Iterator.single((math.min(id1, id2), math.max(id1, id2), sim))
+                  else Iterator.empty
+                }
               }
             }
           }
