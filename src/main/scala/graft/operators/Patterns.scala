@@ -153,23 +153,70 @@ object Patterns {
       tx.unpersist(blocking = false)
       return r
     }
-    // trim + code in one map-side pass; the width guard rides the coder
-    // (assert_true is NULL when the predicate holds — value-transparent)
+    // trim + code in ONE COMPILED pass. SQL higher-order lambdas
+    // (transform/filter/sequence) evaluate INTERPRETED per row — the r13
+    // probe put ~30 s of the mine's executor CPU in the coding and combo
+    // stages' lambda machinery, dwarfing the arithmetic inside. The typed
+    // kernels below are the same per-basket loops compiled: codes stay
+    // 1-based positions in the SQL-sorted vocabulary (a per-partition
+    // HashMap replaces array_position — comparator-free, so no UTF8-vs-
+    // UTF16 ordering hazard), a basket's code array is ascending because
+    // its item array is sorted, and the width guard throws from the first
+    // kernel row. The broadcast vocabulary arrives as a 1-row broadcast
+    // join (never a driver action), decoded once per partition.
+    val spark0 = df.sparkSession
+    import spark0.implicits._
     val freq1 = l1.agg(sort_array(collect_list(col("i"))).as("__f1"))
-    val coded = tx.join(broadcast(freq1)).select(
-      when(assert_true(size(col("__f1")) < lit(W.toInt),
-        lit(s"frequentItemsets: frequent vocabulary exceeds ${W - 1} - " +
-          "raise minSupportPpm")).isNull,
-        expr("filter(transform(__items, x -> CAST(array_position(__f1, x) AS INT)), c -> c > 0)"))
-        .as("cs")) // map-side off the tx cache — recomputed per level, never shuffled
+    val coded = tx.join(broadcast(freq1))
+      .select(col("__items"), col("__f1"))
+      .as[(Seq[String], Seq[String])]
+      .mapPartitions { it =>
+        var idx: java.util.HashMap[String, Int] = null // same 1-row broadcast each row
+        it.map { case (items, f1) =>
+          if (idx == null) {
+            require(f1.length < W.toInt,
+              s"frequentItemsets: frequent vocabulary exceeds ${W - 1} - " +
+                "raise minSupportPpm")
+            idx = new java.util.HashMap[String, Int](f1.length * 2)
+            var i = 0
+            f1.foreach { x => i += 1; idx.put(x, i) } // 1-based SQL position
+          }
+          val out = new Array[Int](items.length)
+          var n0 = 0
+          items.foreach { x =>
+            val c = idx.getOrDefault(x, 0)
+            if (c > 0) { out(n0) = c; n0 += 1 }
+          }
+          java.util.Arrays.copyOf(out, n0)
+        }
+      }
+      .toDF("cs")
+      // persisted: L2 and L3 both read the coded arrays; the cache is a
+      // baskets-sized int-array frame (~2 MB at sf0.1) inheriting the
+      // pinned tx partitioning map-side (no shuffle, no AQE coalesce)
+      .persist()
     // packed pair keys: codes are sorted positions, so i < j already
     // yields c_i < c_j — ascending item order by construction
-    val l2 = coded.where(size(col("cs")) >= 2)
-      .select(explode(expr(
-        s"""flatten(transform(sequence(0, size(cs) - 2), i ->
-           |  transform(sequence(i + 1, size(cs) - 1), j ->
-           |    CAST(element_at(cs, i + 1) AS BIGINT) * $W + element_at(cs, j + 1))))""".stripMargin))
-        .as("pk"))
+    val l2 = coded.as[Seq[Int]]
+      .mapPartitions { it =>
+        it.flatMap { cs =>
+          val n0 = cs.length
+          if (n0 < 2) Iterator.empty
+          else {
+            val a = cs.toArray
+            val buf = new Array[Long](n0 * (n0 - 1) / 2)
+            var o = 0; var i = 0
+            while (i < n0 - 1) {
+              val ci = a(i).toLong * W
+              var j = i + 1
+              while (j < n0) { buf(o) = ci + a(j); o += 1; j += 1 }
+              i += 1
+            }
+            buf.iterator
+          }
+        }
+      }
+      .toDF("pk")
       .groupBy(col("pk")).agg(count(lit(1)).as("support"))
       .join(broadcast(nb))
       .where(col("support") >= col("__ms"))
@@ -181,7 +228,7 @@ object Patterns {
         element_at(col("__f1"), expr(s"CAST(pk % $W AS INT)"))).as("items"),
       lit(2L).as("size"), col("support"), ppm.as("support_ppm"))
     val out12 = out1.unionByName(out2)
-    def release(): Unit = Seq(l1, tx, l2)
+    def release(): Unit = Seq(l1, tx, l2, coded)
       .foreach(_.unpersist(blocking = false))
     if (maxSize == 2) {
       val r = out12.localCheckpoint()
@@ -203,18 +250,54 @@ object Patterns {
     val freq2 = l2.agg(sort_array(collect_list(col("pk"))).as("__f2"))
     val l3 = coded.where(size(col("cs")) >= 3)
       .join(broadcast(freq2))
-      .select(col("cs"), expr(
-        s"""filter(flatten(transform(sequence(0, size(cs) - 2), i ->
-           |  transform(sequence(i + 1, size(cs) - 1), j ->
-           |    CAST(element_at(cs, i + 1) AS BIGINT) * $W + element_at(cs, j + 1)))),
-           |  p -> array_contains(__f2, p))""".stripMargin).as("ps"))
-      .where(size(col("ps")) >= 3) // a frequent triple needs all 3 sub-pairs
-      .select(explode(expr(
-        s"""filter(flatten(transform(ps, p ->
-           |  transform(filter(cs, k -> k > CAST(p % $W AS INT)), k ->
-           |    p * $W + k))),
-           |  t -> array_contains(ps, (t DIV ${W * W}) * $W + t % $W)
-           |    AND array_contains(ps, t % ${W * W}))""".stripMargin)).as("tk"))
+      .select(col("cs"), col("__f2"))
+      .as[(Seq[Int], Seq[Long])]
+      .mapPartitions { it =>
+        var f2: Array[Long] = null // sort_array'd — binary-searchable
+        it.flatMap { case (cs, f2seq) =>
+          if (f2 == null) f2 = f2seq.toArray
+          val a = cs.toArray
+          val n0 = a.length
+          // basket-local frequent-pair survivors, ascending by
+          // construction (i asc, then j asc ⇒ packed keys ascend)
+          val ps = new Array[Long](n0 * (n0 - 1) / 2)
+          var np = 0; var i = 0
+          while (i < n0 - 1) {
+            val ci = a(i).toLong * W
+            var j = i + 1
+            while (j < n0) {
+              val p = ci + a(j)
+              if (java.util.Arrays.binarySearch(f2, p) >= 0) { ps(np) = p; np += 1 }
+              j += 1
+            }
+            i += 1
+          }
+          if (np < 3) Iterator.empty // a frequent triple needs 3 sub-pairs
+          else {
+            val psa = java.util.Arrays.copyOf(ps, np)
+            val out = Array.newBuilder[Long]
+            var x = 0
+            while (x < np) {
+              val p = psa(x)
+              val pi = p / W; val pj = p % W
+              var k0 = 0
+              while (k0 < n0) {
+                val k = a(k0)
+                // extend (i,j) by k > j; triple frequent iff (i,k),(j,k)
+                // also survived — the same tests as the SQL form, compiled
+                if (k > pj &&
+                    java.util.Arrays.binarySearch(psa, pi * W + k) >= 0 &&
+                    java.util.Arrays.binarySearch(psa, pj * W + k) >= 0)
+                  out += p * W + k
+                k0 += 1
+              }
+              x += 1
+            }
+            out.result().iterator
+          }
+        }
+      }
+      .toDF("tk")
       .groupBy(col("tk")).agg(count(lit(1)).as("support"))
       .join(broadcast(nb))
       .where(col("support") >= col("__ms"))
