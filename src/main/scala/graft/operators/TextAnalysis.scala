@@ -1106,8 +1106,9 @@ object TextAnalysis {
     * cannot reach the threshold.
     */
   def tfidfSimilar(df: DataFrame, id: String, text: String, threshold: Double,
-      maxDfPct: Int = 78): DataFrame = {
+      maxDfPct: Int = 78, saltBuckets: Int = 16): DataFrame = {
     require(maxDfPct >= 1 && maxDfPct <= 100, s"maxDfPct in [1,100], got $maxDfPct")
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     val tf = df.where(col(text).isNotNull)
       .select(col(id).as("__d"), explode(tokens(col(text))).as("__t"))
       .where(col("__t") =!= "")
@@ -1124,9 +1125,27 @@ object TextAnalysis {
         (col("__tf") * expr("(__n * 100L) DIV __df")).as("__w"))
     val norms = weighted.groupBy(col("__d"))
       .agg(sum(col("__w") * col("__w")).as("__n2"))
-    val a = weighted.select(col("__d").as("d1"), col("__t"), col("__w").as("__w1"))
+    // SALTED posting-list self-join (r13 scale-drill catch): joining on
+    // the bare term puts a hot term's ENTIRE C(df,2) pair generation in
+    // one task — at 10× corpus density the drill measured one 93 s
+    // single-task stage on 3 kB of input, invisible to AQE's bytes-based
+    // skew split (combinatorial fan-out, the coalesce lesson's skew twin).
+    // Bucketing one side by pmod(doc, m) and replicating the other over
+    // all m buckets splits every posting list m ways; each (d1, d2) pair
+    // still meets EXACTLY once (in d1's bucket), so results are identical.
+    // Cost: the replicated side shuffles m× — the standard skew trade.
+    val m = saltBuckets
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    // counts pinned (REPARTITION_BY_NUM): the salted shuffle is byte-small
+    // but its join fan-out is combinatorial — left coalescible, AQE packed
+    // it into 11 fat tasks whose partial-agg maps spilled 14.7 GB
+    val a = weighted.select(col("__d").as("d1"), col("__t"), col("__w").as("__w1"),
+      pmod(col("__d"), lit(m)).cast("int").as("__g"))
+      .repartition(nPart, col("__t"), col("__g"))
     val b = weighted.select(col("__d").as("d2"), col("__t"), col("__w").as("__w2"))
-    a.join(b, Seq("__t"))
+      .withColumn("__g", explode(expr(s"sequence(0, ${m - 1})")))
+      .repartition(nPart, col("__t"), col("__g"))
+    a.join(b, Seq("__t", "__g"))
       .where(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2"))
       .agg(sum(col("__w1") * col("__w2")).as("__dot"))
