@@ -102,10 +102,10 @@ object Bench {
       case Some(_) => true
       case None => only.isEmpty
     }
-    val (ingestRuns: Seq[Double], ingestRunsRaw: Seq[Double],
+    val (ingestRuns: Seq[Double], ingestRunsRaw: Seq[Double], ingestRetries: Int,
         ingestDiag: Seq[String], ingestScale: Seq[String]) =
       if (!runIngest)
-        (Seq.empty[Double], Seq.empty[Double], Seq.empty[String], Seq.empty[String])
+        (Seq.empty[Double], Seq.empty[Double], 0, Seq.empty[String], Seq.empty[String])
       else {
         val ingestSpark = newSession()
         try benchIngest(ingestSpark) finally {
@@ -117,6 +117,31 @@ object Bench {
       }
 
     val spark = newSession()
+    // ---- per-query executor CPU seconds (r13 verdict ask #2): three
+    // rounds of keyphrases/itemsets bench arguments came down to "wall
+    // says X, the box was busy, trust the probe" — so the artifact now
+    // carries CPU next to wall. One listener sums executorCpuTime over
+    // completed stages; each timed window drains the async listener bus
+    // on both edges (GraftSparkHooks — the Scale-drill lesson) so the
+    // delta is exact. cpu_sec = executor CPU per timed run (the window
+    // spans all `runs` runs, ÷ runs), so a CPU-saturating query is judged
+    // on work, with wall kept for the gate.
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        cpuNs.addAndGet(sc.stageInfo.taskMetrics.executorCpuTime)
+        ()
+      }
+    })
+    def cpuWindow[T](body: => T): (T, Double) = {
+      org.apache.spark.GraftSparkHooks.waitListenerBus(spark.sparkContext)
+      val c0 = cpuNs.get()
+      val r = body
+      org.apache.spark.GraftSparkHooks.waitListenerBus(spark.sparkContext)
+      (r, (cpuNs.get() - c0) / 1e9)
+    }
+    val cpuSec = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     sources.Tables.all.foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").cache().count()
@@ -177,7 +202,9 @@ object Bench {
       if (only.isEmpty)
         SparkEntry.sharedFrameBuilders.toSeq.sortBy(_._1).map { case (name, fn) =>
           System.gc()
-          name -> time(name, fn)
+          val (t, cpu) = cpuWindow(time(name, fn))
+          cpuSec(name) = cpu
+          name -> t
         }
       else Seq.empty
     // snapshot the TIMED mine's per-level trace now: the dist-twin phase
@@ -191,7 +218,8 @@ object Bench {
       // heavy queries otherwise shows up as multi-second spikes in later
       // light ones (BENCH_r04 q_join_chain read 5.3 s vs its real ~0.9 s)
       System.gc()
-      val ts = (0 until math.max(runs, 1)).map(_ => time(name, fn)).sorted
+      val (ts, cpu) = cpuWindow((0 until math.max(runs, 1)).map(_ => time(name, fn)).sorted)
+      cpuSec(name) = cpu / math.max(runs, 1)
       // a persisted shared frame is dead weight once its last alphabetical
       // consumer has run — release it before the ~100 queries that follow
       // (r7: q_jaccard paid 4.5 s of GC/eviction for frames it never read)
@@ -228,7 +256,8 @@ object Bench {
         }
         SparkEntry.distTwinQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
           System.gc()
-          val t = time(name, fn)
+          val (t, cpu) = cpuWindow(time(name, fn))
+          cpuSec(name) = cpu
           graft.operators.TimeSeries.releaseCallScopedPersists()
           name -> t
         }
@@ -279,9 +308,12 @@ object Bench {
     // no prose mitigation required or allowed.
     val ingestBarJson = if (ingestRuns.nonEmpty) {
       val pass = ingest._1 >= 30000.0
+      // `retried` counts actual retry INVOCATIONS (benchIngest returns the
+      // count), not gated-vs-raw value inequality — a retry landing on the
+      // same double would silently uncount the disclosure (r13 ADVICE)
       s""""ingest_bar":{"stat":"p10","threshold":30000,"value":${s3(ingest._1)},""" +
         s""""min":${s3(ingestRuns.min)},"pass":$pass,""" +
-        s""""retried":${ingestRuns.zip(ingestRunsRaw).count(p => p._1 != p._2)}},""" +
+        s""""retried":$ingestRetries},""" +
         s""""ingest_runs_raw":${ingestRunsRaw.map(s3).mkString("[", ",", "]")},"""
     } else ""
     val ingestJson = ingestBarJson + s""""ingest_rows_per_sec":${s3(ingest._2)},""" +
@@ -336,9 +368,14 @@ object Bench {
       val s = if (k.startsWith("_dist_")) preS.orElse(postS) else postS.orElse(preS)
       s.filter(_ > 0).map(sv => "\"" + k + "\":" + s3(v / sv))
     }.mkString("{", ",", "}")
+    // per-query executor CPU seconds, same slowest-wall-first order as
+    // `queries` (full artifact only — the compact line has a budget)
+    val cpuJson = results.sortBy(-_._2).flatMap { case (k, _) =>
+      cpuSec.get(k).map(v => "\"" + k + "\":" + s3(v)) }
+      .mkString("{", ",", "}")
     val fullLine = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""n_failed":${failed.size},"failed":$failedJson,""" +
-      s""""queries":$fullQs,"sentinels":$sentinelsJson,"jitter_factor":$jitterJson,""" +
+      s""""queries":$fullQs,"cpu_sec":$cpuJson,"sentinels":$sentinelsJson,"jitter_factor":$jitterJson,""" +
       s""""queries_normalized":$normJson,"probe_trace":$probeTraceJson,$ingestJson,"ingest_diag":$ingestDiagJson,""" +
       s""""ingest_scale":$ingestScaleJson,""" +
       s""""sf":"$sfDir","total_sec":${s3(total)}}"""
@@ -412,7 +449,7 @@ object Bench {
   } catch { case _: Throwable => -1L }
 
   private def benchIngest(
-      spark: SparkSession): (Seq[Double], Seq[Double], Seq[String], Seq[String]) = {
+      spark: SparkSession): (Seq[Double], Seq[Double], Int, Seq[String], Seq[String]) = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.Downsampler.RawSample
     import spark.implicits._
@@ -546,12 +583,16 @@ object Bench {
     // regression dips run AND retry twelve times over and still fails.
     val attempts = (1 to nRuns).map { i =>
       val first = run(200000, s"run $i/$nRuns", events0 = runEvents)
+      // the third element marks an actual retry INVOCATION — the artifact's
+      // `retried` count must not be inferred from value inequality (a retry
+      // that lands on the same double would go uncounted; r13 ADVICE)
       if (first < 30000.0)
-        (first, run(200000, s"run $i/$nRuns retry", events0 = runEvents))
-      else (first, first)
+        (first, run(200000, s"run $i/$nRuns retry", events0 = runEvents), 1)
+      else (first, first, 0)
     }
     val rawSeries = attempts.map(_._1)
     val series = attempts.map(_._2)
+    val retries = attempts.map(_._3).sum
     // T2 state-scale sweep (r12 verdict ask #7): the 12-run series fixes
     // key cardinality at 500 PVs, but a 100 TB archiver holds 10⁵–10⁶ PVs
     // of flatMapGroupsWithState state — the axis the bench never measured.
@@ -560,11 +601,17 @@ object Bench {
     // StreamingQueryProgress. Super-linear batch-duration growth here means
     // per-key state overhead dominates and would bound a real deployment.
     val scale = scala.collection.mutable.ArrayBuffer[String]()
-    for (keys <- Seq(500, 5000, 50000)) {
-      val rps = run(200000, s"scale keys=$keys", nPvs = keys)
+    // 500k closes the claimed 10⁵–10⁶-PV envelope (r13 verdict ask #6).
+    // Row count is max(200k, keys): at 500k keys a 200k-row feed would
+    // touch only 200k distinct PVs — the artifact would claim a state
+    // cardinality the run never built. rows_per_sec stays the volume-
+    // normalized comparable; the per-row `rows` field keeps it honest.
+    for (keys <- Seq(500, 5000, 50000, 500000)) {
+      val rows = math.max(200000, keys)
+      val rps = run(rows, s"scale keys=$keys", nPvs = keys)
       val prog = if (lastProgressJson.isEmpty) "" else "," + lastProgressJson
-      scale += s"""{"keys":$keys,"rows":200000,"rows_per_sec":${Engine.fmt3(rps)}$prog}"""
+      scale += s"""{"keys":$keys,"rows":$rows,"rows_per_sec":${Engine.fmt3(rps)}$prog}"""
     }
-    (series, rawSeries, diag.toSeq, scale.toSeq)
+    (series, rawSeries, retries, diag.toSeq, scale.toSeq)
   }
 }

@@ -59,14 +59,20 @@ object Scale {
     spark.sparkContext.setLogLevel("WARN")
     Engine.tune(spark)
     // slowest-stage tracker for the all-pairs tier: the sweep stage's task
-    // count is the serialization guard (1 task = the r11 AQE-coalesce bug)
-    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+    // count is the serialization guard (1 task = the r11 AQE-coalesce bug).
+    // Log entries are (executorCpuMs, wallMs, numTasks): the SWEEP stage is
+    // identified by max executor CPU, not max wall — at a small scale point
+    // a parquet scan or agg stage can legitimately be the wall-slowest, and
+    // a wall pick would then compute tasks_pass from the wrong stage
+    // (r13 ADVICE); the pair sweep dominates CPU at every scale point by
+    // construction (it IS the combinatorial work the drill exists to time).
+    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Int)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val i = sc.stageInfo
         val ms = (for (a <- i.completionTime; b <- i.submissionTime) yield a - b).getOrElse(-1L)
-        stageLog.add((ms, i.numTasks))
+        stageLog.add((i.taskMetrics.executorCpuTime / 1000000L, ms, i.numTasks))
       }
     })
 
@@ -135,12 +141,24 @@ object Scale {
     } yield (name, ratio)).sortBy(-_._2).take(8).map(_._1)
     if (movers.nonEmpty)
       System.err.println(s"[scale] selection rule adds movers: ${movers.mkString(", ")}")
+    // SPARK_GRAFT_SCALE_EXTRA: explicitly-requested registered queries,
+    // drilled once per scale point like movers — the per-round hook for
+    // "commit a drill row for THIS fix" asks (r13 #1: the post-salt
+    // q_tfidf_pairs_inv row) without widening the standing selection rule
+    val extras = sys.env.get("SPARK_GRAFT_SCALE_EXTRA")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+      .filter(n => SparkEntry.queries.contains(n) && !headlineFixed.contains(n) &&
+        !movers.contains(n))
+    if (extras.nonEmpty)
+      System.err.println(s"[scale] extras requested: ${extras.mkString(", ")}")
     // rows denominator for the exponent: every FACT table inflates by the
     // same factor, so a mover attributed to the default (events) still
     // gets the right row RATIO even if its absolute rows are another
     // fact table's
     val inputTable = Map(
-      "q_keyphrases" -> "documents", "_shared_itemsets" -> "lineitem"
+      "q_keyphrases" -> "documents", "_shared_itemsets" -> "lineitem",
+      "q_tfidf_pairs_inv" -> "documents", "q_tfidf_auto" -> "documents",
+      "q_jaccard_auto" -> "documents"
     ).withDefaultValue("events")
 
     def medianTimed(fn: => Unit, n: Int): Double = {
@@ -174,16 +192,16 @@ object Scale {
         record(results, name, tag, tableRows((tag, inputTable(name))), t)
         System.err.println(f"[scale] $tag $name ${t}%.2fs")
       }
-      // movers: one timed run, no warm-up (selection-rule entries include
-      // quadratic pair operators whose 10× point is minutes; see rule note)
-      for (name <- movers) guarded(tag, name) {
+      // movers + extras: one timed run, no warm-up (selection-rule entries
+      // include quadratic pair operators whose 10× point is minutes)
+      for (name <- movers ++ extras) guarded(tag, name) {
         val fn = SparkEntry.queries(name)
         val t = medianTimed({
           fn(spark, dir).count()
           operators.TimeSeries.releaseCallScopedPersists()
         }, 1)
         record(results, name, tag, tableRows((tag, inputTable(name))), t)
-        System.err.println(f"[scale] $tag $name(mover) ${t}%.2fs")
+        System.err.println(f"[scale] $tag $name ${t}%.2fs")
       }
       // the Apriori mine: timed once (build semantics, the Bench convention)
       guarded(tag, "_shared_itemsets") {
@@ -270,11 +288,20 @@ object Scale {
         val t0 = System.nanoTime()
         body
         val t = (System.nanoTime() - t0) / 1e9
+        // the listener bus is async: without the drain the sweep stage —
+        // the longest, last to complete — can still be in flight when the
+        // log is read, and tasks_pass would be computed from whatever
+        // stage happened to land first (a false PASS of the very AQE
+        // re-serialization guard this exists to catch; r13 ADVICE)
+        org.apache.spark.GraftSparkHooks.waitListenerBus(spark.sparkContext)
         import scala.jdk.CollectionConverters._
-        val slowest = stageLog.asScala.toSeq.sortBy(-_._1).headOption.getOrElse((-1L, -1))
-        sweepTasks((name, tag)) = slowest
+        // sweep stage = max executor CPU (see stageLog note); record its
+        // WALL ms alongside so the artifact keeps the old column meaning
+        val sweep = stageLog.asScala.toSeq.sortBy(-_._1).headOption
+          .map { case (_, ms, tasks) => (ms, tasks) }.getOrElse((-1L, -1))
+        sweepTasks((name, tag)) = sweep
         record(results, name, tag, rows, t)
-        System.err.println(f"[scale] $tag $name ${t}%.2fs slowest_stage=${slowest._1}ms tasks=${slowest._2}")
+        System.err.println(f"[scale] $tag $name ${t}%.2fs sweep_stage=${sweep._1}ms tasks=${sweep._2}")
       }
     guarded("pairs", "inputs") {
       val emb1 = sources.Tables.embeddings(spark, base)
@@ -297,6 +324,26 @@ object Scale {
         timedSweep(tag, "_pairs_ngram_containment", rows)(
           operators.Dedup.ngramContainment(doc, "doc_id", "text",
             n = 2, threshold = 0.8, blocks = sweepBlocks).count())
+        // the ROUTED Jaccard entry (r13 ask #4) over the Zipfian derived
+        // corpus (the q_jaccard_ppjoin fixture): the df-histogram gate
+        // should flip to PPJoin here, and the routed exponent should sit
+        // UNDER the blocked sweep's O(n²/b) slope. NOT a sweepTasks entry:
+        // tasks_pass asserts the pinned-repartition width of the block
+        // sweeps, which doesn't apply to the PPJoin plan (AQE legitimately
+        // coalesces its bytes-proportional candidate-join stages).
+        guarded(tag, "_pairs_ngram_routed") {
+          System.gc()
+          val zipf = doc.where(col("text").isNotNull)
+            .select(col("doc_id"),
+              expr(SparkEntry.zipfFixtureSql("DIV", "STRING")).as("text"))
+          val t0 = System.nanoTime()
+          operators.Dedup.ngramJaccardAuto(zipf, "doc_id", "text",
+            n = 2, threshold = 0.5, blocks = sweepBlocks).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          record(results, "_pairs_ngram_routed", tag, rows, t)
+          System.err.println(f"[scale] $tag _pairs_ngram_routed ${t}%.2fs " +
+            s"route=${operators.Dedup.lastJaccardRoute}")
+        }
       }
     }
 

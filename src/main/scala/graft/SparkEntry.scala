@@ -760,6 +760,17 @@ object SparkEntry {
       exactJaccardPairs(s, dir).orderBy(col("d1"), col("d2"))
     }),
 
+    // ---- the ROUTED Jaccard entry point (r13 ask #4): the df-histogram
+    // gate estimates the PPJoin prefix-candidate volume against C(n,2)/8
+    // and picks the plan — this dense corpus stays on the block sweep
+    // (same oracle as q_jaccard_dist); the Zipfian flip to PPJoin is
+    // pinned by RoutingSpec and drilled as _pairs_ngram_routed -------------
+    "q_jaccard_auto" -> ((s, dir) => {
+      Dedup.ngramJaccardAuto(Tables.documents(s, dir), "doc_id", "text",
+        n = 2, threshold = 0.5)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // ---- MinHash signatures (portable universal-hash family) ---------------
     "q_minhash_sig" -> ((s, dir) => {
       Dedup.minhashSignature(Tables.documents(s, dir), "doc_id", "text", n = 3, numPerm = NUM_PERM)
@@ -2011,8 +2022,21 @@ object SparkEntry {
         .orderBy(col("d1"), col("d2"))
     }),
 
-    // ---- the inverted-index twin, unchanged semantics --------------------
+    // ---- the inverted-index twin, unchanged semantics; route PINNED to
+    // the index so the salted posting-list plan stays oracle-checked (the
+    // auto gate would route this dense corpus to the dense sweep) ----------
     "q_tfidf_pairs_inv" -> ((s, dir) => {
+      TextAnalysis.tfidfSimilar(
+        Tables.documents(s, dir).where(col("doc_id") % 10 === 0), "doc_id", "text",
+        threshold = 0.9, maxDfPct = 78, route = "index")
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // ---- the ROUTED entry point (r13 ask #1): the density gate compares
+    // Σ C(df,2) against C(n,2) and picks the physical plan — on this dense
+    // small-vocab corpus it flips to the dense sweep; same oracle as the
+    // pinned index twin proves hash equality across the routes -------------
+    "q_tfidf_auto" -> ((s, dir) => {
       TextAnalysis.tfidfSimilar(
         Tables.documents(s, dir).where(col("doc_id") % 10 === 0), "doc_id", "text",
         threshold = 0.9, maxDfPct = 78)
@@ -3138,12 +3162,34 @@ object SparkEntry {
        |       FROM inter JOIN sz a ON d1 = a.doc JOIN sz b ON d2 = b.doc
        |       WHERE round(CAST(i AS DOUBLE) / (a.sz + b.sz - i), 6) >= 0.5)""".stripMargin
 
-  /** Shared by q_jaccard (broadcast sweep) and q_jaccard_dist (block-
-    * partitioned sweep): both plans must produce THIS naive-join result.
+  /** Shared by q_jaccard (broadcast sweep), q_jaccard_dist (block-
+    * partitioned sweep) and q_jaccard_auto (the df-histogram-routed entry):
+    * all plans must produce THIS naive-join result.
     */
   private lazy val jaccardOracleSql: String =
     s"""WITH ${jaccardPairsCtes()}
        |SELECT d1, d2, jaccard FROM jp ORDER BY d1, d2""".stripMargin
+
+  /** Shared by q_tfidf_pairs_inv (route pinned to the salted inverted
+    * index) and q_tfidf_auto (the density-routed entry, which flips this
+    * dense corpus to the dense sweep): both physical plans must produce
+    * THIS result — the r13 ask #1 hash-equality proof rides the oracle.
+    */
+  private lazy val tfidfPairsInvOracleSql: String =
+    """WITH t AS (SELECT doc_id AS d, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0),
+      |tf AS (SELECT d, tok, CAST(count(*) AS BIGINT) AS c FROM t WHERE tok <> '' GROUP BY 1, 2),
+      |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0),
+      |w AS (SELECT d, tok, c * ((n.n * 100) // df.df) AS w
+      |      FROM tf JOIN df USING (tok) CROSS JOIN n WHERE df.df * 100 <= n.n * 78),
+      |nm AS (SELECT d, sum(w * w) AS n2 FROM w GROUP BY 1),
+      |p AS (SELECT a.d AS d1, b.d AS d2, sum(a.w * b.w) AS dot
+      |      FROM w a JOIN w b ON a.tok = b.tok AND a.d < b.d GROUP BY 1, 2)
+      |SELECT d1, d2, sim FROM (
+      |  SELECT d1, d2, round(dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) AS sim
+      |  FROM p JOIN nm na ON p.d1 = na.d JOIN nm nb ON p.d2 = nb.d)
+      |WHERE sim >= 0.9 ORDER BY d1, d2""".stripMargin
 
   /** Shared by q_embed_dedup (broadcast triangle) and q_embed_dedup_dist
     * (block-partitioned sweep): both plans must produce THIS all-pairs
@@ -4467,7 +4513,7 @@ object SparkEntry {
     * `div`/`str`: integer-division keyword and string type name ("DIV"/
     * "STRING" on Spark, "//"/"VARCHAR" on DuckDB).
     */
-  private def zipfFixtureSql(div: String, str: String): String =
+  private[graft] def zipfFixtureSql(div: String, str: String): String =
     s"'a' || CAST((doc_id $div 2) % 101 AS $str) || ' b' || CAST((doc_id $div 2) % 89 AS $str)" +
       s" || ' c' || CAST((doc_id $div 2) % 97 AS $str) || ' d' || CAST((doc_id $div 2) % 83 AS $str)" +
       s" || ' e' || CAST((doc_id $div 2) % 79 AS $str) || ' z' || CAST(doc_id AS $str)" +
@@ -7082,21 +7128,13 @@ object SparkEntry {
         |SELECT doc, term, tf, weight, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 5 ORDER BY doc, rank""".stripMargin,
 
-    "q_tfidf_pairs_inv" ->
-      """WITH t AS (SELECT doc_id AS d, unnest(string_split(text, ' ')) AS tok
-        |  FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0),
-        |tf AS (SELECT d, tok, CAST(count(*) AS BIGINT) AS c FROM t WHERE tok <> '' GROUP BY 1, 2),
-        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0),
-        |w AS (SELECT d, tok, c * ((n.n * 100) // df.df) AS w
-        |      FROM tf JOIN df USING (tok) CROSS JOIN n WHERE df.df * 100 <= n.n * 78),
-        |nm AS (SELECT d, sum(w * w) AS n2 FROM w GROUP BY 1),
-        |p AS (SELECT a.d AS d1, b.d AS d2, sum(a.w * b.w) AS dot
-        |      FROM w a JOIN w b ON a.tok = b.tok AND a.d < b.d GROUP BY 1, 2)
-        |SELECT d1, d2, sim FROM (
-        |  SELECT d1, d2, round(dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) AS sim
-        |  FROM p JOIN nm na ON p.d1 = na.d JOIN nm nb ON p.d2 = nb.d)
-        |WHERE sim >= 0.9 ORDER BY d1, d2""".stripMargin,
+    "q_tfidf_pairs_inv" -> tfidfPairsInvOracleSql,
+
+    // the routed entry answers the SAME oracle as the pinned index twin —
+    // routing is a physical choice only (r13 ask #1 hash-equality proof)
+    "q_tfidf_auto" -> tfidfPairsInvOracleSql,
+
+    "q_jaccard_auto" -> jaccardOracleSql,
 
     "q_tfidf_pairs" ->
       """WITH t AS (SELECT doc_id AS d, unnest(string_split(text, ' ')) AS tok

@@ -110,17 +110,73 @@ object AnomalyForest {
     s"round((${forest.trees.map(tree).mkString(" + ")}) / ${d(forest.trees.size.toDouble)}, 6)"
   }
 
+  private def nodeCount(t: ITree): Int = t match {
+    case ILeaf(_) => 1
+    case ISplit(_, _, lo, hi) => 1 + nodeCount(lo) + nodeCount(hi)
+  }
+
   /** Top-`topN` most anomalous rows: train on the deterministic sample,
     * score every row map-only, rank ascending (short path = isolated =
     * anomalous) with the id as tiebreak.
     *
+    * CODEGEN SIZING (r13 verdict ask #5): the whole forest as ONE `when`
+    * chain is a single Catalyst expression, and a single expression cannot
+    * be method-split by the code generator — at ~1000 tree nodes the fused
+    * scan→filter→project stage trips janino's hard 64 KB method limit and
+    * Spark silently falls back to interpreted `processNext()` for the
+    * WHOLE stage: a multi-× CPU tax on every scored row, invisible except
+    * as a CodeGenerator ERROR in the log (measured: the registered
+    * 25-tree/depth-6 forest sat exactly on the edge; per-tree columns in
+    * one projection do NOT split either — probed at 60 trees). So large
+    * forests are scored in CHUNKS of ≤ `chunkNodeBudget` nodes, each chunk
+    * a separate codegen span separated by a row-based fence
+    * (`createDataFrame(rdd, schema)` — map-only, no shuffle, no cache),
+    * carrying the running sum in an `__acc` column so the summation stays
+    * the EXACT left-fold order of [[scoreExpr]]/[[scoreSql]] — association
+    * changes the floating-point sum, and the oracle replays the left fold.
+    * Small forests keep the single fused span (no fence, no overhead).
+    *
     * Output: `(id, score)`.
     */
   def anomalies(df: DataFrame, id: String, features: Seq[Column], nTrees: Int,
-      sampleSize: Int, maxDepth: Int, topN: Int, seed: Long = 42L): DataFrame = {
+      sampleSize: Int, maxDepth: Int, topN: Int, seed: Long = 42L,
+      chunkNodeBudget: Int = 400): DataFrame = {
+    val spark = df.sparkSession
     val forest = train(df, id, features, nTrees, sampleSize, maxDepth, seed)
-    df.where(col(id).isNotNull && features.map(_.isNotNull).reduce(_ && _))
-      .select(col(id), scoreExpr(forest, features.map(_.cast("double"))).as("score"))
+    val base = df.where(col(id).isNotNull && features.map(_.isNotNull).reduce(_ && _))
+      .select(col(id) +:
+        features.zipWithIndex.map { case (f, i) => f.cast("double").as(s"__f$i") }: _*)
+    val fcols = features.indices.map(i => col(s"__f$i"))
+    def tree(t: ITree): Column = t match {
+      case ILeaf(p) => lit(p)
+      case ISplit(f, th, lo, hi) => when(fcols(f) < lit(th), tree(lo)).otherwise(tree(hi))
+    }
+    // pack whole trees into chunks of ≤ chunkNodeBudget nodes (~28 KB of
+    // generated code — 2× margin under the 64 KB method limit); a single
+    // tree over budget still gets its own chunk (codegen then falls back
+    // for that span only, never the scan)
+    val chunks = forest.trees.foldLeft(List.empty[(List[ITree], Int)]) {
+      case (acc, t) =>
+        val n = nodeCount(t)
+        acc match {
+          case (ts, sz) :: rest if sz + n <= chunkNodeBudget => ((t :: ts, sz + n)) :: rest
+          case _ => ((t :: Nil, n)) :: acc
+        }
+    }.map(_._1.reverse).reverse
+    var cur = base
+    chunks.zipWithIndex.foreach { case (ts, i) =>
+      val partial = ts.map(tree)
+      val acc =
+        if (i == 0) partial.reduce(_ + _)
+        else partial.foldLeft(col("__acc"))(_ + _)
+      val stepped = cur.withColumn("__acc", acc)
+      cur =
+        if (i == chunks.length - 1) stepped
+        else spark.createDataFrame(stepped.rdd, stepped.schema)
+    }
+    cur
+      .select(col(id),
+        round(col("__acc") / lit(forest.trees.size.toDouble), 6).as("score"))
       .orderBy(col("score"), col(id))
       .limit(topN)
   }

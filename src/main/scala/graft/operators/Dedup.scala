@@ -507,6 +507,78 @@ object Dedup {
       .toDF("d1", "d2", "jaccard")
   }
 
+  /** The physical plan the last [[ngramJaccardAuto]] call took ("ppjoin" |
+    * "blocked") — routing evidence for specs and the scale drill, the
+    * `lastMineTrace` convention. Diagnostic only. */
+  @volatile var lastJaccardRoute: String = ""
+
+  /** Corpus-shape-routed exact n-gram Jaccard (r13 verdict ask #4): ONE
+    * entry point that picks between the two identical-output plans —
+    * [[ngramJaccard]] (PPJoin prefix filter: right when rare shingles
+    * exist, so prefixes prune the candidate join) and
+    * [[ngramJaccardBlocked]] (the O(n²/b) block sweep: right on dense
+    * small-vocabulary corpora where every shingle is frequent, prefixes
+    * prune nothing, and PPJoin degenerates to a SLOWER all-pairs that
+    * pays three extra shuffles plus a candidate-dedup to discover it).
+    *
+    * The gate estimates the PPJoin candidate volume from the shingle
+    * df DISTRIBUTION: each doc's prefix keeps its `(1−t)·|d|+1` RAREST
+    * shingles (ascending-df prefix order), globally approximated by the
+    * lowest-df `(1−t)` fraction of postings; the candidate volume is
+    * Σ C(df, 2) over that tail. Routing flips to PPJoin only when that
+    * estimate is under `C(n, 2) / 8` — PPJoin's per-candidate cost (a
+    * shuffled join row, a distinct, two verify joins) is roughly an order
+    * of magnitude above the sweep's per-pair in-memory merge step, so
+    * comparable volumes favor the sweep. The decision reads a
+    * (df → shingle count) HISTOGRAM — bounded by the distinct df VALUES,
+    * not the vocabulary — collected ascending; a histogram past
+    * `maxHistogram` rows falls back to the sweep (the plan with the
+    * guaranteed envelope). Admission cost: one map-side-combinable
+    * shingle pass for the stats (two small jobs), the
+    * [[Similarity.knnGraph]] count-for-admission convention. The taken
+    * route lands in [[lastJaccardRoute]]; both plans are spec-pinned to
+    * identical output, so the gate changes the physical plan only.
+    */
+  def ngramJaccardAuto(df: DataFrame, id: String, text: String, n: Int,
+      threshold: Double, blocks: Int = 0,
+      maxHistogram: Int = 100000): DataFrame = {
+    Similarity.requireIntegralId(df, id)
+    val base = docShingles(df.where(col(text).isNotNull), id, text, n)
+    val s0 = base.agg(countDistinct(col("doc")).as("n"), count(lit(1)).as("p"))
+      .collect()(0)
+    val nDocs = s0.getLong(0)
+    val postings = s0.getLong(1)
+    val hist = base.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .groupBy(col("df")).agg(count(lit(1)).as("nsh"))
+      .orderBy(col("df"))
+      .limit(maxHistogram + 1)
+      .collect()
+    val vPairs = nDocs.toDouble * (nDocs - 1) / 2
+    val route: String =
+      if (hist.length > maxHistogram) "blocked"
+      else {
+        // ascending-df walk: budget = the (1−t) fraction of postings that
+        // land in prefixes (+1 per doc), volumes in doubles (heuristic)
+        var budget = (1.0 - roundSlack(threshold)) * postings + nDocs
+        var vPrefix = 0.0
+        var i = 0
+        while (i < hist.length && budget > 0) {
+          val dfv = hist(i).getLong(0).toDouble
+          val nsh = hist(i).getLong(1).toDouble
+          val take = math.min(nsh, budget / dfv) // fractional last bucket
+          vPrefix += take * dfv * (dfv - 1) / 2
+          budget -= take * dfv
+          i += 1
+        }
+        if (vPrefix * 8 < vPairs) "ppjoin" else "blocked"
+      }
+    lastJaccardRoute = route
+    if (route == "ppjoin")
+      ngramJaccard(df, id, text, n, threshold)
+        .select(col("d1").cast("long"), col("d2").cast("long"), col("jaccard"))
+    else ngramJaccardBlocked(df, id, text, n, threshold, blocks)
+  }
+
   /** Portable token/shingle hash: first 8 hex chars of md5 as a long
     * (< 2^32). Engine-neutral (md5 is identical everywhere), unlike
     * murmur/xxhash which differ between engines — this keeps MinHash

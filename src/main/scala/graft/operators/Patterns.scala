@@ -92,6 +92,13 @@ object Patterns {
     require(maxSize >= 1 && maxSize <= 3, s"maxSize in [1,3], got $maxSize")
     if (traced) lastMineTrace = Nil // a throwing run must not leave a stale trace
     val trace = Seq.newBuilder[Graph.RoundTrace]
+    // every persist registers here; a throw anywhere after the first
+    // persist unpersists the lot (r13 ADVICE — a leaked mine cache
+    // competes for executor memory with the rest of the session). Success
+    // paths release explicitly before returning, as before.
+    val persisted = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def releaseAll(): Unit = persisted.foreach(_.unpersist(blocking = false))
+    try {
     var tLevel = System.nanoTime()
     // traced mode: materialize a persisted level frame NOW with a count and
     // record (level, wall, surviving rows); the later readers hit cache
@@ -115,6 +122,7 @@ object Patterns {
       .agg(sort_array(collect_set(col("i"))).as("__items"))
       .repartition(nPart)
       .persist() // ONE corpus shuffle; the threshold frame, L2 and L3 all read it
+    persisted += tx
     mark(0, tx)
     // 1-row broadcast threshold frame off the cached arrays (tx row count
     // IS the distinct basket count): __n baskets, __ms = ceil-ppm support
@@ -135,6 +143,7 @@ object Patterns {
       .join(broadcast(nb))
       .where(col("support") >= col("__ms"))
       .persist() // frequent-vocabulary-sized; feeds the output AND the coder
+    persisted += l1
     mark(1, l1)
     // an EMPTY corpus yields an empty result (not a support=0 row whose
     // support_ppm would read 100% and feed associationRulesFrom a universe
@@ -149,8 +158,7 @@ object Patterns {
       val r = out1.localCheckpoint()
       mark(1 + 100, r) // final assembly, level tag 101
       if (traced) lastMineTrace = trace.result()
-      l1.unpersist(blocking = false)
-      tx.unpersist(blocking = false)
+      releaseAll()
       return r
     }
     // trim + code in ONE COMPILED pass. SQL higher-order lambdas
@@ -195,6 +203,7 @@ object Patterns {
       // baskets-sized int-array frame (~2 MB at sf0.1) inheriting the
       // pinned tx partitioning map-side (no shuffle, no AQE coalesce)
       .persist()
+    persisted += coded
     // packed pair keys: codes are sorted positions, so i < j already
     // yields c_i < c_j — ascending item order by construction
     val l2 = coded.as[Seq[Int]]
@@ -221,6 +230,7 @@ object Patterns {
       .join(broadcast(nb))
       .where(col("support") >= col("__ms"))
       .persist() // threshold-bounded; feeds the output AND the Apriori prune
+    persisted += l2
     mark(2, l2)
     val out2 = l2.join(broadcast(freq1)).select(
       concat_ws("|",
@@ -228,13 +238,11 @@ object Patterns {
         element_at(col("__f1"), expr(s"CAST(pk % $W AS INT)"))).as("items"),
       lit(2L).as("size"), col("support"), ppm.as("support_ppm"))
     val out12 = out1.unionByName(out2)
-    def release(): Unit = Seq(l1, tx, l2, coded)
-      .foreach(_.unpersist(blocking = false))
     if (maxSize == 2) {
       val r = out12.localCheckpoint()
       mark(2 + 100, r) // final assembly, level tag 102
       if (traced) lastMineTrace = trace.result()
-      release()
+      releaseAll()
       return r
     }
 
@@ -312,8 +320,9 @@ object Patterns {
     val r = out12.unionByName(out3).localCheckpoint()
     mark(3, r)
     if (traced) lastMineTrace = trace.result()
-    release()
+    releaseAll()
     r
+    } catch { case t: Throwable => releaseAll(); throw t }
   }
 
   /** Association rules from the frequent PAIRS of a [[frequentItemsets]]

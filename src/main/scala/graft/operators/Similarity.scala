@@ -315,8 +315,17 @@ object Similarity {
     // statistics already prove too big for the driver routes to the block
     // sweep with NO count job; only candidates for the driver path pay the
     // exact count that admission to driver memory requires
-    if (SizeGates.definitelyExceeds(base, maxBroadcastRows))
-      return knnGraphBlocked(df, id, vec, k, math.max(2, autoBlocksSized(base)))
+    if (SizeGates.definitelyExceeds(base, maxBroadcastRows)) {
+      // the stats route must respect the SAME per-block row bound as the
+      // exact-count route below (r13 ADVICE: bytes/64MB alone can choose
+      // far fewer blocks for narrow-vector corpora, letting per-block rows
+      // exceed maxBroadcastRows): block count = max of the bytes floor and
+      // the stats-implied row count over the row bound
+      val statsRows = SizeGates.statsRowEstimate(base)
+      val rowBlocks = ((statsRows + maxBroadcastRows - 1) / maxBroadcastRows).toInt
+      return knnGraphBlocked(df, id, vec, k,
+        math.max(2, math.max(autoBlocksSized(base), rowBlocks)))
+    }
     val n0 = base.count()
     if (n0 > maxBroadcastRows) {
       val blocks = math.max(2L, (n0 + maxBroadcastRows - 1) / maxBroadcastRows).toInt

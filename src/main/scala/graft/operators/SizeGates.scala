@@ -67,4 +67,17 @@ object SizeGates {
     !joined && bytes > 0 && bytes < BigInt(1L << 53) &&
       bytes >= BigInt(maxRows) * maxRowBytes
   }
+
+  /** The row count the [[definitelyExceeds]] statistics imply:
+    * `sizeInBytes / maxRowBytes` — the SAME row-width over-estimate the
+    * exceed test used, so a caller that sizes downstream work (e.g. a
+    * block count) off this value is consistent with the admission decision
+    * it just made. Only meaningful right after `definitelyExceeds`
+    * returned true (the stats are then known join-untainted and
+    * plausible); returns 0 otherwise-shaped stats defensively. */
+  def statsRowEstimate(df: DataFrame, maxRowBytes: Long = 1024L): Long = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes <= 0 || bytes >= BigInt(1L << 53)) 0L
+    else (bytes / maxRowBytes).toLong
+  }
 }

@@ -10,6 +10,11 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** The physical plan the last [[tfidfSimilar]] call took ("index" |
+    * "dense") — routing evidence for specs and the scale drill, the
+    * [[Patterns.lastMineTrace]] convention. Diagnostic only. */
+  @volatile var lastTfidfRoute: String = ""
+
   /** Whitespace tokens of a single-spaced document. */
   def tokens(text: Column): Column = split(text, " ")
 
@@ -515,6 +520,11 @@ object TextAnalysis {
       .select(col(id).as("doc"), posexplode(tokens(col(text))).as(Seq("pos", "term")))
       .where(col("term") =!= "")
       .persist()
+    // try/finally: an exception between persist and the trailing unpersist
+    // would otherwise leak the cached token frame for the rest of the
+    // session, competing for executor memory with every later query
+    // (r13 ADVICE; the Graph.kCore / Dedup.connectedComponents convention)
+    try {
     val dfreq = toks.select(col("doc"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("__df"))
     val nDocs = df.where(col(text).isNotNull).agg(count(lit(1)).as("__n"))
@@ -537,6 +547,7 @@ object TextAnalysis {
         size(col("__m")).cast("long").as("n_words"))
       .where(col("n_words") <= maxPhraseLen)
       .persist() // three consumers (ph, word stats, scoring) — ONE corpus pass
+    try {
     // RAKE word stats over phrase members: freq = occurrences, degree =
     // summed length of containing phrases (diagonal included)
     val wordStats = phrases
@@ -553,14 +564,13 @@ object TextAnalysis {
     val scored = ph.select(col("phrase"), explode(split(col("phrase"), " ")).as("term"))
       .join(wordStats, Seq("term"))
       .groupBy(col("phrase")).agg(sum(col("__wscore")).as("score_ppm"))
-    val r = ph.join(scored, Seq("phrase"))
+    ph.join(scored, Seq("phrase"))
       .select(col("phrase"), col("n_words"), col("occurrences"), col("score_ppm"))
       .orderBy(col("score_ppm").desc, col("occurrences").desc, col("phrase"))
       .limit(k)
       .localCheckpoint() // k rows; materialize so the persists can release
-    phrases.unpersist(blocking = false)
-    toks.unpersist(blocking = false)
-    r
+    } finally phrases.unpersist(blocking = false)
+    } finally toks.unpersist(blocking = false)
   }
 
   /** Source-vocabulary similarity: cosine between the token-frequency
@@ -1104,11 +1114,40 @@ object TextAnalysis {
     * shuffles; nothing is driver-side. For web-scale corpora compose with
     * the PPJoin prefix filter ([[Dedup.ngramJaccard]]) to skip pairs that
     * cannot reach the threshold.
+    *
+    * DENSITY ROUTING (`route = "auto"`, r13 verdict ask #1): the inverted
+    * index is the right plan only for Zipfian vocabularies. Its residual
+    * pair volume after the df cap is Σ_t C(df_t, 2) — on a dense
+    * small-vocabulary corpus that sum EXCEEDS the brute-force all-pairs
+    * volume C(n, 2) (a single capped-hot term alone contributes
+    * C(0.78·n, 2) ≈ 0.6·C(n, 2)), so the index pays more shuffled
+    * aggregation rows than a blocked sweep pays cheap in-memory merge
+    * steps, and the salt can only spread that volume, not shrink it. The
+    * auto route computes both volumes with ONE vocab-sized aggregation
+    * (collected as a single row — the [[knnGraph]]-style admission job)
+    * and flips to [[tfidfSimilarDense]] exactly when
+    * `Σ C(df,2) > C(n,2)` AND the dense path's driver admission holds
+    * (pruned vocab ≤ `maxVocab`, docs ≤ `maxBroadcastDocs`); otherwise it
+    * stays on the salted index — the only fully-distributed plan, and the
+    * honest one for corpora too large to broadcast. `route = "index"` /
+    * `"dense"` force a plan (the registered `q_tfidf_pairs_inv` /
+    * `q_tfidf_pairs` queries pin one each so both physical strategies stay
+    * oracle-checked); the taken route is recorded in [[lastTfidfRoute]]
+    * (the `lastMineTrace` evidence convention). Both plans share the
+    * integer-quantized weighting, so routing changes the physical plan
+    * only, never the result (RoutingSpec pins hash equality).
     */
   def tfidfSimilar(df: DataFrame, id: String, text: String, threshold: Double,
-      maxDfPct: Int = 78, saltBuckets: Int = 16): DataFrame = {
+      maxDfPct: Int = 78, saltBuckets: Int = 16, route: String = "auto",
+      maxVocab: Int = 1 << 16, maxBroadcastDocs: Long = 200000L): DataFrame = {
     require(maxDfPct >= 1 && maxDfPct <= 100, s"maxDfPct in [1,100], got $maxDfPct")
     require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    require(Set("auto", "index", "dense")(route),
+      s"route must be auto|index|dense, got $route")
+    if (route == "dense") {
+      lastTfidfRoute = "dense"
+      return tfidfSimilarDense(df, id, text, threshold, maxDfPct, maxVocab)
+    }
     val tf = df.where(col(text).isNotNull)
       .select(col(id).as("__d"), explode(tokens(col(text))).as("__t"))
       .where(col("__t") =!= "")
@@ -1117,6 +1156,28 @@ object TextAnalysis {
     val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
     val nDocs = df.where(col(text).isNotNull)
       .agg(count(lit(1)).as("__n")) // 1 row, joins by broadcast
+    if (route == "auto") {
+      // the density gate: ONE vocab-sized aggregation collected as a
+      // single row — (Σ C(df,2) over PRUNED terms, pruned vocab size, n).
+      // Doubles, not BIGINTs: the volumes are a routing heuristic, and
+      // Σ df² can exceed 2^63 at corpus sizes the index still handles.
+      val row = dfreq.join(broadcast(nDocs))
+        .where(col("__df") * 100 <= col("__n") * maxDfPct)
+        .agg(
+          sum(col("__df").cast("double") * (col("__df") - 1) / 2).as("__v"),
+          count(lit(1)).as("__vocab"),
+          first(col("__n")).as("__nd"))
+        .collect()(0)
+      val vIdx = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+      val vocabN = row.getLong(1)
+      val n = if (row.isNullAt(2)) 0L else row.getLong(2)
+      val vPairs = n.toDouble * (n - 1) / 2
+      if (vIdx > vPairs && vocabN <= maxVocab && n <= maxBroadcastDocs) {
+        lastTfidfRoute = "dense"
+        return tfidfSimilarDense(df, id, text, threshold, maxDfPct, maxVocab)
+      }
+    }
+    lastTfidfRoute = "index"
     val weighted = tf
       .join(dfreq, Seq("__t"))
       .join(broadcast(nDocs))

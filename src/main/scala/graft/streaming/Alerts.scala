@@ -202,6 +202,12 @@ object Alerts {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: Dataset[AlertEvent], _: Long) =>
+        // driver collect BY DESIGN (the documented size-gate convention):
+        // notified events are debounce-bounded — ≤ 1 per alert per timeout
+        // window — so a batch holds O(configs.size × windows-per-batch)
+        // rows: alert-CONFIG cardinality, never data volume. Delivery must
+        // be a serial ordered side effect (SMTP), not a distributed write.
+        // AlertsSpec pins the debounce bound.
         batch.collect().sortBy(e => (e.tsUs, e.alertId)).foreach { ev =>
           configs.get(ev.alertId).foreach { cfg =>
             composeMail(cfg, ev, mailTo.getOrElse(ev.alertId, ""),

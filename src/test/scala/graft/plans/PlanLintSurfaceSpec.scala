@@ -129,6 +129,19 @@ class PlanLintSurfaceSpec extends SparkSpec {
     // level (depth 2) — each is ≤ 2^level rows per key, and the next
     // level's segment frame reads it
     ("q_cpd", "driver-materialized-input") -> 2,
+    // r14 (reviewed): q_iforest's codegen-sizing fence — the 25-tree
+    // scorer is chunked across a row-based createDataFrame(rdd, schema)
+    // bridge so each codegen span stays under janino's 64 KB method limit
+    // (AnomalyForest.anomalies scaladoc). The RDD scan the lint sees is a
+    // LINEAGE boundary, not a driver materialization: data never leaves
+    // the executors and nothing is cached. One fence = two chunks at the
+    // registered 25-tree forest.
+    ("q_iforest", "driver-materialized-input") -> 1,
+    // r14 (reviewed): q_jaccard_auto routed to the block sweep on this
+    // dense corpus — the BNLJ is the q_jaccard_dist block-pair seed
+    // (b1 <= b2 over blocks-sized 1-row-per-block frames), same reviewed
+    // shape as q_jaccard_dist/q_embed_dedup_dist
+    ("q_jaccard_auto", "nested-loop-join") -> 1,
     // r9 (reviewed): q_ind_audit's fused single-agg rewrite assembles the
     // labels²-sized result on the driver (LocalRelation — allowlist
     // SHRANK); q_drift_panel's fused one-pass PSI+KS materializes the

@@ -54,6 +54,27 @@ class AlertsSpec extends SparkSpec {
     assert(replayKey(Seq(obs(0, "5.0")), cfg("gt", "3.0", active = false)).isEmpty)
   }
 
+  test("notified events are debounce-bounded: <= 1 per alert per timeout window") {
+    // the bound deliverStream's per-batch collect relies on (its batch
+    // cardinality is alert-config count × windows, never data volume):
+    // an adversarial flapping stream — a trip every second for 100 s
+    // against a 10 s timeout — must notify at most ceil(span/timeout)
+    // times no matter how many observations arrive
+    val timeout = 10 * S
+    val flaps = (0 until 100).flatMap(t =>
+      Seq(obs(t * S, "5.0"), obs(t * S + S / 2, "1.0")))
+    val events = replayKey(flaps, cfg("gt", "3.0", timeoutUs = timeout))
+    val notified = events.filter(_.notified)
+    assert(notified.nonEmpty)
+    assert(notified.size <= (99 * S) / timeout + 1,
+      s"${notified.size} notifications for a ${99}s flap span under a 10s timeout")
+    // and consecutive notifications are at least one timeout apart
+    notified.map(_.tsUs).sliding(2).foreach {
+      case Seq(a, b) => assert(b - a >= timeout)
+      case _ => ()
+    }
+  }
+
   test("mailBody interpolates template + op description + plot link (cache.py:632-703)") {
     val c = cfg("gt", "3.0")
     val ev = AlertEvent(1L, c.pvname, 0L, "5.0", "alarm", notified = true)
