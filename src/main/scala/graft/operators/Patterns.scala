@@ -36,6 +36,69 @@ object Patterns {
     * frequent set. */
   private val W = 65536L
 
+  /** Open-addressing long→long counter for the combo kernels — a bounded
+    * per-partition PARTIAL aggregation. The r14 probe put ~20 s of the
+    * mine's executor CPU in the L2/L3 stages, and the per-stage metrics
+    * attribute it to the Dataset ROW BOUNDARY, not the arithmetic: emitting
+    * one row per generated combination pushes ~30M rows/level through
+    * encoder + hash-aggregate machinery to count keys whose DISTINCT
+    * cardinality is vocabulary-bounded (C(|f1|,2) pairs, C(|f1|,3)
+    * triples — hundreds, not millions). Counting inside the kernel and
+    * emitting `(key, partial_count)` cuts the emitted rows by ~10⁵; the
+    * downstream `groupBy(key).sum` makes the partial flush (at [[add]]'s
+    * caller-chosen cap, bounding task memory) semantically free. Primitive
+    * linear-probing arrays — a java.util.HashMap here would box every one
+    * of the ~30M key updates. Keys must be > 0 (packed codes are ≥ W+1);
+    * slot 0 marks empty. */
+  private final class LongCounter(initialCap: Int) {
+    private var cap = math.max(16, Integer.highestOneBit(initialCap - 1) << 1)
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Long](cap)
+    private var n = 0
+    def size: Int = n
+    def add(k: Long): Unit = {
+      var i = (scala.util.hashing.byteswap64(k) & (cap - 1)).toInt
+      var live = true
+      while (live) {
+        val kk = keys(i)
+        if (kk == k) { vals(i) += 1; live = false }
+        else if (kk == 0L) {
+          keys(i) = k; vals(i) = 1L; n += 1
+          if (n.toLong * 4 > cap.toLong * 3) grow()
+          live = false
+        } else i = (i + 1) & (cap - 1)
+      }
+    }
+    private def grow(): Unit = {
+      val (ok, ov, oc) = (keys, vals, cap)
+      cap = oc << 1
+      keys = new Array[Long](cap); vals = new Array[Long](cap)
+      var i = 0
+      while (i < oc) {
+        val k = ok(i)
+        if (k != 0L) {
+          var j = (scala.util.hashing.byteswap64(k) & (cap - 1)).toInt
+          while (keys(j) != 0L) j = (j + 1) & (cap - 1)
+          keys(j) = k; vals(j) = ov(i)
+        }
+        i += 1
+      }
+    }
+    /** Snapshot-iterate the current entries and reset to empty — safe to
+      * interleave with further [[add]]s (the iterator walks the OLD
+      * arrays). */
+    def drainAndReset(): Iterator[(Long, Long)] = {
+      val (ks, vs, c) = (keys, vals, cap)
+      keys = new Array[Long](cap); vals = new Array[Long](cap); n = 0
+      (0 until c).iterator.filter(i => ks(i) != 0L).map(i => (ks(i), vs(i)))
+    }
+  }
+
+  /** Distinct-key cap per partition before a partial flush: 2²⁰ keys ≈
+    * 32 MB of counter arrays per task — far above any real frequent-set
+    * square, so flushes only ever fire on pathological vocabularies. */
+  private val PartialFlushKeys = 1 << 20
+
   /** Frequent itemsets up to size `maxSize` (≤ 3) at relative support
     * `minSupportPpm` parts-per-million of the basket count — relative, not
     * absolute, so the same call is meaningful at any scale factor.
@@ -177,7 +240,7 @@ object Patterns {
     val freq1 = l1.agg(sort_array(collect_list(col("i"))).as("__f1"))
     val coded = tx.join(broadcast(freq1))
       .select(col("__items"), col("__f1"))
-      .as[(Seq[String], Seq[String])]
+      .as[(Array[String], Array[String])]
       .mapPartitions { it =>
         var idx: java.util.HashMap[String, Int] = null // same 1-row broadcast each row
         it.map { case (items, f1) =>
@@ -205,28 +268,28 @@ object Patterns {
       .persist()
     persisted += coded
     // packed pair keys: codes are sorted positions, so i < j already
-    // yields c_i < c_j — ascending item order by construction
-    val l2 = coded.as[Seq[Int]]
+    // yields c_i < c_j — ascending item order by construction. Counted
+    // IN-KERNEL ([[LongCounter]]): the kernel emits (pk, partial_count)
+    // per partition — vocabulary-bounded — instead of one row per
+    // generated pair (~30M rows of encoder + agg machinery, the r14
+    // probe's 9.6 s stage).
+    val l2 = coded.as[Array[Int]]
       .mapPartitions { it =>
-        it.flatMap { cs =>
-          val n0 = cs.length
-          if (n0 < 2) Iterator.empty
-          else {
-            val a = cs.toArray
-            val buf = new Array[Long](n0 * (n0 - 1) / 2)
-            var o = 0; var i = 0
-            while (i < n0 - 1) {
-              val ci = a(i).toLong * W
-              var j = i + 1
-              while (j < n0) { buf(o) = ci + a(j); o += 1; j += 1 }
-              i += 1
-            }
-            buf.iterator
+        val m = new LongCounter(1 << 12)
+        it.flatMap { a =>
+          val n0 = a.length
+          var i = 0
+          while (i < n0 - 1) {
+            val ci = a(i).toLong * W
+            var j = i + 1
+            while (j < n0) { m.add(ci + a(j)); j += 1 }
+            i += 1
           }
-        }
+          if (m.size >= PartialFlushKeys) m.drainAndReset() else Iterator.empty
+        } ++ m.drainAndReset()
       }
-      .toDF("pk")
-      .groupBy(col("pk")).agg(count(lit(1)).as("support"))
+      .toDF("pk", "c")
+      .groupBy(col("pk")).agg(sum(col("c")).as("support"))
       .join(broadcast(nb))
       .where(col("support") >= col("__ms"))
       .persist() // threshold-bounded; feeds the output AND the Apriori prune
@@ -259,12 +322,12 @@ object Patterns {
     val l3 = coded.where(size(col("cs")) >= 3)
       .join(broadcast(freq2))
       .select(col("cs"), col("__f2"))
-      .as[(Seq[Int], Seq[Long])]
+      .as[(Array[Int], Array[Long])]
       .mapPartitions { it =>
         var f2: Array[Long] = null // sort_array'd — binary-searchable
-        it.flatMap { case (cs, f2seq) =>
-          if (f2 == null) f2 = f2seq.toArray
-          val a = cs.toArray
+        val m = new LongCounter(1 << 12) // in-kernel partial counts (see L2)
+        it.flatMap { case (a, f2arr) =>
+          if (f2 == null) f2 = f2arr
           val n0 = a.length
           // basket-local frequent-pair survivors, ascending by
           // construction (i asc, then j asc ⇒ packed keys ascend)
@@ -283,7 +346,6 @@ object Patterns {
           if (np < 3) Iterator.empty // a frequent triple needs 3 sub-pairs
           else {
             val psa = java.util.Arrays.copyOf(ps, np)
-            val out = Array.newBuilder[Long]
             var x = 0
             while (x < np) {
               val p = psa(x)
@@ -296,17 +358,17 @@ object Patterns {
                 if (k > pj &&
                     java.util.Arrays.binarySearch(psa, pi * W + k) >= 0 &&
                     java.util.Arrays.binarySearch(psa, pj * W + k) >= 0)
-                  out += p * W + k
+                  m.add(p * W + k)
                 k0 += 1
               }
               x += 1
             }
-            out.result().iterator
+            if (m.size >= PartialFlushKeys) m.drainAndReset() else Iterator.empty
           }
-        }
+        } ++ m.drainAndReset()
       }
-      .toDF("tk")
-      .groupBy(col("tk")).agg(count(lit(1)).as("support"))
+      .toDF("tk", "c")
+      .groupBy(col("tk")).agg(sum(col("c")).as("support"))
       .join(broadcast(nb))
       .where(col("support") >= col("__ms"))
     val out3 = l3.join(broadcast(freq1)).select(
