@@ -74,6 +74,8 @@ object Bench {
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        // sort-based shuffle writer (see Engine.bypassMergeThreshold)
+        .config("spark.shuffle.sort.bypassMergeThreshold", Engine.bypassMergeThreshold)
         // the AppStatusListener tracks jobs/stages/tasks even with the UI
         // off, retaining 1000 jobs / 1000 stages by default: a full bench
         // launches thousands of jobs, so the status store fills to its

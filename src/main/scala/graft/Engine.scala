@@ -32,6 +32,14 @@ object Engine {
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     spark.conf.set("spark.sql.adaptive.enabled", aqe)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", aqe)
+    // NOTE (r14, measured and REJECTED): flipping
+    // spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true (AQE
+    // coalescing for cached plans) was probed as the engine-wide cure for
+    // over-wide tiny cached frames — it regressed every probed entry
+    // (itemsets 5.4→7.6 s, snm_dedup 1.25→2.33 s): blanket coalescing also
+    // serializes the cached frames whose DOWNSTREAM work is compute-heavy.
+    // Width is therefore sized per site where a row count is in hand
+    // (SizeGates.loopPartitions), not globally.
     // engine extensions, idempotently (a cluster deployment would instead
     // set spark.sql.extensions=graft.plans.GraftExtensions)
     Seq(graft.plans.BucketPruneRule, graft.plans.DivRangePushdown).foreach { r =>
@@ -56,6 +64,20 @@ object Engine {
     spark
   }
 
+  /** Shuffle-writer selection (r14, measured): with ≤200 reduce partitions
+    * and no map-side combine Spark picks the bypass-merge writer, which
+    * opens ONE FILE PER REDUCER PER MAP TASK — at 32×32 that is 1024 file
+    * opens per tiny exchange, and the r14 A/B probe read it as a
+    * consistent 0.1–0.5 s/query tax on exchange-dense entries (pagerank
+    * 2.82→2.29 s, knn_graph 0.93→0.63 s) with no loss on the heavy
+    * shuffles probed. 0 forces the sort-based writer (a single spill file
+    * per map task) — which is also the only path that exists above 200
+    * reduce partitions, i.e. the at-scale default; env-overridable for
+    * deployments whose disks prefer the bypass writer.
+    */
+  private[graft] val bypassMergeThreshold: String =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS_THRESHOLD", "0")
+
   def session(master: String = "local[32]", appName: String = "graft"): SparkSession = {
     val s = SparkSession
       .builder()
@@ -64,6 +86,7 @@ object Engine {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.shuffle.sort.bypassMergeThreshold", bypassMergeThreshold)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     tune(s)

@@ -29,6 +29,8 @@ object ProbeProfile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_BYPASS", Engine.bypassMergeThreshold))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Engine.tune(spark)

@@ -51,6 +51,8 @@ object Scale {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // sort-based shuffle writer (see Engine.bypassMergeThreshold)
+      .config("spark.shuffle.sort.bypassMergeThreshold", Engine.bypassMergeThreshold)
       .config("spark.ui.retainedJobs", "50")
       .config("spark.ui.retainedStages", "100")
       .config("spark.ui.retainedTasks", "5000")

@@ -143,9 +143,15 @@ object AnomalyForest {
       chunkNodeBudget: Int = 400): DataFrame = {
     val spark = df.sparkSession
     val forest = train(df, id, features, nTrees, sampleSize, maxDepth, seed)
-    val base = df.where(col(id).isNotNull && features.map(_.isNotNull).reduce(_ && _))
-      .select(col(id) +:
-        features.zipWithIndex.map { case (f, i) => f.cast("double").as(s"__f$i") }: _*)
+    // the scorer is a per-row CASE cascade (~nTrees × depth comparisons):
+    // per-row cost ≫ per-byte cost, so a small input must not ride its
+    // scan width (r14 probe: 1.9 s of the 2.7 s wall in ONE 1-task stage
+    // over the 2.4 MB cached scan) — spreadSmall round-robins it across
+    // the cluster and no-ops on large scans
+    val base = SizeGates.spreadSmall(
+      df.where(col(id).isNotNull && features.map(_.isNotNull).reduce(_ && _))
+        .select(col(id) +:
+          features.zipWithIndex.map { case (f, i) => f.cast("double").as(s"__f$i") }: _*))
     val fcols = features.indices.map(i => col(s"__f$i"))
     def tree(t: ITree): Column = t match {
       case ILeaf(p) => lit(p)

@@ -299,44 +299,23 @@ object Dedup {
     */
   private def roundSlack(threshold: Double): Double = threshold - 5e-7
 
-  /** Exact Jaccard of two SORTED distinct-shingle arrays with the
-    * size-ratio filter and the early-exit merge-intersection; returns NaN
-    * when the pair cannot reach (or fails) the threshold. Shared by the
-    * broadcast and blocked sweeps so their arithmetic is bit-identical.
-    */
-  private[operators] def jaccardPair(a: Array[String], b: Array[String], threshold: Double): Double = {
-    val la = a.length; val lb = b.length
-    val maxInter = math.min(la, lb)
-    // size filter: even full containment cannot reach the threshold
-    if (Similarity.round6(maxInter.toDouble / (la + lb - maxInter)) < threshold) return Double.NaN
-    // minimal intersection for J >= t: inter >= t(la+lb)/(1+t), with the
-    // rounding slack so the final round-then-compare stays the arbiter
-    val t = roundSlack(threshold)
-    val needed = math.ceil(t * (la + lb) / (1.0 + t) - 1e-9).toInt
-    var ai = 0; var bi = 0; var inter = 0
-    var live = true
-    while (live && ai < la && bi < lb) {
-      val c = a(ai).compareTo(b(bi))
-      if (c == 0) { inter += 1; ai += 1; bi += 1 }
-      else if (c < 0) ai += 1
-      else bi += 1
-      if (inter + math.min(la - ai, lb - bi) < needed) live = false
-    }
-    val jac = Similarity.round6(inter.toDouble / (la + lb - inter))
-    if (live && jac >= threshold) jac else Double.NaN
-  }
-
   /** Broadcast all-pairs form of [[ngramJaccard]] — identical output,
     * different physical strategy: collect each doc's sorted distinct
-    * shingle set, broadcast, and sweep the (i, j) upper triangle with a
-    * merge-intersection that early-exits once the remaining overlap cannot
-    * reach the threshold, plus a size-ratio filter (|B| ≥ t·|A|).
+    * shingle-HASH set ([[shingleHashSetUdf]]'s flat 128-bit layout — the
+    * same representation as the blocked sweep, and the same vanishing
+    * MD5-collision argument for result identity), broadcast, and sweep
+    * the (i, j) upper triangle with [[jaccardPairHashed]]'s early-exit
+    * merge-intersection and size-ratio filter. The r14 probe put ~21 s of
+    * executor CPU per bench run in the old STRING merge (one
+    * `String.compareTo` per merge step, each a char-by-char walk of a
+    * ~12-char shingle); comparing two longs instead cut the sweep's CPU
+    * several-fold with the per-pair arithmetic otherwise unchanged.
     *
-    * Use when the shingle-set index fits in executor memory (it is ~tokens
-    * × ~16 bytes). Prefix filtering ([[ngramJaccard]]) wins on Zipfian
-    * corpora where rare shingles exist; on dense small-vocabulary corpora
-    * every shingle is frequent, prefixes prune nothing, and this sweep is
-    * an order of magnitude faster.
+    * Use when the shingle-set index fits in executor memory (it is ~16
+    * bytes per distinct shingle). Prefix filtering ([[ngramJaccard]]) wins
+    * on Zipfian corpora where rare shingles exist; on dense
+    * small-vocabulary corpora every shingle is frequent, prefixes prune
+    * nothing, and this sweep is an order of magnitude faster.
     */
   def ngramJaccardBroadcast(
       df: DataFrame,
@@ -346,11 +325,16 @@ object Dedup {
       threshold: Double): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sets = docShingles(df, id, text, n)
+    // per-doc union BEFORE the collect, mirroring the blocked sweep: rows
+    // sharing an id merge into one set (collect_set semantics); a doc
+    // whose set is empty stays harmless — every pair against it fails the
+    // size filter exactly like the exploded string form that dropped it
+    val sets = df
+      .select(col(id).cast("long").as("doc"), shingleHashSetUdf(col(text), lit(n)).as("hs"))
       .groupBy(col("doc"))
-      .agg(sort_array(collect_set(col("shingle"))).as("sh"))
-      .select(col("doc").cast("long"), col("sh"))
-      .as[(Long, Array[String])].collect().sortBy(_._1)
+      .agg(collect_list(col("hs")).as("hss"))
+      .select(col("doc"), mergeHashSetsUdf(col("hss")).as("hs"))
+      .as[(Long, Array[Long])].collect().sortBy(_._1)
     val bc = spark.sparkContext.broadcast(sets)
     val nDocs = sets.length
     spark.range(nDocs.toLong)
@@ -363,7 +347,7 @@ object Dedup {
           val (d1, a) = data(i)
           (i + 1 until nDocs).iterator.flatMap { j =>
             val (d2, b) = data(j)
-            val jac = jaccardPair(a, b, threshold)
+            val jac = jaccardPairHashed(a, b, threshold)
             if (jac.isNaN) Iterator.empty else Iterator.single((d1, d2, jac))
           }
         }
@@ -970,14 +954,18 @@ object Dedup {
     // materialize sym now: the input (often a cached edge list from the
     // size gate) is read exactly once and can be released before the
     // O(diameter) rounds instead of occupying storage through all of them
-    sym.count()
+    val nSym = sym.count()
     if (releaseInput) pairs.unpersist(blocking = false)
-    var labels = sym.select(col("src").as("node")).distinct()
+    // rows-derived width for every per-round read of the cached edge
+    // table (SizeGates.loopPartitions + coalesce view, r14 — see the
+    // Graph.pageRank note): the count is already paid above
+    val symL = sym.coalesce(SizeGates.loopPartitions(nSym))
+    var labels = symL.select(col("src").as("node")).distinct()
       .withColumn("comp", col("node")).localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
-      val nbrMin = sym.join(labels, col("dst") === col("node"))
+      val nbrMin = symL.join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("comp")).as("__nbr"))
       val step = labels.join(nbrMin, col("node") === col("src"), "left_outer")
         .select(col("node"), col("comp"),
@@ -1379,8 +1367,13 @@ object Dedup {
       window: Int, divisor: Int): DataFrame = {
     require(window >= 2, s"window must be >= 2 tokens, got $window")
     require(divisor >= 2, s"divisor must be >= 2, got $divisor")
-    val base = df.filter(col(text).isNotNull)
-      .select(col(id).cast("long").as("__doc"), split(col(text), " ").as("__toks"))
+    // per-token rolling md5 windows make this a per-row-heavy kernel: a
+    // small corpus must not ride its 1-partition cached-scan width (r14
+    // probe: two ~1 s single-task stages), and the exchange dedups across
+    // the two consumers (starts + toks) via shuffle reuse —
+    // SizeGates.spreadSmall no-ops on large scans
+    val base = SizeGates.spreadSmall(df.filter(col(text).isNotNull)
+      .select(col(id).cast("long").as("__doc"), split(col(text), " ").as("__toks")))
       .select(col("__doc"), col("__toks"), size(col("__toks")).as("__n"))
     // cut AFTER window-end token i when the window hash divides; the cut
     // starts a chunk at i + 1. Guard __n >= window + 1: Spark's sequence()

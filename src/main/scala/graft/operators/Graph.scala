@@ -83,7 +83,19 @@ object Graph {
       try return pageRankDriver(e, iters, scale)
       finally e.unpersist(blocking = false)
     }
-    val outd = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // setup passes (degree agg, node distinct, the `ed` build) read the
+    // cached edge frame through a rows-derived coalesce VIEW — no shuffle,
+    // a narrow task just reads several cached partitions. The cache's
+    // native width is whatever the upstream producer (a kNN sweep, a pair
+    // join) happened to leave: at sf0.1 that is 32 partitions of ~3 kB,
+    // and the r14 probe measured ~190–500 ms of executor overhead PER
+    // TASK on such slices (width-proportional scheduler/shuffle-registry
+    // cost and memory-manager contention), so every setup pass burned
+    // ~6–16 s of executor time moving kilobytes. At scale loopP grows
+    // with the edge count and the coalesce is a no-op in spirit.
+    val loopP = SizeGates.loopPartitions(nEdges)
+    val eL = e.coalesce(loopP)
+    val outd = eL.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // pin the cached edge frame's partitioning AND ordering to the loop's
     // join key: a hash(src) layout satisfies every round's join
     // distribution and the within-partition sort satisfies the merge
@@ -92,11 +104,18 @@ object Graph {
     // too big to broadcast (at toy scale AQE broadcasts the nodes-sized
     // side and the point is moot; at 100× the per-round edge exchange+sort
     // IS the job — GraphPlanSpec pins the shape: bare InMemoryTableScan,
-    // no Exchange, no Sort)
-    val ed = e.join(outd, Seq("src")).repartition(col("src"))
+    // no Exchange, no Sort). Partition count is ROWS-DERIVED
+    // ([[SizeGates.loopPartitions]], r14): the old shuffle-partitions pin
+    // made every round pay a 32-task map stage over a kB-sized cache —
+    // ~190 ms of executor overhead per task, ~6 s of executor time per
+    // round at sf0.1 — while at 100× the same constant under-partitions;
+    // nEdges is already counted for the driver gate, so the pin costs
+    // nothing extra and scales with the data.
+    val ed = eL.join(outd, Seq("src"))
+      .repartition(loopP, col("src"))
       .sortWithinPartitions(col("src")).persist()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
+    val nodes = eL.select(col("src").as("node"))
+      .unionByName(eL.select(col("dst").as("node")))
       .distinct()
       .persist()
     try {
@@ -260,8 +279,14 @@ object Graph {
       try return hitsDriver(e, iters, scale)
       finally e.unpersist(blocking = false)
     }
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
+    // rows-derived widths for the setup passes AND the pinned caches
+    // (SizeGates.loopPartitions + the coalesce view, r14) — see the
+    // pageRank notes: the shuffle-partitions constant burned a 32-task
+    // map stage per half-round (and per setup pass) on a kB-sized cache.
+    val loopP = SizeGates.loopPartitions(nEdges)
+    val eL = e.coalesce(loopP)
+    val nodes = eL.select(col("src").as("node"))
+      .unionByName(eL.select(col("dst").as("node")))
       .distinct()
       .persist()
     // HITS alternates join keys (src for the hub read, dst for the auth
@@ -269,9 +294,9 @@ object Graph {
     // pre-partitioned AND pre-sorted per key (the pageRank `ed` convention
     // doubled): 2× edge storage buys away one EDGE-sized exchange + sort
     // per half-round when the raw side outgrows broadcast (GraphPlanSpec
-    // pins both halves: bare InMemoryTableScan, no Exchange, no Sort)
-    val eBySrc = e.repartition(col("src")).sortWithinPartitions(col("src")).persist()
-    val eByDst = e.repartition(col("dst")).sortWithinPartitions(col("dst")).persist()
+    // pins both halves: bare InMemoryTableScan, no Exchange, no Sort).
+    val eBySrc = eL.repartition(loopP, col("src")).sortWithinPartitions(col("src")).persist()
+    val eByDst = eL.repartition(loopP, col("dst")).sortWithinPartitions(col("dst")).persist()
     try {
       val n = nodes.count()
       require(n > 0, "hits needs at least one edge")
@@ -429,8 +454,12 @@ object Graph {
       try return harmonicDriver(e, seedMod, maxHops, scale)
       finally e.unpersist(blocking = false)
     }
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
+    // rows-derived width for the setup passes and the per-hop edge join
+    // (SizeGates.loopPartitions + coalesce view, r14) — see pageRank
+    val loopP = SizeGates.loopPartitions(nEdges)
+    val eL = e.coalesce(loopP)
+    val nodes = eL.select(col("src").as("node"))
+      .unionByName(eL.select(col("dst").as("node")))
       .distinct()
       .persist()
     try {
@@ -443,7 +472,7 @@ object Graph {
       var hop = 1
       var exhausted = frontier.isEmpty
       while (hop <= maxHops && !exhausted) {
-        val next = frontier.join(e, frontier("v") === e("src"))
+        val next = frontier.join(eL, frontier("v") === eL("src"))
           .select(col("s"), col("dst").as("v")).distinct()
           .join(visited, Seq("s", "v"), "left_anti")
           .localCheckpoint() // truncate: every later hop references visited
@@ -782,15 +811,20 @@ object Graph {
       try return labelPropagationDriver(e, sd0, iters)
       finally e.unpersist(blocking = false)
     }
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
+    // rows-derived widths for the setup passes and the pinned cache
+    // (SizeGates.loopPartitions + coalesce view, r14) — see pageRank
+    val loopP = SizeGates.loopPartitions(nEdges)
+    val eL = e.coalesce(loopP)
+    val nodes = eL.select(col("src").as("node"))
+      .unionByName(eL.select(col("dst").as("node")))
       .distinct()
       .persist()
     val sd = sd0.persist()
     // every round's vote join keys on src — pin the cached layout AND
     // ordering to it (the pageRank `ed` convention): one edge shuffle +
     // sort for all rounds (GraphPlanSpec pins the vote join reads it bare)
-    val eBySrc = e.repartition(col("src")).sortWithinPartitions(col("src")).persist()
+    val eBySrc = eL.repartition(loopP, col("src"))
+      .sortWithinPartitions(col("src")).persist()
     try {
       // Seeded nodes never change label (coalesce puts __seed first), so
       // they are STATIC state: hoist them out of the loop once and iterate
@@ -1014,7 +1048,13 @@ object Graph {
         i = 0; while (i < nn) { if (!removed(i)) out += ((nodes(i), deg(i).toLong)); i += 1 }
         return out.result().toDF("node", "degree") // already node-ascending
       }
-      kCoreDistributed(canon, k, maxPeels)
+      // rows-derived width for the peel's seed checkpoint (r14, the
+      // pageRank coalesce-view note); when the stats gate skipped the
+      // count (nEdges sentinel) the native width stands — it is the
+      // huge-frame case the width was made for
+      kCoreDistributed(
+        if (nEdges == Long.MaxValue) canon
+        else canon.coalesce(SizeGates.loopPartitions(nEdges)), k, maxPeels)
     } finally canon.unpersist(blocking = false)
   }
 

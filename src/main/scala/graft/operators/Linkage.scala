@@ -56,9 +56,13 @@ object Linkage {
 
     val lFields = fuzzyFields.map(f => col(f).as(s"__lf_$f"))
     val rFields = fuzzyFields.map(f => col(f).as(s"__rf_$f"))
+    // small inputs ride their cached-scan width into every blocking join
+    // (r14 probe: a 3-task 1.2 s stage = three 1-partition probe sides) —
+    // spreadSmall round-robins them across the cluster and no-ops at scale
+    val (lSpread, rSpread) = (SizeGates.spreadSmall(left), SizeGates.spreadSmall(right))
     val candidates = blockKeys.map { key =>
-      val l = left.select(col(leftId).as("left_id") +: col(key).as("__bk") +: lFields: _*)
-      val r = right.select(col(rightId).as("right_id") +: col(key).as("__bk") +: rFields: _*)
+      val l = lSpread.select(col(leftId).as("left_id") +: col(key).as("__bk") +: lFields: _*)
+      val r = rSpread.select(col(rightId).as("right_id") +: col(key).as("__bk") +: rFields: _*)
       l.join(r, "__bk").drop("__bk")
     }.reduce(_ unionByName _)
       .dropDuplicates("left_id", "right_id")

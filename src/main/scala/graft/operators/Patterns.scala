@@ -174,16 +174,22 @@ object Patterns {
       .where(col(basket).isNotNull && col(item).isNotNull)
       .select(col(basket).as("b"), col(item).cast("string").as("i"))
     // the cached arrays fan out into the coder + combo EXPLODES — heavy
-    // compute per byte — so the cache's partition count is pinned with one
-    // extra exchange at build time: AQE coalesces the agg's tiny-BYTES
-    // shuffle output to ~3 partitions and every downstream map-side pass
-    // (coding, pair/triple generation) would run on 3 cores (r12 probe:
-    // two ~750 ms 3-task stages in a 6.3 s mine). Bytes-based coalescing
-    // is the wrong heuristic when downstream cost is combinatorial.
+    // compute per byte — so the cache's partition count is pinned: AQE
+    // would coalesce the agg's tiny-BYTES shuffle output to ~3 partitions
+    // and every downstream map-side pass (coding, pair/triple generation)
+    // would run on 3 cores (r12 probe: two ~750 ms 3-task stages in a
+    // 6.3 s mine). Bytes-based coalescing is the wrong heuristic when
+    // downstream cost is combinatorial. The pin rides the AGG's OWN
+    // exchange (r14, guide §2.4 — "two operations keyed the same way can
+    // share one exchange"): an explicit-width repartition on the agg key
+    // BEFORE the groupBy both fixes the width (user-specified counts are
+    // never AQE-coalesced) and satisfies the agg's distribution, so the
+    // old shape's SECOND full exchange of the built arrays disappears —
+    // one corpus shuffle, not two, at every scale.
     val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val tx = rows.groupBy(col("b"))
+    val tx = rows.repartition(nPart, col("b"))
+      .groupBy(col("b"))
       .agg(sort_array(collect_set(col("i"))).as("__items"))
-      .repartition(nPart)
       .persist() // ONE corpus shuffle; the threshold frame, L2 and L3 all read it
     persisted += tx
     mark(0, tx)
@@ -218,7 +224,7 @@ object Patterns {
       l1.select(col("i").as("items"), lit(1L).as("size"),
         col("support"), ppm.as("support_ppm")))
     if (maxSize == 1) {
-      val r = out1.localCheckpoint()
+      val r = out1.coalesce(1).localCheckpoint() // threshold-bounded (see final assembly)
       mark(1 + 100, r) // final assembly, level tag 101
       if (traced) lastMineTrace = trace.result()
       releaseAll()
@@ -302,7 +308,7 @@ object Patterns {
       lit(2L).as("size"), col("support"), ppm.as("support_ppm"))
     val out12 = out1.unionByName(out2)
     if (maxSize == 2) {
-      val r = out12.localCheckpoint()
+      val r = out12.coalesce(1).localCheckpoint() // threshold-bounded (see final assembly)
       mark(2 + 100, r) // final assembly, level tag 102
       if (traced) lastMineTrace = trace.result()
       releaseAll()
@@ -378,8 +384,13 @@ object Patterns {
         element_at(col("__f1"), expr(s"CAST(tk % $W AS INT)"))).as("items"),
       lit(3L).as("size"), col("support"), ppm.as("support_ppm"))
     // level 3 (the L3 mine + final union) materializes inside this
-    // checkpoint; its trace row doubles as the final-assembly mark
-    val r = out12.unionByName(out3).localCheckpoint()
+    // checkpoint; its trace row doubles as the final-assembly mark.
+    // coalesce(1): the result is threshold-bounded (hundreds of rows at
+    // ANY corpus size — that is what a support threshold does), but the
+    // union of the three level caches otherwise checkpoints at the SUM of
+    // their widths (66 tasks for ~330 rows in the r14 probe, ~0.3 s of
+    // pure stage overhead)
+    val r = out12.unionByName(out3).coalesce(1).localCheckpoint()
     mark(3, r)
     if (traced) lastMineTrace = trace.result()
     releaseAll()

@@ -1976,6 +1976,11 @@ object Similarity {
         .select(col("qv")).collect().map(_.getSeq[Long](0).toArray)
       require(init.nonEmpty, "kmeans needs at least one vector")
       var cents: Array[Array[Long]] = init
+      // rows-derived width for every per-iteration read of the cached
+      // quantized frame (SizeGates.loopPartitions + coalesce view, r14 —
+      // the Graph.pageRank note); the count is the driver gate's, hoisted
+      val nRows = q.count()
+      val qL = q.coalesce(SizeGates.loopPartitions(nRows))
       def assigned(c: Array[Array[Long]]): DataFrame = {
         val centsLit = typedlit(c.map(_.toSeq).toSeq)
         val best = array_min(transform(
@@ -1986,13 +1991,12 @@ object Similarity {
                 (a, b) => (a - b) * (a - b)),
               lit(0L), (acc, x) => acc + x).as("d"),
             ci.cast("long").as("cid"))))
-        q.select(col("vid"), col("qv"),
+        qL.select(col("vid"), col("qv"),
           when(assert_true(best.getField("d") >= 0,
             lit("kmeans overflow: dims * (max|x|/quantum)^2 exceeds BIGINT " +
               "- coarsen `quantum`")).isNull, best.getField("cid")).as("cid"),
           best.getField("d").as("dist2"))
       }
-      val nRows = q.count()
       if (nRows <= maxDriverRows) {
         // driver Lloyd loop: ONE bounded collect of the quantized vectors
         // (coalesce(1) reads the cache in a single job — toLocalIterator

@@ -68,6 +68,53 @@ object SizeGates {
       bytes >= BigInt(maxRows) * maxRowBytes
   }
 
+  /** Scale-adaptive partition count for an iterative loop's PINNED frames
+    * (the pageRank `ed` / hits `eBySrc` convention: a cached frame
+    * `repartition(col)`-ed once so every round's join reads it bare).
+    *
+    * The old pin inherited `spark.sql.shuffle.partitions` — a constant
+    * tuned for neither the data nor the cluster. Guide §2.2/§2.4: fewer,
+    * larger partitions; derive the count from input size. An exact row
+    * count is ALREADY in hand at every call site (the driver-gate count),
+    * so the rule is rows-based and deterministic: one partition per
+    * `rowsPerPartition` rows, capped at 4096 (the autoBlocksSized cap).
+    * At 2M rows/partition a (long, long) edge row lands ~64 MB a
+    * partition — the guide's shuffle-partition sweet spot. NO core-count
+    * floor, deliberately: a 15k-edge loop state on a 1000-core cluster
+    * should be 1 partition, not 1000 — the r14 probe measured the
+    * 32-wide pin burning ~190 ms of executor time PER TASK on ~3 kB task
+    * slices (scheduler + shuffle-registry overhead and memory-manager
+    * contention), 40× the same stage's cost at width 4; per-round
+    * parallelism at real scale comes from the rows term.
+    */
+  def loopPartitions(rows: Long, rowsPerPartition: Long = 2000000L): Int = {
+    require(rowsPerPartition > 0, "rowsPerPartition must be positive")
+    if (rows <= 0) 1
+    else math.min(4096L, (rows - 1) / rowsPerPartition + 1).toInt
+  }
+
+  /** Spread a SMALL input across the cluster before a compute-heavy
+    * map kernel (per-row cost ≫ per-byte cost: an iforest CASE cascade, a
+    * per-token rolling-hash chunker, a Levenshtein verify). Bytes-based
+    * planning under-parallelizes exactly these stages: a 2 MB cached scan
+    * arrives as ONE partition and the whole kernel runs on one core (the
+    * r14 probe: q_iforest spent 1.9 s of its 2.7 s wall in a single
+    * 1-task stage over 2.4 MB). The rule is stats-only (no job): when the
+    * frame is, per Catalyst statistics, under `defaultParallelism ×
+    * 128 MB` (the maxPartitionBytes default — i.e. a scan of it could
+    * not fill the cluster anyway), round-robin it across
+    * `defaultParallelism`; bigger frames pass through untouched, so at
+    * 100 TB this is a no-op and the scan's own width rules. The exchange
+    * moves only the small frame's bytes — cheap against the kernel time
+    * it parallelizes. Row-identical either way (keyless round-robin).
+    */
+  def spreadSmall(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes > 0 && bytes < BigInt(cores) * (128L << 20)) df.repartition(cores)
+    else df
+  }
+
   /** The row count the [[definitelyExceeds]] statistics imply:
     * `sizeInBytes / maxRowBytes` — the SAME row-width over-estimate the
     * exceed test used, so a caller that sizes downstream work (e.g. a

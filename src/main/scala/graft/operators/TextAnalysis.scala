@@ -1480,9 +1480,14 @@ object TextAnalysis {
         e.unpersist(blocking = false)
         return out
       }
-      // "wt" not "W": Spark resolves case-insensitively, so w/W collide
-      val outW = e.groupBy(col("doc"), col("u")).agg(sum(col("w")).as("wt"))
-      val ew = e.join(outW, Seq("doc", "u")).persist()
+      // "wt" not "W": Spark resolves case-insensitively, so w/W collide.
+      // Rows-derived width for the loop's cached edge frame
+      // (SizeGates.loopPartitions + coalesce view, r14 — the
+      // Graph.pageRank note); nE is the gate count, already paid
+      val loopP = SizeGates.loopPartitions(nE)
+      val eL = e.coalesce(loopP)
+      val outW = eL.groupBy(col("doc"), col("u")).agg(sum(col("w")).as("wt"))
+      val ew = eL.join(outW, Seq("doc", "u")).coalesce(loopP).persist()
       val nd = sets.groupBy(col("doc")).agg(count(lit(1)).as("n"))
       var pr = sets.join(nd, Seq("doc"))
         .select(col("doc"), col("cid"),
