@@ -95,7 +95,14 @@ object Dedup {
 
   /** Distinct (docId, shingle) pairs — the inverted-index input. */
   def docShingles(df: DataFrame, id: String, text: String, n: Int): DataFrame =
-    df.select(col(id).as("doc"), explode(shingleUdf(col(text), lit(n))).as("shingle"))
+    // per-row-heavy shingling (string windows + explode) must not ride a
+    // small cached scan's 1-partition width — and several consumers
+    // (minhashDedup's verify, the estimate audit) re-derive this frame 3–6
+    // times per query, each pass single-task otherwise (r14 probe:
+    // q_dedup_agreement spent six ~0.65 s 1-task stages re-reading the
+    // documents cache). spreadSmall no-ops at scale.
+    SizeGates.spreadSmall(df)
+      .select(col(id).as("doc"), explode(shingleUdf(col(text), lit(n))).as("shingle"))
 
   /** Asymmetric n-gram containment: directed pairs (src, dst) with
     * |S(src) ∩ S(dst)| / |S(src)| ≥ threshold — "src is mostly contained in
@@ -121,7 +128,7 @@ object Dedup {
     // ~64 MB of input text a block (statistics-sized, no job at
     // construction; shingle sets weigh about what the text does)
     val nb = if (blocks > 0) blocks else Similarity.autoBlocksSized(df)
-    val sets = df
+    val sets = SizeGates.spreadSmall(df) // per-row-heavy hashing; no-op at scale
       .select(col(id).cast("long").as("doc"), shingleHashSetUdf(col(text), lit(n)).as("hs"))
       .groupBy(col("doc"))
       .agg(collect_list(col("hs")).as("hss"))
@@ -329,7 +336,7 @@ object Dedup {
     // sharing an id merge into one set (collect_set semantics); a doc
     // whose set is empty stays harmless — every pair against it fails the
     // size filter exactly like the exploded string form that dropped it
-    val sets = df
+    val sets = SizeGates.spreadSmall(df) // per-row-heavy hashing; no-op at scale
       .select(col(id).cast("long").as("doc"), shingleHashSetUdf(col(text), lit(n)).as("hs"))
       .groupBy(col("doc"))
       .agg(collect_list(col("hs")).as("hss"))
@@ -453,7 +460,7 @@ object Dedup {
     // (matching the string variants' collect_set semantics); the shuffled
     // payload is the compact 16-bytes-per-shingle hash arrays, still no
     // per-shingle explode
-    val sets = df
+    val sets = SizeGates.spreadSmall(df) // per-row-heavy hashing; no-op at scale
       .select(col(id).cast("long").as("doc"), shingleHashSetUdf(col(text), lit(n)).as("hs"))
       .groupBy(col("doc"))
       .agg(collect_list(col("hs")).as("hss"))
@@ -1126,7 +1133,10 @@ object Dedup {
       maxDocsPerSpan: Int = 10, minShared: Int = 2): DataFrame = {
     require(k >= 2, s"span width must be >= 2 tokens, got $k")
     require(maxDocsPerSpan >= 2, s"maxDocsPerSpan must be >= 2, got $maxDocsPerSpan")
-    val spans = df.filter(col(text).isNotNull)
+    // per-token md5 spans are per-row-heavy — spread a small input across
+    // the cluster (three ~1 s single-task stages in the r14 probe
+    // otherwise); no-op at scale
+    val spans = SizeGates.spreadSmall(df.filter(col(text).isNotNull))
       .select(col(id).as("__doc"), split(col(text), " ").as("__toks"))
       .filter(size(col("__toks")) >= k)
       .select(col("__doc"), explode(expr(
