@@ -145,8 +145,11 @@ object Bench {
     }
     val cpuSec = scala.collection.mutable.LinkedHashMap[String, Double]()
 
+    // cache THROUGH Tables so the cached plan carries the same scan
+    // widening the queries build (a raw read.parquet cache would no longer
+    // match and every query would silently re-scan parquet)
     sources.Tables.all.foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").cache().count()
+      try sources.Tables(spark, sfDir, t).cache().count()
       catch { case _: Throwable => () }
     }
 

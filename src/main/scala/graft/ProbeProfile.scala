@@ -60,7 +60,7 @@ object ProbeProfile {
     // across a 32-way scan. Opt in to reproduce that context.
     if (sys.env.get("SPARK_GRAFT_PROBE_CACHE_TABLES").exists(_ == "1"))
       sources.Tables.all.foreach { t =>
-        try spark.read.parquet(s"$sfDir/$t.parquet").cache().count()
+        try sources.Tables(spark, sfDir, t).cache().count() // match Bench's widened cache
         catch { case _: Throwable => () }
       }
     if (sys.env.get("SPARK_GRAFT_PROBE_SHARED").forall(_ != "0"))

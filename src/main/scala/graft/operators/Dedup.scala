@@ -93,16 +93,20 @@ object Dedup {
     if (s == null) Array.empty[String] else shingleWindows(s, n).distinct
   }
 
-  /** Distinct (docId, shingle) pairs — the inverted-index input. */
+  /** Distinct (docId, shingle) pairs — the inverted-index input.
+    *
+    * Deliberately NO [[SizeGates.spreadSmall]] here (r14 added one, r15
+    * reverts it): every minhash/verify consumer RE-DERIVES this frame 2–6
+    * times per query, and a spread inside the helper pays a fresh
+    * round-robin exchange plus wide-tiny-task overhead on each derivation
+    * (measured: q_edit_verify 1.89→4.51 s, q_clean_eval_split 0.31×,
+    * q_dedup_agreement 0.57× on the r14 driver run). Parallelism for the
+    * shingle kernel comes from the input's own width (the scan's splits at
+    * scale); spreads stay only at single-derivation call sites (spanPairs,
+    * cdcChunks, the hashed-set builders ahead of their groupBy barrier).
+    */
   def docShingles(df: DataFrame, id: String, text: String, n: Int): DataFrame =
-    // per-row-heavy shingling (string windows + explode) must not ride a
-    // small cached scan's 1-partition width — and several consumers
-    // (minhashDedup's verify, the estimate audit) re-derive this frame 3–6
-    // times per query, each pass single-task otherwise (r14 probe:
-    // q_dedup_agreement spent six ~0.65 s 1-task stages re-reading the
-    // documents cache). spreadSmall no-ops at scale.
-    SizeGates.spreadSmall(df)
-      .select(col(id).as("doc"), explode(shingleUdf(col(text), lit(n))).as("shingle"))
+    df.select(col(id).as("doc"), explode(shingleUdf(col(text), lit(n))).as("shingle"))
 
   /** Asymmetric n-gram containment: directed pairs (src, dst) with
     * |S(src) ∩ S(dst)| / |S(src)| ≥ threshold — "src is mostly contained in
@@ -332,6 +336,10 @@ object Dedup {
       threshold: Double): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // same guard as the blocked/containment forms: the long cast below
+    // would silently merge distinct non-integral ids (7.2 and 7.9 → 7)
+    // into one shingle set, changing results instead of erroring
+    Similarity.requireIntegralId(df, id)
     // per-doc union BEFORE the collect, mirroring the blocked sweep: rows
     // sharing an id merge into one set (collect_set semantics); a doc
     // whose set is empty stays harmless — every pair against it fails the
@@ -407,7 +415,10 @@ object Dedup {
   }
 
   /** Exact Jaccard on two sorted flat 128-bit hash arrays ([[shingleHashSetUdf]]
-    * layout) with the same size filter + early-exit merge as [[jaccardPair]].
+    * layout): size-ratio filter first (the max possible Jaccard of two sets
+    * of these sizes), then an early-exit merge-intersection whose abort
+    * bound carries the HALF_UP rounding slack — the hash-compare successor
+    * of the removed sorted-STRING merge kernel.
     */
   private[operators] def jaccardPairHashed(a: Array[Long], b: Array[Long], threshold: Double): Double = {
     val la = a.length / 2; val lb = b.length / 2

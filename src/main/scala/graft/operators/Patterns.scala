@@ -19,10 +19,10 @@ object Patterns {
   /** Per-level trace of the most recent TRACED [[frequentItemsets]] mine on
     * this JVM (the graph-loop RoundTrace convention, r11 verdict ask #4):
     * level 0 = the basket-array build, 1..3 = each Apriori level, `rows` =
-    * the level's surviving row count. Tracing materializes each persisted
-    * level with an explicit count — three cached-frame count jobs at the
-    * local job floor, and the L1 aggregate no longer overlaps the array
-    * build — so it is opt-in (`traced = true`); Bench opts in so the trace
+    * the level's surviving row count. The level counts are paid by the
+    * mine itself now (they size the kernel/checkpoint widths); tracing
+    * only records them, plus one extra cached count of the final
+    * checkpoint. Opt-in (`traced = true`); Bench opts in so the trace
     * rides BENCH_FULL's `probe_trace`. Diagnostics only; single-threaded
     * harness contract as with Graph's traces. */
   @volatile var lastMineTrace: Seq[Graph.RoundTrace] = Nil
@@ -102,10 +102,12 @@ object Patterns {
   /** Frequent itemsets up to size `maxSize` (≤ 3) at relative support
     * `minSupportPpm` parts-per-million of the basket count — relative, not
     * absolute, so the same call is meaningful at any scale factor.
-    * `minSup = ceil(nBaskets · ppm / 1e6)`, floored at 1; the basket count
-    * is a 1-row broadcast frame, NOT a driver scalar, so the whole mine is
-    * ONE Spark job with no driver action on the control path (an empty
-    * input yields an empty result instead of an error).
+    * `minSup = ceil(nBaskets · ppm / 1e6)`, floored at 1; the THRESHOLD
+    * rides a 1-row broadcast frame, NOT a driver scalar. The mine does pay
+    * a few exact counts (input rows map-only, then L1/L2 on persisted
+    * frames) — they price the rows-derived exchange/kernel and checkpoint
+    * widths (guide §2.2) at one job-floor each; an empty input still
+    * yields an empty result instead of an error.
     *
     * Level-wise Apriori on a VERTICAL layout (the join formulation pays a
     * basket-keyed self-join per level; this one never joins on the basket):
@@ -163,36 +165,37 @@ object Patterns {
     def releaseAll(): Unit = persisted.foreach(_.unpersist(blocking = false))
     try {
     var tLevel = System.nanoTime()
-    // traced mode: materialize a persisted level frame NOW with a count and
-    // record (level, wall, surviving rows); the later readers hit cache
-    def mark(level: Int, frame: DataFrame): Unit = if (traced) {
-      val n = frame.count()
+    // traced mode: record (level, wall, surviving rows); `n` is the exact
+    // count the caller has ALREADY paid on the persisted frame — tracing
+    // adds no job of its own anymore
+    def mark(level: Int, n: Long): Unit = if (traced) {
       trace += Graph.RoundTrace(level, (System.nanoTime() - tLevel) / 1000000L, n)
       tLevel = System.nanoTime()
     }
     val rows = df
       .where(col(basket).isNotNull && col(item).isNotNull)
       .select(col(basket).as("b"), col(item).cast("string").as("i"))
-    // the cached arrays fan out into the coder + combo EXPLODES — heavy
-    // compute per byte — so the cache's partition count is pinned: AQE
-    // would coalesce the agg's tiny-BYTES shuffle output to ~3 partitions
-    // and every downstream map-side pass (coding, pair/triple generation)
-    // would run on 3 cores (r12 probe: two ~750 ms 3-task stages in a
-    // 6.3 s mine). Bytes-based coalescing is the wrong heuristic when
-    // downstream cost is combinatorial. The pin rides the AGG's OWN
-    // exchange (r14, guide §2.4 — "two operations keyed the same way can
-    // share one exchange"): an explicit-width repartition on the agg key
-    // BEFORE the groupBy both fixes the width (user-specified counts are
-    // never AQE-coalesced) and satisfies the agg's distribution, so the
-    // old shape's SECOND full exchange of the built arrays disappears —
-    // one corpus shuffle, not two, at every scale.
-    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val tx = rows.repartition(nPart, col("b"))
+    // The mine's ONE corpus exchange keeps the r14 shape — an explicit-
+    // width repartition on the agg key that both satisfies the groupBy's
+    // distribution (no second exchange) and pins the cache width for the
+    // combinatorial kernels downstream — but the WIDTH is now rows-derived
+    // instead of `spark.sql.shuffle.partitions` (guide §2.2; r14 driver
+    // evidence: at the 32-core session constant the mine anti-scaled,
+    // 22.1 s vs 5.8 s at 8 cores, c8/c32 ratio 0.26, with the collect_set
+    // agg's executor time width-proportional — wide tiny tasks contend on
+    // allocation/GC, r15 probe: the same agg read run=4.9 s at width 32 vs
+    // 0.8 s at width 9). The count is one map-only pass over the input
+    // (no shuffle — the cached scan at bench position); ~64k (basket,
+    // item) rows per partition keeps each kernel task fed while capping
+    // the per-task overhead waves, and scales to the 4096 cap.
+    val nRows = rows.count()
+    val mineW = SizeGates.loopPartitions(nRows, 65536L)
+    val tx = rows.repartition(mineW, col("b"))
       .groupBy(col("b"))
       .agg(sort_array(collect_set(col("i"))).as("__items"))
-      .persist() // ONE corpus shuffle; the threshold frame, L2 and L3 all read it
+      .persist() // the threshold frame, L1, the coder, L2 and L3 all read it
     persisted += tx
-    mark(0, tx)
+    if (traced) mark(0, tx.count())
     // 1-row broadcast threshold frame off the cached arrays (tx row count
     // IS the distinct basket count): __n baskets, __ms = ceil-ppm support
     val nb = tx.agg(count(lit(1)).as("__n"))
@@ -213,7 +216,17 @@ object Patterns {
       .where(col("support") >= col("__ms"))
       .persist() // frequent-vocabulary-sized; feeds the output AND the coder
     persisted += l1
-    mark(1, l1)
+    // exact L1 count: cheap on the persisted frame, and it prices the
+    // result-assembly checkpoint width below (ADVICE r14: a hard
+    // coalesce(1) assumed "hundreds of rows", but a low threshold over a
+    // large vocabulary can push the frequent-set union into millions)
+    val nL1 = l1.count()
+    mark(1, nL1)
+    // checkpoint width for the threshold-bounded result union, derived
+    // from the SUMMED level counts (L3 is Apriori-bounded by its sub-pairs
+    // and rides the same width): 1 partition for the usual hundreds of
+    // rows, more only when the counts say so
+    def outW(levels: Long): Int = SizeGates.loopPartitions(1L + levels)
     // an EMPTY corpus yields an empty result (not a support=0 row whose
     // support_ppm would read 100% and feed associationRulesFrom a universe
     // of 0 — r8 ADVICE); the filter rides the existing 1-row frame
@@ -224,8 +237,8 @@ object Patterns {
       l1.select(col("i").as("items"), lit(1L).as("size"),
         col("support"), ppm.as("support_ppm")))
     if (maxSize == 1) {
-      val r = out1.coalesce(1).localCheckpoint() // threshold-bounded (see final assembly)
-      mark(1 + 100, r) // final assembly, level tag 101
+      val r = out1.coalesce(outW(nL1)).localCheckpoint()
+      if (traced) mark(1 + 100, r.count()) // final assembly, level tag 101
       if (traced) lastMineTrace = trace.result()
       releaseAll()
       return r
@@ -269,8 +282,8 @@ object Patterns {
       }
       .toDF("cs")
       // persisted: L2 and L3 both read the coded arrays; the cache is a
-      // baskets-sized int-array frame (~2 MB at sf0.1) inheriting the
-      // pinned tx partitioning map-side (no shuffle, no AQE coalesce)
+      // baskets-sized int-array frame (~2 MB at sf0.1) inheriting tx's
+      // rows-derived mineW map-side (no further shuffle, no AQE coalesce)
       .persist()
     persisted += coded
     // packed pair keys: codes are sorted positions, so i < j already
@@ -300,7 +313,8 @@ object Patterns {
       .where(col("support") >= col("__ms"))
       .persist() // threshold-bounded; feeds the output AND the Apriori prune
     persisted += l2
-    mark(2, l2)
+    val nL2 = l2.count() // exact; prices the assembly width with nL1
+    mark(2, nL2)
     val out2 = l2.join(broadcast(freq1)).select(
       concat_ws("|",
         element_at(col("__f1"), expr(s"CAST(pk DIV $W AS INT)")),
@@ -308,8 +322,8 @@ object Patterns {
       lit(2L).as("size"), col("support"), ppm.as("support_ppm"))
     val out12 = out1.unionByName(out2)
     if (maxSize == 2) {
-      val r = out12.coalesce(1).localCheckpoint() // threshold-bounded (see final assembly)
-      mark(2 + 100, r) // final assembly, level tag 102
+      val r = out12.coalesce(outW(nL1 + nL2)).localCheckpoint()
+      if (traced) mark(2 + 100, r.count()) // final assembly, level tag 102
       if (traced) lastMineTrace = trace.result()
       releaseAll()
       return r
@@ -385,13 +399,14 @@ object Patterns {
       lit(3L).as("size"), col("support"), ppm.as("support_ppm"))
     // level 3 (the L3 mine + final union) materializes inside this
     // checkpoint; its trace row doubles as the final-assembly mark.
-    // coalesce(1): the result is threshold-bounded (hundreds of rows at
-    // ANY corpus size — that is what a support threshold does), but the
-    // union of the three level caches otherwise checkpoints at the SUM of
-    // their widths (66 tasks for ~330 rows in the r14 probe, ~0.3 s of
-    // pure stage overhead)
-    val r = out12.unionByName(out3).coalesce(1).localCheckpoint()
-    mark(3, r)
+    // Width from the measured level counts (outW): the result is
+    // threshold-bounded, so this is 1 for the usual hundreds of rows —
+    // the union of the three level caches otherwise checkpoints at the
+    // SUM of their widths (66 tasks for ~330 rows in the r14 probe,
+    // ~0.3 s of pure stage overhead) — but a low-threshold large-
+    // vocabulary mine no longer serializes into one task (r14 ADVICE)
+    val r = out12.unionByName(out3).coalesce(outW(nL1 + nL2)).localCheckpoint()
+    if (traced) mark(3, r.count())
     if (traced) lastMineTrace = trace.result()
     releaseAll()
     r

