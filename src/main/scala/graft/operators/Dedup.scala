@@ -663,13 +663,24 @@ object Dedup {
     */
   def minhashEstimateAudit(df: DataFrame, id: String, text: String,
       n: Int = 3, numPerm: Int = 32, bands: Int = 8): DataFrame = {
-    val sig = minhashSignature(df, id, text, n, numPerm)
+    // the signature frame is SMALL at any scale (numPerm longs per doc) and
+    // read FOUR times here (both band-join sides + both per-pair signature
+    // joins) — persist it so the corpus-wide signature aggregation runs
+    // once (r15; guide §5 — cache the lightweight proxy, recompute nothing
+    // heavy). Candidates persist and the exact-verify inputs shrink to
+    // candidate docs by a left-semi prefilter, exactly as in
+    // [[minhashDedup]]; the lazy plan reads the persists at evaluation
+    // time, so they release via the call-scoped registry, not here.
+    val sig = minhashSignature(df, id, text, n, numPerm).persist()
+    TimeSeries.registerCallScopedPersist(sig)
     val banded = bandExplode(sig, numPerm, bands, "doc")
     val cands = banded
       .join(banded.select(col("doc").as("d2"), col("band"), col("bucket")), Seq("band", "bucket"))
       .where(col("doc") < col("d2"))
       .select(col("doc").as("d1"), col("d2"))
       .distinct()
+      .persist()
+    TimeSeries.registerCallScopedPersist(cands)
     val sigA = sig.select(col("doc").as("d1") +: (0 until numPerm).map(i => col(s"mh$i").as(s"a$i")): _*)
     val sigB = sig.select(col("doc").as("d2") +: (0 until numPerm).map(i => col(s"mh$i").as(s"b$i")): _*)
     val nMatch = (0 until numPerm)
@@ -677,7 +688,13 @@ object Dedup {
       .reduce(_ + _)
     val est = cands.join(sigA, Seq("d1")).join(sigB, Seq("d2"))
       .select(col("d1"), col("d2"), nMatch.as("n_match"))
-    val ds = docShingles(df, id, text, n).distinct()
+    val candDocs = cands.select(col("d1").as("doc"))
+      .unionByName(cands.select(col("d2").as("doc"))).distinct()
+    val ds = docShingles(df, id, text, n)
+      .join(candDocs, Seq("doc"), "left_semi")
+      .distinct()
+      .persist() // candidate-docs-only shingles; sizes + both join sides
+    TimeSeries.registerCallScopedPersist(ds)
     val sizes = ds.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val inter = est.select(col("d1"), col("d2"))
       .join(ds.select(col("doc").as("d1"), col("shingle")), Seq("d1"))
@@ -742,12 +759,34 @@ object Dedup {
       numPerm: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val cands = lshCandidates(df, id, text, n, numPerm, bands)
-    // verify candidates with exact Jaccard on distinct shingles — distinct
-    // ACROSS rows, not just within one: duplicate-id doc rows must merge
-    // into one shingle set or the set sizes double and skew the verdict
-    // (the invariant every dedup variant shares)
-    val ds = docShingles(df, id, text, n).distinct()
+    // The candidate list is this operator's "small rows" (guide §8): it is
+    // collision-bounded while the exploded (doc, shingle) frame is
+    // corpus-sized — so the candidates persist (read by the doc-id filter
+    // and the intersection join) and every verify input is first shrunk to
+    // CANDIDATE DOCS by a left-semi join on the candidate ids (r15; guide
+    // §3.2 — pre-filter the big side before it shuffles). The old shape
+    // derived the full exploded frame three times (sizes + both join
+    // sides) and shuffled it twice, corpus-wide, to verify a
+    // candidate-bounded pair list. Results are identical: every inter/size
+    // row that survives the final candidate join had both docs in the
+    // candidate set. The returned plan stays LAZY and still reads the two
+    // persists at evaluation time, so they release via the call-scoped
+    // registry ([[TimeSeries.registerCallScopedPersist]] — the
+    // rowNumberRanged convention), not inside this call.
+    val cands = lshCandidates(df, id, text, n, numPerm, bands).persist()
+    TimeSeries.registerCallScopedPersist(cands)
+    val candDocs = cands.select(col("d1").as("doc"))
+      .unionByName(cands.select(col("d2").as("doc"))).distinct()
+    // distinct ACROSS rows, not just within one: duplicate-id doc rows
+    // must merge into one shingle set or the set sizes double and skew
+    // the verdict (the invariant every dedup variant shares); the
+    // semi-join lands BELOW it so the distinct's exchange carries only
+    // candidate docs
+    val ds = docShingles(df, id, text, n)
+      .join(candDocs, Seq("doc"), "left_semi")
+      .distinct()
+      .persist() // candidate-docs-only shingles; three readers below
+    TimeSeries.registerCallScopedPersist(ds)
     val sizes = ds.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val inter = cands
       .join(ds.select(col("doc").as("d1"), col("shingle")), Seq("d1"))
@@ -783,14 +822,30 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     def banded(df: DataFrame, side: String): DataFrame =
       bandExplode(minhashSignature(df, id, text, n, numPerm), numPerm, bands, side)
+    // candidates persist (read by the two doc-id filters and the
+    // intersection join), and each side's exploded shingle frame is shrunk
+    // to ITS candidate docs with a left-semi prefilter before the distinct
+    // and the verify joins (r15; guide §3.2/§8 — the old shape derived
+    // each corpus-sized frame twice and shuffled it whole to verify a
+    // collision-bounded pair list). The lazy plan reads the persists at
+    // evaluation time; they release via the call-scoped registry. Rows
+    // unchanged.
     val cands = banded(newDocs, "dn")
       .join(banded(existing, "dx"), Seq("band", "bucket"))
       .select(col("dn"), col("dx")).distinct()
+      .persist()
+    TimeSeries.registerCallScopedPersist(cands)
     // distinct across rows: duplicate-id doc rows merge into ONE shingle
     // set (shared dedup-variant invariant), or inter/sz double and the
     // Jaccard verdict drops docs it shouldn't
-    val dsN = docShingles(newDocs, id, text, n).distinct()
-    val dsX = docShingles(existing, id, text, n).distinct()
+    val dsN = docShingles(newDocs, id, text, n)
+      .join(cands.select(col("dn").as("doc")).distinct(), Seq("doc"), "left_semi")
+      .distinct().persist()
+    TimeSeries.registerCallScopedPersist(dsN)
+    val dsX = docShingles(existing, id, text, n)
+      .join(cands.select(col("dx").as("doc")).distinct(), Seq("doc"), "left_semi")
+      .distinct().persist()
+    TimeSeries.registerCallScopedPersist(dsX)
     val inter = cands
       .join(dsN.select(col("doc").as("dn"), col("shingle")), Seq("dn"))
       .join(dsX.select(col("doc").as("dx"), col("shingle")), Seq("dx", "shingle"))
